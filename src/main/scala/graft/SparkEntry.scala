@@ -1,13 +1,527 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+import graft.operators._
+import graft.gold.Star
+import graft.util.Identifiers
+
+/** Driver contract — the engine's declared query inventory (SURVEY §2).
+  *
+  * Every entry has a DuckDB-runnable oracle in [[SparkEntry.oracleSql]]
+  * unless the operator is not SQL-expressible (those get rows-only checks).
+  * Parity rules used throughout so Spark and DuckDB hash-match:
+  *   - monetary aggregates sum exact decimals (order-independent);
+  *   - double arithmetic appears only as identical single IEEE expressions;
+  *   - every query ends in a total ORDER BY;
+  *   - every computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Star.factSales(t(spark, dir, "lineitem"), t(spark, dir, "orders"),
+      t(spark, dir, "customer"), Star.rateDim(t(spark, dir, "nation")))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries
+
+  private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.1 scans / §2.6 sorts ----
+    "s1_full_scan" -> ((s, d) =>
+      t(s, d, "region").orderBy("r_regionkey")),
+
+    "s4_projection_scan" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "s7_top_sample" -> ((s, d) =>
+      t(s, d, "orders").orderBy("o_orderkey").limit(5)),
+
+    // ---- S11/W3 merge-upsert (union + window dedup ≡ MERGE INTO) ----
+    "s11_merge_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      val target = ev.filter(col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+      val source = ev.filter(col("ts") >= to_timestamp(lit("2024-01-19 00:00:00")))
+        .withColumn("value", col("value") + lit(1.0))
+      Dedup.mergeUpsert(target, source, Seq("event_id"), Seq(col("ts").desc))
+        .orderBy("event_id")
+    }),
+
+    // ---- §2.2 projections / filters ----
+    "p1_identifier_normalize" -> ((s, d) => {
+      // exercises the normalizer on messy source-style names
+      val cleaned = Identifiers.cleanAll(Seq("Región Key!", "Región Name"))
+      t(s, d, "region").toDF(cleaned: _*).orderBy("region_key")
+    }),
+
+    "p2_standardize_types" -> ((s, d) => {
+      val ev = t(s, d, "events") // raw: ts is epoch-nanos LongType
+      val secs = floor(col("ts").cast(DecimalType(38, 0)) / lit(1000000000)).cast("long")
+      ev.select(
+        col("event_id"),
+        Standardize.epochDecode(col("ts")).as("ts_decoded"),
+        Standardize.epochDecode(secs).as("ts_from_seconds"),
+        Standardize.nullifySentinels(col("event_type")).as("event_type"),
+        Standardize.cleanFloat(col("value")).as("value")
+      ).orderBy("event_id")
+    }),
+
+    "p5_segment_filter" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")),
+
+    "p6_quarantine_clean" -> ((s, d) => {
+      val (clean, _) = Quarantine.split(t(s, d, "lineitem"), lineitemRules)
+      clean.select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "p6_quarantine_rows" -> ((s, d) => {
+      val (_, quar) = Quarantine.split(t(s, d, "lineitem"), lineitemRules)
+      quar.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_extendedprice"), col("quarantine_reason"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "p7_drop_all_null" -> ((s, d) =>
+      Quarantine.dropAllNull(t(s, d, "documents"))
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+
+    "p9_watermark_filter" -> ((s, d) =>
+      Incremental.watermarkScan(Tables.events(s, d), "ts",
+          to_timestamp(lit("2024-01-25 00:00:00")), 3600L)
+        .select("event_id", "ts", "event_type").orderBy("event_id")),
+
+    "p10_control_probe" -> ((s, d) =>
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select("event_id", "ts", "user_id")),
+
+    // ---- §2.3 joins ----
+    "j2_filtered_dim_reuse" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val am = c.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("am_key"), col("c_name").as("am_name"))
+      val kam = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("kam_key"), col("c_name").as("kam_name"))
+      o.join(broadcast(am), o("o_custkey") === am("am_key"), "left")
+        .join(broadcast(kam), o("o_custkey") === kam("kam_key"), "left")
+        .select("o_orderkey", "am_name", "kam_name").orderBy("o_orderkey")
+    }),
+
+    "j8_changed_keys_semi" -> ((s, d) => {
+      val changed = Incremental.changedKeys(t(s, d, "orders"), Seq("o_custkey"),
+          "o_orderdate", to_timestamp(lit("2001-06-01 00:00:00")))
+        .withColumnRenamed("o_custkey", "c_custkey")
+      Incremental.restrictToChanged(t(s, d, "customer"), changed, Seq("c_custkey"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "j9_anti_orphans" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      t(s, d, "customer").join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ---- §2.4 aggregations ----
+    "a1_max_watermark" -> ((s, d) =>
+      Tables.events(s, d).agg(max(col("ts")).as("wm"))),
+
+    "a2_count_rows" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+
+    "a3_distinct_keys" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+        .select("o_custkey").distinct().orderBy("o_custkey")),
+
+    "a6_date_range" -> ((s, d) =>
+      t(s, d, "orders").agg(min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax"))),
+
+    "a7_measures" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      val salesOnly = Measures.sumWhere(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
+      val total = sum(dec2(col("o_totalprice")))
+      joined.groupBy(col("c_mktsegment").as("market_segment"))
+        .agg(
+          salesOnly.cast(DecimalType(38, 2)).as("sales_only"),
+          total.cast(DecimalType(38, 2)).as("total_value"),
+          count(lit(1)).as("n_orders"),
+          (Measures.divide(salesOnly, total) * lit(100.0)).as("achievement_pct"))
+        .orderBy("market_segment")
+    }),
+
+    "q1_pricing_summary" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- §2.5 windows ----
+    "w1_dedup_latest_dim" -> ((s, d) =>
+      Dedup.keepLatest(
+          Tables.events(s, d).select("user_id", "event_type", "event_id", "ts"),
+          Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))
+        .orderBy("user_id", "event_type")),
+
+    "w2_fact_pattern_dedup" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val order = Dedup.totalOrder(li, Seq("l_orderkey"),
+        Seq(col("l_shipdate").desc, col("l_linenumber").desc),
+        Seq("l_shipdate", "l_linenumber"))
+      Dedup.dedupFactByPattern(li, Seq("orderkey"), order).orderBy("l_orderkey")
+    }),
+
+    "w4_running_total" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(dec2(col("value"))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast(DecimalType(38, 2)))
+        .select("event_id", "user_id", "ts", "running_value").orderBy("event_id")),
+
+    "w5_session_gap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .select("event_id", "user_id", "gap_us").orderBy("event_id")
+    }),
+
+    "w6_topk_per_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, d, "orders").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // ---- §2.7 set ops ----
+    "u2_date_domain" -> ((s, d) =>
+      t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
+        .union(t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")))
+        .distinct().orderBy("d")),
+
+    "u3_set_except" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- X5 calendar ----
+    "x5_calendar_dim" -> ((s, d) =>
+      CalendarDim.fromDomain(t(s, d, "orders"), "o_orderdate").orderBy("date_key")),
+
+    // ---- Gold star builds (J1-J8 + §2.8 math) ----
+    "g1_dim_customer" -> ((s, d) =>
+      Star.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))
+        .orderBy("customer_key")),
+
+    "g2_dim_product" -> ((s, d) =>
+      Star.dimProduct(t(s, d, "part")).orderBy("product_key")),
+
+    "g3_fact_sales" -> ((s, d) =>
+      Star.factSales(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
+          Star.rateDim(t(s, d, "nation")))
+        .orderBy("sales_document_number", "sales_document_line")),
+
+    "g4_fact_orders" -> ((s, d) =>
+      Star.factOrders(t(s, d, "orders"), t(s, d, "customer"),
+          Star.rateDim(t(s, d, "nation")))
+        .orderBy("order_document_number")),
+
+    "g5_fact_budget" -> ((s, d) =>
+      Star.factBudget(t(s, d, "orders")).orderBy("customer_key"))
+  )
+
+  private val lineitemRules = Quarantine.Rules(
+    refDate = lit(java.sql.Date.valueOf("1998-06-01")),
+    horizonDays = 730,
+    maxVal = 100000.0,
+    minVal = -1.0,
+    valueColMatch = _.toLowerCase.contains("price"))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val ratesCte =
+    """rates AS (
+      |  SELECT n_nationkey,
+      |         CAST(CAST(n_nationkey + 100 AS DECIMAL(10,2)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(10,4)) AS rate
+      |  FROM nation WHERE n_nationkey % 3 <> 0
+      |)""".stripMargin
+
+  private val monthCaseEs =
+    """CASE CAST(month(d) AS INT) WHEN 1 THEN 'Enero' WHEN 2 THEN 'Febrero' WHEN 3 THEN 'Marzo'
+      | WHEN 4 THEN 'Abril' WHEN 5 THEN 'Mayo' WHEN 6 THEN 'Junio' WHEN 7 THEN 'Julio'
+      | WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre'
+      | WHEN 11 THEN 'Noviembre' ELSE 'Diciembre' END""".stripMargin.replace("\n", "")
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_full_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "s4_projection_scan" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+
+    "s7_top_sample" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 5",
+
+    "s11_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |source AS (
+        |  SELECT event_id, ts, user_id, event_type, value + 1.0 AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-19 00:00:00'),
+        |u AS (
+        |  SELECT *, 0 AS pri FROM target
+        |  UNION ALL
+        |  SELECT *, 1 AS pri FROM source),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY pri DESC, ts DESC) AS rn FROM u)
+        |SELECT event_id, ts, user_id, event_type, value FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "p1_identifier_normalize" ->
+      "SELECT r_regionkey AS region_key, r_name AS region_name FROM region ORDER BY region_key",
+
+    "p2_standardize_types" ->
+      """SELECT event_id,
+        |  CASE WHEN epoch_ns(ts) > 1000000000000 THEN make_timestamp(epoch_ns(ts)//1000)
+        |       ELSE make_timestamp(epoch_ns(ts)*1000000) END AS ts_decoded,
+        |  CASE WHEN epoch_ns(ts)//1000000000 > 1000000000000 THEN make_timestamp((epoch_ns(ts)//1000000000)//1000)
+        |       ELSE make_timestamp((epoch_ns(ts)//1000000000)*1000000) END AS ts_from_seconds,
+        |  CASE WHEN upper(trim(event_type)) IN ('', 'NULL', 'N/A', 'UNKNOWN', 'NONE', '#N/A') THEN NULL
+        |       ELSE event_type END AS event_type,
+        |  CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p5_segment_filter" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+
+    "p6_quarantine_clean" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice FROM lineitem
+        |WHERE NOT (l_shipdate > DATE '2000-05-31' OR l_extendedprice > 100000.0 OR l_extendedprice < -1.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p6_quarantine_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+        |  CASE WHEN l_shipdate > DATE '2000-05-31' THEN 'future_date:l_shipdate'
+        |       WHEN l_extendedprice > 100000.0 OR l_extendedprice < -1.0 THEN 'out_of_range:l_extendedprice'
+        |  END AS quarantine_reason
+        |FROM lineitem
+        |WHERE l_shipdate > DATE '2000-05-31' OR l_extendedprice > 100000.0 OR l_extendedprice < -1.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p7_drop_all_null" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE NOT (doc_id IS NULL AND text IS NULL AND lang IS NULL AND source IS NULL AND n_chars IS NULL)
+        |ORDER BY doc_id""".stripMargin,
+
+    "p9_watermark_filter" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts > TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 3600 SECONDS
+        |ORDER BY event_id""".stripMargin,
+
+    "p10_control_probe" ->
+      """SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "j2_filtered_dim_reuse" ->
+      """SELECT o_orderkey, am.c_name AS am_name, kam.c_name AS kam_name
+        |FROM orders
+        |LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) am ON o_custkey = am.c_custkey
+        |LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') kam ON o_custkey = kam.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j8_changed_keys_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j9_anti_orphans" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a1_max_watermark" ->
+      "SELECT max(ts) AS wm FROM events",
+
+    "a2_count_rows" ->
+      "SELECT count(*) AS n FROM lineitem",
+
+    "a3_distinct_keys" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' ORDER BY o_custkey""".stripMargin,
+
+    "a6_date_range" ->
+      "SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax FROM orders",
+
+    "a7_measures" ->
+      """SELECT c_mktsegment AS market_segment,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS sales_only,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |  COUNT(*) AS n_orders,
+        |  (CASE WHEN SUM(CAST(o_totalprice AS DECIMAL(18,2))) IS NULL OR SUM(CAST(o_totalprice AS DECIMAL(18,2))) = 0 THEN 0.0
+        |        ELSE CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |             / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) END) * 100.0 AS achievement_pct
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY market_segment""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w1_dedup_latest_dim" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "w2_fact_pattern_dedup" ->
+      """WITH r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC,
+        |    l_discount DESC, l_extendedprice DESC, l_linestatus DESC, l_partkey DESC,
+        |    l_quantity DESC, l_returnflag DESC, l_suppkey DESC, l_tax DESC) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM r WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "w4_running_total" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w5_session_gap" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "w6_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "u2_date_domain" ->
+      """SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |UNION
+        |SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+        |ORDER BY d""".stripMargin,
+
+    "u3_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "x5_calendar_dim" ->
+      s"""WITH span AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS dmin, CAST(max(o_orderdate) AS DATE) AS dmax FROM orders),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS d FROM span)
+        |SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_key, d AS date,
+        |  CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter, CAST(month(d) AS INT) AS month_num,
+        |  $monthCaseEs AS month_name_es,
+        |  CAST(day(d) AS INT) AS day_of_month
+        |FROM days ORDER BY date_key""".stripMargin,
+
+    "g1_dim_customer" ->
+      """SELECT c_custkey AS customer_key, c_name AS customer_name, c_mktsegment AS market_segment,
+        |  n_name AS nation_name, r_name AS region_name,
+        |  CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE 'OK' END AS credit_status,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS account_balance
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY customer_key""".stripMargin,
+
+    "g2_dim_product" ->
+      """SELECT p_partkey AS product_key, p_name AS product_name, p_brand AS brand,
+        |  p_type AS product_type, p_size AS size,
+        |  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M' ELSE 'L' END AS size_category,
+        |  CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+        |FROM part ORDER BY product_key""".stripMargin,
+
+    "g3_fact_sales" ->
+      s"""WITH $ratesCte
+        |SELECT l_orderkey AS sales_document_number, l_linenumber AS sales_document_line,
+        |  o_custkey AS customer_key, l_partkey AS product_key,
+        |  CAST(o_orderdate AS DATE) AS billing_date, CAST(l_shipdate AS DATE) AS ship_date,
+        |  CASE WHEN l_returnflag = 'N' THEN 'Sale' WHEN l_returnflag = 'R' THEN 'Return'
+        |       WHEN l_returnflag = 'A' THEN 'Adjustment' WHEN l_returnflag IS NULL THEN 'Unclassified'
+        |       ELSE l_returnflag END AS document_category,
+        |  CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |       * COALESCE(rate, CAST(1.0000 AS DECIMAL(10,4))) AS DECIMAL(38,8)) AS sales_eur,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(3,2))
+        |       * COALESCE(rate, CAST(1.0000 AS DECIMAL(10,4))) AS DECIMAL(38,8)) AS taxes_eur
+        |FROM lineitem
+        |LEFT JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN rates ON c_nationkey = rates.n_nationkey
+        |ORDER BY sales_document_number, sales_document_line""".stripMargin,
+
+    "g4_fact_orders" ->
+      s"""WITH $ratesCte
+        |SELECT o_orderkey AS order_document_number, o_custkey AS customer_key,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'Closed' WHEN o_orderstatus = 'O' THEN 'Open'
+        |       WHEN o_orderstatus = 'P' THEN 'Processing' ELSE 'Other' END AS order_status_group,
+        |  o_orderpriority AS order_priority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * COALESCE(rate, CAST(1.0000 AS DECIMAL(10,4))) AS DECIMAL(38,6)) AS order_value_eur
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN rates ON c_nationkey = rates.n_nationkey
+        |ORDER BY order_document_number""".stripMargin,
+
+    "g5_fact_budget" ->
+      """WITH r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey AS customer_key,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS budget_month,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS budget_eur
+        |FROM r WHERE rn = 1 ORDER BY customer_key""".stripMargin
+  )
 }

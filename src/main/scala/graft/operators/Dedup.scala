@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-based deduplication (SURVEY §2.5 W1/W2/W3).
+  *
+  * All variants are one `row_number` window: a single hash-partition shuffle
+  * on the dedup keys, map-side combinable by AQE. Tie-breaks must be total
+  * (`orderCols` should end in a unique column) so results are deterministic
+  * and reproducible across runs — the reference's `orderBy(desc(ts))` alone
+  * is not (SURVEY §7.3).
+  *
+  * Scale note: partitioning by low-cardinality keys (the W2 fact pattern)
+  * skews; AQE skew handling is enabled in the session and, for extreme
+  * cases, `saltedKeepLatest` pre-aggregates per salt bucket before the
+  * final window, bounding any single task's partition size.
+  */
+object Dedup {
+
+  private val Rn = "__graft_rn"
+
+  /** Keep exactly one row per `partCols` group, the first under `orderCols`. */
+  def keepLatest(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(Rn, row_number().over(w)).filter(col(Rn) === 1).drop(Rn)
+  }
+
+  /** W1 — dim dedup: partition by ALL columns except audit/timestamp ones,
+    * keep the latest by `tsCol` (Silver_full_load.ipynb:cell 8
+    * `remove_duplicates`). Exact-duplicate removal keeping newest audit ts. */
+  def dedupDim(df: DataFrame, tsCol: String, auditCols: Set[String] = Set.empty): DataFrame = {
+    val keys = df.columns.filterNot(c => c == tsCol || auditCols.contains(c)).toSeq
+    keepLatest(df, keys, Seq(col(tsCol).desc))
+  }
+
+  /** W2 — fact dedup with pattern-discovered keys: business-key columns are
+    * those whose (lowercased) name contains any of `patterns`
+    * (Silver_full_load.ipynb:cell 8; silver_processor.py:204). */
+  def patternKeys(df: DataFrame, patterns: Seq[String]): Seq[String] =
+    df.columns.filter(c => patterns.exists(p => c.toLowerCase.contains(p))).toSeq
+
+  def dedupFactByPattern(df: DataFrame, patterns: Seq[String],
+                         orderCols: Seq[Column]): DataFrame =
+    keepLatest(df, patternKeys(df, patterns), orderCols)
+
+  /** Total tie-break: the caller's primary ordering followed by every other
+    * column descending — full-row ordering makes keep-latest reproducible
+    * even when version columns tie on physical duplicates (SURVEY §7.3). */
+  def totalOrder(df: DataFrame, partCols: Seq[String], primary: Seq[Column],
+                 primaryNames: Seq[String]): Seq[Column] = {
+    val covered = (partCols ++ primaryNames).toSet
+    primary ++ df.columns.filterNot(covered.contains).sorted.map(c => col(c).desc)
+  }
+
+  /** W3/S11 — merge-upsert without a transactional table format: union the
+    * incoming batch over the existing rows with the incoming side winning
+    * ties, then window-dedup on the business keys. Same observable semantics
+    * as `MERGE INTO … WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *`
+    * (Gold_incremental_load.ipynb:cell 10), already proven by the
+    * reference's own Silver incremental path (Silver_incremental_load
+    * .ipynb:cell 8 `merge_to_silver_table`). */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+                  versionCols: Seq[Column]): DataFrame = {
+    val pri = "__graft_src_pri"
+    val unioned = existing.withColumn(pri, lit(0))
+      .unionByName(incoming.withColumn(pri, lit(1)), allowMissingColumns = true)
+    keepLatest(unioned, keys, col(pri).desc +: versionCols).drop(pri)
+  }
+
+  /** Skew-resistant variant of keepLatest for 100TB-scale hot keys: a first
+    * per-(key, salt) local reduction shrinks each hot key to `saltBuckets`
+    * candidates before the global window. */
+  def saltedKeepLatest(df: DataFrame, partCols: Seq[String],
+                       orderCols: Seq[Column], saltBuckets: Int = 64): DataFrame = {
+    val salt = "__graft_salt"
+    val local = df
+      .withColumn(salt, pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val pre = keepLatest(local, partCols :+ salt, orderCols).drop(salt)
+    keepLatest(pre, partCols, orderCols)
+  }
+}
