@@ -35,7 +35,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ graft.queries.ExtQueries.queries
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -286,7 +287,9 @@ object SparkEntry {
       | WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre'
       | WHEN 11 THEN 'Noviembre' ELSE 'Diciembre' END""".stripMargin.replace("\n", "")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++ graft.queries.ExtQueries.oracleSql
+
+  private val coreOracles: Map[String, String] = Map(
     "s1_full_scan" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star ANN):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute force is a broadcast of the (small) query set against
+  * a full scan of the corpus — O(Q·N) but embarrassingly parallel and
+  * shuffle-free until the final per-query top-k (a tiny aggregation).
+  * The LSH path buckets the corpus once (pure map), then joins query
+  * buckets to corpus buckets — candidate count is bucket-bounded, turning
+  * O(Q·N) into O(Q·N/2^bits) at a recall cost.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (fold — codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos_sim")
+  }
+
+  /** Deterministic random-hyperplane matrix (seeded — no runtime RNG). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id for each vector: bit p = (v · h_p) > 0. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      when(dot(vec, typedlit(h.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: exact ranking restricted to LSH-bucket candidates.
+    * Multi-table (standard recall amplification): `tables` independent
+    * hyperplane sets; a corpus vector is a candidate if it shares a bucket
+    * with the query in ANY table. Candidate count — and the compute/recall
+    * trade — is `tables · N / 2^bits` per query instead of N. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, bits: Int = 8, tables: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val buckets = (vec: Column) => array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(vec, hyperplanes(dim, bits, seed = 42L + t)).as("bucket"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+      .withColumn("b", explode(buckets(col("n_vec"))))
+      .select(col("n_id"), col("n_vec"), col("b.tbl"), col("b.bucket"))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("b", explode(buckets(col("q_vec"))))
+      .select(col("q_id"), col("q_vec"), col("b.tbl"), col("b.bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_vec", "n_id", "n_vec")
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.withColumn("cos_sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos_sim")
+  }
+
+  /** Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+    * Brute-force O(N²) verifier for small N; at scale, route through
+    * `lshBucket` first (same expressions, bucket-bounded join). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (north-star dedup):
+  * exact, MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: the LSH path is shingle→minhash→band→bucket-join — the
+  * only shuffle is the band-bucket self-join, whose fan-out is bounded by
+  * bucket size (near-dup clusters), never O(n²). The candidate set is then
+  * Jaccard-verified. All stages are built-in expressions (codegen'd);
+  * signatures are fixed-width arrays, ~8·H bytes/doc — 100 TB of text
+  * reduces to a few TB of signatures before any join.
+  */
+object TextDedup {
+
+  /** Word k-shingles (distinct) of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: element h = min over shingles of xxhash64(shingle, h).
+    * Deterministic, seed-indexed hash family. */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map(h =>
+      array_min(transform(shingleSet, s => xxhash64(s, lit(h))))): _*)
+
+  /** LSH banding: split the signature into `bands` bands and hash each →
+    * (band_id, band_hash) bucket keys, exploded to one row per band. */
+  def lshBands(df: DataFrame, sigCol: String, idCol: String,
+               bands: Int = 8, rows: Int = 4): DataFrame = {
+    val bandCols = array((0 until bands).map(b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(lit(b), slice(col(sigCol), b * rows + 1, rows)).as("band_hash"))): _*)
+    df.select(col(idCol), explode(bandCols).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs from shared LSH buckets (id_a < id_b, distinct). */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id_a"), col("band_id"), col("band_hash"))
+    val b = bands.select(col(idCol).as("id_b"), col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard between two shingle-set columns. */
+  def jaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+
+  /** Full MinHash/LSH near-dup pipeline: returns verified pairs
+    * (id_a, id_b, jaccard) with jaccard >= threshold. */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val cand = candidatePairs(lshBands(sh, "sig", idCol, bands, numHashes / bands), idCol)
+    val sa = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash: 64-bit locality-sensitive fingerprint — bit i of the result is
+    * the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Hamming-near
+    * fingerprints ⇒ near-dup texts. Pure expression composition. */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => {
+        val bit = (h: Column) => call_function("shiftright", h, i).bitwiseAND(lit(1L))
+        val votes = aggregate(hashes, lit(0),
+          (v, h) => v + when(bit(h) === 1L, 1).otherwise(-1))
+        acc + when(votes > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+      })
+  }
+
+  /** Exact dedup: keep the lowest id per identical normalized text. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol, "fingerprint")
+}

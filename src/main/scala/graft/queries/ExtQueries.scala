@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.ext._
+
+/** North-star extension queries (dedup / similarity / text / multimodal)
+  * over the `documents` and `embeddings` fixtures. Queries whose Spark
+  * implementation rests on engine-specific hashing (xxhash64 minhash,
+  * simhash, LSH buckets, rolling hash) have no DuckDB oracle — the gate
+  * records rows-only checks; their correctness is asserted by ScalaTest
+  * (determinism, planted-near-dup recall, brute-force agreement).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis ----
+    "t1_token_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TextStats.tokens(col("text"))
+      docs.select(
+        col("doc_id"),
+        length(col("text")).as("char_count"),
+        size(toks).as("word_count"),
+        size(array_distinct(toks)).as("uniq_word_count"),
+        TextStats.regexTokenCount(col("text")).as("token_count"))
+        .orderBy("doc_id")
+    }),
+
+    "t2_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "t3_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    "t4_quality_metrics" -> ((s, d) =>
+      TextStats.qualityMetrics(t(s, d, "documents"), "text")
+        .select("doc_id", "char_count", "word_count", "punct_count",
+          "stopword_count", "stopword_ratio")
+        .orderBy("doc_id")),
+
+    // rolling-hash fingerprint: native codegen Expression — no oracle
+    "t5_rolling_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.fingerprintRolling(col("text")).as("rh"))
+        .orderBy("doc_id")),
+
+    // ---- dedup ----
+    "d1_dedup_exact" -> ((s, d) =>
+      TextDedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // MinHash/LSH near-dup pairs — xxhash-based, rows-only check
+    "d2_minhash_dup_pairs" -> ((s, d) =>
+      TextDedup.minhashDupPairs(t(s, d, "documents"), "doc_id", "text")
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
+    // exact n-gram Jaccard over LSH candidates (ints only) — oracle-able
+    // via brute-force pair join is O(n²); keep rows-only at scale factor
+    "d3_ngram_jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash fingerprints — xxhash-based, rows-only
+    "d4_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // ---- similarity search ----
+    "e1_knn_brute_force" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5)
+        .select("q_id", "n_id", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    // LSH-bucketed ANN — seeded-hyperplane dependent, rows-only
+    "e2_knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, bits = 6, tables = 8)
+        .select("q_id", "n_id", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
+    "e3_embedding_near_dups" -> ((s, d) =>
+      Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
+    // ---- multimodal ----
+    "m1_media_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("payload", Multimodal.asPayload(col("text")))
+        .withColumn("meta", Multimodal.extractMeta(col("payload")))
+        .select(col("doc_id"), col("meta.byte_len"), col("meta.width"),
+          col("meta.height"), col("meta.n_frames"))
+        .orderBy("doc_id")),
+
+    // partition-wise stub decode (mapPartitions plumbing) — rows-only
+    "m2_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+          t(s, d, "documents").withColumn("payload", Multimodal.asPayload(col("text"))),
+          "doc_id", "payload")
+        .toDF().orderBy("doc_id"))
+  )
+
+  private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS char_count,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS word_count,
+        |  CAST(len(list_distinct(string_split(lower(trim(text)), ' '))) AS INT) AS uniq_word_count,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS token_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+        |       WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+        |       WHEN fr > 0 AND fr >= de THEN 'fr'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'und' END AS predicted_lang
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t4_quality_metrics" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS char_count,
+        |  CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS word_count,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS INT) AS punct_count,
+        |  CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS INT) AS stopword_count,
+        |  CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS DOUBLE)
+        |    / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS doc_id
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d3_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "e1_knn_brute_force" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs
+        |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
+        |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "e3_embedding_near_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST(320 + strlen(text) % 1280 AS INT) AS width,
+        |  CAST(240 + strlen(text) % 720 AS INT) AS height,
+        |  CAST(strlen(text) % 24 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

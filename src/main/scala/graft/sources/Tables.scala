@@ -24,6 +24,7 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Runtime SQLConf: lets the driver-created session read ns timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.RollingHash.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+import graft.sources.Tables
+
+/** North-star extension operators: the rows-only queries get their
+  * correctness asserted here (LSH vs brute-force agreement, planted-dup
+  * recall, determinism of hash-based fingerprints). */
+class ExtSpec extends SparkSpecBase {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+
+  test("minhash LSH pairs == exact-jaccard pairs at threshold (full recall on planted dups)") {
+    val lsh = TextDedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth at the same shingle size
+    val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(TextDedup.jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are jaccard-verified, so lsh ⊆ exact always; at ~0.99
+    // planted similarity the banding (8 bands × 4 rows) must not miss any.
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash separates near-dups from random pairs by hamming distance") {
+    val fp = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
+    val pairs = TextDedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.7)
+    val fa = fp.select(col("doc_id").as("id_a"), col("sh").as("fa"))
+    val fb = fp.select(col("doc_id").as("id_b"), col("sh").as("fb"))
+    val hamming = bit_count(col("fa").bitwiseXOR(col("fb")))
+    val dupAvg = pairs.join(fa, "id_a").join(fb, "id_b")
+      .agg(avg(hamming)).head().getDouble(0)
+    val randAvg = fa.crossJoin(fb).filter(col("id_a") < col("id_b"))
+      .agg(avg(hamming)).head().getDouble(0)
+    // fixture texts share one tiny vocabulary, so even random pairs are
+    // token-correlated — assert separation, not absolute distances
+    assert(dupAvg < 8, s"near-dup avg hamming $dupAvg should be small")
+    assert(randAvg > dupAvg + 4,
+      s"random avg $randAvg should clearly exceed near-dup avg $dupAvg")
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+        k = 5, bits = 6, tables = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low for 8 tables x 6-bit buckets")
+  }
+
+  test("rolling_hash native expression matches the reference implementation") {
+    val got = docs.limit(20)
+      .select(col("text"), graft.functions.RollingHash.rolling_hash(col("text")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val expected = graft.functions.RollingHash.hashBytes(
+        r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == expected)
+    }
+  }
+
+  test("multimodal stub decode: typed schema, deterministic, partition-wise") {
+    val withPayload = docs.withColumn("payload", Multimodal.asPayload(col("text")))
+    val feats = Multimodal.extractFeatures(withPayload, "doc_id", "payload")
+    assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "checksum", "feature_dim"))
+    val twice = Multimodal.extractFeatures(withPayload.repartition(7), "doc_id", "payload")
+    assert(feats.orderBy("doc_id").collect().toSeq ==
+      twice.orderBy("doc_id").collect().toSeq) // partitioning-independent
+    val n = docs.count()
+    assert(feats.count() == n)
+  }
+
+  test("langid is deterministic and total") {
+    val l1 = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(l1.forall(Set("en", "es", "fr", "de", "und").contains))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators._
+
+class OperatorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("epochDecode: ns vs s heuristic, including the 1e12 edge") {
+    val df = Seq(
+      1704067200000000000L, // 2024-01-01 in ns -> ns path
+      1704067200L,          // 2024-01-01 in s  -> s path
+      999999999999L,        // just under threshold -> s path (reference quirk)
+      1000000000001L        // just over  -> ns path
+    ).toDF("v").select(Standardize.epochDecode(col("v")).as("ts"))
+    val got = df.collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(got(0) == "2024-01-01T00:00:00Z")
+    assert(got(1) == "2024-01-01T00:00:00Z")
+    assert(got(2) == "+33658-09-27T01:46:39Z")  // seconds path, NOT "fixed"
+    assert(got(3) == "1970-01-01T00:16:40Z") // ns path, sub-us floored away
+  }
+
+  test("nullifySentinels nulls all sentinel spellings, keeps real values") {
+    val df = Seq("ok", " N/A ", "null", "#N/A", "", "NONE", "value")
+      .toDF("s").select(Standardize.nullifySentinels(col("s")).as("s"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("ok"), None, None, None, None, None, Some("value")))
+  }
+
+  test("keepLatest with total order is deterministic on exact ties") {
+    val df = Seq((1, "2024-01-01", "x"), (1, "2024-01-01", "y"), (2, "2024-01-02", "z"))
+      .toDF("k", "d", "payload")
+    val order = Dedup.totalOrder(df, Seq("k"), Seq(col("d").desc), Seq("d"))
+    val got = Dedup.keepLatest(df, Seq("k"), order).orderBy("k").collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("y", "z")) // 'y' > 'x' desc
+  }
+
+  test("mergeUpsert: matched rows take the incoming version, others insert") {
+    val existing = Seq((1, "old", 10), (2, "keep", 20)).toDF("id", "v", "ver")
+    val incoming = Seq((1, "new", 11), (3, "ins", 30)).toDF("id", "v", "ver")
+    val got = Dedup.mergeUpsert(existing, incoming, Seq("id"), Seq(col("ver").desc))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "new"), (2, "keep"), (3, "ins")))
+  }
+
+  test("quarantine split partitions the input exactly") {
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+    val rules = Quarantine.Rules(
+      refDate = lit(java.sql.Date.valueOf("1998-06-01")),
+      valueColMatch = _.contains("price"), maxVal = 100000.0, minVal = -1.0)
+    val (clean, quar) = Quarantine.split(li, rules)
+    assert(clean.count() + quar.count() == li.count())
+    assert(quar.filter(col("quarantine_reason").isNull).count() == 0)
+  }
+
+  test("calendar covers the full domain with correct keys") {
+    val cal = CalendarDim.fromDomain(sources.Tables.load(spark, sfDir, "orders"), "o_orderdate")
+    val Row(n: Long, distinct: Long) = cal.agg(count(lit(1)), countDistinct(col("date_key"))).head()
+    assert(n == distinct) // surrogate key is unique
+    assert(cal.filter(col("month_name_es") === "Enero").filter(col("month_num") =!= 1).count() == 0)
+  }
+}
