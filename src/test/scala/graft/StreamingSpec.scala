@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Streams
+import graft.sources.Tables
+
+class StreamingSpec extends SparkSpecBase {
+
+  private lazy val events = Tables.events(spark, sfDir)
+    .select("event_id", "ts", "user_id", "event_type", "value").cache()
+
+  test("streaming tumbling agg over bounded input equals the batch twin") {
+    // stage decoded events as a parquet stream source
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = events.schema
+    val got = Streams.runToMemory(spark, schema, dir, "tumbling_out",
+      df => Streams.tumblingCounts(df, "1 hour", "10 minutes"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val expected = Streams.tumblingCountsBatch(events, "1 hour")
+    // watermark append-mode may hold back the final (max-ts) windows; all
+    // emitted windows must match the batch result exactly
+    val g = got.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+    val e = expected.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+    assert(g.subsetOf(e))
+    assert(g.size >= e.size - 10, s"emitted ${g.size} of ${e.size} windows")
+  }
+
+  test("mapGroupsWithState sessionization matches batch aggregation") {
+    import spark.implicits._
+    val ds = events.as[Streams.Event]
+    val sessions = Streams.userSessions(ds).collect().map(s => s.user_id -> s).toMap
+    val batch = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))))
+    batch.foreach { case (uid, (n, first, last)) =>
+      val s = sessions(uid)
+      assert(s.n_events == n && s.first_ts == first && s.last_ts == last)
+    }
+  }
+}
