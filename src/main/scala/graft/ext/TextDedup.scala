@@ -57,8 +57,11 @@ object TextDedup {
   /** Full MinHash/LSH near-dup pipeline: returns verified pairs
     * (id_a, id_b, jaccard) with jaccard >= threshold. */
   def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      k: Int = 3, numHashes: Int = 16, bands: Int = 8,
                       threshold: Double = 0.7): DataFrame = {
+    // 8 bands x 2 rows: P(candidate | j=0.7) = 1-(1-0.7^2)^8 ≈ 0.995, and
+    // the exact-jaccard verification keeps precision — cheaper signatures
+    // shift no observable semantics, only recall tail.
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
@@ -73,19 +76,45 @@ object TextDedup {
 
   /** SimHash: 64-bit locality-sensitive fingerprint — bit i of the result is
     * the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Hamming-near
-    * fingerprints ⇒ near-dup texts. Pure expression composition. */
+    * fingerprints ⇒ near-dup texts. Pure expression composition, single
+    * pass: each token is hashed ONCE and folded into a 64-wide vote vector
+    * (the naive per-bit formulation re-hashes every token 64 times). */
   def simhash(text: Column): Column = {
     val toks = array_distinct(split(lower(trim(text)), "\\s+"))
     val hashes = transform(toks, t => xxhash64(t))
+    val bits = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bits, (v, i) =>
+        v + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => {
-        val bit = (h: Column) => call_function("shiftright", h, i).bitwiseAND(lit(1L))
-        val votes = aggregate(hashes, lit(0),
-          (v, h) => v + when(bit(h) === 1L, 1).otherwise(-1))
-        acc + when(votes > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
-      })
+      zip_with(votes, bits, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Exact all-pairs n-gram Jaccard at/above a threshold via a shingle
+    * inverted index: explode (id, shingle), self-join on shingle, count
+    * common shingles per pair, then jaccard = common / (|A|+|B|-common).
+    * Never materializes O(n²) pairs — cost is Σ_shingle df(s)², the
+    * standard scalable exact-similarity join (cf. prefix-filtering
+    * literature); pairs sharing no shingle are never generated. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posts = sh.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
+    val a = posts.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = posts.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Exact dedup: keep the lowest id per identical normalized text. */

@@ -66,19 +66,12 @@ object ExtQueries {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
-    // exact n-gram Jaccard over LSH candidates (ints only) — oracle-able
-    // via brute-force pair join is O(n²); keep rows-only at scale factor
-    "d3_ngram_jaccard_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"), TextDedup.shingles(col("text")).as("sh"))
-      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard", TextDedup.jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= 0.5)
+    // exact n-gram Jaccard pairs via shingle inverted index (no O(n²) scan)
+    "d3_ngram_jaccard_pairs" -> ((s, d) =>
+      TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>

@@ -61,6 +61,32 @@ object Streams {
       }
   }
 
+  /** Streaming incremental upsert: every micro-batch merges into the target
+    * parquet table through the same union+window upsert the batch pipeline
+    * uses (foreachBatch = the streaming face of SURVEY §2.9's idempotent
+    * apply; late rows within the watermark reconcile by key, exactly like
+    * the batch overlap re-extraction). */
+  def incrementalUpsertStream(spark: SparkSession, schema: StructType,
+                              srcDir: String, targetPath: String,
+                              keys: Seq[String], versionCol: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val in = spark.readStream.schema(schema).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val target = new java.io.File(targetPath)
+      val merged =
+        if (target.exists()) {
+          val existing = spark.read.parquet(targetPath)
+          graft.operators.Dedup
+            .mergeUpsert(existing, batch, keys, Seq(col(versionCol).desc))
+        } else batch
+      val staged = merged.localCheckpoint(true) // cut lineage off the target files
+      staged.write.mode(SaveMode.Overwrite).parquet(targetPath)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming query from a bounded parquet directory into a memory
     * sink synchronously (test/local harness). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,

@@ -78,6 +78,11 @@ class ExtSpec extends SparkSpecBase {
     assert(feats.count() == n)
   }
 
+  test("session extensions install rolling_hash without throwing") {
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("langid is deterministic and total") {
     val l1 = docs.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
       .orderBy("doc_id").collect().map(_.getString(1)).toSeq

@@ -27,6 +27,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(g.size >= e.size - 10, s"emitted ${g.size} of ${e.size} windows")
   }
 
+  test("foreachBatch streaming upsert converges to batch merge result") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val srcDir = s"$base/src"
+    val target = s"$base/target"
+    // batch 1: events before the 20th; start the stream over it
+    val ev = events
+    ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+      .write.mode("overwrite").parquet(srcDir)
+    Streams.incrementalUpsertStream(spark, ev.schema, srcDir, target,
+      Seq("event_id"), "ts")
+    val n1 = spark.read.parquet(target).count()
+    // batch 2: overlapping re-extraction (19th onward) lands as new files
+    ev.filter(col("ts") >= lit("2024-01-19").cast("timestamp"))
+      .write.mode("append").parquet(srcDir)
+    Streams.incrementalUpsertStream(spark, ev.schema, srcDir, target,
+      Seq("event_id"), "ts")
+    val finalCount = spark.read.parquet(target).count()
+    assert(finalCount == ev.count(), s"upsert converges: $finalCount")
+    assert(n1 < finalCount)
+  }
+
   test("mapGroupsWithState sessionization matches batch aggregation") {
     import spark.implicits._
     val ds = events.as[Streams.Event]
