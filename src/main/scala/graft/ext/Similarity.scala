@@ -88,6 +88,51 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer (MLlib, fixed
+    * seed) partitions the corpus into `nlist` cells; each query probes the
+    * `nprobe` nearest centroids and ranks exactly inside them. The corpus
+    * assignment is a one-off O(N·nlist) map stage; per-query work drops to
+    * ~nprobe·N/nlist. Centroids are tiny and broadcast. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+      .withColumn("features", array_to_vector(col("n_vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // nearest-centroid assignment / probing as pure expressions (broadcast
+    // literal centroids; no model UDF in the hot path)
+    def dists(vec: Column): Seq[(Int, Column)] = centroids.zipWithIndex.map {
+      case (c, i) =>
+        val lit = typedlit(c.toSeq)
+        val d = aggregate(zip_with(vec, lit, (x, y) => (x - y) * (x - y)),
+          org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x)
+        i -> d
+    }.toSeq
+    def cellsFor(vec: Column, n: Int): Column = {
+      val ranked = array_sort(array(dists(vec).map { case (i, d) =>
+        struct(d.as("d"), org.apache.spark.sql.functions.lit(i).as("cell")) }: _*))
+      slice(transform(ranked, s => s.getField("cell")), 1, n)
+    }
+
+    val c = feat.withColumn("cell", element_at(cellsFor(col("n_vec"), 1), 1))
+      .select("n_id", "n_vec", "cell")
+      .withColumn("n_norm", norm(col("n_vec")))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(cellsFor(col("q_vec"), nprobe)))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos_sim")
+  }
+
   /** Embedding near-dup pairs: all (a < b) with cosine >= threshold.
     * Brute-force O(N²) verifier for small N; at scale, route through
     * `lshBucket` first (same expressions, bucket-bounded join). */

@@ -102,6 +102,15 @@ object ExtQueries {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
+    // IVF ANN (k-means coarse quantizer) — model-dependent, rows-only
+    "e4_knn_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, nlist = 16, nprobe = 4)
+        .select("q_id", "n_id", "rnk")
+        .orderBy("q_id", "rnk")
+    }),
+
     // ---- multimodal ----
     "m1_media_meta" -> ((s, d) =>
       t(s, d, "documents")

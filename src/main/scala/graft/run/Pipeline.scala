@@ -141,6 +141,52 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
     PipelineReport("gold", counts.toMap, Map.empty)
   }
 
+  /** Incremental gold (SURVEY §3.3): dims rebuild only changed keys (J8
+    * semi-join restriction) and merge by business key; facts rebuild rows
+    * whose silver audit ts >= watermark and merge by composite key — the
+    * MERGE-equivalent union+window upsert in both cases. Bootstrap: a
+    * missing gold table falls back to the full build. */
+  def runGoldIncremental(watermark: java.sql.Timestamp): Map[String, Long] = {
+    import graft.gold.Star
+    def s(t: String) = wh.read(s"silver_$t")
+    val wm = lit(watermark)
+    val rates = Star.rateDim(s("nation"))
+
+    def upsertInto(target: String, incoming: DataFrame, keys: Seq[String],
+                   version: Seq[Column]): Long = {
+      if (!wh.exists(target)) return 0L
+      val existing = wh.read(target)
+      val merged = Dedup.mergeUpsert(existing, incoming, keys, version)
+      val staged = merged.persist()
+      val n = staged.count()
+      wh.write(s"${target}__staging", staged)
+      staged.unpersist()
+      wh.write(target, wh.read(s"${target}__staging"))
+      log(target, "gold", "incremental", n)
+      n
+    }
+
+    // dim: changed customer keys since the watermark -> restricted rebuild
+    val changedCust = Incremental.changedKeys(s("customer"),
+        Seq("c_custkey"), "silver_created_date", wm)
+    val dimCust = Star.dimCustomer(
+      Incremental.restrictToChanged(s("customer"), changedCust, Seq("c_custkey")),
+      s("nation"), s("region"))
+    val audited = Standardize.withAudit(dimCust, "gold", executionId, lit(clock()))
+    val nDim = upsertInto("gold_dim_customer", audited, Seq("customer_key"),
+      Seq(col("gold_created_date").desc))
+
+    // fact: changed orders since the watermark -> merge by document number
+    val changedOrders = s("orders").filter(col("silver_created_date") >= wm)
+    val factOrd = Standardize.withAudit(
+      Star.factOrders(changedOrders, s("customer"), rates),
+      "gold", executionId, lit(clock()))
+    val nFact = upsertInto("gold_fact_orders", factOrd,
+      Seq("order_document_number"), Seq(col("gold_created_date").desc))
+
+    Map("gold_dim_customer" -> nDim, "gold_fact_orders" -> nFact)
+  }
+
   /** Incremental silver for one table: watermark scan over the source with
     * overlap, then union+window merge-upsert into the existing silver table
     * (S3/P9 + W3/S11). Bootstrap: missing watermark/table ⇒ full path. */

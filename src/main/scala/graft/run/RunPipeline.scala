@@ -35,6 +35,12 @@ object RunPipeline {
         (if (r.quarantined.nonEmpty) s", quarantined=${r.quarantined.values.sum}" else ""))
       r.tables.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"  $t%-24s $n%10d") }
     }
+    if (args.contains("--incremental")) {
+      val wm = new java.sql.Timestamp(System.currentTimeMillis() - 24L * 3600 * 1000)
+      val inc = pipe.runGoldIncremental(wm)
+      println(s"[gold-incremental] watermark=$wm")
+      inc.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"  $t%-24s $n%10d") }
+    }
     println(s"warehouse at $whDir")
     spark.stop()
   }

@@ -78,6 +78,17 @@ class ExtSpec extends SparkSpecBase {
     assert(feats.count() == n)
   }
 
+  test("IVF ANN beats random-bucket recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low for nprobe=3/8 cells")
+  }
+
   test("session extensions install rolling_hash without throwing") {
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)

@@ -50,6 +50,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(!silver.exists(_.endsWith("_execution_log")))
   }
 
+  test("incremental gold: changed-key dim rebuild + fact merge converge") {
+    val wh = Warehouse(spark, whRoot)
+    val dimBefore = wh.read("gold_dim_customer").count()
+    val factBefore = wh.read("gold_fact_orders").count()
+    // watermark before every silver row: everything re-merges, counts stable
+    val all = pipe.runGoldIncremental(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+    assert(all("gold_dim_customer") == dimBefore)
+    assert(all("gold_fact_orders") == factBefore)
+    // watermark after every silver row: nothing changes, counts stable
+    val none = pipe.runGoldIncremental(java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+    assert(none("gold_dim_customer") == dimBefore)
+    assert(none("gold_fact_orders") == factBefore)
+  }
+
   test("incremental silver merge-upsert is idempotent on re-run") {
     val wh = Warehouse(spark, whRoot)
     val before = wh.read("silver_orders").count()
