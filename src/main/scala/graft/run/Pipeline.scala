@@ -141,6 +141,24 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
     PipelineReport("gold", counts.toMap, Map.empty)
   }
 
+  /** S13/X2 — final warehouse copies: every gold table copied to a second
+    * namespace (`dw_` prefix), all copies submitted in PARALLEL from the
+    * driver (Spark schedules concurrent jobs across the executor pool —
+    * the reference runs its 5 Lakehouse→Warehouse copies the same way). */
+  def copyToWarehouse(prefix: String = "dw_"): Map[String, Long] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tables = wh.list("gold_")
+    val copies = tables.map { t =>
+      Future { t -> wh.write(prefix + t, wh.read(t)) }
+    }
+    val done = Await.result(Future.sequence(copies), Duration.Inf).toMap
+    // log appends share one parquet dir -> must not race; serialize them
+    done.foreach { case (t, n) => log(prefix + t, "warehouse", "copy", n) }
+    done
+  }
+
   /** Incremental gold (SURVEY §3.3): dims rebuild only changed keys (J8
     * semi-join restriction) and merge by business key; facts rebuild rows
     * whose silver audit ts >= watermark and merge by composite key — the

@@ -35,6 +35,10 @@ object RunPipeline {
         (if (r.quarantined.nonEmpty) s", quarantined=${r.quarantined.values.sum}" else ""))
       r.tables.toSeq.sortBy(_._1).foreach { case (t, n) => println(f"  $t%-24s $n%10d") }
     }
+    if (args.contains("--copy")) {
+      val copied = pipe.copyToWarehouse()
+      println(s"[warehouse-copy] ${copied.size} tables, ${copied.values.sum} rows")
+    }
     if (args.contains("--incremental")) {
       val wm = new java.sql.Timestamp(System.currentTimeMillis() - 24L * 3600 * 1000)
       val inc = pipe.runGoldIncremental(wm)

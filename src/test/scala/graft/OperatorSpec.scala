@@ -44,6 +44,17 @@ class OperatorSpec extends SparkSpecBase {
     assert(got == Seq((1, "new"), (2, "keep"), (3, "ins")))
   }
 
+  test("saltedKeepLatest equals plain keepLatest (skew path is semantics-free)") {
+    val ev = sources.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val order = Seq(col("ts").desc, col("event_id").desc)
+    val plain = Dedup.keepLatest(ev, Seq("event_type"), order)
+      .orderBy("event_type").collect().toSeq
+    val salted = Dedup.saltedKeepLatest(ev, Seq("event_type"), order, saltBuckets = 16)
+      .orderBy("event_type").collect().toSeq
+    assert(plain == salted) // 5 hot keys over 10k rows: worst-case skew shape
+  }
+
   test("quarantine split partitions the input exactly") {
     val li = sources.Tables.load(spark, sfDir, "lineitem")
     val rules = Quarantine.Rules(

@@ -50,6 +50,13 @@ class PipelineSpec extends SparkSpecBase {
     assert(!silver.exists(_.endsWith("_execution_log")))
   }
 
+  test("parallel warehouse copies mirror every gold table") {
+    val wh = Warehouse(spark, whRoot)
+    val copied = pipe.copyToWarehouse()
+    assert(copied.keySet == wh.list("gold_").toSet)
+    copied.foreach { case (t, n) => assert(n == wh.read(t).count()) }
+  }
+
   test("incremental gold: changed-key dim rebuild + fact merge converge") {
     val wh = Warehouse(spark, whRoot)
     val dimBefore = wh.read("gold_dim_customer").count()
