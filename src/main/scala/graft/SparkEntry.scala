@@ -243,6 +243,74 @@ object SparkEntry {
     "x5_calendar_dim" -> ((s, d) =>
       CalendarDim.fromDomain(t(s, d, "orders"), "o_orderdate").orderBy("date_key")),
 
+    // ---- analytic benchmarks (TPC-H-style shapes over the fixtures) ----
+    "q3_shipping_priority" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val cutoff = to_timestamp(lit("2000-03-15 00:00:00"))
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
+    "q5_local_supplier_volume" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // full A7 DAX measure set over the star: Sales Only, COGS analogue,
+    // Gross Margin, Budget Variance, Achievement % — grouped by region
+    "a8_star_measures" -> ((s, d) => {
+      val rates = Star.rateDim(t(s, d, "nation"))
+      val sales = Star.factSales(t(s, d, "lineitem"), t(s, d, "orders"),
+        t(s, d, "customer"), rates)
+      val dimc = Star.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))
+        .select("customer_key", "region_name")
+      val budget = Star.factBudget(t(s, d, "orders"))
+        .join(broadcast(dimc), Seq("customer_key"))
+        .groupBy("region_name")
+        .agg(sum(col("budget_eur")).cast(DecimalType(18, 2)).as("budget_total"))
+      val m = sales.join(broadcast(dimc), Seq("customer_key"))
+        .groupBy("region_name")
+        .agg(
+          Measures.sumWhere(col("document_category") === "Sale", col("sales_eur"))
+            .cast(DecimalType(28, 8)).as("sales_only"),
+          sum(col("taxes_eur")).cast(DecimalType(28, 8)).as("total_taxes"))
+        .withColumn("gross_margin",
+          (col("sales_only") - col("total_taxes")).cast(DecimalType(28, 8)))
+      m.join(budget, Seq("region_name"), "left")
+        .withColumn("budget_variance",
+          (col("sales_only") - col("budget_total")).cast(DecimalType(28, 8)))
+        .withColumn("achievement_pct",
+          Measures.divide(col("sales_only"), col("budget_total")) * lit(100.0))
+        .select("region_name", "sales_only", "total_taxes", "gross_margin",
+          "budget_total", "budget_variance", "achievement_pct")
+        .orderBy("region_name")
+    }),
+
     // ---- Gold star builds (J1-J8 + §2.8 math) ----
     "g1_dim_customer" -> ((s, d) =>
       Star.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))
@@ -468,6 +536,71 @@ object SparkEntry {
         |  $monthCaseEs AS month_name_es,
         |  CAST(day(d) AS INT) AS day_of_month
         |FROM days ORDER BY date_key""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '2000-03-15 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "a8_star_measures" ->
+      s"""WITH $ratesCte,
+        |sales AS (
+        |  SELECT o_custkey AS customer_key,
+        |    CASE WHEN l_returnflag = 'N' THEN 'Sale' WHEN l_returnflag = 'R' THEN 'Return'
+        |         WHEN l_returnflag = 'A' THEN 'Adjustment' WHEN l_returnflag IS NULL THEN 'Unclassified'
+        |         ELSE l_returnflag END AS document_category,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |         * COALESCE(rate, CAST(1.0000 AS DECIMAL(10,4))) AS DECIMAL(38,8)) AS sales_eur,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(3,2))
+        |         * COALESCE(rate, CAST(1.0000 AS DECIMAL(10,4))) AS DECIMAL(38,8)) AS taxes_eur
+        |  FROM lineitem
+        |  LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  LEFT JOIN customer ON o_custkey = c_custkey
+        |  LEFT JOIN rates ON c_nationkey = rates.n_nationkey),
+        |dimc AS (
+        |  SELECT c_custkey AS customer_key, r_name AS region_name
+        |  FROM customer
+        |  LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN region ON n_regionkey = r_regionkey),
+        |b AS (
+        |  SELECT o_custkey AS customer_key, CAST(o_totalprice AS DECIMAL(18,2)) AS budget_eur
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders) WHERE rn = 1),
+        |breg AS (
+        |  SELECT region_name, CAST(SUM(budget_eur) AS DECIMAL(18,2)) AS budget_total
+        |  FROM b JOIN dimc USING (customer_key) GROUP BY region_name),
+        |m AS (
+        |  SELECT region_name,
+        |    CAST(SUM(CASE WHEN document_category = 'Sale' THEN sales_eur END) AS DECIMAL(28,8)) AS sales_only,
+        |    CAST(SUM(taxes_eur) AS DECIMAL(28,8)) AS total_taxes
+        |  FROM sales JOIN dimc USING (customer_key) GROUP BY region_name)
+        |SELECT region_name, sales_only, total_taxes,
+        |  CAST(sales_only - total_taxes AS DECIMAL(28,8)) AS gross_margin,
+        |  budget_total,
+        |  CAST(sales_only - budget_total AS DECIMAL(28,8)) AS budget_variance,
+        |  (CASE WHEN budget_total IS NULL OR budget_total = 0 THEN 0.0
+        |        ELSE CAST(sales_only AS DOUBLE) / CAST(budget_total AS DOUBLE) END) * 100.0 AS achievement_pct
+        |FROM m LEFT JOIN breg USING (region_name)
+        |ORDER BY region_name""".stripMargin,
 
     "g1_dim_customer" ->
       """SELECT c_custkey AS customer_key, c_name AS customer_name, c_mktsegment AS market_segment,
