@@ -47,6 +47,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(name))
   def read(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** S14 — compaction: rewrite a table at the volume-policy file count
+    * (the parquet stand-in for OPTIMIZE; same observable table). */
+  def compact(name: String): Long = {
+    val staged = read(name).localCheckpoint(true) // cut lineage off old files
+    write(name, staged)
+  }
   def exists(name: String): Boolean = new java.io.File(path(name)).exists()
   /** S5 — catalog listing by layer prefix, metadata tables excluded. */
   def list(prefix: String): Seq[String] = {

@@ -66,3 +66,21 @@ final case class ParquetDirSource(dir: String, tables: Seq[String]) extends Tabl
     Tables.load(spark, dir, table)
   def list(spark: SparkSession): Seq[String] = tables
 }
+
+/** Generic file-format source: one `<dir>/<table>.<ext>` per table in any
+  * Spark-supported format (csv/json/orc/parquet). CSV/JSON read with an
+  * optional explicit schema — at scale, always pass one: schema inference
+  * is a full extra pass over the data. */
+final case class FileFormatSource(dir: String, format: String, tables: Seq[String],
+    schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty,
+    options: Map[String, String] = Map.empty) extends TableSource {
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val base = spark.read.format(format).options(options)
+    val r = if (format == "csv") base.option("header", "true") else base
+    val withSchema = schemas.get(table).fold {
+      if (format == "csv") r.option("inferSchema", "true") else r
+    }(r.schema)
+    withSchema.load(s"$dir/$table.$format")
+  }
+  def list(spark: SparkSession): Seq[String] = tables
+}

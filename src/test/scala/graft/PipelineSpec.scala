@@ -71,6 +71,47 @@ class PipelineSpec extends SparkSpecBase {
     assert(none("gold_fact_orders") == factBefore)
   }
 
+  test("compaction rewrites to fewer files without changing the table") {
+    val wh = Warehouse(spark, whRoot)
+    val before = wh.read("silver_lineitem").orderBy("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey").collect().toSeq
+    val n = wh.compact("silver_lineitem")
+    assert(n == before.size)
+    val after = wh.read("silver_lineitem").orderBy("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey").collect().toSeq
+    assert(after == before)
+    val files = new java.io.File(s"$whRoot/silver_lineitem")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1) // 6k rows -> volume policy says one file
+  }
+
+  test("failure lookup returns the most recent failed entry (X3)") {
+    import graft.meta.ControlTables
+    val wh = Warehouse(spark, whRoot)
+    wh.append("pipeline_execution_log", ControlTables.logRow(spark,
+      ControlTables.LogEntry("exec-2", "graft_etl", "silver_orders", "silver",
+        "incremental", 0L, "failed", Some("boom"),
+        java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))))
+    val last = ControlTables.lastFailure(pipe.executionLog)
+    assert(last.exists(r => r.getAs[String]("error_message") == "boom"))
+  }
+
+  test("csv and json file sources feed the same pipeline surface") {
+    import graft.sources.FileFormatSource
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val region = sources.Tables.load(spark, sfDir, "region")
+    region.coalesce(1).write.option("header", "true").csv(s"$dir/region.csv")
+    region.coalesce(1).write.json(s"$dir/nation.json")
+    val csvSrc = FileFormatSource(dir, "csv", Seq("region"),
+      schemas = Map("region" -> region.schema))
+    val jsonSrc = FileFormatSource(dir, "json", Seq("nation"),
+      schemas = Map("nation" -> region.schema))
+    assert(csvSrc.read(spark, "region").orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+    assert(jsonSrc.read(spark, "nation").select("r_regionkey", "r_name")
+      .orderBy("r_regionkey").count() == 5)
+  }
+
   test("incremental silver merge-upsert is idempotent on re-run") {
     val wh = Warehouse(spark, whRoot)
     val before = wh.read("silver_orders").count()
