@@ -48,6 +48,24 @@ final case class Warehouse(spark: SparkSession, root: String) {
     df.write.mode(SaveMode.Append).parquet(path(name))
   def read(name: String): DataFrame = spark.read.parquet(path(name))
 
+  /** Bucketed write through the session catalog: both fact tables bucketed
+    * on the join key join WITHOUT a shuffle (Exchange elided) — the 100 TB
+    * answer for the recurring lineitem⋈orders co-location (SURVEY §4). Only
+    * `saveAsTable` persists bucket metadata, hence the catalog path. */
+  def writeBucketed(table: String, df: DataFrame, buckets: Int,
+                    bucketCols: Seq[String]): Long = {
+    val out = df.persist()
+    val n = out.count()
+    out.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path(table))
+      .format("parquet")
+      .saveAsTable(table)
+    out.unpersist()
+    n
+  }
+
   /** S14 — compaction: rewrite a table at the volume-policy file count
     * (the parquet stand-in for OPTIMIZE; same observable table). */
   def compact(name: String): Long = {

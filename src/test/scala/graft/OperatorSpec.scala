@@ -21,6 +21,26 @@ class OperatorSpec extends SparkSpecBase {
     assert(got(3) == "1970-01-01T00:16:40Z") // ns path, sub-us floored away
   }
 
+  test("epochDecode property: matches a JDK reference over random longs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.oneOf(
+      Gen.choose(0L, 4102444800L),                      // plausible seconds
+      Gen.choose(1000000000000000000L, 1900000000000000000L)) // plausible ns
+    val prop = Prop.forAll(Gen.listOfN(50, gen)) { vs =>
+      val df = vs.toDF("v").select(col("v"),
+        Standardize.epochDecode(col("v")).as("ts"))
+      df.collect().forall { r =>
+        val v = r.getLong(0)
+        val expectedMicros =
+          if (v > Standardize.NsThreshold) Math.floorDiv(v, 1000L)
+          else v * 1000000L
+        r.getTimestamp(1).toInstant.getEpochSecond * 1000000L +
+          r.getTimestamp(1).toInstant.getNano / 1000L == expectedMicros
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop).passed)
+  }
+
   test("nullifySentinels nulls all sentinel spellings, keeps real values") {
     val df = Seq("ok", " N/A ", "null", "#N/A", "", "NONE", "value")
       .toDF("s").select(Standardize.nullifySentinels(col("s")).as("s"))
