@@ -18,6 +18,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Star {
 
+  /** Typed views of the gold builds (`Dataset[T]` on the fixed schemas —
+    * compile-time field checks for downstream consumers; the builds stay
+    * `DataFrame` so Catalyst sees identical plans either way). */
+  object typed {
+    import org.apache.spark.sql.Dataset
+    import graft.model._
+    def dimCustomer(c: DataFrame, n: DataFrame, r: DataFrame): Dataset[GoldDimCustomer] = {
+      val df = Star.dimCustomer(c, n, r); import df.sparkSession.implicits._
+      df.as[GoldDimCustomer]
+    }
+    def factSales(l: DataFrame, o: DataFrame, c: DataFrame,
+                  rates: DataFrame): Dataset[GoldFactSales] = {
+      val df = Star.factSales(l, o, c, rates); import df.sparkSession.implicits._
+      df.as[GoldFactSales]
+    }
+    def factBudget(o: DataFrame): Dataset[GoldFactBudget] = {
+      val df = Star.factBudget(o); import df.sparkSession.implicits._
+      df.as[GoldFactBudget]
+    }
+  }
+
   /** Exact-decimal money cast: order-independent sums, engine-portable. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -109,16 +109,29 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
 
   def executionLog: DataFrame = wh.read(LogTable)
 
+  /** Per-table failure isolation: a broken table logs `failed` and the run
+    * continues (the reference's completed_with_errors semantics) — one bad
+    * source table must not sink the other 13 at 100 TB. */
+  private def perTable[A](table: String, layer: String)(body: => A): Option[A] =
+    try Some(body) catch {
+      case e: Exception =>
+        log(table, layer, "initial", 0L, status = "failed",
+          error = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+        None
+    }
+
   /** Bronze: raw ingest + identifier normalization + audit (S1/S4/S9, P1, P4). */
   def runBronze(): PipelineReport = {
-    val counts = source.list(spark).map { t =>
-      val raw = source.read(spark, t)
-      val renamed = raw.toDF(Identifiers.cleanAll(raw.columns.toSeq): _*)
-        .withColumn("load_date", lit(clock()))
-        .withColumn("source_system", lit("fixtures"))
-      val n = wh.write(s"bronze_$t", renamed)
-      log(s"bronze_$t", "bronze", "initial", n)
-      t -> n
+    val counts = source.list(spark).flatMap { t =>
+      perTable(s"bronze_$t", "bronze") {
+        val raw = source.read(spark, t)
+        val renamed = raw.toDF(Identifiers.cleanAll(raw.columns.toSeq): _*)
+          .withColumn("load_date", lit(clock()))
+          .withColumn("source_system", lit("fixtures"))
+        val n = wh.write(s"bronze_$t", renamed)
+        log(s"bronze_$t", "bronze", "initial", n)
+        t -> n
+      }
     }
     PipelineReport("bronze", counts.toMap, Map.empty)
   }
@@ -126,8 +139,17 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
   /** Silver: standardize + dedup + quarantine + audit (P2, W1/W2, P6/P7, P4). */
   def runSilver(quarRules: String => Quarantine.Rules = _ => Quarantine.Rules()):
       PipelineReport = {
-    val results = wh.list("bronze_").map { bt =>
+    val results = wh.list("bronze_").flatMap { bt =>
       val t = bt.stripPrefix("bronze_")
+      perTable(s"silver_$t", "silver") { silverOne(bt, t, quarRules) }
+    }
+    PipelineReport("silver",
+      results.map { case (t, (n, _)) => t -> n }.toMap,
+      results.collect { case (t, (_, q)) if q > 0 => t -> q }.toMap)
+  }
+
+  private def silverOne(bt: String, t: String,
+                        quarRules: String => Quarantine.Rules): (String, (Long, Long)) = {
       val std = Standardize.standardizeTypes(wh.read(bt))
       val auditCols = Set("load_date", "source_system")
       // W2 pattern keys if any business keys match, else W1 all-column dedup
@@ -148,10 +170,6 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
       val n = wh.write(s"silver_$t", cleanAudited)
       log(s"silver_$t", "silver", "initial", n)
       t -> (n, nq)
-    }
-    PipelineReport("silver",
-      results.map { case (t, (n, _)) => t -> n }.toMap,
-      results.collect { case (t, (_, q)) if q > 0 => t -> q }.toMap)
   }
 
   /** Gold: star-schema builds + calendar (J1-J8, §2.8 math, X5). */

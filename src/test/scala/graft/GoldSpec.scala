@@ -33,6 +33,17 @@ class GoldSpec extends SparkSpecBase {
     assert(mismatched.count() == 0)
   }
 
+  test("typed Dataset views decode gold rows into case classes") {
+    val ds = gold.Star.typed.factSales(t("lineitem"), t("orders"), t("customer"),
+      gold.Star.rateDim(t("nation")))
+    val row = ds.orderBy("sales_document_number", "sales_document_line").head()
+    assert(row.sales_document_number >= 0 && row.quantity.signum >= 0)
+    assert(Set("Sale", "Return", "Adjustment", "Unclassified")
+      .contains(row.document_category) || row.document_category.nonEmpty)
+    val budget = gold.Star.typed.factBudget(t("orders"))
+    assert(budget.count() == t("orders").select("o_custkey").distinct().count())
+  }
+
   test("doc category maps known flags and passes unknown through") {
     import spark.implicits._
     val got = Seq("N", "R", "A", "Z", null).toDF("f")

@@ -85,6 +85,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(files == 1) // 6k rows -> volume policy says one file
   }
 
+  test("a broken source table logs failed and the run continues") {
+    import graft.sources.{TableSource, ParquetDirSource}
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val broken = new TableSource {
+      val inner = ParquetDirSource(sfDir, Seq("region", "nation"))
+      def read(s: SparkSession, t: String): DataFrame =
+        if (t == "nation") throw new RuntimeException("simulated source outage")
+        else inner.read(s, t)
+      def list(s: SparkSession): Seq[String] = Seq("region", "nation")
+    }
+    val root2 = java.nio.file.Files.createTempDirectory("graft_fail").toString
+    val p2 = new Pipeline(Warehouse(spark, root2), broken, "exec-f", fixedClock)
+    val report = p2.runBronze()
+    assert(report.tables.keySet == Set("region")) // healthy table survived
+    val failed = p2.executionLog.filter(col("status") === "failed").collect()
+    assert(failed.exists(r => r.getAs[String]("table_name") == "bronze_nation" &&
+      r.getAs[String]("error_message").contains("simulated source outage")))
+  }
+
   test("failure lookup returns the most recent failed entry (X3)") {
     import graft.meta.ControlTables
     val wh = Warehouse(spark, whRoot)
