@@ -239,6 +239,27 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ---- streaming-equivalent batch shapes ----
+    "st1_tumbling_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    "st2_session_window" -> ((s, d) =>
+      graft.streaming.Streams.sessionWindows(Tables.events(s, d), "30 minutes")
+        .orderBy("user_id", "session_start")),
+
+    // approximate distinct (HLL++) — scale substitute for exact COUNT
+    // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
+    "a9_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
     // ---- X5 calendar ----
     "x5_calendar_dim" -> ((s, d) =>
       CalendarDim.fromDomain(t(s, d, "orders"), "o_orderdate").orderBy("date_key")),
@@ -525,6 +546,27 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
+
+    "st1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "st2_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "x5_calendar_dim" ->
       s"""WITH span AS (

@@ -36,6 +36,18 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Session windows (gap-based): contiguous per-user activity separated by
+    * >= `gap` of silence. Works identically over a stream (with watermark)
+    * and a static frame — `session_window` is event-time native. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,

@@ -85,6 +85,13 @@ class OperatorSpec extends SparkSpecBase {
     assert(quar.filter(col("quarantine_reason").isNull).count() == 0)
   }
 
+  test("approx_count_distinct is within 5% of exact (HLL++ default rsd)") {
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+    val exact = li.select("l_partkey").distinct().count().toDouble
+    val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("calendar covers the full domain with correct keys") {
     val cal = CalendarDim.fromDomain(sources.Tables.load(spark, sfDir, "orders"), "o_orderdate")
     val Row(n: Long, distinct: Long) = cal.agg(count(lit(1)), countDistinct(col("date_key"))).head()
