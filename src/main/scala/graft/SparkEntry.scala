@@ -239,6 +239,39 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // ---- grouping sets / scalar breadth / having ----
+    "a10_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "f1_scalar_suite" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        length(col("c_name")).as("name_len"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_or_default"),
+        round(col("c_acctbal")).cast("long").as("bal_rounded"),
+        abs(col("c_acctbal")).cast(DecimalType(18, 2)).as("bal_abs"))
+        .orderBy("c_custkey")),
+
+    "q18_large_orders" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = t(s, d, "orders")
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("order_date"), col("total_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- streaming-equivalent batch shapes ----
     "st1_tumbling_window" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -546,6 +579,35 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
+
+    "a10_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "f1_scalar_suite" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  concat_ws('|', c_mktsegment, c_name) AS seg_name,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+        |  CAST(round(c_acctbal) AS BIGINT) AS bal_rounded,
+        |  CAST(abs(c_acctbal) AS DECIMAL(18,2)) AS bal_abs
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  big.total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "st1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
