@@ -63,8 +63,11 @@ object TextDedup {
     // the exact-jaccard verification keeps precision — cheaper signatures
     // shift no observable semantics, only recall tail.
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // persist: consumed three times (banding + both sides of the verify
+    // join) — shingling/minhashing would otherwise run 3x
     val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sh, "sig", idCol, bands, numHashes / bands), idCol)
     val sa = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -105,7 +108,10 @@ object TextDedup {
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
       .withColumn("sz", size(col("sh")))
+    // persist: both sides of the self-join read this — without it the
+    // shingle computation runs twice (evictable MEMORY_AND_DISK cache)
     val posts = sh.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = posts.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = posts.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s"))
     a.join(b, "s").filter(col("id_a") < col("id_b"))

@@ -78,6 +78,15 @@ class ExtSpec extends SparkSpecBase {
     assert(feats.count() == n)
   }
 
+  test("mapPartitions near-dup path is bit-identical to the expression twin") {
+    val fast = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expr = Similarity.nearDupPairsExpr(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == expr) // includes the doubles: same IEEE op order
+    assert(fast.nonEmpty, "0.3 threshold should yield pairs at sf0.001")
+  }
+
   test("IVF ANN beats random-bucket recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
