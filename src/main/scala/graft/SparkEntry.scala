@@ -36,7 +36,26 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ graft.queries.ExtQueries.queries
+    (coreQueries ++ graft.queries.ExtQueries.queries).map { case (n, f) =>
+      n -> ((s: SparkSession, d: String) => finalizeOutput(f(s, d)))
+    }
+
+  /** Output surface rule: exact decimal math stays internal (sums must be
+    * order-independent under parallel aggregation), but every FINAL decimal
+    * column is cast to IEEE double. Parquet readers do not agree on decimal
+    * scale rendering (`1.50` vs `1.5`), while a double round-trips
+    * identically everywhere; the oracle SQL applies the same final cast
+    * (see [[asDouble]]) so both engines emit the same bits.
+    */
+  private def finalizeOutput(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("double").as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 
   private val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -350,14 +369,17 @@ object SparkEntry {
       val m = sales.join(broadcast(dimc), Seq("customer_key"))
         .groupBy("region_name")
         .agg(
+          // (38,2), not (28,8): keeps the unscaled value < 2^53 so the final
+          // decimal->double cast is a single correctly-rounded step in both
+          // engines (an 8-dec unscaled sum overflows the exact-double range)
           Measures.sumWhere(col("document_category") === "Sale", col("sales_eur"))
-            .cast(DecimalType(28, 8)).as("sales_only"),
-          sum(col("taxes_eur")).cast(DecimalType(28, 8)).as("total_taxes"))
+            .cast(DecimalType(38, 2)).as("sales_only"),
+          sum(col("taxes_eur")).cast(DecimalType(38, 2)).as("total_taxes"))
         .withColumn("gross_margin",
-          (col("sales_only") - col("total_taxes")).cast(DecimalType(28, 8)))
+          (col("sales_only") - col("total_taxes")).cast(DecimalType(38, 2)))
       m.join(budget, Seq("region_name"), "left")
         .withColumn("budget_variance",
-          (col("sales_only") - col("budget_total")).cast(DecimalType(28, 8)))
+          (col("sales_only") - col("budget_total")).cast(DecimalType(38, 2)))
         .withColumn("achievement_pct",
           Measures.divide(col("sales_only"), col("budget_total")) * lit(100.0))
         .select("region_name", "sales_only", "total_taxes", "gross_margin",
@@ -409,7 +431,38 @@ object SparkEntry {
       | WHEN 8 THEN 'Agosto' WHEN 9 THEN 'Septiembre' WHEN 10 THEN 'Octubre'
       | WHEN 11 THEN 'Noviembre' ELSE 'Diciembre' END""".stripMargin.replace("\n", "")
 
-  def oracleSql: Map[String, String] = coreOracles ++ graft.queries.ExtQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    (coreOracles ++ graft.queries.ExtQueries.oracleSql).map { case (n, sql) =>
+      n -> decimalOutputCols.get(n).map(cs => asDouble(sql, cs)).getOrElse(sql)
+    }
+
+  /** DuckDB-side twin of [[finalizeOutput]]: rewrites the named decimal
+    * output columns to DOUBLE without touching the internal decimal math.
+    */
+  private def asDouble(sql: String, cols: Seq[String]): String =
+    s"SELECT * REPLACE (${cols.map(c => s"CAST($c AS DOUBLE) AS $c").mkString(", ")}) FROM (\n$sql\n) _q"
+
+  /** Queries whose output carries decimal columns (kept in sync with the
+    * query definitions; [[finalizeOutput]] discovers them from the schema,
+    * the oracle needs them spelled out). */
+  private val decimalOutputCols: Map[String, Seq[String]] = Map(
+    "a10_rollup"              -> Seq("sum_qty"),
+    "a7_measures"             -> Seq("sales_only", "total_value"),
+    "a8_star_measures"        -> Seq("sales_only", "total_taxes", "gross_margin",
+                                     "budget_total", "budget_variance"),
+    "f1_scalar_suite"         -> Seq("bal_abs"),
+    "g1_dim_customer"         -> Seq("account_balance"),
+    "g2_dim_product"          -> Seq("retail_price"),
+    "g3_fact_sales"           -> Seq("quantity", "sales_eur", "taxes_eur"),
+    "g4_fact_orders"          -> Seq("order_value_eur"),
+    "g5_fact_budget"          -> Seq("budget_eur"),
+    "q18_large_orders"        -> Seq("total_qty"),
+    "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
+    "q3_shipping_priority"    -> Seq("revenue"),
+    "q5_local_supplier_volume"-> Seq("revenue"),
+    "st1_tumbling_window"     -> Seq("total_value"),
+    "st2_session_window"      -> Seq("total_value"),
+    "w4_running_total"        -> Seq("running_value"))
 
   private val coreOracles: Map[String, String] = Map(
     "s1_full_scan" ->
@@ -694,13 +747,13 @@ object SparkEntry {
         |  FROM b JOIN dimc USING (customer_key) GROUP BY region_name),
         |m AS (
         |  SELECT region_name,
-        |    CAST(SUM(CASE WHEN document_category = 'Sale' THEN sales_eur END) AS DECIMAL(28,8)) AS sales_only,
-        |    CAST(SUM(taxes_eur) AS DECIMAL(28,8)) AS total_taxes
+        |    CAST(ROUND(SUM(CASE WHEN document_category = 'Sale' THEN sales_eur END), 2) AS DECIMAL(38,2)) AS sales_only,
+        |    CAST(ROUND(SUM(taxes_eur), 2) AS DECIMAL(38,2)) AS total_taxes
         |  FROM sales JOIN dimc USING (customer_key) GROUP BY region_name)
         |SELECT region_name, sales_only, total_taxes,
-        |  CAST(sales_only - total_taxes AS DECIMAL(28,8)) AS gross_margin,
+        |  CAST(sales_only - total_taxes AS DECIMAL(38,2)) AS gross_margin,
         |  budget_total,
-        |  CAST(sales_only - budget_total AS DECIMAL(28,8)) AS budget_variance,
+        |  CAST(sales_only - budget_total AS DECIMAL(38,2)) AS budget_variance,
         |  (CASE WHEN budget_total IS NULL OR budget_total = 0 THEN 0.0
         |        ELSE CAST(sales_only AS DOUBLE) / CAST(budget_total AS DOUBLE) END) * 100.0 AS achievement_pct
         |FROM m LEFT JOIN breg USING (region_name)
