@@ -121,8 +121,12 @@ object Similarity {
     val c = feat.withColumn("cell", element_at(cellsFor(col("n_vec"), 1), 1))
       .select("n_id", "n_vec", "cell")
       .withColumn("n_norm", norm(col("n_vec")))
+    // explode_outer + isNotNull (not plain explode): explode's implicit
+    // `size(...) > 0` filter would be pushed down and inline the full
+    // centroid-distance expression as an interpreted per-row filter
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("cell", explode(cellsFor(col("q_vec"), nprobe)))
+      .withColumn("cell", explode_outer(cellsFor(col("q_vec"), nprobe)))
+      .filter(col("cell").isNotNull)
       .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

@@ -23,6 +23,25 @@ object TextDedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Normalized word tokens. Materialize this as its own column BEFORE
+    * building shingles: inside higher-order-function lambdas Catalyst
+    * disables common-subexpression elimination, so a `split` referenced
+    * from a lambda body re-runs the regex once per output element.
+    */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word k-shingles hashed to 64-bit longs: shingle i is
+    * xxhash64(tok_i, …, tok_(i+k-1)) — injective on the observed set for
+    * all practical corpus sizes (collision odds ~n²/2^65), so set
+    * cardinalities and Jaccard values are identical to the string form
+    * while every downstream distinct/join/intersect runs on fixed-width
+    * longs instead of ~20-byte strings.
+    */
+  def hashedShingles(toks: Column, k: Int = 3): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+
   /** MinHash signature: element h = min over shingles of xxhash64(shingle, h).
     * Deterministic, seed-indexed hash family. */
   def minhashSignature(shingleSet: Column, numHashes: Int = 32): Column =
@@ -65,7 +84,8 @@ object TextDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // persist: consumed three times (banding + both sides of the verify
     // join) — shingling/minhashing would otherwise run 3x
-    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val sh = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), hashedShingles(col("toks"), k).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sh, "sig", idCol, bands, numHashes / bands), idCol)
@@ -106,11 +126,17 @@ object TextDedup {
     * literature); pairs sharing no shingle are never generated. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val sh = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), hashedShingles(col("toks"), k).as("sh"))
       .withColumn("sz", size(col("sh")))
     // persist: both sides of the self-join read this — without it the
-    // shingle computation runs twice (evictable MEMORY_AND_DISK cache)
-    val posts = sh.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
+    // shingle computation runs twice (evictable MEMORY_AND_DISK cache).
+    // explode_outer + isNotNull, NOT plain explode: explode's implicit
+    // `size(sh) > 0` filter is pushed below the projection and inlines the
+    // whole shingle expression (re-running the tokenizing regex per
+    // element) — the null-filter on the GENERATED column cannot sink.
+    val posts = sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = posts.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = posts.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s"))
