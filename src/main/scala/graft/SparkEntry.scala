@@ -16,8 +16,11 @@ import graft.util.Identifiers
   * Parity rules used throughout so Spark and DuckDB hash-match:
   *   - monetary aggregates sum exact decimals (order-independent);
   *   - double arithmetic appears only as identical single IEEE expressions;
-  *   - every query ends in a total ORDER BY;
-  *   - every computed column is aliased identically on both sides.
+  *   - every computed column is aliased identically on both sides;
+  *   - LIMIT/top-k queries keep a total ORDER BY (semantic); other queries
+  *     return unordered — the comparison is row-order-insensitive, and a
+  *     final total sort would force a range-partitioning sampling pass that
+  *     recomputes the whole plan (measured ~2.5x on the fact builds).
   */
 object SparkEntry {
 
@@ -64,8 +67,7 @@ object SparkEntry {
       t(s, d, "region").orderBy("r_regionkey")),
 
     "s4_projection_scan" -> ((s, d) =>
-      t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")),
+      t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")),
 
     "s7_top_sample" -> ((s, d) =>
       t(s, d, "orders").orderBy("o_orderkey").limit(5)),
@@ -77,7 +79,6 @@ object SparkEntry {
       val source = ev.filter(col("ts") >= to_timestamp(lit("2024-01-19 00:00:00")))
         .withColumn("value", col("value") + lit(1.0))
       Dedup.mergeUpsert(target, source, Seq("event_id"), Seq(col("ts").desc))
-        .orderBy("event_id")
     }),
 
     // ---- §2.2 projections / filters ----
@@ -96,7 +97,7 @@ object SparkEntry {
         Standardize.epochDecode(secs).as("ts_from_seconds"),
         Standardize.nullifySentinels(col("event_type")).as("event_type"),
         Standardize.cleanFloat(col("value")).as("value")
-      ).orderBy("event_id")
+      )
     }),
 
     "p5_segment_filter" -> ((s, d) =>
@@ -106,14 +107,12 @@ object SparkEntry {
     "p6_quarantine_clean" -> ((s, d) => {
       val (clean, _) = Quarantine.split(t(s, d, "lineitem"), lineitemRules)
       clean.select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     "p6_quarantine_rows" -> ((s, d) => {
       val (_, quar) = Quarantine.split(t(s, d, "lineitem"), lineitemRules)
       quar.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
           col("l_extendedprice"), col("quarantine_reason"))
-        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     "p7_drop_all_null" -> ((s, d) =>
@@ -123,7 +122,7 @@ object SparkEntry {
     "p9_watermark_filter" -> ((s, d) =>
       Incremental.watermarkScan(Tables.events(s, d), "ts",
           to_timestamp(lit("2024-01-25 00:00:00")), 3600L)
-        .select("event_id", "ts", "event_type").orderBy("event_id")),
+        .select("event_id", "ts", "event_type")),
 
     "p10_control_probe" -> ((s, d) =>
       Tables.events(s, d).filter(col("event_type") === "purchase")
@@ -140,7 +139,7 @@ object SparkEntry {
         .select(col("c_custkey").as("kam_key"), col("c_name").as("kam_name"))
       o.join(broadcast(am), o("o_custkey") === am("am_key"), "left")
         .join(broadcast(kam), o("o_custkey") === kam("kam_key"), "left")
-        .select("o_orderkey", "am_name", "kam_name").orderBy("o_orderkey")
+        .select("o_orderkey", "am_name", "kam_name")
     }),
 
     "j8_changed_keys_semi" -> ((s, d) => {
@@ -215,7 +214,7 @@ object SparkEntry {
       val order = Dedup.totalOrder(li, Seq("l_orderkey"),
         Seq(col("l_shipdate").desc, col("l_linenumber").desc),
         Seq("l_shipdate", "l_linenumber"))
-      Dedup.dedupFactByPattern(li, Seq("orderkey"), order).orderBy("l_orderkey")
+      Dedup.dedupFactByPattern(li, Seq("orderkey"), order)
     }),
 
     "w4_running_total" -> ((s, d) =>
@@ -226,14 +225,14 @@ object SparkEntry {
               .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
             .cast(DecimalType(38, 2)))
-        .select("event_id", "user_id", "ts", "running_value").orderBy("event_id")),
+        .select("event_id", "user_id", "ts", "running_value")),
 
     "w5_session_gap" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-        .select("event_id", "user_id", "gap_us").orderBy("event_id")
+        .select("event_id", "user_id", "gap_us")
     }),
 
     "w6_topk_per_group" -> ((s, d) => {
@@ -242,14 +241,13 @@ object SparkEntry {
       t(s, d, "orders").withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
-        .orderBy("o_custkey", "rnk")
     }),
 
     // ---- §2.7 set ops ----
     "u2_date_domain" -> ((s, d) =>
       t(s, d, "orders").select(to_date(col("o_orderdate")).as("d"))
         .union(t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("d")))
-        .distinct().orderBy("d")),
+        .distinct()),
 
     "u3_set_except" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -276,8 +274,7 @@ object SparkEntry {
         length(col("c_name")).as("name_len"),
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg_or_default"),
         round(col("c_acctbal")).cast("long").as("bal_rounded"),
-        abs(col("c_acctbal")).cast(DecimalType(18, 2)).as("bal_abs"))
-        .orderBy("c_custkey")),
+        abs(col("c_acctbal")).cast(DecimalType(18, 2)).as("bal_abs"))),
 
     "q18_large_orders" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -288,7 +285,6 @@ object SparkEntry {
       o.join(big, o("o_orderkey") === big("l_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           to_date(col("o_orderdate")).as("order_date"), col("total_qty"))
-        .orderBy("o_orderkey")
     }),
 
     // ---- streaming-equivalent batch shapes ----
@@ -297,12 +293,10 @@ object SparkEntry {
       ev.groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("value"))).cast(DecimalType(38, 2)).as("total_value"))
-        .orderBy("window_start", "event_type")
     }),
 
     "st2_session_window" -> ((s, d) =>
-      graft.streaming.Streams.sessionWindows(Tables.events(s, d), "30 minutes")
-        .orderBy("user_id", "session_start")),
+      graft.streaming.Streams.sessionWindows(Tables.events(s, d), "30 minutes")),
 
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
@@ -389,24 +383,21 @@ object SparkEntry {
 
     // ---- Gold star builds (J1-J8 + §2.8 math) ----
     "g1_dim_customer" -> ((s, d) =>
-      Star.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))
-        .orderBy("customer_key")),
+      Star.dimCustomer(t(s, d, "customer"), t(s, d, "nation"), t(s, d, "region"))),
 
     "g2_dim_product" -> ((s, d) =>
-      Star.dimProduct(t(s, d, "part")).orderBy("product_key")),
+      Star.dimProduct(t(s, d, "part"))),
 
     "g3_fact_sales" -> ((s, d) =>
       Star.factSales(t(s, d, "lineitem"), t(s, d, "orders"), t(s, d, "customer"),
-          Star.rateDim(t(s, d, "nation")))
-        .orderBy("sales_document_number", "sales_document_line")),
+          Star.rateDim(t(s, d, "nation")))),
 
     "g4_fact_orders" -> ((s, d) =>
       Star.factOrders(t(s, d, "orders"), t(s, d, "customer"),
-          Star.rateDim(t(s, d, "nation")))
-        .orderBy("order_document_number")),
+          Star.rateDim(t(s, d, "nation")))),
 
     "g5_fact_budget" -> ((s, d) =>
-      Star.factBudget(t(s, d, "orders")).orderBy("customer_key"))
+      Star.factBudget(t(s, d, "orders")))
   )
 
   private val lineitemRules = Quarantine.Rules(

@@ -30,54 +30,45 @@ object ExtQueries {
         size(toks).as("word_count"),
         size(array_distinct(toks)).as("uniq_word_count"),
         TextStats.regexTokenCount(col("text")).as("token_count"))
-        .orderBy("doc_id")
     }),
 
     "t2_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fingerprint"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), TextStats.fingerprintMd5(col("text")).as("fingerprint"))),
 
     "t3_langid" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextStats.langId(col("text")).as("predicted_lang"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), TextStats.langId(col("text")).as("predicted_lang"))),
 
     "t4_quality_metrics" -> ((s, d) =>
       TextStats.qualityMetrics(t(s, d, "documents"), "text")
         .select("doc_id", "char_count", "word_count", "punct_count",
-          "stopword_count", "stopword_ratio")
-        .orderBy("doc_id")),
+          "stopword_count", "stopword_ratio")),
 
     // rolling-hash fingerprint: native codegen Expression — no oracle
     "t5_rolling_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextStats.fingerprintRolling(col("text")).as("rh"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), TextStats.fingerprintRolling(col("text")).as("rh"))),
 
     // ---- dedup ----
     "d1_dedup_exact" -> ((s, d) =>
-      TextDedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")),
+      TextDedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
 
     // MinHash/LSH near-dup pairs — xxhash-based, rows-only check
     "d2_minhash_dup_pairs" -> ((s, d) =>
       TextDedup.minhashDupPairs(t(s, d, "documents"), "doc_id", "text")
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")),
+        .select("id_a", "id_b")),
 
     // exact n-gram Jaccard pairs via shingle inverted index (no O(n²) scan)
     "d3_ngram_jaccard_pairs" -> ((s, d) =>
       TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 3, threshold = 0.5)
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")),
+        .select("id_a", "id_b")),
 
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))),
 
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
@@ -85,7 +76,6 @@ object ExtQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5)
         .select("q_id", "n_id", "rnk")
-        .orderBy("q_id", "rnk")
     }),
 
     // LSH-bucketed ANN — seeded-hyperplane dependent, rows-only
@@ -94,13 +84,11 @@ object ExtQueries {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5, bits = 6, tables = 8)
         .select("q_id", "n_id", "rnk")
-        .orderBy("q_id", "rnk")
     }),
 
     "e3_embedding_near_dups" -> ((s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)
-        .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")),
+        .select("id_a", "id_b")),
 
     // IVF ANN (k-means coarse quantizer) — model-dependent, rows-only
     "e4_knn_ivf" -> ((s, d) => {
@@ -108,7 +96,6 @@ object ExtQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5, nlist = 16, nprobe = 4)
         .select("q_id", "n_id", "rnk")
-        .orderBy("q_id", "rnk")
     }),
 
     // ---- multimodal ----
@@ -117,15 +104,14 @@ object ExtQueries {
         .withColumn("payload", Multimodal.asPayload(col("text")))
         .withColumn("meta", Multimodal.extractMeta(col("payload")))
         .select(col("doc_id"), col("meta.byte_len"), col("meta.width"),
-          col("meta.height"), col("meta.n_frames"))
-        .orderBy("doc_id")),
+          col("meta.height"), col("meta.n_frames"))),
 
     // partition-wise stub decode (mapPartitions plumbing) — rows-only
     "m2_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(
           t(s, d, "documents").withColumn("payload", Multimodal.asPayload(col("text"))),
           "doc_id", "payload")
-        .toDF().orderBy("doc_id"))
+        .toDF())
   )
 
   private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
