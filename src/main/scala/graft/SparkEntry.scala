@@ -306,6 +306,46 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // ---- deterministic sampling ----
+    "p11_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "orders"), col("o_orderkey"), Seq("0", "1", "2", "3"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "p12_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedHashSample(t(s, d, "orders"), col("o_orderkey"),
+          col("o_orderstatus"),
+          Map("F" -> Seq("0"), "O" -> Seq("0", "1", "2", "3"), "P" -> (0 to 15).map(_.toHexString)))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")),
+
+    // ---- exact percentiles / pivot / ranking breadth ----
+    "a11_percentiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.75)).as("p75"))
+        .orderBy("o_orderstatus")),
+
+    "a12_pivot_status" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")),
+
+    "w7_rank_suite" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+    }),
+
     // ---- X5 calendar ----
     "x5_calendar_dim" -> ((s, d) =>
       CalendarDim.fromDomain(t(s, d, "orders"), "o_orderdate").orderBy("date_key")),
@@ -673,6 +713,42 @@ object SparkEntry {
         |  user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "p11_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p12_stratified_sample" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE (o_orderstatus = 'F' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0'))
+        |   OR (o_orderstatus = 'O' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3'))
+        |   OR (o_orderstatus = 'P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a11_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a12_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "w7_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "x5_calendar_dim" ->
       s"""WITH span AS (

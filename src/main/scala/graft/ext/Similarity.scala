@@ -98,8 +98,11 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // persist: k-means is iterative — without it every iteration re-reads
+    // parquet and re-runs the array->vector conversion
     val feat = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
       .withColumn("features", array_to_vector(col("n_vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
     val centroids = model.clusterCenters.map(_.toArray)
 

@@ -154,4 +154,43 @@ object TextDedup {
     docs.groupBy(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol, "fingerprint")
+
+  /** Connected components over a near-dup pair list → (doc_id, cluster_id)
+    * with cluster_id = the minimum id in the component — the
+    * canonical-representative step that turns pairwise near-dup hits into
+    * dedup groups. Iterative min-label propagation to a fixpoint: each
+    * round every node takes the min label among itself and its neighbors
+    * (one shuffle join + one aggregation per round). Near-dup components
+    * are tiny cliques of copies, so rounds ≈ O(log diameter) ≈ 2–3; for
+    * adversarial long-chain graphs swap the loop body for the
+    * large-star/small-star rounds (Kiveris et al., CC in MapReduce) —
+    * the per-round join shape is the same.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst_id"), col("label")), col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      val next = labels.join(neigh, labels("id") === neigh("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("next_label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("next_label") < col("label")).count()
+      val prev = labels
+      labels = next.select(col("id"), col("next_label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      labels.count() // materialize before releasing parents
+      prev.unpersist(); next.unpersist()
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

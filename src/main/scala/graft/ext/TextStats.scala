@@ -69,4 +69,31 @@ object TextStats {
   def fingerprintRolling(text: Column): Column =
     graft.functions.RollingHash.rolling_hash(
       regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-document top-k TF-IDF terms: tf from an exploded token count,
+    * df from a term-level aggregation, idf = ln((N+1)/(df+1)); returns
+    * (id, term, rnk) ranked by tfidf desc, term asc. Emits ranks, not the
+    * raw score — scores are compared only within a document, and rank
+    * output stays portable across engines' libm ulp differences.
+    * Scale shape: two shuffles (doc-term count, term df) + one broadcast
+    * of the 1-row corpus count; no O(n²) anywhere.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("term"), col("rnk"))
+  }
 }

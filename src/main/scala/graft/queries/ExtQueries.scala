@@ -65,10 +65,20 @@ object ExtQueries {
           k = 3, threshold = 0.5)
         .select("id_a", "id_b")),
 
+    // connected components over the exact near-dup pairs → dedup clusters
+    "d5_dup_clusters" -> ((s, d) =>
+      TextDedup.dupClusters(
+        TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5))),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))),
+
+    // per-doc top TF-IDF terms (rank output — scores are doc-local)
+    "t6_tfidf_topk" -> ((s, d) =>
+      TextStats.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", topK = 3)),
 
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
@@ -171,6 +181,41 @@ object ExtQueries {
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "t6_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |      WHERE term IS NOT NULL AND term <> '' GROUP BY doc_id, term),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, t.term,
+        |         tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+        |       FROM t JOIN d ON t.term = d.term CROSS JOIN n),
+        |r AS (SELECT doc_id, term,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, term, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "e1_knn_brute_force" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

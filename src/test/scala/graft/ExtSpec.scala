@@ -108,4 +108,44 @@ class ExtSpec extends SparkSpecBase {
       .orderBy("doc_id").collect().map(_.getString(1)).toSeq
     assert(l1.forall(Set("en", "es", "fr", "de", "und").contains))
   }
+  test("dup clusters: connected components group transitive near-dups under min id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // dup of 1
+      (3L, "alpha beta gamma delta epsilon eta"),    // near-dup of 1/2
+      (10L, "one two three four five six"),
+      (11L, "one two three four five six"),          // dup of 10
+      (20L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.ngramJaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.5)
+    val clusters = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(!clusters.contains(20L), "singletons (no pairs) are not emitted")
+  }
+
+  test("dup clusters converge on a chain (a-b, b-c, c-d all one component)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("tfidf top terms rank doc-distinctive terms first") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common unicorn"),
+      (2L, "common common common"),
+      (3L, "common dragon dragon")
+    ).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(df, "doc_id", "text", topK = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc -> idf ln(4/4)=0; unique terms win
+    assert(top(1L) == "unicorn")
+    assert(top(3L) == "dragon")
+  }
+
 }

@@ -98,4 +98,38 @@ class OperatorSpec extends SparkSpecBase {
     assert(n == distinct) // surrogate key is unique
     assert(cal.filter(col("month_name_es") === "Enero").filter(col("month_num") =!= 1).count() == 0)
   }
+  test("hash sampling is deterministic, key-consistent across tables, and near-fraction") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val digits = Seq("0", "1", "2", "3")
+    val s1 = Sampling.hashSample(orders, col("o_orderkey"), digits)
+    val s2 = Sampling.hashSample(orders, col("o_orderkey"), digits)
+    assert(s1.count() == s2.count(), "same keys in, same sample out")
+    val frac = s1.count().toDouble / orders.count()
+    assert(frac > 0.15 && frac < 0.35, s"~25% expected, got $frac")
+    // correlated sampling: every sampled lineitem's order is in the order sample
+    val liS = Sampling.hashSample(li, col("l_orderkey"), digits)
+    val orphan = liS.join(s1.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_anti").count()
+    assert(orphan == 0, "shared-key samples must stay joinable")
+  }
+
+  test("stratified hash sampling applies per-stratum fractions") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val got = Sampling.stratifiedHashSample(orders, col("o_orderkey"),
+      col("o_orderstatus"),
+      Map("F" -> Seq("0"), "O" -> (0 to 15).map(_.toHexString)))
+    val byStatus = got.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus("O") == full("O"), "16/16 nibbles keeps the whole stratum")
+    assert(byStatus("F") < full("F") / 8, "1/16 nibble keeps a small slice")
+    assert(!byStatus.contains("P"), "unmapped strata are dropped")
+  }
+
 }
