@@ -168,12 +168,22 @@ object TextDedup {
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+    // both edge directions from ONE pass over pairs (a union of two selects
+    // would compute the pairs input twice before the persist catches it);
+    // the exploded array is constant-size so no implicit size-filter sinks
+    val edges = pairs.select(explode(array(
+        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // frames we persisted, newest first; all but the newest are released at
+    // the end (the result's lineage reads the newest — a label-count-sized
+    // cache entry, same footprint policy as the posting cache above)
+    var cached = List(labels)
     var changed = 1L
     while (changed > 0) {
       val neigh = edges
@@ -183,14 +193,15 @@ object TextDedup {
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("next_label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("next_label") < col("label")).count()
-      val prev = labels
+      // single action per round: materializes `next` (which the following
+      // round's `labels` projection reads from cache) AND counts changes
+      changed = next.agg(sum(when(col("next_label") < col("label"), 1L).otherwise(0L)))
+        .head().getLong(0)
+      cached = next :: cached
       labels = next.select(col("id"), col("next_label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      labels.count() // materialize before releasing parents
-      prev.unpersist(); next.unpersist()
     }
     edges.unpersist()
+    cached.drop(1).foreach(_.unpersist())
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }
