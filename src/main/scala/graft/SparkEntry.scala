@@ -306,6 +306,22 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // ---- as-of (point-in-time) join ----
+    "j10_asof_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // right side: purchases, deduped to one row per (user, ts)
+      val purchases = Dedup.keepLatest(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event"), col("value").as("p_value")),
+        Seq("user_id", "ts"), Seq(col("p_event").desc))
+      AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("p_event", "p_value"), rightTiebreak = Seq("p_event"))
+        .select("event_id", "user_id", "asof_p_event", "asof_p_value")
+    }),
+
     // ---- deterministic sampling ----
     "p11_hash_sample" -> ((s, d) =>
       Sampling.hashSample(t(s, d, "orders"), col("o_orderkey"), Seq("0", "1", "2", "3"))
@@ -713,6 +729,21 @@ object SparkEntry {
         |  user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "j10_asof_purchase" ->
+      """WITH decoded AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CASE WHEN epoch_ns(ts) > 1000000000000 THEN make_timestamp(epoch_ns(ts)//1000)
+        |         ELSE make_timestamp(epoch_ns(ts)*1000000) END AS ts
+        |  FROM events),
+        |p0 AS (SELECT user_id, ts, event_id AS p_event, value AS p_value
+        |       FROM decoded WHERE event_type = 'purchase'),
+        |p AS (SELECT user_id, ts, p_event, p_value FROM (
+        |        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY p_event DESC) AS rn
+        |        FROM p0) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, p.p_event AS asof_p_event, p.p_value AS asof_p_value
+        |FROM decoded e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
 
     "p11_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
