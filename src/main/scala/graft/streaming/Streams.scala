@@ -48,6 +48,24 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: first occurrence per `keys` wins, with state
+    * bounded by the event-time watermark (`dropDuplicates` keeps key state
+    * only within the watermark horizon — the streaming face of the batch
+    * exact-dedup operators; unbounded state would OOM a 100 TB stream).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keys)
+
+  /** Stream-static enrichment join: each micro-batch broadcast-joins a
+    * static dimension (re-read per batch in real deployments — here the
+    * idiomatic stream⋈static left join, no state required). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,

@@ -60,4 +60,27 @@ class StreamingSpec extends SparkSpecBase {
       assert(s.n_events == n && s.first_ts == first && s.last_ts == last)
     }
   }
+  test("watermarked streaming dedup equals batch distinct-by-key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    // plant exact duplicates: the same events written twice
+    events.write.mode("overwrite").parquet(dir)
+    events.write.mode("append").parquet(dir)
+    val got = Streams.runToMemory(spark, events.schema, dir, "dedup_out",
+      df => Streams.dedupStream(df, Seq("event_id"), "2 hours"))
+    assert(got.count() == events.count(),
+      "every duplicated event id must surface exactly once")
+    assert(got.select("event_id").distinct().count() == events.count())
+  }
+
+  test("stream-static enrichment joins a dimension into each micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    events.write.mode("overwrite").parquet(dir)
+    val dim = events.groupBy("user_id").count().withColumnRenamed("count", "user_events")
+    val got = Streams.runToMemory(spark, events.schema, dir, "enrich_out",
+      df => Streams.enrichStream(df, dim, Seq("user_id")))
+    assert(got.count() == events.count())
+    assert(got.filter(col("user_events").isNull).count() == 0,
+      "every event's user exists in the static dim")
+  }
+
 }
