@@ -276,6 +276,16 @@ object SparkEntry {
         round(col("c_acctbal")).cast("long").as("bal_rounded"),
         abs(col("c_acctbal")).cast(DecimalType(18, 2)).as("bal_abs"))),
 
+    // SQL API surface: the same engine through spark.sql over a temp view
+    "f2_sql_surface" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+          |  COUNT(*) AS n
+          |FROM graft_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "q18_large_orders" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val big = li.groupBy("l_orderkey")
@@ -498,6 +508,7 @@ object SparkEntry {
     "a8_star_measures"        -> Seq("sales_only", "total_taxes", "gross_margin",
                                      "budget_total", "budget_variance"),
     "f1_scalar_suite"         -> Seq("bal_abs"),
+    "f2_sql_surface"          -> Seq("sum_qty"),
     "g1_dim_customer"         -> Seq("account_balance"),
     "g2_dim_product"          -> Seq("retail_price"),
     "g3_fact_sales"           -> Seq("quantity", "sales_eur", "taxes_eur"),
@@ -698,6 +709,12 @@ object SparkEntry {
         |  CAST(round(c_acctbal) AS BIGINT) AS bal_rounded,
         |  CAST(abs(c_acctbal) AS DECIMAL(18,2)) AS bal_abs
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f2_sql_surface" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -47,6 +47,20 @@ object Multimodal {
   def frameSampleIndices(nFrames: Column, stride: Int): Column =
     filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(stride)) === 0)
 
+  /** Fit-within-box resize dimensions (aspect-preserving, never upscaled,
+    * floor to pixels, min 1). The geometry is real even though the pixel
+    * transform itself is the stubbed codec step — at scale this column
+    * rides next to the payload so the decoder needs no second pass. */
+  def resizeDims(width: Column, height: Column, maxW: Int, maxH: Int): Column = {
+    val scale = least(
+      lit(maxW).cast("double") / width.cast("double"),
+      lit(maxH).cast("double") / height.cast("double"),
+      lit(1.0))
+    struct(
+      greatest(floor(width * scale).cast("int"), lit(1)).as("new_width"),
+      greatest(floor(height * scale).cast("int"), lit(1)).as("new_height"))
+  }
+
   final case class MediaFeature(doc_id: Long, byte_len: Int, checksum: Long,
                                 feature_dim: Int)
 

@@ -103,7 +103,12 @@ object Similarity {
     val feat = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
       .withColumn("features", array_to_vector(col("n_vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feat)
+    // random init + few iterations: the quantizer only needs a roughly
+    // balanced partition of the space (recall comes from nprobe, bounded in
+    // ExtSpec), not converged centroids — k-means|| init alone costs more
+    // passes than this entire fit
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setInitMode("random").setMaxIter(4).fit(feat)
     val centroids = model.clusterCenters.map(_.toArray)
 
     // nearest-centroid assignment / probing as pure expressions (broadcast

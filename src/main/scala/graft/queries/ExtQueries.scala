@@ -121,7 +121,24 @@ object ExtQueries {
       Multimodal.extractFeatures(
           t(s, d, "documents").withColumn("payload", Multimodal.asPayload(col("text"))),
           "doc_id", "payload")
-        .toDF())
+        .toDF()),
+
+    // video frame sampling: every 4th frame index per document
+    "m3_frame_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("meta", Multimodal.extractMeta(Multimodal.asPayload(col("text"))))
+        .select(col("doc_id"),
+          explode_outer(Multimodal.frameSampleIndices(col("meta.n_frames"), 4))
+            .as("frame_idx"))
+        .filter(col("frame_idx").isNotNull)),
+
+    // aspect-preserving resize geometry into a 512x512 box
+    "m4_resize_dims" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("meta", Multimodal.extractMeta(Multimodal.asPayload(col("text"))))
+        .withColumn("rs", Multimodal.resizeDims(col("meta.width"), col("meta.height"), 512, 512))
+        .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          col("rs.new_width").as("new_width"), col("rs.new_height").as("new_height")))
   )
 
   private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
@@ -230,6 +247,21 @@ object ExtQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "m3_frame_sample" ->
+      """SELECT doc_id, CAST(unnest(range(0, CAST(strlen(text) % 24 + 1 AS INT), 4)) AS INT) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "m4_resize_dims" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(320 + strlen(text) % 1280 AS INT) AS width,
+        |  CAST(240 + strlen(text) % 720 AS INT) AS height FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(floor(width * least(CAST(512 AS DOUBLE)/CAST(width AS DOUBLE),
+        |       CAST(512 AS DOUBLE)/CAST(height AS DOUBLE), 1.0)), 1) AS INT) AS new_width,
+        |  CAST(greatest(floor(height * least(CAST(512 AS DOUBLE)/CAST(width AS DOUBLE),
+        |       CAST(512 AS DOUBLE)/CAST(height AS DOUBLE), 1.0)), 1) AS INT) AS new_height
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
