@@ -256,6 +256,13 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "u4_set_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- grouping sets / scalar breadth / having ----
     "a10_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -359,6 +366,31 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).as("n_o"),
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy("o_orderpriority")),
+
+    // RANGE frame: sum of orders within a 1000-wide price band below each
+    // row, per priority — exercises RangeFrame (vs the RowFrame in w4)
+    "w8_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 0L)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_band"))
+    }),
+
+    // TPC-H q17 shape, manually decorrelated: parts whose lineitems fall
+    // under 20% of that part's average quantity (correlated scalar
+    // subquery -> per-key pre-aggregation + equi-join)
+    "q17_small_quantity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))) * 0.2)
+          .as("qty_threshold"))
+      li.join(thresholds, li("l_partkey") === col("t_partkey"))
+        .filter(dec2(col("l_quantity")).cast("double") < col("qty_threshold"))
+        .agg(sum(dec2(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
 
     "w7_rank_suite" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -514,6 +546,7 @@ object SparkEntry {
     "g3_fact_sales"           -> Seq("quantity", "sales_eur", "taxes_eur"),
     "g4_fact_orders"          -> Seq("order_value_eur"),
     "g5_fact_budget"          -> Seq("budget_eur"),
+    "q17_small_quantity"      -> Seq("small_qty_revenue"),
     "q18_large_orders"        -> Seq("total_qty"),
     "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
     "q3_shipping_priority"    -> Seq("revenue"),
@@ -690,6 +723,28 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
+
+    "u4_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "w8_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH th AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 0.2 AS qty_threshold
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_qty_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN th ON l_partkey = t_partkey
+        |WHERE CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) < qty_threshold""".stripMargin,
 
     "a10_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -77,4 +77,33 @@ class AsOfJoinSpec extends SparkSpecBase {
       .filter(col("event_id") === 1L).head()
     assert(got.getLong(3) == 9L)
   }
+  test("property: asOf equals the naive range-join-then-keep-latest on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // random left/right events over few keys and a small time range to
+    // force matches, ties, and no-match cases
+    val leftR = (1 to 200).map { i =>
+      (i.toLong, s"k${rng.nextInt(5)}", ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"))
+    }.toDF("event_id", "user_id", "t")
+    val rightR = (1 to 80).map { i =>
+      (s"k${rng.nextInt(5)}", ts(f"2024-01-01 ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"),
+        (1000 + i).toLong, rng.nextInt(100).toDouble)
+    }.toDF("user_id", "t", "r_id", "r_val")
+
+    val got = AsOfJoin.asOf(leftR, rightR, Seq("user_id"), "t",
+      Seq("r_id"), rightTiebreak = Seq("r_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+
+    // naive reference: inequality join + keep the (max t, max r_id) match
+    val l = leftR.select(col("event_id"), col("user_id").as("lu"), col("t").as("lt"))
+    val r = rightR.select(col("user_id").as("ru"), col("t").as("rt"), col("r_id"))
+    val naive = l.join(r, col("lu") === col("ru") && col("lt") >= col("rt"), "left")
+    val best = graft.operators.Dedup.keepLatest(naive, Seq("event_id"),
+      Seq(col("rt").desc_nulls_last, col("r_id").desc_nulls_last))
+      .collect().map(r2 => r2.getLong(0) ->
+        (if (r2.isNullAt(5)) None else Some(r2.getLong(5)))).toMap
+
+    assert(got == best, "window carry-forward must equal the naive range join")
+  }
+
 }
