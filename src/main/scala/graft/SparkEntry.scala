@@ -323,6 +323,14 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // approximate percentiles (t-digest-style sketch) — the 100 TB answer
+    // to a11's exact sort-based quantiles; engine-specific, rows-only
+    // (OperatorSpec bounds the error against the exact percentile)
+    "a13_approx_percentiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"))
+        .orderBy("o_orderstatus")),
+
     // ---- as-of (point-in-time) join ----
     "j10_asof_purchase" -> ((s, d) => {
       val ev = Tables.events(s, d)

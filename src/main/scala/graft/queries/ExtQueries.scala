@@ -71,6 +71,19 @@ object ExtQueries {
         TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 3, threshold = 0.5))),
 
+    // edit-distance verification over the exact near-dup pairs (built-in
+    // levenshtein — the classic DP, identical across engines)
+    "d6_edit_distance_pairs" -> ((s, d) => {
+      val pairs = TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 3, threshold = 0.5).select("id_a", "id_b")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      pairs
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+    }),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -233,6 +246,19 @@ object ExtQueries {
         |      FROM sc)
         |SELECT doc_id, term, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "d6_edit_distance_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "e1_knn_brute_force" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -132,4 +132,16 @@ class OperatorSpec extends SparkSpecBase {
     assert(!byStatus.contains("P"), "unmapped strata are dropped")
   }
 
+  test("approx percentile lands within sketch tolerance of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val both = orders.agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+      approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx")
+    ).head()
+    val (exact, approx) = (both.getDouble(0), both.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx p50 $approx should be within 5% of exact $exact")
+  }
+
 }

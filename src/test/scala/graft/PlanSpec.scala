@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan invariants for the hot operators — the perf properties
+  * (broadcast stars, pruned scans, pushed filters) are asserted so a
+  * regression shows up as a red test, not as a silent 3x on the bench.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(f) ++ p.subqueries.flatMap(collectAll(_)(f))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("g3_fact_sales plans as a zero-shuffle broadcast star") {
+    val p = planOf(q("g3_fact_sales"))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    val bcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(shuffles.isEmpty, s"fact build must not shuffle, found: $shuffles")
+    assert(bcasts.size == 3, s"orders/customer/rates all broadcast, got ${bcasts.size}")
+  }
+
+  test("p6 quarantine scan prunes to exactly the referenced columns") {
+    val p = planOf(q("p6_quarantine_clean"))
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"),
+      s"over-read: $read")
+  }
+
+  test("q5 pushes the region filter into the parquet scan") {
+    val p = planOf(q("q5_local_supplier_volume"))
+    val pushed = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata.get("PushedFilters")
+    }.flatten
+    assert(pushed.exists(_.contains("EqualTo(r_name,ASIA)")),
+      s"region predicate must reach a scan, got: $pushed")
+  }
+
+  test("s4 projection reaches the scan (2-column query never reads the wide row)") {
+    val p = planOf(q("s4_projection_scan"))
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("c_custkey", "c_name", "c_mktsegment"), s"over-read: $read")
+  }
+}
