@@ -66,6 +66,26 @@ object Streams {
                    keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream inner join: rows of two event streams matched on key
+    * within a bounded event-time gap. Both sides carry watermarks and the
+    * join condition bounds the time skew, so Spark can expire join state —
+    * the required shape for an unbounded 100 TB/day pair of streams (a
+    * condition without time bounds would grow state forever).
+    * Matches `right` rows to `left` rows with
+    * `left.ts - maxGap <= right.ts <= left.ts`.
+    */
+  def joinStreams(left: DataFrame, right: DataFrame, key: String,
+                  maxGap: String = "1 hour",
+                  watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $maxGap") &&
+        col("r_ts") <= col("ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_events: Long, total_value: Double,

@@ -83,4 +83,25 @@ class StreamingSpec extends SparkSpecBase {
       "every event's user exists in the static dim")
   }
 
+  test("watermarked stream-stream join equals the batch twin") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val lDir = s"$base/l"; val rDir = s"$base/r"
+    val purchases = events.filter(col("event_type") === "purchase")
+    purchases.write.mode("overwrite").parquet(lDir)
+    events.write.mode("overwrite").parquet(rDir)
+    val schema = events.schema
+    val lStream = spark.readStream.schema(schema).parquet(lDir)
+    val rStream = spark.readStream.schema(schema).parquet(rDir)
+    val q = Streams.joinStreams(lStream, rStream, "user_id", "1 hour", "2 hours")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join_out").count()
+    val expected = Streams.joinStreams(purchases, events, "user_id", "1 hour", "2 hours")
+      .count()
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(expected > 0, "fixture must produce matches")
+  }
+
 }
