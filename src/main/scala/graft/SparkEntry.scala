@@ -347,6 +347,24 @@ object SparkEntry {
         .select("event_id", "user_id", "asof_p_event", "asof_p_value")
     }),
 
+    // mean imputation: null/NaN values filled with the user's mean
+    // (window aggregate — no second scan, no join)
+    "p13_impute_mean" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val clean = Standardize.cleanFloat(col("value"))
+      Tables.events(s, d)
+        .withColumn("user_mean",
+          sum(dec2(clean)).over(w).cast("double") / count(clean).over(w))
+        .select(col("event_id"), col("user_id"),
+          coalesce(clean, col("user_mean")).as("value_imputed"))
+    }),
+
+    "f3_regex_extract" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        regexp_extract(col("c_mktsegment"), "^([A-Z]+)", 1).as("seg_word"))),
+
     // ---- deterministic sampling ----
     "p11_hash_sample" -> ((s, d) =>
       Sampling.hashSample(t(s, d, "orders"), col("o_orderkey"), Seq("0", "1", "2", "3"))
@@ -824,6 +842,23 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, p.p_event AS asof_p_event, p.p_value AS asof_p_value
         |FROM decoded e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
+
+    "p13_impute_mean" ->
+      """WITH decoded AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COALESCE(v,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |      / COUNT(v) OVER (PARTITION BY user_id)) AS value_imputed
+        |FROM decoded ORDER BY event_id""".stripMargin,
+
+    "f3_regex_extract" ->
+      """SELECT c_custkey,
+        |  COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+        |  COALESCE(regexp_extract(c_mktsegment, '^([A-Z]+)', 1), '') AS seg_word
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "p11_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
