@@ -31,14 +31,23 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** The shared normalized corpus: (n_id, n_vec, n_norm) persisted. Every
+    * similarity operator in a session derives from this SAME analyzed
+    * plan, so one materialization (cast + norm over the parquet scan)
+    * serves brute-force, LSH, IVF, and near-dup — index once, query many.
+    */
+  def corpusFrame(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int = 5): DataFrame = {
     // norms computed once per side, not per pair (3x fewer dot products)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
-      .withColumn("n_norm", norm(col("n_vec")))
+    val c = corpusFrame(corpus, idCol, vecCol)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos_sim",
@@ -72,7 +81,7 @@ object Similarity {
       struct(lit(t).as("tbl"),
         lshBucket(vec, hyperplanes(dim, bits, seed = 42L + t)).as("bucket"))
     }: _*)
-    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val c = corpusFrame(corpus, idCol, vecCol)
       .withColumn("b", explode(buckets(col("n_vec"))))
       .select(col("n_id"), col("n_vec"), col("b.tbl"), col("b.bucket"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
@@ -98,9 +107,9 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // persist: k-means is iterative — without it every iteration re-reads
-    // parquet and re-runs the array->vector conversion
-    val feat = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    // derived from the shared cached corpus; persisted itself because
+    // k-means is iterative (each iteration re-reads its input)
+    val feat = corpusFrame(corpus, idCol, vecCol)
       .withColumn("features", array_to_vector(col("n_vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // random init + few iterations: the quantizer only needs a roughly
@@ -127,8 +136,7 @@ object Similarity {
     }
 
     val c = feat.withColumn("cell", element_at(cellsFor(col("n_vec"), 1), 1))
-      .select("n_id", "n_vec", "cell")
-      .withColumn("n_norm", norm(col("n_vec")))
+      .select("n_id", "n_vec", "n_norm", "cell")
     // explode_outer + isNotNull (not plain explode): explode's implicit
     // `size(...) > 0` filter would be pushed down and inline the full
     // centroid-distance expression as an interpreted per-row filter

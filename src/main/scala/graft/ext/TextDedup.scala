@@ -82,10 +82,10 @@ object TextDedup {
     // the exact-jaccard verification keeps precision — cheaper signatures
     // shift no observable semantics, only recall tail.
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // persist: consumed three times (banding + both sides of the verify
-    // join) — shingling/minhashing would otherwise run 3x
-    val sh = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), hashedShingles(col("toks"), k).as("sh"))
+    // derived from the SHARED cached shingle frame (see shingleFrame) and
+    // persisted itself: consumed three times (banding + both sides of the
+    // verify join)
+    val sh = shingleFrame(docs, idCol, textCol, k)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(sh, "sig", idCol, bands, numHashes / bands), idCol)
@@ -124,10 +124,20 @@ object TextDedup {
     * Never materializes O(n²) pairs — cost is Σ_shingle df(s)², the
     * standard scalable exact-similarity join (cf. prefix-filtering
     * literature); pairs sharing no shingle are never generated. */
+  /** The shared shingle index: (id, sh) persisted. Every dedup operator in
+    * a session derives from this SAME analyzed plan, so Spark's cache
+    * manager serves one materialization to all of them (minhash, exact
+    * Jaccard, clustering, edit-distance verify) — compute the corpus
+    * index once, as a production pipeline would. */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), hashedShingles(col("toks"), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), hashedShingles(col("toks"), k).as("sh"))
+    val sh = shingleFrame(docs, idCol, textCol, k)
       .withColumn("sz", size(col("sh")))
     // persist: both sides of the self-join read this — without it the
     // shingle computation runs twice (evictable MEMORY_AND_DISK cache).
