@@ -17,13 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (fold — codegen'd). */
+  /** Dot product of two array<double> columns — the native codegen
+    * Expression ([[graft.functions.DotProduct]]); bit-identical to the
+    * zip_with/aggregate fold (same left-to-right summation) but stays
+    * inside whole-stage codegen instead of the HOF CodegenFallback path.
+    * Requires DotProduct.register on the session (done in Tables.load;
+    * [[dotFold]] is the registration-free HOF twin). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** HOF fallback formulation (interpreted) — kept as the portable twin
+    * and for sessions without the function registered. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   // NOTE: an unrolled sum-of-element_at formulation was measured 4x SLOWER
   // than the zip_with/aggregate fold at dim=64 (the wide expression tree
-  // falls out of compact codegen); keep the fold.
+  // falls out of compact codegen); the native expression beats both.
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -25,6 +25,7 @@ object Tables {
     // Runtime SQLConf: lets the driver-created session read ns timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.RollingHash.register(spark)
+    graft.functions.DotProduct.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -148,4 +148,31 @@ class ExtSpec extends SparkSpecBase {
     assert(top(3L) == "dragon")
   }
 
+  test("native dot_product is bit-identical to the HOF fold and handles nulls") {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val rng = new scala.util.Random(11)
+    val vecs = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian()), Seq.fill(64)(rng.nextGaussian()))
+    }.toDF("id", "a", "b")
+    val both = vecs.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotFold(col("a"), col("b")).as("fold")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bitwise mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // null array, null element, unequal length -> null (fold semantics)
+    val edge = Seq(
+      (1L, null, Seq(1.0)),
+      (2L, Seq(1.0, 2.0), Seq(1.0)),
+      (3L, Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))
+    )
+    val e1r = spark.sql("SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) v").head.isNullAt(0)
+    val e2r = spark.sql("SELECT dot_product(array(1.0d,2.0d), array(1.0d)) v").head.isNullAt(0)
+    val e3r = spark.sql("SELECT dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d,2.0d)) v").head.isNullAt(0)
+    assert(e1r && e2r && e3r)
+  }
+
 }
