@@ -99,10 +99,17 @@ object TextDedup {
 
   /** SimHash: 64-bit locality-sensitive fingerprint — bit i of the result is
     * the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Hamming-near
-    * fingerprints ⇒ near-dup texts. Pure expression composition, single
-    * pass: each token is hashed ONCE and folded into a 64-wide vote vector
-    * (the naive per-bit formulation re-hashes every token 64 times). */
-  def simhash(text: Column): Column = {
+    * fingerprints ⇒ near-dup texts. Native codegen expression
+    * ([[graft.functions.SimHash64]], registered in Tables.load);
+    * [[simhashFold]] is the registration-free HOF twin (bit-identical,
+    * asserted in ExtSpec). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(
+      array_distinct(split(lower(trim(text)), "\\s+")))
+
+  /** HOF formulation of [[simhash]] (interpreted — CodegenFallback):
+    * each token hashed once, folded into a 64-wide vote vector. */
+  def simhashFold(text: Column): Column = {
     val toks = array_distinct(split(lower(trim(text)), "\\s+"))
     val hashes = transform(toks, t => xxhash64(t))
     val bits = sequence(lit(0), lit(63))

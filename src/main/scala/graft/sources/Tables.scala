@@ -26,6 +26,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.RollingHash.register(spark)
     graft.functions.DotProduct.register(spark)
+    graft.functions.SimHash64.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

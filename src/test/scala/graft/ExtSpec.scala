@@ -175,4 +175,13 @@ class ExtSpec extends SparkSpecBase {
     assert(e1r && e2r && e3r)
   }
 
+  test("native simhash64 is bit-identical to the HOF fold") {
+    graft.functions.SimHash64.register(spark)
+    val both = docs.limit(100).select(
+      TextDedup.simhash(col("text")).as("native"),
+      TextDedup.simhashFold(col("text")).as("fold")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
+  }
+
 }
