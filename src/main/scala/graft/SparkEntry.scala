@@ -418,6 +418,30 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // SCD Type-2: per-user event_type history with validity intervals
+    "w9_scd2_history" -> ((s, d) =>
+      Scd2.history(
+        Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        keys = Seq("user_id"), attrs = Seq("event_type"),
+        tsCol = "ts", tiebreak = Seq(col("event_id").asc))),
+
+    // unpivot/melt: wide numeric columns -> (metric, value) long form
+    "a14_unpivot" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"),
+          col("c_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "value")),
+
+    // CUBE grouping (all four grouping-set combinations)
+    "a15_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     "w7_rank_suite" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_orderpriority")
@@ -885,6 +909,36 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
         |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "w9_scd2_history" ->
+      """WITH decoded AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CASE WHEN epoch_ns(ts) > 1000000000000 THEN make_timestamp(epoch_ns(ts)//1000)
+        |         ELSE make_timestamp(epoch_ns(ts)*1000000) END AS ts
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM decoded),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM lagged
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin,
+
+    "a14_unpivot" ->
+      """SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin,
+
+    "a15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "w7_rank_suite" ->
       """SELECT o_orderkey, o_orderpriority,

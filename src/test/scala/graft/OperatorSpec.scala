@@ -144,4 +144,27 @@ class OperatorSpec extends SparkSpecBase {
       s"approx p50 $approx should be within 5% of exact $exact")
   }
 
+  test("scd2 history: contiguous intervals, one current row per key, runs collapse") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val log = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "A", ts("2024-01-02 00:00:00"), 2L),  // same run, collapses
+      (1L, "B", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "A", ts("2024-01-04 00:00:00"), 4L),  // back to A -> NEW interval
+      (2L, "X", ts("2024-01-01 00:00:00"), 5L)
+    ).toDF("k", "attr", "ts", "id")
+    val h = Scd2.history(log, Seq("k"), Seq("attr"), "ts", Seq(col("id").asc))
+      .orderBy("k", "valid_from").collect()
+    val k1 = h.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(1)).toSeq == Seq("A", "B", "A"), "runs collapse, returns reopen")
+    // intervals chain: each valid_to equals the next valid_from
+    k1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(3) == b.getTimestamp(2), "contiguous intervals")
+    }
+    assert(h.count(r => r.getBoolean(4)) == 2, "exactly one current row per key")
+  }
+
 }
