@@ -166,6 +166,44 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin prefix scheme):
+    * shingles are globally ordered by (document frequency asc, value) and
+    * only each document's first `|sh| − ⌈t·|sh|⌉ + 1` shingles are indexed
+    * for candidate generation — any pair with J ≥ t provably shares a
+    * prefix shingle, and candidates are then exact-verified on the full
+    * sets. Same results as [[ngramJaccardPairs]] (asserted in ExtSpec);
+    * this is the scale path: the candidate join's Σ df² runs over RARE
+    * shingles only, so corpus-wide common phrases never drive a quadratic
+    * blowup. Costs two extra shuffles (df count, per-doc rank) — worth it
+    * when df is skewed, which is exactly when the simple index melts.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleFrame(docs, idCol, textCol, k)
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
+    val prefix = posts.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+      .select(col(idCol), col("s"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("s"))
+      .join(prefix.select(col(idCol).as("id_b"), col("s")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact dedup: keep the lowest id per identical normalized text. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))

@@ -184,4 +184,19 @@ class ExtSpec extends SparkSpecBase {
       s"mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
   }
 
+  test("prefix-filtered jaccard join equals the full inverted-index join") {
+    val full = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = TextDedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full, "prefix filtering must be lossless at the threshold")
+    assert(full.nonEmpty)
+    // and at a low threshold where prefixes are long
+    val full2 = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref2 = TextDedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", k = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref2 == full2)
+  }
+
 }
