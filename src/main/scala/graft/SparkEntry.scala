@@ -404,6 +404,17 @@ object SparkEntry {
         count(lit(1)).over(w).as("n_in_band"))
     }),
 
+    // TPC-H q6 shape: forecast revenue change — tight scan-filter-agg,
+    // the pushdown/pruning stress case
+    "q6_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("2001-01-01 00:00:00")) &&
+          col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * col("l_discount").cast(DecimalType(3, 2)))
+          .cast(DecimalType(38, 4)).as("revenue_delta"),
+          count(lit(1)).as("n_lines"))),
+
     // TPC-H q17 shape, manually decorrelated: parts whose lineitems fall
     // under 20% of that part's average quantity (correlated scalar
     // subquery -> per-key pre-aggregation + equi-join)
@@ -596,6 +607,7 @@ object SparkEntry {
     "g3_fact_sales"           -> Seq("quantity", "sales_eur", "taxes_eur"),
     "g4_fact_orders"          -> Seq("order_value_eur"),
     "g5_fact_budget"          -> Seq("budget_eur"),
+    "q6_forecast_revenue"     -> Seq("revenue_delta"),
     "q17_small_quantity"      -> Seq("small_qty_revenue"),
     "q18_large_orders"        -> Seq("total_qty"),
     "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
@@ -785,6 +797,15 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue_delta,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
 
     "q17_small_quantity" ->
       """WITH th AS (

@@ -106,4 +106,30 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got == best, "window carry-forward must equal the naive range join")
   }
 
+  test("integration: as-of lookup against SCD2 history returns the attribute as of event time") {
+    import spark.implicits._
+    import graft.operators.Scd2
+    // change log: user 1 is A, then B, then A again
+    val log = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "B", ts("2024-01-05 00:00:00"), 2L),
+      (1L, "A", ts("2024-01-09 00:00:00"), 3L)
+    ).toDF("user_id", "attr", "t", "id")
+    val hist = Scd2.history(log, Seq("user_id"), Seq("attr"), "t", Seq(col("id").asc))
+      .select(col("user_id"), col("attr"), col("valid_from").as("t"))
+    // lookups at various event times via as-of join on valid_from
+    val lookups = Seq(
+      (10L, 1L, ts("2024-01-02 00:00:00")),  // inside first A interval
+      (11L, 1L, ts("2024-01-05 00:00:00")),  // boundary: B starts here
+      (12L, 1L, ts("2024-01-30 00:00:00")),  // current interval (A again)
+      (13L, 1L, ts("2023-12-01 00:00:00"))   // before any history
+    ).toDF("event_id", "user_id", "t")
+    val got = AsOfJoin.asOf(lookups, hist, Seq("user_id"), "t", Seq("attr"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got(10L).contains("A"))
+    assert(got(11L).contains("B"), "interval start is inclusive")
+    assert(got(12L).contains("A"))
+    assert(got(13L).isEmpty, "before history -> null")
+  }
+
 }
