@@ -404,6 +404,49 @@ object SparkEntry {
         count(lit(1)).over(w).as("n_in_band"))
     }),
 
+    // TPC-H q14 shape: share of revenue from one product-type family —
+    // fact⋈dim join + conditional aggregation ratio
+    "q14_promo_share" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("2000-07-01 00:00:00")))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      val rev = dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2)))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("STANDARD"), rev)).cast(DecimalType(38, 4))
+            .as("standard_revenue"),
+          sum(rev).cast(DecimalType(38, 4)).as("total_revenue"))
+        .withColumn("standard_pct",
+          col("standard_revenue").cast("double") / col("total_revenue").cast("double") * lit(100.0))
+    }),
+
+    // math-function breadth (engine-portable subset: floor/ceil/round/
+    // sqrt/abs/sign/pmod are correctly-rounded or integral — exp/ln are
+    // NOT libm-portable and stay out of oracled outputs)
+    "f4_math_suite" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        ceil(col("o_totalprice")).cast("long").as("price_ceil"),
+        round(col("o_totalprice"), 1).as("price_round1"),
+        sqrt(abs(col("o_totalprice"))).as("price_sqrt"),
+        signum(col("o_totalprice")).cast("int").as("price_sign"),
+        pmod(col("o_orderkey"), lit(97)).cast("int").as("key_mod"))),
+
+    // date-function breadth (dayofweek aligned to ISO Monday=1 on both
+    // sides; DuckDB's native dayofweek starts at Sunday=0)
+    "f5_date_suite" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).cast("int").as("days_to_2002"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow_sun1"),
+        weekofyear(col("o_orderdate")).cast("int").as("iso_week"))),
+
     // TPC-H q6 shape: forecast revenue change — tight scan-filter-agg,
     // the pushdown/pruning stress case
     "q6_forecast_revenue" -> ((s, d) =>
@@ -607,6 +650,7 @@ object SparkEntry {
     "g3_fact_sales"           -> Seq("quantity", "sales_eur", "taxes_eur"),
     "g4_fact_orders"          -> Seq("order_value_eur"),
     "g5_fact_budget"          -> Seq("budget_eur"),
+    "q14_promo_share"         -> Seq("standard_revenue", "total_revenue"),
     "q6_forecast_revenue"     -> Seq("revenue_delta"),
     "q17_small_quantity"      -> Seq("small_qty_revenue"),
     "q18_large_orders"        -> Seq("total_qty"),
@@ -796,6 +840,36 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type LIKE 'STANDARD%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS DECIMAL(38,4)) AS standard_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS total_revenue,
+        |  CAST(CAST(SUM(CASE WHEN p_type LIKE 'STANDARD%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) END) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS DOUBLE) * 100.0 AS standard_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2000-07-01 00:00:00'""".stripMargin,
+
+    "f4_math_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+        |  round(o_totalprice, 1) AS price_round1,
+        |  sqrt(abs(o_totalprice)) AS price_sqrt,
+        |  CAST(sign(o_totalprice) AS INT) AS price_sign,
+        |  CAST(o_orderkey % 97 AS INT) AS key_mod
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f5_date_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_sun1,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q6_forecast_revenue" ->
