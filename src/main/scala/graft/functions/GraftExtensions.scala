@@ -6,11 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session-extension installer for the engine's custom Catalyst machinery —
   * the production path: `spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes `rolling_hash` (and future expressions) available in every session,
-  * including pure-SQL ones, without imperative registration.
+  * makes every native expression (`rolling_hash`, `dot_product`,
+  * `simhash64`) available in all sessions, including pure-SQL ones,
+  * without imperative registration.
   *
-  * (`RollingHash.register` remains as the imperative per-session fallback
-  * used by the test/driver harness.)
+  * (The per-expression `register` methods remain as the imperative
+  * per-session fallback used by the test/driver harness.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -19,5 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
   }
 }

@@ -98,7 +98,7 @@ class ExtSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"IVF recall $recall too low for nprobe=3/8 cells")
   }
 
-  test("session extensions install rolling_hash without throwing") {
+  test("session extensions install every native expression without throwing") {
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
