@@ -36,11 +36,19 @@ object TextDedup {
     * cardinalities and Jaccard values are identical to the string form
     * while every downstream distinct/join/intersect runs on fixed-width
     * longs instead of ~20-byte strings.
+    *
+    * Documents shorter than k tokens hash their whole token list as the
+    * single shingle (mirroring the string form, where the clamped slice
+    * yields one partial shingle). The branch matters under ANSI mode
+    * (Spark 4 default): an unguarded `element_at(toks, i+j+1)` would
+    * throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT past the array end.
     */
   def hashedShingles(toks: Column, k: Int = 3): Column =
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array(xxhash64(toks)))
 
   /** MinHash signature: element h = min over shingles of xxhash64(shingle, h).
     * Deterministic, seed-indexed hash family. */
@@ -216,12 +224,25 @@ object TextDedup {
     * dedup groups. Iterative min-label propagation to a fixpoint: each
     * round every node takes the min label among itself and its neighbors
     * (one shuffle join + one aggregation per round). Near-dup components
-    * are tiny cliques of copies, so rounds ≈ O(log diameter) ≈ 2–3; for
+    * are tiny cliques of copies, so rounds ≈ O(diameter) ≈ 2–3; for
     * adversarial long-chain graphs swap the loop body for the
     * large-star/small-star rounds (Kiveris et al., CC in MapReduce) —
     * the per-round join shape is the same.
+    *
+    * Safety rails for that adversarial case: `maxRounds` caps the number of
+    * propagation rounds (a warning is emitted if the cap fires before the
+    * fixpoint — labels are then correct for all components whose diameter
+    * is under the cap), and every round eagerly `localCheckpoint`s the
+    * label frame. The checkpoint is load-bearing, not an optimization: the
+    * label frame feeds the next round TWICE (directly and through the
+    * neighbor aggregation), so a lazily-chained loop doubles the analyzed
+    * plan per round — exponential analysis cost that OOMs a 20-round chain
+    * — while a per-round leaf plan keeps every round constant-size. Blocks
+    * of superseded rounds are dropped by the ContextCleaner as the loop
+    * releases its references.
     */
-  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // both edge directions from ONE pass over pairs (a union of two selects
     // would compute the pairs input twice before the persist catches it);
@@ -234,29 +255,29 @@ object TextDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // frames we persisted, newest first; all but the newest are released at
-    // the end (the result's lineage reads the newest — a label-count-sized
-    // cache entry, same footprint policy as the posting cache above)
-    var cached = List(labels)
     var changed = 1L
-    while (changed > 0) {
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
       val neigh = edges
         .join(labels.select(col("id").as("dst_id"), col("label")), col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
+      // eager per-round checkpoint (see scaladoc): one job materializes the
+      // round and the next round starts from a leaf plan
       val next = labels.join(neigh, labels("id") === neigh("src"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("next_label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // single action per round: materializes `next` (which the following
-      // round's `labels` projection reads from cache) AND counts changes
-      changed = next.agg(sum(when(col("next_label") < col("label"), 1L).otherwise(0L)))
+        .localCheckpoint(true)
+      // coalesce: an empty pair list yields sum(...) = NULL, not 0
+      changed = next.agg(coalesce(
+          sum(when(col("next_label") < col("label"), 1L).otherwise(0L)), lit(0L)))
         .head().getLong(0)
-      cached = next :: cached
       labels = next.select(col("id"), col("next_label").as("label"))
     }
+    if (changed > 0)
+      System.err.println(s"[graft] dupClusters: round cap $maxRounds hit " +
+        "before fixpoint; components wider than the cap keep partial labels")
     edges.unpersist()
-    cached.drop(1).foreach(_.unpersist())
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

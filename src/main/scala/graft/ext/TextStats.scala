@@ -72,9 +72,14 @@ object TextStats {
 
   /** Per-document top-k TF-IDF terms: tf from an exploded token count,
     * df from a term-level aggregation, idf = ln((N+1)/(df+1)); returns
-    * (id, term, rnk) ranked by tfidf desc, term asc. Emits ranks, not the
-    * raw score — scores are compared only within a document, and rank
-    * output stays portable across engines' libm ulp differences.
+    * (id, term, rnk) ranked by the score desc, term asc. Emits ranks, not
+    * the raw score, and ranks on the score ROUNDED to 6 decimals: `ln` is
+    * not libm-portable, so two terms with distinct (tf, df) but scores
+    * within an ulp of each other could order differently across engines.
+    * Quantizing first means a cross-engine ulp difference can't flip the
+    * order (it would have to straddle a rounding boundary), and genuinely
+    * near-equal scores tie in BOTH engines, where the deterministic
+    * `term asc` tie-break decides identically.
     * Scale shape: two shuffles (doc-term count, term df) + one broadcast
     * of the 1-row corpus count; no O(n²) anywhere.
     */
@@ -90,8 +95,8 @@ object TextStats {
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf", col("tf") *
-        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col(idCol), col("term"), col("rnk"))

@@ -239,7 +239,7 @@ object ExtQueries {
         |d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |sc AS (SELECT doc_id, t.term,
-        |         tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+        |         round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
         |       FROM t JOIN d ON t.term = d.term CROSS JOIN n),
         |r AS (SELECT doc_id, term,
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk

@@ -49,15 +49,20 @@ object Streams {
         col("user_id"), col("n_events"), col("total_value"))
 
   /** Streaming exact dedup: first occurrence per `keys` wins, with state
-    * bounded by the event-time watermark (`dropDuplicates` keeps key state
-    * only within the watermark horizon — the streaming face of the batch
-    * exact-dedup operators; unbounded state would OOM a 100 TB stream).
-    */
+    * bounded by the event-time watermark. `dropDuplicatesWithinWatermark`
+    * is the required form for guid-style keys: plain `dropDuplicates(keys)`
+    * only evicts state when the event-time column is itself part of the
+    * key, so a `event_id`-keyed dedup would grow state forever and OOM a
+    * 100 TB stream. The within-watermark variant drops each key's state
+    * once the watermark passes its first-seen event time (semantics: exact
+    * dedup for duplicates arriving within the watermark delay of each
+    * other — the delivery-retry window, which is what at-least-once
+    * sources actually produce). */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   watermarkDelay: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(keys)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-static enrichment join: each micro-batch broadcast-joins a
     * static dimension (re-read per batch in real deployments — here the

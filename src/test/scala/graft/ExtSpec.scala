@@ -134,6 +134,47 @@ class ExtSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("hashed shingles are total on sub-k docs (ANSI-safe)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two"),   // 2 tokens < k=3: whole token list is the shingle
+      (2L, "one two"),   // identical short doc -> jaccard 1 with doc 1
+      (3L, "one"),       // single token
+      (4L, ""),          // empty text (split yields [""])
+      (5L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    // ANSI mode is on by default in Spark 4: an unguarded element_at past
+    // the array end would throw here instead of returning rows
+    val pairs = TextDedup.ngramJaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), "identical short docs pair; lengths never cross")
+    // minhash path must be total on the same corpus too
+    TextDedup.minhashDupPairs(df, "doc_id", "text", threshold = 0.5).collect()
+  }
+
+  test("dup clusters: empty pair list returns an empty frame (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.dupClusters(empty).count() == 0)
+  }
+
+  test("dup clusters: worst-case chain converges under the default cap; a tight cap is honored") {
+    import spark.implicits._
+    // path graph 0-1-2-…-20: diameter 20, min-label propagation needs ~20
+    // rounds — a lazily-chained loop would go exponential here; the
+    // per-round checkpoint keeps every round constant-size
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val full = TextDedup.dupClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(full.size == 21)
+    assert(full.values.toSet == Set(0L), "default cap must let the chain converge")
+    // a 3-round cap completes without error but cannot have converged
+    val capped = TextDedup.dupClusters(chain, maxRounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped.size == 21)
+    assert(capped.values.toSet != Set(0L), "3 rounds cannot flood a 20-diameter chain")
+  }
+
   test("tfidf top terms rank doc-distinctive terms first") {
     import spark.implicits._
     val df = Seq(
