@@ -163,11 +163,88 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
-  /** Embedding near-dup pairs: all (a < b) with cosine >= threshold.
-    * Brute-force O(N²) verifier for small N; at scale, route through
-    * `lshBucket` first (same expressions, bucket-bounded join). */
+  /** Embedding near-dup pairs (id_a < id_b, cosine >= threshold) — the
+    * DEFAULT path: an EXACT distributed block-nested-loop ("chunked
+    * all-pairs") join. Vectors hash into `chunks` blocks; the tiny
+    * (chunks·(chunks+1)/2)-row block-pair relation is broadcast to
+    * replicate each vector to its block-pairs, and the (ca, cb) equi-join
+    * evaluates each block-pair's cross product in its own task with the
+    * codegen'd native dot product.
+    *
+    * Why not LSH here: a threshold query must return pairs sitting AT the
+    * threshold, where sign-LSH recall is 1-(1-(1-θ/π)^bits)^tables < 1 no
+    * matter the parameters (measured on the fixtures: the planted pairs
+    * lie at cosine 0.50–0.60 and every reasonable (bits, tables) drops
+    * some). Exact all-pairs is inherently O(N²) compute, but this shape
+    * distributes it evenly (parallelism chunks²/2, per-task memory N/chunks
+    * vectors, shuffle O(N·chunks) rows), touches the driver with nothing,
+    * and never materializes a broadcast of the corpus — scale `chunks`
+    * with N to hold per-task memory constant. For the high-similarity
+    * near-dup regime where missing a boundary pair is acceptable,
+    * [[nearDupPairsLsh]] cuts the quadratic term by 2^bits. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, chunks: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpusFrame(corpus, idCol, vecCol)
+      .withColumn("chunk", pmod(xxhash64(col("n_id")), lit(chunks)).cast("int"))
+    val chunkPairs = broadcast(
+      (for { i <- 0 until chunks; j <- i until chunks } yield (i, j)).toDF("ca", "cb"))
+    val left = c.join(chunkPairs, col("chunk") === col("ca"))
+      .select(col("ca"), col("cb"), col("n_id").as("id_l"),
+        col("n_vec").as("vl"), col("n_norm").as("nl"))
+    val right = c.join(chunkPairs, col("chunk") === col("cb"))
+      .select(col("ca"), col("cb"), col("n_id").as("id_r"),
+        col("n_vec").as("vr"), col("n_norm").as("nr"))
+    left.join(right, Seq("ca", "cb"))
+      // cross-chunk pairs appear exactly once (min-chunk side left);
+      // same-chunk pairs appear in both orders -> keep one
+      .filter(col("ca") < col("cb") || col("id_l") < col("id_r"))
+      // x·y is bitwise symmetric (IEEE multiply commutes), so emitting the
+      // canonical id order below cannot change cos_sim vs the expression twin
+      .withColumn("cos_sim", dot(col("vl"), col("vr")) / (col("nl") * col("nr")))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("cos_sim"))
+  }
+
+  /** Approximate near-dup pairs for the high-similarity regime: multi-table
+    * sign-LSH bucketing followed by exact cosine verification of
+    * bucket-mates — [[TextDedup.minhashDupPairs]]'s candidates-then-verify
+    * architecture for embeddings. Candidate count is bounded by
+    * `tables · N²/2^bits` (never all pairs), the id-pair dedup shuffles
+    * ONLY (id_a, id_b), and vectors re-join from the shared cached corpus.
+    * Precision is exact (every emitted pair is verified with the same IEEE
+    * expression order as [[nearDupPairsExpr]]); recall is the sign-LSH
+    * amplification 1-(1-(1-θ/π)^bits)^tables — ~1 for genuinely near-dup
+    * pairs (cosine ≳ 0.9), deliberately below 1 at a loose threshold
+    * boundary. Use [[nearDupPairs]] when exactness at the threshold is
+    * required. */
+  def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, bits: Int = 8, tables: Int = 16,
+                      dim: Int = 64): DataFrame = {
+    val c = corpusFrame(corpus, idCol, vecCol)
+    val buckets = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col("n_vec"), hyperplanes(dim, bits, seed = 42L + t)).as("bucket"))
+    }: _*)
+    val banded = c.select(col("n_id"), explode(buckets).as("b"))
+      .select(col("n_id"), col("b.tbl"), col("b.bucket"))
+    val cand = banded.select(col("n_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(banded.select(col("n_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = c.select(col("n_id").as("id_a"), col("n_vec").as("va"), col("n_norm").as("na"))
+    val b = c.select(col("n_id").as("id_b"), col("n_vec").as("vb"), col("n_norm").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Expression-only formulation (reference semantics; kept for plan-level
-    * composability and as the oracle twin of [[nearDupPairs]]). */
+    * composability and as the oracle twin of [[nearDupPairsLocal]]). */
   def nearDupPairsExpr(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
@@ -181,16 +258,16 @@ object Similarity {
   }
 
   /** All-pairs cosine near-dups via `mapPartitions` over a broadcast corpus
-    * — the one place imperative per-partition code genuinely beats
-    * expressions: the O(N²/2) inner loop runs on primitive double arrays
-    * (no per-pair allocation; ~20x faster than the HOF-expression cross
-    * join at N=2000). Summation is left-to-right like the expression fold,
-    * so results are bit-identical to [[nearDupPairsExpr]]. Each task scans
-    * its rows against the broadcast side — parallelism = input partitions,
-    * broadcast size = corpus (use the LSH/IVF paths when the corpus stops
-    * fitting in one executor's memory). */
-  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+    * — an explicitly SMALL-N exact verifier, not the default path: it
+    * `collect()`s the corpus to the driver, so it caps at driver/executor
+    * memory (use [[nearDupPairs]] everywhere else). Where it fits, the
+    * O(N²/2) inner loop on primitive double arrays is ~20x faster than the
+    * HOF-expression cross join at N=2000, and guarantees 100% recall at
+    * any threshold (which LSH, by construction, does not at the boundary).
+    * Summation is left-to-right like the expression fold, so results are
+    * bit-identical to [[nearDupPairsExpr]]. */
+  def nearDupPairsLocal(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = corpus.select(col(idCol).cast("long"), asDouble(col(vecCol)))

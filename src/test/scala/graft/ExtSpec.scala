@@ -78,13 +78,49 @@ class ExtSpec extends SparkSpecBase {
     assert(feats.count() == n)
   }
 
-  test("mapPartitions near-dup path is bit-identical to the expression twin") {
-    val fast = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+  test("local near-dup verifier is bit-identical to the expression twin") {
+    val fast = Similarity.nearDupPairsLocal(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val expr = Similarity.nearDupPairsExpr(emb, "vec_id", "embedding", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fast == expr) // includes the doubles: same IEEE op order
     assert(fast.nonEmpty, "0.3 threshold should yield pairs at sf0.001")
+  }
+
+  test("default chunked near-dup path equals the local verifier bit-identically") {
+    // the default path is exact and fully distributed: no collect() —
+    // candidates come from the block-pair equi-join over the cached corpus
+    for (threshold <- Seq(0.3, 0.5)) {
+      val chunked = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = Similarity.nearDupPairsLocal(emb, "vec_id", "embedding", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(chunked == exact, s"chunked all-pairs must equal the exact join at $threshold")
+    }
+    assert(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3).count() > 0,
+      "0.3 threshold should yield pairs at sf0.001")
+  }
+
+  test("LSH near-dup path: exact precision, full recall on planted high-cosine dups") {
+    import spark.implicits._
+    // synthetic corpus: 200 random unit-ish vectors + 20 planted near-copies
+    // (tiny perturbation -> cosine ≈ 0.999); LSH must find EVERY planted
+    // pair and nothing the exact join would not emit
+    val rng = new scala.util.Random(7)
+    val base = (0 until 200).map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+    val planted = (0 until 20).map { i =>
+      val (id, v) = base(i)
+      (id + 1000L, v.map(_ + rng.nextGaussian() * 0.01))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val lsh = Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verification makes LSH precision exact")
+    val plantedPairs = (0 until 20).map(i => (i.toLong, i + 1000L)).toSet
+    assert(plantedPairs.subsetOf(exact), "perturbed copies stay above 0.9 cosine")
+    assert(plantedPairs.subsetOf(lsh), "LSH recall must be 1 on genuine near-dups")
   }
 
   test("IVF ANN beats random-bucket recall vs brute force") {
