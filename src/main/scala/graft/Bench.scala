@@ -20,6 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setup(spark)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
@@ -37,6 +38,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    graft.util.Caches.releaseAll()
     spark.stop()
   }
 }

@@ -8,6 +8,7 @@ object Explain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.setup(spark)
     val d = "/root/testdata/sf0.01"
     for (q <- args) {
       println(s"########## $q")

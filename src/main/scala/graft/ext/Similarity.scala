@@ -41,15 +41,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** The shared normalized corpus: (n_id, n_vec, n_norm) persisted. Every
-    * similarity operator in a session derives from this SAME analyzed
-    * plan, so one materialization (cast + norm over the parquet scan)
-    * serves brute-force, LSH, IVF, and near-dup — index once, query many.
+  /** The shared normalized corpus: (n_id, n_vec, n_norm) persisted through
+    * the [[graft.util.Caches]] registry. Every similarity operator in a
+    * session derives from this SAME analyzed plan, so one materialization
+    * (cast + norm over the parquet scan) serves brute-force, LSH, IVF, and
+    * near-dup — index once, query many; `Caches.releaseAll()` releases it.
     */
   def corpusFrame(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
-      .withColumn("n_norm", norm(col("n_vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Caches.cached(
+      corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+        .withColumn("n_norm", norm(col("n_vec"))))
 
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -119,9 +120,9 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // derived from the shared cached corpus; persisted itself because
     // k-means is iterative (each iteration re-reads its input)
-    val feat = corpusFrame(corpus, idCol, vecCol)
-      .withColumn("features", array_to_vector(col("n_vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feat = graft.util.Caches.cached(
+      corpusFrame(corpus, idCol, vecCol)
+        .withColumn("features", array_to_vector(col("n_vec"))))
     // random init + few iterations: the quantizer only needs a roughly
     // balanced partition of the space (recall comes from nprobe, bounded in
     // ExtSpec), not converged centroids — k-means|| init alone costs more

@@ -93,9 +93,9 @@ object TextDedup {
     // derived from the SHARED cached shingle frame (see shingleFrame) and
     // persisted itself: consumed three times (banding + both sides of the
     // verify join)
-    val sh = shingleFrame(docs, idCol, textCol, k)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.util.Caches.cached(
+      shingleFrame(docs, idCol, textCol, k)
+        .withColumn("sig", minhashSignature(col("sh"), numHashes)))
     val cand = candidatePairs(lshBands(sh, "sig", idCol, bands, numHashes / bands), idCol)
     val sa = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -139,16 +139,17 @@ object TextDedup {
     * Never materializes O(n²) pairs — cost is Σ_shingle df(s)², the
     * standard scalable exact-similarity join (cf. prefix-filtering
     * literature); pairs sharing no shingle are never generated. */
-  /** The shared shingle index: (id, sh) persisted. Every dedup operator in
-    * a session derives from this SAME analyzed plan, so Spark's cache
-    * manager serves one materialization to all of them (minhash, exact
-    * Jaccard, clustering, edit-distance verify) — compute the corpus
-    * index once, as a production pipeline would. */
+  /** The shared shingle index: (id, sh) persisted through the
+    * [[graft.util.Caches]] registry. Every dedup operator in a session
+    * derives from this SAME analyzed plan, so one materialization serves
+    * all of them (minhash, exact Jaccard, clustering, edit-distance
+    * verify) — compute the corpus index once, as a production pipeline
+    * would; `Caches.releaseAll()` releases it. */
   def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), hashedShingles(col("toks"), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.util.Caches.cached(
+      docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+        .select(col(idCol), hashedShingles(col("toks"), k).as("sh")))
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -160,9 +161,9 @@ object TextDedup {
     // `size(sh) > 0` filter is pushed below the projection and inlines the
     // whole shingle expression (re-running the tokenizing regex per
     // element) — the null-filter on the GENERATED column cannot sink.
-    val posts = sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = graft.util.Caches.cached(
+      sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
+        .filter(col("s").isNotNull))
     val a = posts.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = posts.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s"))
     a.join(b, "s").filter(col("id_a") < col("id_b"))
@@ -190,10 +191,9 @@ object TextDedup {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleFrame(docs, idCol, textCol, k)
       .withColumn("sz", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posts = sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
-      .filter(col("s").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = graft.util.Caches.cached(
+      sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
+        .filter(col("s").isNotNull))
     val dfreq = posts.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
     val prefix = posts.join(dfreq, "s")

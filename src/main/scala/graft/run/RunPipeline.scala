@@ -22,6 +22,7 @@ object RunPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.setup(spark)
 
     val source = ParquetDirSource(sfDir,
       Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem"))

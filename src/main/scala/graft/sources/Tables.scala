@@ -19,16 +19,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Raw parquet scan. Column pruning + predicate pushdown reach the scan
-    * because we return the untouched relation (no barriers in the plan). */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Runtime SQLConf: lets the driver-created session read ns timestamps.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.functions.RollingHash.register(spark)
-    graft.functions.DotProduct.register(spark)
-    graft.functions.SimHash64.register(spark)
+  /** Raw parquet scan — a PURE reader: session preparation (ns-timestamp
+    * conf, native function registration) lives in [[graft.GraftSession
+    * .setup]] / [[graft.functions.GraftExtensions]], run once at session
+    * build. Column pruning + predicate pushdown reach the scan because we
+    * return the untouched relation (no barriers in the plan). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /** `events` with `ts` decoded from epoch-nanos to a microsecond timestamp;
     * the raw long is kept as `ts_ns` for operators that need the source

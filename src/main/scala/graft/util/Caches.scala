@@ -1,0 +1,36 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.storage.StorageLevel
+
+/** Keyed registry for the engine's shared index frames (shingle index,
+  * normalized embedding corpus, minhash signatures, …).
+  *
+  * Operators persist these so every same-session consumer reads ONE
+  * materialization; the registry keys them by canonicalized analyzed plan
+  * so (a) repeat calls with identical inputs/args return the SAME cached
+  * frame instead of accreting a new storage entry per call, and (b) the
+  * session owner has an explicit release valve — `releaseAll()` — instead
+  * of cache entries living for the session's lifetime. Long-lived
+  * services should call `releaseAll()` when a corpus goes out of scope;
+  * the `Verify`/`Bench` mains call it on shutdown.
+  */
+object Caches {
+  private val frames = scala.collection.mutable.LinkedHashMap[LogicalPlan, DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK) unless an equivalent plan is already
+    * registered, in which case that frame is returned. */
+  def cached(df: DataFrame): DataFrame = synchronized {
+    val key = df.queryExecution.analyzed.canonicalized
+    frames.getOrElseUpdate(key, df.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Unpersist and forget every registered frame. */
+  def releaseAll(): Unit = synchronized {
+    frames.values.foreach(_.unpersist())
+    frames.clear()
+  }
+
+  def size: Int = synchronized(frames.size)
+}

@@ -211,6 +211,18 @@ class ExtSpec extends SparkSpecBase {
     assert(capped.values.toSet != Set(0L), "3 rounds cannot flood a 20-diameter chain")
   }
 
+  test("cache registry: identical plans share one entry; releaseAll drops them") {
+    graft.util.Caches.releaseAll()
+    val a = TextDedup.shingleFrame(docs, "doc_id", "text")
+    val b = TextDedup.shingleFrame(docs, "doc_id", "text")
+    assert(a eq b, "repeat calls with identical args must return the same frame")
+    val n = graft.util.Caches.size
+    TextDedup.shingleFrame(docs, "doc_id", "text", k = 2) // distinct args
+    assert(graft.util.Caches.size == n + 1)
+    graft.util.Caches.releaseAll()
+    assert(graft.util.Caches.size == 0)
+  }
+
   test("tfidf top terms rank doc-distinctive terms first") {
     import spark.implicits._
     val df = Seq(

@@ -18,6 +18,6 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    GraftSession.setup(s)
   }
 }
