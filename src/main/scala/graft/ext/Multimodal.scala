@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling (north-star): image/audio/video payloads are
-  * opaque `binary` columns with typed metadata structs. The Spark-side
-  * plumbing — schema, batch shape, partition-wise processing — is real; the
-  * codec step itself is a clearly-marked deterministic STUB because no
-  * media libraries ship in this environment (the production drop-in is a
-  * JNI/FFM decoder invoked in the same per-partition loop).
+  * opaque `binary` columns with typed metadata structs. The decode path is
+  * REAL for the formats the JDK ships codecs for — PNG/JPEG/GIF/BMP via
+  * `javax.imageio` (magic-byte sniff, then header-only dimension read, or
+  * a full pixel decode for feature extraction) — and falls back to a
+  * clearly-marked deterministic STUB for payloads the container cannot
+  * decode (audio/video; the production drop-in is a JNI/FFM codec invoked
+  * in the same per-partition loop).
   *
   * Scale design: decode is per-row, shuffle-free (`mapPartitions` — the
   * Scala analogue of `mapInPandas` batch processing); payloads stay off the
@@ -61,29 +63,111 @@ object Multimodal {
       greatest(floor(height * scale).cast("int"), lit(1)).as("new_height"))
   }
 
-  final case class MediaFeature(doc_id: Long, byte_len: Int, checksum: Long,
-                                feature_dim: Int)
+  /** Container format from magic bytes — the cheap first gate: only
+    * payloads that ARE images reach a codec. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) Some("jpeg")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8') Some("gif")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else None
 
-  /** STUB decoder: a real implementation would decode image/audio bytes and
-    * emit a feature vector; here it derives a deterministic checksum so the
-    * partition-wise plumbing (batch iteration, typed output schema) is
-    * fully exercised and testable. */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaFeature = {
-    // STUB: replace with actual codec + feature extractor (not available in
-    // this container). Deterministic fake keeps tests hash-stable.
+  /** REAL header decode via `javax.imageio`: (format, width, height,
+    * n_frames) without touching pixel data — readers parse only the
+    * header (IHDR / SOF / logical screen descriptor), so metadata
+    * extraction over a 100 TB corpus does no pixel work. GIF frame counts
+    * are true multi-frame counts. None for non-image payloads. */
+  def decodeHeader(bytes: Array[Byte]): Option[(String, Int, Int, Int)] =
+    sniffFormat(bytes).flatMap { fmt =>
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val frames = try math.max(r.getNumImages(true), 1)
+                         catch { case _: Exception => 1 }
+            Some((fmt, r.getWidth(0), r.getHeight(0), frames))
+          } catch { case _: Exception => None }
+          finally r.dispose()
+        }
+      } finally in.close()
+    }
+
+  final case class MediaMeta(doc_id: Long, byte_len: Int, format: String,
+                             width: Int, height: Int, n_frames: Int)
+  final case class MediaFeature(doc_id: Long, byte_len: Int, format: String,
+                                width: Int, height: Int, checksum: Long,
+                                mean_luma: Double, feature_dim: Int)
+
+  /** Stub geometry for undecodable payloads — the SAME deterministic
+    * pseudo-decode as the expression path [[extractMeta]], so the decoded
+    * and expression metadata paths agree wherever no codec applies. */
+  private def stubGeometry(len: Int): (Int, Int, Int) =
+    (320 + len % 1280, 240 + len % 720, len % 24 + 1)
+
+  private def decodeMetaRow(id: Long, bytes: Array[Byte]): MediaMeta =
+    decodeHeader(bytes) match {
+      case Some((fmt, w, h, f)) => MediaMeta(id, bytes.length, fmt, w, h, f)
+      case None =>
+        val (w, h, f) = stubGeometry(bytes.length)
+        MediaMeta(id, bytes.length, "stub/raw", w, h, f)
+    }
+
+  private def decodeFeatureRow(id: Long, bytes: Array[Byte]): MediaFeature = {
     var cs = 0L
     var i = 0
     while (i < bytes.length) { cs = cs * 131L + (bytes(i) & 0xffL); i += 1 }
-    MediaFeature(id, bytes.length, cs, 64)
+    decodeHeader(bytes) match {
+      case Some((fmt, w, h, _)) =>
+        // REAL pixel decode: mean Rec.601 luminance over the first frame
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        var s = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeature(id, bytes.length, fmt, w, h, cs,
+          s / (img.getWidth.toLong * img.getHeight), 64)
+      case None =>
+        // STUB: non-image payloads (audio/video codecs absent in this
+        // container) keep the deterministic checksum feature
+        val (w, h, _) = stubGeometry(bytes.length)
+        MediaFeature(id, bytes.length, "stub/raw", w, h, cs, -1.0, 64)
+    }
   }
+
+  /** Partition-wise REAL metadata decode over (id, payload) rows: true
+    * dimensions/frame counts for JDK-decodable images, stub geometry
+    * otherwise. Use [[extractMeta]] when payloads are known undecodable
+    * and the metadata should stay a pure (prunable) expression. */
+  def extractMetaDecoded(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaMeta] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r: Row => decodeMetaRow(r.getLong(0), r.getAs[Array[Byte]](1)) }
+    }(Encoders.product[MediaMeta])
 
   /** Partition-wise feature extraction over (id, payload) rows — the
     * `mapInPandas`-shaped batch path: one decoder instance per partition,
-    * streaming iterator in/out, no driver collect. */
+    * streaming iterator in/out, no driver collect. Real pixel features
+    * (mean luminance + true geometry) for images; deterministic checksum
+    * stub for payloads without a JDK codec. */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeature] = {
     df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
       // per-partition decoder setup would go here (codec contexts, buffers)
-      rows.map { r: Row => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)) }
+      rows.map { r: Row => decodeFeatureRow(r.getLong(0), r.getAs[Array[Byte]](1)) }
     }(Encoders.product[MediaFeature])
   }
 }

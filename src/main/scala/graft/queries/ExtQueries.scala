@@ -145,6 +145,15 @@ object ExtQueries {
             .as("frame_idx"))
         .filter(col("frame_idx").isNotNull)),
 
+    // partition-wise REAL metadata decode (javax.imageio for images; the
+    // text fixtures take the stub-geometry branch, which the oracle can
+    // express — images are covered by MultimodalSpec's PNG/JPEG fixtures)
+    "m5_media_meta_decoded" -> ((s, d) =>
+      Multimodal.extractMetaDecoded(
+          t(s, d, "documents").withColumn("payload", Multimodal.asPayload(col("text"))),
+          "doc_id", "payload")
+        .toDF()),
+
     // aspect-preserving resize geometry into a 512x512 box
     "m4_resize_dims" -> ((s, d) =>
       t(s, d, "documents")
@@ -291,6 +300,14 @@ object ExtQueries {
 
     "m1_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST(320 + strlen(text) % 1280 AS INT) AS width,
+        |  CAST(240 + strlen(text) % 720 AS INT) AS height,
+        |  CAST(strlen(text) % 24 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m5_media_meta_decoded" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
+        |  'stub/raw' AS format,
         |  CAST(320 + strlen(text) % 1280 AS INT) AS width,
         |  CAST(240 + strlen(text) % 720 AS INT) AS height,
         |  CAST(strlen(text) % 24 + 1 AS INT) AS n_frames

@@ -70,7 +70,8 @@ class ExtSpec extends SparkSpecBase {
   test("multimodal stub decode: typed schema, deterministic, partition-wise") {
     val withPayload = docs.withColumn("payload", Multimodal.asPayload(col("text")))
     val feats = Multimodal.extractFeatures(withPayload, "doc_id", "payload")
-    assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "checksum", "feature_dim"))
+    assert(feats.columns.toSeq == Seq("doc_id", "byte_len", "format", "width",
+      "height", "checksum", "mean_luma", "feature_dim"))
     val twice = Multimodal.extractFeatures(withPayload.repartition(7), "doc_id", "payload")
     assert(feats.orderBy("doc_id").collect().toSeq ==
       twice.orderBy("doc_id").collect().toSeq) // partitioning-independent
