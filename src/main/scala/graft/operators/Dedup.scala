@@ -69,15 +69,23 @@ object Dedup {
     keepLatest(unioned, keys, col(pri).desc +: versionCols).drop(pri)
   }
 
-  /** Skew-resistant variant of keepLatest for 100TB-scale hot keys: a first
-    * per-(key, salt) local reduction shrinks each hot key to `saltBuckets`
-    * candidates before the global window. */
-  def saltedKeepLatest(df: DataFrame, partCols: Seq[String],
-                       orderCols: Seq[Column], saltBuckets: Int = 64): DataFrame = {
+  /** First stage of the salted dedup: per-(key, salt) local reduction.
+    * AT MOST `saltBuckets` candidate rows per key survive — this is the
+    * bound that protects the global window from a hot key (exposed
+    * package-private so the skew spec can assert it directly). */
+  private[graft] def saltedCandidates(df: DataFrame, partCols: Seq[String],
+                                      orderCols: Seq[Column], saltBuckets: Int): DataFrame = {
     val salt = "__graft_salt"
     val local = df
       .withColumn(salt, pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
-    val pre = keepLatest(local, partCols :+ salt, orderCols).drop(salt)
-    keepLatest(pre, partCols, orderCols)
+    keepLatest(local, partCols :+ salt, orderCols).drop(salt)
   }
+
+  /** Skew-resistant variant of keepLatest for 100TB-scale hot keys: the
+    * per-(key, salt) reduction shrinks each hot key to `saltBuckets`
+    * candidates before the global window, so no single task ever sorts a
+    * hot key's full row set. */
+  def saltedKeepLatest(df: DataFrame, partCols: Seq[String],
+                       orderCols: Seq[Column], saltBuckets: Int = 64): DataFrame =
+    keepLatest(saltedCandidates(df, partCols, orderCols, saltBuckets), partCols, orderCols)
 }

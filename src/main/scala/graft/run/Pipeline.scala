@@ -22,7 +22,8 @@ import graft.util.Identifiers
   * file counts (§4). Nothing collects to the driver except 1-row log frames
   * and scalar watermarks.
   */
-final case class Warehouse(spark: SparkSession, root: String) {
+final case class Warehouse(spark: SparkSession, root: String,
+                           format: TableFormat = TableFormat.detect()) {
   private def path(name: String) = s"$root/$name"
 
   def write(name: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
@@ -40,13 +41,39 @@ final case class Warehouse(spark: SparkSession, root: String) {
         out.repartition(parts, partitionBy.map(org.apache.spark.sql.functions.col): _*)
           .write.partitionBy(partitionBy: _*)
       else out.repartition(parts).write
-    writer.mode(mode).parquet(path(name))
+    writer.mode(mode).format(format.name).save(path(name))
     out.unpersist()
     n
   }
   def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(name))
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+    df.write.mode(SaveMode.Append).format(format.name).save(path(name))
+  def read(name: String): DataFrame = spark.read.format(format.name).load(path(name))
+
+  /** S11 — MERGE upsert by business key, incoming side winning under
+    * `versionCols`. Delta mode: native `MERGE INTO` (rewrites only matched
+    * files; the incoming batch is pre-deduped per key because SQL MERGE
+    * rejects duplicate source matches). Parquet mode: the proven
+    * union+window emulation, staged to a scratch table before overwriting
+    * so the plan never reads the files it is replacing. Same observable
+    * table either way. */
+  def mergeUpsert(name: String, incoming: DataFrame, keys: Seq[String],
+                  versionCols: Seq[Column], partitionBy: Seq[String] = Nil): Long =
+    format match {
+      case TableFormat.Delta =>
+        val view = "__graft_merge_source"
+        graft.operators.Dedup.keepLatest(incoming, keys, versionCols)
+          .createOrReplaceTempView(view)
+        spark.sql(TableFormat.mergeSql(path(name), view, keys))
+        read(name).count()
+      case TableFormat.Parquet =>
+        val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
+        val staged = merged.persist()
+        val n = staged.count() // materialize before overwriting the plan's source
+        write(s"${name}__staging", staged, partitionBy = partitionBy)
+        staged.unpersist()
+        write(name, read(s"${name}__staging"), partitionBy = partitionBy)
+        n
+    }
 
   /** Bucketed write through the session catalog: both fact tables bucketed
     * on the join key join WITHOUT a shuffle (Exchange elided) — the 100 TB
@@ -66,11 +93,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
     n
   }
 
-  /** S14 — compaction: rewrite a table at the volume-policy file count
-    * (the parquet stand-in for OPTIMIZE; same observable table). */
-  def compact(name: String): Long = {
-    val staged = read(name).localCheckpoint(true) // cut lineage off old files
-    write(name, staged)
+  /** S14 — compaction: Delta OPTIMIZE when native, else rewrite at the
+    * volume-policy file count (same observable table either way). */
+  def compact(name: String): Long = format match {
+    case TableFormat.Delta =>
+      spark.sql(TableFormat.optimizeSql(path(name)))
+      read(name).count()
+    case TableFormat.Parquet =>
+      val staged = read(name).localCheckpoint(true) // cut lineage off old files
+      write(name, staged)
   }
   def exists(name: String): Boolean = new java.io.File(path(name)).exists()
   /** S5 — catalog listing by layer prefix, metadata tables excluded. */
@@ -92,11 +123,19 @@ object Pipeline {
     * names ('_key', '_number', …); these cover the fixtures' TPC-H style
     * (`l_orderkey`, `l_linenumber`) as well. */
   val KeyPatterns: Seq[String] = Seq("key", "number", "_id")
+
+  /** Default failure side-channel: stderr (the log table always gets the
+    * entry regardless). Deployments inject alerting here — the engine
+    * seam for the reference's per-layer on-fail email activities. */
+  val defaultOnFailure: LogEntry => Unit = e =>
+    System.err.println(s"[graft] pipeline failure: ${e.tableName} (${e.layer}): " +
+      e.error.getOrElse("unknown error"))
 }
 
 class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
                clock: () => java.sql.Timestamp = () =>
-                 new java.sql.Timestamp(System.currentTimeMillis())) {
+                 new java.sql.Timestamp(System.currentTimeMillis()),
+               onFailure: LogEntry => Unit = Pipeline.defaultOnFailure) {
 
   private val spark = wh.spark
   private val LogTable = "pipeline_execution_log"
@@ -109,14 +148,18 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
 
   def executionLog: DataFrame = wh.read(LogTable)
 
-  /** Per-table failure isolation: a broken table logs `failed` and the run
-    * continues (the reference's completed_with_errors semantics) — one bad
-    * source table must not sink the other 13 at 100 TB. */
+  /** Per-table failure isolation: a broken table logs `failed`, fires the
+    * injected `onFailure` side-channel, and the run continues (the
+    * reference's completed_with_errors semantics) — one bad source table
+    * must not sink the other 13 at 100 TB. */
   private def perTable[A](table: String, layer: String)(body: => A): Option[A] =
     try Some(body) catch {
       case e: Exception =>
-        log(table, layer, "initial", 0L, status = "failed",
-          error = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+        val entry = LogEntry(executionId, "graft_etl", table, layer, "initial",
+          0L, "failed",
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)), clock())
+        wh.append(LogTable, ControlTables.logRow(spark, entry))
+        try onFailure(entry) catch { case _: Exception => () } // never mask the run
         None
     }
 
@@ -231,13 +274,7 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
     def upsertInto(target: String, incoming: DataFrame, keys: Seq[String],
                    version: Seq[Column], partitionBy: Seq[String] = Nil): Long = {
       if (!wh.exists(target)) return 0L
-      val existing = wh.read(target)
-      val merged = Dedup.mergeUpsert(existing, incoming, keys, version)
-      val staged = merged.persist()
-      val n = staged.count()
-      wh.write(s"${target}__staging", staged, partitionBy = partitionBy)
-      staged.unpersist()
-      wh.write(target, wh.read(s"${target}__staging"), partitionBy = partitionBy)
+      val n = wh.mergeUpsert(target, incoming, keys, version, partitionBy)
       log(target, "gold", "incremental", n)
       n
     }
@@ -287,14 +324,8 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
     val keys = Dedup.patternKeys(existing, Pipeline.KeyPatterns)
       .filterNot(k => k.startsWith("silver_") || k == "load_date")
     require(keys.nonEmpty, s"no business keys discovered for $target")
-    val merged = Dedup.mergeUpsert(existing, audited, keys,
+    val n = wh.mergeUpsert(target, audited, keys,
       Dedup.totalOrder(existing, keys, Seq(col(tsCol).desc), Seq(tsCol)))
-    val staged = merged.persist()
-    val n = staged.count() // materialize before overwriting the source of the plan
-    val tmp = s"${target}__staging"
-    wh.write(tmp, staged)
-    staged.unpersist()
-    wh.write(target, wh.read(tmp))
     log(target, "silver", "incremental", n)
     n
   }

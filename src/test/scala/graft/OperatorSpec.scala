@@ -75,6 +75,26 @@ class OperatorSpec extends SparkSpecBase {
     assert(plain == salted) // 5 hot keys over 10k rows: worst-case skew shape
   }
 
+  test("saltedKeepLatest: a pathologically hot key is reduced before the global window") {
+    // one key, 50k rows — the shape where a plain window sends every row to
+    // a single task. The salted pre-reduction must cap what the global
+    // window sees at saltBuckets candidates, without changing the answer.
+    val hot = spark.range(50000).select(lit("hot").as("k"), col("id").as("v"))
+      .unionAll(spark.range(100).select(lit("cold").as("k"), col("id").as("v")))
+    val order = Seq(col("v").desc)
+    val plain = Dedup.keepLatest(hot, Seq("k"), order)
+      .orderBy("k").collect().toSeq
+    val salted = Dedup.saltedKeepLatest(hot, Seq("k"), order, saltBuckets = 32)
+      .orderBy("k").collect().toSeq
+    assert(salted == plain, "salting must not change the result")
+    val candidates = Dedup.saltedCandidates(hot, Seq("k"), order, 32)
+    val perKey = candidates.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey("hot") <= 32,
+      s"hot key must shrink to <= saltBuckets candidates, got ${perKey("hot")}")
+    assert(perKey.values.forall(_ <= 32))
+  }
+
   test("quarantine split partitions the input exactly") {
     val li = sources.Tables.load(spark, sfDir, "lineitem")
     val rules = Quarantine.Rules(

@@ -104,6 +104,55 @@ class PipelineSpec extends SparkSpecBase {
       r.getAs[String]("error_message").contains("simulated source outage")))
   }
 
+  test("failure hook fires with the failing table's log entry") {
+    import graft.meta.ControlTables.LogEntry
+    import graft.sources.{TableSource, ParquetDirSource}
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val broken = new TableSource {
+      val inner = ParquetDirSource(sfDir, Seq("region", "nation"))
+      def read(s: SparkSession, t: String): DataFrame =
+        if (t == "nation") throw new RuntimeException("hook outage")
+        else inner.read(s, t)
+      def list(s: SparkSession): Seq[String] = Seq("region", "nation")
+    }
+    var captured = List.empty[LogEntry]
+    val root = java.nio.file.Files.createTempDirectory("graft_hook").toString
+    val p = new Pipeline(Warehouse(spark, root), broken, "exec-hook", fixedClock,
+      onFailure = e => captured ::= e)
+    p.runBronze()
+    assert(captured.exists(e => e.tableName == "bronze_nation" &&
+      e.status == "failed" && e.error.exists(_.contains("hook outage"))),
+      s"hook must receive the failing entry, got $captured")
+    assert(!captured.exists(_.tableName == "bronze_region"),
+      "healthy tables must not fire the hook")
+  }
+
+  test("table format seam: parquet fallback here, well-formed Delta SQL, warehouse-level merge") {
+    import spark.implicits._
+    import graft.run.TableFormat
+    // no Delta on this classpath -> parquet emulation mode
+    assert(TableFormat.detect() == TableFormat.Parquet)
+    // the Delta branch is plain SQL: assert the exact statement the seam
+    // would submit (testable without Delta linked)
+    assert(TableFormat.mergeSql("/wh/gold_dim", "src", Seq("k1", "k2")) ==
+      "MERGE INTO delta.`/wh/gold_dim` t USING src s " +
+        "ON t.`k1` = s.`k1` AND t.`k2` = s.`k2` " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(TableFormat.optimizeSql("/wh/t") == "OPTIMIZE delta.`/wh/t`")
+    // warehouse-level merge through the seam (parquet mode): upsert by key
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt_seam").toString
+    val wh = Warehouse(spark, root)
+    wh.write("t", Seq((1, "old", 1), (2, "keep", 1)).toDF("id", "v", "ver"))
+    val n = wh.mergeUpsert("t", Seq((1, "new", 2), (3, "ins", 1)).toDF("id", "v", "ver"),
+      Seq("id"), Seq(col("ver").desc))
+    assert(n == 3)
+    assert(wh.read("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "new"), (2, "keep"), (3, "ins")))
+    // compaction through the seam leaves the table unchanged
+    assert(wh.compact("t") == 3)
+  }
+
   test("failure lookup returns the most recent failed entry (X3)") {
     import graft.meta.ControlTables
     val wh = Warehouse(spark, whRoot)
