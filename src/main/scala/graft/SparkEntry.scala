@@ -263,6 +263,24 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // CDC snapshot diff: old = orders before 1997-06-01; new = orders
+    // before 1998-01-01 minus every 97th key (deletes), every 100th key
+    // repriced (updates) -> insert/update/delete classification
+    "u5_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def slice(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"))
+      val oldSnap = slice(o.filter(col("o_orderdate") < lit("1997-06-01")))
+      val newSnap = slice(
+        o.filter(col("o_orderdate") < lit("1998-01-01") &&
+            pmod(col("o_orderkey"), lit(97)) =!= 0)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(100)) === 0,
+              col("o_totalprice") + 1).otherwise(col("o_totalprice"))))
+      graft.operators.Incremental.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    }),
+
     // ---- grouping sets / scalar breadth / having ----
     "a10_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -835,6 +853,28 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
+
+    "u5_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders WHERE o_orderdate < DATE '1997-06-01'),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 97 <> 0),
+        |j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN n.o_orderkey IS NULL THEN 'delete'
+        |              WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |                    AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |                    AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |              THEN 'update' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "w8_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -32,4 +32,29 @@ object Incremental {
     * inner join against a DISTINCT key set). */
   def restrictToChanged(dim: DataFrame, changed: DataFrame, keyCols: Seq[String]): DataFrame =
     dim.join(changed, keyCols, "left_semi")
+
+  /** CDC-style snapshot diff: classify every business key as
+    * `insert` (new only), `delete` (old only), or `update` (both sides,
+    * any non-key column differs) — the change-capture primitive for
+    * re-deriving downstream tables from periodic full snapshots when the
+    * source offers no change feed.
+    *
+    * Shape: ONE key-shuffle full-outer join; non-key columns collapse to a
+    * struct compared with null-safe equality (`<=>`), so the comparison is
+    * exact (no hashing — a hash collision could silently drop an update)
+    * and stays inside whole-stage codegen. Unchanged keys are filtered
+    * out, so the output is |changes|, not |snapshot|. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val nonKey = newSnap.columns.filterNot(keys.contains).toSeq
+    def pack(df: DataFrame, tag: String) =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(tag): _*)
+    pack(oldSnap, "__o").join(pack(newSnap, "__n"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__o").isNull, lit("insert"))
+          .when(col("__n").isNull, lit("delete"))
+          .when(!(col("__o") <=> col("__n")), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
 }

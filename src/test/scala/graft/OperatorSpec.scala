@@ -75,6 +75,17 @@ class OperatorSpec extends SparkSpecBase {
     assert(plain == salted) // 5 hot keys over 10k rows: worst-case skew shape
   }
 
+  test("snapshotDiff classifies insert/update/delete, null-safely") {
+    val oldS = Seq((1, Option("a")), (2, Option("b")), (3, Option.empty[String]),
+      (4, Option("d")), (6, Option.empty[String])).toDF("id", "v")
+    val newS = Seq((1, Option("a")), (2, Option("B")), (3, Option.empty[String]),
+      (5, Option("e")), (6, Option("now-set"))).toDF("id", "v")
+    val got = Incremental.snapshotDiff(oldS, newS, Seq("id")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // 1 unchanged, 3 unchanged-with-null (null-safe compare keeps it out)
+    assert(got == Map(2 -> "update", 4 -> "delete", 5 -> "insert", 6 -> "update"))
+  }
+
   test("saltedKeepLatest: a pathologically hot key is reduced before the global window") {
     // one key, 50k rows — the shape where a plain window sends every row to
     // a single task. The salted pre-reduction must cap what the global

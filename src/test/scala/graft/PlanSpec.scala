@@ -52,6 +52,28 @@ class PlanSpec extends SparkSpecBase {
       s"region predicate must reach a scan, got: $pushed")
   }
 
+  test("e3 near-dup plan is fully distributed: broadcast chunk-pairs, no driver-side data") {
+    val df = q("e3_embedding_near_dups")
+    // construction must be lazy (the old path collect()ed the corpus while
+    // BUILDING the frame; the chunked path cannot touch the driver)
+    val p = planOf(df)
+    val bcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 2, s"both chunk-pair replications broadcast, got ${bcasts.size}")
+    val locals = collectAll(p) {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }
+    // the only driver-materialized relation allowed is the tiny
+    // chunk-pair list (chunks*(chunks+1)/2 int pairs)
+    assert(locals.forall(_.output.length <= 2),
+      s"no collected corpus may appear in the plan: ${locals.map(_.output)}")
+    val cartesian = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(cartesian.isEmpty, "all-pairs must come from the chunk equi-join, " +
+      s"not a physical cross product: $cartesian")
+  }
+
   test("s4 projection reaches the scan (2-column query never reads the wide row)") {
     val p = planOf(q("s4_projection_scan"))
     val scans = collectAll(p) {
