@@ -106,6 +106,22 @@ class OperatorSpec extends SparkSpecBase {
     assert(perKey.values.forall(_ <= 32))
   }
 
+  test("saltedJoin spreads a hot key over salt buckets without changing the result") {
+    val hot = spark.range(20000).select(
+      when(col("id") % 10 === 0, lit(1L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("attr"))
+    val plain = hot.join(dim, Seq("k")).orderBy("k", "payload").collect().toSeq
+    val salted = Joins.saltedJoin(hot, dim, Seq("k"), saltBuckets = 8)
+      .select("k", "payload", "attr").orderBy("k", "payload").collect().toSeq
+    assert(salted == plain, "salting must be invisible in the result")
+    // the shuffle key really is (k, salt): the salt column survives into
+    // the physical join keys even though the API drops it from the output
+    val phys = Joins.saltedJoin(hot, dim, Seq("k"), saltBuckets = 8)
+      .queryExecution.sparkPlan.toString
+    assert(phys.contains("__graft_salt"), s"join must key on the salt:\n$phys")
+  }
+
   test("quarantine split partitions the input exactly") {
     val li = sources.Tables.load(spark, sfDir, "lineitem")
     val rules = Quarantine.Rules(

@@ -72,6 +72,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.select("event_id").distinct().count() == events.count())
   }
 
+  test("watermark dedup: horizon duplicates drop, state is evicted beyond it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wmdedup").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def file(rows: (Long, java.sql.Timestamp)*): Unit = {
+      rows.toSeq.toDF("event_id", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    }
+    // batch 1: first occurrence. batch 2: a retry INSIDE the 2h horizon
+    // (must drop) plus an unrelated event 10h later (advances watermark).
+    // batch 3: another event while the advanced watermark evicts expired
+    // state (eviction lags one batch behind the watermark update).
+    // batch 4: the same id re-delivered at +10h — state long evicted, so
+    // it SURFACES: bounded state trades eternal dedup for horizon dedup,
+    // by design.
+    file(1L -> ts("2024-01-01 00:00:00"))
+    file(1L -> ts("2024-01-01 00:30:00"), 2L -> ts("2024-01-01 10:00:00"))
+    file(3L -> ts("2024-01-01 10:30:00"))
+    file(1L -> ts("2024-01-01 10:00:00"))
+    val schema = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("event_id", "ts").schema
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams.dedupStream(in, Seq("event_id"), "2 hours")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wm_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0"),   // first occurrence
+      (2L, "2024-01-01 10:00:00.0"),   // unrelated; pushes the watermark
+      (3L, "2024-01-01 10:30:00.0"),   // rides the eviction batch
+      (1L, "2024-01-01 10:00:00.0")),  // beyond horizon: state evicted
+      s"horizon semantics violated: $got")
+  }
+
   test("stream-static enrichment joins a dimension into each micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
     events.write.mode("overwrite").parquet(dir)
