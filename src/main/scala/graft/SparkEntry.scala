@@ -465,6 +465,15 @@ object SparkEntry {
         dayofweek(col("o_orderdate")).cast("int").as("dow_sun1"),
         weekofyear(col("o_orderdate")).cast("int").as("iso_week"))),
 
+    // fixed-width value histogram (feature-binning primitive): floor-bucket
+    // on exact cent-quantized values — double division is engine-portable
+    // here because cent gaps dwarf the half-ulp rounding window
+    "f6_value_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(floor(col("o_totalprice").cast("double") / 25000.0)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))),
+
     // TPC-H q6 shape: forecast revenue change — tight scan-filter-agg,
     // the pushdown/pruning stress case
     "q6_forecast_revenue" -> ((s, d) =>
@@ -911,6 +920,11 @@ object SparkEntry {
         |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_sun1,
         |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f6_value_histogram" ->
+      """SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT

@@ -93,6 +93,15 @@ object ExtQueries {
     "t6_tfidf_topk" -> ((s, d) =>
       TextStats.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", topK = 3)),
 
+    // corpus-level frequent terms: the exact top-k (vocabulary head) every
+    // corpus-stats pass needs; one shuffle + a tiny top-k
+    "t7_frequent_terms" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode_outer(TextStats.tokens(col("text"))).as("term"))
+        .filter(col("term").isNotNull && col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc).limit(20)),
+
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -255,6 +264,14 @@ object ExtQueries {
         |      FROM sc)
         |SELECT doc_id, term, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "t7_frequent_terms" ->
+      """SELECT term, n FROM (
+        |  SELECT term, count(*) AS n FROM (
+        |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents)
+        |  WHERE term IS NOT NULL AND term <> ''
+        |  GROUP BY term)
+        |ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
 
     "d6_edit_distance_pairs" ->
       """WITH sh AS (
