@@ -60,6 +60,52 @@ object TextStats {
       .withColumn("stopword_ratio", nStop.cast("double") / nWords.cast("double"))
   }
 
+  /** PII-style redaction: emails, URLs, and long digit runs are replaced
+    * with typed placeholders — the standard scrub pass before a corpus
+    * ships to training. Pure regexp_replace chain (codegen'd, shuffle-free
+    * map); the patterns stay inside the regex subset Java's engine and
+    * RE2-style engines interpret identically, so the pass is
+    * oracle-portable. */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "\\b[0-9]{7,}\\b", "<NUMBER>")
+  }
+
+  /** Fixed-width character chunking with overlap: document i yields
+    * ceil((len − overlap) / step) chunks of `chunkChars` chars starting
+    * every `step = chunkChars − overlap` — the context-window splitting
+    * pass. Pure per-row expressions (sequence → substring), so it's a
+    * shuffle-free map whatever the corpus size; emit (chunk_idx, chunk)
+    * pairs via a struct array the caller explodes. */
+  def chunkSpans(text: Column, chunkChars: Int, overlap: Int): Column = {
+    require(overlap < chunkChars, "overlap must be smaller than the chunk")
+    val step = chunkChars - overlap
+    val n = greatest(lit(1L),
+      floor((length(text).cast("double") - overlap + step - 1) / step).cast("long"))
+    transform(sequence(lit(0L), n - 1), i =>
+      struct(i.cast("int").as("chunk_idx"),
+        text.substr((i * step + 1).cast("int"), lit(chunkChars)).as("chunk")))
+  }
+
+  /** Greedy sequence packing: documents in `orderCol` order accumulate
+    * into bins of `budget` tokens — bin = floor(exclusive-prefix-sum /
+    * budget), the standard streaming approximation of context-window
+    * packing (exact bin packing is NP-hard and order-unstable; training
+    * pipelines pack sequentially on purpose for determinism). One window
+    * pass; at scale, partition the window by shard/date so no single task
+    * owns the whole corpus ordering. */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: Column,
+                    budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__cum").cast("double") / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text
     * (engine-portable) — exact-dup key. */
   def fingerprintMd5(text: Column): Column =

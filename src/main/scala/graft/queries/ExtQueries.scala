@@ -93,6 +93,34 @@ object ExtQueries {
     "t6_tfidf_topk" -> ((s, d) =>
       TextStats.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", topK = 3)),
 
+    // PII-style scrub pass: emails/URLs/long digit runs -> placeholders
+    // (fixture docs carry none, so the gate proves regex portability and
+    // identity on clean text; the replacements themselves are spec-proven)
+    "t8_redacted" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.redact(col("text")).as("redacted"))),
+
+    // context-window chunking: 200-char chunks, 50-char overlap.
+    // explode_outer + null-filter, NOT plain explode: the implicit
+    // size>0 filter would sink below the projection and inline the whole
+    // chunk-array expression per element
+    "t9_chunks" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode_outer(TextStats.chunkSpans(col("text"), 200, 50)).as("c"))
+        .filter(col("c").isNotNull)
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk").as("chunk"))),
+
+    // greedy sequence packing into 256-token bins (deterministic
+    // exclusive-prefix-sum bucketing in doc_id order)
+    "t10_packed_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextStats.packSequences(docs, "doc_id", col("n_tokens"), 256)
+        .select(col("doc_id"), col("n_tokens"), col("bin"))
+    }),
+
     // corpus-level frequent terms: the exact top-k (vocabulary head) every
     // corpus-stats pass needs; one shuffle + a tiny top-k
     "t7_frequent_terms" -> ((s, d) =>
@@ -264,6 +292,38 @@ object ExtQueries {
         |      FROM sc)
         |SELECT doc_id, term, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "t8_redacted" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '\b[0-9]{7,}\b', '<NUMBER>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t9_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    [{'chunk_idx': i, 'chunk': substr(text, CAST(i*150 + 1 AS INT), 200)}
+        |     FOR i IN range(0, CAST(greatest(1, floor((length(text) + 99) / 150.0)) AS BIGINT))] AS arr
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(arr) AS s FROM c)
+        |SELECT doc_id, CAST(s.chunk_idx AS INT) AS chunk_idx, s.chunk AS chunk
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t10_packed_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t7_frequent_terms" ->
       """SELECT term, n FROM (

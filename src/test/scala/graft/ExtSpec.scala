@@ -212,6 +212,53 @@ class ExtSpec extends SparkSpecBase {
     assert(capped.values.toSet != Set(0L), "3 rounds cannot flood a 20-diameter chain")
   }
 
+  test("redact scrubs emails, urls, and long digit runs; clean text is untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob.smith+x@corp-mail.example.org today"),
+      (2L, "see https://example.com/path?q=1 and http://t.co/x for info"),
+      (3L, "card 12345678901234 expires soon; pin 1234 stays"),
+      (4L, "perfectly clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextStats.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact <EMAIL> today")
+    assert(got(2L) == "see <URL> and <URL> for info")
+    assert(got(3L) == "card <NUMBER> expires soon; pin 1234 stays",
+      "short digit runs (pins, years) must survive")
+    assert(got(4L) == "perfectly clean text with no identifiers at all")
+  }
+
+  test("chunkSpans: overlapping fixed-width chunks reconstruct the document") {
+    import spark.implicits._
+    val text = ("a" * 150) + ("b" * 150) + ("c" * 150) + ("d" * 50) // 500 chars
+    val df = Seq((1L, text), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        explode_outer(TextStats.chunkSpans(col("text"), 200, 50)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(doc1.length == 3, s"ceil((500-50)/150) = 3 chunks, got ${doc1.length}")
+    assert(doc1(0) == text.substring(0, 200))
+    assert(doc1(1) == text.substring(150, 350)) // 50-char overlap with chunk 0
+    assert(doc1(2) == text.substring(300, 500))
+    // stride-decode: dropping each chunk's 50-char overlap head (after the
+    // first) reconstructs the document exactly
+    assert(doc1.head + doc1.tail.map(_.substring(50)).mkString == text)
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short doc")))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0, "")))
+  }
+
+  test("packSequences: deterministic greedy bins, monotone, budget-shaped") {
+    import spark.implicits._
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 300L), (5L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val got = TextStats.packSequences(df, "doc_id", col("n_tokens"), 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exclusive prefix sums: 0,100,200,300,600 -> bins 0,0,0,1,2
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("cache registry: identical plans share one entry; releaseAll drops them") {
     graft.util.Caches.releaseAll()
     val a = TextDedup.shingleFrame(docs, "doc_id", "text")
