@@ -93,14 +93,19 @@ object TextStats {
     * into bins of `budget` tokens — bin = floor(exclusive-prefix-sum /
     * budget), the standard streaming approximation of context-window
     * packing (exact bin packing is NP-hard and order-unstable; training
-    * pipelines pack sequentially on purpose for determinism). One window
-    * pass; at scale, partition the window by shard/date so no single task
-    * owns the whole corpus ordering. */
+    * pipelines pack sequentially on purpose for determinism).
+    *
+    * Scale: an unsharded call is ONE global-ordering window — fine for a
+    * bounded slice, wrong for a corpus (single task owns the sort). Pass
+    * `shardCol` (date, source, hash bucket) to pack independently per
+    * shard: bins are then (shard, bin) pairs and the window parallelizes
+    * across shards, which is how packing actually runs at 100 TB. */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: Column,
-                    budget: Int): DataFrame = {
+                    budget: Int, shardCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = shardCol.fold(Window.orderBy(col(orderCol)))(s =>
+      Window.partitionBy(col(s)).orderBy(col(orderCol)))
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__cum", coalesce(sum(tokenCol).over(w), lit(0L)))
       .withColumn("bin", floor(col("__cum").cast("double") / budget).cast("long"))
       .drop("__cum")

@@ -257,6 +257,14 @@ class ExtSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     // exclusive prefix sums: 0,100,200,300,600 -> bins 0,0,0,1,2
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+    // sharded: each shard packs independently (the parallel form)
+    val sharded = Seq(("a", 1L, 200L), ("a", 2L, 200L), ("b", 3L, 200L), ("b", 4L, 200L))
+      .toDF("shard", "doc_id", "n_tokens")
+    val g2 = TextStats.packSequences(sharded, "doc_id", col("n_tokens"), 256,
+        shardCol = Some("shard"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      "each shard's prefix sum restarts at zero")
   }
 
   test("cache registry: identical plans share one entry; releaseAll drops them") {
