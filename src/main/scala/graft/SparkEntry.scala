@@ -115,6 +115,10 @@ object SparkEntry {
           col("l_extendedprice"), col("quarantine_reason"))
     }),
 
+    // expectations summary: per-rule violation counts in one agg pass
+    "p14_dq_report" -> ((s, d) =>
+      Quarantine.report(t(s, d, "lineitem"), lineitemRules)),
+
     "p7_drop_all_null" -> ((s, d) =>
       Quarantine.dropAllNull(t(s, d, "documents"))
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
@@ -332,6 +336,12 @@ object SparkEntry {
 
     "st2_session_window" -> ((s, d) =>
       graft.streaming.Streams.sessionWindows(Tables.events(s, d), "30 minutes")),
+
+    // sliding windows via the real window(ts, 1h, 15m) expression: each
+    // event lands in 4 epoch-aligned overlapping windows
+    "st3_sliding_window" -> ((s, d) =>
+      graft.streaming.Streams.slidingCountsBatch(Tables.events(s, d),
+        "1 hour", "15 minutes")),
 
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
@@ -744,6 +754,17 @@ object SparkEntry {
         |WHERE l_shipdate > DATE '2000-05-31' OR l_extendedprice > 100000.0 OR l_extendedprice < -1.0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "p14_dq_report" ->
+      """SELECT 'future_date:l_shipdate' AS rule,
+        |  CAST(SUM(CASE WHEN l_shipdate > DATE '2000-05-31' THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'out_of_range:l_extendedprice',
+        |  CAST(SUM(CASE WHEN l_extendedprice > 100000.0 OR l_extendedprice < -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'total_rows', COUNT(*) FROM lineitem""".stripMargin,
+
     "p7_drop_all_null" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE NOT (doc_id IS NULL AND text IS NULL AND lang IS NULL AND source IS NULL AND n_chars IS NULL)
@@ -1000,6 +1021,15 @@ object SparkEntry {
         |  user_id, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "st3_sliding_window" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k),
+        |w AS (
+        |  SELECT e.event_type,
+        |    make_timestamp((epoch_us(e.ts) // 900000000 - k.k) * 900000000) AS window_start
+        |  FROM events e CROSS JOIN k)
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

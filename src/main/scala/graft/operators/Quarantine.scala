@@ -29,9 +29,9 @@ object Quarantine {
       valueColMatch: String => Boolean = _.toLowerCase.contains("value"),
       dateColExclude: Set[String] = Set("dwcreateddate"))
 
-  /** Build the quarantine predicate (true == row is bad) plus a reason
-    * column, from the DataFrame's schema. */
-  def predicate(df: DataFrame, rules: Rules): (Column, Column) = {
+  /** The schema-discovered (predicate, rule-name) list `predicate`/`split`
+    * fold and `report` aggregates. */
+  def rulePreds(df: DataFrame, rules: Rules): Seq[(Column, String)] = {
     val dateCols = df.schema.fields.collect {
       case f if (f.dataType == DateType || f.dataType == TimestampType ||
         f.dataType == TimestampNTZType) &&
@@ -42,18 +42,37 @@ object Quarantine {
       case f if (f.dataType == DoubleType || f.dataType == FloatType) &&
         rules.valueColMatch(f.name) => f.name
     }.toSeq
-
     val cutoff = date_add(rules.refDate, rules.horizonDays)
-    val datePreds = dateCols.map(c => (col(c) > cutoff, s"future_date:$c"))
-    val valuePreds = valueCols.map(c =>
-      (col(c) > lit(rules.maxVal) || col(c) < lit(rules.minVal), s"out_of_range:$c"))
-    val all = datePreds ++ valuePreds
+    dateCols.map(c => (col(c) > cutoff, s"future_date:$c")) ++
+      valueCols.map(c =>
+        (col(c) > lit(rules.maxVal) || col(c) < lit(rules.minVal), s"out_of_range:$c"))
+  }
 
+  /** Build the quarantine predicate (true == row is bad) plus a reason
+    * column, from the DataFrame's schema. */
+  def predicate(df: DataFrame, rules: Rules): (Column, Column) = {
+    val all = rulePreds(df, rules)
     val bad = all.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
     val reason = all.foldLeft(lit(null).cast(StringType)) { case (acc, (p, r)) =>
       when(acc.isNull && p, lit(r)).otherwise(acc)
     }
     (bad, reason)
+  }
+
+  /** Data-quality expectations report: ONE conditional-sum aggregation pass
+    * producing long-format (rule, n_violations) plus a `total_rows` row —
+    * the per-load summary a pipeline publishes next to the quarantine
+    * side-output. Map-side combinable; never materializes violating rows,
+    * so it costs a scan regardless of how dirty the table is. */
+  def report(df: DataFrame, rules: Rules = Rules()): DataFrame = {
+    val preds = rulePreds(df, rules)
+    val aggs = preds.map { case (p, r) => sum(when(p, 1L).otherwise(0L)).as(r) } :+
+      count(lit(1)).as("total_rows")
+    val names = preds.map(_._2) :+ "total_rows"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.map(n =>
+        struct(lit(n).as("rule"), col(s"`$n`").as("n"))): _*)).as("e"))
+      .select("e.rule", "e.n")
   }
 
   /** Returns (clean, quarantined-with-reason). */

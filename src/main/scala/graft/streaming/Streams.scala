@@ -36,6 +36,30 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding event-time aggregation: each event lands in window/slide
+    * overlapping windows (epoch-aligned starts every `slide`), counted per
+    * (window, event_type). State per key expires at the watermark like the
+    * tumbling case — the slide only multiplies live windows by
+    * window/slide, it does not unbound them. */
+  def slidingCounts(events: DataFrame, window: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Batch twin of [[slidingCounts]]. */
+  def slidingCountsBatch(events: DataFrame, window: String = "1 hour",
+                         slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Session windows (gap-based): contiguous per-user activity separated by
     * >= `gap` of silence. Works identically over a stream (with watermark)
     * and a static frame — `session_window` is event-time native. */

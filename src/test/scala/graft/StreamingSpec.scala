@@ -27,6 +27,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(g.size >= e.size - 10, s"emitted ${g.size} of ${e.size} windows")
   }
 
+  test("streaming sliding agg over bounded input equals the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    events.write.mode("overwrite").parquet(dir)
+    val got = Streams.runToMemory(spark, events.schema, dir, "sliding_out",
+      df => Streams.slidingCounts(df, "1 hour", "15 minutes", "10 minutes"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val expected = Streams.slidingCountsBatch(events, "1 hour", "15 minutes")
+    val g = got.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val e = expected.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(g.subsetOf(e), "emitted sliding windows must match the batch twin")
+    assert(g.size >= e.size - 40, s"emitted ${g.size} of ${e.size} windows")
+  }
+
   test("foreachBatch streaming upsert converges to batch merge result") {
     val base = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val srcDir = s"$base/src"
