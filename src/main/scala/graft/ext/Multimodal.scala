@@ -64,22 +64,32 @@ object Multimodal {
   }
 
   /** Container format from magic bytes — the cheap first gate: only
-    * payloads that ARE images reach a codec. */
+    * payloads that ARE images reach a codec. PNG/JPEG magic starts with a
+    * non-ASCII byte, so text can never collide; the GIF and BMP magics are
+    * plain ASCII ("GIF8…", "BM…"), so they get structural corroboration —
+    * GIF full version + 0x3B trailer byte, BMP declared-file-size field
+    * matching the payload — or a text document starting with those letters
+    * would be misclassified and fed to a codec. */
   def sniffFormat(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
         (bytes(1) & 0xff) == 0xd8) Some("jpeg")
-    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
-        bytes(2) == 'F' && bytes(3) == '8') Some("gif")
-    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') Some("bmp")
+    else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a' &&
+        (bytes(bytes.length - 1) & 0xff) == 0x3b) Some("gif")
+    else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
+        ((bytes(2) & 0xffL) | (bytes(3) & 0xffL) << 8 |
+         (bytes(4) & 0xffL) << 16 | (bytes(5) & 0xffL) << 24) == bytes.length)
+      Some("bmp")
     else None
 
   /** REAL header decode via `javax.imageio`: (format, width, height,
-    * n_frames) without touching pixel data — readers parse only the
-    * header (IHDR / SOF / logical screen descriptor), so metadata
-    * extraction over a 100 TB corpus does no pixel work. GIF frame counts
-    * are true multi-frame counts. None for non-image payloads. */
+    * n_frames) without decoding pixels — dimensions come from the header
+    * (IHDR / SOF / logical screen descriptor). GIF frame counts are true
+    * multi-frame counts; counting them walks the stream's frame blocks
+    * (still no pixel decode). None for non-image payloads. */
   def decodeHeader(bytes: Array[Byte]): Option[(String, Int, Int, Int)] =
     sniffFormat(bytes).flatMap { fmt =>
       val in = javax.imageio.ImageIO.createImageInputStream(
@@ -124,29 +134,41 @@ object Multimodal {
     var cs = 0L
     var i = 0
     while (i < bytes.length) { cs = cs * 131L + (bytes(i) & 0xffL); i += 1 }
-    decodeHeader(bytes) match {
-      case Some((fmt, w, h, _)) =>
-        // REAL pixel decode: mean Rec.601 luminance over the first frame
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        var s = 0.0
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            x += 1
+    // REAL pixel decode: ONE full ImageIO.read (no separate header pass on
+    // this path), mean Rec.601 luminance over a bulk-grabbed pixel row —
+    // bulk getRGB avoids the per-call color-model conversion of the
+    // pixel-at-a-time form. A payload whose header sniffs as an image but
+    // whose body fails to decode (truncated file) falls back to the stub
+    // instead of failing the task: dirty rows must not sink a 100 TB job.
+    val decoded = sniffFormat(bytes).flatMap { fmt =>
+      try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          .map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val row = new Array[Int](w)
+            var s = 0.0
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = row(x)
+                s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeature(id, bytes.length, fmt, w, h, cs, s / (w.toLong * h), 64)
           }
-          y += 1
-        }
-        MediaFeature(id, bytes.length, fmt, w, h, cs,
-          s / (img.getWidth.toLong * img.getHeight), 64)
-      case None =>
-        // STUB: non-image payloads (audio/video codecs absent in this
-        // container) keep the deterministic checksum feature
-        val (w, h, _) = stubGeometry(bytes.length)
-        MediaFeature(id, bytes.length, "stub/raw", w, h, cs, -1.0, 64)
+      } catch { case _: Exception => None }
+    }
+    decoded.getOrElse {
+      // STUB: non-image / undecodable payloads (audio/video codecs absent
+      // in this container) keep the deterministic checksum feature
+      val (w, h, _) = stubGeometry(bytes.length)
+      MediaFeature(id, bytes.length, "stub/raw", w, h, cs, -1.0, 64)
     }
   }
 

@@ -253,8 +253,11 @@ object TextDedup {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager checkpoint, same treatment as every round: the initial frame
+    // feeds round 1 twice, and without it the distinct shuffle runs twice
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {

@@ -22,8 +22,10 @@ import graft.util.Identifiers
   * file counts (§4). Nothing collects to the driver except 1-row log frames
   * and scalar watermarks.
   */
-final case class Warehouse(spark: SparkSession, root: String,
-                           format: TableFormat = TableFormat.detect()) {
+final case class Warehouse(spark: SparkSession, root: String) {
+  /** Storage strategy, re-derived from the session (SURVEY §7.1): Delta
+    * when genuinely available on this session, parquet emulation else. */
+  val format: TableFormat = TableFormat.detect(spark)
   private def path(name: String) = s"$root/$name"
 
   def write(name: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
@@ -60,11 +62,15 @@ final case class Warehouse(spark: SparkSession, root: String,
                   versionCols: Seq[Column], partitionBy: Seq[String] = Nil): Long =
     format match {
       case TableFormat.Delta =>
-        val view = "__graft_merge_source"
+        // per-call view name: two concurrent merges on one session must
+        // not silently swap each other's source rows
+        val view = s"__graft_merge_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         graft.operators.Dedup.keepLatest(incoming, keys, versionCols)
           .createOrReplaceTempView(view)
-        spark.sql(TableFormat.mergeSql(path(name), view, keys))
-        read(name).count()
+        try {
+          spark.sql(TableFormat.mergeSql(path(name), view, keys))
+          read(name).count()
+        } finally spark.catalog.dropTempView(view)
       case TableFormat.Parquet =>
         val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
         val staged = merged.persist()
@@ -140,11 +146,14 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
   private val spark = wh.spark
   private val LogTable = "pipeline_execution_log"
 
+  /** Single construction point for log entries: builds, appends, returns. */
   private def log(table: String, layer: String, loadType: String, n: Long,
-                  status: String = "success", error: Option[String] = None): Unit =
-    wh.append(LogTable, ControlTables.logRow(spark,
-      LogEntry(executionId, "graft_etl", table, layer, loadType, n, status,
-        error, clock())))
+                  status: String = "success", error: Option[String] = None): LogEntry = {
+    val entry = LogEntry(executionId, "graft_etl", table, layer, loadType, n,
+      status, error, clock())
+    wh.append(LogTable, ControlTables.logRow(spark, entry))
+    entry
+  }
 
   def executionLog: DataFrame = wh.read(LogTable)
 
@@ -152,13 +161,12 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
     * injected `onFailure` side-channel, and the run continues (the
     * reference's completed_with_errors semantics) — one bad source table
     * must not sink the other 13 at 100 TB. */
-  private def perTable[A](table: String, layer: String)(body: => A): Option[A] =
+  private def perTable[A](table: String, layer: String,
+                          loadType: String = "initial")(body: => A): Option[A] =
     try Some(body) catch {
       case e: Exception =>
-        val entry = LogEntry(executionId, "graft_etl", table, layer, "initial",
-          0L, "failed",
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)), clock())
-        wh.append(LogTable, ControlTables.logRow(spark, entry))
+        val entry = log(table, layer, loadType, 0L, status = "failed",
+          error = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
         try onFailure(entry) catch { case _: Exception => () } // never mask the run
         None
     }

@@ -16,11 +16,16 @@ object TableFormat {
   case object Parquet extends TableFormat { val name = "parquet" }
   case object Delta extends TableFormat { val name = "delta" }
 
-  /** Delta iff its DataSource is loadable (no-op in this container — the
-    * parquet emulation carries the same observable semantics, proven by
-    * the s11 merge gate). */
-  def detect(): TableFormat =
-    if (classExists("org.apache.spark.sql.delta.sources.DeltaDataSource")) Delta
+  /** Delta iff its DataSource is loadable AND the session was actually
+    * built with the Delta extension (MERGE INTO / OPTIMIZE parse only
+    * through `DeltaSparkSessionExtension`; the jar alone being on the
+    * classpath would make every write fail with AnalysisException).
+    * Parquet in this container — the emulation carries the same observable
+    * semantics, proven by the s11 merge gate. */
+  def detect(spark: org.apache.spark.sql.SparkSession): TableFormat =
+    if (classExists("org.apache.spark.sql.delta.sources.DeltaDataSource") &&
+        spark.conf.getOption("spark.sql.extensions")
+          .exists(_.contains("DeltaSparkSessionExtension"))) Delta
     else Parquet
 
   private def classExists(fqcn: String): Boolean =

@@ -17,12 +17,17 @@ import org.apache.spark.storage.StorageLevel
   * the `Verify`/`Bench` mains call it on shutdown.
   */
 object Caches {
-  private val frames = scala.collection.mutable.LinkedHashMap[LogicalPlan, DataFrame]()
+  // keyed by (owning session, canonicalized plan): plan equality alone
+  // would hand a frame bound to a stopped session to a later session in
+  // the same JVM that happens to build the identical plan
+  private val frames =
+    scala.collection.mutable.LinkedHashMap[(org.apache.spark.sql.SparkSession, LogicalPlan), DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) unless an equivalent plan is already
-    * registered, in which case that frame is returned. */
+    * registered for the same session, in which case that frame is
+    * returned. */
   def cached(df: DataFrame): DataFrame = synchronized {
-    val key = df.queryExecution.analyzed.canonicalized
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
     frames.getOrElseUpdate(key, df.persist(StorageLevel.MEMORY_AND_DISK))
   }
 

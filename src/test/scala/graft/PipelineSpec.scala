@@ -130,8 +130,9 @@ class PipelineSpec extends SparkSpecBase {
   test("table format seam: parquet fallback here, well-formed Delta SQL, warehouse-level merge") {
     import spark.implicits._
     import graft.run.TableFormat
-    // no Delta on this classpath -> parquet emulation mode
-    assert(TableFormat.detect() == TableFormat.Parquet)
+    // no Delta on this classpath/session -> parquet emulation mode
+    assert(TableFormat.detect(spark) == TableFormat.Parquet)
+    assert(Warehouse(spark, "/tmp/unused").format == TableFormat.Parquet)
     // the Delta branch is plain SQL: assert the exact statement the seam
     // would submit (testable without Delta linked)
     assert(TableFormat.mergeSql("/wh/gold_dim", "src", Seq("k1", "k2")) ==
