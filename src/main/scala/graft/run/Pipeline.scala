@@ -75,11 +75,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
         val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
         val staged = merged.persist()
         val n = staged.count() // materialize before overwriting the plan's source
-        write(s"${name}__staging", staged, partitionBy = partitionBy)
+        val staging = s"${name}__staging"
+        write(staging, staged, partitionBy = partitionBy)
         staged.unpersist()
-        write(name, read(s"${name}__staging"), partitionBy = partitionBy)
+        write(name, read(staging), partitionBy = partitionBy)
+        delete(staging) // scratch space, not a table: must not linger
         n
     }
+
+  /** Recursively remove a table directory (scratch cleanup). */
+  private def delete(name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path(name)))
+  }
 
   /** Bucketed write through the session catalog: both fact tables bucketed
     * on the join key join WITHOUT a shuffle (Exchange elided) — the 100 TB
@@ -110,12 +121,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
       write(name, staged)
   }
   def exists(name: String): Boolean = new java.io.File(path(name)).exists()
-  /** S5 — catalog listing by layer prefix, metadata tables excluded. */
+  /** S5 — catalog listing by layer prefix; metadata tables and merge
+    * scratch space excluded (`gold_x__staging` starts with `gold_` but is
+    * not a table — without the exclusion an incremental run would leak
+    * staging dirs into listings and warehouse copies). */
   def list(prefix: String): Seq[String] = {
     val f = new java.io.File(root)
     Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.startsWith(prefix))
-      .filterNot(n => n.endsWith("_execution_log") || n.endsWith("_control"))
+      .filterNot(n => n.endsWith("_execution_log") || n.endsWith("_control") ||
+        n.endsWith("__staging"))
       .sorted
   }
 }

@@ -57,6 +57,18 @@ class PipelineSpec extends SparkSpecBase {
     copied.foreach { case (t, n) => assert(n == wh.read(t).count()) }
   }
 
+  test("merge staging scratch never leaks into listings or the warehouse") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val wh = Warehouse(spark, root)
+    wh.write("gold_t", Seq((1, "a", 1)).toDF("id", "v", "ver"))
+    wh.mergeUpsert("gold_t", Seq((1, "b", 2)).toDF("id", "v", "ver"),
+      Seq("id"), Seq(col("ver").desc))
+    assert(!new java.io.File(s"$root/gold_t__staging").exists(),
+      "staging dir must be deleted after the merge")
+    assert(wh.list("gold_") == Seq("gold_t"))
+  }
+
   test("incremental gold: changed-key dim rebuild + fact merge converge") {
     val wh = Warehouse(spark, whRoot)
     val dimBefore = wh.read("gold_dim_customer").count()
