@@ -249,6 +249,22 @@ class ExtSpec extends SparkSpecBase {
     assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0, "")))
   }
 
+  test("chunk stride-decode reconstructs every fixture document") {
+    val chunks = docs.select(col("doc_id"),
+        explode_outer(TextStats.chunkSpans(col("text"), 200, 50)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"))
+      .collect().groupBy(_.getLong(0))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id).sortBy(_.getInt(1)).map(_.getString(2))
+      // every chunk after the first repeats the previous chunk's 50-char
+      // tail; dropping it must rebuild the document byte-for-byte
+      assert(cs.head + cs.tail.map(_.drop(50)).mkString == text,
+        s"doc $id did not survive chunk round-trip")
+    }
+  }
+
   test("packSequences: deterministic greedy bins, monotone, budget-shaped") {
     import spark.implicits._
     val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 300L), (5L, 10L))

@@ -74,6 +74,21 @@ class PlanSpec extends SparkSpecBase {
       s"not a physical cross product: $cartesian")
   }
 
+  test("u5 snapshot diff: snapshot date filters reach the scans, one full-outer key join") {
+    val p = planOf(q("u5_snapshot_diff"))
+    val pushed = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.get("PushedFilters")
+    }.flatten
+    assert(pushed.count(_.contains("LessThan(o_orderdate")) >= 2,
+      s"both snapshots must push their date cut to the scan: $pushed")
+    val fullOuter = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType.toString == "FullOuter" => j
+    }
+    assert(fullOuter.size == 1, "exactly one key-shuffled full-outer join")
+  }
+
   test("s4 projection reaches the scan (2-column query never reads the wide row)") {
     val p = planOf(q("s4_projection_scan"))
     val scans = collectAll(p) {
