@@ -67,10 +67,16 @@ object Multimodal {
     * payloads that ARE images reach a codec. PNG/JPEG magic starts with a
     * non-ASCII byte, so text can never collide; the GIF and BMP magics are
     * plain ASCII ("GIF8…", "BM…"), so they get structural corroboration —
-    * GIF full version + 0x3B trailer byte, BMP declared-file-size field
-    * matching the payload — or a text document starting with those letters
-    * would be misclassified and fed to a codec. */
-  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    * or a text document starting with those letters would be misclassified
+    * and fed to a codec. Corroboration is deliberately LOOSE (the ImageIO
+    * reader lookup is the final arbiter): GIF wants the 0x3B trailer
+    * somewhere in the tail (real encoders may pad after it), and BMP is
+    * checked on the DIB-header-size field — the declared-file-size field
+    * many encoders write as 0 is NOT consulted. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
     if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') Some("png")
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
@@ -78,12 +84,14 @@ object Multimodal {
     else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == '8' &&
         (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a' &&
-        (bytes(bytes.length - 1) & 0xff) == 0x3b) Some("gif")
+        bytes.view.slice(math.max(bytes.length - 32, 6), bytes.length)
+          .exists(b => (b & 0xff) == 0x3b)) Some("gif")
     else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M' &&
-        ((bytes(2) & 0xffL) | (bytes(3) & 0xffL) << 8 |
-         (bytes(4) & 0xffL) << 16 | (bytes(5) & 0xffL) << 24) == bytes.length)
+        // known BITMAPINFOHEADER family sizes (core/v2/v3/info/v4/v5)
+        Set(12L, 16L, 40L, 52L, 56L, 64L, 108L, 124L).contains(u32le(14)))
       Some("bmp")
     else None
+  }
 
   /** REAL header decode via `javax.imageio`: (format, width, height,
     * n_frames) without decoding pixels — dimensions come from the header
@@ -165,10 +173,15 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
     decoded.getOrElse {
-      // STUB: non-image / undecodable payloads (audio/video codecs absent
-      // in this container) keep the deterministic checksum feature
-      val (w, h, _) = stubGeometry(bytes.length)
-      MediaFeature(id, bytes.length, "stub/raw", w, h, cs, -1.0, 64)
+      // a truncated image whose HEADER is intact keeps its real geometry
+      // (consistent with the decodeMetaRow path) and stubs only the
+      // luminance; genuinely undecodable payloads take full stub geometry
+      decodeHeader(bytes) match {
+        case Some((fmt, w, h, _)) => MediaFeature(id, bytes.length, fmt, w, h, cs, -1.0, 64)
+        case None =>
+          val (w, h, _) = stubGeometry(bytes.length)
+          MediaFeature(id, bytes.length, "stub/raw", w, h, cs, -1.0, 64)
+      }
     }
   }
 
@@ -191,5 +204,85 @@ object Multimodal {
       // per-partition decoder setup would go here (codec contexts, buffers)
       rows.map { r: Row => decodeFeatureRow(r.getLong(0), r.getAs[Array[Byte]](1)) }
     }(Encoders.product[MediaFeature])
+  }
+
+  // ------------------------------------------------------------- audio
+
+  /** Audio container from magic bytes: RIFF/WAVE and FORM/AIFF — the two
+    * containers the JDK ships parsers for (`javax.sound.sampled`). Video
+    * remains the documented stub: the JDK has no video codec. */
+  def sniffAudioFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') Some("wav")
+    else if (bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' &&
+        bytes(2) == 'R' && bytes(3) == 'M' && bytes(8) == 'A' &&
+        bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F') Some("aiff")
+    else None
+
+  /** REAL audio header decode via `javax.sound.sampled.AudioSystem`:
+    * (container, sample_rate, channels, bits, n_frames, duration_ms) from
+    * the WAV/AIFF header — no sample data is decoded. `duration_ms` is the
+    * exact integer `frames * 1000 / rate`; -1 when the header leaves the
+    * frame count unspecified. None for non-audio / truncated payloads
+    * (dirty rows must not sink a 100 TB job). */
+  def decodeAudioHeader(bytes: Array[Byte]): Option[(String, Int, Int, Int, Long, Long)] =
+    sniffAudioFormat(bytes).flatMap { fmt =>
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val af = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val rate = af.getSampleRate.toLong
+        val durMs = if (frames >= 0 && rate > 0) frames * 1000L / rate else -1L
+        Some((fmt, af.getSampleRate.toInt, af.getChannels,
+          af.getSampleSizeInBits, frames, durMs))
+      } catch { case _: Exception => None }
+    }
+
+  final case class AudioMeta(doc_id: Long, byte_len: Int, container: String,
+                             sample_rate: Int, channels: Int, bits: Int,
+                             n_frames: Long, duration_ms: Long)
+
+  private def decodeAudioRow(id: Long, bytes: Array[Byte]): AudioMeta =
+    decodeAudioHeader(bytes) match {
+      case Some((fmt, rate, ch, bits, frames, durMs)) =>
+        AudioMeta(id, bytes.length, fmt, rate, ch, bits, frames, durMs)
+      case None =>
+        // STUB: non-audio / truncated payloads — explicit sentinel values,
+        // never fabricated audio parameters
+        AudioMeta(id, bytes.length, "stub/raw", -1, -1, -1, -1L, -1L)
+    }
+
+  /** Partition-wise REAL audio metadata decode over (id, payload) rows —
+    * same shuffle-free shape as [[extractMetaDecoded]]. */
+  def extractAudioMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioMeta] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r: Row => decodeAudioRow(r.getLong(0), r.getAs[Array[Byte]](1)) }
+    }(Encoders.product[AudioMeta])
+
+  /** Deterministic 16-bit PCM WAV synthesizer (canonical 44-byte RIFF
+    * header + silence frames) — the fixture generator for the audio gate:
+    * the fixtures carry no real media, so payloads are synthesized from
+    * row attributes and then round-tripped through the REAL
+    * `javax.sound.sampled` parser, which the oracle checks by recomputing
+    * the parameters arithmetically. */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataSize = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array()
   }
 }

@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  private val Salt = "__graft_salt"
+  private[graft] val Salt = "__graft_salt"
+
+  /** The salted left side — exposed package-private so the skew spec can
+    * measure the actual per-(key, salt) shuffle-group bound directly. */
+  private[graft] def saltedLeft(left: DataFrame, saltBuckets: Int): DataFrame =
+    left.withColumn(Salt,
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
 
   /** Inner equi-join with left-side salting: use when `left` carries hot
     * join keys and `right` is too big to broadcast but small enough to
@@ -23,8 +29,7 @@ object Joins {
     * Exact same result set as `left.join(right, keys)`. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 16): DataFrame = {
-    val l = left.withColumn(Salt,
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val l = saltedLeft(left, saltBuckets)
     val r = right.withColumn(Salt,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ Salt).drop(Salt)

@@ -197,7 +197,26 @@ object ExtQueries {
         .withColumn("meta", Multimodal.extractMeta(Multimodal.asPayload(col("text"))))
         .withColumn("rs", Multimodal.resizeDims(col("meta.width"), col("meta.height"), 512, 512))
         .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
-          col("rs.new_width").as("new_width"), col("rs.new_height").as("new_height")))
+          col("rs.new_width").as("new_width"), col("rs.new_height").as("new_height"))),
+
+    // REAL audio metadata decode (javax.sound.sampled): WAV payloads are
+    // synthesized per row from doc_id arithmetic, then round-tripped
+    // through the actual JDK WAV parser — the oracle recomputes every
+    // decoded parameter independently, so a header-math bug on either
+    // side fails the gate
+    "m6_audio_meta" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val payloads = t(s, d, "documents").select(col("doc_id"))
+        .map(r => r.getLong(0))(Encoders.scalaLong)
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.wavBytes(
+            sampleRate = 8000 + (id % 3).toInt * 4000,
+            channels = 1 + (id % 2).toInt,
+            nSamples = 200 + (id % 800).toInt))
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "payload")
+      Multimodal.extractAudioMeta(payloads, "doc_id", "payload").toDF()
+    })
   )
 
   private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
@@ -388,6 +407,19 @@ object ExtQueries {
         |  CAST(320 + strlen(text) % 1280 AS INT) AS width,
         |  CAST(240 + strlen(text) % 720 AS INT) AS height,
         |  CAST(strlen(text) % 24 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m6_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + (doc_id % 2) AS INT) AS channels,
+        |    CAST(200 + (doc_id % 800) AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(44 + n_frames * channels * 2 AS INT) AS byte_len,
+        |  'wav' AS container, sample_rate, channels, CAST(16 AS INT) AS bits,
+        |  n_frames, CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 }

@@ -49,18 +49,41 @@ object Jdbc {
   def pushdownQuery(spark: SparkSession, c: Conn, sql: String): DataFrame =
     base(spark, c).option("query", sql).load()
 
+  /** Identifier shapes we will interpolate into pushed-down SQL: a plain
+    * (dotted, at most 3-part) SQL identifier, or the caller's own
+    * `"…"`-quoted form — Spark's JDBC writer creates case-sensitive quoted
+    * lowercase columns, so callers MUST pass the quoted form back when the
+    * column was written that way (JdbcSpec passes `"ts"`). Anything else
+    * (whitespace, semicolons, comment markers) is rejected, so an
+    * identifier sourced from config or source metadata cannot smuggle SQL
+    * into the generated query. */
+  private val IdentPattern =
+    """^(?:[A-Za-z_][A-Za-z0-9_$]*|"[^"]+")(?:\.(?:[A-Za-z_][A-Za-z0-9_$]*|"[^"]+")){0,2}$""".r
+
+  private def requireIdent(kind: String, s: String): String = {
+    require(IdentPattern.findFirstIn(s).isDefined,
+      s"""$kind must be a plain or "…"-quoted SQL identifier, got: $s""")
+    s
+  }
+
   /** S3 — watermark-incremental scan with the reference's fixed overlap:
     * `WHERE <tsCol> > <literal(watermark - overlap)>`, pushed into the
     * source. `tsLiteral` renders the timestamp for the target dialect:
     * the default plain-quoted string comparison is what SQL Server /
     * Postgres / MySQL accept (and what the reference emits); Derby needs
-    * `TIMESTAMP('…')` ([[Dialects.derbyTs]]). */
+    * `TIMESTAMP('…')` ([[Dialects.derbyTs]]).
+    *
+    * QUOTING CONTRACT: `table` and `tsCol` are interpolated verbatim into
+    * the pushed-down SQL, validated against [[IdentPattern]] — pass
+    * already-quoted identifiers (`"ts"`) when the source column is
+    * case-sensitive (see [[Dialects.quoteIdent]]). */
   def incrementalScan(spark: SparkSession, c: Conn, table: String, tsCol: String,
                       watermark: java.sql.Timestamp, overlapSeconds: Long = 3600,
                       parts: Option[RangePartitioning] = None,
                       tsLiteral: java.sql.Timestamp => String = Dialects.quotedTs): DataFrame = {
     val from = new java.sql.Timestamp(watermark.getTime - overlapSeconds * 1000L)
-    val sql = s"SELECT * FROM $table WHERE $tsCol > ${tsLiteral(from)}"
+    val sql = s"SELECT * FROM ${requireIdent("table", table)} " +
+      s"WHERE ${requireIdent("tsCol", tsCol)} > ${tsLiteral(from)}"
     withParts(base(spark, c).option("query", sql), parts).load()
   }
 
@@ -70,6 +93,9 @@ object Jdbc {
     val derbyTs: java.sql.Timestamp => String = t => s"TIMESTAMP('$t')"
     /** SQL-standard literal (Postgres, Oracle, Trino). */
     val ansiTs: java.sql.Timestamp => String = t => s"TIMESTAMP '$t'"
+    /** ANSI double-quote identifier quoting (Derby/Postgres/Oracle/Trino);
+      * embedded quotes doubled per the standard. */
+    val quoteIdent: String => String = s => "\"" + s.replace("\"", "\"\"") + "\""
   }
 }
 

@@ -76,4 +76,65 @@ class MultimodalSpec extends SparkSpecBase {
       .select("rs.new_width", "rs.new_height").head()
     assert(rs.getInt(0) == 512 && rs.getInt(1) == 128, "aspect-preserving fit")
   }
+
+  test("sniff tolerates real-world header quirks: zero BMP file-size, GIF trailing padding") {
+    // many BMP encoders write 0 in the declared-file-size field — the DIB
+    // header size is the reliable corroboration
+    val bmp = image(9, 4, "bmp")
+    val zeroSize = bmp.clone()
+    zeroSize(2) = 0; zeroSize(3) = 0; zeroSize(4) = 0; zeroSize(5) = 0
+    assert(Multimodal.sniffFormat(zeroSize) == Some("bmp"))
+    // a GIF may carry padding after the 0x3B trailer
+    val gif = image(5, 7, "gif") ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.sniffFormat(gif) == Some("gif"))
+    assert(Multimodal.decodeHeader(gif) == Some(("gif", 5, 7, 1)),
+      "the ImageIO reader is the final arbiter and reads through padding")
+  }
+
+  test("truncated image with intact header: meta and feature paths agree on geometry") {
+    import spark.implicits._
+    val png = image(37, 21, "png")
+    val truncated = png.take(60) // IHDR intact, pixel data gone
+    assert(Multimodal.decodeHeader(truncated) == Some(("png", 37, 21, 1)))
+    val f = Multimodal.extractFeatures(
+      Seq((1L, truncated)).toDF("doc_id", "payload"), "doc_id", "payload").head()
+    assert(f.format == "png" && f.width == 37 && f.height == 21,
+      "feature fallback must reuse the real header geometry")
+    assert(f.mean_luma == -1.0, "only the pixel statistic is stubbed")
+  }
+
+  test("WAV synth round-trips through the real javax.sound.sampled parser") {
+    val bytes = Multimodal.wavBytes(sampleRate = 12000, channels = 2, nSamples = 500)
+    assert(bytes.length == 44 + 500 * 2 * 2)
+    assert(Multimodal.decodeAudioHeader(bytes) ==
+      Some(("wav", 12000, 2, 16, 500L, 500L * 1000 / 12000)))
+  }
+
+  test("AIFF headers decode through the same path") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](2 * 320)), fmt, 320)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    assert(Multimodal.decodeAudioHeader(out.toByteArray) ==
+      Some(("aiff", 8000, 1, 16, 320L, 40L)))
+  }
+
+  test("truncated / non-audio payloads fall back to the sentinel audio stub") {
+    import spark.implicits._
+    val wav = Multimodal.wavBytes(8000, 1, 100)
+    val df = Seq(
+      (1L, wav),
+      (2L, wav.take(20)), // RIFF/WAVE magic intact, fmt chunk cut mid-header
+      (3L, "text payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val m = Multimodal.extractAudioMeta(df, "doc_id", "payload")
+      .collect().map(a => a.doc_id -> a).toMap
+    assert(m(1L).container == "wav" && m(1L).sample_rate == 8000 &&
+      m(1L).channels == 1 && m(1L).n_frames == 100L && m(1L).duration_ms == 12L)
+    assert(m(2L).container == "stub/raw" && m(2L).sample_rate == -1 &&
+      m(2L).n_frames == -1L, "a truncated header must not fabricate parameters")
+    assert(m(3L).container == "stub/raw")
+  }
 }

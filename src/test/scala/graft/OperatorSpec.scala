@@ -122,6 +122,24 @@ class OperatorSpec extends SparkSpecBase {
     assert(phys.contains("__graft_salt"), s"join must key on the salt:\n$phys")
   }
 
+  test("saltedJoin bounds the max shuffle-group size under a pathological hot key") {
+    // 90% of 40k rows share one key — unsalted, that key's rows land in ONE
+    // shuffle task; salted, the per-(key, salt) group is the task bound and
+    // must shrink by ~saltBuckets. This is the 100 TB claim, measured.
+    val buckets = 16
+    val hot = spark.range(40000).select(
+      when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val unsaltedMax = hot.groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    assert(unsaltedMax >= 36000L, s"fixture must be hot-keyed, got $unsaltedMax")
+    val saltedMax = Joins.saltedLeft(hot, buckets)
+      .groupBy("k", Joins.Salt).count()
+      .agg(max("count")).head().getLong(0)
+    assert(saltedMax <= unsaltedMax / buckets * 2,
+      s"per-task bound must shrink ~${buckets}x: unsalted $unsaltedMax, salted $saltedMax")
+  }
+
   test("quarantine split partitions the input exactly") {
     val li = sources.Tables.load(spark, sfDir, "lineitem")
     val rules = Quarantine.Rules(
