@@ -54,9 +54,17 @@ final case class Warehouse(spark: SparkSession, root: String) {
   /** S11 — MERGE upsert by business key, incoming side winning under
     * `versionCols`. Delta mode: native `MERGE INTO` (rewrites only matched
     * files; the incoming batch is pre-deduped per key because SQL MERGE
-    * rejects duplicate source matches). Parquet mode: the proven
-    * union+window emulation, staged to a scratch table before overwriting
-    * so the plan never reads the files it is replacing. Same observable
+    * rejects duplicate source matches, and schema-aligned to the target
+    * because `UPDATE SET * / INSERT *` rejects column drift the parquet
+    * emulation tolerates). Parquet mode: the proven union+window emulation,
+    * staged to a scratch table before overwriting so the plan never reads
+    * the files it is replacing. When `partitionBy` is set, the merge is
+    * PARTITION-PRUNED: only the directories whose partition values appear
+    * in the incoming batch are read, merged, and rewritten (dynamic
+    * partition overwrite) — at 100 TB this is the difference between a
+    * bounded nightly job and a full-table rewrite per run. Contract: a
+    * business key must never move between partitions (the reference's
+    * year columns derive from immutable document dates). Same observable
     * table either way. */
   def mergeUpsert(name: String, incoming: DataFrame, keys: Seq[String],
                   versionCols: Seq[Column], partitionBy: Seq[String] = Nil): Long =
@@ -65,23 +73,89 @@ final case class Warehouse(spark: SparkSession, root: String) {
         // per-call view name: two concurrent merges on one session must
         // not silently swap each other's source rows
         val view = s"__graft_merge_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        graft.operators.Dedup.keepLatest(incoming, keys, versionCols)
+        graft.operators.Dedup.keepLatest(alignToTarget(name, incoming), keys, versionCols)
           .createOrReplaceTempView(view)
         try {
           spark.sql(TableFormat.mergeSql(path(name), view, keys))
           read(name).count()
         } finally spark.catalog.dropTempView(view)
       case TableFormat.Parquet =>
-        val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
-        val staged = merged.persist()
-        val n = staged.count() // materialize before overwriting the plan's source
-        val staging = s"${name}__staging"
-        write(staging, staged, partitionBy = partitionBy)
-        staged.unpersist()
-        write(name, read(staging), partitionBy = partitionBy)
-        delete(staging) // scratch space, not a table: must not linger
-        n
+        val touched = touchedPartitions(incoming, partitionBy)
+        touched match {
+          case Some(Nil) => read(name).count() // empty batch: no-op merge
+          case Some(parts) => prunedMerge(name, incoming, keys, versionCols, partitionBy, parts)
+          case None =>
+            val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
+            val staged = merged.persist()
+            val n = staged.count() // materialize before overwriting the plan's source
+            val staging = s"${name}__staging"
+            write(staging, staged, partitionBy = partitionBy)
+            staged.unpersist()
+            write(name, read(staging), partitionBy = partitionBy)
+            delete(staging) // scratch space, not a table: must not linger
+            n
+        }
     }
+
+  /** Delta `UPDATE SET * / INSERT *` requires source columns ≡ target
+    * columns: project incoming onto the target schema (null-fill missing,
+    * drop extras) so schema-drifting batches behave like the parquet
+    * emulation's `unionByName(allowMissingColumns = true)`. */
+  private[graft] def alignToTarget(name: String, incoming: DataFrame): DataFrame = {
+    val have = incoming.columns.toSet
+    val cols = read(name).schema.fields.map { f =>
+      if (have.contains(f.name)) org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    incoming.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The distinct partition-value rows of the incoming batch, collected so
+    * the target scan can prune with LITERAL predicates (a semi join would
+    * still list every directory). Cardinality is bounded by the number of
+    * touched partitions (years, not rows), so the collect is scale-safe;
+    * above `MaxPrunedPartitions` we fall back to the full merge rather
+    * than build a degenerate thousand-term predicate. None = pruning not
+    * applicable (unpartitioned, missing target, or too many partitions). */
+  private def touchedPartitions(incoming: DataFrame,
+                                partitionBy: Seq[String]): Option[Seq[org.apache.spark.sql.Row]] = {
+    if (partitionBy.isEmpty) return None
+    val rows = incoming.select(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().limit(Warehouse.MaxPrunedPartitions + 1).collect().toSeq
+    if (rows.size > Warehouse.MaxPrunedPartitions) None else Some(rows)
+  }
+
+  /** Partition-pruned parquet merge: union+window over ONLY the touched
+    * partitions, staged, then committed with dynamic partition overwrite so
+    * untouched directories keep their files byte-for-byte. */
+  private def prunedMerge(name: String, incoming: DataFrame, keys: Seq[String],
+                          versionCols: Seq[Column], partitionBy: Seq[String],
+                          parts: Seq[org.apache.spark.sql.Row]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val prunePred = parts.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val restricted = read(name).filter(prunePred)
+    val merged = graft.operators.Dedup.mergeUpsert(restricted, incoming, keys, versionCols)
+    val staging = s"${name}__staging"
+    val staged = merged.persist()
+    staged.count() // materialize before touching the target's files
+    write(staging, staged, partitionBy = partitionBy)
+    staged.unpersist()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // one output file per touched directory (repartition by the partition
+      // cols); compaction owns long-term file counts
+      read(staging).repartition(partitionBy.map(col): _*)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+        .format(format.name).save(path(name))
+    } finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    delete(staging)
+    read(name).count()
+  }
 
   /** Recursively remove a table directory (scratch cleanup). */
   private def delete(name: String): Unit = {
@@ -135,8 +209,27 @@ final case class Warehouse(spark: SparkSession, root: String) {
   }
 }
 
+object Warehouse {
+  /** Pruned-merge predicate cap: above this many touched partitions the
+    * literal OR-predicate degenerates and a full merge is cheaper anyway. */
+  val MaxPrunedPartitions = 256
+}
+
 final case class PipelineReport(layer: String, tables: Map[String, Long],
                                 quarantined: Map[String, Long])
+
+/** One gold model: the full-build frame, the reference's MERGE key, and the
+  * table's partition columns. `atGrain` is the build collapsed to the merge
+  * key with a DETERMINISTIC winner (all non-key columns descending,
+  * [[graft.operators.Dedup.totalOrder]]) — the same tie-break the
+  * incremental merge applies, so both paths pick identical rows. */
+final case class GoldModel(name: String, build: DataFrame, keys: Seq[String],
+                           partitionBy: Seq[String]) {
+  def atGrain: DataFrame =
+    if (keys.isEmpty) build
+    else graft.operators.Dedup.keepLatest(build, keys,
+      graft.operators.Dedup.totalOrder(build, keys, Nil, Nil))
+}
 
 object Pipeline {
   /** Business-key discovery patterns (W2): column-name substrings marking
@@ -238,29 +331,56 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
       t -> (n, nq)
   }
 
-  /** Gold: star-schema builds + calendar (J1-J8, §2.8 math, X5). */
-  def runGold(): PipelineReport = {
+  /** The six gold models — build expression, MERGE key, partition columns —
+    * shared by the full load and the incremental path so a rebuilt table is
+    * equivalent either way. Keys mirror the reference's MERGE conditions
+    * (Gold_incremental_load.ipynb:cell 10): customer/product/billing_date/
+    * invoice/line for sales, customer/order_date/document for orders,
+    * customer/month for budget, surrogate key for the dims. Facts carry a
+    * year partition column DERIVED FROM a key column: at 100 TB the
+    * incremental MERGE and date-range queries prune whole directories
+    * (SURVEY §7.3), and a business key can never move between partitions.
+    *
+    * Every gold table is KEYED AT ITS MERGE GRAIN from birth: the full load
+    * applies the same keep-latest (deterministic total-order tie-break) the
+    * merge applies, because a table that carries duplicate merge keys cannot
+    * sustain the reference's Delta `MERGE` (duplicate matched rows abort
+    * it) — full load and incremental convergence stay exactly equal. */
+  private[graft] def goldModels(): Seq[GoldModel] = {
     import graft.gold.Star
     def s(t: String) = wh.read(s"silver_$t")
     val rates = Star.rateDim(s("nation"))
-    // facts carry a year partition column: at 100 TB the incremental MERGE
-    // and date-range queries prune whole directories (SURVEY §7.3)
-    val builds: Seq[(String, DataFrame, Seq[String])] = Seq(
-      ("gold_dim_customer", Star.dimCustomer(s("customer"), s("nation"), s("region")), Nil),
-      ("gold_dim_product", Star.dimProduct(s("part")), Nil),
-      ("gold_fact_sales",
+    Seq(
+      GoldModel("gold_dim_customer",
+        Star.dimCustomer(s("customer"), s("nation"), s("region")),
+        Seq("customer_key"), Nil),
+      GoldModel("gold_dim_product", Star.dimProduct(s("part")),
+        Seq("product_key"), Nil),
+      GoldModel("gold_fact_sales",
         Star.factSales(s("lineitem"), s("orders"), s("customer"), rates)
-          .withColumn("billing_year", year(col("billing_date"))), Seq("billing_year")),
-      ("gold_fact_orders",
+          .withColumn("billing_year", year(col("billing_date"))),
+        Seq("customer_key", "product_key", "billing_date",
+          "sales_document_number", "sales_document_line"),
+        Seq("billing_year")),
+      GoldModel("gold_fact_orders",
         Star.factOrders(s("orders"), s("customer"), rates)
-          .withColumn("order_year", year(col("order_date"))), Seq("order_year")),
-      ("gold_fact_budget", Star.factBudget(s("orders")), Nil),
-      ("gold_dim_date", CalendarDim.fromDomain(s("orders"), "o_orderdate"), Nil))
-    val counts = builds.map { case (name, df, partCols) =>
-      val n = wh.write(name, Standardize.withAudit(df, "gold", executionId, lit(clock())),
-        partitionBy = partCols)
-      log(name, "gold", "initial", n)
-      name -> n
+          .withColumn("order_year", year(col("order_date"))),
+        Seq("customer_key", "order_date", "order_document_number"),
+        Seq("order_year")),
+      GoldModel("gold_fact_budget", Star.factBudget(s("orders")),
+        Seq("customer_key", "budget_month"), Nil),
+      GoldModel("gold_dim_date", CalendarDim.fromDomain(s("orders"), "o_orderdate"),
+        Nil, Nil))
+  }
+
+  /** Gold: star-schema builds + calendar (J1-J8, §2.8 math, X5). */
+  def runGold(): PipelineReport = {
+    val counts = goldModels().map { m =>
+      val n = wh.write(m.name,
+        Standardize.withAudit(m.atGrain, "gold", executionId, lit(clock())),
+        partitionBy = m.partitionBy)
+      log(m.name, "gold", "initial", n)
+      m.name -> n
     }
     PipelineReport("gold", counts.toMap, Map.empty)
   }
@@ -268,61 +388,148 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
   /** S13/X2 — final warehouse copies: every gold table copied to a second
     * namespace (`dw_` prefix), all copies submitted in PARALLEL from the
     * driver (Spark schedules concurrent jobs across the executor pool —
-    * the reference runs its 5 Lakehouse→Warehouse copies the same way). */
-  def copyToWarehouse(prefix: String = "dw_"): Map[String, Long] = {
-    import scala.concurrent.{Await, Future}
+    * the reference runs its 5 Lakehouse→Warehouse copies the same way).
+    *
+    * Each copy is bounded by `timeout` against the WHOLE batch's deadline:
+    * a hung source must not hang the driver forever — the stuck table's
+    * Spark jobs are cancelled, it logs `failed` through `onFailure`, and
+    * the remaining copies complete. `copyFn` is the injectable copy body
+    * (tests substitute a slow copy; production substitutes e.g. a JDBC
+    * sink writer). */
+  def copyToWarehouse(prefix: String = "dw_",
+                      timeout: scala.concurrent.duration.Duration =
+                        scala.concurrent.duration.Duration(1, java.util.concurrent.TimeUnit.HOURS),
+                      copyFn: (String, String) => Long = (t, target) =>
+                        wh.write(target, wh.read(t))): Map[String, Long] = {
+    import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val tables = wh.list("gold_")
     val copies = tables.map { t =>
-      Future { t -> wh.write(prefix + t, wh.read(t)) }
+      val group = s"graft-copy-$executionId-$t"
+      t -> (group, Future {
+        // job group is thread-local: set it inside the future so a timeout
+        // can cancel exactly this copy's running jobs
+        spark.sparkContext.setJobGroup(group, s"warehouse copy $t", interruptOnCancel = true)
+        try copyFn(t, prefix + t) finally spark.sparkContext.clearJobGroup()
+      })
     }
-    val done = Await.result(Future.sequence(copies), Duration.Inf).toMap
+    val deadline = System.nanoTime() + timeout.toNanos
+    val done = copies.flatMap { case (t, (group, f)) =>
+      val remaining = math.max(deadline - System.nanoTime(), 0L)
+      try Some(t -> Await.result(f, Duration.fromNanos(remaining)))
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          val entry = log(prefix + t, "warehouse", "copy", 0L, status = "failed",
+            error = Some(s"copy timed out after $timeout"))
+          try onFailure(entry) catch { case _: Exception => () }
+          None
+        case e: Exception =>
+          val entry = log(prefix + t, "warehouse", "copy", 0L, status = "failed",
+            error = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500)))
+          try onFailure(entry) catch { case _: Exception => () }
+          None
+      }
+    }.toMap
     // log appends share one parquet dir -> must not race; serialize them
     done.foreach { case (t, n) => log(prefix + t, "warehouse", "copy", n) }
     done
   }
 
-  /** Incremental gold (SURVEY §3.3): dims rebuild only changed keys (J8
-    * semi-join restriction) and merge by business key; facts rebuild rows
-    * whose silver audit ts >= watermark and merge by composite key — the
-    * MERGE-equivalent union+window upsert in both cases. Bootstrap: a
-    * missing gold table falls back to the full build. */
+  /** Incremental gold (SURVEY §3.3), all five reference models
+    * (Gold_incremental_load.ipynb:cell 10's five MERGEs): dims rebuild only
+    * changed keys (J8 semi-join restriction) and merge by business key;
+    * facts rebuild rows whose silver audit ts >= watermark and merge by
+    * composite key — the MERGE-equivalent union+window upsert in both
+    * cases, partition-pruned on the facts' year columns. Bootstrap
+    * (SURVEY §2.9): a missing gold table falls back to its full build,
+    * exactly the silver behavior.
+    *
+    * Change detection mirrors the reference: each model re-derives from its
+    * PRIMARY source table's changed rows (fact_sales additionally picks up
+    * lineitems of changed orders, since its billing columns come from the
+    * order side); a dim-only enrichment change (e.g. nation rename) flows
+    * in on the next full refresh, as in the reference. */
   def runGoldIncremental(watermark: java.sql.Timestamp): Map[String, Long] = {
     import graft.gold.Star
     def s(t: String) = wh.read(s"silver_$t")
     val wm = lit(watermark)
     val rates = Star.rateDim(s("nation"))
+    val models = goldModels().map(m => m.name -> m).toMap
 
-    def upsertInto(target: String, incoming: DataFrame, keys: Seq[String],
-                   version: Seq[Column], partitionBy: Seq[String] = Nil): Long = {
-      if (!wh.exists(target)) return 0L
-      val n = wh.mergeUpsert(target, incoming, keys, version, partitionBy)
+    def upsertInto(target: String, incoming: => DataFrame): Long = {
+      val m = models(target)
+      if (!wh.exists(target)) {
+        // bootstrap: missing target ⇒ the full build, not a zero no-op
+        val n = wh.write(target,
+          Standardize.withAudit(m.atGrain, "gold", executionId, lit(clock())),
+          partitionBy = m.partitionBy)
+        log(target, "gold", "bootstrap", n)
+        return n
+      }
+      val audited = Standardize.withAudit(incoming, "gold", executionId, lit(clock()))
+      // version order: newest audit ts wins; ties (same batch, fixed clock,
+      // or the fixture's planted key collisions) break on the business
+      // columns — the SAME deterministic order the full load's atGrain
+      // uses, so incremental and full rebuild converge to identical rows
+      val tieBreak = Dedup.totalOrder(
+        audited.drop("gold_created_date", "gold_execution_id"), m.keys, Nil, Nil)
+      val n = wh.mergeUpsert(target, audited, m.keys,
+        col("gold_created_date").desc +: tieBreak, m.partitionBy)
       log(target, "gold", "incremental", n)
       n
     }
 
-    // dim: changed customer keys since the watermark -> restricted rebuild
+    // dim_customer: changed customer keys -> restricted rebuild (J8)
     val changedCust = Incremental.changedKeys(s("customer"),
         Seq("c_custkey"), "silver_created_date", wm)
-    val dimCust = Star.dimCustomer(
-      Incremental.restrictToChanged(s("customer"), changedCust, Seq("c_custkey")),
-      s("nation"), s("region"))
-    val audited = Standardize.withAudit(dimCust, "gold", executionId, lit(clock()))
-    val nDim = upsertInto("gold_dim_customer", audited, Seq("customer_key"),
-      Seq(col("gold_created_date").desc))
+    val nDimCust = upsertInto("gold_dim_customer",
+      Star.dimCustomer(
+        Incremental.restrictToChanged(s("customer"), changedCust, Seq("c_custkey")),
+        s("nation"), s("region")))
 
-    // fact: changed orders since the watermark -> merge by document number
+    // dim_product: changed part keys -> restricted rebuild
+    val changedPart = Incremental.changedKeys(s("part"),
+        Seq("p_partkey"), "silver_created_date", wm)
+    val nDimProd = upsertInto("gold_dim_product",
+      Star.dimProduct(
+        Incremental.restrictToChanged(s("part"), changedPart, Seq("p_partkey"))))
+
+    // fact_sales: lineitems changed directly OR belonging to a changed
+    // order (order columns feed billing_date/customer_key). One scan of
+    // lineitem + one join against the DISTINCT changed-order key set
+    // (small ⇒ broadcast), not a union that scans lineitem twice.
+    val changedOrderKeys = s("orders").filter(col("silver_created_date") >= wm)
+      .select(col("o_orderkey").as("l_orderkey")).distinct()
+      .withColumn("__order_changed", lit(1))
+    val liChanged = s("lineitem")
+      .join(broadcast(changedOrderKeys), Seq("l_orderkey"), "left")
+      .filter(col("silver_created_date") >= wm || col("__order_changed").isNotNull)
+      .drop("__order_changed")
+    val nFactSales = upsertInto("gold_fact_sales",
+      Star.factSales(liChanged, s("orders"), s("customer"), rates)
+        .withColumn("billing_year", year(col("billing_date"))))
+
+    // fact_orders: changed orders -> merge by document number
     val changedOrders = s("orders").filter(col("silver_created_date") >= wm)
-    val factOrd = Standardize.withAudit(
+    val nFactOrd = upsertInto("gold_fact_orders",
       Star.factOrders(changedOrders, s("customer"), rates)
-        .withColumn("order_year", year(col("order_date"))),
-      "gold", executionId, lit(clock()))
-    val nFact = upsertInto("gold_fact_orders", factOrd,
-      Seq("order_document_number"), Seq(col("gold_created_date").desc),
-      partitionBy = Seq("order_year"))
+        .withColumn("order_year", year(col("order_date"))))
 
-    Map("gold_dim_customer" -> nDim, "gold_fact_orders" -> nFact)
+    // fact_budget: the latest-order-per-customer grain needs ALL orders of
+    // each changed customer (a changed row may or may not be the latest),
+    // merged on the reference's (customer, month) key. As in the
+    // reference's MERGE, a customer whose budget moves to a NEW month
+    // inserts that month's row; month rows are never deleted incrementally.
+    val changedBudgetCust = s("orders").filter(col("silver_created_date") >= wm)
+      .select("o_custkey").distinct()
+    val nFactBudget = upsertInto("gold_fact_budget",
+      Star.factBudget(s("orders").join(broadcast(changedBudgetCust), Seq("o_custkey"), "left_semi")))
+
+    Map("gold_dim_customer" -> nDimCust, "gold_dim_product" -> nDimProd,
+      "gold_fact_sales" -> nFactSales, "gold_fact_orders" -> nFactOrd,
+      "gold_fact_budget" -> nFactBudget)
   }
 
   /** Incremental silver for one table: watermark scan over the source with

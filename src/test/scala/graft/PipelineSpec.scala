@@ -28,7 +28,11 @@ class PipelineSpec extends SparkSpecBase {
     assert(s.tables("region") == 5)
 
     val g = pipe.runGold()
-    assert(g.tables("gold_fact_sales") == s.tables("lineitem"))
+    // fact_sales is keyed at its MERGE grain: the fixture plants a few
+    // merge-key collisions, so the keyed table sits just under the silver
+    // row count (and must never collapse further than that)
+    assert(g.tables("gold_fact_sales") <= s.tables("lineitem"))
+    assert(g.tables("gold_fact_sales") > s.tables("lineitem") * 95 / 100)
     assert(g.tables("gold_dim_date") > 2000) // ~6.5y calendar
     assert(g.tables.keySet.size == 6)
 
@@ -200,5 +204,133 @@ class PipelineSpec extends SparkSpecBase {
     val after = pipe.runSilverIncremental("orders", "o_orderdate",
       overlapSeconds = 10L * 365 * 24 * 3600)
     assert(after == before, s"idempotent overlap re-apply: $after vs $before")
+  }
+
+  /** Non-audit row image as strings — the audit columns are excluded so
+    * full-rebuild twins (same fixed clock, same exec id) compare on the
+    * business payload alone. */
+  private def goldRows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] = {
+    val cols = df.columns.filterNot(_.startsWith("gold_")).sorted
+    df.select(cols.map(col): _*).collect().map(_.toSeq.map(String.valueOf)).toSet
+  }
+
+  test("five-model gold incremental converges to the full-rebuild twin after source mutation") {
+    val wh = Warehouse(spark, whRoot)
+    val t2 = java.sql.Timestamp.valueOf("2026-06-01 00:00:00")
+    // mutate ~10% of each primary silver source: bump a value column and
+    // stamp the mutated rows' silver audit ts past the watermark
+    def mutate(table: String, keyCol: String, valCol: String): Unit = {
+      val mutated = wh.read(table)
+        .withColumn(valCol,
+          when(col(keyCol) % 10 === 0, col(valCol) * 2).otherwise(col(valCol)))
+        .withColumn("silver_created_date",
+          when(col(keyCol) % 10 === 0, lit(t2)).otherwise(col("silver_created_date")))
+        .localCheckpoint(true) // cut lineage off the files we overwrite
+      wh.write(table, mutated)
+    }
+    mutate("silver_customer", "c_custkey", "c_acctbal")
+    mutate("silver_part", "p_partkey", "p_retailprice")
+    mutate("silver_orders", "o_orderkey", "o_totalprice")
+    mutate("silver_lineitem", "l_orderkey", "l_quantity")
+
+    val counts = pipe.runGoldIncremental(java.sql.Timestamp.valueOf("2026-05-01 00:00:00"))
+    assert(counts.keySet == Set("gold_dim_customer", "gold_dim_product",
+      "gold_fact_sales", "gold_fact_orders", "gold_fact_budget"),
+      "all five reference models must take the incremental path")
+
+    // the full-rebuild twin IS the model's keyed-grain build over the
+    // mutated silver — the invariant is exact equality, not approximation
+    pipe.goldModels().filter(m => counts.keySet.contains(m.name)).foreach { m =>
+      assert(goldRows(wh.read(m.name)) == goldRows(m.atGrain),
+        s"${m.name} must equal its full-rebuild twin after the incremental merge")
+    }
+  }
+
+  test("gold bootstrap: a missing gold table is rebuilt in full by the incremental run") {
+    val wh = Warehouse(spark, whRoot)
+    val before = goldRows(wh.read("gold_fact_orders"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$whRoot/gold_fact_orders"))
+    assert(!wh.exists("gold_fact_orders"))
+    // nothing changed since the last run: only the bootstrap rebuilds
+    pipe.runGoldIncremental(java.sql.Timestamp.valueOf("2030-01-01 00:00:00"))
+    assert(wh.exists("gold_fact_orders"))
+    assert(goldRows(wh.read("gold_fact_orders")) == before,
+      "bootstrap must reproduce the full build")
+    val boot = pipe.executionLog.filter(col("load_type") === "bootstrap").collect()
+    assert(boot.exists(_.getAs[String]("table_name") == "gold_fact_orders"))
+  }
+
+  test("partition-pruned merge rewrites only the touched partition directories") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pruned").toString
+    val wh = Warehouse(spark, root)
+    wh.write("f", Seq((1, 2020, "a", 1), (2, 2021, "b", 1), (3, 2022, "c", 1),
+      (4, 2021, "d", 1)).toDF("id", "y", "v", "ver"), partitionBy = Seq("y"))
+    def dirState(y: Int): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$root/f/y=$y").listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1)
+    val before2020 = dirState(2020)
+    val before2022 = dirState(2022)
+    assert(before2020.nonEmpty && before2022.nonEmpty)
+    Thread.sleep(1100) // file-mtime granularity
+
+    val incoming = Seq((2, 2021, "B", 2), (5, 2021, "e", 1)).toDF("id", "y", "v", "ver")
+    val n = wh.mergeUpsert("f", incoming, Seq("id"), Seq(col("ver").desc),
+      partitionBy = Seq("y"))
+    assert(n == 5)
+    assert(dirState(2020) == before2020, "untouched 2020 files must be byte-identical")
+    assert(dirState(2022) == before2022, "untouched 2022 files must be byte-identical")
+    assert(!new java.io.File(s"$root/f__staging").exists())
+    val got = wh.read("f").select("id", "y", "v", "ver").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == Set((1, 2020, "a", 1), (2, 2021, "B", 2), (3, 2022, "c", 1),
+      (4, 2021, "d", 1), (5, 2021, "e", 1)),
+      "pruned merge must still equal the full MERGE semantics")
+
+    // empty incoming batch: a complete no-op — no directory rewritten
+    val before2021 = dirState(2021)
+    val n2 = wh.mergeUpsert("f", incoming.filter(col("id") < 0), Seq("id"),
+      Seq(col("ver").desc), partitionBy = Seq("y"))
+    assert(n2 == 5)
+    assert(dirState(2021) == before2021, "empty batch must touch nothing")
+  }
+
+  test("a hung warehouse copy times out, fires the hook, and the rest complete") {
+    import scala.concurrent.duration._
+    import graft.meta.ControlTables.LogEntry
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_copy_to").toString
+    val wh2 = Warehouse(spark, root)
+    wh2.write("gold_a", Seq((1, "x")).toDF("id", "v"))
+    wh2.write("gold_b", Seq((2, "y")).toDF("id", "v"))
+    var captured = List.empty[LogEntry]
+    val p = new Pipeline(wh2, src, "exec-copy", fixedClock, onFailure = e => captured ::= e)
+    val done = p.copyToWarehouse(timeout = 5.seconds, copyFn = (t, target) => {
+      if (t == "gold_a") Thread.sleep(120000)
+      wh2.write(target, wh2.read(t))
+    })
+    assert(done.keySet == Set("gold_b"), s"only the healthy copy completes, got $done")
+    assert(captured.exists(e => e.tableName == "dw_gold_a" && e.status == "failed" &&
+      e.error.exists(_.contains("timed out"))),
+      s"hook must receive the timed-out copy, got $captured")
+    assert(wh2.read("dw_gold_b").count() == 1)
+  }
+
+  test("Delta merge sources are schema-aligned to the target (null-fill missing, drop extras)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_align").toString
+    val wh = Warehouse(spark, root)
+    wh.write("tgt", Seq((1, "a", 10.0)).toDF("id", "v", "only_in_target"))
+    val incoming = Seq((2, "b", true)).toDF("id", "v", "only_in_source")
+    val aligned = wh.alignToTarget("tgt", incoming)
+    assert(aligned.columns.toSeq == Seq("id", "v", "only_in_target"),
+      "aligned source must carry exactly the target's columns, in order")
+    val row = aligned.head()
+    assert(row.getInt(0) == 2 && row.getString(1) == "b" && row.isNullAt(2),
+      "missing target columns null-fill; source-only columns are dropped")
   }
 }
