@@ -587,6 +587,289 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // ---- remaining TPC-H shapes (q2..q22), adapted to the fixture's
+    // columns (no partsupp table, no commit/receipt dates) but keeping
+    // each query's canonical PLAN structure: correlated-min subquery (q2),
+    // EXISTS (q4), multi-nation joins (q7/q8/q9), group-top-k (q10),
+    // scalar-subquery HAVING (q11), conditional counts (q12), outer-join
+    // double agg (q13), argmax-by-scalar-subquery (q15), disjunctive
+    // join predicate (q19), EXISTS+NOT EXISTS (q21), anti-join +
+    // threshold subquery (q22) ----
+
+    // q2: for each qualifying part, the supplier(s) with the MINIMUM
+    // account balance among that part's suppliers in EUROPE — the
+    // correlated scalar-min decorrelated to a per-key pre-agg + equi-join
+    "q2_min_balance_supplier" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_type") === "STANDARD" && col("p_size") < 25)
+        .select("p_partkey", "p_name")
+      val supply = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val su = t(s, d, "supplier")
+      val n = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE").select("r_regionkey")
+      val eur = supply
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      val minBal = eur.groupBy(col("l_partkey").as("mb_partkey"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      eur.join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(minBal, col("l_partkey") === col("mb_partkey") &&
+          col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(20)
+    }),
+
+    // q4: orders of 1995Q2 with at least one lineitem shipped after the
+    // order date (EXISTS -> left-semi with a residual inequality)
+    "q4_order_priority" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-04-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+      val l = t(s, d, "lineitem").select(col("l_orderkey").as("lk"), col("l_shipdate"))
+      o.join(l, o("o_orderkey") === col("lk") && col("l_shipdate") > o("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q7: shipping volume between two nations, both directions, by year
+    "q7_volume_shipping" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+          .cast(DecimalType(38, 4)).as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // q8: market share of NATION_5 suppliers among ASIA customers for one
+    // part type, by order year — conditional sum over total, one IEEE
+    // division on both engines
+    "q8_market_share" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val p = t(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val l = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA").select("r_regionkey")
+      val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2)))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n2), su("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4)).cast("double") /
+          sum(vol).cast(DecimalType(38, 4)).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // q9: profit by supplier nation and year for one part type; the
+    // partsupp supply cost is absent in the fixture, so the cost analogue
+    // is retailprice * quantity * 0.10 — exact decimal end to end
+    "q9_product_profit" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val cost = lit(new java.math.BigDecimal("0.10")).cast(DecimalType(3, 2))
+      val p = t(s, d, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey", "p_retailprice")
+      val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d, "nation").select("n_nationkey", "n_name")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+      val l = t(s, d, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))) -
+            dec2(col("p_retailprice")) * dec2(col("l_quantity")) * cost)
+          .cast(DecimalType(38, 4)).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // q10: returned-item revenue per customer for one quarter, top 20
+    "q10_returned_items" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-10-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey")
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // q11: parts whose EUROPE-supplied value exceeds a fraction of the
+    // total — the scalar-subquery HAVING, threshold compared as one IEEE
+    // double expression on both engines
+    "q11_important_parts" -> ((s, d) => {
+      val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      val n = t(s, d, "nation").select("n_nationkey", "n_regionkey")
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE").select("r_regionkey")
+      val l = t(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      val eur = l.join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("l_partkey"),
+          (dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).as("val"))
+      val total = eur.agg(sum(col("val")).cast(DecimalType(38, 2)).cast("double").as("tot"))
+      eur.groupBy("l_partkey")
+        .agg(sum(col("val")).cast(DecimalType(38, 2)).as("part_value"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_value").cast("double") > col("tot") * 0.001)
+        .select(col("l_partkey"), col("part_value"))
+    }),
+
+    // q12: conditional priority counts over late-shipped lines of one year
+    "q12_priority_shipping" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // q13: customer order-count distribution (outer join + double agg)
+    "q13_order_distribution" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      val c = t(s, d, "customer").select("c_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // q15: supplier(s) achieving the maximum quarterly revenue — argmax
+    // via a 1-row broadcast of the max, exact-decimal equality
+    "q15_top_supplier" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+          .cast(DecimalType(38, 4)).as("total_revenue"))
+      val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
+      rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+        .join(broadcast(t(s, d, "supplier")), col("supplier_no") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // q19: three OR'd brand/size/quantity conjunction groups as a single
+    // disjunctive JOIN predicate (plus the equi-key, so it stays a hash
+    // join with a residual filter, never a cartesian)
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val p = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+      val l = t(s, d, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+          (p("p_brand") === "Brand#2" && p("p_size").between(1, 5) &&
+            l("l_quantity").between(1, 11)) ||
+          (p("p_brand") === "Brand#3" && p("p_size").between(1, 10) &&
+            l("l_quantity").between(10, 20)) ||
+          (p("p_brand") === "Brand#4" && p("p_size").between(1, 15) &&
+            l("l_quantity").between(20, 30))))
+        .agg(sum(dec2(col("l_extendedprice")) * (one - col("l_discount").cast(DecimalType(3, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // q21: suppliers whose late line sits in a multi-supplier order where
+    // NO other supplier was late — EXISTS as residual-condition semi join,
+    // NOT EXISTS as residual-condition anti join
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val l = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val lo = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val late = lo.filter(col("l_shipdate") > col("o_orderdate"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val allPairs = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        .distinct()
+      val latePairs = late.select(col("ok").as("ok3"), col("sk").as("sk3")).distinct()
+      val su = t(s, d, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      val n = t(s, d, "nation").select("n_nationkey", "n_regionkey")
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE").select("r_regionkey")
+      late
+        .join(allPairs, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(latePairs, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(broadcast(su), col("sk") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(10)
+    }),
+
+    // q22: customers in a key-derived "country" group with above-average
+    // positive balance and no RECENT orders (every fixture customer has
+    // some order, so the anti join keys on the recent window) — threshold
+    // from a 1-row broadcast (sum exact decimal, ONE division), then anti
+    "q22_sales_opportunity" -> ((s, d) => {
+      val c = t(s, d, "customer").withColumn("cntrycode", col("c_custkey") % 7)
+        .filter(col("cntrycode").isin(0, 1, 2, 3))
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+        .select("o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2(col("c_acctbal"))).cast(DecimalType(38, 2)).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // full A7 DAX measure set over the star: Sales Only, COGS analogue,
     // Gross Margin, Budget Variance, Achievement % — grouped by region
     "a8_star_measures" -> ((s, d) => {
@@ -694,6 +977,13 @@ object SparkEntry {
     "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
+    "q7_volume_shipping"      -> Seq("volume"),
+    "q9_product_profit"       -> Seq("sum_profit"),
+    "q10_returned_items"      -> Seq("revenue"),
+    "q11_important_parts"     -> Seq("part_value"),
+    "q15_top_supplier"        -> Seq("total_revenue"),
+    "q19_disjunctive_revenue" -> Seq("revenue"),
+    "q22_sales_opportunity"   -> Seq("totacctbal"),
     "st1_tumbling_window"     -> Seq("total_value"),
     "st2_session_window"      -> Seq("total_value"),
     "w4_running_total"        -> Seq("running_value"))
@@ -990,6 +1280,173 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q2_min_balance_supplier" ->
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |eur AS (
+        |  SELECT l_partkey, s_acctbal, s_name, n_name
+        |  FROM supply JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM eur JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD' AND p_size < 25
+        |  AND s_acctbal = (SELECT MIN(e2.s_acctbal) FROM eur e2 WHERE e2.l_partkey = eur.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS DOUBLE)
+        |  / CAST(CAST(SUM(vol) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH eur AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |tot AS (SELECT CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) AS tot FROM eur)
+        |SELECT l_partkey, CAST(SUM(val) AS DECIMAL(38,2)) AS part_value
+        |FROM eur GROUP BY l_partkey
+        |HAVING CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) > (SELECT tot FROM tot) * 0.001""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'),
+        |late AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lo WHERE l_shipdate > o_orderdate)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1
+        |JOIN supplier ON sk = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |                  WHERE l3.l_orderkey = l1.ok AND l3.l_suppkey <> l1.sk
+        |                    AND l3.l_shipdate > l3.o_orderdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode
+        |  FROM customer WHERE c_custkey % 7 IN (0, 1, 2, 3)),
+        |thr AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+        |FROM c
+        |WHERE c_acctbal > (SELECT avg_bal FROM thr)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,

@@ -210,7 +210,9 @@ object Multimodal {
 
   /** Audio container from magic bytes: RIFF/WAVE and FORM/AIFF — the two
     * containers the JDK ships parsers for (`javax.sound.sampled`). Video
-    * remains the documented stub: the JDK has no video codec. */
+    * CONTAINER metadata is parsed natively from ISO-BMFF boxes
+    * ([[decodeVideoHeader]]); only frame decode remains a stub (the JDK
+    * has no video codec). */
   def sniffAudioFormat(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
@@ -284,5 +286,148 @@ object Multimodal {
       .putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
     buf.array()
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Video container sniff: an ISO-BMFF file (MP4/MOV/3GP) starts with a
+    * box whose type is `ftyp`; returns the major brand (e.g. "isom",
+    * "mp42", "qt  ") trimmed. Pure magic-byte check — no codec. */
+  def sniffVideoFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p')
+      Some(new String(bytes, 8, 4, "US-ASCII").trim)
+    else None
+
+  private def u32be(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) << 24 | (b(off + 1) & 0xffL) << 16 |
+      (b(off + 2) & 0xffL) << 8 | (b(off + 3) & 0xffL)
+
+  private def u64be(b: Array[Byte], off: Int): Long =
+    u32be(b, off) << 32 | u32be(b, off + 4)
+
+  /** Top-level walk of ISO-BMFF boxes in `[from, to)`: (type, payloadStart,
+    * payloadEnd). Handles 64-bit `largesize` (size==1) and to-end boxes
+    * (size==0); stops on malformed sizes rather than throwing — a dirty
+    * payload must not sink the partition. */
+  private def boxScan(b: Array[Byte], from: Int, to: Int): List[(String, Int, Int)] = {
+    var off = from
+    val out = List.newBuilder[(String, Int, Int)]
+    while (off + 8 <= to) {
+      val size0 = u32be(b, off)
+      val tpe = new String(b, off + 4, 4, "US-ASCII")
+      val (payload, end) =
+        if (size0 == 0L) (off + 8, to) // box extends to end of enclosing space
+        else if (size0 == 1L && off + 16 <= to) (off + 16, off + u64be(b, off + 8).toInt)
+        else (off + 8, off + size0.toInt)
+      if (end < payload || end > to) return out.result() // malformed: stop
+      out += ((tpe, payload, end))
+      off = end
+    }
+    out.result()
+  }
+
+  /** REAL video container metadata from ISO-BMFF structure: (brand,
+    * timescale, duration_ms, width, height, n_tracks) read from the
+    * `moov/mvhd` and `moov/trak/tkhd` boxes — plain binary box walking,
+    * no codec, no pixel decode. Dimensions are the max over the tracks'
+    * 16.16 fixed-point tkhd geometry (audio tracks carry 0×0).
+    * None for non-ISO-BMFF or truncated-before-moov payloads. */
+  def decodeVideoHeader(bytes: Array[Byte]): Option[(String, Long, Long, Int, Int, Int)] =
+    sniffVideoFormat(bytes).flatMap { brand =>
+      boxScan(bytes, 0, bytes.length).find(_._1 == "moov").flatMap {
+        case (_, moovStart, moovEnd) =>
+          val inMoov = boxScan(bytes, moovStart, moovEnd)
+          val mvhd = inMoov.find(_._1 == "mvhd").flatMap { case (_, p, e) =>
+            if (e - p < 20) None
+            else if (bytes(p) == 0 && e - p >= 20)
+              Some((u32be(bytes, p + 12), u32be(bytes, p + 16)))        // v0
+            else if (bytes(p) == 1 && e - p >= 32)
+              Some((u32be(bytes, p + 20), u64be(bytes, p + 24)))        // v1
+            else None
+          }
+          mvhd.map { case (timescale, duration) =>
+            val traks = inMoov.filter(_._1 == "trak")
+            val dims = traks.flatMap { case (_, p, e) =>
+              boxScan(bytes, p, e).find(_._1 == "tkhd").flatMap { case (_, tp, te) =>
+                val geomOff = if (bytes(tp) == 1) 88 else 76 // v1 widens times
+                if (te - tp >= geomOff + 8)
+                  Some(((u32be(bytes, tp + geomOff) >> 16).toInt,
+                    (u32be(bytes, tp + geomOff + 4) >> 16).toInt))
+                else None
+              }
+            }
+            val (w, h) = if (dims.isEmpty) (0, 0)
+              else (dims.map(_._1).max, dims.map(_._2).max)
+            val durMs = if (timescale > 0) duration * 1000L / timescale else -1L
+            (brand, timescale, durMs, w, h, traks.size)
+          }
+      }
+    }
+
+  final case class VideoMeta(doc_id: Long, byte_len: Int, container: String,
+                             timescale: Long, duration_ms: Long,
+                             width: Int, height: Int, n_tracks: Int)
+
+  private def decodeVideoRow(id: Long, bytes: Array[Byte]): VideoMeta =
+    decodeVideoHeader(bytes) match {
+      case Some((brand, ts, durMs, w, h, n)) =>
+        VideoMeta(id, bytes.length, brand, ts, durMs, w, h, n)
+      case None =>
+        // STUB: non-video / truncated payloads — explicit sentinels
+        VideoMeta(id, bytes.length, "stub/raw", -1L, -1L, -1, -1, -1)
+    }
+
+  /** Partition-wise REAL video container-metadata decode over
+    * (id, payload) rows — same shuffle-free shape as [[extractAudioMeta]]. */
+  def extractVideoMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[VideoMeta] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r: Row => decodeVideoRow(r.getLong(0), r.getAs[Array[Byte]](1)) }
+    }(Encoders.product[VideoMeta])
+
+  /** Deterministic minimal-MP4 synthesizer: `ftyp` (isom) + `moov`
+    * holding a v0 `mvhd` (timescale, duration) and `nTracks` traks whose
+    * v0 `tkhd` carries 16.16 fixed-point geometry — track 1 gets the
+    * video dimensions, further tracks are 0×0 (audio-style). Total size
+    * is exactly `140 + nTracks * 100` bytes, which the oracle recomputes
+    * arithmetically. */
+  def mp4Bytes(timescale: Int, durationUnits: Int, width: Int, height: Int,
+               nTracks: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(140 + nTracks * 100) // big-endian
+    // ftyp: major isom, minor 0x200, compatible isom + mp42
+    buf.putInt(24).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("isom".getBytes("US-ASCII")).put("mp42".getBytes("US-ASCII"))
+    // moov
+    buf.putInt(8 + 108 + nTracks * 100).put("moov".getBytes("US-ASCII"))
+    // mvhd v0
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
+      .putInt(timescale).putInt(durationUnits)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      .put(new Array[Byte](10)) // reserved
+    identityMatrix(buf)
+    buf.put(new Array[Byte](24)).putInt(nTracks + 1) // predefined, next track
+    (1 to nTracks).foreach { i =>
+      val (w, hh) = if (i == 1) (width, height) else (0, 0)
+      buf.putInt(100).put("trak".getBytes("US-ASCII"))
+      buf.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
+        .putInt(i).putInt(0).putInt(durationUnits) // track id, reserved, duration
+        .put(new Array[Byte](8)) // reserved
+        .putShort(0).putShort(0) // layer, alternate group
+        .putShort(if (i == 1) 0 else 0x0100.toShort) // volume: video 0, audio 1.0
+        .putShort(0) // reserved
+      identityMatrix(buf)
+      buf.putInt(w << 16).putInt(hh << 16) // 16.16 fixed
+    }
+    buf.array()
+  }
+
+  private def identityMatrix(buf: java.nio.ByteBuffer): Unit = {
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    ()
   }
 }

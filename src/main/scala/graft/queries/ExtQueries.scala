@@ -216,6 +216,27 @@ object ExtQueries {
         })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         .toDF("doc_id", "payload")
       Multimodal.extractAudioMeta(payloads, "doc_id", "payload").toDF()
+    }),
+
+    // REAL video container-metadata decode (native ISO-BMFF box walking):
+    // minimal MP4s are synthesized per row from doc_id arithmetic, then
+    // parsed back through the actual box/mvhd/tkhd reader — the oracle
+    // recomputes every field (including the exact byte length and the
+    // integer-division duration) independently
+    "m7_video_meta" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val payloads = t(s, d, "documents").select(col("doc_id"))
+        .map(r => r.getLong(0))(Encoders.scalaLong)
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.mp4Bytes(
+            timescale = Seq(600, 1000, 90000)((id % 3).toInt),
+            durationUnits = 1000 + (id % 9000).toInt,
+            width = 320 + (id % 8).toInt * 80,
+            height = 240 + (id % 5).toInt * 48,
+            nTracks = 1 + (id % 3).toInt))
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "payload")
+      Multimodal.extractVideoMeta(payloads, "doc_id", "payload").toDF()
     })
   )
 
@@ -420,6 +441,22 @@ object ExtQueries {
         |  CAST(44 + n_frames * channels * 2 AS INT) AS byte_len,
         |  'wav' AS container, sample_rate, channels, CAST(16 AS INT) AS bits,
         |  n_frames, CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "m7_video_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST([600, 1000, 90000][CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS timescale,
+        |    CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_units,
+        |    CAST(320 + (doc_id % 8) * 80 AS INT) AS width,
+        |    CAST(240 + (doc_id % 5) * 48 AS INT) AS height,
+        |    CAST(1 + doc_id % 3 AS INT) AS n_tracks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(140 + n_tracks * 100 AS INT) AS byte_len,
+        |  'isom' AS container, timescale,
+        |  CAST(duration_units * 1000 // timescale AS BIGINT) AS duration_ms,
+        |  width, height, n_tracks
         |FROM p ORDER BY doc_id""".stripMargin
   )
 }

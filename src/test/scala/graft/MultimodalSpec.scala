@@ -121,6 +121,34 @@ class MultimodalSpec extends SparkSpecBase {
       Some(("aiff", 8000, 1, 16, 320L, 40L)))
   }
 
+  test("MP4 synth round-trips through the ISO-BMFF box parser") {
+    val bytes = Multimodal.mp4Bytes(timescale = 90000, durationUnits = 450000,
+      width = 1920, height = 1080, nTracks = 2)
+    assert(bytes.length == 140 + 2 * 100)
+    assert(Multimodal.sniffVideoFormat(bytes) == Some("isom"))
+    assert(Multimodal.decodeVideoHeader(bytes) ==
+      Some(("isom", 90000L, 5000L, 1920, 1080, 2)),
+      "brand, timescale, duration_ms, max track geometry, track count")
+  }
+
+  test("64-bit largesize and to-end boxes parse; truncated/non-video stub out") {
+    // rewrite the moov box header to the size==1 + largesize form
+    val base = Multimodal.mp4Bytes(600, 1200, 640, 480, 1)
+    val moovSize = 8 + 108 + 100
+    val grown = new java.io.ByteArrayOutputStream()
+    grown.write(base, 0, 24) // ftyp unchanged
+    val hdr = java.nio.ByteBuffer.allocate(16)
+    hdr.putInt(1).put("moov".getBytes("US-ASCII")).putLong(moovSize + 8L)
+    grown.write(hdr.array())
+    grown.write(base, 32, base.length - 32) // moov children unchanged
+    assert(Multimodal.decodeVideoHeader(grown.toByteArray) ==
+      Some(("isom", 600L, 2000L, 640, 480, 1)),
+      "largesize moov must parse identically")
+    // truncation mid-moov: no fabricated metadata
+    assert(Multimodal.decodeVideoHeader(base.take(60)) == None)
+    assert(Multimodal.decodeVideoHeader("plain text".getBytes("UTF-8")) == None)
+  }
+
   test("truncated / non-audio payloads fall back to the sentinel audio stub") {
     import spark.implicits._
     val wav = Multimodal.wavBytes(8000, 1, 100)
