@@ -738,9 +738,10 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     }),
 
-    // q11: parts whose EUROPE-supplied value exceeds a fraction of the
-    // total — the scalar-subquery HAVING, threshold compared as one IEEE
-    // double expression on both engines
+    // q11: parts whose EUROPE-supplied value exceeds 1.5x the AVERAGE
+    // part value — the scalar-subquery HAVING with a SCALE-FREE threshold
+    // (an absolute fraction empties out as the part count grows), compared
+    // as one IEEE double expression on both engines
     "q11_important_parts" -> ((s, d) => {
       val su = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
       val n = t(s, d, "nation").select("n_nationkey", "n_regionkey")
@@ -752,11 +753,13 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("l_partkey"),
           (dec2(col("l_extendedprice")) * dec2(col("l_quantity"))).as("val"))
-      val total = eur.agg(sum(col("val")).cast(DecimalType(38, 2)).cast("double").as("tot"))
+      val total = eur.agg(
+        sum(col("val")).cast(DecimalType(38, 2)).cast("double").as("tot"),
+        countDistinct(col("l_partkey")).as("nparts"))
       eur.groupBy("l_partkey")
         .agg(sum(col("val")).cast(DecimalType(38, 2)).as("part_value"))
         .crossJoin(broadcast(total))
-        .filter(col("part_value").cast("double") > col("tot") * 0.001)
+        .filter(col("part_value").cast("double") > col("tot") / col("nparts") * 1.5)
         .select(col("l_partkey"), col("part_value"))
     }),
 
@@ -1369,10 +1372,12 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
-        |tot AS (SELECT CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) AS tot FROM eur)
+        |tot AS (SELECT CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) AS tot,
+        |               COUNT(DISTINCT l_partkey) AS nparts FROM eur)
         |SELECT l_partkey, CAST(SUM(val) AS DECIMAL(38,2)) AS part_value
         |FROM eur GROUP BY l_partkey
-        |HAVING CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) > (SELECT tot FROM tot) * 0.001""".stripMargin,
+        |HAVING CAST(CAST(SUM(val) AS DECIMAL(38,2)) AS DOUBLE) >
+        |  (SELECT tot FROM tot) / (SELECT nparts FROM tot) * 1.5""".stripMargin,
 
     "q12_priority_shipping" ->
       """SELECT l_linestatus,
