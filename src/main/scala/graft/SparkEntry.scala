@@ -808,6 +808,52 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // q16: supplier variety per part attribute triple, excluding flagged
+    // suppliers — NOT IN as an anti join over the supply relation, then a
+    // distinct-count aggregation
+    "q16_part_supplier_variety" -> ((s, d) => {
+      val supply = t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val p = t(s, d, "part").filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val flagged = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_suppkey"))
+      supply
+        .join(broadcast(flagged), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // q20: suppliers in one region that shipped a dominant share (>30%) of
+    // some target-type part's yearly volume — the nested-IN chain
+    // decorrelated to per-pair and per-part aggregates joined on the part
+    "q20_dominant_suppliers" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), dec2(col("l_quantity")).as("qty"))
+      val perPair = li.groupBy(col("l_partkey").as("pk"), col("l_suppkey"))
+        .agg(sum(col("qty")).cast(DecimalType(38, 2)).as("pair_qty"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).cast(DecimalType(38, 2)).as("part_qty"))
+      val dominant = perPair
+        .join(perPart, col("pk") === col("l_partkey"))
+        .filter(col("pair_qty").cast("double") > col("part_qty").cast("double") * 0.3)
+        .select(col("l_suppkey")).distinct()
+      val n = t(s, d, "nation").select("n_nationkey", "n_regionkey")
+      val r = t(s, d, "region").filter(col("r_name") === "AMERICA").select("r_regionkey")
+      t(s, d, "supplier")
+        .join(dominant, col("s_suppkey") === dominant("l_suppkey"), "left_semi")
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    }),
+
     // q19: three OR'd brand/size/quantity conjunction groups as a single
     // disjunctive JOIN predicate (plus the equi-key, so it stays a hash
     // join with a residual filter, never a cartesian)
@@ -1409,6 +1455,35 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM rev JOIN supplier ON supplier_no = s_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_part_supplier_variety" ->
+      """WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM supply JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |pair AS (SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS DECIMAL(38,2)) AS pair_qty
+        |         FROM li GROUP BY 1, 2),
+        |whole AS (SELECT l_partkey, CAST(SUM(qty) AS DECIMAL(38,2)) AS part_qty
+        |          FROM li GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |WHERE s_suppkey IN (
+        |  SELECT DISTINCT pair.l_suppkey
+        |  FROM pair JOIN whole ON pair.l_partkey = whole.l_partkey
+        |  WHERE CAST(pair_qty AS DOUBLE) > CAST(part_qty AS DOUBLE) * 0.3)
         |ORDER BY s_suppkey""".stripMargin,
 
     "q19_disjunctive_revenue" ->
