@@ -343,6 +343,26 @@ object SparkEntry {
       graft.streaming.Streams.slidingCountsBatch(Tables.events(s, d),
         "1 hour", "15 minutes")),
 
+    // stream-stream interval join, batch shape: each purchase matched to
+    // the same user's clicks in the preceding hour. The streaming twin
+    // ([[graft.streaming.Streams.joinStreams]], StreamingSpec) runs the
+    // SAME join with watermarks on both sides so state expires — this
+    // gate pins the join semantics the stream must converge to
+    "st4_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("r_event_id"), col("user_id").as("r_user_id"),
+          col("ts").as("r_ts"))
+      purchases.join(clicks,
+          col("user_id") === col("r_user_id") &&
+            col("r_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+            col("r_ts") <= col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("r_event_id"), col("r_ts"))
+    }),
+
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
     "a9_approx_distinct" -> ((s, d) =>
@@ -1567,6 +1587,20 @@ object SparkEntry {
         |  FROM events e CROSS JOIN k)
         |SELECT window_start, event_type, COUNT(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "st4_interval_join" ->
+      """WITH decoded AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CASE WHEN epoch_ns(ts) > 1000000000000 THEN make_timestamp(epoch_ns(ts)//1000)
+        |         ELSE make_timestamp(epoch_ns(ts)*1000000) END AS ts
+        |  FROM events)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS r_event_id, c.ts AS r_ts
+        |FROM decoded p JOIN decoded c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY p.event_id, r_event_id""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

@@ -91,11 +91,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
             val staging = s"${name}__staging"
             write(staging, staged, partitionBy = partitionBy)
             staged.unpersist()
-            write(name, read(staging), partitionBy = partitionBy)
+            write(name, castTo(read(staging), merged.schema), partitionBy = partitionBy)
             delete(staging) // scratch space, not a table: must not linger
             n
         }
     }
+
+  /** Undo partition-column type inference on a staging re-read: directory
+    * names carry no types, so a re-read can drift a partition column (an
+    * all-null partition even comes back VOID, which cannot be written) —
+    * cast every column back to the schema the merge computed. */
+  private def castTo(df: DataFrame,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
   /** Delta `UPDATE SET * / INSERT *` requires source columns ≡ target
     * columns: project incoming onto the target schema (null-fill missing,
@@ -132,8 +141,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
                           versionCols: Seq[Column], partitionBy: Seq[String],
                           parts: Seq[org.apache.spark.sql.Row]): Long = {
     import org.apache.spark.sql.functions.{col, lit}
+    // null-safe equality: a NULL partition value (the default-partition
+    // directory) must select the target's matching rows too, or dynamic
+    // overwrite would replace that directory with only the incoming rows
     val prunePred = parts.map { r =>
-      partitionBy.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+      partitionBy.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
     }.reduce(_ || _)
     val restricted = read(name).filter(prunePred)
@@ -148,7 +160,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     try {
       // one output file per touched directory (repartition by the partition
       // cols); compaction owns long-term file counts
-      read(staging).repartition(partitionBy.map(col): _*)
+      castTo(read(staging), merged.schema).repartition(partitionBy.map(col): _*)
         .write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
         .format(format.name).save(path(name))
     } finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(

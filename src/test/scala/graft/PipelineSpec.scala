@@ -299,6 +299,24 @@ class PipelineSpec extends SparkSpecBase {
     assert(dirState(2021) == before2021, "empty batch must touch nothing")
   }
 
+  test("pruned merge with NULL partition values keeps the default partition's rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullpart").toString
+    val wh = Warehouse(spark, root)
+    wh.write("f", Seq((1, Some(2020), "a", 1), (2, None, "b", 1), (3, None, "c", 1))
+      .toDF("id", "y", "v", "ver"), partitionBy = Seq("y"))
+    // incoming touches ONLY the null partition: updates id=2, inserts id=5
+    val incoming = Seq((2, None: Option[Int], "B", 2), (5, None: Option[Int], "e", 1))
+      .toDF("id", "y", "v", "ver")
+    val n = wh.mergeUpsert("f", incoming, Seq("id"), Seq(col("ver").desc),
+      partitionBy = Seq("y"))
+    assert(n == 4)
+    val got = wh.read("f").select("id", "v", "ver").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1, "a", 1), (2, "B", 2), (3, "c", 1), (5, "e", 1)),
+      "row 3 lives in the null partition and must survive the pruned rewrite")
+  }
+
   test("a hung warehouse copy times out, fires the hook, and the rest complete") {
     import scala.concurrent.duration._
     import graft.meta.ControlTables.LogEntry
