@@ -204,7 +204,26 @@ final case class Warehouse(spark: SparkSession, root: String) {
       read(name).count()
     case TableFormat.Parquet =>
       val staged = read(name).localCheckpoint(true) // cut lineage off old files
-      write(name, staged)
+      // preserve the physical partition layout: compacting a year-
+      // partitioned fact into a flat directory would destroy partition
+      // pruning for every later merge and date-range scan
+      write(name, staged, partitionBy = partitionColsOf(name))
+  }
+
+  /** Partition columns of an existing table, discovered from its Hive-style
+    * directory layout (`col=value` nesting) — the physical partitioning a
+    * plain `read` → `write` round-trip would otherwise flatten. */
+  def partitionColsOf(name: String): Seq[String] = {
+    @annotation.tailrec
+    def walk(dir: java.io.File, acc: List[String]): List[String] = {
+      val sub = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      sub.headOption match {
+        case Some(d) => walk(d, d.getName.takeWhile(_ != '=') :: acc)
+        case None => acc
+      }
+    }
+    walk(new java.io.File(path(name)), Nil).reverse
   }
   def exists(name: String): Boolean = new java.io.File(path(name)).exists()
   /** S5 — catalog listing by layer prefix; metadata tables and merge
@@ -412,7 +431,11 @@ class Pipeline(wh: Warehouse, source: TableSource, executionId: String,
                       timeout: scala.concurrent.duration.Duration =
                         scala.concurrent.duration.Duration(1, java.util.concurrent.TimeUnit.HOURS),
                       copyFn: (String, String) => Long = (t, target) =>
-                        wh.write(target, wh.read(t))): Map[String, Long] = {
+                        // copies keep the source's partition layout — a
+                        // flat copy of a year-partitioned fact would lose
+                        // pruning on the warehouse side
+                        wh.write(target, wh.read(t),
+                          partitionBy = wh.partitionColsOf(t))): Map[String, Long] = {
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -299,6 +299,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(dirState(2021) == before2021, "empty batch must touch nothing")
   }
 
+  test("compaction and warehouse copies preserve the partition layout") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_partkeep").toString
+    val wh = Warehouse(spark, root)
+    wh.write("gold_f", Seq((1, 2020, "a"), (2, 2021, "b"), (3, 2021, "c"))
+      .toDF("id", "y", "v"), partitionBy = Seq("y"))
+    assert(wh.partitionColsOf("gold_f") == Seq("y"))
+    val before = wh.read("gold_f").orderBy("id").collect().toSeq
+    wh.compact("gold_f")
+    assert(new java.io.File(s"$root/gold_f/y=2020").isDirectory,
+      "compaction must keep the year directories")
+    assert(wh.read("gold_f").orderBy("id").collect().toSeq == before)
+    val p = new Pipeline(wh, src, "exec-pk", fixedClock)
+    p.copyToWarehouse()
+    assert(new java.io.File(s"$root/dw_gold_f/y=2021").isDirectory,
+      "warehouse copies must keep the year directories")
+    assert(wh.read("dw_gold_f").orderBy("id").collect().toSeq == before)
+  }
+
   test("pruned merge with NULL partition values keeps the default partition's rows") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_nullpart").toString
