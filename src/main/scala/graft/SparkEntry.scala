@@ -424,6 +424,14 @@ object SparkEntry {
           Map("F" -> Seq("0"), "O" -> Seq("0", "1", "2", "3"), "P" -> (0 to 15).map(_.toHexString)))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")),
 
+    // training-mix construction: recipe-weighted sources via the same
+    // deterministic md5 gate at 1/65536 granularity — src0 kept whole,
+    // src1 half, src2 a quarter, src3 at 1%, the rest dropped
+    "p15_weighted_mix" -> ((s, d) =>
+      Sampling.weightedMix(t(s, d, "documents"), col("doc_id"), col("source"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.01))
+        .select("doc_id", "source")),
+
     // ---- exact percentiles / pivot / ranking breadth ----
     "a11_percentiles" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
@@ -1645,6 +1653,14 @@ object SparkEntry {
         |   OR (o_orderstatus = 'O' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3'))
         |   OR (o_orderstatus = 'P')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "p15_weighted_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (source = 'src0')
+        |   OR (source = 'src1' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |   OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+        |   OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f')
+        |ORDER BY doc_id""".stripMargin,
 
     "a11_percentiles" ->
       """SELECT o_orderstatus,

@@ -283,4 +283,24 @@ object TextDedup {
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Benchmark-contamination screen: corpus documents sharing at least one
+    * word k-shingle with ANY benchmark document — the pre-training hygiene
+    * check that keeps eval sets out of the training mix. The benchmark's
+    * distinct shingle set is BROADCAST (benchmarks are thousands of
+    * documents; the corpus is the 100 TB side), so the screen is one
+    * broadcast semi join on 64-bit shingle hashes over the corpus postings:
+    * no corpus shuffle, composes with the shared [[shingleFrame]] index. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                      textCol: String, k: Int = 3): DataFrame = {
+    val posts = shingleFrame(corpus, idCol, textCol, k)
+      .select(col(idCol), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val benchShingles = benchmark
+      .select(tokens(col(textCol)).as("toks"))
+      .select(explode_outer(hashedShingles(col("toks"), k)).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    posts.join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

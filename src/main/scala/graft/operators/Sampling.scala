@@ -33,4 +33,26 @@ object Sampling {
     }.reduce(_ || _)
     df.filter(keep)
   }
+
+  /** Training-mix construction: keep each stratum at its target WEIGHT
+    * (0.0–1.0 fraction, 1/65536 granularity) with the same deterministic
+    * hash gate — the operation that turns N crawled sources into a
+    * recipe-weighted training corpus. The gate compares the first 4 hex
+    * chars of md5(key) against a per-stratum threshold string (fixed-width
+    * lowercase hex compares lexicographically = numerically in every
+    * engine), so the mix is reproducible, engine-portable, a pure
+    * pushdown-able filter, and correlated across tables sharing the key.
+    * Strata missing from `weights` are dropped. */
+  def weightedMix(df: DataFrame, key: Column, stratum: Column,
+                  weights: Map[String, Double]): DataFrame = {
+    val keep = weights.toSeq.sortBy(_._1).map { case (sv, w) =>
+      val units = math.round(w * 65536.0)
+      val gate =
+        if (units >= 65536L) lit(true)
+        else if (units <= 0L) lit(false)
+        else substring(md5(key.cast("string")), 1, 4) < lit(f"$units%04x")
+      stratum === lit(sv) && gate
+    }.reduce(_ || _)
+    df.filter(keep)
+  }
 }

@@ -71,6 +71,18 @@ object ExtQueries {
         TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 3, threshold = 0.5))),
 
+    // benchmark-contamination screen: corpus docs (id >= 25) sharing any
+    // 3-shingle with the "benchmark" (id < 25) — broadcast semi join on
+    // hashed shingles; the oracle joins on the string shingles, so the
+    // hash indirection is itself under test
+    "d7_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.contaminatedIds(
+          docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id")
+    }),
+
     // edit-distance verification over the exact near-dup pairs (built-in
     // levenshtein — the classic DP, identical across engines)
     "d6_edit_distance_pairs" -> ((s, d) => {
@@ -297,6 +309,16 @@ object ExtQueries {
         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d7_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 25),
+        |corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 25)
+        |SELECT DISTINCT doc_id FROM corpus JOIN bench USING (g)
+        |ORDER BY doc_id""".stripMargin,
 
     "d5_dup_clusters" ->
       """WITH RECURSIVE sh AS (

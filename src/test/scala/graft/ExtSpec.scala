@@ -12,6 +12,22 @@ class ExtSpec extends SparkSpecBase {
   private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
   private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
 
+  test("contamination screen flags shared shingles and clears disjoint vocabulary") {
+    import spark.implicits._
+    import graft.ext.TextDedup
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix words then the quick brown fox appears here"), // shares a 3-shingle
+      (11L, "entirely disjoint vocabulary with zero overlap tokens"),
+      (12L, "quick brown unrelated")) // bigrams overlap, no full 3-shingle
+      .toDF("doc_id", "text")
+    val flagged = TextDedup.contaminatedIds(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L),
+      s"only the doc sharing a full 3-shingle is contaminated, got $flagged")
+  }
+
   test("minhash LSH pairs == exact-jaccard pairs at threshold (full recall on planted dups)") {
     val lsh = TextDedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

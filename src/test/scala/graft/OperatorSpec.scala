@@ -197,6 +197,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(!byStatus.contains("P"), "unmapped strata are dropped")
   }
 
+  test("weighted mix hits each stratum's target rate and stays deterministic") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+    val weights = Map("F" -> 1.0, "O" -> 0.5, "P" -> 0.0)
+    val got = Sampling.weightedMix(orders, col("o_orderkey"), col("o_orderstatus"), weights)
+    val byStatus = got.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus("F") == full("F"), "weight 1.0 keeps the whole stratum")
+    assert(!byStatus.contains("P"), "weight 0.0 drops the stratum")
+    val rate = byStatus("O").toDouble / full("O")
+    assert(rate > 0.42 && rate < 0.58, s"weight 0.5 keeps about half, got $rate")
+    // determinism: an identical second evaluation selects identical keys
+    val again = Sampling.weightedMix(orders, col("o_orderkey"), col("o_orderstatus"), weights)
+    assert(got.select("o_orderkey").except(again.select("o_orderkey")).isEmpty)
+  }
+
   test("approx percentile lands within sketch tolerance of the exact percentile") {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.load(spark, sfDir, "orders")
