@@ -133,6 +133,35 @@ object ExtQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"))
     }),
 
+    // Gopher-style repetition signals per document: most-frequent-token
+    // fraction and most-frequent-bigram fraction — the filters that drop
+    // boilerplate/looping text from a training mix. Two doc_id-keyed
+    // aggregations over exploded tokens/bigrams (explode_outer + null
+    // filter, per the computed-array explode rule)
+    "t11_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      val toks = docs.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+        .filter(col("tok").isNotNull)
+      val tokStats = toks.groupBy("doc_id", "tok").count()
+        .groupBy("doc_id").agg(
+          sum("count").as("n_tokens"),
+          (max("count").cast("double") / sum("count").cast("double"))
+            .as("top_token_frac"))
+      val bigrams = docs.select(col("doc_id"),
+          explode_outer(when(size(col("toks")) >= 2,
+            transform(sequence(lit(0), size(col("toks")) - 2),
+              i => concat_ws(" ", element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2))))
+            .otherwise(array())).as("bg"))
+        .filter(col("bg").isNotNull)
+      val bgStats = bigrams.groupBy("doc_id", "bg").count()
+        .groupBy("doc_id").agg(
+          (max("count").cast("double") / sum("count").cast("double"))
+            .as("top_bigram_frac"))
+      tokStats.join(bgStats, "doc_id")
+    }),
+
     // corpus-level frequent terms: the exact top-k (vocabulary head) every
     // corpus-stats pass needs; one shuffle + a tiny top-k
     "t7_frequent_terms" -> ((s, d) =>
@@ -386,6 +415,25 @@ object ExtQueries {
         |SELECT doc_id, n_tokens,
         |  CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t11_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac
+        |       FROM tc GROUP BY 1),
+        |bg0 AS (
+        |  SELECT doc_id, [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] AS bgs
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents)),
+        |bgc AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgc GROUP BY 1, 2),
+        |bs AS (SELECT doc_id,
+        |         CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+        |       FROM bc GROUP BY 1)
+        |SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac
+        |FROM ts JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t7_frequent_terms" ->
       """SELECT term, n FROM (
