@@ -210,6 +210,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
       write(name, staged, partitionBy = partitionColsOf(name))
   }
 
+  /** Data-layout clustering for scan pruning — the parquet-mode answer to
+    * Delta's `OPTIMIZE ... ZORDER BY`: rewrite the table range-partitioned
+    * AND sorted by `cols`, so each output file covers a narrow value range
+    * and the parquet min/max footer stats let the reader skip whole files /
+    * row groups for range predicates (the dominant access pattern on a
+    * 100 TB time-series fact). Single-key range clustering — compose with
+    * `partitionBy` directories for coarse pruning above it. Preserves the
+    * existing partition layout. */
+  def clusterBy(name: String, cols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val parts = partitionColsOf(name)
+    val staged = read(name).localCheckpoint(true) // cut lineage off old files
+    val n = staged.count()
+    val nFiles = (if (n > 1000000L) math.min(math.max(n / 150000L, 4L), 200L)
+                  else math.max(n / 50000L, 1L)).toInt
+    val clustered = staged
+      .repartitionByRange(math.max(nFiles, 4), cols.map(c): _*)
+      .sortWithinPartitions(cols.map(c): _*)
+    val writer = clustered.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .format(format.name).save(path(name))
+    n
+  }
+
   /** Partition columns of an existing table, discovered from its Hive-style
     * directory layout (`col=value` nesting) — the physical partitioning a
     * plain `read` → `write` round-trip would otherwise flatten. */

@@ -299,6 +299,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(dirState(2021) == before2021, "empty batch must touch nothing")
   }
 
+  test("clusterBy yields near-disjoint per-file ranges so footer stats can skip files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val wh = Warehouse(spark, root)
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    // hash-shuffled baseline written directly (the volume policy would
+    // collapse 6k rows to one file): every file spans ~the whole range
+    li.repartition(6).write.parquet(s"$root/t")
+    def ranges(): Seq[(Long, Long)] = {
+      val files = new java.io.File(s"$root/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(unix_date(col("l_shipdate").cast("date"))).cast("long"),
+            max(unix_date(col("l_shipdate").cast("date"))).cast("long"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    def overlaps(rs: Seq[(Long, Long)]): Int =
+      rs.combinations(2).count { case Seq((a1, a2), (b1, b2)) => a1 <= b2 && b1 <= a2 }
+    val before = ranges()
+    assert(before.size > 1 && overlaps(before) == before.combinations(2).size,
+      "hash layout: every file pair overlaps")
+    val total = wh.read("t").count()
+    assert(wh.clusterBy("t", Seq("l_shipdate")) == total)
+    assert(wh.read("t").count() == total, "clustering must not change the rows")
+    val after = ranges()
+    assert(after.size > 1)
+    // range-partitioned + sorted: only boundary-touching neighbors may
+    // overlap, so the overlap count collapses from all-pairs to at most
+    // the number of adjacent pairs
+    assert(overlaps(after) <= after.size - 1,
+      s"clustered files must be near-disjoint, got ${overlaps(after)} of ${after.combinations(2).size} pairs")
+  }
+
   test("compaction and warehouse copies preserve the partition layout") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_partkeep").toString
