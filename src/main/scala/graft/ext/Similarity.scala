@@ -164,6 +164,80 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
+  /** Product-quantization ANN (SIFT-style PQ with asymmetric distance and
+    * exact re-rank): each vector splits into `m` subvectors; per subspace a
+    * small k-means codebook (`ksub` centroids, MLlib, fixed seed) encodes
+    * the corpus as `m` small ints — at 100 TB this is THE memory lever
+    * (d×8 bytes/vector → m codes; dim=64, m=8, ksub=16 is 128:1 on the
+    * scored representation). Scoring never touches corpus vectors:
+    * approx cosine = Σ_j q_subⱼ·codebook[j][codeⱼ] over the code-
+    * reconstructed norm, all as broadcast-literal expressions; the top
+    * `rerank` candidates per query re-rank EXACTLY against true vectors
+    * (standard PQ practice — recall bounded in ExtSpec vs brute force).
+    * One 1-row driver probe reads the dimension; everything else is
+    * expression-only over the cached corpus/code frames. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 5, m: Int = 8, ksub: Int = 16,
+             rerank: Int = 32, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpusFrame(corpus, idCol, vecCol)
+    val dim = c0.select(size(col("n_vec"))).head().getInt(0) // metadata probe
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val sub = c0.select(
+        array_to_vector(slice(col("n_vec"), j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setInitMode("random")
+        .setMaxIter(4).fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    val normTab: Array[Array[Double]] = codebooks.map(_.map(cb => cb.map(x => x * x).sum))
+
+    // encode: codeⱼ = argmin over the subspace codebook (expression-only)
+    def codeFor(vec: Column, j: Int): Column = {
+      val sub = slice(vec, j * dsub + 1, dsub)
+      val ranked = array_sort(array(codebooks(j).zipWithIndex.map { case (cb, ci) =>
+        val d = aggregate(zip_with(sub, typedlit(cb.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d.as("d"), lit(ci).as("code"))
+      }: _*))
+      element_at(transform(ranked, s => s.getField("code")), 1)
+    }
+    // the compressed index: (n_id, m codes) — this is ALL the scoring reads
+    val codes = graft.util.Caches.cached(c0.select(col("n_id"),
+      array((0 until m).map(j => codeFor(col("n_vec"), j)): _*).as("codes")))
+
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    def adcTerm(j: Int): Column = {
+      val qsub = slice(col("q_vec"), j * dsub + 1, dsub)
+      val chosen = element_at(typedlit(codebooks(j).map(_.toSeq).toSeq),
+        element_at(col("codes"), j + 1) + 1)
+      aggregate(zip_with(qsub, chosen, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    }
+    def normTerm(j: Int): Column =
+      element_at(typedlit(normTab(j).toSeq), element_at(col("codes"), j + 1) + 1)
+
+    val approx = codes.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("approx_sim",
+        (0 until m).map(adcTerm).reduce(_ + _) /
+          (col("q_norm") * sqrt((0 until m).map(normTerm).reduce(_ + _))))
+    val wA = Window.partitionBy("q_id").orderBy(col("approx_sim").desc, col("n_id").asc)
+    val cands = approx.withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= rerank).select("q_id", "n_id")
+
+    // exact re-rank of the shortlisted candidates against true vectors
+    val exact = cands.join(c0, Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos_sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos_sim")
+  }
+
   /** Embedding near-dup pairs (id_a < id_b, cosine >= threshold) — the
     * DEFAULT path: an EXACT distributed block-nested-loop ("chunked
     * all-pairs") join. Vectors hash into `chunks` blocks; the tiny

@@ -179,6 +179,17 @@ object ExtQueries {
         .select("q_id", "n_id", "rnk")
     }),
 
+    // product-quantization ANN — per-subspace k-means codebooks encode the
+    // corpus as m small ints (the 100 TB memory lever), asymmetric-distance
+    // scoring + exact re-rank; codebook-dependent, rows-only (ExtSpec
+    // bounds recall vs brute force)
+    "e5_knn_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5)
+        .select("q_id", "n_id", "rnk")
+    }),
+
     // LSH-bucketed ANN — seeded-hyperplane dependent, rows-only
     "e2_knn_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

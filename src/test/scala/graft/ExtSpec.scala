@@ -151,6 +151,18 @@ class ExtSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"IVF recall $recall too low for nprobe=3/8 cells")
   }
 
+  test("PQ ANN with exact re-rank reaches high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, rerank = 32)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5,
+      s"PQ recall $recall too low for m=8 ksub=16 rerank=32 (re-rank should lift it)")
+  }
+
   test("session extensions install every native expression without throwing") {
     new graft.functions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
