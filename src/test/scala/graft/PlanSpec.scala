@@ -97,4 +97,28 @@ class PlanSpec extends SparkSpecBase {
     val read = scans.head.requiredSchema.fieldNames.toSet
     assert(read == Set("c_custkey", "c_name", "c_mktsegment"), s"over-read: $read")
   }
+
+  test("q19's disjunctive predicate stays a hash join with residual, never a cartesian") {
+    val p = planOf(q("q19_disjunctive_revenue"))
+    val nlj = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"disjunctive groups must ride the p_partkey equi-key:\n$p")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty)
+  }
+
+  test("q21's EXISTS/NOT EXISTS decorrelate to equi-key semi and anti joins") {
+    val p = planOf(q("q21_waiting_suppliers"))
+    val joins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+    }
+    assert(joins.exists(_.contains("LeftSemi")), s"EXISTS must plan as a semi join: $joins")
+    assert(joins.exists(_.contains("LeftAnti")), s"NOT EXISTS must plan as an anti join: $joins")
+    val nlj = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"the inequality must stay a residual on the orderkey key:\n$p")
+  }
 }
