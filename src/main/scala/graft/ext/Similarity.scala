@@ -186,12 +186,21 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
 
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
-      val sub = c0.select(
-        array_to_vector(slice(col("n_vec"), j * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j).setInitMode("random")
-        .setMaxIter(4).fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
+    // the m subspace fits are independent — submit them CONCURRENTLY so
+    // Spark schedules the tiny k-means jobs across the executor pool
+    // instead of paying m sequential job latencies
+    val codebooks: Array[Array[Array[Double]]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fits = (0 until m).map { j => Future {
+        val sub = c0.select(
+          array_to_vector(slice(col("n_vec"), j * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setInitMode("random")
+          .setMaxIter(4).fit(sub).clusterCenters.map(_.toArray)
+      } }
+      Await.result(Future.sequence(fits), Duration(10, "min")).toArray
+    }
     val normTab: Array[Array[Double]] = codebooks.map(_.map(cb => cb.map(x => x * x).sum))
 
     // encode: codeⱼ = argmin over the subspace codebook (expression-only)
