@@ -263,6 +263,71 @@ object Multimodal {
       rows.map { r: Row => decodeAudioRow(r.getLong(0), r.getAs[Array[Byte]](1)) }
     }(Encoders.product[AudioMeta])
 
+  /** REAL audio FEATURE extraction: decode the PCM sample stream through
+    * `javax.sound.sampled.AudioInputStream` (the actual JDK decoder, not
+    * header math) and fold peak amplitude + sum of absolute amplitudes —
+    * the audio twin of the image mean-luminance path. Handles both WAV
+    * (little-endian) and AIFF (big-endian) 16-bit PCM; the abs-sum stays
+    * in exact Long so the derived mean is ONE IEEE division on every
+    * engine. None for non-audio / non-16-bit / truncated payloads. */
+  def decodeAudioFeatures(bytes: Array[Byte]): Option[(Long, Int, Long)] =
+    sniffAudioFormat(bytes).flatMap { _ =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val af = ais.getFormat
+        if (af.getSampleSizeInBits != 16) None
+        else {
+          val big = af.isBigEndian
+          val data = ais.readAllBytes()
+          var i = 0; var n = 0L; var peak = 0; var sumAbs = 0L
+          while (i + 1 < data.length) {
+            val s =
+              if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            val a = math.abs(s.toInt)
+            if (a > peak) peak = a
+            sumAbs += a; n += 1; i += 2
+          }
+          Some((n, peak, sumAbs))
+        }
+      } catch { case _: Exception => None }
+    }
+
+  final case class AudioFeature(doc_id: Long, n_samples: Long, peak: Int,
+                                mean_abs: Double)
+
+  /** Partition-wise REAL PCM feature decode over (id, payload) rows. Rows
+    * whose payload cannot be decoded are dropped (the metadata path
+    * [[extractAudioMeta]] is the one that surfaces stubs). */
+  def extractAudioFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioFeature] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.flatMap { r: Row =>
+        decodeAudioFeatures(r.getAs[Array[Byte]](1)).map { case (n, peak, sumAbs) =>
+          AudioFeature(r.getLong(0), n, peak,
+            if (n > 0) sumAbs.toDouble / n else 0.0)
+        }
+      }
+    }(Encoders.product[AudioFeature])
+
+  /** 16-bit PCM WAV from explicit samples (canonical 44-byte RIFF header)
+    * — the generator for the audio FEATURE gate, whose oracle recomputes
+    * peak/mean arithmetically from the same deterministic waveform. */
+  def wavBytesPcm(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
   /** Deterministic 16-bit PCM WAV synthesizer (canonical 44-byte RIFF
     * header + silence frames) — the fixture generator for the audio gate:
     * the fixtures carry no real media, so payloads are synthesized from

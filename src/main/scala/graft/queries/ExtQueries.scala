@@ -270,6 +270,25 @@ object ExtQueries {
       Multimodal.extractAudioMeta(payloads, "doc_id", "payload").toDF()
     }),
 
+    // REAL PCM sample decode (javax.sound.sampled AudioInputStream): a
+    // deterministic sawtooth per doc_id is written as a true 16-bit WAV,
+    // decoded back through the actual JDK audio decoder, and folded to
+    // peak/mean amplitude — the oracle recomputes the same waveform
+    // arithmetically, so a sample-decoding bug on either side fails the gate
+    "m8_audio_features" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val payloads = t(s, d, "documents").select(col("doc_id"))
+        .map(r => r.getLong(0))(Encoders.scalaLong)
+        .mapPartitions(_.map { id =>
+          val n = 200 + (id % 300).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 773 + id * 37) % 4096) - 2048).toShort)
+          (id, Multimodal.wavBytesPcm(8000, samples))
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "payload")
+      Multimodal.extractAudioFeatures(payloads, "doc_id", "payload").toDF()
+    }),
+
     // REAL video container-metadata decode (native ISO-BMFF box walking):
     // minimal MP4s are synthesized per row from doc_id arithmetic, then
     // parsed back through the actual box/mvhd/tkhd reader — the oracle
@@ -523,6 +542,16 @@ object ExtQueries {
         |  'wav' AS container, sample_rate, channels, CAST(16 AS INT) AS bits,
         |  n_frames, CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "m8_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 300 AS INT) AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+        |v AS (SELECT doc_id, n, abs((i * 773 + doc_id * 37) % 4096 - 2048) AS a FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(MAX(a) AS INT) AS peak,
+        |  CAST(SUM(a) AS DOUBLE) / n AS mean_abs
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     "m7_video_meta" ->
       """WITH p AS (

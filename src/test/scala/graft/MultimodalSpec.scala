@@ -121,6 +121,28 @@ class MultimodalSpec extends SparkSpecBase {
       Some(("aiff", 8000, 1, 16, 320L, 40L)))
   }
 
+  test("PCM features decode real samples: peak and exact mean via the JDK decoder") {
+    val samples = Array.tabulate(400)(i => (((i * 7) % 2000) - 1000).toShort)
+    val wav = Multimodal.wavBytesPcm(8000, samples)
+    val Some((n, peak, sumAbs)) = Multimodal.decodeAudioFeatures(wav)
+    assert(n == 400)
+    assert(peak == samples.map(s => math.abs(s.toInt)).max)
+    assert(sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    // AIFF (big-endian) rides the same path
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val be = java.nio.ByteBuffer.allocate(800)
+    samples.take(400).foreach(be.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(be.array()), fmt, 400)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    assert(Multimodal.decodeAudioFeatures(out.toByteArray) == Some((n, peak, sumAbs)),
+      "big-endian AIFF samples must fold to identical features")
+    // undecodable payloads are dropped, not fabricated
+    assert(Multimodal.decodeAudioFeatures(wav.take(30)) == None)
+  }
+
   test("MP4 synth round-trips through the ISO-BMFF box parser") {
     val bytes = Multimodal.mp4Bytes(timescale = 90000, durationUnits = 450000,
       width = 1920, height = 1080, nTracks = 2)
