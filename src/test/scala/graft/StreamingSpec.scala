@@ -121,6 +121,30 @@ class StreamingSpec extends SparkSpecBase {
       s"horizon semantics violated: $got")
   }
 
+  test("streaming medallion chain: dedup then windowed agg equals the batch twin") {
+    // the streaming face of bronze->silver->gold in ONE query: watermarked
+    // exact dedup (silver) chained into a tumbling event-time aggregation
+    // (gold) — two stateful operators back to back, both watermark-bounded
+    val dir = java.nio.file.Files.createTempDirectory("graft_medallion").toString
+    val dirty = events.unionAll(events.orderBy("event_id").limit(500)) // planted dups
+    dirty.write.mode("overwrite").parquet(dir)
+    // dedupStream owns the (single) watermark; the downstream aggregation
+    // reuses it, so the batch-shaped agg chains on unchanged — redefining
+    // the watermark between stateful operators is disallowed
+    val got = Streams.runToMemory(spark, events.schema, dir, "medallion_out",
+      df => Streams.tumblingCountsBatch(
+        Streams.dedupStream(df, Seq("event_id"), "10 minutes"), "1 hour"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val expected = Streams.tumblingCountsBatch(events, "1 hour") // batch silver = exact rows
+    val g = got.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+    val e = expected.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDecimal(3))).toSet
+    assert(g.subsetOf(e),
+      "every emitted window must equal the deduped batch twin (dups removed upstream)")
+    assert(g.size >= e.size - 10, s"emitted ${g.size} of ${e.size} windows")
+  }
+
   test("stream-static enrichment joins a dimension into each micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
     events.write.mode("overwrite").parquet(dir)
