@@ -327,6 +327,67 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a k-means coarse
+    * quantizer, then within each cluster drop every document that has a
+    * LOWER-id cluster-mate at cosine >= `threshold` — one survivor per
+    * semantic duplicate group, found without any global pairwise pass.
+    * Returns the surviving (id, cluster) rows.
+    *
+    * Scale shape: the pairwise step is per-cluster (cost Σ n_c², bounded
+    * by scaling `nlist` with N to hold cluster sizes roughly constant —
+    * the paper runs 50k clusters for LAION), expressed as ONE self-join
+    * on the cluster id so each cluster's candidate block evaluates in its
+    * own tasks with the codegen'd dot product. The centroids ride as
+    * broadcast literals exactly like [[ivfTopK]]'s probe expressions; the
+    * corpus never collects to the driver. Cross-cluster near-dups are the
+    * documented approximation (that is SemDeDup's trade); `nlist = 1`
+    * degrades to the exact policy, which ExtSpec pins against
+    * [[nearDupPairs]].
+    *
+    * Drop policy nuance (as in the paper's "keep one per group"): a chain
+    * i < j < k with cos(i,j) and cos(j,k) above threshold but cos(i,k)
+    * below drops BOTH j and k — membership is "has ANY lower-id mate
+    * within threshold", not graph reachability; use
+    * [[TextDedup.dedupSurvivors]] over [[nearDupPairs]] when
+    * connected-component semantics are wanted. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = graft.util.Caches.cached(
+      corpusFrame(corpus, idCol, vecCol)
+        .withColumn("features", array_to_vector(col("n_vec"))))
+    val assigned =
+      if (nlist <= 1) feat.withColumn("cell", lit(0))
+      else {
+        // same rough-quantizer economics as ivfTopK: random init, few
+        // iterations — the partition only has to be balanced, dedup
+        // correctness within a cell never depends on centroid quality
+        val model = new KMeans().setK(nlist).setSeed(seed)
+          .setInitMode("random").setMaxIter(4).fit(feat)
+        val centroids = model.clusterCenters.map(_.toArray)
+        val dists = centroids.zipWithIndex.map { case (cArr, i) =>
+          val d = aggregate(
+            zip_with(col("n_vec"), typedlit(cArr.toSeq), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+          struct(d.as("d"), lit(i).as("cell"))
+        }
+        feat.withColumn("cell",
+          element_at(array_sort(array(dists.toIndexedSeq: _*)), 1).getField("cell"))
+      }
+    val cells = assigned.select(col("n_id"), col("n_vec"), col("n_norm"), col("cell"))
+    val lower = cells.select(col("cell"), col("n_id").as("id_l"),
+      col("n_vec").as("vl"), col("n_norm").as("nl"))
+    val dropped = cells.join(lower, Seq("cell"))
+      .filter(col("id_l") < col("n_id"))
+      .filter(dot(col("vl"), col("n_vec")) / (col("nl") * col("n_norm")) >= threshold)
+      .select(col("n_id")).distinct()
+    cells.join(dropped, Seq("n_id"), "left_anti")
+      .select(col("n_id").as(idCol), col("cell"))
+  }
+
   /** Expression-only formulation (reference semantics; kept for plan-level
     * composability and as the oracle twin of [[nearDupPairsLocal]]). */
   def nearDupPairsExpr(corpus: DataFrame, idCol: String, vecCol: String,

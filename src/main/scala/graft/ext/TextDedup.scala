@@ -284,6 +284,23 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Near-dup REMOVAL: the document ids that survive deduplication — every
+    * document outside any near-dup cluster, plus one canonical
+    * representative (the minimum id) per cluster. This is the output a
+    * training-data pipeline actually feeds downstream; the pair/cluster
+    * queries above are its diagnostics. One [[dupClusters]] pass over the
+    * pair list plus a single anti join of the corpus against the non-
+    * representative ids — the anti side is only the documents being
+    * DROPPED (a small fraction of a deduped corpus), so AQE broadcasts it
+    * and the 100 TB corpus side never shuffles. */
+  def dedupSurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val dropped = dupClusters(pairs, idA, idB)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.select(idCol).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination screen: corpus documents sharing at least one
     * word k-shingle with ANY benchmark document — the pre-training hygiene
     * check that keeps eval sets out of the training mix. The benchmark's

@@ -71,6 +71,15 @@ object ExtQueries {
         TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 3, threshold = 0.5))),
 
+    // near-dup REMOVAL: the ids surviving dedup — everything outside a
+    // near-dup cluster plus the min-id representative of each cluster
+    // (the output a training pipeline feeds downstream)
+    "d8_dedup_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.dedupSurvivors(docs, "doc_id",
+          TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5))
+    }),
+
     // benchmark-contamination screen: corpus docs (id >= 25) sharing any
     // 3-shingle with the "benchmark" (id < 25) — broadcast semi join on
     // hashed shingles; the oracle joins on the string shingles, so the
@@ -201,6 +210,14 @@ object ExtQueries {
     "e3_embedding_near_dups" -> ((s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)
         .select("id_a", "id_b")),
+
+    // SemDeDup-style semantic dedup over embeddings: k-means cells, drop
+    // any vector with a lower-id cell-mate at cosine >= 0.5 — kmeans-
+    // dependent, rows-only (ExtSpec pins nlist=1 to the exact policy and
+    // planted-duplicate recall at nlist>1)
+    "e6_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.5, nlist = 16)),
 
     // IVF ANN (k-means coarse quantizer) — model-dependent, rows-only
     "e4_knn_ivf" -> ((s, d) => {
@@ -397,6 +414,29 @@ object ExtQueries {
         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "d8_dedup_survivors" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |clusters AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t6_tfidf_topk" ->
       """WITH tok AS (

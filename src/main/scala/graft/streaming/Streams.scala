@@ -140,6 +140,47 @@ object Streams {
       }
   }
 
+  /** Finalized sessions (flatMapGroupsWithState + EventTimeTimeout): rows
+    * accumulate per user, and the completed session is emitted EXACTLY ONCE
+    * — when the event-time watermark passes `last_ts + gap`, the state
+    * times out, the session row flushes, and its state is freed. This is
+    * the complement of [[userSessions]] (which re-emits the running
+    * aggregate every batch and never drops state): at 100 TB/day the
+    * timeout IS the state bound — idle keys cannot accumulate, because the
+    * watermark sweeps them out gap-minutes after their last event. A key
+    * seen again after its timeout starts a fresh session (correct gap
+    * semantics, not a bug). Append-mode sink; sessions still open when the
+    * stream stops are intentionally unemitted (they are not finished). */
+  def finalizedSessions(events: Dataset[Event], gapMinutes: Int = 30,
+                        watermarkDelay: String = "2 hours"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption
+            val merged = SessionAgg(
+              uid,
+              prev.map(_.n_events).getOrElse(0L) + batch.size,
+              prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
+              (prev.map(_.first_ts) ++ batch.map(_.ts)).minBy(_.getTime),
+              (prev.map(_.last_ts) ++ batch.map(_.ts)).maxBy(_.getTime))
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.last_ts.getTime + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming incremental upsert: every micro-batch merges into the target
     * parquet table through the same union+window upsert the batch pipeline
     * uses (foreachBatch = the streaming face of SURVEY §2.9's idempotent

@@ -388,4 +388,58 @@ class ExtSpec extends SparkSpecBase {
     assert(pref2 == full2)
   }
 
+  test("dedup survivors: one representative per cluster, everything else untouched") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val survivors = TextDedup.dedupSurvivors(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    val clusters = TextDedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val clustered = clusters.map(_._1).toSet
+    // every cluster keeps exactly its min-id representative
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(rep == members.map(_._1).min)
+      assert(survivors.contains(rep), s"representative $rep must survive")
+      members.map(_._1).filter(_ != rep).foreach(m =>
+        assert(!survivors.contains(m), s"non-representative $m must be dropped"))
+    }
+    // unclustered documents all survive: survivors = (all \ clustered) ∪ reps
+    assert(survivors == (allIds -- clustered) ++ clusters.map(_._2).toSet)
+    assert(clustered.nonEmpty, "fixtures must contain near-dups for this test to bite")
+  }
+
+  test("semantic dedup at nlist=1 equals the exact lower-id-mate policy") {
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.3, nlist = 1)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == allIds -- dropped,
+      "single-cell semantic dedup must drop exactly the ids with a lower-id mate at threshold")
+    assert(dropped.nonEmpty, "fixtures must contain embedding near-dups")
+  }
+
+  test("semantic dedup keeps exactly one survivor per planted duplicate group at nlist>1") {
+    import spark.implicits._
+    // identical vectors always share a nearest centroid, so planted exact-
+    // duplicate groups can never straddle cells — recall on them is 1 at
+    // ANY nlist, which is the property that makes the approximation safe
+    val rng = new scala.util.Random(11)
+    val base = (0 until 120).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val copies = (0 until 10).flatMap { g =>
+      val (_, v) = base(g)
+      Seq((1000L + g * 2, v), (1001L + g * 2, v)) // two extra exact copies each
+    }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, nlist = 8)
+      .collect().map(_.getLong(0)).toSet
+    (0 until 10).foreach { g =>
+      val group = Set(g.toLong, 1000L + g * 2, 1001L + g * 2)
+      assert((kept & group) == Set(g.toLong),
+        s"group $g must keep only its lowest id, got ${kept & group}")
+    }
+  }
+
 }

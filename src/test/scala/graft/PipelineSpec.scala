@@ -335,6 +335,38 @@ class PipelineSpec extends SparkSpecBase {
       s"clustered files must be near-disjoint, got ${overlaps(after)} of ${after.combinations(2).size} pairs")
   }
 
+  test("zorderBy bounds per-file ranges on BOTH clustered columns at once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val wh = Warehouse(spark, root)
+    // two INDEPENDENT uniform dimensions: a single-column sort can bound
+    // one of them per file but never both; Morton interleave bounds both
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 40000).map(_ => (rng.nextInt(10000), rng.nextInt(10000)))
+    rows.toDF("x", "y").repartition(8).write.parquet(s"$root/t")
+    def spans(colName: String): Seq[Long] = {
+      new java.io.File(s"$root/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f)
+            .agg(min(col(colName)).cast("long"), max(col(colName)).cast("long")).head()
+          r.getLong(1) - r.getLong(0)
+        }
+    }
+    assert(spans("x").forall(_ > 9000) && spans("y").forall(_ > 9000),
+      "hash layout: every file spans ~the whole domain on both columns")
+    val total = wh.read("t").count()
+    assert(wh.zorderBy("t", Seq("x", "y"), targetFiles = Some(16)) == total)
+    assert(wh.read("t").count() == total, "z-ordering must not change the rows")
+    // 16 files over a 2-D Morton curve ≈ a 4×4 grid: each file should span
+    // about a quarter of each domain; allow generous slack for quantile
+    // sketch error and range-partition boundary straddle
+    def avg(s: Seq[Long]): Double = s.sum.toDouble / s.size
+    assert(spans("x").size > 4)
+    assert(avg(spans("x")) < 5000 && avg(spans("y")) < 5000,
+      s"z-order must bound both dims: avg x span ${avg(spans("x"))}, y ${avg(spans("y"))}")
+  }
+
   test("compaction and warehouse copies preserve the partition layout") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_partkeep").toString

@@ -121,6 +121,41 @@ class StreamingSpec extends SparkSpecBase {
       s"horizon semantics violated: $got")
   }
 
+  test("flatMapGroupsWithState finalizes a session once when the watermark passes its gap") {
+    import spark.implicits._
+    import graft.streaming.Streams.Event
+    val dir = java.nio.file.Files.createTempDirectory("graft_finalsess").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def file(rows: Event*): Unit = {
+      rows.toSeq.toDF().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic batch order
+    }
+    // batch 1: two users' sessions. batch 2: a far-future event advances
+    // the watermark past both sessions' (last_ts + gap). batch 3: timeout
+    // processing fires on the trigger AFTER the watermark update, flushing
+    // both finalized sessions exactly once; user 9's session stays open
+    // (and unemitted) because nothing outlasts ITS gap.
+    file(Event(1L, ts("2024-01-01 00:00:00"), 1L, "view", 2.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 1L, "buy", 3.0),
+      Event(3L, ts("2024-01-01 00:05:00"), 7L, "view", 5.0))
+    file(Event(4L, ts("2024-01-01 12:00:00"), 9L, "view", 1.0))
+    file(Event(5L, ts("2024-01-01 12:01:00"), 9L, "view", 1.0))
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[Event]
+    val q = Streams.finalizedSessions(in, gapMinutes = 30, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("final_sessions")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("final_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).toString, r.getTimestamp(4).toString)).toSet
+    assert(got == Set(
+      (1L, 2L, 5.0, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"),
+      (7L, 1L, 5.0, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0")),
+      s"finalized sessions wrong: $got")
+  }
+
   test("streaming medallion chain: dedup then windowed agg equals the batch twin") {
     // the streaming face of bronze->silver->gold in ONE query: watermarked
     // exact dedup (silver) chained into a tumbling event-time aggregation
