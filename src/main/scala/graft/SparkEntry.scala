@@ -512,6 +512,13 @@ object SparkEntry {
           .cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // column-profiling census (onboarding / data-contract primitive):
+    // one wide aggregate -> long format, exact distincts (the Expand cost
+    // is bounded by the 5 profiled columns; approxProfile is the
+    // full-table variant, spec-bounded in OperatorSpec)
+    "f7_column_profile" -> ((s, d) =>
+      operators.Profile.profile(t(s, d, "documents")).orderBy("column")),
+
     // TPC-H q6 shape: forecast revenue change — tight scan-filter-agg,
     // the pushdown/pruning stress case
     "q6_forecast_revenue" -> ((s, d) =>
@@ -1313,6 +1320,23 @@ object SparkEntry {
       """SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "f7_column_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+        |  FROM documents
+        |  UNION ALL SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+        |    CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |SELECT "column", n_rows, n_nulls, n_distinct, min_val, max_val
+        |FROM p ORDER BY "column"""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT

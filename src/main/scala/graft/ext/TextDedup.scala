@@ -301,6 +301,29 @@ object TextDedup {
     docs.select(idCol).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Priority-policy dedup survivors: like [[dedupSurvivors]] but each
+    * cluster keeps its highest-`priorityCol` member (ties broken by min
+    * id) instead of the min-id one — the policy production pipelines
+    * actually want (keep the longest / highest-quality / most-recent
+    * duplicate, drop the rest). `priorities` maps doc ids to a priority
+    * value; only cluster MEMBERS (a small fraction of a deduped corpus)
+    * join against it and ride the per-cluster window, and the corpus side
+    * is touched once by an anti join against the dropped ids — same
+    * broadcast-anti shape as [[dedupSurvivors]], so the 100 TB corpus
+    * never shuffles. */
+  def dedupSurvivorsBy(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       priorities: DataFrame, priorityCol: String,
+                       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = dupClusters(pairs, idA, idB)
+      .join(priorities.select(col(idCol).cast("long").as("doc_id"),
+        col(priorityCol).as("__p")), Seq("doc_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("__p").desc, col("doc_id").asc)))
+    val dropped = ranked.filter(col("__rn") > 1).select(col("doc_id").as(idCol))
+    docs.select(idCol).join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination screen: corpus documents sharing at least one
     * word k-shingle with ANY benchmark document — the pre-training hygiene
     * check that keeps eval sets out of the training mix. The benchmark's

@@ -60,6 +60,37 @@ object TextStats {
       .withColumn("stopword_ratio", nStop.cast("double") / nWords.cast("double"))
   }
 
+  /** Composite document-quality FILTER (the C4/Gopher-style heuristic
+    * gate a corpus passes before training): per-rule boolean flags plus
+    * the final `keep` conjunction, so a pipeline can both filter and
+    * report WHY documents drop (the flags aggregate into a per-rule drop
+    * census for free). Rules: word-count bounds, mean-word-length bounds,
+    * minimum stopword ratio, maximum punctuation density, and a
+    * determined language. Pure map stage — every signal is a built-in
+    * expression over the row, ratios are single IEEE divisions (oracle-
+    * portable), nothing shuffles at any corpus size. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 10, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                    minStopwordRatio: Double = 0.05,
+                    maxPunctRatio: Double = 0.3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChars = length(col(textCol))
+    val nWords = size(toks)
+    val nPunct = nChars - length(regexp_replace(col(textCol), "[^A-Za-z0-9\\s]", ""))
+    val nStop = markerCount(toks, Markers.flatMap(_._2))
+    val meanWordLen = (nChars - (nWords - lit(1))).cast("double") / nWords.cast("double")
+    val lenOk = nWords >= minWords && nWords <= maxWords
+    val meanLenOk = meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen
+    val stopOk = nStop.cast("double") / nWords.cast("double") >= minStopwordRatio
+    val punctOk = nPunct.cast("double") / nChars.cast("double") <= maxPunctRatio
+    val langOk = langId(col(textCol)) =!= "und"
+    df.select(col(idCol),
+      lenOk.as("len_ok"), meanLenOk.as("mean_len_ok"), stopOk.as("stop_ok"),
+      punctOk.as("punct_ok"), langOk.as("lang_ok"),
+      (lenOk && meanLenOk && stopOk && punctOk && langOk).as("keep"))
+  }
+
   /** PII-style redaction: emails, URLs, and long digit runs are replaced
     * with typed placeholders — the standard scrub pass before a corpus
     * ships to training. Pure regexp_replace chain (codegen'd, shuffle-free
@@ -109,6 +140,30 @@ object TextStats {
     df.withColumn("__cum", coalesce(sum(tokenCol).over(w), lit(0L)))
       .withColumn("bin", floor(col("__cum").cast("double") / budget).cast("long"))
       .drop("__cum")
+  }
+
+  /** Assemble the packed training sequences [[packSequences]] plans: each
+    * bin's documents concatenate in pack order with `sep` into one
+    * training-ready string (plus the bin's doc count and token total for
+    * the loader's manifest). One shuffle on the (shard, bin) key;
+    * `collect_list`'s arrival order is non-deterministic, so the bin is
+    * `array_sort`ed on the (order, text) struct before joining — output
+    * is exactly reproducible. Bins are budget-bounded by construction, so
+    * per-group state is bounded regardless of corpus size. */
+  def packedText(df: DataFrame, orderCol: String, textCol: String,
+                 tokenCol: Column, budget: Int, sep: String = "\n\n",
+                 shardCol: Option[String] = None): DataFrame = {
+    val binned = packSequences(df, orderCol, tokenCol, budget, shardCol)
+    val keys = (shardCol.toSeq :+ "bin").map(col)
+    binned.groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCol).as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol)),
+          sep).as("packed"))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text

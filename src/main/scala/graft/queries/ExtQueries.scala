@@ -80,6 +80,16 @@ object ExtQueries {
           TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5))
     }),
 
+    // priority-policy removal: each near-dup cluster keeps its LONGEST
+    // member (n_chars priority, min-id ties) — the keep-best policy real
+    // pipelines use instead of keep-min-id
+    "d9_dedup_best_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.dedupSurvivorsBy(docs, "doc_id",
+        TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5),
+        docs.select("doc_id", "n_chars"), "n_chars")
+    }),
+
     // benchmark-contamination screen: corpus docs (id >= 25) sharing any
     // 3-shingle with the "benchmark" (id < 25) — broadcast semi join on
     // hashed shingles; the oracle joins on the string shingles, so the
@@ -142,6 +152,15 @@ object ExtQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"))
     }),
 
+    // packed-sequence ASSEMBLY: concatenate each bin's documents in pack
+    // order into the training-ready string (+ manifest counts); one
+    // (bin)-keyed shuffle, deterministic via array_sort
+    "t13_packed_text" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextStats.packedText(docs, "doc_id", "text", col("n_tokens"), 256)
+    }),
+
     // Gopher-style repetition signals per document: most-frequent-token
     // fraction and most-frequent-bigram fraction — the filters that drop
     // boilerplate/looping text from a training mix. Two doc_id-keyed
@@ -170,6 +189,11 @@ object ExtQueries {
             .as("top_bigram_frac"))
       tokStats.join(bgStats, "doc_id")
     }),
+
+    // composite C4/Gopher-style quality gate: per-rule flags + final keep
+    // (a pure map stage; the oracle recomputes every rule independently)
+    "t12_quality_filter" -> ((s, d) =>
+      TextStats.qualityFilter(t(s, d, "documents"), "doc_id", "text")),
 
     // corpus-level frequent terms: the exact top-k (vocabulary head) every
     // corpus-stats pass needs; one shuffle + a tiny top-k
@@ -438,6 +462,34 @@ object ExtQueries {
         |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "d9_dedup_best_survivors" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |clusters AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |ranked AS (
+        |  SELECT c.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        |  FROM clusters c JOIN documents d USING (doc_id))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+        |ORDER BY doc_id""".stripMargin,
+
     "t6_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
@@ -486,6 +538,24 @@ object ExtQueries {
         |  CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "t13_packed_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT bin, count(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+        |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "t11_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
@@ -504,6 +574,31 @@ object ExtQueries {
         |       FROM bc GROUP BY 1)
         |SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac
         |FROM ts JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t12_quality_filter" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    length(text) AS nc,
+        |    len(string_split(lower(trim(text)), ' ')) AS nw,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS ns,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('the','a','of','and','is'))) AS en,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('el','la','de','y','es'))) AS es,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('le','la','de','et','est'))) AS fr,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('der','die','das','und','ist'))) AS de
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (nw >= 10 AND nw <= 100000) AS len_ok,
+        |    (CAST(nc - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE) >= 2.0 AND
+        |     CAST(nc - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE) <= 12.0) AS mean_len_ok,
+        |    CAST(ns AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.05 AS stop_ok,
+        |    CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) <= 0.3 AS punct_ok,
+        |    (en > 0 OR es > 0 OR fr > 0 OR de > 0) AS lang_ok
+        |  FROM m)
+        |SELECT doc_id, len_ok, mean_len_ok, stop_ok, punct_ok, lang_ok,
+        |  (len_ok AND mean_len_ok AND stop_ok AND punct_ok AND lang_ok) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "t7_frequent_terms" ->
       """SELECT term, n FROM (

@@ -442,4 +442,46 @@ class ExtSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupSurvivorsBy keeps the argmax-priority member of every cluster") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val byLen = TextDedup.dedupSurvivorsBy(docs, "doc_id", pairs,
+        docs.select("doc_id", "n_chars"), "n_chars")
+      .collect().map(_.getLong(0)).toSet
+    val minId = TextDedup.dedupSurvivors(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(byLen.size == minId.size, "policy changes WHICH doc survives, never how many")
+    val clusters = TextDedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chars = docs.select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1)
+      val winner = ids.maxBy(id => (chars(id), -id))
+      assert((byLen & ids.toSet) == Set(winner),
+        s"cluster $ids must keep longest-doc $winner, got ${byLen & ids.toSet}")
+    }
+    val clustered = clusters.map(_._1).toSet
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((allIds -- clustered).subsetOf(byLen), "unclustered docs always survive")
+  }
+
+  test("packedText reassembles exactly the corpus, bins in pack order") {
+    val slim = docs.select(col("doc_id"), col("text"),
+      size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val packed = TextStats.packedText(slim, "doc_id", "text", col("n_tokens"), 256)
+      .orderBy("bin").collect()
+    val originals = slim.orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    // splitting every bin on the separator, in bin order, replays the
+    // corpus in doc_id order — nothing lost, duplicated, or reordered
+    val replay = packed.flatMap(_.getString(3).split("\n\n", -1))
+    assert(replay.toSeq == originals.map(_._1).toSeq)
+    packed.foreach { r =>
+      assert(r.getLong(1) == r.getString(3).split("\n\n", -1).length,
+        "n_docs manifest must match the assembled bin")
+    }
+    assert(packed.map(_.getLong(2)).sum == originals.map(_._2).sum,
+      "token totals are conserved across bins")
+  }
+
 }

@@ -251,4 +251,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(h.count(r => r.getBoolean(4)) == 2, "exactly one current row per key")
   }
 
+  test("approxProfile matches exact profile on everything but the distinct estimate") {
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate", "l_quantity")
+    val exact = Profile.profile(li).orderBy("column").collect()
+    val approx = Profile.approxProfile(li).orderBy("column").collect()
+    assert(exact.length == 5 && approx.length == 5)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getString(0) == a.getString(0))
+      assert(e.getLong(1) == a.getLong(1), "n_rows must be exact in both")
+      assert(e.getLong(2) == a.getLong(2), "n_nulls must be exact in both")
+      val (ed, ad) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(ad - ed) / ed < 0.07, s"${e.getString(0)}: approx $ad vs exact $ed")
+      assert(e.getString(4) == a.getString(4) && e.getString(5) == a.getString(5),
+        "min/max must be exact in both variants")
+    }
+    // the scale contract: the approx plan must NOT replicate rows (no
+    // Expand node), while the exact plan pays it for multiple DISTINCTs
+    val approxPlan = Profile.approxProfile(li).queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), s"approx profile must stay single-pass:\n$approxPlan")
+  }
+
 }

@@ -121,4 +121,36 @@ class PlanSpec extends SparkSpecBase {
     }
     assert(nlj.isEmpty, s"the inequality must stay a residual on the orderkey key:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB shuffle-join path: when a dim carries a selective filter
+    // and the fact⋈dim join is too big to broadcast, Spark's
+    // InjectRuntimeFilter builds a bloom filter over the dim's join keys
+    // and pushes might_contain() into the fact scan — fact rows that can't
+    // match die before the shuffle. Local thresholds are tuned down so the
+    // tiny fixture takes the same plan shape a 100 TB fact would.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = sources.Tables.load(spark, sfDir, "lineitem")
+      val ord = sources.Tables.load(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom runtime filter on the fact side:\n$optimized")
+      // and the filter is only a pre-filter: results match the plain join
+      val n = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      assert(n == plain, s"runtime filter changed the result: $n vs $plain")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
