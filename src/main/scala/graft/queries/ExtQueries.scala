@@ -45,6 +45,31 @@ object ExtQueries {
         .select("doc_id", "char_count", "word_count", "punct_count",
           "stopword_count", "stopword_ratio")),
 
+    // langid EVALUATION against the fixture's labeled lang: the
+    // labeled × predicted confusion census — how a pipeline validates a
+    // heuristic classifier at corpus scale (one small groupBy, no
+    // per-document output)
+    "t14_langid_confusion" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang").as("labeled_lang"),
+          TextStats.langId(col("text")).as("predicted_lang"))
+        .agg(count(lit(1)).as("n"))),
+
+    // per-source corpus mix: docs, tokens, and each source's token share
+    // of the corpus — the report a training-mix design starts from; the
+    // share is ONE IEEE division of exact longs (oracle-portable), the
+    // 1-row total is broadcast
+    "t15_source_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      val per = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      per.crossJoin(broadcast(per.agg(sum("tokens").as("total_tokens"))))
+        .select(col("source"), col("n_docs"), col("tokens"),
+          (col("tokens").cast("double") / col("total_tokens").cast("double"))
+            .as("token_share"))
+    }),
+
     // rolling-hash fingerprint: native codegen Expression — no oracle
     "t5_rolling_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -383,6 +408,40 @@ object ExtQueries {
         |       WHEN de > 0 THEN 'de'
         |       ELSE 'und' END AS predicted_lang
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "t14_langid_confusion" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS es,
+        |    len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+        |         WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+        |         WHEN fr > 0 AND fr >= de THEN 'fr'
+        |         WHEN de > 0 THEN 'de'
+        |         ELSE 'und' END AS predicted_lang
+        |  FROM m)
+        |SELECT d.lang AS labeled_lang, p.predicted_lang, count(*) AS n
+        |FROM documents d JOIN p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t15_source_mix" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT source, count(*) AS n_docs, SUM(n_tokens) AS tokens
+        |      FROM t GROUP BY source),
+        |tot AS (SELECT SUM(tokens) AS total_tokens FROM p)
+        |SELECT source, n_docs, tokens,
+        |  CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share
+        |FROM p CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "t4_quality_metrics" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS char_count,

@@ -196,6 +196,27 @@ final case class Warehouse(spark: SparkSession, root: String) {
     n
   }
 
+  /** Cost-based-optimizer statistics: register `name` as an external
+    * catalog table over its warehouse path and `ANALYZE` it (row count +
+    * per-column NDV / min / max / null counts). With
+    * `spark.sql.cbo.enabled` (+`joinReorder.enabled`), Catalyst orders
+    * multi-way joins and picks broadcast sides from ESTIMATED cardinality
+    * after predicates, not raw file size — on a 100 TB star, the
+    * difference between broadcasting a filtered dim and shuffling the
+    * fact. Bare-path parquet scans only ever expose `sizeInBytes`; the
+    * catalog route is how a plain-parquet deployment gets real stats.
+    * Re-run after each load; `REFRESH` first so cached file listings
+    * never go stale. */
+  def analyze(name: String, columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING ${format.name} " +
+      s"LOCATION '${path(name)}'")
+    spark.sql(s"REFRESH TABLE `$name`")
+    val cols =
+      if (columns.nonEmpty) s"FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}"
+      else "FOR ALL COLUMNS"
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS $cols")
+  }
+
   /** S14 — compaction: Delta OPTIMIZE when native, else rewrite at the
     * volume-policy file count (same observable table either way). */
   def compact(name: String): Long = format match {

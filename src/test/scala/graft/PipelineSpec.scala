@@ -438,4 +438,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(row.getInt(0) == 2 && row.getString(1) == "b" && row.isNullAt(2),
       "missing target columns null-fill; source-only columns are dropped")
   }
+
+  test("analyze feeds real row/column statistics to the cost-based optimizer") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val wh = Warehouse(spark, root)
+    val n = wh.write("stats_t",
+      sources.Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority"))
+    wh.analyze("stats_t")
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.table("stats_t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(n)),
+        s"CBO must see the exact row count $n, got ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty, "column-level stats must be recorded")
+      val key = stats.attributeStats.find(_._1.name == "o_orderkey").map(_._2)
+      assert(key.exists(_.distinctCount.isDefined), s"o_orderkey needs an NDV, got $key")
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+      spark.sql("DROP TABLE IF EXISTS stats_t")
+    }
+  }
 }
