@@ -212,6 +212,64 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Positional k-token windows: one (pos, hash) struct per window start —
+    * unlike [[hashedShingles]] these keep POSITION and duplicates, because
+    * span detection needs to know WHERE a window sits, not just that it
+    * occurs. Short documents (< k tokens) contribute their whole token
+    * list as the single window at pos 0, mirroring the shingle clamp. */
+  def spanWindows(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => struct(i.as("pos"),
+          xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*).as("h"))))
+      .otherwise(array(struct(lit(0).as("pos"), xxhash64(toks).as("h"))))
+
+  /** Verbatim duplicate-SPAN detection (exact substring duplication,
+    * cf. Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): pairs of documents sharing at
+    * least one run of `minSpanTokens` consecutive identical tokens,
+    * with the longest such run and the count of maximal shared runs.
+    * Catches boilerplate / quotation / template overlap that set-based
+    * Jaccard dilutes away on long documents.
+    *
+    * Shape: positional k-token windows → inverted index on the 64-bit
+    * window hash → matched (pos_a, pos_b) grid points. A verbatim run
+    * lies on one DIAGONAL (pos_a − pos_b constant), so maximal runs are
+    * gaps-and-islands per (pair, diagonal): consecutive pos_a values
+    * collapse under the pos_a − row_number() trick, one window pass.
+    * Cost is Σ_hash df(h)² like every inverted-index join — but over
+    * ORDERED k-grams, which are far rarer than single shingles, so the
+    * index stays thin even on boilerplate-heavy corpora; no O(n²) pair
+    * scan, nothing on the driver. A run of r matched windows covers
+    * r + k − 1 tokens. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpanTokens >= k, "a span shorter than the window is undetectable")
+    // explode_outer + null-filter, not explode: same generated-column
+    // pushdown trap as the shingle postings (see ngramJaccardPairs)
+    val posts = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode_outer(spanWindows(col("toks"), k)).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    val a = posts.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("h"))
+    val b = posts.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
+    // within a (pair, diag) group pos_a is unique (pos_b = pos_a − diag),
+    // so no distinct is needed before the islands pass
+    val grid = a.join(b, "h").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    val runs = grid
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("id_a", "id_b")
+      .agg((max("run_len") + lit(k.toLong - 1)).as("max_span_tokens"),
+        count(lit(1)).as("n_spans"))
+      .filter(col("max_span_tokens") >= minSpanTokens)
+  }
+
   /** Exact dedup: keep the lowest id per identical normalized text. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))

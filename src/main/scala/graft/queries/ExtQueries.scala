@@ -140,6 +140,15 @@ object ExtQueries {
           levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
     }),
 
+    // verbatim duplicate spans (exact substring duplication, Lee et al.
+    // 2021): pairs sharing a run of >= 8 consecutive identical tokens,
+    // with the longest run and the number of maximal shared runs; the
+    // oracle replays the diagonal gaps-and-islands on STRING windows, so
+    // the 64-bit window-hash indirection is itself under test
+    "d10_dup_spans" -> ((s, d) =>
+      TextDedup.dupSpans(t(s, d, "documents"), "doc_id", "text",
+        k = 8, minSpanTokens = 8)),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -548,6 +557,31 @@ object ExtQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         |ORDER BY doc_id""".stripMargin,
+
+    "d10_dup_spans" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'h': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS w
+        |  FROM c),
+        |p AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM w),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM p a JOIN p b USING (h) WHERE a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT id_a, id_b, diag, pos_a,
+        |    pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+        |  FROM m),
+        |runs AS (
+        |  SELECT id_a, id_b, diag, grp, count(*) AS run_len
+        |  FROM r GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, CAST(max(run_len) + 7 AS BIGINT) AS max_span_tokens,
+        |  count(*) AS n_spans
+        |FROM runs GROUP BY id_a, id_b
+        |HAVING max(run_len) + 7 >= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "t6_tfidf_topk" ->
       """WITH tok AS (

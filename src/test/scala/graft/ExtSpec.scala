@@ -484,4 +484,23 @@ class ExtSpec extends SparkSpecBase {
       "token totals are conserved across bins")
   }
 
+  test("dupSpans: diagonal islands recover exact span lengths and counts") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "x1 w3 w4 w5 w6 w7 x2 x3"),          // one 5-token run with doc 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),          // disjoint
+      (4L, "w1 w2 w3 w4 q1 q2 w6 w7 w8 w9"))    // two 4-token runs with doc 1
+      .toDF("doc_id", "text")
+    val got = TextDedup.dupSpans(fixture, "doc_id", "text", k = 4, minSpanTokens = 4)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 5L, 1L), (1L, 4L, 4L, 2L)),
+      s"expected the planted (pair, max_span, n_spans) set, got ${got.toSeq}")
+    // a higher floor drops the pair whose longest run is below it
+    val strict = TextDedup.dupSpans(fixture, "doc_id", "text", k = 4, minSpanTokens = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq == Seq((1L, 2L)))
+  }
+
 }
