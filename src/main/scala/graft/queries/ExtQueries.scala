@@ -49,10 +49,14 @@ object ExtQueries {
     // labeled × predicted confusion census — how a pipeline validates a
     // heuristic classifier at corpus scale (one small groupBy, no
     // per-document output)
+    // langId is PROJECTED before the groupBy so the plan carries a
+    // dedicated Project node computing it once per row (grouping directly
+    // on the expression measured slower)
     "t14_langid_confusion" -> ((s, d) =>
       t(s, d, "documents")
-        .groupBy(col("lang").as("labeled_lang"),
+        .select(col("lang").as("labeled_lang"),
           TextStats.langId(col("text")).as("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
         .agg(count(lit(1)).as("n"))),
 
     // per-source corpus mix: docs, tokens, and each source's token share
