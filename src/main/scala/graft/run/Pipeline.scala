@@ -208,7 +208,12 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * Re-run after each load; `REFRESH` first so cached file listings
     * never go stale. */
   def analyze(name: String, columns: Seq[String] = Nil): Unit = {
-    spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING ${format.name} " +
+    // DROP + CREATE, not IF NOT EXISTS: a name registered earlier against
+    // a DIFFERENT warehouse root would silently keep its old location and
+    // the stats would describe the wrong table. LOCATION makes the table
+    // external, so the drop never touches data files.
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING ${format.name} " +
       s"LOCATION '${path(name)}'")
     spark.sql(s"REFRESH TABLE `$name`")
     val cols =
