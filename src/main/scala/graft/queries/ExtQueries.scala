@@ -74,6 +74,48 @@ object ExtQueries {
             .as("token_share"))
     }),
 
+    // sketch-based heavy hitters (DataSketches ApproxTopK): 5 event
+    // types << maxItemsTracked, so the sketch is in its EXACT regime and
+    // the counts oracle against a plain GROUP BY — the approximate
+    // regime is spec-proven in ExtSpec. At 100 TB this replaces the
+    // full-shuffle census: fixed-size partial sketches merge on one node
+    "t16_approx_topk" -> ((s, d) =>
+      t(s, d, "events")
+        .agg(call_function("approx_top_k", col("event_type"), lit(10)).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))),
+
+    // sketch MERGEABILITY, the property that matters at scale: per-segment
+    // accumulate → combine → estimate must equal the global census (exact
+    // regime). This is the incremental/backfill shape — per-day sketches
+    // stored small, merged without ever re-scanning history
+    "t17_topk_merge" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy((col("user_id") % 8).as("seg"))
+        .agg(call_function("approx_top_k_accumulate", col("event_type"), lit(10)).as("sk"))
+        .agg(call_function("approx_top_k_combine", col("sk")).as("c"))
+        .select(explode(call_function("approx_top_k_estimate", col("c"), lit(10))).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("n"))),
+
+    // theta-sketch distinct-set ALGEBRA (union / intersection / difference
+    // of distinct-user sets) — the operation HLL cannot do (HLL only
+    // unions). Fixture cardinalities sit below the sketch's exact
+    // threshold (4096), so the estimates are exact and DuckDB-oracled;
+    // the approximate regime is spec-bounded in ExtSpec
+    "a16_theta_sets" -> ((s, d) => {
+      val sk = t(s, d, "events").groupBy("event_type")
+        .agg(call_function("theta_sketch_agg", col("user_id")).as("sk"))
+      val p = sk.filter(col("event_type") === "purchase").select(col("sk").as("p"))
+      val e = sk.filter(col("event_type") === "error").select(col("sk").as("e"))
+      p.crossJoin(e).select(
+        call_function("theta_sketch_estimate",
+          call_function("theta_union", col("p"), col("e"))).as("union_users"),
+        call_function("theta_sketch_estimate",
+          call_function("theta_intersection", col("p"), col("e"))).as("both_users"),
+        call_function("theta_sketch_estimate",
+          call_function("theta_difference", col("p"), col("e"))).as("only_purchase"))
+    }),
+
     // rolling-hash fingerprint: native codegen Expression — no oracle
     "t5_rolling_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -561,6 +603,22 @@ object ExtQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         |ORDER BY doc_id""".stripMargin,
+
+    "t16_approx_topk" ->
+      """SELECT event_type AS item, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, item""".stripMargin,
+
+    "t17_topk_merge" ->
+      """SELECT event_type AS item, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, item""".stripMargin,
+
+    "a16_theta_sets" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)) AS union_users,
+        |  (SELECT count(*) FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)) AS both_users,
+        |  (SELECT count(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)) AS only_purchase""".stripMargin,
 
     "d10_dup_spans" ->
       """WITH c AS (

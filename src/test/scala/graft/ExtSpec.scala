@@ -484,6 +484,52 @@ class ExtSpec extends SparkSpecBase {
       "token totals are conserved across bins")
   }
 
+  test("approx_top_k past its tracking budget still surfaces the true heavy hitters") {
+    // synthetic Zipf stream (the fixture vocabulary is tiny): token i
+    // appears 6000/i times over a 2000-token vocabulary, sketch budget
+    // far below it → genuinely approximate, with a well-separated head
+    val budget = 64
+    val toks = spark.range(1, 2001)
+      .select(concat(lit("tok_"), format_string("%04d", col("id"))).as("tok"),
+        (lit(6000) / col("id")).cast("int").as("n"))
+      .select(col("tok"), explode(sequence(lit(1), col("n"))).as("rep"))
+      .select("tok")
+    val approx = toks
+      .agg(call_function("approx_top_k", col("tok"), lit(5), lit(budget)).as("tk"))
+      .select(explode(col("tk")).as("e")).select(col("e.item"))
+      .collect().map(_.getString(0)).toSet
+    val exact = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    assert(approx == exact,
+      s"sketched top-5 $approx must equal the exact top-5 $exact on a skewed corpus")
+  }
+
+  test("theta set algebra stays within 5% in the approximate regime") {
+    import spark.implicits._
+    // two overlapping sets of 20k ids each — far beyond the 4096-entry
+    // exact threshold, so estimates are genuinely probabilistic
+    val a = (0L until 20000L).toDF("id").select(col("id"), lit("a").as("s"))
+    val b = (10000L until 30000L).toDF("id").select(col("id"), lit("b").as("s"))
+    val sk = a.union(b).groupBy("s")
+      .agg(call_function("theta_sketch_agg", col("id")).as("sk"))
+    val pa = sk.filter(col("s") === "a").select(col("sk").as("p"))
+    val pb = sk.filter(col("s") === "b").select(col("sk").as("e"))
+    val r = pa.crossJoin(pb).select(
+      call_function("theta_sketch_estimate",
+        call_function("theta_union", col("p"), col("e"))).as("u"),
+      call_function("theta_sketch_estimate",
+        call_function("theta_intersection", col("p"), col("e"))).as("i"),
+      call_function("theta_sketch_estimate",
+        call_function("theta_difference", col("p"), col("e"))).as("d"))
+      .head()
+    def within(est: Long, truth: Long, pct: Double): Boolean =
+      math.abs(est - truth).toDouble / truth <= pct
+    assert(within(r.getLong(0), 30000L, 0.05), s"union est ${r.getLong(0)} vs 30000")
+    assert(within(r.getLong(1), 10000L, 0.05), s"intersection est ${r.getLong(1)} vs 10000")
+    assert(within(r.getLong(2), 10000L, 0.05), s"difference est ${r.getLong(2)} vs 10000")
+  }
+
   test("dupSpans: diagonal islands recover exact span lengths and counts") {
     import spark.implicits._
     val fixture = Seq(
