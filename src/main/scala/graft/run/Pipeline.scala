@@ -196,6 +196,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
     n
   }
 
+  /** Single-pass data-quality metrics: attaches an `Observation` so the
+    * metric aggregates ride the SAME job that materializes the write. A
+    * separate metrics query re-reads the table it just wrote — at 100 TB
+    * that second scan can cost as much as the load; this one is free
+    * (per-partition accumulators folded on the driver, no extra job, no
+    * shuffle). Returns (rows written, metric name → value). */
+  def writeObserved(name: String, df: DataFrame, metrics: Seq[Column],
+                    partitionBy: Seq[String] = Nil): (Long, Map[String, Any]) = {
+    require(metrics.nonEmpty, "writeObserved needs at least one metric column")
+    val obs = org.apache.spark.sql.Observation(
+      s"dq_${name}_${System.nanoTime()}") // names must be unique per query
+    val n = write(name, df.observe(obs, metrics.head, metrics.tail: _*),
+      partitionBy = partitionBy)
+    (n, obs.get)
+  }
+
   /** Cost-based-optimizer statistics: register `name` as an external
     * catalog table over its warehouse path and `ANALYZE` it (row count +
     * per-column NDV / min / max / null counts). With

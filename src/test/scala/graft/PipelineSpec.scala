@@ -439,6 +439,23 @@ class PipelineSpec extends SparkSpecBase {
       "missing target columns null-fill; source-only columns are dropped")
   }
 
+  test("writeObserved harvests DQ metrics from the write job itself") {
+    val root = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    val wh = Warehouse(spark, root)
+    val src = sources.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    val (n, m) = wh.writeObserved("obs_t", src, Seq(
+      count(lit(1)).as("rows"),
+      sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("negative_balances"),
+      coalesce(sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_segments")))
+    // the observed metrics must equal a direct recount of what was written
+    val back = wh.read("obs_t")
+    assert(m("rows") == n && n == back.count())
+    assert(m("negative_balances") == back.filter(col("c_acctbal") < 0).count())
+    assert(m("null_segments") == back.filter(col("c_mktsegment").isNull).count())
+  }
+
   test("analyze feeds real row/column statistics to the cost-based optimizer") {
     val root = java.nio.file.Files.createTempDirectory("graft_stats").toString
     val wh = Warehouse(spark, root)
