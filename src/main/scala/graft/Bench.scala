@@ -67,7 +67,12 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = Array.fill(repeats)(Map.empty[String, Double])
     for (p <- 0 until repeats) {
-      times(p) = names.foldLeft((Map.empty[String, Double], "")) {
+      // each pass starts a third of the way around the suite: a PERIODIC
+      // host stall aligned with one family every pass would otherwise
+      // defeat even the interleaved minimum
+      val cut = p * names.size / repeats
+      val order = names.drop(cut) ++ names.take(cut)
+      times(p) = order.foldLeft((Map.empty[String, Double], "")) {
         case ((acc, prevFam), n) =>
           val fam = family(n)
           if (fam != prevFam) graft.util.Caches.releaseAll()
