@@ -95,24 +95,32 @@ object Streams {
                    keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
 
-  /** Stream-stream inner join: rows of two event streams matched on key
+  /** Stream-stream join: rows of two event streams matched on key
     * within a bounded event-time gap. Both sides carry watermarks and the
     * join condition bounds the time skew, so Spark can expire join state —
     * the required shape for an unbounded 100 TB/day pair of streams (a
     * condition without time bounds would grow state forever).
     * Matches `right` rows to `left` rows with
     * `left.ts - maxGap <= right.ts <= left.ts`.
-    */
+    *
+    * `joinType` additionally supports the watermarked OUTER variants
+    * ("left_outer"/"right_outer"/"full_outer"): an unmatched row is held
+    * in state until the watermark proves no partner can still arrive,
+    * THEN emitted null-padded — the semantics an inner join cannot
+    * express (e.g. "purchases that never saw a confirmation"), and the
+    * reason outer results trail the watermark rather than the batch. */
   def joinStreams(left: DataFrame, right: DataFrame, key: String,
                   maxGap: String = "1 hour",
-                  watermarkDelay: String = "2 hours"): DataFrame = {
+                  watermarkDelay: String = "2 hours",
+                  joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
       .withWatermark("r_ts", watermarkDelay)
     l.join(r,
       col(key) === col(s"r_$key") &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $maxGap") &&
-        col("r_ts") <= col("ts"))
+        col("r_ts") <= col("ts"),
+      joinType)
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

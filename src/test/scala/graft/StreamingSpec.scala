@@ -212,4 +212,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(expected > 0, "fixture must produce matches")
   }
 
+  test("left-outer stream-stream join emits unmatched rows null-padded on watermark") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sslo").toString
+    val lDir = s"$base/l"; val rDir = s"$base/r"
+    // left: purchases of users < 50; right: clicks of users < 25 — so
+    // users in [25, 50) can never match and must surface null-padded
+    val purchases = events.filter(col("event_type") === "purchase" && col("user_id") < 50)
+    val clicks = events.filter(col("event_type") === "click" && col("user_id") < 25)
+    purchases.write.mode("overwrite").parquet(lDir)
+    clicks.write.mode("overwrite").parquet(rDir)
+    val schema = events.schema
+    val q = Streams.joinStreams(
+        spark.readStream.schema(schema).parquet(lDir),
+        spark.readStream.schema(schema).parquet(rDir),
+        "user_id", "1 hour", "2 hours", joinType = "left_outer")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ss_lojoin_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // unmatched rows emit only once the watermark PROVES no partner can
+    // arrive; a far-future sentinel on both sides drives it past every
+    // real event (filtered out of the assertion by its id)
+    // two waves: eviction happens in the micro-batch AFTER the watermark
+    // advances, so the second wave's batch flushes rows the first one
+    // only unlocked
+    Seq("30", "60").foreach { days =>
+      val sentinel = events.orderBy("event_id").limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+      sentinel.write.mode("append").parquet(lDir)
+      sentinel.write.mode("append").parquet(rDir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ss_lojoin_out").filter(col("event_id") =!= -1L)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1))).toSet
+    val expected = Streams.joinStreams(purchases, clicks, "user_id",
+        "1 hour", "2 hours", joinType = "left_outer")
+      .select("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1))).toSet
+    assert(got == expected, s"stream emitted ${got.size} rows vs batch ${expected.size}")
+    assert(expected.exists(_._2 == -999L), "fixture must contain unmatched left rows")
+    assert(expected.exists(_._2 != -999L), "fixture must contain matched rows too")
+  }
+
 }
