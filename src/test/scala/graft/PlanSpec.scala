@@ -122,6 +122,22 @@ class PlanSpec extends SparkSpecBase {
     assert(nlj.isEmpty, s"the inequality must stay a residual on the orderkey key:\n$p")
   }
 
+  test("d10 dup-span join rides the window hash, never a cartesian or a driver pass") {
+    val p = planOf(q("d10_dup_spans"))
+    val nlj = collectAll(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nlj.isEmpty, s"the positional-window self-join must be an equi-join on h:\n$p")
+    val equiKeys = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }.flatten
+    assert(equiKeys.exists(_.references.map(_.name).exists(_ == "h")),
+      s"join keys must include the 64-bit window hash, got $equiKeys")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB shuffle-join path: when a dim carries a selective filter
     // and the fact⋈dim join is too big to broadcast, Spark's
