@@ -363,6 +363,23 @@ object SparkEntry {
           col("r_event_id"), col("r_ts"))
     }),
 
+    // the OUTER watermarked interval join's batch shape, gating
+    // streaming/Streams.joinStreams directly (joinType=left_outer):
+    // purchases that never saw a click inside the hour surface
+    // null-padded — the semantics the inner st4 cannot express.
+    // StreamingSpec proves the streaming run equals this twin.
+    "st5_outer_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.streaming.Streams.joinStreams(purchases, clicks, "user_id",
+          maxGap = "1 hour", joinType = "left_outer")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("r_event_id"), col("r_ts"))
+    }),
+
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
     "a9_approx_distinct" -> ((s, d) =>
@@ -1631,6 +1648,20 @@ object SparkEntry {
         |FROM decoded p JOIN decoded c
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY p.event_id, r_event_id""".stripMargin,
+
+    "st5_outer_interval_join" ->
+      """WITH decoded AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CASE WHEN epoch_ns(ts) > 1000000000000 THEN make_timestamp(epoch_ns(ts)//1000)
+        |         ELSE make_timestamp(epoch_ns(ts)*1000000) END AS ts
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, ts, value FROM decoded WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM decoded WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS r_event_id, c.ts AS r_ts
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY p.event_id, r_event_id""".stripMargin,
 
