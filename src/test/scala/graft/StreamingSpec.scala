@@ -215,10 +215,12 @@ class StreamingSpec extends SparkSpecBase {
   test("left-outer stream-stream join emits unmatched rows null-padded on watermark") {
     val base = java.nio.file.Files.createTempDirectory("graft_sslo").toString
     val lDir = s"$base/l"; val rDir = s"$base/r"
-    // left: purchases of users < 50; right: clicks of users < 25 — so
-    // users in [25, 50) can never match and must surface null-padded
-    val purchases = events.filter(col("event_type") === "purchase" && col("user_id") < 50)
-    val clicks = events.filter(col("event_type") === "click" && col("user_id") < 25)
+    // scale-free split: all purchases vs clicks of the lower half of the
+    // user domain — upper-half purchases can never match and must
+    // surface null-padded
+    val half = events.agg(max("user_id")).head().getLong(0) / 2
+    val purchases = events.filter(col("event_type") === "purchase")
+    val clicks = events.filter(col("event_type") === "click" && col("user_id") < half)
     purchases.write.mode("overwrite").parquet(lDir)
     clicks.write.mode("overwrite").parquet(rDir)
     val schema = events.schema
@@ -254,6 +256,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == expected, s"stream emitted ${got.size} rows vs batch ${expected.size}")
     assert(expected.exists(_._2 == -999L), "fixture must contain unmatched left rows")
     assert(expected.exists(_._2 != -999L), "fixture must contain matched rows too")
+  }
+
+  test("full-outer stream-stream join surfaces unmatched rows from BOTH sides") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ssfo").toString
+    val lDir = s"$base/l"; val rDir = s"$base/r"
+    // scale-free split of the user domain into thirds: left covers the
+    // lower two, right the upper two — each side owns one exclusive third
+    // so BOTH unmatched directions are guaranteed at any fixture SF
+    val maxUser = events.agg(max("user_id")).head().getLong(0)
+    val (lo, hi) = (maxUser / 3, 2 * maxUser / 3)
+    val purchases = events.filter(col("event_type") === "purchase" && col("user_id") < hi)
+    val clicks = events.filter(col("event_type") === "click" && col("user_id") >= lo)
+    purchases.write.mode("overwrite").parquet(lDir)
+    clicks.write.mode("overwrite").parquet(rDir)
+    val schema = events.schema
+    val q = Streams.joinStreams(
+        spark.readStream.schema(schema).parquet(lDir),
+        spark.readStream.schema(schema).parquet(rDir),
+        "user_id", "1 hour", "2 hours", joinType = "full_outer")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("ss_fojoin_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Seq("30", "60").foreach { days =>
+      val sentinel = events.orderBy("event_id").limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+      sentinel.write.mode("append").parquet(lDir)
+      sentinel.write.mode("append").parquet(rDir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -999L else r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1))
+    val got = spark.table("ss_fojoin_out")
+      .filter(coalesce(col("event_id"), lit(0L)) =!= -1L &&
+        coalesce(col("r_event_id"), lit(0L)) =!= -1L)
+      .collect().map(key).toSet
+    val expected = Streams.joinStreams(purchases, clicks, "user_id",
+        "1 hour", "2 hours", joinType = "full_outer")
+      .select("event_id", "r_event_id").collect().map(key).toSet
+    assert(got == expected, s"stream emitted ${got.size} rows vs batch ${expected.size}")
+    assert(expected.exists(p => p._1 == -999L), "right-only rows must surface")
+    assert(expected.exists(p => p._2 == -999L), "left-only rows must surface")
   }
 
 }
