@@ -242,16 +242,22 @@ object TextDedup {
     * index stays thin even on boilerplate-heavy corpora; no O(n²) pair
     * scan, nothing on the driver. A run of r matched windows covers
     * r + k − 1 tokens. */
+  /** Positional window postings (id, pos, h) — the inverted-index input
+    * shared by [[dupSpans]] and [[cutDupSpans]]. explode_outer +
+    * null-filter, not explode: same generated-column pushdown trap as the
+    * shingle postings (see ngramJaccardPairs). */
+  private def windowPosts(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode_outer(spanWindows(col("toks"), k)).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minSpanTokens >= k, "a span shorter than the window is undetectable")
-    // explode_outer + null-filter, not explode: same generated-column
-    // pushdown trap as the shingle postings (see ngramJaccardPairs)
-    val posts = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode_outer(spanWindows(col("toks"), k)).as("w"))
-      .filter(col("w").isNotNull)
-      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    val posts = windowPosts(docs, idCol, textCol, k)
     val a = posts.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("h"))
     val b = posts.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
     // within a (pair, diag) group pos_a is unique (pos_b = pos_a − diag),
@@ -268,6 +274,42 @@ object TextDedup {
       .agg((max("run_len") + lit(k.toLong - 1)).as("max_span_tokens"),
         count(lit(1)).as("n_spans"))
       .filter(col("max_span_tokens") >= minSpanTokens)
+  }
+
+  /** Verbatim duplicate-span REMOVAL — the cut stage of exact substring
+    * deduplication (Lee et al. 2021, arXiv:2107.06499): every k-token
+    * window a document shares with any LOWER-id document is cut from the
+    * higher-id copy, so exactly one copy of each duplicated span survives
+    * corpus-wide while the surrounding unique prose is kept. Returns one
+    * row per document: (id, text_dedup, n_tokens_removed) — text
+    * reassembled from the surviving tokens in order.
+    *
+    * Shape: the same positional-window inverted index as [[dupSpans]];
+    * each matched window in the higher-id doc explodes to its k covered
+    * token indices (bounded by duplicated-content volume × k, NOT corpus
+    * size), distinct-unioned per doc, and the cut set rides a left join
+    * back to the corpus where a single indexed-lambda filter drops the
+    * covered tokens. No driver data, no O(n²) scan; the corpus side is
+    * touched once. */
+  def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    val posts = windowPosts(docs, idCol, textCol, k)
+    val a = posts.select(col(idCol).as("id_a"), col("h"))
+    val b = posts.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
+    val covered = a.join(b, "h").filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as(idCol),
+        explode(sequence(col("pos_b"), col("pos_b") + lit(k - 1))).as("idx"))
+      .distinct()
+    val cuts = covered.groupBy(idCol)
+      .agg(sort_array(collect_set(col("idx"))).as("cut"))
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("cut", coalesce(col("cut"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => !array_contains(col("cut"), i)))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("text_dedup"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
   }
 
   /** Exact dedup: keep the lowest id per identical normalized text. */

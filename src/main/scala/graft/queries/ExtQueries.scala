@@ -195,6 +195,13 @@ object ExtQueries {
       TextDedup.dupSpans(t(s, d, "documents"), "doc_id", "text",
         k = 8, minSpanTokens = 8)),
 
+    // duplicate-span REMOVAL (the ExactSubstr cut, arXiv:2107.06499):
+    // every 8-token window shared with a lower-id doc is cut from the
+    // higher-id copy; output is the surviving text + removal count. The
+    // oracle replays the cut on STRING windows
+    "d11_cut_spans" -> ((s, d) =>
+      TextDedup.cutDupSpans(t(s, d, "documents"), "doc_id", "text", k = 8)),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -644,6 +651,27 @@ object ExtQueries {
         |FROM runs GROUP BY id_a, id_b
         |HAVING max(run_len) + 7 >= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d11_cut_spans" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'h': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS w
+        |  FROM c),
+        |p AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM w),
+        |cov AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id, unnest(range(b.pos, b.pos + 8)) AS idx
+        |  FROM p a JOIN p b USING (h) WHERE a.doc_id < b.doc_id),
+        |cut AS (SELECT doc_id, list(idx) AS idxs FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT c.doc_id, toks,
+        |    [toks[i] FOR i IN range(1, len(toks) + 1)
+        |     IF NOT list_contains(coalesce(cut.idxs, []), i)] AS keep
+        |  FROM c LEFT JOIN cut USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(keep, ' '), '') AS text_dedup,
+        |  CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     "t6_tfidf_topk" ->
       """WITH tok AS (

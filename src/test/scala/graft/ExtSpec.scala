@@ -530,6 +530,24 @@ class ExtSpec extends SparkSpecBase {
     assert(within(r.getLong(2), 10000L, 0.05), s"difference est ${r.getLong(2)} vs 10000")
   }
 
+  test("cutDupSpans removes exactly the shared coverage from the higher-id copy") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "u1 u2 s1 s2 s3 s4 s5 u3 u4"),  // canonical — keeps everything
+      (2L, "v1 v2 s1 s2 s3 s4 s5 v3 v4"),  // loses the shared 5-token run
+      (3L, "u1 u2 s1 s2 s3 s4 s5 u3 u4"))  // full duplicate — loses all
+      .toDF("doc_id", "text")
+    val got = TextDedup.cutDupSpans(fixture, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0) == ((1L, "u1 u2 s1 s2 s3 s4 s5 u3 u4", 0L)),
+      s"the lowest id keeps its text verbatim, got ${got(0)}")
+    assert(got(1) == ((2L, "v1 v2 v3 v4", 5L)),
+      s"only the shared run is cut, unique prose survives, got ${got(1)}")
+    assert(got(2) == ((3L, "", 9L)),
+      s"a full duplicate is cut to empty, got ${got(2)}")
+  }
+
   test("dupSpans: diagonal islands recover exact span lengths and counts") {
     import spark.implicits._
     val fixture = Seq(
