@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the LLM-side counterpart of the
+  * medallion `run.Pipeline`, composing the north-star operators in the
+  * order production pipelines run them (cf. C4 / Gopher / RefinedWeb
+  * processing chains):
+  *
+  *   1. quality gate   — heuristic keep/drop ([[TextStats.qualityFilter]])
+  *   2. PII redaction  — typed placeholders ([[TextStats.redact]])
+  *   3. exact dedup    — one copy per identical text ([[TextDedup.exactDedup]])
+  *   4. near-dup removal — one representative per cluster
+  *                        ([[TextDedup.ngramJaccardPairs]] → [[TextDedup.dedupSurvivors]])
+  *   5. span cut       — shared k-token spans removed from the surviving
+  *                        copies, then too-short remnants dropped
+  *                        ([[TextDedup.cutDupSpans]])
+  *   6. contamination  — docs sharing shingles with the benchmark dropped
+  *                        ([[TextDedup.contaminatedIds]])
+  *   7. packing        — greedy budget bins + assembled text
+  *                        ([[TextStats.packedText]])
+  *
+  * Every stage is the already-gated operator — this object only wires
+  * them, so the composition inherits each stage's scale shape: the corpus
+  * is filtered by broadcast-able id sets (anti joins against the SMALL
+  * dropped side), never re-shuffled wholesale, and the one heavy index
+  * (the shingle frame) is shared through [[graft.util.Caches]].
+  *
+  * Returns the packed-bin frame plus a per-stage census for lineage
+  * reporting (docs surviving each stage, in order).
+  */
+object CorpusPipeline {
+
+  final case class StageCount(stage: String, docs: Long)
+
+  def run(docs: DataFrame, benchmark: DataFrame,
+          idCol: String = "doc_id", textCol: String = "text",
+          shingleK: Int = 3, jaccardThreshold: Double = 0.5,
+          spanK: Int = 8, minTokensAfterCut: Int = 5,
+          packBudget: Int = 512): (DataFrame, Seq[StageCount]) = {
+    val counts = Seq.newBuilder[StageCount]
+    def census(stage: String, df: DataFrame): DataFrame = {
+      counts += StageCount(stage, df.count()); df
+    }
+    census("input", docs)
+
+    // 1. quality gate: keep ids ride a semi join (flags frame is slim)
+    val keepIds = TextStats.qualityFilter(docs, idCol, textCol)
+      .filter(col("keep")).select(idCol)
+    val quality = census("quality_gate",
+      docs.join(keepIds, Seq(idCol), "left_semi"))
+
+    // 2. redaction: pure map stage, no row-count change
+    val redacted = quality.withColumn(textCol, TextStats.redact(col(textCol)))
+
+    // 3. exact dedup: survivors are min-id per fingerprint
+    val exactIds = TextDedup.exactDedup(redacted, idCol, textCol).select(idCol)
+    val exact = census("exact_dedup",
+      redacted.join(exactIds, Seq(idCol), "left_semi"))
+
+    // 4. near-dup removal: one representative per jaccard cluster; the
+    // anti side is only the DROPPED ids, so the corpus never shuffles
+    val pairs = TextDedup.ngramJaccardPairs(exact, idCol, textCol,
+      shingleK, jaccardThreshold)
+    val nearIds = TextDedup.dedupSurvivors(exact, idCol, pairs)
+    val near = census("near_dedup", exact.join(nearIds, Seq(idCol), "left_semi"))
+
+    // 5. span cut on the survivors + drop remnants too short to train on
+    val cut = TextDedup.cutDupSpans(near, idCol, textCol, spanK)
+      .withColumnRenamed("text_dedup", textCol)
+    val sized = census("span_cut",
+      cut.withColumn("n_tokens",
+          size(TextStats.tokens(col(textCol))).cast("long"))
+        .filter(col(textCol) =!= "" && col("n_tokens") >= minTokensAfterCut))
+
+    // 6. contamination screen against the benchmark (broadcast semi join)
+    val dirty = TextDedup.contaminatedIds(sized, benchmark, idCol, textCol, shingleK)
+    val clean = census("decontaminated",
+      sized.join(dirty, Seq(idCol), "left_anti"))
+
+    // 7. pack into budget bins, assembled in id order
+    val packed = TextStats.packedText(clean, idCol, textCol,
+      col("n_tokens"), packBudget)
+    (packed, counts.result())
+  }
+}

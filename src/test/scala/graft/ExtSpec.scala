@@ -530,6 +530,31 @@ class ExtSpec extends SparkSpecBase {
     assert(within(r.getLong(2), 10000L, 0.05), s"difference est ${r.getLong(2)} vs 10000")
   }
 
+  test("corpus pipeline: each stage only ever shrinks the corpus, output packs losslessly") {
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val benchmark = docs.filter(col("doc_id") < 25)
+    val (packed, counts) = CorpusPipeline.run(corpus, benchmark)
+    val byStage = counts.map(c => c.stage -> c.docs).toMap
+    assert(counts.map(_.stage) == Seq("input", "quality_gate", "exact_dedup",
+      "near_dedup", "span_cut", "decontaminated"))
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.docs <= a.docs, s"${b.stage} grew the corpus: ${a.docs} -> ${b.docs}")
+    }
+    assert(byStage("near_dedup") < byStage("exact_dedup"),
+      "fixture plants near-dups; the cluster stage must drop some")
+    assert(byStage("decontaminated") < byStage("span_cut"),
+      "fixture shares shingles across the id split; the screen must drop some")
+    assert(byStage("decontaminated") > 0, "a real corpus must survive")
+    // packing is lossless over the surviving docs
+    val p = packed.agg(sum("n_docs"), sum("bin_tokens")).head()
+    assert(p.getLong(0) == byStage("decontaminated"),
+      "every surviving doc lands in exactly one bin")
+    assert(p.getLong(1) > 0)
+    // deterministic end to end: same inputs, same census
+    val (_, counts2) = CorpusPipeline.run(corpus, benchmark)
+    assert(counts2 == counts)
+  }
+
   test("cutDupSpans removes exactly the shared coverage from the higher-id copy") {
     import spark.implicits._
     val fixture = Seq(
