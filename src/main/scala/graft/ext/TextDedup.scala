@@ -300,6 +300,15 @@ object TextDedup {
       .select(col("id_b").as(idCol),
         explode(sequence(col("pos_b"), col("pos_b") + lit(k - 1))).as("idx"))
       .distinct()
+    applyCut(docs, idCol, textCol, covered)
+  }
+
+  /** Rebuild each document minus its covered token indices: one left join
+    * of the corpus against the per-doc cut sets (small — only documents
+    * with duplicated content carry one) and a single indexed-lambda
+    * filter. Shared tail of [[cutDupSpans]] and [[cutSelfSpans]]. */
+  private def applyCut(docs: DataFrame, idCol: String, textCol: String,
+                       covered: DataFrame): DataFrame = {
     val cuts = covered.groupBy(idCol)
       .agg(sort_array(collect_set(col("idx"))).as("cut"))
     docs.select(col(idCol), tokens(col(textCol)).as("toks"))
@@ -310,6 +319,28 @@ object TextDedup {
       .select(col(idCol),
         concat_ws(" ", col("kept")).as("text_dedup"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
+  }
+
+  /** WITHIN-document span dedup: every k-token window whose identical text
+    * already occurred EARLIER in the same document is cut, keeping the
+    * first occurrence — the self-repetition cleanup for boilerplate-heavy
+    * pages (navigation chrome, repeated footers) that [[cutDupSpans]]'s
+    * cross-document pass never sees and the Gopher-style repetition
+    * SIGNALS (t11) only measure. Same coverage-union + indexed-filter
+    * shape; the heavy step is one (id, h) aggregation over the window
+    * postings — no join against other documents at all, so it
+    * partition-prunes perfectly at any corpus size. */
+  def cutSelfSpans(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    val posts = windowPosts(docs, idCol, textCol, k)
+    val firsts = posts.groupBy(col(idCol), col("h"))
+      .agg(min(col("pos")).as("first_pos"))
+    val covered = posts.join(firsts, Seq(idCol, "h"))
+      .filter(col("pos") > col("first_pos"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    applyCut(docs, idCol, textCol, covered)
   }
 
   /** Exact dedup: keep the lowest id per identical normalized text. */

@@ -202,6 +202,13 @@ object ExtQueries {
     "d11_cut_spans" -> ((s, d) =>
       TextDedup.cutDupSpans(t(s, d, "documents"), "doc_id", "text", k = 8)),
 
+    // WITHIN-document span dedup: repeated 8-token windows inside one doc
+    // cut after their first occurrence (fixture docs carry few or no
+    // self-repeats, so the gate proves identity-safety; the cut itself is
+    // spec-proven on planted boilerplate)
+    "d12_cut_self_spans" -> ((s, d) =>
+      TextDedup.cutSelfSpans(t(s, d, "documents"), "doc_id", "text", k = 8)),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -663,6 +670,28 @@ object ExtQueries {
         |cov AS (
         |  SELECT DISTINCT b.doc_id AS doc_id, unnest(range(b.pos, b.pos + 8)) AS idx
         |  FROM p a JOIN p b USING (h) WHERE a.doc_id < b.doc_id),
+        |cut AS (SELECT doc_id, list(idx) AS idxs FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT c.doc_id, toks,
+        |    [toks[i] FOR i IN range(1, len(toks) + 1)
+        |     IF NOT list_contains(coalesce(cut.idxs, []), i)] AS keep
+        |  FROM c LEFT JOIN cut USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(keep, ' '), '') AS text_dedup,
+        |  CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "d12_cut_self_spans" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'h': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS w
+        |  FROM c),
+        |p AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM w),
+        |f AS (SELECT doc_id, h, min(pos) AS first_pos FROM p GROUP BY doc_id, h),
+        |cov AS (
+        |  SELECT DISTINCT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS idx
+        |  FROM p JOIN f USING (doc_id, h) WHERE p.pos > f.first_pos),
         |cut AS (SELECT doc_id, list(idx) AS idxs FROM cov GROUP BY doc_id),
         |kept AS (
         |  SELECT c.doc_id, toks,

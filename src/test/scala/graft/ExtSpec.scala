@@ -573,6 +573,21 @@ class ExtSpec extends SparkSpecBase {
       s"a full duplicate is cut to empty, got ${got(2)}")
   }
 
+  test("cutSelfSpans keeps the first occurrence of repeated boilerplate") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "b1 b2 b3 b4 x1 x2 b1 b2 b3 b4 y1 y2"), // 4-token block repeats once
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8"))             // no self-repeat
+      .toDF("doc_id", "text")
+    val got = TextDedup.cutSelfSpans(fixture, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0) == ((1L, "b1 b2 b3 b4 x1 x2 y1 y2", 4L)),
+      s"the second block occurrence is cut, the first kept, got ${got(0)}")
+    assert(got(1) == ((2L, "a1 a2 a3 a4 a5 a6 a7 a8", 0L)),
+      s"a repeat-free doc passes through verbatim, got ${got(1)}")
+  }
+
   test("dupSpans: diagonal islands recover exact span lengths and counts") {
     import spark.implicits._
     val fixture = Seq(
