@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * processing chains):
   *
   *   1. quality gate   — heuristic keep/drop ([[TextStats.qualityFilter]])
-  *   2. PII redaction  — typed placeholders ([[TextStats.redact]])
+  *   2. PII redaction  — typed placeholders ([[TextStats.redact]]), then
+  *                        within-doc boilerplate cut ([[TextDedup.cutSelfSpans]])
   *   3. exact dedup    — one copy per identical text ([[TextDedup.exactDedup]])
   *   4. near-dup removal — one representative per cluster
   *                        ([[TextDedup.ngramJaccardPairs]] → [[TextDedup.dedupSurvivors]])
@@ -54,10 +55,17 @@ object CorpusPipeline {
     // 2. redaction: pure map stage, no row-count change
     val redacted = quality.withColumn(textCol, TextStats.redact(col(textCol)))
 
+    // 2b. within-doc span dedup: boilerplate repeats cut BEFORE the
+    // cross-document passes so repeated chrome can't inflate fingerprints
+    // or shingle sets; shrinks tokens, never drops documents
+    val selfCut = TextDedup.cutSelfSpans(redacted, idCol, textCol, spanK)
+      .withColumnRenamed("text_dedup", textCol)
+      .drop("n_tokens_removed")
+
     // 3. exact dedup: survivors are min-id per fingerprint
-    val exactIds = TextDedup.exactDedup(redacted, idCol, textCol).select(idCol)
+    val exactIds = TextDedup.exactDedup(selfCut, idCol, textCol).select(idCol)
     val exact = census("exact_dedup",
-      redacted.join(exactIds, Seq(idCol), "left_semi"))
+      selfCut.join(exactIds, Seq(idCol), "left_semi"))
 
     // 4. near-dup removal: one representative per jaccard cluster; the
     // anti side is only the DROPPED ids, so the corpus never shuffles
