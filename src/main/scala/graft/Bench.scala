@@ -25,7 +25,15 @@ import org.apache.spark.sql.SparkSession
   * (the letter prefix: d*, e*, g*, …) within each pass, so one family's
   * pinned frames cannot pressure another family's timings; within a
   * family the caches stay warm — the steady state a real multi-query
-  * session sees. Prints ONE JSON line.
+  * session sees.
+  *
+  * Output (hardened round 5): the full per-query JSON proved
+  * truncation-fragile — at 130 queries the single line is ~6 KB and the
+  * harness capturing only the stdout tail cut it mid-line two rounds
+  * running, losing the total. Now the complete per-query JSON is written
+  * to `bench_out.json` (cwd, or `SPARK_GRAFT_BENCH_OUT`), the same full
+  * line is still printed for human eyes, and a compact total-only JSON
+  * line is printed LAST so the headline number survives any tail window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,7 +92,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(full)
+    // compact line LAST: this is the one the tail-capturing driver parses
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$outPath"}""")
     graft.util.Caches.releaseAll()
     spark.stop()
   }

@@ -35,11 +35,18 @@ object CorpusPipeline {
 
   final case class StageCount(stage: String, docs: Long)
 
+  /** @param contamK contamination n-gram size, deliberately SEPARATE from
+    *   `shingleK`: near-dup Jaccard wants short shingles (recall), but
+    *   decontamination on word trigrams would drop a corpus doc for ONE
+    *   shared 3-gram with any benchmark doc — massive over-dropping on
+    *   realistic corpora. Standard practice screens on 8–13-gram overlap
+    *   (Lee et al. 2021; GPT-3 appendix C uses 13-grams), so the default
+    *   tracks `spanK`'s verbatim-span scale, not the Jaccard shingle. */
   def run(docs: DataFrame, benchmark: DataFrame,
           idCol: String = "doc_id", textCol: String = "text",
           shingleK: Int = 3, jaccardThreshold: Double = 0.5,
           spanK: Int = 8, minTokensAfterCut: Int = 5,
-          packBudget: Int = 512): (DataFrame, Seq[StageCount]) = {
+          packBudget: Int = 512, contamK: Int = 8): (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
     def census(stage: String, df: DataFrame): DataFrame = {
       counts += StageCount(stage, df.count()); df
@@ -83,7 +90,7 @@ object CorpusPipeline {
         .filter(col(textCol) =!= "" && col("n_tokens") >= minTokensAfterCut))
 
     // 6. contamination screen against the benchmark (broadcast semi join)
-    val dirty = TextDedup.contaminatedIds(sized, benchmark, idCol, textCol, shingleK)
+    val dirty = TextDedup.contaminatedIds(sized, benchmark, idCol, textCol, contamK)
     val clean = census("decontaminated",
       sized.join(dirty, Seq(idCol), "left_anti"))
 

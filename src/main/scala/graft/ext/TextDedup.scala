@@ -253,11 +253,30 @@ object TextDedup {
       .filter(col("w").isNotNull)
       .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
 
+  /** @param maxDf posting-list document-frequency cap (standard ExactSubstr
+    *   skew guard): window hashes occurring in more than `maxDf` documents
+    *   are EXCLUDED from pair attribution — a single boilerplate window
+    *   shared by a million pages would otherwise contribute df² ≈ 10¹²
+    *   join rows on one shuffle key. Saturated windows are still known
+    *   duplicated text (enumerate them with [[saturatedWindows]], cut them
+    *   with [[cutDupSpans]], which needs no pair join and has no cap);
+    *   only the per-PAIR attribution for those windows is given up.
+    *   Results for every window under the cap are identical (ExtSpec).
+    *   Default keeps every window. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
+               k: Int = 8, minSpanTokens: Int = 8,
+               maxDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(minSpanTokens >= k, "a span shorter than the window is undetectable")
-    val posts = windowPosts(docs, idCol, textCol, k)
+    val allPosts = windowPosts(docs, idCol, textCol, k)
+    val posts =
+      if (maxDf == Int.MaxValue) allPosts
+      else allPosts.join(
+        allPosts.groupBy("h")
+          .agg(count_distinct(col(idCol)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select("h"),
+        Seq("h"), "left_semi")
     val a = posts.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("h"))
     val b = posts.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
     // within a (pair, diag) group pos_a is unique (pos_b = pos_a − diag),
@@ -276,6 +295,17 @@ object TextDedup {
       .filter(col("max_span_tokens") >= minSpanTokens)
   }
 
+  /** The window hashes [[dupSpans]]' `maxDf` cap excluded from pair
+    * attribution: (h, df) for every window hash occurring in more than
+    * `maxDf` documents. One aggregation over the postings — the census of
+    * corpus-wide boilerplate the capped pair join gave up on, so nothing
+    * is silently dropped. */
+  def saturatedWindows(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, maxDf: Int = 100): DataFrame =
+    windowPosts(docs, idCol, textCol, k)
+      .groupBy("h").agg(count_distinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDf)
+
   /** Verbatim duplicate-span REMOVAL — the cut stage of exact substring
     * deduplication (Lee et al. 2021, arXiv:2107.06499): every k-token
     * window a document shares with any LOWER-id document is cut from the
@@ -284,38 +314,56 @@ object TextDedup {
     * row per document: (id, text_dedup, n_tokens_removed) — text
     * reassembled from the surviving tokens in order.
     *
-    * Shape: the same positional-window inverted index as [[dupSpans]];
-    * each matched window in the higher-id doc explodes to its k covered
+    * Shape (hardened round 5): "some LOWER-id document also has this
+    * window" is exactly `id > min(id) over the window hash`, so the cut
+    * set needs ONE aggregation over the positional-window inverted index
+    * and a join of the postings back to the per-hash minimum — O(Σ df),
+    * never the df² posting self-join a pairwise formulation implies. A
+    * boilerplate window shared by a million pages costs a million rows
+    * through a partial-aggregating min, not 10¹² join rows on one hot
+    * key, so this path needs no df cap at any corpus scale (planted
+    * hot-window spec in ExtSpec). Covered windows explode to their k
     * token indices (bounded by duplicated-content volume × k, NOT corpus
     * size), distinct-unioned per doc, and the cut set rides a left join
-    * back to the corpus where a single indexed-lambda filter drops the
-    * covered tokens. No driver data, no O(n²) scan; the corpus side is
-    * touched once. */
+    * back to the corpus. No driver data, no O(n²) scan; the corpus side
+    * is touched once. */
   def cutDupSpans(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 8): DataFrame = {
     val posts = windowPosts(docs, idCol, textCol, k)
-    val a = posts.select(col(idCol).as("id_a"), col("h"))
-    val b = posts.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
-    val covered = a.join(b, "h").filter(col("id_a") < col("id_b"))
-      .select(col("id_b").as(idCol),
-        explode(sequence(col("pos_b"), col("pos_b") + lit(k - 1))).as("idx"))
+    val firstDoc = posts.groupBy("h").agg(min(col(idCol)).as("min_id"))
+    val covered = posts.join(firstDoc, Seq("h"))
+      .filter(col(idCol) > col("min_id"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
       .distinct()
     applyCut(docs, idCol, textCol, covered)
   }
 
   /** Rebuild each document minus its covered token indices: one left join
     * of the corpus against the per-doc cut sets (small — only documents
-    * with duplicated content carry one) and a single indexed-lambda
-    * filter. Shared tail of [[cutDupSpans]] and [[cutSelfSpans]]. */
+    * with duplicated content carry one). Shared tail of [[cutDupSpans]]
+    * and [[cutSelfSpans]].
+    *
+    * The survivor selection is O(|toks| + |cut|) per document
+    * (linearized round 5): `array_except` over the full index range
+    * hash-builds the cut set once per row and streams the indices past it
+    * — both sides are primitive ints, so it stays inside codegen. The
+    * previous per-token `array_contains(cut, i)` lambda was
+    * O(|toks|·|cut|) with an interpreted HOF — quadratic exactly on the
+    * boilerplate-heavy documents this operator targets (a 100k-token doc
+    * with a near-total cut ≈ 10¹⁰ comparisons). A near-linearity bench
+    * spec in ExtSpec holds the regression door shut. */
   private def applyCut(docs: DataFrame, idCol: String, textCol: String,
                        covered: DataFrame): DataFrame = {
     val cuts = covered.groupBy(idCol)
-      .agg(sort_array(collect_set(col("idx"))).as("cut"))
+      .agg(collect_set(col("idx")).as("cut"))
     docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .join(cuts, Seq(idCol), "left")
       .withColumn("cut", coalesce(col("cut"), array().cast("array<int>")))
+      .withColumn("keep_idx",
+        array_except(sequence(lit(0), size(col("toks")) - 1), col("cut")))
       .withColumn("kept",
-        filter(col("toks"), (t, i) => !array_contains(col("cut"), i)))
+        transform(col("keep_idx"), i => element_at(col("toks"), i + 1)))
       .select(col(idCol),
         concat_ws(" ", col("kept")).as("text_dedup"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_tokens_removed"))
@@ -363,7 +411,7 @@ object TextDedup {
     * Safety rails for that adversarial case: `maxRounds` caps the number of
     * propagation rounds (a warning is emitted if the cap fires before the
     * fixpoint — labels are then correct for all components whose diameter
-    * is under the cap), and every round eagerly `localCheckpoint`s the
+    * is under the cap), and every round eagerly checkpoints the
     * label frame. The checkpoint is load-bearing, not an optimization: the
     * label frame feeds the next round TWICE (directly and through the
     * neighbor aggregation), so a lazily-chained loop doubles the analyzed
@@ -372,9 +420,22 @@ object TextDedup {
     * of superseded rounds are dropped by the ContextCleaner as the loop
     * releases its references.
     */
+  /** @param checkpointDir when set, per-round checkpoints go to this
+    *   RELIABLE location (`sparkContext.setCheckpointDir` + `checkpoint`)
+    *   instead of `localCheckpoint`: local checkpoint blocks live on
+    *   executors, so at real cluster scale one lost executor destroys a
+    *   round's lineage-truncated frame and fails the whole 50-round job —
+    *   a reliable dir (HDFS/object store) makes the adversarial
+    *   long-chain case restartable. Local mode / default None keeps the
+    *   cheaper executor-memory checkpoint. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxRounds: Int = 50): DataFrame = {
+                  maxRounds: Int = 50,
+                  checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // both edge directions from ONE pass over pairs (a union of two selects
     // would compute the pairs input twice before the persist catches it);
     // the exploded array is constant-size so no implicit size-filter sinks
@@ -386,9 +447,8 @@ object TextDedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // eager checkpoint, same treatment as every round: the initial frame
     // feeds round 1 twice, and without it the distinct shuffle runs twice
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -398,10 +458,9 @@ object TextDedup {
         .groupBy(col("src")).agg(min(col("label")).as("nb_label"))
       // eager per-round checkpoint (see scaladoc): one job materializes the
       // round and the next round starts from a leaf plan
-      val next = labels.join(neigh, labels("id") === neigh("src"), "left")
+      val next = ckpt(labels.join(neigh, labels("id") === neigh("src"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("next_label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("next_label")))
       // coalesce: an empty pair list yields sum(...) = NULL, not 0
       changed = next.agg(coalesce(
           sum(when(col("next_label") < col("label"), 1L).otherwise(0L)), lit(0L)))

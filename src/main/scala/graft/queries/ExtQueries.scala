@@ -505,7 +505,7 @@ object ExtQueries {
         |  SELECT source,
         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
-        |p AS (SELECT source, count(*) AS n_docs, SUM(n_tokens) AS tokens
+        |p AS (SELECT source, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
         |      FROM t GROUP BY source),
         |tot AS (SELECT SUM(tokens) AS total_tokens FROM p)
         |SELECT source, n_docs, tokens,
@@ -764,7 +764,7 @@ object ExtQueries {
         |  SELECT doc_id, text, n_tokens,
         |    CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS bin
         |  FROM c)
-        |SELECT bin, count(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+        |SELECT bin, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
         |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
