@@ -72,7 +72,12 @@ object Bench {
 
     once("q1_pricing_summary") // warmup: JVM + codegen + parquet footer cache
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional argv prefixes restrict the suite (e.g. `Bench q g` times the
+    // TPC-H-shaped families only — used for scaled-fixture runs); the
+    // driver passes no args and gets the full suite
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.isEmpty) allNames
+      else allNames.filter(n => args.exists(n.startsWith))
     val times = Array.fill(repeats)(Map.empty[String, Double])
     for (p <- 0 until repeats) {
       // each pass starts a third of the way around the suite: a PERIODIC

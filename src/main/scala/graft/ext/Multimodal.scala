@@ -138,37 +138,44 @@ object Multimodal {
         MediaMeta(id, bytes.length, "stub/raw", w, h, f)
     }
 
+  /** Mean Rec.601 luminance over a bulk-grabbed pixel row — bulk getRGB
+    * avoids the per-call color-model conversion of the pixel-at-a-time
+    * form. Shared by the image-feature and video-frame decode paths. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val row = new Array[Int](w)
+    var s = 0.0
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s / (w.toLong * h)
+  }
+
   private def decodeFeatureRow(id: Long, bytes: Array[Byte]): MediaFeature = {
     var cs = 0L
     var i = 0
     while (i < bytes.length) { cs = cs * 131L + (bytes(i) & 0xffL); i += 1 }
     // REAL pixel decode: ONE full ImageIO.read (no separate header pass on
-    // this path), mean Rec.601 luminance over a bulk-grabbed pixel row —
-    // bulk getRGB avoids the per-call color-model conversion of the
-    // pixel-at-a-time form. A payload whose header sniffs as an image but
-    // whose body fails to decode (truncated file) falls back to the stub
-    // instead of failing the task: dirty rows must not sink a 100 TB job.
+    // this path), then the shared mean-luminance pass. A payload whose
+    // header sniffs as an image but whose body fails to decode (truncated
+    // file) falls back to the stub instead of failing the task: dirty rows
+    // must not sink a 100 TB job.
     val decoded = sniffFormat(bytes).flatMap { fmt =>
       try {
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
           .map { img =>
-            val w = img.getWidth
-            val h = img.getHeight
-            val row = new Array[Int](w)
-            var s = 0.0
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, row, 0, w)
-              var x = 0
-              while (x < w) {
-                val rgb = row(x)
-                s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-                  0.114 * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            MediaFeature(id, bytes.length, fmt, w, h, cs, s / (w.toLong * h), 64)
+            MediaFeature(id, bytes.length, fmt, img.getWidth, img.getHeight,
+              cs, meanLuma(img), 64)
           }
       } catch { case _: Exception => None }
     }
@@ -211,8 +218,9 @@ object Multimodal {
   /** Audio container from magic bytes: RIFF/WAVE and FORM/AIFF — the two
     * containers the JDK ships parsers for (`javax.sound.sampled`). Video
     * CONTAINER metadata is parsed natively from ISO-BMFF boxes
-    * ([[decodeVideoHeader]]); only frame decode remains a stub (the JDK
-    * has no video codec). */
+    * ([[decodeVideoHeader]]); frame decode is real for MJPEG
+    * ([[decodeVideoFrames]]) and remains a stub for every other codec
+    * (the JDK ships none). */
   def sniffAudioFormat(bytes: Array[Byte]): Option[String] =
     if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
@@ -494,5 +502,105 @@ object Multimodal {
     buf.putInt(0).putInt(0x00010000).putInt(0)
     buf.putInt(0).putInt(0).putInt(0x40000000)
     ()
+  }
+
+  // ---------------------------------------------------- video frame decode
+
+  /** REAL frame decode for ONE codec: Motion-JPEG inside an ISO-BMFF
+    * `mdat` box. MJPEG stores each frame as a complete baseline JPEG, so
+    * frames are recovered by scanning the mdat payload for SOI (FFD8) /
+    * EOI (FFD9) marker pairs — inside the entropy-coded segment a raw FF
+    * is always byte-stuffed as FF00 (or a restart marker FFD0–D7), so EOI
+    * cannot occur mid-frame — and handing each one to the JDK's JPEG
+    * codec. Returns (frame_idx, width, height, mean_luma) per decoded
+    * frame, at most `maxFrames` (runaway-payload guard; a production
+    * sampler passes its stride budget here).
+    *
+    * Every OTHER codec (H.264/H.265/VP9/AV1…) remains the documented
+    * stub: no JDK codec exists, so non-MJPEG payloads return Nil rather
+    * than fabricated frames — the production drop-in is a JNI/FFM decoder
+    * behind this same signature. Undecodable marker pairs are skipped,
+    * not thrown: dirty rows must not sink a 100 TB job. */
+  def decodeVideoFrames(bytes: Array[Byte], maxFrames: Int = 64): Seq[(Int, Int, Int, Double)] =
+    sniffVideoFormat(bytes) match {
+      case None => Nil
+      case Some(_) =>
+        boxScan(bytes, 0, bytes.length).find(_._1 == "mdat") match {
+          case None => Nil
+          case Some((_, from, to)) =>
+            val out = Seq.newBuilder[(Int, Int, Int, Double)]
+            var idx = 0
+            var i = from
+            while (i + 1 < to && idx < maxFrames) {
+              if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xd8) {
+                var j = i + 2
+                var end = -1
+                while (end < 0 && j + 1 < to) {
+                  if ((bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == 0xd9)
+                    end = j + 2
+                  j += 1
+                }
+                if (end < 0) i = to // truncated final frame: stop
+                else {
+                  try {
+                    val img = javax.imageio.ImageIO.read(
+                      new java.io.ByteArrayInputStream(bytes, i, end - i))
+                    if (img != null) {
+                      out += ((idx, img.getWidth, img.getHeight, meanLuma(img)))
+                      idx += 1
+                    }
+                  } catch { case _: Exception => () }
+                  i = end
+                }
+              } else i += 1
+            }
+            out.result()
+        }
+    }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+                              height: Int, mean_luma: Double)
+
+  /** Partition-wise REAL MJPEG frame decode over (id, payload) rows — one
+    * output row per decoded frame, same shuffle-free mapPartitions shape
+    * as every other decode path (frames never ride through a shuffle;
+    * downstream feature joins key on (doc_id, frame_idx)). */
+  def extractVideoFrames(df: DataFrame, idCol: String, payloadCol: String,
+                         maxFrames: Int = 64): Dataset[VideoFrame] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.flatMap { r: Row =>
+        decodeVideoFrames(r.getAs[Array[Byte]](1), maxFrames).map {
+          case (idx, w, h, luma) => VideoFrame(r.getLong(0), idx, w, h, luma)
+        }
+      }
+    }(Encoders.product[VideoFrame])
+
+  /** Deterministic MJPEG-in-MP4 synthesizer: the [[mp4Bytes]] header
+    * (ftyp + moov) followed by an `mdat` box holding one REAL baseline
+    * JPEG per entry of `grays` — each frame a uniform gray-level image
+    * encoded by the JDK's own JPEG codec, so the decode gate exercises a
+    * true encode→container→extract→decode round trip. Frame geometry is
+    * exact after the round trip (JPEG is lossy in VALUES, not size);
+    * uniform-gray luminance survives within quantization error, which the
+    * spec bounds. */
+  def mjpegMp4Bytes(timescale: Int, durationUnits: Int, width: Int,
+                    height: Int, grays: Seq[Int]): Array[Byte] = {
+    val header = mp4Bytes(timescale, durationUnits, width, height, nTracks = 1)
+    val jpegs = grays.map { g =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(g, g, g))
+      gfx.fillRect(0, 0, width, height)
+      gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mdatLen = 8 + jpegs.map(_.length).sum
+    val buf = java.nio.ByteBuffer.allocate(header.length + mdatLen)
+    buf.put(header).putInt(mdatLen).put("mdat".getBytes("US-ASCII"))
+    jpegs.foreach(buf.put)
+    buf.array()
   }
 }

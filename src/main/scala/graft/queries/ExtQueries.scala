@@ -209,6 +209,23 @@ object ExtQueries {
     "d12_cut_self_spans" -> ((s, d) =>
       TextDedup.cutSelfSpans(t(s, d, "documents"), "doc_id", "text", k = 8)),
 
+    // end-to-end corpus pipeline LINEAGE CENSUS: one row per stage with
+    // the surviving doc count (same id<25 benchmark split as d7). This
+    // puts the full composed pipeline — quality gate → self-cut → exact →
+    // near-dup → span cut → decontamination — on the scoreboard, so a
+    // regression in stage ordering or any stage's drop rate moves a
+    // driver-visible artifact round-over-round (rows-only: the counts
+    // flow through engine-specific hashing; determinism and
+    // monotone-shrinkage are spec-proven in ExtSpec)
+    "c1_corpus_census" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (_, census) = CorpusPipeline.run(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+      s.createDataFrame(census.zipWithIndex.map { case (c, i) =>
+        (i, c.stage, c.docs)
+      }).toDF("stage_idx", "stage", "docs")
+    }),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -443,6 +460,31 @@ object ExtQueries {
         })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
         .toDF("doc_id", "payload")
       Multimodal.extractVideoMeta(payloads, "doc_id", "payload").toDF()
+    }),
+
+    // REAL MJPEG frame decode: per-row MJPEG-in-MP4 payloads (real JDK
+    // JPEG encode into an mdat box) are pulled back apart by the
+    // SOI/EOI scan and decoded by the actual JPEG codec — one row per
+    // frame. The oracle recomputes the frame fan-out and geometry
+    // arithmetically; frame PIXEL content (mean luminance ≈ planted
+    // gray) is bounded in MultimodalSpec, since JPEG quantization makes
+    // it deliberately inexact
+    "m9_video_frames" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val payloads = t(s, d, "documents").select(col("doc_id"))
+        .map(r => r.getLong(0))(Encoders.scalaLong)
+        .mapPartitions(_.map { id =>
+          val n = 1 + (id % 3).toInt
+          (id, Multimodal.mjpegMp4Bytes(
+            timescale = 600,
+            durationUnits = n * 600,
+            width = 32 + (id % 4).toInt * 16,
+            height = 32 + (id % 3).toInt * 16,
+            grays = (0 until n).map(f => 64 + f * 48)))
+        })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+        .toDF("doc_id", "payload")
+      Multimodal.extractVideoFrames(payloads, "doc_id", "payload")
+        .toDF().select("doc_id", "frame_idx", "width", "height")
     })
   )
 
@@ -914,6 +956,18 @@ object ExtQueries {
         |  'isom' AS container, timescale,
         |  CAST(duration_units * 1000 // timescale AS BIGINT) AS duration_ms,
         |  width, height, n_tracks
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the MJPEG gate's frame fan-out and geometry are pure doc_id
+    // arithmetic; pixel content is spec-bounded (JPEG is lossy)
+    "m9_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, 1 + CAST(doc_id % 3 AS INT))) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(32 + (doc_id % 4) * 16 AS INT) AS width,
+        |  CAST(32 + (doc_id % 3) * 16 AS INT) AS height
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

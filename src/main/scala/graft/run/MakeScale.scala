@@ -1,0 +1,85 @@
+package graft.run
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture generator: replicates a TPC-H-ish parquet directory
+  * `factor`× with referential-integrity-preserving key shifts, producing a
+  * larger dataset on which the SAME oracle SQL remains valid (both engines
+  * read the produced files, so correctness comparison needs no external
+  * data generator — the offline answer to "oracle the q* family at sf1"
+  * when no sf1 fixture and no network data generator exist).
+  *
+  * Copy i shifts every join key by i·10⁷: foreign keys move together
+  * (orders.o_custkey shifts with customer.c_custkey), so each copy is a
+  * disjoint, internally-consistent replica of the source universe and
+  * every equi-join produces exactly `factor`× the source matches — no
+  * cross-copy joins, no broken orphan semantics. Non-key attributes are
+  * untouched, so per-group aggregates are either identical (avg) or
+  * exactly scaled (sum/count) — both recomputed from the same files by
+  * the oracle, never assumed. `region`/`nation` (fixed dims joined by
+  * every copy) and the non-TPC-H tables (`events` has nanosecond
+  * timestamps a Spark rewrite would down-type; `documents`/`embeddings`
+  * keep the text/embedding gates at their calibrated scale) are
+  * byte-copied.
+  *
+  * Each scaled table is written as ONE parquet file named `table.parquet`
+  * (coalesce(1) + rename) because the oracle harness registers plain
+  * single-file paths. Usage: `MakeScale <srcDir> <outDir> <factor>`.
+  */
+object MakeScale {
+  private val Shift = 10000000L
+
+  private val keyCols: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part"     -> Seq("p_partkey"),
+    "orders"   -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+  private val copied = Seq("region", "nation", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get(out))
+    copied.foreach { t =>
+      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$out/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    keyCols.foreach { case (t, keys) =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val scaled = (0 until factor).map { i =>
+        keys.foldLeft(base) { (df, k) =>
+          // cast back: the + widens, and a changed physical type would make
+          // the scaled fixture diverge from the source schema contract
+          val dt = base.schema(k).dataType
+          df.withColumn(k, (col(k) + lit(i * Shift)).cast(dt))
+        }
+      }.reduce(_ union _)
+      val tmp = s"$out/_tmp_$t"
+      scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$out/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      new File(tmp).listFiles.foreach(_.delete())
+      Files.deleteIfExists(Paths.get(tmp))
+      println(s"[make-scale] $t x$factor written")
+    }
+    spark.stop()
+  }
+}

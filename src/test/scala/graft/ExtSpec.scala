@@ -607,4 +607,89 @@ class ExtSpec extends SparkSpecBase {
     assert(strict.toSeq == Seq((1L, 2L)))
   }
 
+  // --- round-5 hardening: skew caps, cut linearity, reliable checkpoint ---
+
+  /** 300 docs sharing one boilerplate window (df=300) + one pair sharing a
+    * rare window: the planted hot-window fixture for the skew specs. */
+  private def hotWindowFixture = {
+    import spark.implicits._
+    val boiler = (0 until 300).map { i =>
+      (i.toLong, s"b1 b2 b3 b4 b5 b6 b7 b8 u${i}a u${i}b u${i}c u${i}d")
+    }
+    val rare = Seq(
+      (1000L, "p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 p3 p4"),
+      (1001L, "r1 r2 s1 s2 s3 s4 s5 s6 s7 s8 r3 r4"))
+    (boiler ++ rare).toDF("doc_id", "text")
+  }
+
+  test("dupSpans maxDf cap drops saturated-window pairs, keeps under-cap results identical") {
+    val capped = TextDedup.dupSpans(hotWindowFixture, "doc_id", "text",
+        k = 8, minSpanTokens = 8, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the only under-cap window (df=2) is the planted s1..s8 run — its pair
+    // attribution is bit-identical to the uncapped run's row for that pair
+    assert(capped.toSeq == Seq((1000L, 1001L, 8L, 1L)),
+      s"cap=100 must keep exactly the rare-window pair, got ${capped.toSeq}")
+    val uncapped = TextDedup.dupSpans(hotWindowFixture, "doc_id", "text",
+        k = 8, minSpanTokens = 8)
+    // without the cap the df=300 boilerplate window attributes all C(300,2)
+    // pairs — the Σdf² volume the cap exists to bound
+    assert(uncapped.count() == 300L * 299L / 2 + 1,
+      "uncapped run must attribute every boilerplate pair plus the rare pair")
+    val sat = TextDedup.saturatedWindows(hotWindowFixture, "doc_id", "text",
+        k = 8, maxDf = 100).collect()
+    assert(sat.length == 1 && sat.head.getLong(1) == 300L,
+      "exactly the boilerplate window is saturated, with its true df")
+  }
+
+  test("cutDupSpans handles a corpus-wide hot window without a pair join blowup") {
+    val got = TextDedup.cutDupSpans(hotWindowFixture, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 0 (global min id for the boilerplate window) keeps it verbatim
+    assert(got(0L) == ("b1 b2 b3 b4 b5 b6 b7 b8 u0a u0b u0c u0d", 0L))
+    // every other boilerplate doc loses exactly the 8 shared tokens
+    (1 until 300).foreach { i =>
+      assert(got(i.toLong) == (s"u${i}a u${i}b u${i}c u${i}d", 8L),
+        s"doc $i must lose only the boilerplate window, got ${got(i.toLong)}")
+    }
+    assert(got(1000L)._2 == 0L, "lower id of the rare pair keeps its text")
+    assert(got(1001L) == ("r1 r2 r3 r4", 8L), "higher id loses the shared run")
+  }
+
+  test("applyCut is near-linear: a 50k-token doc with a ~100% cut completes fast") {
+    import spark.implicits._
+    // 10-token period repeated 5000x: every window past the first period is
+    // a repeat, so the cut set covers 49,990 of 50,000 tokens — the exact
+    // boilerplate-heavy shape where the old per-token array_contains scan
+    // was O(|toks|·|cut|) ≈ 2.5e9 interpreted comparisons (minutes); the
+    // array_except formulation is O(|toks|+|cut|) and finishes in seconds.
+    val period = (1 to 10).map(i => s"x$i").mkString(" ")
+    val big = Seq((1L, Seq.fill(5000)(period).mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = TextDedup.cutSelfSpans(big, "doc_id", "text", k = 8).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.getString(1) == period,
+      "only the first period survives the within-doc cut")
+    assert(r.getLong(2) == 49990L)
+    // generous ceiling (host stalls): quadratic would take minutes
+    assert(secs < 60, s"50k-token near-total cut took ${secs}s — quadratic regression?")
+  }
+
+  test("dupClusters through a reliable checkpoint dir matches the local-checkpoint labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // an 11-node chain needs multiple propagation rounds — each one
+    // round-trips through the reliable checkpoint
+    val chain = (0 until 10).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val reliable = TextDedup.dupClusters(chain, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == (0L to 10L).map(i => (i, 0L)).toSet,
+      "every chain node must collapse to the min label through the reliable path")
+    val local = TextDedup.dupClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == local)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+      "checkpoint data must actually land in the reliable dir")
+  }
+
 }

@@ -171,6 +171,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.decodeVideoHeader("plain text".getBytes("UTF-8")) == None)
   }
 
+  test("MJPEG frames survive the encode→mdat→extract→decode round trip") {
+    val grays = Seq(64, 128, 192)
+    val bytes = Multimodal.mjpegMp4Bytes(timescale = 600, durationUnits = 1800,
+      width = 48, height = 32, grays = grays)
+    // the container header still parses (ftyp + moov precede the mdat)
+    assert(Multimodal.decodeVideoHeader(bytes).exists(_._1 == "isom"))
+    val frames = Multimodal.decodeVideoFrames(bytes)
+    assert(frames.map(f => (f._1, f._2, f._3)) ==
+      Seq((0, 48, 32), (1, 48, 32), (2, 48, 32)),
+      "every planted frame decodes with exact geometry")
+    frames.zip(grays).foreach { case ((idx, _, _, luma), g) =>
+      assert(math.abs(luma - g) <= 3.0,
+        s"frame $idx mean luma $luma must sit within JPEG quantization of $g")
+    }
+    // maxFrames caps the scan without error
+    assert(Multimodal.decodeVideoFrames(bytes, maxFrames = 2).size == 2)
+    // non-MJPEG video (no mdat) and non-video payloads stay the stub: Nil
+    assert(Multimodal.decodeVideoFrames(
+      Multimodal.mp4Bytes(600, 1200, 640, 480, 1)) == Nil)
+    assert(Multimodal.decodeVideoFrames("plain text".getBytes("UTF-8")) == Nil)
+  }
+
+  test("extractVideoFrames fans out one row per frame, partition-independent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.mjpegMp4Bytes(600, 600, 32, 32, Seq(100))),
+      (2L, Multimodal.mjpegMp4Bytes(600, 1200, 64, 48, Seq(80, 160))),
+      (3L, "not a video".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.extractVideoFrames(df, "doc_id", "payload")
+      .collect().map(f => (f.doc_id, f.frame_idx, f.width, f.height)).toSet
+    assert(rows == Set((1L, 0, 32, 32), (2L, 0, 64, 48), (2L, 1, 64, 48)),
+      "dirty rows yield no frames; clean rows one per planted JPEG")
+    val repart = Multimodal.extractVideoFrames(df.repartition(5), "doc_id", "payload")
+      .collect().map(f => (f.doc_id, f.frame_idx, f.width, f.height)).toSet
+    assert(repart == rows)
+  }
+
   test("truncated / non-audio payloads fall back to the sentinel audio stub") {
     import spark.implicits._
     val wav = Multimodal.wavBytes(8000, 1, 100)
