@@ -48,8 +48,16 @@ object CorpusPipeline {
           spanK: Int = 8, minTokensAfterCut: Int = 5,
           packBudget: Int = 512, contamK: Int = 8): (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
+    // each censused stage is persisted through the shared Caches registry
+    // BEFORE its count: every stage feeds both the census action and the
+    // next stage (often twice — id-set derivation plus the semi join), so
+    // an uncached chain recomputes the whole pipeline prefix per count,
+    // quadratic in stage depth. One materialization per stage is also the
+    // production shape: at corpus scale each stage is a table you write
+    // (or at least persist), never a lineage you replay six times.
     def census(stage: String, df: DataFrame): DataFrame = {
-      counts += StageCount(stage, df.count()); df
+      val cached = graft.util.Caches.cached(df)
+      counts += StageCount(stage, cached.count()); cached
     }
     census("input", docs)
 
@@ -64,10 +72,13 @@ object CorpusPipeline {
 
     // 2b. within-doc span dedup: boilerplate repeats cut BEFORE the
     // cross-document passes so repeated chrome can't inflate fingerprints
-    // or shingle sets; shrinks tokens, never drops documents
-    val selfCut = TextDedup.cutSelfSpans(redacted, idCol, textCol, spanK)
-      .withColumnRenamed("text_dedup", textCol)
-      .drop("n_tokens_removed")
+    // or shingle sets; shrinks tokens, never drops documents. Cached like
+    // the censused stages: three consumers (fingerprints, the survivor
+    // semi join, and through it every later stage)
+    val selfCut = graft.util.Caches.cached(
+      TextDedup.cutSelfSpans(redacted, idCol, textCol, spanK)
+        .withColumnRenamed("text_dedup", textCol)
+        .drop("n_tokens_removed"))
 
     // 3. exact dedup: survivors are min-id per fingerprint
     val exactIds = TextDedup.exactDedup(selfCut, idCol, textCol).select(idCol)

@@ -243,15 +243,20 @@ object TextDedup {
     * scan, nothing on the driver. A run of r matched windows covers
     * r + k − 1 tokens. */
   /** Positional window postings (id, pos, h) — the inverted-index input
-    * shared by [[dupSpans]] and [[cutDupSpans]]. explode_outer +
-    * null-filter, not explode: same generated-column pushdown trap as the
-    * shingle postings (see ngramJaccardPairs). */
+    * shared by [[dupSpans]], [[cutDupSpans]] and [[cutSelfSpans]], so it
+    * rides the [[graft.util.Caches]] registry like the shingle index: a
+    * session running several span operators over one corpus (the corpus
+    * pipeline does; so does any span-dedup + diagnostics pairing)
+    * tokenizes and hashes it ONCE. explode_outer + null-filter, not
+    * explode: same generated-column pushdown trap as the shingle postings
+    * (see ngramJaccardPairs). */
   private def windowPosts(docs: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode_outer(spanWindows(col("toks"), k)).as("w"))
-      .filter(col("w").isNotNull)
-      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    graft.util.Caches.cached(
+      docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+        .select(col(idCol), explode_outer(spanWindows(col("toks"), k)).as("w"))
+        .filter(col("w").isNotNull)
+        .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h")))
 
   /** @param maxDf posting-list document-frequency cap (standard ExactSubstr
     *   skew guard): window hashes occurring in more than `maxDf` documents
