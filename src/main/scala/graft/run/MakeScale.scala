@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   *
   * Each scaled table is written as ONE parquet file named `table.parquet`
   * (coalesce(1) + rename) because the oracle harness registers plain
-  * single-file paths. Usage: `MakeScale <srcDir> <outDir> <factor>`.
+  * single-file paths.
+  *
+  * Usage: `MakeScale <srcDir> <outDir> <factor> [extraTable...]` — extra
+  * tables (`documents`, `embeddings`) are normally byte-copied but can be
+  * opted into scaling; replicated documents make every span/shingle a
+  * corpus-wide duplicate, which is exactly the boilerplate-saturated
+  * worst case the dedup stack's skew guards exist for.
   */
 object MakeScale {
   private val Shift = 10000000L
@@ -40,12 +46,19 @@ object MakeScale {
     "orders"   -> Seq("o_orderkey", "o_custkey"),
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
 
+  private val extraKeys = Map(
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
   private val copied = Seq("region", "nation", "events", "documents", "embeddings")
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    val extras = args.drop(3).toSeq
+    extras.foreach(t => require(extraKeys.contains(t),
+      s"unknown extra table $t (supported: ${extraKeys.keys.mkString(", ")})"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,11 +69,11 @@ object MakeScale {
     spark.sparkContext.setLogLevel("WARN")
 
     Files.createDirectories(Paths.get(out))
-    copied.foreach { t =>
+    copied.filterNot(extras.contains).foreach { t =>
       Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$out/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    keyCols.foreach { case (t, keys) =>
+    (keyCols ++ extras.map(t => t -> extraKeys(t))).foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val scaled = (0 until factor).map { i =>
         keys.foldLeft(base) { (df, k) =>

@@ -28,6 +28,27 @@ class ExtSpec extends SparkSpecBase {
       s"only the doc sharing a full 3-shingle is contaminated, got $flagged")
   }
 
+  test("decontamination n-grams: an 8-gram screen keeps docs sharing only a trigram") {
+    import spark.implicits._
+    import graft.ext.TextDedup
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the trigram "alpha beta gamma" but no 8-gram run
+      (10L, "alpha beta gamma unrelated words fill this document out"),
+      // shares a full 8-gram with the benchmark
+      (11L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"))
+      .toDF("doc_id", "text")
+    val at3 = TextDedup.contaminatedIds(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    val at8 = TextDedup.contaminatedIds(corpus, bench, "doc_id", "text", k = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(at3 == Set(10L, 11L), s"a trigram screen flags both, got $at3")
+    assert(at8 == Set(11L),
+      s"the 8-gram screen (CorpusPipeline's contamK default) must keep the " +
+        s"trigram-only doc — over-dropping is the failure mode, got $at8")
+  }
+
   test("minhash LSH pairs == exact-jaccard pairs at threshold (full recall on planted dups)") {
     val lsh = TextDedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
