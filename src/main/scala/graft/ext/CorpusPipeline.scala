@@ -86,8 +86,14 @@ object CorpusPipeline {
       selfCut.join(exactIds, Seq(idCol), "left_semi"))
 
     // 4. near-dup removal: one representative per jaccard cluster; the
-    // anti side is only the DROPPED ids, so the corpus never shuffles
-    val pairs = TextDedup.ngramJaccardPairs(exact, idCol, textCol,
+    // anti side is only the DROPPED ids, so the corpus never shuffles.
+    // The PREFIX-FILTERED pair join (AllPairs/PPJoin) is the deliberate
+    // choice here over the plain inverted index: the pipeline is the
+    // production composition, and at corpus scale common shingles are
+    // exactly where the plain index's Σ df² melts — the prefix path's
+    // candidate join runs over rare shingles only (ExtSpec proves the
+    // two return identical pairs)
+    val pairs = TextDedup.ngramJaccardPairsPrefix(exact, idCol, textCol,
       shingleK, jaccardThreshold)
     val nearIds = TextDedup.dedupSurvivors(exact, idCol, pairs)
     val near = census("near_dedup", exact.join(nearIds, Seq(idCol), "left_semi"))
