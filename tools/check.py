@@ -16,8 +16,18 @@ for name in names:
     try:
         got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").fetchall()
         gcols = [d[0] for d in con.description]
-        exp = con.execute(oracle[name]).fetchall()
-        ecols = [d[0] for d in con.description]
+        exp_tbl = con.execute(oracle[name]).fetch_arrow_table()
+        exp = [tuple(r.values()) for r in exp_tbl.to_pylist()]
+        ecols = exp_tbl.schema.names
+        # type tripwire: the driver's hasher compares Arrow types strictly,
+        # while norm() below string-normalizes them away. A DECIMAL column
+        # (e.g. DuckDB SUM(int) -> HUGEINT -> decimal128) passes here but
+        # hash-fails the driver -- pin the oracle with CAST(... AS BIGINT)
+        # or cast the final output to DOUBLE on both sides.
+        for f in exp_tbl.schema:
+            if 'decimal' in str(f.type):
+                print(f"TYPEWARN {name}: oracle column {f.name} is {f.type} "
+                      f"(driver hash will mismatch vs Spark's physical type)")
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if sorted(gcols) != sorted(ecols):
