@@ -479,6 +479,97 @@ object TextDedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING STAR rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * adversarial-graph twin of [[dupClusters]]: min-label propagation
+    * needs O(diameter) rounds, so a pathological duplicate CHAIN
+    * (A≈B≈C≈…, exactly what near-threshold pairs produce) of length
+    * 10,000 either runs 10,000 shuffles or hits the round cap with
+    * partial labels. Alternating star rounds converge in a logarithmic
+    * (not diameter-bound) number of rounds on ANY graph:
+    *
+    *   large-star: every node v > u in u's neighborhood re-attaches to
+    *   m(u) = min(N(u) ∪ {u}) — strictly-larger neighbors hop to the
+    *   local minimum;
+    *   small-star: every node v ≤ u (and u itself) attaches to m(u) —
+    *   the remaining small neighbors collapse onto it.
+    *
+    * Each half-round is one aggregation (per-node min) + one join back
+    * to the adjacency — the same shuffle shape and size as a
+    * [[dupClusters]] round, so choosing it costs nothing per round and
+    * wins asymptotically in round count. Fixpoint when the edge set is
+    * stable (checked with a count + order-independent hash aggregate, no
+    * driver-side edge sets); at fixpoint the graph is a forest of stars
+    * and (member → center) IS the (doc_id, cluster_id) labeling, with
+    * cluster_id = the component minimum, identical to [[dupClusters]]
+    * (asserted on random pair lists in ExtSpec). Same output contract,
+    * same `maxRounds`/`checkpointDir` rails. Default stays min-label:
+    * near-dup components are usually tiny cliques where 2–3 label rounds
+    * beat ~5 star half-rounds; switch here when components can be deep. */
+  def dupClustersStar(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                      maxRounds: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+
+    // canonical undirected edge list (u < v), self-loops dropped; the
+    // star rounds preserve this invariant (they emit (big, small) pairs)
+    var edges = ckpt(pairs
+      .select(least(col(idA).cast("long"), col(idB).cast("long")).as("v"),
+        greatest(col(idA).cast("long"), col(idB).cast("long")).as("u"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v")).distinct())
+
+    // one star half-round: re-attach each u-neighborhood to its minimum.
+    // `keepLarger` true = large-star (only neighbors v > u move),
+    // false = small-star (neighbors v <= u and u itself move).
+    def star(es: DataFrame, keepLarger: Boolean): DataFrame = {
+      val adj = es.select(col("u").as("n"), col("v").as("nb"))
+        .union(es.select(col("v").as("n"), col("u").as("nb")))
+      val mins = adj.groupBy("n").agg(min(col("nb")).as("mn"))
+        .select(col("n"), least(col("mn"), col("n")).as("m"))
+      val moved =
+        if (keepLarger)
+          adj.join(mins, "n").filter(col("nb") > col("n"))
+            .select(col("nb").as("u"), col("m").as("v"))
+        else
+          adj.join(mins, "n").filter(col("nb") <= col("n"))
+            .select(col("nb").as("u"), col("m").as("v"))
+            .union(mins.select(col("n").as("u"), col("m").as("v")))
+      moved.filter(col("u") =!= col("v")).distinct()
+    }
+
+    // order-independent edge-SET signature (edges are distinct): count +
+    // xor-fold of the pair hashes — xor, not sum, because summing
+    // full-range xxhash64 longs overflows under ANSI arithmetic
+    def signature(es: DataFrame): (Long, Long) = {
+      val r = es.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      round += 1
+      val next = ckpt(star(star(edges, keepLarger = true), keepLarger = false))
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      edges = next
+    }
+    if (!stable)
+      System.err.println(s"[graft] dupClustersStar: round cap $maxRounds hit " +
+        "before edge fixpoint; labels may be partial")
+    // star forest: every edge is (member, center-min); centers label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+      .distinct()
+  }
+
   /** Near-dup REMOVAL: the document ids that survive deduplication — every
     * document outside any near-dup cluster, plus one canonical
     * representative (the minimum id) per cluster. This is the output a

@@ -142,6 +142,15 @@ object ExtQueries {
         TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 3, threshold = 0.5))),
 
+    // the alternating-star CC variant (logarithmic rounds on ANY graph
+    // diameter — the adversarial-chain-safe twin of d5) gated against the
+    // SAME transitive-closure oracle: both must produce the identical
+    // (doc_id, component-min) labeling
+    "d13_dup_clusters_star" -> ((s, d) =>
+      TextDedup.dupClustersStar(
+        TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.5))),
+
     // near-dup REMOVAL: the ids surviving dedup — everything outside a
     // near-dup cluster plus the min-id representative of each cluster
     // (the output a training pipeline feeds downstream)
@@ -591,6 +600,27 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "d5_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // identical oracle to d5: the star-rounds algorithm must land on the
+    // same (doc_id, component-min) labeling the transitive closure does
+    "d13_dup_clusters_star" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
         |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s

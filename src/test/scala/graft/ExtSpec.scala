@@ -696,6 +696,35 @@ class ExtSpec extends SparkSpecBase {
     assert(secs < 60, s"50k-token near-total cut took ${secs}s — quadratic regression?")
   }
 
+  test("dupClustersStar labels == min-label labels on real near-dup pairs") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    val star = TextDedup.dupClustersStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val label = TextDedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == label, "both algorithms must produce the identical " +
+      "(doc_id, cluster_id = component min) labeling")
+    assert(star.nonEmpty, "fixture plants near-dup pairs")
+  }
+
+  test("dupClustersStar collapses a 10k-node chain in logarithmic rounds") {
+    import spark.implicits._
+    // diameter 10,000: min-label propagation moves the minimum ONE hop per
+    // round, so at any practical cap it must surrender partial labels —
+    // this graph is the reason the star variant exists
+    val n = 10000
+    val chain = (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val star = TextDedup.dupClustersStar(chain, maxRounds = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (0L to n.toLong).map(i => (i, 0L)).toSet,
+      "every chain node must reach the global minimum label within the cap")
+    val capped = TextDedup.dupClusters(chain, maxRounds = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped != star,
+      "min-label at the same cap cannot finish a diameter-10k chain — " +
+        "if it ever does, the star variant's reason-to-exist changed")
+  }
+
   test("dupClusters through a reliable checkpoint dir matches the local-checkpoint labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
