@@ -725,6 +725,24 @@ class ExtSpec extends SparkSpecBase {
         "if it ever does, the star variant's reason-to-exist changed")
   }
 
+  test("dupClustersStar == min-label on seeded random graphs (forests, cliques, mixtures)") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(40)
+      val m = 20 + rnd.nextInt(80)
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (a.toLong, b.toLong)
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val star = TextDedup.dupClustersStar(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val label = TextDedup.dupClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(star == label, s"seed=$seed: star and min-label labelings diverge")
+    }
+  }
+
   test("dupClusters through a reliable checkpoint dir matches the local-checkpoint labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
