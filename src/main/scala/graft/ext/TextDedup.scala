@@ -610,6 +610,80 @@ object TextDedup {
     docs.select(idCol).join(dropped, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------- incremental ingest
+
+  /** INCREMENTAL exact dedup: the ids of `newDocs` whose normalized text
+    * does not already exist in `corpus` AND is not a within-batch repeat
+    * (min id per fingerprint wins, as in [[exactDedup]]). This is the
+    * ingest-time shape — a daily batch screens against the accumulated
+    * corpus without the corpus being re-deduplicated: the batch's
+    * fingerprints (small) anti-join the corpus fingerprint projection,
+    * which at scale is a stored column, not a recompute. No corpus
+    * shuffle beyond the fingerprint scan; the batch side is
+    * AQE-broadcast-sized by construction. */
+  def incrementalExactIds(corpus: DataFrame, newDocs: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    val newFp = newDocs.select(col(idCol),
+      TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
+    val batchFirst = newFp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol))
+    val corpusFp = corpus.select(
+      TextStats.fingerprintMd5(col(textCol)).as("fingerprint")).distinct()
+    batchFirst.join(corpusFp, Seq("fingerprint"), "left_anti")
+      .select(idCol, "fingerprint")
+  }
+
+  /** INCREMENTAL near-dup pairs: (new_id, corpus_id, jaccard ≥ threshold)
+    * between a new batch and the existing corpus — the candidate join runs
+    * new-postings ⋈ corpus-postings on the 64-bit shingle hash, so its
+    * volume is Σ_s df_new(s)·df_corpus(s): proportional to the BATCH, not
+    * the corpus squared. The corpus postings come from the shared
+    * [[shingleFrame]] index (at scale: a maintained inverted-index table,
+    * exactly what this plan writes). Within-batch pairs are [[
+    * ngramJaccardPairs]]' job — this join is strictly cross-sided. */
+  def nearDupPairsAgainst(corpus: DataFrame, newDocs: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cSh = shingleFrame(corpus, idCol, textCol, k)
+      .withColumn("sz", size(col("sh")))
+    val nSh = shingleFrame(newDocs, idCol, textCol, k)
+      .withColumn("sz", size(col("sh")))
+    val cPosts = cSh.select(col(idCol).as("corpus_id"), col("sz").as("sz_c"),
+      explode_outer(col("sh")).as("s")).filter(col("s").isNotNull)
+    val nPosts = nSh.select(col(idCol).as("new_id"), col("sz").as("sz_n"),
+      explode_outer(col("sh")).as("s")).filter(col("s").isNotNull)
+    nPosts.join(cPosts, "s")
+      .groupBy("new_id", "corpus_id", "sz_n", "sz_c")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_n") + col("sz_c") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
+  /** INCREMENTAL ingest survivors: the `newDocs` ids that should join the
+    * corpus — not an exact duplicate of anything in the corpus or earlier
+    * in the batch ([[incrementalExactIds]]), not a near-dup of any corpus
+    * document ([[nearDupPairsAgainst]]), and not a near-dup of a
+    * LOWER-id batch mate ([[ngramJaccardPairs]] within the batch). The
+    * accumulated corpus is never re-clustered — its membership is settled;
+    * only the batch is screened. All three screens are id-set anti joins
+    * against SMALL dropped/duplicate sets, so the batch (let alone the
+    * corpus) is never reshuffled wholesale. */
+  def incrementalSurvivors(corpus: DataFrame, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val exactOk = incrementalExactIds(corpus, newDocs, idCol, textCol)
+      .select(idCol)
+    val nearCorpusDup = nearDupPairsAgainst(corpus, newDocs, idCol, textCol,
+      k, threshold).select(col("new_id").as(idCol)).distinct()
+    val batchPairs = ngramJaccardPairs(newDocs, idCol, textCol, k, threshold)
+    val batchDropped = batchPairs
+      .select(greatest(col("id_a"), col("id_b")).as(idCol)).distinct()
+    exactOk
+      .join(nearCorpusDup, Seq(idCol), "left_anti")
+      .join(batchDropped, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination screen: corpus documents sharing at least one
     * word k-shingle with ANY benchmark document — the pre-training hygiene
     * check that keeps eval sets out of the training mix. The benchmark's

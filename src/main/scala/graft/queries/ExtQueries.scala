@@ -151,6 +151,38 @@ object ExtQueries {
         TextDedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           k = 3, threshold = 0.5))),
 
+    // ---- incremental ingest: a new batch (doc_id >= 400) screens against
+    // the accumulated corpus (doc_id < 400) without re-deduplicating it —
+    // the daily-ingest shape. Exact screen: batch fingerprints (min id per
+    // within-batch repeat) anti corpus fingerprints
+    "d14_incremental_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.incrementalExactIds(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // cross-sided near-dup pairs: batch postings ⋈ corpus postings only —
+    // candidate volume scales with the BATCH, never corpus²
+    "d15_incremental_near_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.nearDupPairsAgainst(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", k = 3, threshold = 0.5)
+        .select("new_id", "corpus_id")
+    }),
+
+    // the composed ingest decision: batch ids that are not corpus exacts,
+    // not corpus near-dups, and not the greater side of a batch pair
+    "d16_incremental_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.incrementalSurvivors(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", k = 3, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // near-dup REMOVAL: the ids surviving dedup — everything outside a
     // near-dup cluster plus the min-id representative of each cluster
     // (the output a training pipeline feeds downstream)
@@ -617,6 +649,67 @@ object ExtQueries {
         |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // incremental ingest: exact screen — batch fingerprints (min id per
+    // within-batch repeat) that do not exist in the corpus slice
+    "d14_incremental_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |b AS (SELECT fingerprint, min(doc_id) AS doc_id
+        |      FROM fp WHERE doc_id >= 400 GROUP BY fingerprint),
+        |c AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400)
+        |SELECT doc_id, fingerprint FROM b
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM c)
+        |ORDER BY doc_id""".stripMargin,
+
+    // incremental ingest: cross-sided near-dup pairs (batch x corpus only)
+    "d15_incremental_near_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents))
+        |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |FROM sh n, sh c
+        |WHERE n.doc_id >= 400 AND c.doc_id < 400
+        |  AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(n.s, c.s))) AS DOUBLE) >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // incremental ingest: the composed decision — batch ids surviving the
+    // exact screen, the corpus near-dup screen, and the within-batch
+    // greater-side drop
+    "d16_incremental_survivors" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |exact_ok AS (
+        |  SELECT min(doc_id) AS doc_id FROM fp WHERE doc_id >= 400
+        |  GROUP BY fingerprint
+        |  HAVING fingerprint NOT IN
+        |    (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |near_corpus AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM sh n, sh c
+        |  WHERE n.doc_id >= 400 AND c.doc_id < 400
+        |    AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(n.s, c.s))) AS DOUBLE) >= 0.5),
+        |batch_dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id >= 400 AND b.doc_id > a.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM exact_ok
+        |WHERE doc_id NOT IN (SELECT doc_id FROM near_corpus)
+        |  AND doc_id NOT IN (SELECT doc_id FROM batch_dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     // identical oracle to d5: the star-rounds algorithm must land on the
     // same (doc_id, component-min) labeling the transitive closure does

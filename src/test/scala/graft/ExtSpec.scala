@@ -696,6 +696,37 @@ class ExtSpec extends SparkSpecBase {
     assert(secs < 60, s"50k-token near-total cut took ${secs}s — quadratic regression?")
   }
 
+  test("incremental ingest: each screen drops exactly its planted case") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "settled corpus document about alpha beta gamma topics"),
+      (2L, "another settled document covering delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "settled corpus document about alpha beta gamma topics"), // exact corpus dup
+      (11L, "settled corpus document about alpha beta gamma material"), // near-dup of corpus 1
+      (12L, "fresh unique content with entirely new vocabulary here"),
+      (13L, "fresh unique content with entirely new vocabulary here"), // exact batch dup of 12
+      (14L, "fresh unique content with entirely new vocabulary there"), // near-dup of 12 (batch)
+      (15L, "completely independent subject matter nothing shared at all"))
+      .toDF("doc_id", "text")
+    val exact = TextDedup.incrementalExactIds(corpus, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(11L, 12L, 14L, 15L),
+      s"exact screen drops the corpus dup and the batch repeat, got $exact")
+    val nearPairs = TextDedup.nearDupPairsAgainst(corpus, batch, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearPairs.contains((11L, 1L)) && nearPairs.contains((10L, 1L)),
+      s"cross near-dups must pair batch docs with corpus doc 1, got $nearPairs")
+    assert(!nearPairs.exists(_._2 == 2L), "nothing resembles corpus doc 2")
+    val survivors = TextDedup.incrementalSurvivors(corpus, batch, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(12L, 15L),
+      s"only the first fresh doc and the independent doc join the corpus, got $survivors")
+  }
+
   test("dupClustersStar labels == min-label labels on real near-dup pairs") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
     val star = TextDedup.dupClustersStar(pairs)
