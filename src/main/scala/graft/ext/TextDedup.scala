@@ -660,6 +660,28 @@ object TextDedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** INCREMENTAL span cut: remove from each new-batch document every
+    * k-token window whose text already exists ANYWHERE in the settled
+    * corpus — the ingest-time ExactSubstr pass. The corpus contributes
+    * only its DISTINCT window-hash set (at scale: the maintained window
+    * index, not a recompute); the batch postings semi-join it and the
+    * shared [[applyCut]] tail rebuilds the survivors. One O(Σ df)
+    * aggregation + one hash semi join — the corpus text is never
+    * re-shuffled, the batch never joins itself. Within-batch duplication
+    * is [[cutDupSpans]]/[[cutSelfSpans]]' job, deliberately not repeated
+    * here (ingest runs them on the batch before or after this pass). */
+  def cutSpansAgainst(corpus: DataFrame, newDocs: DataFrame,
+                      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val corpusHashes = windowPosts(corpus, idCol, textCol, k)
+      .select("h").distinct()
+    val covered = windowPosts(newDocs, idCol, textCol, k)
+      .join(corpusHashes, Seq("h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    applyCut(newDocs, idCol, textCol, covered)
+  }
+
   /** INCREMENTAL ingest survivors: the `newDocs` ids that should join the
     * corpus — not an exact duplicate of anything in the corpus or earlier
     * in the batch ([[incrementalExactIds]]), not a near-dup of any corpus

@@ -183,6 +183,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental span cut: every 8-token window a batch doc shares with
+    // ANY settled-corpus doc is removed from the batch copy — the corpus
+    // contributes only its distinct window-hash set (semi join), the
+    // batch text is rebuilt by the shared cut tail
+    "d17_cut_spans_against" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.cutSpansAgainst(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", k = 8)
+    }),
+
     // near-dup REMOVAL: the ids surviving dedup — everything outside a
     // near-dup cluster plus the min-id representative of each cluster
     // (the output a training pipeline feeds downstream)
@@ -710,6 +721,32 @@ object ExtQueries {
         |WHERE doc_id NOT IN (SELECT doc_id FROM near_corpus)
         |  AND doc_id NOT IN (SELECT doc_id FROM batch_dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    // incremental span cut: replayed on STRING windows — batch windows
+    // whose text exists in the corpus slice are covered; the cut replays
+    // exactly like d11's oracle, restricted to batch docs
+    "d17_cut_spans_against" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'h': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS w
+        |  FROM c),
+        |p AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM w),
+        |ch AS (SELECT DISTINCT h FROM p WHERE doc_id < 400),
+        |cov AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id, unnest(range(b.pos, b.pos + 8)) AS idx
+        |  FROM p b JOIN ch USING (h) WHERE b.doc_id >= 400),
+        |cut AS (SELECT doc_id, list(idx) AS idxs FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT c.doc_id, toks,
+        |    [toks[i] FOR i IN range(1, len(toks) + 1)
+        |     IF NOT list_contains(coalesce(cut.idxs, []), i)] AS keep
+        |  FROM c LEFT JOIN cut USING (doc_id)
+        |  WHERE c.doc_id >= 400)
+        |SELECT doc_id, coalesce(array_to_string(keep, ' '), '') AS text_dedup,
+        |  CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // identical oracle to d5: the star-rounds algorithm must land on the
     // same (doc_id, component-min) labeling the transitive closure does

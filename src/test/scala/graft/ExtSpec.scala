@@ -727,6 +727,28 @@ class ExtSpec extends SparkSpecBase {
       s"only the first fresh doc and the independent doc join the corpus, got $survivors")
   }
 
+  test("cutSpansAgainst removes exactly the corpus-shared windows from a batch") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ") // 8-token corpus span
+    val corpus = Seq(
+      (1L, s"settled leading words $span settled trailing words"),
+      (2L, "unrelated settled material nothing shared with batch"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"fresh intro tokens here $span fresh outro tokens here"),
+      (11L, "entirely new vocabulary with no settled overlap at all"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.cutSpansAgainst(corpus, batch, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(10L, 11L), "one row per batch doc, corpus never emitted")
+    val (text10, removed10) = out(10L)
+    assert(text10 == "fresh intro tokens here fresh outro tokens here",
+      s"the shared span must be cut, surrounding prose kept, got '$text10'")
+    assert(removed10 == 8L)
+    assert(out(11L) == (("entirely new vocabulary with no settled overlap at all", 0L)),
+      "a batch doc sharing nothing is returned verbatim")
+  }
+
   test("dupClustersStar labels == min-label labels on real near-dup pairs") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
     val star = TextDedup.dupClustersStar(pairs)
