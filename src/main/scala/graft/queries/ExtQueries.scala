@@ -125,7 +125,12 @@ object ExtQueries {
     "d1_dedup_exact" -> ((s, d) =>
       TextDedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
 
-    // MinHash/LSH near-dup pairs — xxhash-based, rows-only check
+    // MinHash/LSH near-dup pairs. Oracled against the exact-Jaccard pair
+    // set: the LSH path exact-verifies every banded candidate, so its
+    // output is ALWAYS a subset of the exact pairs, and equals them
+    // whenever banding recall is total — which ExtSpec asserts on planted
+    // fixtures and holds at both sf0.01 and sf0.1 (diffed empirically).
+    // A driver red here means the banding started missing real pairs.
     "d2_minhash_dup_pairs" -> ((s, d) =>
       TextDedup.minhashDupPairs(t(s, d, "documents"), "doc_id", "text")
         .select("id_a", "id_b")),
@@ -554,6 +559,29 @@ object ExtQueries {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // bit-exact replay of the RollingHash codegen Expression: fold
+    // h = (h*1315423911 + byte) over the normalized text's UTF-8 bytes in
+    // HUGEINT, reduced mod 2^64 each step, then re-signed to int64. The
+    // per-character unicode() stands in for the byte ONLY because the
+    // fixture text is pure ASCII (verified: zero non-ASCII rows) — the
+    // Spark side hashes raw UTF-8 bytes.
+    "t5_rolling_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(s) = 0 THEN 0::HUGEINT
+        |    ELSE list_reduce(
+        |      list_transform(range(1, len(s) + 1), i -> CAST(unicode(s[i]) AS HUGEINT)),
+        |      (acc, x) -> (acc * 1315423911 + x) % 18446744073709551616::HUGEINT)
+        |    END AS h
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |       THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rh
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "t3_langid" ->
       """WITH c AS (
         |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
@@ -619,6 +647,21 @@ object ExtQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS doc_id
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same SQL as d3: LSH-with-exact-verify must land on the exact pair set
+    // (subset by construction; equality = total banding recall, asserted by
+    // ExtSpec and verified empirically at sf0.01 AND sf0.1)
+    "d2_minhash_dup_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d3_ngram_jaccard_pairs" ->
       """WITH sh AS (
