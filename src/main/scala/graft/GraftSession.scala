@@ -22,6 +22,7 @@ object GraftSession {
     graft.functions.RollingHash.register(spark)
     graft.functions.DotProduct.register(spark)
     graft.functions.SimHash64.register(spark)
+    graft.functions.BloomSketch.register(spark)
     spark
   }
 }

@@ -8,10 +8,13 @@ import graft.ext._
 
 /** North-star extension queries (dedup / similarity / text / multimodal)
   * over the `documents` and `embeddings` fixtures. Queries whose Spark
-  * implementation rests on engine-specific hashing (xxhash64 minhash,
-  * simhash, LSH buckets, rolling hash) have no DuckDB oracle — the gate
-  * records rows-only checks; their correctness is asserted by ScalaTest
-  * (determinism, planted-near-dup recall, brute-force agreement).
+  * implementation rests on engine-specific hashing with no SQL replay
+  * (xxhash64 simhash, LSH bucketing, k-means cells) have no DuckDB
+  * oracle — the gate records rows-only checks; their correctness is
+  * asserted by ScalaTest (determinism, planted-near-dup recall,
+  * brute-force agreement). The rolling-hash fingerprint IS oracled (a
+  * bit-exact HUGEINT fold replay) and the minhash pair set is oracled
+  * against the exact-Jaccard pairs its verify step must reproduce.
   */
 object ExtQueries {
 
@@ -197,6 +200,20 @@ object ExtQueries {
       TextDedup.cutSpansAgainst(
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
         "doc_id", "text", k = 8)
+    }),
+
+    // bloom-sketch ingest screen, modeling redelivery-with-edits: the
+    // first 100 docs arrive again, half verbatim (odd ids — exact corpus
+    // dups) and half edited (even ids — fresh content). The sketch decides
+    // map-side which rows ever touch the corpus; the semi-join confirm
+    // makes the verdict exact, so plain SQL oracles it
+    "d18_bloom_screen" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val batch = docs.filter(col("doc_id") < 100)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      BloomScreen.screen(docs, batch, "doc_id", "text")
     }),
 
     // near-dup REMOVAL: the ids surviving dedup — everything outside a
@@ -647,6 +664,21 @@ object ExtQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS doc_id
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the bloom prefilter has no false negatives and the confirm step
+    // removes its false positives, so the verdict replays as a plain
+    // fingerprint membership test
+    "d18_bloom_screen" ->
+      """WITH f AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(
+        |      CASE WHEN doc_id % 2 = 0 THEN text || ' v2' ELSE text END)),
+        |    '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT b.doc_id, EXISTS (SELECT 1 FROM f WHERE f.fp = b.fp) AS is_corpus_dup
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // same SQL as d3: LSH-with-exact-verify must land on the exact pair set
     // (subset by construction; equality = total banding recall, asserted by

@@ -749,6 +749,38 @@ class ExtSpec extends SparkSpecBase {
       "a batch doc sharing nothing is returned verbatim")
   }
 
+  test("bloom screen: exact verdicts, no false negatives at the prefilter") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "settled corpus document about alpha beta gamma topics"),
+      (2L, "another settled document covering delta epsilon zeta"),
+      (3L, "third settled text with its own distinct vocabulary"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "settled corpus document about alpha beta gamma topics"), // verbatim redelivery
+      (11L, "Settled   Corpus document ABOUT alpha beta gamma topics "), // normalizes equal
+      (12L, "entirely fresh content sharing nothing with the corpus"),
+      (13L, "another settled document covering delta epsilon zeta plus"))  // edited → not a dup
+      .toDF("doc_id", "text")
+    val verdicts = BloomScreen.screen(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(verdicts == Map(10L -> true, 11L -> true, 12L -> false, 13L -> false),
+      s"verdicts must be exact after confirmation, got $verdicts")
+    // no-false-negatives: every true dup must already pass the sketch probe
+    val sk = BloomScreen.corpusSketch(corpus, "text")
+    assert(sk.isDefined)
+    val prefilter = batch
+      .filter(graft.functions.BloomSketch.mightContain(sk.get,
+        xxhash64(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(10L, 11L).subsetOf(prefilter),
+      s"bloom must never reject a true duplicate, prefilter passed $prefilter")
+    // empty corpus → sketch absent → all verdicts exact negatives
+    val empty = BloomScreen.screen(corpus.filter(lit(false)), batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(empty.values.forall(_ == false) && empty.size == 4)
+  }
+
   test("dupClustersStar labels == min-label labels on real near-dup pairs") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
     val star = TextDedup.dupClustersStar(pairs)

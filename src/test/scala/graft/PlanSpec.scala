@@ -32,6 +32,20 @@ class PlanSpec extends SparkSpecBase {
     assert(bcasts.size == 3, s"orders/customer/rates all broadcast, got ${bcasts.size}")
   }
 
+  test("d18 bloom screen shuffles nothing: literal sketch probe + broadcast confirm") {
+    val p = planOf(q("d18_bloom_screen"))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    // the only legitimate exchanges are the candidate/confirm DISTINCTs —
+    // both over the fpp-sized sliver, never over the corpus or the batch.
+    // Corpus and batch relations reach their joins exclusively as
+    // broadcast sides or probe-side scans.
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 2,
+      s"confirm semi join + verdict join must both broadcast, got ${bhj.size}")
+    assert(shuffles.size <= 2,
+      s"only sliver-sized distinct exchanges allowed, found ${shuffles.size}: $shuffles")
+  }
+
   test("p6 quarantine scan prunes to exactly the referenced columns") {
     val p = planOf(q("p6_quarantine_clean"))
     val scans = collectAll(p) {
