@@ -48,13 +48,8 @@ object BloomScreen {
     * empty corpus. */
   def corpusSketch(corpus: DataFrame, textCol: String,
                    expectedItems: Long = 1 << 20,
-                   fpp: Double = 0.01): Option[Array[Byte]] = {
-    val row = corpus
-      .select(BloomSketch.bloomAgg(xxhash64(fp(col(textCol))), expectedItems, fpp)
-        .as("sketch"))
-      .head()
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
-  }
+                   fpp: Double = 0.01): Option[Array[Byte]] =
+    fpSketch(fingerprints(corpus, textCol), expectedItems, fpp)
 
   /** Screen `batch` against a prebuilt corpus sketch: one row per batch
     * doc, `(idCol, is_corpus_dup)`, where `is_corpus_dup` is the EXACT
@@ -63,7 +58,17 @@ object BloomScreen {
     * steady-state call shape — the sketch decides which rows ever touch
     * the corpus scan. */
   def screenExact(corpus: DataFrame, sketch: Option[Array[Byte]],
-                  batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+                  batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    screenExactFps(corpus.select(fp(col(textCol)).as("__fp")),
+      sketch, batch, idCol, textCol)
+
+  /** General form of [[screenExact]]: the known side is an explicit
+    * single-column fingerprint frame — the corpus projection in the batch
+    * call, or corpus ∪ previously-accepted fingerprints in the streaming
+    * ingest loop, where re-fingerprinting settled text every micro-batch
+    * would defeat the index. */
+  def screenExactFps(knownFps: DataFrame, sketch: Option[Array[Byte]],
+                     batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val b = batch.select(col(idCol), fp(col(textCol)).as("__fp"))
     sketch match {
       case None =>
@@ -73,7 +78,7 @@ object BloomScreen {
         val candidates = b
           .filter(BloomSketch.mightContain(blob, xxhash64(col("__fp"))))
           .select("__fp").distinct()
-        val confirmed = corpus.select(fp(col(textCol)).as("__fp"))
+        val confirmed = knownFps.toDF("__fp")
           .join(broadcast(candidates), Seq("__fp"), "left_semi")
           .distinct()
         b.join(broadcast(confirmed.withColumn("__hit", lit(true))),
@@ -81,6 +86,37 @@ object BloomScreen {
           .select(col(idCol),
             coalesce(col("__hit"), lit(false)).as("is_corpus_dup"))
     }
+  }
+
+  /** Sketch a frame of raw fingerprints (streaming-loop twin of
+    * [[corpusSketch]]). None for an empty frame. */
+  def fpSketch(fps: DataFrame, expectedItems: Long = 1 << 20,
+               fpp: Double = 0.01): Option[Array[Byte]] = {
+    val row = fps.toDF("__fp")
+      .select(BloomSketch.bloomAgg(xxhash64(col("__fp")), expectedItems, fpp)
+        .as("sketch"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  /** Normalized fingerprint projection of a document frame — the column a
+    * caller persists as the accepted-set side of the streaming loop. */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(fp(col(textCol)).as("fp"))
+
+  /** Union two sketch blobs (same `(expectedItems, fpp)` sizing — bloom
+    * merge requires identical bit/hash geometry; incompatible inputs
+    * throw). This is how the index FOLLOWS the corpus without rescans:
+    * sketch each settled shard once, merge the blobs; after a batch is
+    * accepted, merge the batch's own sketch in and the index is current.
+    * Blob format is `BloomFilterAggregate`'s serialization, which is
+    * `BloomFilter.writeTo` — the same bytes `might_contain` probes. */
+  def mergeSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
+    fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
   }
 
   /** Build-and-screen in one call: sketch the corpus, then

@@ -215,6 +215,54 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming ingest screen — the deployment mode of
+    * [[graft.ext.BloomScreen]]: documents arrive as micro-batches and each
+    * batch is screened against an EVOLVING bloom index that starts as the
+    * settled corpus's sketch and absorbs every accepted batch, so a doc
+    * redelivered in a LATER micro-batch is caught without ever rescanning
+    * settled text. Per micro-batch: map-side sketch probe → broadcast
+    * confirm of the fpp-sized sliver against (corpus ∪ accepted)
+    * fingerprints → verdicts appended to `outPath/verdicts`, fresh
+    * fingerprints appended to `outPath/accepted_fps`, batch sketch merged
+    * into the running index. The driver holds only the fixed-size blob;
+    * settled text is fingerprinted exactly once, ever. */
+  def ingestScreenStream(spark: SparkSession, schema: StructType,
+                         srcDir: String, corpus: DataFrame,
+                         idCol: String, textCol: String, outPath: String,
+                         expectedItems: Long = 1 << 20,
+                         fpp: Double = 0.01): Unit = {
+    import graft.ext.BloomScreen
+    import org.apache.spark.sql.SaveMode
+    val corpusFps = BloomScreen.fingerprints(corpus, textCol)
+      .localCheckpoint(true) // settled text is read once, here
+    var sketch = BloomScreen.fpSketch(corpusFps, expectedItems, fpp)
+    val fpDir = outPath + "/accepted_fps"
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val accepted =
+        if (new java.io.File(fpDir).exists()) spark.read.parquet(fpDir)
+        else spark.emptyDataFrame.select(lit("").as("fp")).limit(0)
+      val verdicts = BloomScreen
+        .screenExactFps(corpusFps.union(accepted), sketch, batch, idCol, textCol)
+        .localCheckpoint(true) // verdicts feed two sinks; cut the lineage
+      verdicts.write.mode(SaveMode.Append).parquet(outPath + "/verdicts")
+      val freshIds = verdicts.filter(!col("is_corpus_dup")).select(idCol)
+      val freshFps = BloomScreen.fingerprints(
+        batch.join(freshIds, Seq(idCol), "left_semi"), textCol)
+        .distinct().localCheckpoint(true)
+      freshFps.write.mode(SaveMode.Append).parquet(fpDir)
+      (sketch, BloomScreen.fpSketch(freshFps, expectedItems, fpp)) match {
+        case (Some(a), Some(b)) => sketch = Some(BloomScreen.mergeSketches(a, b))
+        case (None, b)          => sketch = b
+        case _                  => ()
+      }
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming query from a bounded parquet directory into a memory
     * sink synchronously (test/local harness). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,

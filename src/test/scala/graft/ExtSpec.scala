@@ -781,6 +781,33 @@ class ExtSpec extends SparkSpecBase {
     assert(empty.values.forall(_ == false) && empty.size == 4)
   }
 
+  test("bloom sketches merge: sharded index == whole-corpus index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "settled corpus document about alpha beta gamma topics"),
+      (2L, "another settled document covering delta epsilon zeta"),
+      (3L, "third settled text with its own distinct vocabulary"),
+      (4L, "fourth settled entry concluding the sharded corpus"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "another settled document covering delta epsilon zeta"), // dup of shard-A doc
+      (11L, "fourth settled entry concluding the sharded corpus"),   // dup of shard-B doc
+      (12L, "content the corpus has never seen in any shard"))
+      .toDF("doc_id", "text")
+    val shardA = corpus.filter(col("doc_id") <= 2)
+    val shardB = corpus.filter(col("doc_id") > 2)
+    val merged = BloomScreen.mergeSketches(
+      BloomScreen.corpusSketch(shardA, "text").get,
+      BloomScreen.corpusSketch(shardB, "text").get)
+    val viaMerged = BloomScreen.screenExact(corpus, Some(merged), batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val viaWhole = BloomScreen.screen(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(viaMerged == Map(10L -> true, 11L -> true, 12L -> false))
+    assert(viaMerged == viaWhole,
+      "merging per-shard sketches must screen identically to one corpus sketch")
+  }
+
   test("dupClustersStar labels == min-label labels on real near-dup pairs") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
     val star = TextDedup.dupClustersStar(pairs)

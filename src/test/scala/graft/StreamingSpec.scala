@@ -40,6 +40,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(g.size >= e.size - 40, s"emitted ${g.size} of ${e.size} windows")
   }
 
+  test("streaming ingest screen: evolving bloom index catches cross-micro-batch redelivery") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val srcDir = s"$base/src"; val outPath = s"$base/out"
+    val corpus = Seq(
+      (1L, "settled corpus document about alpha beta gamma topics"),
+      (2L, "another settled document covering delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // one parquet file per micro-batch (maxFilesPerTrigger=1):
+    // batch 1: a corpus dup + fresh docA; batch 2: docA REDELIVERED + fresh docB
+    val b1 = Seq(
+      (10L, "settled corpus document about alpha beta gamma topics"),
+      (11L, "fresh document alpha arriving in the first micro batch"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (12L, "fresh document alpha arriving in the first micro batch"),
+      (13L, "fresh document beta arriving in the second micro batch"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    Streams.ingestScreenStream(spark, b1.schema, srcDir, corpus,
+      "doc_id", "text", outPath)
+    val verdicts = spark.read.parquet(s"$outPath/verdicts")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(verdicts == Map(
+      10L -> true,  // corpus duplicate
+      11L -> false, // fresh on arrival
+      12L -> true,  // caught ONLY because the index absorbed batch 1
+      13L -> false),
+      s"evolving index must flag the redelivered doc, got $verdicts")
+    // accepted set = the fresh fingerprints, deduplicated across batches
+    assert(spark.read.parquet(s"$outPath/accepted_fps").distinct().count() == 2)
+  }
+
   test("foreachBatch streaming upsert converges to batch merge result") {
     val base = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val srcDir = s"$base/src"
