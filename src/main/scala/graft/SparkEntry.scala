@@ -536,6 +536,23 @@ object SparkEntry {
     "f7_column_profile" -> ((s, d) =>
       operators.Profile.profile(t(s, d, "documents")).orderBy("column")),
 
+    // semi-structured extraction: typed from_json with an EXPLICIT schema
+    // (schema_of_json sampling is a driver-side hazard at scale — the
+    // schema is a contract, not an inference), extracted field aggregated
+    // per event type. Nulls on malformed payloads, never a job failure.
+    "f8_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"),
+          count(col("k")).as("k_present"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     // TPC-H q6 shape: forecast revenue change — tight scan-filter-agg,
     // the pushdown/pruning stress case
     "q6_forecast_revenue" -> ((s, d) =>
@@ -1337,6 +1354,16 @@ object SparkEntry {
       """SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // json_extract_string replays the typed extraction; the SUM pins to
+    // BIGINT (DuckDB SUM(int) -> HUGEINT would break the hasher)
+    "f8_json_extract" ->
+      """SELECT event_type, count(*) AS events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_present,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "f7_column_profile" ->
       """WITH p AS (
