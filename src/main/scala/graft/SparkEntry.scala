@@ -239,6 +239,47 @@ object SparkEntry {
         .select("event_id", "user_id", "gap_us")
     }),
 
+    // ordered-sequence funnel: users reaching each stage IN timestamp
+    // order (first signup → first view after it → first purchase after
+    // that). Stage frames are per-user minima — one user-keyed shuffle
+    // each, then tiny (≤ |users|) broadcast-able joins; the conversion
+    // report is three 1-row counts unioned
+    "w10_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(broadcast(s1), Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("users")).withColumn("stage", lit("signup"))
+        .unionByName(s2.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("view_after_signup")))
+        .unionByName(s3.agg(count(lit(1)).as("users"))
+          .withColumn("stage", lit("purchase_after_view")))
+        .select("stage", "users")
+    }),
+
+    // cohort retention matrix: users bucketed by first-seen week, counted
+    // distinct in each later activity week. Two user-keyed aggregates and
+    // a broadcast of the (≤ |users|) cohort frame — the classic
+    // triangle report with no user×week blowup
+    "w11_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "ts")
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      active.join(broadcast(cohort), Seq("user_id"))
+        .withColumn("weeks_since",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count_distinct(col("user_id")).as("active_users"))
+    }),
+
     "w6_topk_per_group" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
@@ -1260,6 +1301,33 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "w10_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        |SELECT 'signup' AS stage, count(*) AS users FROM s1
+        |UNION ALL SELECT 'view_after_signup', count(*) FROM s2
+        |UNION ALL SELECT 'purchase_after_view', count(*) FROM s3""".stripMargin,
+
+    "w11_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS weeks_since,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM active JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "w5_session_gap" ->
       """SELECT event_id, user_id,
