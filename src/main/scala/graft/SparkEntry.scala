@@ -490,6 +490,14 @@ object SparkEntry {
           Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.01))
         .select("doc_id", "source")),
 
+    // exact-N eval split: exactly 20 docs per source, deterministically —
+    // md5-ordered rank per stratum behind the skew-safe hash-threshold
+    // prefilter (which saturates to keep-all at fixture sizes)
+    "p16_exact_stratified" -> ((s, d) =>
+      Sampling.exactStratifiedSample(t(s, d, "documents"),
+          col("doc_id"), "source", n = 20)
+        .select("doc_id", "source")),
+
     // ---- exact percentiles / pivot / ranking breadth ----
     "a11_percentiles" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
@@ -1811,6 +1819,20 @@ object SparkEntry {
         |   OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
         |   OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f')
         |ORDER BY doc_id""".stripMargin,
+
+    // identical gate + rank replay; 80 = margin(4) * n(20)
+    "p16_exact_stratified" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT d.doc_id, d.source, md5(CAST(d.doc_id AS VARCHAR)) AS h,
+        |    least(65536, CAST(ceil(65536.0 * 80 / cnt) AS BIGINT)) AS t
+        |  FROM documents d JOIN c USING (source)),
+        |f AS (SELECT * FROM g WHERE t >= 65536 OR substr(h, 1, 4) < printf('%04x', t)),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |      FROM f)
+        |SELECT doc_id, source FROM r WHERE rk <= 20
+        |ORDER BY source, doc_id""".stripMargin,
 
     "a11_percentiles" ->
       """SELECT o_orderstatus,

@@ -34,6 +34,40 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** EXACT-N-per-stratum deterministic sample — the eval-split primitive
+    * (hold out exactly 1000 docs per source, reproducibly, forever): rows
+    * rank inside each stratum by md5(key) — the same engine-portable
+    * order every gate here uses — and the first `n` win.
+    *
+    * The naive window alone is the skew cliff: partitioning by a
+    * low-cardinality stratum ships a whole stratum to ONE task. So a
+    * hash-threshold PREFILTER runs first, keeping each stratum's expected
+    * `margin`·n smallest-hash rows (threshold from one mergeable count
+    * aggregate, broadcast back); the window then ranks only that sliver.
+    * Because the threshold gates on a PREFIX of the same hex string the
+    * window orders by, lexicographic order makes the global top-n a
+    * subset of the gate's survivors whenever ≥ n survive — with
+    * `margin`-fold headroom that is a Chernoff-tail certainty at any
+    * real stratum size, and at toy sizes the threshold saturates to
+    * keep-everything, so the result is exact at every scale. Both
+    * engines replay the identical gate, so oracle agreement holds
+    * unconditionally. */
+  def exactStratifiedSample(df: DataFrame, key: Column, stratumCol: String,
+                            n: Int, margin: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(key.cast("string"))
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .withColumn("__t", least(lit(65536L),
+        ceil(lit(65536.0 * margin * n) / col("__cnt"))))
+      .filter(col("__t") >= 65536L ||
+        substring(h, 1, 4) < lpad(lower(conv(col("__t").cast("string"), 10, 16)), 4, "0"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(h, key)))
+      .filter(col("__rk") <= n)
+      .drop("__cnt", "__t", "__rk")
+  }
+
   /** Training-mix construction: keep each stratum at its target WEIGHT
     * (0.0–1.0 fraction, 1/65536 granularity) with the same deterministic
     * hash gate — the operation that turns N crawled sources into a

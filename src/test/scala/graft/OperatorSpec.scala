@@ -216,6 +216,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.select("o_orderkey").except(again.select("o_orderkey")).isEmpty)
   }
 
+  test("exact stratified sample: gate-active regime equals the ungated window top-n") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 2000 rows in one stratum, n=5, margin=4 → threshold ceil(65536·20/2000)
+    // = 656 keeps ~20 rows: the prefilter actually GATES here (the fixture
+    // query saturates it), and the top-5 must be identical to ranking the
+    // WHOLE stratum — the prefix-order subset property under real pruning
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "stratum")
+    val got = Sampling.exactStratifiedSample(rows, col("id"), "stratum", n = 5)
+      .select("id", "stratum").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = rows
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("stratum").orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("__rk") <= 5).select("id", "stratum")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive, s"gated exact-n must equal the full-window top-n")
+    assert(got.count(_._2 == "even") == 5 && got.count(_._2 == "odd") == 5)
+  }
+
   test("approx percentile lands within sketch tolerance of the exact percentile") {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.load(spark, sfDir, "orders")
