@@ -671,11 +671,27 @@ object TextDedup {
     * is [[cutDupSpans]]/[[cutSelfSpans]]' job, deliberately not repeated
     * here (ingest runs them on the batch before or after this pass). */
   def cutSpansAgainst(corpus: DataFrame, newDocs: DataFrame,
-                      idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val corpusHashes = windowPosts(corpus, idCol, textCol, k)
-      .select("h").distinct()
+                      idCol: String, textCol: String, k: Int = 8): DataFrame =
+    cutSpansAgainstIndex(windowIndex(corpus, idCol, textCol, k),
+      newDocs, idCol, textCol, k)
+
+  /** The settled corpus's window index: its DISTINCT k-token window-hash
+    * set, the single-column table an ingest deployment PERSISTS (bucketed
+    * on `h`) and maintains instead of re-hashing settled text per batch.
+    * Grow it as batches are accepted by unioning [[windowIndex]] of the
+    * accepted docs and re-distincting — a mergeable, idempotent update. */
+  def windowIndex(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame =
+    windowPosts(docs, idCol, textCol, k).select("h").distinct()
+
+  /** [[cutSpansAgainst]] fed from a prebuilt/maintained [[windowIndex]]
+    * (one `h` column): the steady-state ingest call — the corpus never
+    * appears, only its index; batch postings semi-join it and the shared
+    * [[applyCut]] tail rebuilds the survivors. */
+  def cutSpansAgainstIndex(corpusIndex: DataFrame, newDocs: DataFrame,
+                           idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val covered = windowPosts(newDocs, idCol, textCol, k)
-      .join(corpusHashes, Seq("h"), "left_semi")
+      .join(corpusIndex.toDF("h"), Seq("h"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
       .distinct()

@@ -781,6 +781,33 @@ class ExtSpec extends SparkSpecBase {
     assert(empty.values.forall(_ == false) && empty.size == 4)
   }
 
+  test("window index: index-fed span cut == text-fed, and the index grows mergeably") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val corpus = Seq((1L, s"settled head $span settled tail here")).toDF("doc_id", "text")
+    val b1 = Seq((10L, s"first batch fresh opening $span fresh closing words")).toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, s"second batch other prose $span more other prose"), // span still settled
+      (21L, "first batch fresh opening words shifted so no full window repeats"))
+      .toDF("doc_id", "text")
+    val idx1 = TextDedup.windowIndex(corpus, "doc_id", "text", k = 8)
+    val viaIdx = TextDedup.cutSpansAgainstIndex(idx1, b1, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val viaText = TextDedup.cutSpansAgainst(corpus, b1, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(viaIdx.toSeq == viaText.toSeq,
+      "a prebuilt index must cut identically to hashing the corpus text")
+    // accept b1, grow the index, screen b2: the settled span is still cut,
+    // and b1's own windows now count as settled too
+    val idx2 = idx1.union(TextDedup.windowIndex(b1, "doc_id", "text", k = 8)).distinct()
+    val out2 = TextDedup.cutSpansAgainstIndex(idx2, b2, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out2(20L)._1 == "second batch other prose more other prose" &&
+      out2(20L)._2 == 8L, s"settled span cut from the later batch, got ${out2(20L)}")
+    assert(out2(21L)._2 == 0L,
+      s"doc sharing no full 8-token window with the grown index stays whole, got ${out2(21L)}")
+  }
+
   test("bloom sketches merge: sharded index == whole-corpus index") {
     import spark.implicits._
     val corpus = Seq(
