@@ -402,6 +402,74 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol, "fingerprint")
 
+  /** Content-defined chunking (the FastCDC idea at token granularity):
+    * a token is a chunk BOUNDARY when the leading hex digit of its md5
+    * falls in `boundaryHex` (default 2/16 → expected ~8-token chunks),
+    * and a boundary token closes its chunk. Because the gate looks only
+    * at the token itself, chunk edges re-align immediately after any
+    * insertion or deletion — prepending one word to a document shifts
+    * ONE chunk, not all of them, which is what makes chunk-level dedup
+    * robust where fixed-width chunking (t9) is not. Returns one row per
+    * chunk: (id, chunk_idx, n_tokens, chunk_text, fp) with fp = md5 of
+    * the chunk text.
+    *
+    * Scale shape: one shuffle keyed by document (the running boundary
+    * count), and the per-(id, chunk) assembly groups on a superset of
+    * that key so it reuses the same partitioning — token volume crosses
+    * the wire once. The md5 gate is the engine-portable determinism
+    * trick the sampling family (p11/p15) already proves. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                boundaryHex: Seq[String] = Seq("0", "1")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("b",
+        when(substring(md5(col("tok")), 1, 1).isin(boundaryHex: _*), 1).otherwise(0))
+    val running = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("chunk_idx", (sum(col("b")).over(running) - col("b")).cast("long"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        concat_ws(" ", col("ps").getField("tok")).as("chunk_text"))
+      .withColumn("fp", md5(col("chunk_text")))
+  }
+
+  /** Chunk-level deduplication over [[cdcChunks]]: every chunk whose
+    * fingerprint already occurred at a lower (id, chunk_idx) is dropped,
+    * and each document is reassembled from its surviving chunks —
+    * the storage-dedup view of corpus cleaning (shared boilerplate
+    * blocks stored once), complementary to the span cut (d11) which
+    * works on overlapping windows. Returns (id, text_dedup,
+    * n_tokens_removed) for EVERY input document (fully-duplicated docs
+    * come back empty, like the span cut).
+    *
+    * Scale shape: "first occurrence" is one min-struct aggregation per
+    * fingerprint (partial-aggregating, O(chunks)) — never a pairwise
+    * join — and the rebuild is keyed by document. Nothing in the plan
+    * grows faster than the chunk count. */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               boundaryHex: Seq[String] = Seq("0", "1")): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, boundaryHex)
+    val first = chunks.groupBy("fp")
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("first_occ"))
+    val kept = chunks.join(first, Seq("fp"))
+      .filter(struct(col(idCol), col("chunk_idx")) === col("first_occ"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))).as("cs"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      .select(col(idCol),
+        concat_ws(" ", col("cs").getField("chunk_text")).as("text_dedup"),
+        col("kept_tokens"))
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("total_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        (col("total_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("n_tokens_removed"))
+  }
+
   /** Connected components over a near-dup pair list → (doc_id, cluster_id)
     * with cluster_id = the minimum id in the component — the
     * canonical-representative step that turns pairwise near-dup hits into

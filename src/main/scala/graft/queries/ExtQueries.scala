@@ -283,6 +283,21 @@ object ExtQueries {
     "d12_cut_self_spans" -> ((s, d) =>
       TextDedup.cutSelfSpans(t(s, d, "documents"), "doc_id", "text", k = 8)),
 
+    // content-defined chunk census: md5-gated boundaries (2/16 → ~8-token
+    // chunks), one row per chunk with its fingerprint — the
+    // shift-resistant chunking CDC storage dedup rests on. The oracle
+    // replays the gate, the running boundary count, and the reassembly
+    "d19_cdc_chunks" -> ((s, d) =>
+      TextDedup.cdcChunks(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "chunk_idx", "n_tokens", "fp")),
+
+    // chunk-level dedup: chunks whose fingerprint occurred at a lower
+    // (doc, idx) dropped, documents reassembled from the survivors —
+    // the block-storage view of boilerplate removal, vs the span cut's
+    // overlapping-window view (d11)
+    "d20_cdc_dedup" -> ((s, d) =>
+      TextDedup.cdcDedup(t(s, d, "documents"), "doc_id", "text")),
+
     // end-to-end corpus pipeline LINEAGE CENSUS: one row per stage with
     // the surviving doc count (same id<25 benchmark split as d7). This
     // puts the full composed pipeline — quality gate → self-cut → exact →
@@ -978,6 +993,63 @@ object ExtQueries {
         |SELECT doc_id, coalesce(array_to_string(keep, ' '), '') AS text_dedup,
         |  CAST(len(toks) - len(keep) AS BIGINT) AS n_tokens_removed
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    "d19_cdc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'tok': toks[i]}
+        |    FOR i IN range(1, len(toks) + 1)]) AS t
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, t.pos AS pos, t.tok AS tok,
+        |    CASE WHEN substring(md5(t.tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, pos, tok,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk_idx
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM g GROUP BY doc_id, chunk_idx)
+        |SELECT doc_id, chunk_idx, n_tokens, md5(chunk_text) AS fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "d20_cdc_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'tok': toks[i]}
+        |    FOR i IN range(1, len(toks) + 1)]) AS t
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, t.pos AS pos, t.tok AS tok,
+        |    CASE WHEN substring(md5(t.tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, pos, tok,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk_idx
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM g GROUP BY doc_id, chunk_idx),
+        |k AS (
+        |  SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+        |                       ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch),
+        |kept AS (
+        |  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup,
+        |    SUM(n_tokens) AS kept_tokens
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(toks) AS total_tokens FROM c)
+        |SELECT tot.doc_id, coalesce(kept.text_dedup, '') AS text_dedup,
+        |  CAST(tot.total_tokens - coalesce(kept.kept_tokens, 0) AS BIGINT) AS n_tokens_removed
+        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
 
     "t6_tfidf_topk" ->
       """WITH tok AS (

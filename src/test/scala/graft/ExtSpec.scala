@@ -899,4 +899,93 @@ class ExtSpec extends SparkSpecBase {
       "checkpoint data must actually land in the reliable dir")
   }
 
+  // ---- content-defined chunking ----
+
+  /** Local reference model of the md5 boundary gate ('0'/'1' leading hex
+    * digit closes a chunk) — same md5, so deterministic on both sides. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def modelChunks(text: String): Vector[Vector[String]] =
+    text.trim.toLowerCase.split("\\s+").toVector
+      .foldLeft(Vector(Vector.empty[String])) { (acc, tok) =>
+        val cur = acc.last :+ tok
+        if (md5hex(tok).head == '0' || md5hex(tok).head == '1')
+          acc.init :+ cur :+ Vector.empty[String]
+        else acc.init :+ cur
+      }.filter(_.nonEmpty)
+
+  test("cdcChunks matches the reference model and partitions every token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.cdcChunks(docs, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val want = docs.collect().flatMap { r =>
+      modelChunks(r.getString(1)).zipWithIndex.map { case (c, i) =>
+        (r.getLong(0), i.toLong, c.size.toLong, c.mkString(" "), md5hex(c.mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq, "chunk census must equal the reference model")
+    // partition property: concatenating a doc's chunks restores its text
+    val rebuilt = got.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._4).mkString(" ")
+    }
+    docs.collect().foreach { r =>
+      assert(rebuilt(r.getLong(0)) == r.getString(1).trim.toLowerCase.split("\\s+").mkString(" "))
+    }
+  }
+
+  test("cdc chunking is shift-resistant: a prepended token perturbs only the head") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    // any prepended token works; the suffix past the first boundary realigns
+    val shifted = "prelude " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val fps = TextDedup.cdcChunks(docs, "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val a = fps.filter(_._1 == 1L).map(_._2).toVector
+    val b = fps.filter(_._1 == 2L).map(_._2).toVector
+    assert(a.size > 2, "fixture must produce several chunks for the tail claim to bite")
+    // everything after each side's head chunk run is identical — fixed-width
+    // chunking would instead shift EVERY chunk edge by one token
+    assert(a.tail == b.takeRight(a.size - 1),
+      s"chunk tails must realign after the first boundary: $a vs $b")
+  }
+
+  test("cdcDedup keeps each chunk fingerprint once corpus-wide, rebuilds in order") {
+    import spark.implicits._
+    // 'nu', 'gamma', 'chi' are boundary tokens (md5 leading digit 0/1), so
+    // the block carries two complete interior chunks that dedup wherever
+    // the block lands — the CDC self-alignment property under test
+    val shared = "lambda mu nu xi omicron pi rho sigma gamma tau upsilon chi"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon zeta $shared eta theta"), // shares the interior block
+      (3L, s"alpha beta $shared gamma delta")) // full duplicate of doc 1
+      .toDF("doc_id", "text")
+    // reference model: first occurrence by (doc_id, chunk_idx) survives
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = docs.collect().sortBy(_.getLong(0)).map { r =>
+      val cs = modelChunks(r.getString(1))
+      val kept = cs.filter { c => seen.add(md5hex(c.mkString(" "))) }
+      val removed = cs.map(_.size).sum - kept.map(_.size).sum
+      (r.getLong(0), kept.map(_.mkString(" ")).mkString(" "), removed.toLong)
+    }
+    val got = TextDedup.cdcDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq, s"dedup must equal the reference model: ${got.toSeq}")
+    assert(got(2)._2 == "" && got(2)._3 > 0, "a full duplicate doc comes back empty")
+    assert(got(1)._3 > 0, "the shared interior block must cost doc 2 tokens")
+  }
+
 }
