@@ -326,6 +326,23 @@ object SparkEntry {
       graft.operators.Incremental.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
     }),
 
+    // point-in-interval range join, equi-ized by time binning: every
+    // error event opens a 5-minute window; count the same user's events
+    // inside it. A naive BETWEEN join is a nested-loop cartesian — the
+    // binned form shuffles both sides once on (user, bin) and keeps the
+    // BETWEEN as a residual (plan shape locked in OperatorSpec)
+    "u6_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val win = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("window_start"),
+          (col("ts") + expr("INTERVAL 5 MINUTES")).as("window_end"))
+      graft.operators.Joins.intervalJoin(
+          ev.select("user_id", "ts", "value"), win,
+          Seq("user_id"), "ts", "window_start", "window_end", binSeconds = 300L)
+        .groupBy("user_id", "window_start")
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+    }),
+
     // ---- grouping sets / scalar breadth / having ----
     "a10_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -1389,6 +1406,16 @@ object SparkEntry {
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    "u6_interval_join" ->
+      """WITH win AS (
+        |  SELECT user_id, ts AS window_start, ts + INTERVAL 5 MINUTE AS window_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT w.user_id, w.window_start, count(*) AS n_events,
+        |  max(e.value) AS max_value
+        |FROM win w JOIN events e ON e.user_id = w.user_id
+        | AND e.ts >= w.window_start AND e.ts <= w.window_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "w8_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -34,4 +34,37 @@ object Joins {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     l.join(r, keys :+ Salt).drop(Salt)
   }
+
+  private[graft] val Bin = "__graft_bin"
+
+  /** Point-in-interval join without the cartesian: Spark plans a bare
+    * `p.ts BETWEEN i.start AND i.end` predicate as BroadcastNestedLoop /
+    * cartesian-plus-filter — O(|points|·|intervals|) work however
+    * selective the ranges are. Binning equi-izes it: intervals replicate
+    * to every `binSeconds`-wide time bin they touch, points carry their
+    * single bin, and the join becomes a hash join on (keys…, bin) with
+    * the BETWEEN kept as a residual filter. Each qualifying
+    * (point, interval) pair meets in exactly one bin — the point's — so
+    * no post-join distinct is needed and row counts are exact.
+    *
+    * Cost model: interval replication = interval length / binSeconds, so
+    * pick binSeconds near the typical interval length (replication ~2×)
+    * — the standard range-join binning trade. At 100 TB both sides
+    * shuffle once on (keys, bin); candidate volume per bin is bounded by
+    * bin width, never by table size. Intervals with end < start are
+    * dropped (an unguarded `sequence` would walk backwards). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   ptCol: String, startCol: String, endCol: String,
+                   binSeconds: Long = 300L): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val p = points.withColumn(Bin, floor(unix_micros(col(ptCol)) / binUs))
+    val i = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn(Bin,
+        explode(sequence(floor(unix_micros(col(startCol)) / binUs),
+          floor(unix_micros(col(endCol)) / binUs))))
+    p.join(i, keys :+ Bin)
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop(Bin)
+  }
 }

@@ -294,4 +294,31 @@ class OperatorSpec extends SparkSpecBase {
     assert(!approxPlan.contains("Expand"), s"approx profile must stay single-pass:\n$approxPlan")
   }
 
+  test("intervalJoin equals the naive BETWEEN join and avoids the nested loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sfDir).select("user_id", "ts", "value")
+    val win = ev.filter(col("value") > 8.5)
+      .select(col("user_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 7 MINUTES")).as("e"))
+    val binned = Joins.intervalJoin(ev, win, Seq("user_id"), "ts", "s", "e",
+        binSeconds = 120L)
+      .select("user_id", "ts", "s")
+    val naive = ev.as("p").join(win.as("w"),
+        col("p.user_id") === col("w.user_id") &&
+          col("p.ts") >= col("s") && col("p.ts") <= col("e"))
+      .select(col("p.user_id"), col("p.ts"), col("s"))
+    assert(binned.collect().toSet == naive.collect().toSet,
+      "binning must not change the matched pair set")
+    assert(binned.count() == naive.count(),
+      "each pair meets in exactly one bin — no duplicate matches")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the binned form must plan as an equi join:\n$plan")
+    // empty and inverted intervals are dropped, not walked backwards
+    val bad = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("user_id", "s", "e")
+    assert(Joins.intervalJoin(ev, bad, Seq("user_id"), "ts", "s", "e").count() == 0L)
+  }
+
 }
