@@ -23,6 +23,7 @@ object GraftSession {
     graft.functions.DotProduct.register(spark)
     graft.functions.SimHash64.register(spark)
     graft.functions.BloomSketch.register(spark)
+    graft.functions.KllQuantile.register(spark)
     spark
   }
 }

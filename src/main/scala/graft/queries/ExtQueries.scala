@@ -119,6 +119,38 @@ object ExtQueries {
           call_function("theta_difference", col("p"), col("e"))).as("only_purchase"))
     }),
 
+    // mergeable KLL quantile sketches (native TypedImperativeAggregate —
+    // Spark has no storable percentile summary). Fixture group sizes sit
+    // under k, so every item is retained and the quantiles are EXACT:
+    // the oracle replays getQuantile(q, INCLUSIVE) as the order statistic
+    // at ⌈q·n⌉. The approximate regime (n ≫ k) is error-bounded in
+    // ExtSpec
+    "a17_kll_quantiles" -> ((s, d) => {
+      import graft.functions.KllQuantile._
+      t(s, d, "events").groupBy("event_type")
+        .agg(kllAgg(col("value"), 65535).as("sk"))
+        .select(col("event_type"), kllN(col("sk")).as("n"),
+          kllQuantile(col("sk"), 0.5).as("p50"),
+          kllQuantile(col("sk"), 0.9).as("p90"),
+          kllQuantile(col("sk"), 0.99).as("p99"))
+    }),
+
+    // KLL MERGEABILITY: per-segment sketches merged per group must equal
+    // the global quantiles (exact regime) — the stored-small-summaries /
+    // merge-without-rescan shape that replaces percentile_approx's full
+    // history re-scan at 100 TB
+    "a18_kll_merge" -> ((s, d) => {
+      import graft.functions.KllQuantile._
+      t(s, d, "events")
+        .groupBy((col("user_id") % 8).as("seg"), col("event_type"))
+        .agg(kllAgg(col("value"), 65535).as("sk"))
+        .groupBy("event_type")
+        .agg(kllMerge(col("sk"), 65535).as("m"))
+        .select(col("event_type"), kllN(col("m")).as("n"),
+          kllQuantile(col("m"), 0.5).as("p50"),
+          kllQuantile(col("m"), 0.9).as("p90"))
+    }),
+
     // rolling-hash fingerprint: native codegen Expression — no oracle
     "t5_rolling_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -925,6 +957,29 @@ object ExtQueries {
         |  (SELECT count(*) FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)) AS union_users,
         |  (SELECT count(*) FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)) AS both_users,
         |  (SELECT count(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)) AS only_purchase""".stripMargin,
+
+    "a17_kll_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(value) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a18_kll_merge" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(value) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "d10_dup_spans" ->
       """WITH c AS (

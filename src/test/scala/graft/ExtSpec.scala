@@ -899,6 +899,38 @@ class ExtSpec extends SparkSpecBase {
       "checkpoint data must actually land in the reliable dir")
   }
 
+  test("kll sketch: exact under k, rank-bounded past it, merge == whole") {
+    import spark.implicits._
+    import graft.functions.KllQuantile._
+    import org.apache.spark.sql.functions._
+    // approximate regime: 50k uniform values through a tiny k=128 sketch —
+    // the returned quantile's TRUE rank must sit within the published
+    // ~1.65σ normalized-rank error for k=128 (≈ 1.7%; allow 3%)
+    val n = 50000
+    val df = (0 until n).map(i => ((i * 2654435761L) % n).toDouble).toDF("x")
+    val q = df.agg(kllAgg(col("x"), 128).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5).as("p50"), kllN(col("sk")).as("cnt"))
+      .head()
+    assert(q.getLong(1) == n.toLong)
+    val trueRank = q.getDouble(0) / n  // values are a permutation of 0..n-1
+    assert(math.abs(trueRank - 0.5) < 0.03,
+      s"p50 rank error too large: got value ${q.getDouble(0)} (rank $trueRank)")
+    // sharded accumulate + merge must agree with the one-shot sketch's
+    // guarantees: same count, and in the EXACT regime identical quantiles
+    val small = (1 to 1000).map(_.toDouble).toDF("x")
+      .withColumn("seg", pmod(col("x"), lit(7)))
+    val whole = small.agg(kllAgg(col("x"), 4096).as("sk"))
+      .select(kllQuantile(col("sk"), 0.25), kllQuantile(col("sk"), 0.75), kllN(col("sk")))
+      .head()
+    val merged = small.groupBy("seg").agg(kllAgg(col("x"), 4096).as("sk"))
+      .agg(kllMerge(col("sk"), 4096).as("m"))
+      .select(kllQuantile(col("m"), 0.25), kllQuantile(col("m"), 0.75), kllN(col("m")))
+      .head()
+    assert(whole == merged, s"exact-regime merge must be lossless: $whole vs $merged")
+    assert(whole.getDouble(0) == 250.0 && whole.getDouble(1) == 750.0,
+      "inclusive order statistic at ceil(q*n)")
+  }
+
   // ---- content-defined chunking ----
 
   /** Local reference model of the md5 boundary gate ('0'/'1' leading hex
