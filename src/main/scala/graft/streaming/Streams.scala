@@ -263,6 +263,45 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming quantile monitor — the deployment mode of
+    * [[graft.functions.KllQuantile]]: each micro-batch folds into
+    * per-group KLL sketches that merge into a persisted running sketch
+    * table, and a quantile snapshot is appended per batch. State per
+    * group is ONE fixed-size blob regardless of how much history it
+    * summarizes — the stream's memory never grows with event volume,
+    * and the persisted blobs survive restarts (re-read, re-merged).
+    * This is what replaces "recompute percentile_approx over all
+    * history each hour" at 100 TB: history is never rescanned, only
+    * blobs merge. */
+  def quantileMonitorStream(spark: SparkSession, schema: StructType,
+                            srcDir: String, groupCol: String, valueCol: String,
+                            outPath: String, k: Int = 4096,
+                            quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Unit = {
+    import graft.functions.KllQuantile._
+    import org.apache.spark.sql.SaveMode
+    val sketchDir = outPath + "/sketches"
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val batchSk = batch.groupBy(col(groupCol))
+        .agg(kllAgg(col(valueCol), k).as("sk"))
+      val merged =
+        (if (new java.io.File(sketchDir).exists())
+           spark.read.parquet(sketchDir).union(batchSk)
+         else batchSk)
+          .groupBy(col(groupCol)).agg(kllMerge(col("sk"), k).as("sk"))
+          .localCheckpoint(true) // next line overwrites what we just read
+      merged.write.mode(SaveMode.Overwrite).parquet(sketchDir)
+      merged.select(
+          col(groupCol) +: lit(epoch).as("epoch") +: kllN(col("sk")).as("n") +:
+            quantiles.map(p => kllQuantile(col("sk"), p).as(s"p${(p * 100).toInt}")): _*)
+        .write.mode(SaveMode.Append).parquet(outPath + "/quantiles")
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming query from a bounded parquet directory into a memory
     * sink synchronously (test/local harness). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,

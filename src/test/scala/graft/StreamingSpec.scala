@@ -336,4 +336,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(expected.exists(p => p._2 == -999L), "left-only rows must surface")
   }
 
+  test("streaming quantile monitor: merged blobs equal the one-shot sketch, snapshots per batch") {
+    import graft.functions.KllQuantile._
+    val base = java.nio.file.Files.createTempDirectory("graft_kllstream").toString
+    val srcDir = s"$base/src"
+    val outPath = s"$base/out"
+    val ev = events.select("event_type", "value")
+    // three micro-batches as three files (maxFilesPerTrigger = 1)
+    ev.filter(col("value") < 3).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("value") >= 3 && col("value") < 7).coalesce(1).write.mode("append").parquet(srcDir)
+    ev.filter(col("value") >= 7).coalesce(1).write.mode("append").parquet(srcDir)
+    Streams.quantileMonitorStream(spark, ev.schema, srcDir,
+      "event_type", "value", outPath, k = 65535)
+    // exact regime: the evolved per-group blobs answer exactly what a
+    // one-shot sketch over all history answers — without ever rescanning
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), kllN(col("sk")).as("n"),
+        kllQuantile(col("sk"), 0.5).as("p50"), kllQuantile(col("sk"), 0.99).as("p99"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val evolved = snap(spark.read.parquet(s"$outPath/sketches"))
+    val oneShot = snap(ev.groupBy("event_type").agg(kllAgg(col("value"), 65535).as("sk")))
+    assert(evolved == oneShot, s"evolved blobs must equal the one-shot sketch:\n$evolved\n$oneShot")
+    // one quantile snapshot per (epoch, group); counts grow monotonically
+    val snaps = spark.read.parquet(s"$outPath/quantiles")
+    assert(snaps.select("epoch").distinct().count() == 3, "one snapshot per micro-batch")
+    val perEpochTotals = snaps.groupBy("epoch").agg(sum("n").as("tot"))
+      .orderBy("epoch").collect().map(_.getLong(1))
+    assert(perEpochTotals.sameElements(perEpochTotals.sorted),
+      "running counts only ever grow as batches absorb")
+    assert(perEpochTotals.last == ev.filter(col("value").isNotNull).count())
+  }
+
 }
