@@ -343,6 +343,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
     }),
 
+    // interval-OVERLAP join (binned, exactly-once in the later start's
+    // bin): error windows × purchase windows of the same user — "did a
+    // purchase happen near an error" attribution without a cartesian
+    "u7_overlap_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def win(tpe: String, pre: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("ts").as(s"${pre}_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as(s"${pre}_end"))
+      graft.operators.Joins.overlapJoin(
+          win("error", "err"), win("purchase", "buy"), Seq("user_id"),
+          "err_start", "err_end", "buy_start", "buy_end", binSeconds = 600L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          max(col("err_start")).as("last_err_start"))
+    }),
+
     // ---- grouping sets / scalar breadth / having ----
     "a10_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -1416,6 +1432,17 @@ object SparkEntry {
         |FROM win w JOIN events e ON e.user_id = w.user_id
         | AND e.ts >= w.window_start AND e.ts <= w.window_end
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "u7_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, ts AS es, ts + INTERVAL 10 MINUTE AS ee
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT user_id, ts AS bs, ts + INTERVAL 10 MINUTE AS be
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.user_id, count(*) AS n_overlaps, max(e.es) AS last_err_start
+        |FROM e JOIN b ON e.user_id = b.user_id AND e.es <= b.be AND b.bs <= e.ee
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "w8_range_frame" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -67,4 +67,27 @@ object Joins {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop(Bin)
   }
+
+  /** Interval-overlap join, same binning discipline as [[intervalJoin]]:
+    * both sides replicate to the bins they touch, the overlap predicate
+    * stays residual, and exactly-once emission comes from keeping each
+    * pair only in the bin of the LATER start — two overlapping intervals
+    * always share that bin (the later start lies inside both), and it is
+    * unique per pair, so no post-join distinct. Start/end column names
+    * must be disjoint across the two inputs. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  lStart: String, lEnd: String, rStart: String, rEnd: String,
+                  binSeconds: Long = 300L): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) >= col(s))
+      .withColumn(Bin,
+        explode(sequence(floor(unix_micros(col(s)) / binUs),
+          floor(unix_micros(col(e)) / binUs))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), keys :+ Bin)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col(Bin) === greatest(floor(unix_micros(col(lStart)) / binUs),
+        floor(unix_micros(col(rStart)) / binUs)))
+      .drop(Bin)
+  }
 }

@@ -321,4 +321,28 @@ class OperatorSpec extends SparkSpecBase {
     assert(Joins.intervalJoin(ev, bad, Seq("user_id"), "ts", "s", "e").count() == 0L)
   }
 
+  test("overlapJoin equals the naive overlap join, one row per overlapping pair") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sfDir)
+    def win(p: String, tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts").as(s"${p}s"),
+        (col("ts") + expr("INTERVAL 9 MINUTES")).as(s"${p}e"))
+    val l = win("l", "error")
+    val r = win("r", "purchase")
+    // 9-minute windows over 4-minute bins: intervals span 3-4 bins, so a
+    // pair can meet in several — the later-start-bin rule must still emit
+    // each exactly once
+    val binned = Joins.overlapJoin(l, r, Seq("user_id"), "ls", "le", "rs", "re",
+        binSeconds = 240L)
+      .select("user_id", "ls", "rs")
+    val naive = l.join(r, Seq("user_id"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("user_id", "ls", "rs")
+    assert(binned.collect().toSet == naive.collect().toSet)
+    assert(binned.count() == naive.count(), "exactly-once per overlapping pair")
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the binned overlap form must plan as an equi join:\n$plan")
+  }
+
 }
