@@ -457,6 +457,14 @@ object TextDedup {
       .agg(min(struct(col(idCol), col("chunk_idx"))).as("first_occ"))
     val kept = chunks.join(first, Seq("fp"))
       .filter(struct(col(idCol), col("chunk_idx")) === col("first_occ"))
+    reassembleChunks(docs, kept, idCol, textCol)
+  }
+
+  /** Rebuild each document from its surviving chunks, in chunk order —
+    * shared tail of [[cdcDedup]] and [[cutChunksAgainstIndex]]. Every
+    * input doc comes back (fully-cut docs as empty text). */
+  private def reassembleChunks(docs: DataFrame, kept: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
     val rebuilt = kept.groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))).as("cs"),
         sum(col("n_tokens")).as("kept_tokens"))
@@ -468,6 +476,38 @@ object TextDedup {
       .select(col(idCol),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),
         (col("total_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("n_tokens_removed"))
+  }
+
+  /** The settled corpus's CDC chunk index: its DISTINCT chunk-fingerprint
+    * set — the chunk-granularity sibling of [[windowIndex]], persisted by
+    * an ingest deployment and grown by union + distinct as batches are
+    * accepted (mergeable, idempotent). Because CDC edges self-align, an
+    * edited redelivery still matches on every untouched block. */
+  def chunkIndex(docs: DataFrame, idCol: String, textCol: String,
+                 boundaryHex: Seq[String] = Seq("0", "1")): DataFrame =
+    cdcChunks(docs, idCol, textCol, boundaryHex).select("fp").distinct()
+
+  /** INCREMENTAL chunk cut: drop from each new-batch document every CDC
+    * chunk whose fingerprint already exists in the settled corpus — the
+    * ingest-time block-storage dedup pass. The corpus contributes only
+    * its fingerprint set (at scale: the maintained [[chunkIndex]]); the
+    * batch's chunks anti-join it and the shared reassembly rebuilds
+    * survivors. Settled text is chunked once, ever; the batch never
+    * joins itself (within-batch repeats are [[cdcDedup]]'s job). */
+  def cutChunksAgainst(corpus: DataFrame, newDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       boundaryHex: Seq[String] = Seq("0", "1")): DataFrame =
+    cutChunksAgainstIndex(chunkIndex(corpus, idCol, textCol, boundaryHex),
+      newDocs, idCol, textCol, boundaryHex)
+
+  /** [[cutChunksAgainst]] fed from a prebuilt/maintained [[chunkIndex]]
+    * (one `fp` column) — the steady-state ingest call. */
+  def cutChunksAgainstIndex(corpusIndex: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            boundaryHex: Seq[String] = Seq("0", "1")): DataFrame = {
+    val kept = cdcChunks(newDocs, idCol, textCol, boundaryHex)
+      .join(corpusIndex.toDF("fp"), Seq("fp"), "left_anti")
+    reassembleChunks(newDocs, kept, idCol, textCol)
   }
 
   /** Connected components over a near-dup pair list → (doc_id, cluster_id)

@@ -330,6 +330,17 @@ object ExtQueries {
     "d20_cdc_dedup" -> ((s, d) =>
       TextDedup.cdcDedup(t(s, d, "documents"), "doc_id", "text")),
 
+    // INCREMENTAL chunk cut: an ingest batch (ids ≥ 400) loses every CDC
+    // chunk the settled corpus (ids < 400) already stores — the
+    // chunk-granularity sibling of d17's span cut; the corpus side is
+    // only its distinct fingerprint set
+    "d21_cut_chunks_against" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextDedup.cutChunksAgainst(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+    }),
+
     // end-to-end corpus pipeline LINEAGE CENSUS: one row per stage with
     // the surviving doc count (same id<25 benchmark split as d7). This
     // puts the full composed pipeline — quality gate → self-cut → exact →
@@ -1101,6 +1112,38 @@ object ExtQueries {
         |    SUM(n_tokens) AS kept_tokens
         |  FROM k WHERE rn = 1 GROUP BY doc_id),
         |tot AS (SELECT doc_id, len(toks) AS total_tokens FROM c)
+        |SELECT tot.doc_id, coalesce(kept.text_dedup, '') AS text_dedup,
+        |  CAST(tot.total_tokens - coalesce(kept.kept_tokens, 0) AS BIGINT) AS n_tokens_removed
+        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "d21_cut_chunks_against" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'tok': toks[i]}
+        |    FOR i IN range(1, len(toks) + 1)]) AS t
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id, t.pos AS pos, t.tok AS tok,
+        |    CASE WHEN substring(md5(t.tok), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, pos, tok,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk_idx
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM g GROUP BY doc_id, chunk_idx),
+        |corpus AS (SELECT DISTINCT md5(chunk_text) AS fp FROM ch WHERE doc_id < 400),
+        |kept AS (
+        |  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup,
+        |    SUM(n_tokens) AS kept_tokens
+        |  FROM ch WHERE doc_id >= 400
+        |    AND md5(chunk_text) NOT IN (SELECT fp FROM corpus)
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(toks) AS total_tokens FROM c WHERE doc_id >= 400)
         |SELECT tot.doc_id, coalesce(kept.text_dedup, '') AS text_dedup,
         |  CAST(tot.total_tokens - coalesce(kept.kept_tokens, 0) AS BIGINT) AS n_tokens_removed
         |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id

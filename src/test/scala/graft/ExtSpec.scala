@@ -993,6 +993,36 @@ class ExtSpec extends SparkSpecBase {
       s"chunk tails must realign after the first boundary: $a vs $b")
   }
 
+  test("cutChunksAgainst: corpus-stored blocks cut from the batch, index-fed == text-fed") {
+    import spark.implicits._
+    val shared = "lambda mu nu xi omicron pi rho sigma gamma tau upsilon chi"
+    val corpus = Seq((1L, s"alpha beta $shared delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"epsilon zeta $shared eta theta"), // carries the stored block
+      (11L, "one two three four five six"))     // all fresh
+      .toDF("doc_id", "text")
+    val viaText = TextDedup.cutChunksAgainst(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(viaText(0)._3 > 0, "the corpus-shared interior chunks must be cut")
+    assert(viaText(0)._2.contains("epsilon") && viaText(0)._2.contains("theta"),
+      "the batch doc's unique prose survives")
+    assert(viaText(1) == ((11L, "one two three four five six", 0L)),
+      "a fresh doc passes through verbatim")
+    // the maintained-index form is the same operator
+    val idx = TextDedup.chunkIndex(corpus, "doc_id", "text")
+    val viaIndex = TextDedup.cutChunksAgainstIndex(idx, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(viaText.toSeq == viaIndex.toSeq)
+    // index growth is union + distinct: growing by the accepted batch
+    // equals rebuilding from scratch
+    val grown = idx.union(TextDedup.chunkIndex(batch, "doc_id", "text")).distinct()
+    val scratch = TextDedup.chunkIndex(corpus.union(batch), "doc_id", "text")
+    assert(grown.collect().map(_.getString(0)).toSet ==
+      scratch.collect().map(_.getString(0)).toSet)
+  }
+
   test("cdcDedup keeps each chunk fingerprint once corpus-wide, rebuilds in order") {
     import spark.implicits._
     // 'nu', 'gamma', 'chi' are boundary tokens (md5 leading digit 0/1), so
