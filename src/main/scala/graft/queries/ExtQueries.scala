@@ -151,6 +151,22 @@ object ExtQueries {
           kllQuantile(col("m"), 0.9).as("p90"))
     }),
 
+    // sketch-DRIVEN filtering: per-source stopword-ratio thresholds come
+    // from the KLL median (data-dependent, not hand-tuned), then gate the
+    // corpus — the adaptive quality cut a real pipeline runs when fixed
+    // Gopher constants misfit a source. Exact regime → the threshold is
+    // the per-source order statistic, so the whole composition is oracled
+    "t18_adaptive_quality" -> ((s, d) => {
+      import graft.functions.KllQuantile._
+      val m = TextStats.qualityMetrics(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("source"), col("stopword_ratio"))
+      val thr = m.groupBy("source").agg(kllAgg(col("stopword_ratio"), 65535).as("sk"))
+        .select(col("source"), kllQuantile(col("sk"), 0.5).as("thr"))
+      m.join(broadcast(thr), Seq("source"))
+        .filter(col("stopword_ratio") >= col("thr"))
+        .select("doc_id", "source", "stopword_ratio")
+    }),
+
     // rolling-hash fingerprint: native codegen Expression — no oracle
     "t5_rolling_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -717,6 +733,26 @@ object ExtQueries {
         |  CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS DOUBLE)
         |    / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t18_adaptive_quality" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS DOUBLE)
+        |      / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS stopword_ratio
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, stopword_ratio,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY stopword_ratio) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM m),
+        |thr AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN stopword_ratio END) AS thr
+        |  FROM r GROUP BY source)
+        |SELECT m.doc_id, m.source, m.stopword_ratio
+        |FROM m JOIN thr ON m.source = thr.source
+        |WHERE m.stopword_ratio >= thr.thr
+        |ORDER BY m.doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
