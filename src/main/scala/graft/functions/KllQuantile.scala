@@ -124,6 +124,23 @@ object KllQuantile {
     override def prettyName: String = "kll_quantile"
   }
 
+  /** `getRank(x, INCLUSIVE)`: the normalized rank of `x` — in the exact
+    * regime, count(items ≤ x) / n as one IEEE division, which is what the
+    * oracle replays. Null on an empty sketch. */
+  case class KllRankExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(sketch: Any, x: Any): Any = {
+      val sk = heapify(sketch.asInstanceOf[Array[Byte]])
+      if (sk.isEmpty) null
+      else sk.getRank(x.asInstanceOf[Double], QuantileSearchCriteria.INCLUSIVE)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "kll_rank"
+  }
+
   /** Item count folded into a sketch blob. */
   case class KllNExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -154,6 +171,8 @@ object KllQuantile {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantile", exprs => KllQuantileExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_rank", exprs => KllRankExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_n", exprs => KllNExpr(exprs(0)), "scala_udf")
   }
 
@@ -163,5 +182,7 @@ object KllQuantile {
     call_function("kll_merge", blob, lit(k))
   def kllQuantile(blob: Column, q: Double): Column =
     call_function("kll_quantile", blob, lit(q))
+  def kllRank(blob: Column, x: Column): Column =
+    call_function("kll_rank", blob, x.cast("double"))
   def kllN(blob: Column): Column = call_function("kll_n", blob)
 }

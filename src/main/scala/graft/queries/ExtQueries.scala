@@ -151,6 +151,18 @@ object ExtQueries {
           kllQuantile(col("m"), 0.9).as("p90"))
     }),
 
+    // the inverse sketch read: kll_rank(x) = fraction of the group at or
+    // below x — in the exact regime one count ratio, a single IEEE
+    // division both engines replay bit-identically
+    "a19_kll_rank" -> ((s, d) => {
+      import graft.functions.KllQuantile._
+      t(s, d, "events").groupBy("event_type")
+        .agg(kllAgg(col("value"), 65535).as("sk"))
+        .select(col("event_type"),
+          kllRank(col("sk"), lit(2.5)).as("rank_25"),
+          kllRank(col("sk"), lit(7.5)).as("rank_75"))
+    }),
+
     // sketch-DRIVEN filtering: per-source stopword-ratio thresholds come
     // from the KLL median (data-dependent, not hand-tuned), then gate the
     // corpus — the adaptive quality cut a real pipeline runs when fixed
@@ -733,6 +745,13 @@ object ExtQueries {
         |  CAST(len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS DOUBLE)
         |    / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "a19_kll_rank" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) FILTER (WHERE value <= 2.5) AS DOUBLE) / COUNT(value) AS rank_25,
+        |  CAST(COUNT(*) FILTER (WHERE value <= 7.5) AS DOUBLE) / COUNT(value) AS rank_75
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t18_adaptive_quality" ->
       s"""WITH m AS (

@@ -929,6 +929,12 @@ class ExtSpec extends SparkSpecBase {
     assert(whole == merged, s"exact-regime merge must be lossless: $whole vs $merged")
     assert(whole.getDouble(0) == 250.0 && whole.getDouble(1) == 750.0,
       "inclusive order statistic at ceil(q*n)")
+    // inverse read: exact-regime rank is count(<= x) / n as one division
+    val rk = small.agg(kllAgg(col("x"), 4096).as("sk"))
+      .select(kllRank(col("sk"), lit(250.0)).as("r"), kllRank(col("sk"), lit(0.5)).as("r0"))
+      .head()
+    assert(rk.getDouble(0) == 0.25, s"rank(250) over 1..1000 must be 0.25, got $rk")
+    assert(rk.getDouble(1) == 0.0, "rank below the minimum is 0")
   }
 
   // ---- content-defined chunking ----
