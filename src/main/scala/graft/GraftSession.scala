@@ -24,6 +24,7 @@ object GraftSession {
     graft.functions.SimHash64.register(spark)
     graft.functions.BloomSketch.register(spark)
     graft.functions.KllQuantile.register(spark)
+    graft.functions.TopKBy.register(spark)
     spark
   }
 }

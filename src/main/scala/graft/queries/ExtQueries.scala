@@ -163,6 +163,24 @@ object ExtQueries {
           kllRank(col("sk"), lit(7.5)).as("rank_75"))
     }),
 
+    // per-source quota (the domain-balancing cut of web-corpus curation):
+    // keep the N strongest docs per source. Implemented as the mergeable
+    // bounded-heap aggregate, NOT row_number-over-window — the window
+    // formulation sort-shuffles the whole corpus; topk_by ships at most
+    // N entries per source per partition through the exchange. The oracle
+    // replays the window formulation: same total order, same exact rows.
+    "t19_source_quota" -> ((s, d) => {
+      import graft.functions.TopKBy._
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(topkBy(col("n_tokens"), col("doc_id"), 5).as("top"))
+        .select(col("source"), explode(col("top")).as("e"))
+        .select(col("source"), col("e").getField("id").as("doc_id"),
+          col("e").getField("score").as("n_tokens"))
+    }),
+
     // sketch-DRIVEN filtering: per-source stopword-ratio thresholds come
     // from the KLL median (data-dependent, not hand-tuned), then gate the
     // corpus — the adaptive quality cut a real pipeline runs when fixed
@@ -752,6 +770,19 @@ object ExtQueries {
         |  CAST(COUNT(*) FILTER (WHERE value <= 7.5) AS DOUBLE) / COUNT(value) AS rank_75
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t19_source_quota" ->
+      """WITH m AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        |  FROM m)
+        |SELECT source, doc_id, n_tokens FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
 
     "t18_adaptive_quality" ->
       s"""WITH m AS (

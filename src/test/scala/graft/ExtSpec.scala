@@ -937,6 +937,33 @@ class ExtSpec extends SparkSpecBase {
     assert(rk.getDouble(1) == 0.0, "rank below the minimum is 0")
   }
 
+  test("topk_by: bounded-heap quota == window row_number, combined map-side") {
+    import spark.implicits._
+    import graft.functions.TopKBy._
+    import org.apache.spark.sql.functions._
+    // scores collide on purpose (mod 97) so the id tie-break is exercised
+    val df = (0 until 10000).map { i =>
+      ((i % 7).toLong, (i * 2654435761L) % 97, i.toLong)
+    }.toDF("g", "score", "id").repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(topkBy(col("score"), col("id"), 10).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), col("pos"),
+        col("e").getField("score").as("score"), col("e").getField("id").as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("g"), (col("rn") - 1).as("pos"), col("score"), col("id"))
+    assert(viaAgg.collect().toSet == viaWindow.collect().toSet,
+      "heap quota must reproduce the window formulation EXACTLY, order included")
+    // the scale claim: partial aggregation runs before the exchange, so the
+    // shuffle carries <= k entries per group per partition, not the corpus
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert("partial_topk_by".r.findFirstIn(plan).isDefined,
+      s"expected a partial (map-side) topk_by before the exchange:\n$plan")
+  }
+
   // ---- content-defined chunking ----
 
   /** Local reference model of the md5 boundary gate ('0'/'1' leading hex
