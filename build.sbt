@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix breaks any line-wise JSON parse
+// of Bench's machine-readable output (the driver captures an stdout tail
+// and json-parses lines). StdoutOutput passes the forked process's stdout
+// through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,6 +71,14 @@ object Bench {
     def family(name: String): String = name.takeWhile(_.isLetter)
 
     once("q1_pricing_summary") // warmup: JVM + codegen + parquet footer cache
+    // c1 composes the whole corpus pipeline (CC rounds, shingle index,
+    // packing) — its first run pays the bulk of the engine's JIT and is
+    // the query the round-5 driver artifact recorded at 2× its clean cost
+    // under cold-start + host contention; one untimed pass takes the
+    // warmup out of every later minimum
+    if (args.isEmpty || args.exists("c1_corpus_census".startsWith))
+      once("c1_corpus_census")
+    graft.util.Caches.releaseAll()
 
     // optional argv prefixes restrict the suite (e.g. `Bench q g` times the
     // TPC-H-shaped families only — used for scaled-fixture runs); the
@@ -105,9 +113,15 @@ object Bench {
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // The compact total-only line prints FIRST and LAST (the full ~6 KB
+    // per-query line sits between): whichever end of stdout a truncating
+    // capture keeps, a complete parseable headline survives. Per-query
+    // detail always lands intact in `outPath`.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$outPath"}"""
+    println(compact)
     println(full)
-    // compact line LAST: this is the one the tail-capturing driver parses
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$outPath"}""")
+    println(compact)
     graft.util.Caches.releaseAll()
     spark.stop()
   }
