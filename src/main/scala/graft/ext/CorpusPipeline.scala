@@ -41,12 +41,36 @@ object CorpusPipeline {
     *   shared 3-gram with any benchmark doc — massive over-dropping on
     *   realistic corpora. Standard practice screens on 8–13-gram overlap
     *   (Lee et al. 2021; GPT-3 appendix C uses 13-grams), so the default
-    *   tracks `spanK`'s verbatim-span scale, not the Jaccard shingle. */
+    *   tracks `spanK`'s verbatim-span scale, not the Jaccard shingle.
+    * @param packShardCol existing column to shard the packing stage by
+    *   (date, source, …). When None a `pack_shard` hash bucket
+    *   (`pmod(xxhash64(id), packShards)`) is DERIVED — packing is never
+    *   allowed to fall into the global-window branch whose single task
+    *   would own the whole corpus sort. Bins are (shard, bin) pairs.
+    * @param packShards bucket count for the derived shard (ignored when
+    *   `packShardCol` is given). 1024 keeps every shard a small fraction
+    *   of the corpus at any realistic scale while still packing bins
+    *   full once shards hold more than a few documents.
+    * @param sourceCol column of `docs` naming each document's source;
+    *   enables the recipe stages below. The curated corpus itself only
+    *   carries (id, text) — the source map rides a SLIM (id, source)
+    *   join, so document text never enters these shuffles.
+    * @param sourceWeights per-source keep fraction ([[graft.operators.Sampling.weightedMix]]):
+    *   the deterministic hash gate that turns crawled sources into a
+    *   recipe-weighted mix. Applied before the quota.
+    * @param sourceQuota keep the N token-richest docs per source via the
+    *   bounded-heap [[graft.functions.TopKBy]] aggregate (score
+    *   n_tokens DESC, id ASC) — the domain-balancing cut, shipped as at
+    *   most N entries per source per partition, never a corpus sort. */
   def run(docs: DataFrame, benchmark: DataFrame,
           idCol: String = "doc_id", textCol: String = "text",
           shingleK: Int = 3, jaccardThreshold: Double = 0.5,
           spanK: Int = 8, minTokensAfterCut: Int = 5,
-          packBudget: Int = 512, contamK: Int = 8): (DataFrame, Seq[StageCount]) = {
+          packBudget: Int = 512, contamK: Int = 8,
+          packShardCol: Option[String] = None, packShards: Int = 1024,
+          sourceCol: Option[String] = None,
+          sourceWeights: Option[Map[String, Double]] = None,
+          sourceQuota: Option[Int] = None): (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
     // each censused stage is persisted through the shared Caches registry
     // BEFORE its count: every stage feeds both the census action and the
@@ -111,9 +135,43 @@ object CorpusPipeline {
     val clean = census("decontaminated",
       sized.join(dirty, Seq(idCol), "left_anti"))
 
-    // 7. pack into budget bins, assembled in id order
-    val packed = TextStats.packedText(clean, idCol, textCol,
-      col("n_tokens"), packBudget)
+    // 6b. recipe stages (optional): weighted mix then per-source quota.
+    // The curated frame lost every non-text column at the self-cut, so
+    // the source map is re-acquired as a slim (id, source) join — ids and
+    // one label through the exchange, never document text. The kept-id
+    // sides are at most the surviving corpus (quota: ≤ N·|sources|), so
+    // the corpus rejoins them by semi join exactly like every other stage.
+    def sourceOf(df: DataFrame, src: String): DataFrame =
+      df.select(col(idCol), col("n_tokens"))
+        .join(docs.select(col(idCol), col(src)), Seq(idCol))
+    val afterMix = (sourceCol, sourceWeights) match {
+      case (Some(src), Some(w)) =>
+        val kept = graft.operators.Sampling.weightedMix(
+          sourceOf(clean, src), col(idCol), col(src), w).select(idCol)
+        census("source_mix", clean.join(kept, Seq(idCol), "left_semi"))
+      case _ => clean
+    }
+    val afterQuota = (sourceCol, sourceQuota) match {
+      case (Some(src), Some(n)) =>
+        val kept = sourceOf(afterMix, src)
+          .groupBy(col(src))
+          .agg(graft.functions.TopKBy.topkBy(col("n_tokens"), col(idCol), n).as("top"))
+          .select(explode(col("top")).getField("id").as(idCol))
+        census("source_quota", afterMix.join(kept, Seq(idCol), "left_semi"))
+      case _ => afterMix
+    }
+
+    // 7. pack into budget bins, assembled in id order WITHIN each shard:
+    // the unsharded call would route into packSequences' global-window
+    // branch — one task sorting the entire surviving corpus — so a shard
+    // column is always supplied here (derived when the caller has none)
+    val shardName = packShardCol.getOrElse("pack_shard")
+    val forPack =
+      if (packShardCol.isDefined) afterQuota
+      else afterQuota.withColumn(shardName,
+        pmod(xxhash64(col(idCol)), lit(packShards.toLong)))
+    val packed = TextStats.packedText(forPack, idCol, textCol,
+      col("n_tokens"), packBudget, shardCol = Some(shardName))
     (packed, counts.result())
   }
 }

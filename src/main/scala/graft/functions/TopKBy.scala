@@ -5,9 +5,9 @@ import java.util.{PriorityQueue => JPriorityQueue}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 
@@ -19,34 +19,48 @@ import org.apache.spark.sql.types._
   * and ships only N·|groups| tuples through the exchange. Same exact
   * answer (it is a total order, not a sketch), a corpus-sized sort less.
   *
+  * Scores are LONG or DOUBLE (integral/float inputs are widened at
+  * registration): quality scores are ratios, so a long-only quota forces
+  * lossy pre-scaling. Doubles are stored as raw IEEE-754 bits (exact
+  * round-trip) and ordered with `java.lang.Double.compare` — a TOTAL
+  * order (NaN sorts above +Inf, deterministically), so ties cannot make
+  * two engines disagree any more than the long path can.
+  *
   * Ordering is the deterministic quota order used across the engine:
-  * score DESC, id ASC — ties cannot make two engines disagree. `topk_by`
-  * returns the retained entries as `array<struct<score,id>>` sorted
-  * strongest-first; explode it (and optionally semi-join the ids back)
-  * to materialize the quota'd rows.
+  * score DESC, id ASC. `topk_by` returns the retained entries as
+  * `array<struct<score,id>>` sorted strongest-first; explode it (and
+  * optionally semi-join the ids back) to materialize the quota'd rows.
   */
 object TopKBy {
 
-  private val entryType = StructType(Seq(
-    StructField("score", LongType, nullable = false),
+  private def entryType(scoreType: DataType) = StructType(Seq(
+    StructField("score", scoreType, nullable = false),
     StructField("id", LongType, nullable = false)))
 
   /** weakest-first heap order: lowest score at the head; on score ties the
     * LARGER id is weaker (id ASC preferred). The head is what eviction
-    * removes when the heap exceeds k. */
-  final class Heap(val k: Int) {
+    * removes when the heap exceeds k. Double scores live as raw bits in
+    * slot 0 and compare via Double.compare — the long/double distinction
+    * is the comparator, not the storage. */
+  final class Heap(val k: Int, val isDouble: Boolean) {
+    private def cmpScore(a: Long, b: Long): Int =
+      if (isDouble)
+        java.lang.Double.compare(
+          java.lang.Double.longBitsToDouble(a), java.lang.Double.longBitsToDouble(b))
+      else java.lang.Long.compare(a, b)
+    private[TopKBy] def stronger(a: Array[Long], b: Array[Long]): Boolean = {
+      val c = cmpScore(a(0), b(0))
+      c > 0 || (c == 0 && a(1) < b(1))
+    }
     val q = new JPriorityQueue[Array[Long]](math.max(k, 1),
       (a: Array[Long], b: Array[Long]) => {
-        val c = java.lang.Long.compare(a(0), b(0))
+        val c = cmpScore(a(0), b(0))
         if (c != 0) c else java.lang.Long.compare(b(1), a(1))
       })
     def offer(score: Long, id: Long): Unit = {
-      if (q.size < k) q.add(Array(score, id))
-      else {
-        val head = q.peek()
-        val weaker = score > head(0) || (score == head(0) && id < head(1))
-        if (weaker) { q.poll(); q.add(Array(score, id)) }
-      }
+      val e = Array(score, id)
+      if (q.size < k) q.add(e)
+      else if (stronger(e, q.peek())) { q.poll(); q.add(e) }
     }
   }
 
@@ -58,18 +72,29 @@ object TopKBy {
     extends TypedImperativeAggregate[Heap] {
 
     require(k > 0, "topk_by: k must be positive")
+    private def isDouble = score.dataType match {
+      case DoubleType => true
+      case LongType   => false
+      case other => throw new IllegalArgumentException(
+        s"topk_by: score must be LONG or DOUBLE, got $other")
+    }
 
     override def children: Seq[Expression] = Seq(score, id)
     override def nullable: Boolean = false
-    override def dataType: DataType = ArrayType(entryType, containsNull = false)
+    override def dataType: DataType =
+      ArrayType(entryType(score.dataType), containsNull = false)
 
-    override def createAggregationBuffer(): Heap = new Heap(k)
+    override def createAggregationBuffer(): Heap = new Heap(k, isDouble)
 
     override def update(buf: Heap, input: InternalRow): Heap = {
       val s = score.eval(input)
       val i = id.eval(input)
-      if (s != null && i != null)
-        buf.offer(s.asInstanceOf[Long], i.asInstanceOf[Long])
+      if (s != null && i != null) {
+        val bits =
+          if (buf.isDouble) java.lang.Double.doubleToLongBits(s.asInstanceOf[Double])
+          else s.asInstanceOf[Long]
+        buf.offer(bits, i.asInstanceOf[Long])
+      }
       buf
     }
 
@@ -85,16 +110,18 @@ object TopKBy {
       val it = buf.q.iterator()
       while (it.hasNext) { arr(i) = it.next(); i += 1 }
       // strongest first: score DESC, id ASC
-      java.util.Arrays.sort(arr, (a: Array[Long], b: Array[Long]) => {
-        val c = java.lang.Long.compare(b(0), a(0))
-        if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+      java.util.Arrays.sort(arr, (a: Array[Long], b: Array[Long]) =>
+        if (buf.stronger(a, b)) -1 else if (buf.stronger(b, a)) 1 else 0)
+      new GenericArrayData(arr.map { e =>
+        val s: Any =
+          if (buf.isDouble) java.lang.Double.longBitsToDouble(e(0)) else e(0)
+        InternalRow(s, e(1)): Any
       })
-      new GenericArrayData(arr.map(e =>
-        InternalRow(e(0), e(1)): Any))
     }
 
     override def serialize(buf: Heap): Array[Byte] = {
-      val bb = ByteBuffer.allocate(8 + buf.q.size * 16)
+      val bb = ByteBuffer.allocate(9 + buf.q.size * 16)
+      bb.put(if (buf.isDouble) 1.toByte else 0.toByte)
       bb.putInt(buf.k).putInt(buf.q.size)
       val it = buf.q.iterator()
       while (it.hasNext) { val e = it.next(); bb.putLong(e(0)).putLong(e(1)) }
@@ -103,7 +130,8 @@ object TopKBy {
 
     override def deserialize(bytes: Array[Byte]): Heap = {
       val bb = ByteBuffer.wrap(bytes)
-      val heap = new Heap(bb.getInt)
+      val dbl = bb.get() == 1.toByte
+      val heap = new Heap(bb.getInt, dbl)
       val n = bb.getInt
       var i = 0
       while (i < n) { heap.offer(bb.getLong, bb.getLong); i += 1 }
@@ -124,13 +152,22 @@ object TopKBy {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** Integral scores widen to LONG, float to DOUBLE; LONG/DOUBLE pass
+    * through. Anything else (decimal, string) is rejected by the agg. */
+  private def widenScore(e: Expression): Expression = e.dataType match {
+    case ByteType | ShortType | IntegerType => Cast(e, LongType)
+    case FloatType                          => Cast(e, DoubleType)
+    case _                                  => e
+  }
+
   /** Register `topk_by(score, id, k)`. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by",
-      exprs => TopKByAgg(exprs(0), exprs(1), intLit(exprs(2), "k")).toAggregateExpression(),
+      exprs => TopKByAgg(widenScore(exprs(0)), exprs(1),
+        intLit(exprs(2), "k")).toAggregateExpression(),
       "scala_udf")
 
   def topkBy(score: Column, id: Column, k: Int): Column =
-    call_function("topk_by", score.cast("long"), id.cast("long"), lit(k))
+    call_function("topk_by", score, id.cast("long"), lit(k))
 }

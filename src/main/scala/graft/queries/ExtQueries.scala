@@ -390,15 +390,19 @@ object ExtQueries {
     // end-to-end corpus pipeline LINEAGE CENSUS: one row per stage with
     // the surviving doc count (same id<25 benchmark split as d7). This
     // puts the full composed pipeline — quality gate → self-cut → exact →
-    // near-dup → span cut → decontamination — on the scoreboard, so a
-    // regression in stage ordering or any stage's drop rate moves a
-    // driver-visible artifact round-over-round (rows-only: the counts
-    // flow through engine-specific hashing; determinism and
-    // monotone-shrinkage are spec-proven in ExtSpec)
+    // near-dup → span cut → decontamination → source quota — on the
+    // scoreboard, so a regression in stage ordering or any stage's drop
+    // rate moves a driver-visible artifact round-over-round (rows-only:
+    // the counts flow through engine-specific hashing; determinism,
+    // monotone-shrinkage, and quota≡standalone are spec-proven in
+    // ExtSpec). The quota keeps the 15 token-richest survivors per
+    // source (the domain-balancing cut), and packing runs SHARDED by
+    // default — no stage of the composed pipeline owns a global sort.
     "c1_corpus_census" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val (_, census) = CorpusPipeline.run(
-        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        sourceCol = Some("source"), sourceQuota = Some(15))
       s.createDataFrame(census.zipWithIndex.map { case (c, i) =>
         (i, c.stage, c.docs)
       }).toDF("stage_idx", "stage", "docs")
