@@ -104,9 +104,13 @@ object Bench {
     val results = names.map(n => n -> stat(times.toSeq.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total over SUCCESSFUL queries only: summing the -1 failure sentinels
+    // would make the headline silently SHRINK as queries break (a failing
+    // round must never bench better) — breakage is reported as n_failed
+    val nFailed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
@@ -118,7 +122,7 @@ object Bench {
     // capture keeps, a complete parseable headline survives. Per-query
     // detail always lands intact in `outPath`.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","detail":"$outPath"}"""
     println(compact)
     println(full)
     println(compact)

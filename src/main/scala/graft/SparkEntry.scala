@@ -89,11 +89,14 @@ object SparkEntry {
     }),
 
     "p2_standardize_types" -> ((s, d) => {
-      val ev = t(s, d, "events") // raw: ts is epoch-nanos LongType
-      val secs = floor(col("ts").cast(DecimalType(38, 0)) / lit(1000000000)).cast("long")
+      // decode from ts_ns, the encoding-normalized epoch-nanos long that
+      // Tables.events derives for ANY fixture ts encoding — the DuckDB
+      // oracle's epoch_ns(ts) is equally encoding-agnostic
+      val ev = Tables.events(s, d)
+      val secs = floor(col("ts_ns").cast(DecimalType(38, 0)) / lit(1000000000)).cast("long")
       ev.select(
         col("event_id"),
-        Standardize.epochDecode(col("ts")).as("ts_decoded"),
+        Standardize.epochDecode(col("ts_ns")).as("ts_decoded"),
         Standardize.epochDecode(secs).as("ts_from_seconds"),
         Standardize.nullifySentinels(col("event_type")).as("event_type"),
         Standardize.cleanFloat(col("value")).as("value")

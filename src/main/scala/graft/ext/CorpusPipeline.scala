@@ -42,15 +42,20 @@ object CorpusPipeline {
     *   realistic corpora. Standard practice screens on 8–13-gram overlap
     *   (Lee et al. 2021; GPT-3 appendix C uses 13-grams), so the default
     *   tracks `spanK`'s verbatim-span scale, not the Jaccard shingle.
-    * @param packShardCol existing column to shard the packing stage by
-    *   (date, source, …). When None a `pack_shard` hash bucket
-    *   (`pmod(xxhash64(id), packShards)`) is DERIVED — packing is never
-    *   allowed to fall into the global-window branch whose single task
-    *   would own the whole corpus sort. Bins are (shard, bin) pairs.
-    * @param packShards bucket count for the derived shard (ignored when
-    *   `packShardCol` is given). 1024 keeps every shard a small fraction
-    *   of the corpus at any realistic scale while still packing bins
-    *   full once shards hold more than a few documents.
+    * @param packShardCol INPUT column to shard the packing stage by
+    *   (date, source, …) — re-acquired from `docs` by a slim (id, shard)
+    *   join, since the curated frame carries only id+text by then. When
+    *   None a `pack_shard` hash bucket (`pmod(xxhash64(id), shards)`) is
+    *   DERIVED — packing is never allowed to fall into the global-window
+    *   branch whose single task would own the whole corpus sort. Bins
+    *   are (shard, bin) pairs.
+    * @param packShards UPPER BOUND on the derived shard count (ignored
+    *   when `packShardCol` is given). The actual count is
+    *   `min(packShards, survivors/64)` (≥1), read off the final census —
+    *   small corpora collapse to few shards so bins still pack full;
+    *   at scale the 1024 cap keeps every shard a small fraction of the
+    *   corpus. Deriving refuses to overwrite an existing `pack_shard`
+    *   column (pass it as `packShardCol` instead).
     * @param sourceCol column of `docs` naming each document's source;
     *   enables the recipe stages below. The curated corpus itself only
     *   carries (id, text) — the source map rides a SLIM (id, source)
@@ -79,9 +84,11 @@ object CorpusPipeline {
     // quadratic in stage depth. One materialization per stage is also the
     // production shape: at corpus scale each stage is a table you write
     // (or at least persist), never a lineage you replay six times.
+    var lastCensus = 0L
     def census(stage: String, df: DataFrame): DataFrame = {
       val cached = graft.util.Caches.cached(df)
-      counts += StageCount(stage, cached.count()); cached
+      lastCensus = cached.count()
+      counts += StageCount(stage, lastCensus); cached
     }
     census("input", docs)
 
@@ -156,7 +163,11 @@ object CorpusPipeline {
         val kept = sourceOf(afterMix, src)
           .groupBy(col(src))
           .agg(graft.functions.TopKBy.topkBy(col("n_tokens"), col(idCol), n).as("top"))
-          .select(explode(col("top")).getField("id").as(idCol))
+          // alias the generator before getField — Spark refuses field
+          // extraction directly on explode() at analysis (t19 form,
+          // ExtQueries t19_source_quota)
+          .select(explode(col("top")).as("e"))
+          .select(col("e").getField("id").as(idCol))
         census("source_quota", afterMix.join(kept, Seq(idCol), "left_semi"))
       case _ => afterMix
     }
@@ -164,12 +175,30 @@ object CorpusPipeline {
     // 7. pack into budget bins, assembled in id order WITHIN each shard:
     // the unsharded call would route into packSequences' global-window
     // branch — one task sorting the entire surviving corpus — so a shard
-    // column is always supplied here (derived when the caller has none)
+    // column is always supplied here (derived when the caller has none).
+    // The derived shard count scales with the SURVIVING corpus (already
+    // counted by the census, so sizing is free): ~64 docs per shard keeps
+    // bins packing full on small corpora instead of ~1 doc rattling in
+    // each of `packShards` buckets, while large corpora still cap at
+    // `packShards` so no shard ever owns more than a sliver of the sort.
+    // A caller-supplied shard column no longer exists on the curated frame
+    // (the self-cut rebuilt it down to id+text), so it is re-acquired from
+    // the INPUT by the same slim (id, shard) join the recipe stages use.
+    val forPack = packShardCol match {
+      case Some(name) =>
+        require(docs.columns.contains(name),
+          s"packShardCol '$name' is not a column of the input corpus")
+        afterQuota.join(docs.select(col(idCol), col(name)), Seq(idCol))
+      case None =>
+        require(!docs.columns.contains("pack_shard"),
+          "input already has a pack_shard column; pass packShardCol = Some(\"pack_shard\") " +
+            "to shard packing by it instead of silently overwriting it")
+        val derivedShards =
+          math.max(1L, math.min(packShards.toLong, lastCensus / 64L))
+        afterQuota.withColumn("pack_shard",
+          pmod(xxhash64(col(idCol)), lit(derivedShards)))
+    }
     val shardName = packShardCol.getOrElse("pack_shard")
-    val forPack =
-      if (packShardCol.isDefined) afterQuota
-      else afterQuota.withColumn(shardName,
-        pmod(xxhash64(col(idCol)), lit(packShards.toLong)))
     val packed = TextStats.packedText(forPack, idCol, textCol,
       col("n_tokens"), packBudget, shardCol = Some(shardName))
     (packed, counts.result())

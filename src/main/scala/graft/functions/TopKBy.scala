@@ -5,6 +5,7 @@ import java.util.{PriorityQueue => JPriorityQueue}
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -77,6 +78,20 @@ object TopKBy {
       case LongType   => false
       case other => throw new IllegalArgumentException(
         s"topk_by: score must be LONG or DOUBLE, got $other")
+    }
+
+    /** Unsupported score/id types (decimal, string, date, …) fail HERE at
+      * analysis with a clear message, not as an IllegalArgumentException
+      * from createAggregationBuffer at task runtime. */
+    override def checkInputDataTypes(): TypeCheckResult = score.dataType match {
+      case LongType | DoubleType => id.dataType match {
+        case LongType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"topk_by: id must be BIGINT, got ${other.sql}")
+      }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"topk_by: score must be BIGINT or DOUBLE " +
+          s"(smaller integral/float types widen at registration), got ${other.sql}")
     }
 
     override def children: Seq[Expression] = Seq(score, id)

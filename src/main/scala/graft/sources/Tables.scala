@@ -1,17 +1,18 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import graft.operators.Standardize
 
 /** Fixture/table access layer. All queries read the parquet star schema under
-  * a scale-factor directory (TESTDATA.md). The `events` table carries a
-  * nanosecond-precision timestamp that Spark's parquet reader rejects by
-  * default; we read it as epoch-nanos `LongType`
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and decode with the engine's
-  * epoch heuristic (Standardize.epochDecode) — the same bigint-epoch decode
-  * the reference applies in its Silver layer
-  * (Silver_full_load.ipynb:cell 8).
+  * a scale-factor directory (TESTDATA.md). The `events` table's `ts` column
+  * has shipped in two encodings across fixture generations — epoch-nanos
+  * `int64` (read as `LongType` via `spark.sql.legacy.parquet.nanosAsLong`)
+  * and native parquet `timestamp[us]` (read as `TimestampNTZType`) — so
+  * [[events]] branches on the decoded Spark type rather than assuming one.
+  * This mirrors the reference, whose Silver bigint-date decode is itself
+  * dtype-conditional (Silver_full_load.ipynb:cell 8: `if dtype=='bigint'`).
   */
 object Tables {
 
@@ -27,13 +28,34 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with `ts` decoded from epoch-nanos to a microsecond timestamp;
-    * the raw long is kept as `ts_ns` for operators that need the source
-    * encoding (watermark arithmetic, epoch-decode tests). */
+  /** `events` normalized to ONE downstream contract regardless of the
+    * fixture's `ts` encoding: `ts` is a session-tz (UTC) `TimestampType`
+    * and `ts_ns` is the epoch-nanosecond `LongType` twin that watermark
+    * arithmetic and epoch-decode tests consume.
+    *
+    *  - epoch-nanos `LongType` source → `ts` via the engine's epoch
+    *    heuristic ([[Standardize.epochDecode]]), `ts_ns` is the raw long;
+    *  - native `timestamp`/`timestamp_ntz` source → `ts` passes through
+    *    (NTZ wall-clock is the UTC instant — session tz is pinned to UTC
+    *    everywhere, matching DuckDB's naive-as-UTC `epoch_ns`), `ts_ns`
+    *    derived as `unix_micros(ts) * 1000`.
+    *
+    * Unknown encodings fail loudly at analysis instead of mis-decoding. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
-    raw
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", Standardize.epochDecode(col("ts")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", Standardize.epochDecode(col("ts")))
+      case TimestampType | TimestampNTZType =>
+        val ltz: Column = col("ts").cast(TimestampType)
+        raw
+          .withColumn("ts_ns", unix_micros(ltz) * lit(1000L))
+          .withColumn("ts", ltz)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported encoding $other; expected BIGINT epoch or TIMESTAMP[_NTZ]")
+    }
   }
 }

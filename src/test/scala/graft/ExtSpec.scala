@@ -571,9 +571,95 @@ class ExtSpec extends SparkSpecBase {
     assert(p.getLong(0) == byStage("decontaminated"),
       "every surviving doc lands in exactly one bin")
     assert(p.getLong(1) > 0)
+    // the derived pack_shard scales with the surviving corpus
+    // (survivors/64 capped at packShards): this corpus is large enough
+    // for >1 shard, and bins are (shard, bin)-unique
+    val nShards = packed.select("pack_shard").distinct().count()
+    assert(nShards > 1 && nShards <= byStage("decontaminated") / 64 + 1,
+      s"expected >1 derived shards sized from ${byStage("decontaminated")} survivors, got $nShards")
+    assert(packed.groupBy("pack_shard", "bin").count().filter(col("count") > 1).isEmpty,
+      "(shard, bin) must be unique across the packed output")
     // deterministic end to end: same inputs, same census
     val (_, counts2) = CorpusPipeline.run(corpus, benchmark)
     assert(counts2 == counts)
+  }
+
+  test("corpus pipeline recipe stages: mix gates the census, quota equals the standalone topk_by cut") {
+    import spark.implicits._
+    // a corpus engineered so every pre-recipe stage is a PROVABLE no-op
+    // (stopwords interleaved with per-doc-unique words: quality passes,
+    // no exact/near dups, no repeated or shared k-token spans, benchmark
+    // vocabulary disjoint) — the quota stage's input is then exactly the
+    // input corpus and the expected cut is computable standalone
+    val stop = Seq("the", "of", "and", "to", "in", "a", "is", "it", "you")
+    def mkText(doc: Int, extra: Int): String =
+      (0 until (10 + extra)).flatMap(j => Seq(s"w${doc}x$j", stop(j % stop.size)))
+        .mkString(" ")
+    val rows = Seq(
+      // source a: 4 docs, token counts 40,36,32,28 (ids 1..4)
+      (1L, mkText(1, 10), "a"), (2L, mkText(2, 8), "a"),
+      (3L, mkText(3, 6), "a"), (4L, mkText(4, 4), "a"),
+      // source b: 1 doc — quota of 2 keeps it whole
+      (5L, mkText(5, 2), "b"),
+      // source c: 3 docs with TIED token counts — id ASC breaks the tie
+      (6L, mkText(6, 5), "c"), (7L, mkText(7, 5), "c"), (8L, mkText(8, 5), "c"))
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val benchmark = Seq((100L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10"))
+      .toDF("doc_id", "text")
+    val n = 2
+    val keepAll = Seq("a", "b", "c").map(_ -> 1.0).toMap
+
+    val (packed, counts) = CorpusPipeline.run(corpus, benchmark,
+      sourceCol = Some("source"), sourceWeights = Some(keepAll), sourceQuota = Some(n))
+    assert(counts.map(_.stage) == Seq("input", "quality_gate", "exact_dedup",
+      "near_dedup", "span_cut", "decontaminated", "source_mix", "source_quota"),
+      s"recipe stages must appear in the census, got ${counts.map(_.stage)}")
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.docs <= a.docs, s"${b.stage} grew the corpus: ${a.docs} -> ${b.docs}")
+    }
+    val byStage = counts.map(c => c.stage -> c.docs).toMap
+    assert(byStage("decontaminated") == 8L,
+      s"the engineered corpus survives every pre-recipe stage intact, got $byStage")
+    assert(byStage("source_mix") == 8L, "weight 1.0 on every source is a keep-all mix")
+
+    // the quota census must equal the standalone topk_by cut over the
+    // same frame: score = n_tokens DESC, id ASC ties
+    val standaloneIds = corpus
+      .select(col("source"), col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(graft.functions.TopKBy.topkBy(col("n_tokens"), col("doc_id"), n).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e").getField("id")).collect().map(_.getLong(0)).toSet
+    assert(standaloneIds == Set(1L, 2L, 5L, 6L, 7L),
+      s"standalone quota: 2 longest per source, id ASC on the c-source tie, got $standaloneIds")
+    assert(byStage("source_quota") == standaloneIds.size,
+      s"pipeline quota census ${byStage("source_quota")} != standalone ${standaloneIds.size}")
+    // the packed output carries exactly the quota survivors
+    assert(packed.agg(sum("n_docs")).head().getLong(0) == standaloneIds.size)
+
+    // a 0-weight source is dropped ENTIRELY by the mix before the quota
+    val (_, counts0) = CorpusPipeline.run(corpus, benchmark,
+      sourceCol = Some("source"), sourceWeights = Some(keepAll + ("c" -> 0.0)),
+      sourceQuota = Some(n))
+    val byStage0 = counts0.map(c => c.stage -> c.docs).toMap
+    assert(byStage0("source_mix") == 5L, s"weight 0.0 drops all of source c, got $byStage0")
+    assert(byStage0("source_quota") == 3L,
+      s"quota over the mixed corpus: 2 from a + 1 from b, got $byStage0")
+  }
+
+  test("corpus pipeline refuses to silently overwrite an existing pack_shard column") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") >= 25).withColumn("pack_shard", lit(0L))
+    val benchmark = docs.filter(col("doc_id") < 25)
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.run(corpus, benchmark)
+    }
+    assert(e.getMessage.contains("pack_shard"))
+    // ... but shard-by-it explicitly works
+    val (packed, _) = CorpusPipeline.run(corpus, benchmark,
+      packShardCol = Some("pack_shard"))
+    assert(packed.select("pack_shard").distinct().count() == 1L)
   }
 
   test("cutDupSpans removes exactly the shared coverage from the higher-id copy") {
