@@ -66,7 +66,12 @@ object CorpusPipeline {
     * @param sourceQuota keep the N token-richest docs per source via the
     *   bounded-heap [[graft.functions.TopKBy]] aggregate (score
     *   n_tokens DESC, id ASC) — the domain-balancing cut, shipped as at
-    *   most N entries per source per partition, never a corpus sort. */
+    *   most N entries per source per partition, never a corpus sort.
+    * @param checkpointDir when set, per-stage checkpoints go to this
+    *   RELIABLE location (`setCheckpointDir` + `checkpoint`) so stage
+    *   frames survive executor loss at cluster scale; default None uses
+    *   the cheaper executor-local checkpoint (right for local mode) —
+    *   the same policy as [[TextDedup.dupClusters]]. */
   def run(docs: DataFrame, benchmark: DataFrame,
           idCol: String = "doc_id", textCol: String = "text",
           shingleK: Int = 3, jaccardThreshold: Double = 0.5,
@@ -75,22 +80,37 @@ object CorpusPipeline {
           packShardCol: Option[String] = None, packShards: Int = 1024,
           sourceCol: Option[String] = None,
           sourceWeights: Option[Map[String, Double]] = None,
-          sourceQuota: Option[Int] = None): (DataFrame, Seq[StageCount]) = {
+          sourceQuota: Option[Int] = None,
+          checkpointDir: Option[String] = None): (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
-    // each censused stage is persisted through the shared Caches registry
-    // BEFORE its count: every stage feeds both the census action and the
-    // next stage (often twice — id-set derivation plus the semi join), so
-    // an uncached chain recomputes the whole pipeline prefix per count,
-    // quadratic in stage depth. One materialization per stage is also the
-    // production shape: at corpus scale each stage is a table you write
-    // (or at least persist), never a lineage you replay six times.
+    // each censused stage is EAGERLY CHECKPOINTED before its count: every
+    // stage feeds both the census action and the next stage (often twice —
+    // id-set derivation plus the semi join), so an unmaterialized chain
+    // recomputes the whole pipeline prefix per stage, quadratic in stage
+    // depth. A persist() is NOT enough here: with AQE the nested
+    // InMemoryRelations of an 8-deep cached chain never finalize (the
+    // cached partitions stay unmaterialized and every downstream action
+    // replays the full lineage — measured 5× on the composed pipeline),
+    // while an eager checkpoint both stores the partitions and truncates
+    // the plan, exactly the dupClusters round treatment. Same reliability
+    // policy too: a checkpointDir makes stage frames survive executor
+    // loss at cluster scale; local mode keeps the cheaper local variant.
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     var lastCensus = 0L
     def census(stage: String, df: DataFrame): DataFrame = {
-      val cached = graft.util.Caches.cached(df)
-      lastCensus = cached.count()
-      counts += StageCount(stage, lastCensus); cached
+      val mat = ckpt(df)
+      lastCensus = mat.count()
+      counts += StageCount(stage, lastCensus); mat
     }
-    census("input", docs)
+    // the input census is a bare count — materializing a copy of the raw
+    // corpus would double the pipeline's storage for a number the scan
+    // produces directly (and the scan, unlike a checkpoint, stays
+    // column-prunable for the slim re-acquisition joins below)
+    lastCensus = docs.count()
+    counts += StageCount("input", lastCensus)
 
     // 1. quality gate: keep ids ride a semi join (flags frame is slim)
     val keepIds = TextStats.qualityFilter(docs, idCol, textCol)
@@ -103,10 +123,10 @@ object CorpusPipeline {
 
     // 2b. within-doc span dedup: boilerplate repeats cut BEFORE the
     // cross-document passes so repeated chrome can't inflate fingerprints
-    // or shingle sets; shrinks tokens, never drops documents. Cached like
-    // the censused stages: three consumers (fingerprints, the survivor
-    // semi join, and through it every later stage)
-    val selfCut = graft.util.Caches.cached(
+    // or shingle sets; shrinks tokens, never drops documents. Checkpointed
+    // like the censused stages: three consumers (fingerprints, the
+    // survivor semi join, and through it every later stage)
+    val selfCut = ckpt(
       TextDedup.cutSelfSpans(redacted, idCol, textCol, spanK)
         .withColumnRenamed("text_dedup", textCol)
         .drop("n_tokens_removed"))

@@ -21,20 +21,21 @@ import org.apache.spark.sql.functions._
   * untouched, so per-group aggregates are either identical (avg) or
   * exactly scaled (sum/count) — both recomputed from the same files by
   * the oracle, never assumed. `region`/`nation` (fixed dims joined by
-  * every copy) and the non-TPC-H tables (`events` has nanosecond
-  * timestamps a Spark rewrite would down-type; `documents`/`embeddings`
-  * keep the text/embedding gates at their calibrated scale) are
-  * byte-copied.
+  * every copy) and the non-TPC-H tables (`documents`/`embeddings`/
+  * `events` keep their gates at the calibrated scale) are byte-copied
+  * by default; any of the three can be opted into scaling.
   *
   * Each scaled table is written as ONE parquet file named `table.parquet`
   * (coalesce(1) + rename) because the oracle harness registers plain
   * single-file paths.
   *
   * Usage: `MakeScale <srcDir> <outDir> <factor> [extraTable...]` — extra
-  * tables (`documents`, `embeddings`) are normally byte-copied but can be
-  * opted into scaling; replicated documents make every span/shingle a
-  * corpus-wide duplicate, which is exactly the boilerplate-saturated
-  * worst case the dedup stack's skew guards exist for.
+  * tables (`documents`, `embeddings`, `events`) are normally byte-copied
+  * but can be opted into scaling; replicated documents make every
+  * span/shingle a corpus-wide duplicate, which is exactly the
+  * boilerplate-saturated worst case the dedup stack's skew guards exist
+  * for, and scaled events stress the window/session/funnel families at
+  * 10× their calibrated event volume.
   */
 object MakeScale {
   private val Shift = 10000000L
@@ -48,7 +49,11 @@ object MakeScale {
 
   private val extraKeys = Map(
     "documents"  -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"))
+    "embeddings" -> Seq("vec_id"),
+    // shifting user_id with event_id keeps every per-user window/session/
+    // funnel computation inside its own copy — the event-time analytics
+    // families scale exactly like the equi-join ones
+    "events"     -> Seq("event_id", "user_id"))
 
   private val copied = Seq("region", "nation", "events", "documents", "embeddings")
 
