@@ -66,6 +66,25 @@ class PlanSpec extends SparkSpecBase {
       s"region predicate must reach a scan, got: $pushed")
   }
 
+  test("p9 watermark predicate reaches the events parquet scan through ts normalization") {
+    // Tables.events rebuilds ts (cast on native encodings, epoch decode on
+    // longs) — on the native encoding the watermark comparison must still
+    // UNWRAP through the cast into PushedFilters, because rowgroup-skipping
+    // the already-ingested history is what makes an incremental scan
+    // incremental at 100 TB. (The epoch-long encoding cannot push — the
+    // predicate sits on a computed column — so this asserts the native
+    // path's strictly better plan stays that way.)
+    val native = sources.Tables.load(spark, sfDir, "events")
+      .schema("ts").dataType.typeName.startsWith("timestamp")
+    assume(native, "fixture carries the epoch-long encoding; nothing to push")
+    val p = planOf(q("p9_watermark_filter"))
+    val pushed = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata.get("PushedFilters")
+    }.flatten
+    assert(pushed.exists(s => s.contains("GreaterThan(ts") || s.contains("GreaterThanOrEqual(ts")),
+      s"watermark cut must reach the events scan, got: $pushed")
+  }
+
   test("e3 near-dup plan is fully distributed: broadcast chunk-pairs, no driver-side data") {
     val df = q("e3_embedding_near_dups")
     // construction must be lazy (the old path collect()ed the corpus while
