@@ -16,12 +16,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.setup(spark)
     new java.io.File(outDir).mkdirs()
+    // failures land in a manifest next to the outputs, not only on stderr:
+    // a query that throws writes no parquet, and "absent from the scoreboard"
+    // proved easy to misread as "not implemented" — the round-6 fixture
+    // drift took out 21 queries and the only artifact trace was silence
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,6 +46,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED — see $outDir/failures.json")
     graft.util.Caches.releaseAll()
     spark.stop()
   }
