@@ -71,7 +71,13 @@ object CorpusPipeline {
     *   RELIABLE location (`setCheckpointDir` + `checkpoint`) so stage
     *   frames survive executor loss at cluster scale; default None uses
     *   the cheaper executor-local checkpoint (right for local mode) —
-    *   the same policy as [[TextDedup.dupClusters]]. */
+    *   the same policy as [[TextDedup.dupClusters]]. Two Spark-inherent
+    *   caveats, shared with dupClusters: `setCheckpointDir` is
+    *   context-GLOBAL (last caller wins — use one dir per session), and
+    *   reliable checkpoint files are only auto-deleted when
+    *   `spark.cleaner.referenceTracking.cleanCheckpoints=true` (enable
+    *   it, or use a per-run directory a deployment removes afterwards;
+    *   local checkpoints free with their RDDs via the ContextCleaner). */
   def run(docs: DataFrame, benchmark: DataFrame,
           idCol: String = "doc_id", textCol: String = "text",
           shingleK: Int = 3, jaccardThreshold: Double = 0.5,
@@ -208,6 +214,11 @@ object CorpusPipeline {
       case Some(name) =>
         require(docs.columns.contains(name),
           s"packShardCol '$name' is not a column of the input corpus")
+        // the curated frame carries (id, text, n_tokens): a shard column
+        // shadowing one of them would make the re-acquisition join
+        // ambiguous at analysis — reject it with a direct message instead
+        require(name != idCol && name != textCol && name != "n_tokens",
+          s"packShardCol '$name' collides with a pipeline column; rename it on the input")
         afterQuota.join(docs.select(col(idCol), col(name)), Seq(idCol))
       case None =>
         require(!docs.columns.contains("pack_shard"),

@@ -72,6 +72,10 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full session prep (nanos-as-long conf + native functions): scaling
+    // `events` must read EITHER fixture ts encoding, same as every other
+    // entrypoint
+    graft.GraftSession.setup(spark)
 
     Files.createDirectories(Paths.get(out))
     copied.filterNot(extras.contains).foreach { t =>

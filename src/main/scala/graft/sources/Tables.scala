@@ -45,8 +45,15 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        // ts_ns carries NANOS whatever the long's unit: raw values on the
+        // nanos side of the epoch heuristic pass through untouched
+        // (preserving sub-microsecond precision the decoded ts floors
+        // away); a seconds-encoded fixture is scaled up rather than
+        // silently mislabeled as nanos
         raw
-          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts_ns",
+            when(col("ts") > lit(Standardize.NsThreshold), col("ts"))
+              .otherwise(col("ts") * lit(1000000000L)))
           .withColumn("ts", Standardize.epochDecode(col("ts")))
       case TimestampType | TimestampNTZType =>
         val ltz: Column = col("ts").cast(TimestampType)

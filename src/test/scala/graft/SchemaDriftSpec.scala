@@ -19,7 +19,19 @@ import graft.sources.Tables
   * same instants, same window-query results) — so the NEXT fixture
   * regeneration breaks a focused canary, not a round.
   */
-class SchemaDriftSpec extends SparkSpecBase {
+class SchemaDriftSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(d))
+    }
+    super.afterAll()
+  }
 
   // instants chosen on the nanos side of the epoch heuristic (> 1e12)
   private val NsA = 1705708800000000000L // 2024-01-20 00:00:00
@@ -35,9 +47,11 @@ class SchemaDriftSpec extends SparkSpecBase {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
   }
 
-  /** Write `df` as `<tmp>/events.parquet` and return the sfDir-shaped tmp. */
+  /** Write `df` as `<tmp>/events.parquet` and return the sfDir-shaped tmp
+    * (removed in afterAll). */
   private def writeFixture(df: DataFrame): String = {
     val dir = Files.createTempDirectory("drift").toString
+    tmpDirs += dir
     df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
