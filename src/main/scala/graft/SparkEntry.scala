@@ -534,6 +534,15 @@ object SparkEntry {
           col("doc_id"), "source", n = 20)
         .select("doc_id", "source")),
 
+    // temperature mix: data-derived recipe weights (kept ∝ n^α) over the
+    // skewed lang distribution — α=0.5 up-samples tail languages; the
+    // whole construction (count agg → α-shares → broadcast gate) replays
+    // in SQL, so the oracle covers the derivation, not just the gate
+    "p17_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), col("doc_id"), "lang",
+          alpha = 0.5, target = 300L)
+        .select("doc_id", "lang")),
+
     // ---- exact percentiles / pivot / ranking breadth ----
     "a11_percentiles" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
@@ -1876,6 +1885,20 @@ object SparkEntry {
         |   OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
         |   OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f')
         |ORDER BY doc_id""".stripMargin,
+
+    // identical α-share derivation + gate replay (IEEE ops in the same
+    // order both engines; lowercase 4-hex threshold compare)
+    "p17_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n, pow(n, 0.5) AS q FROM c),
+        |t AS (SELECT sum(q) AS tq FROM s),
+        |u AS (SELECT lang,
+        |        CAST(round(least(1.0, 300.0 * q / (tq * n)) * 65536.0) AS BIGINT) AS units
+        |      FROM s, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN u USING (lang)
+        |WHERE units >= 65536
+        |   OR (units > 0 AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', units))
+        |ORDER BY d.doc_id""".stripMargin,
 
     // identical gate + rank replay; 80 = margin(4) * n(20)
     "p16_exact_stratified" ->

@@ -89,4 +89,39 @@ object Sampling {
     }.reduce(_ || _)
     df.filter(keep)
   }
+
+  /** TEMPERATURE-scaled mix — [[weightedMix]] with the weights DERIVED
+    * from the data instead of hand-written: keep fraction per stratum s
+    * is `f_s = min(1, target·n_s^α / (Σ_t n_t^α · n_s))`, so expected
+    * kept counts are ∝ n_s^α normalized to ≈`target` rows. This is the
+    * standard multilingual / multi-source rebalancing (temperature
+    * sampling: α=1 is a plain proportional sample — one uniform
+    * fraction; α=0 equalizes strata — uniform expected count per
+    * stratum; the usual 0<α<1 band up-samples the tail without letting
+    * the head dominate).
+    *
+    * Everything stays in-plan at corpus scale: one mergeable count
+    * aggregate per stratum, the α-share arithmetic on that tiny frame, a
+    * broadcast join back, and the same engine-portable md5 threshold
+    * gate as [[weightedMix]] (units = round(f·65536), fixed-width
+    * lowercase hex compare) — no driver collect, a DuckDB-replayable
+    * construction end to end. */
+  def temperatureMix(df: DataFrame, key: Column, stratumCol: String,
+                     alpha: Double, target: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val shares = counts.withColumn("__q", pow(col("__n"), lit(alpha)))
+    val units = shares
+      .crossJoin(broadcast(shares.agg(sum(col("__q")).as("__tq"))))
+      .withColumn("__f", least(lit(1.0),
+        lit(target.toDouble) * col("__q") / (col("__tq") * col("__n"))))
+      .select(col(stratumCol),
+        round(col("__f") * lit(65536.0)).cast("long").as("__units"))
+    df.join(broadcast(units), Seq(stratumCol))
+      .filter(col("__units") >= 65536L ||
+        (col("__units") > 0L &&
+          substring(md5(key.cast("string")), 1, 4) <
+            lpad(lower(conv(col("__units").cast("string"), 10, 16)), 4, "0")))
+      .drop("__units")
+  }
 }

@@ -216,6 +216,42 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.select("o_orderkey").except(again.select("o_orderkey")).isEmpty)
   }
 
+  test("temperature mix: α=1 is proportional, α=0 equalizes strata, α=0.5 flattens the head") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed strata: 3200 / 800 / 200 rows
+    val rows = ((1L to 3200L).map(i => (i, "big")) ++
+      (10001L to 10800L).map(i => (i, "mid")) ++
+      (20001L to 20200L).map(i => (i, "small"))).toDF("id", "stratum")
+    val full = Map("big" -> 3200.0, "mid" -> 800.0, "small" -> 200.0)
+    def kept(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureMix(rows, col("id"), "stratum", alpha, target)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // α=1: one uniform keep fraction — strata shrink proportionally
+    val prop = kept(1.0, 1050L)
+    val rates = full.keys.map(s => prop(s) / full(s))
+    assert(rates.max / rates.min < 1.3,
+      s"α=1 keep rates must be ~uniform across strata, got $prop")
+    // α=0: uniform expected COUNT per stratum (≈ target/3 each)
+    val eq = kept(0.0, 300L)
+    assert(eq.values.forall(n => n > 60 && n < 140),
+      s"α=0 must equalize strata at ~100 rows each, got $eq")
+    // α=0.5: the head's kept SHARE drops below its raw share, the tail's rises
+    val half = kept(0.5, 600L)
+    val halfTot = half.values.sum.toDouble
+    assert(half("big") / halfTot < 3200.0 / 4200.0,
+      s"α=0.5 must shrink the head's share, got $half")
+    assert(half("small") / halfTot > 200.0 / 4200.0,
+      s"α=0.5 must grow the tail's share, got $half")
+    // determinism: identical second evaluation keeps identical keys
+    val a = Sampling.temperatureMix(rows, col("id"), "stratum", 0.5, 600L)
+    val b = Sampling.temperatureMix(rows, col("id"), "stratum", 0.5, 600L)
+    assert(a.select("id").except(b.select("id")).isEmpty)
+  }
+
   test("exact stratified sample: gate-active regime equals the ungated window top-n") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions._
