@@ -9,10 +9,14 @@ import org.apache.spark.sql.SparkSession
   * configure). Keeps [[graft.sources.Tables.load]] a PURE reader: table
   * loads must not mutate session state.
   *
-  * - `spark.sql.legacy.parquet.nanosAsLong`: the `events` fixture carries
-  *   nanosecond-precision parquet timestamps that Spark otherwise rejects;
-  *   they arrive as epoch-nano longs and decode through the engine's epoch
-  *   heuristic ([[graft.operators.Standardize.epochDecode]]).
+  * - `spark.sql.legacy.parquet.nanosAsLong`: early fixture generations
+  *   carried nanosecond-precision parquet timestamps that Spark otherwise
+  *   rejects; with the flag they arrive as epoch-nano longs and
+  *   [[graft.sources.Tables.events]] decodes them through the epoch
+  *   heuristic. Current fixtures ship native `timestamp[us]` (the flag is
+  *   then a no-op), but the conf stays set so a regeneration back to the
+  *   nanos encoding cannot take a session down (SchemaDriftSpec covers
+  *   both encodings).
   * - native expression registration: `rolling_hash`, `dot_product`,
   *   `simhash64` become resolvable from SQL and `call_function`.
   */
