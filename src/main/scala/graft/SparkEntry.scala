@@ -90,8 +90,12 @@ object SparkEntry {
 
     "p2_standardize_types" -> ((s, d) => {
       // decode from ts_ns, the encoding-normalized epoch-nanos long that
-      // Tables.events derives for ANY fixture ts encoding — the DuckDB
-      // oracle's epoch_ns(ts) is equally encoding-agnostic
+      // Tables.events derives for ANY fixture ts encoding. The DuckDB
+      // oracle's epoch_ns(ts) covers the encodings DuckDB itself decodes
+      // as timestamps (timestamp[us]/timestamp_ns logical types); a
+      // fixture shipping ts as BARE INT64 would error on the oracle side
+      // while this path still works — which is why MakeScale re-encodes a
+      // LongType ts to timestamp_ntz before writing scaled fixtures
       val ev = Tables.events(s, d)
       val secs = floor(col("ts_ns").cast(DecimalType(38, 0)) / lit(1000000000)).cast("long")
       ev.select(
@@ -1887,11 +1891,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // identical α-share derivation + gate replay (IEEE ops in the same
-    // order both engines; lowercase 4-hex threshold compare)
+    // order both engines; lowercase 4-hex threshold compare). The Σq fold
+    // is ORDERED on both sides (Spark: array_sort + aggregate; DuckDB:
+    // sum(q ORDER BY lang)) so a share sum landing on a round()
+    // half-boundary can never flip __units between engines.
     "p17_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
         |s AS (SELECT lang, n, pow(n, 0.5) AS q FROM c),
-        |t AS (SELECT sum(q) AS tq FROM s),
+        |t AS (SELECT sum(q ORDER BY lang) AS tq FROM s),
         |u AS (SELECT lang,
         |        CAST(round(least(1.0, 300.0 * q / (tq * n)) * 65536.0) AS BIGINT) AS units
         |      FROM s, t)

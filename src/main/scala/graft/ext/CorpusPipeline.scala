@@ -101,7 +101,24 @@ object CorpusPipeline {
     // the plan, exactly the dupClusters round treatment. Same reliability
     // policy too: a checkpointDir makes stage frames survive executor
     // loss at cluster scale; local mode keeps the cheaper local variant.
-    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    // only touch the context-global checkpoint dir when it actually needs
+    // to change: a caller that already configured the same (or another)
+    // reliable dir for a different component keeps it unless this run's
+    // explicit request differs — and a differing overwrite is logged loud
+    checkpointDir.foreach { dir =>
+      val sc = docs.sparkSession.sparkContext
+      // getCheckpointDir returns the QUALIFIED path (file:/x for local /x)
+      val same = sc.getCheckpointDir.exists(c =>
+        c.stripSuffix("/") == dir.stripSuffix("/") ||
+          c.stripPrefix("file:").stripSuffix("/") == dir.stripSuffix("/"))
+      if (!same) {
+        sc.getCheckpointDir.foreach(prev =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"CorpusPipeline replacing session checkpoint dir $prev with $dir " +
+              "(setCheckpointDir is context-global)"))
+        sc.setCheckpointDir(dir)
+      }
+    }
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)

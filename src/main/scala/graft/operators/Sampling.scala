@@ -111,8 +111,21 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).cast("double").as("__n"))
     val shares = counts.withColumn("__q", pow(col("__n"), lit(alpha)))
+    // Σq via a DETERMINISTIC fold — collect the (tiny) per-stratum shares
+    // into one array, sort by stratum, and left-fold the doubles in that
+    // fixed order. A plain sum() aggregates in partition arrival order,
+    // and IEEE addition is order-sensitive: a run landing a share sum
+    // exactly on a round() half-boundary could flip __units by 1 between
+    // two Spark runs (or vs the oracle). The oracle replays the same
+    // ascending-stratum fold via DuckDB's ordered aggregate.
+    val totalQ = shares.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(stratumCol), col("__q")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__q")
+      ).as("__tq"))
     val units = shares
-      .crossJoin(broadcast(shares.agg(sum(col("__q")).as("__tq"))))
+      .crossJoin(broadcast(totalQ))
       .withColumn("__f", least(lit(1.0),
         lit(target.toDouble) * col("__q") / (col("__tq") * col("__n"))))
       .select(col(stratumCol),

@@ -673,6 +673,134 @@ object ExtQueries {
   private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
 
   def oracleSql: Map[String, String] = Map(
+    // END-TO-END replay of the composed corpus pipeline (c1): the same
+    // already-green per-stage oracles — t12 quality gate → t8 redaction →
+    // d12 self-cut → d1 exact dedup → d3+d8 near-dup removal → d11 span
+    // cut → d7@8-gram decontamination → t19@15 source quota — CHAINED so
+    // each stage consumes the previous stage's TRANSFORMED text instead
+    // of raw `documents`. Composition is exactly where the round-6 quota
+    // defect lived; this closes the class by making the full chain
+    // hash-gated, not just its stages.
+    "c1_corpus_census" ->
+      s"""WITH RECURSIVE
+        |corpus0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 25),
+        |qm AS (
+        |  SELECT doc_id,
+        |    length(text) AS nc,
+        |    len(string_split(lower(trim(text)), ' ')) AS nw,
+        |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS np,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ($markerList))) AS ns,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('the','a','of','and','is'))) AS mk_en,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('el','la','de','y','es'))) AS mk_es,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('le','la','de','et','est'))) AS mk_fr,
+        |    len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ('der','die','das','und','ist'))) AS mk_de
+        |  FROM corpus0),
+        |stq AS (
+        |  SELECT c.doc_id, c.source, c.text FROM corpus0 c JOIN qm USING (doc_id)
+        |  WHERE qm.nw >= 10 AND qm.nw <= 100000
+        |    AND CAST(qm.nc - (qm.nw - 1) AS DOUBLE) / CAST(qm.nw AS DOUBLE) >= 2.0
+        |    AND CAST(qm.nc - (qm.nw - 1) AS DOUBLE) / CAST(qm.nw AS DOUBLE) <= 12.0
+        |    AND CAST(qm.ns AS DOUBLE) / CAST(qm.nw AS DOUBLE) >= 0.05
+        |    AND CAST(qm.np AS DOUBLE) / CAST(qm.nc AS DOUBLE) <= 0.3
+        |    AND (qm.mk_en > 0 OR qm.mk_es > 0 OR qm.mk_fr > 0 OR qm.mk_de > 0)),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\\s]+', '<URL>', 'g'),
+        |      '\\b[0-9]{7,}\\b', '<NUMBER>', 'g') AS text
+        |  FROM stq),
+        |sc_c AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM red),
+        |sc_w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'h': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS w
+        |  FROM sc_c),
+        |sc_p AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM sc_w),
+        |sc_f AS (SELECT doc_id, h, min(pos) AS first_pos FROM sc_p GROUP BY doc_id, h),
+        |sc_cov AS (
+        |  SELECT DISTINCT p.doc_id, unnest(range(p.pos, p.pos + 8)) AS idx
+        |  FROM sc_p p JOIN sc_f f USING (doc_id, h) WHERE p.pos > f.first_pos),
+        |sc_cut AS (SELECT doc_id, list(idx) AS idxs FROM sc_cov GROUP BY doc_id),
+        |selfcut AS (
+        |  SELECT c.doc_id,
+        |    coalesce(array_to_string([toks[i] FOR i IN range(1, len(toks) + 1)
+        |      IF NOT list_contains(coalesce(cut.idxs, []), i)], ' '), '') AS text
+        |  FROM sc_c c LEFT JOIN sc_cut cut USING (doc_id)),
+        |ex AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        |    min(doc_id) AS doc_id
+        |  FROM selfcut GROUP BY 1),
+        |ste AS (SELECT s.doc_id, s.text FROM selfcut s JOIN ex USING (doc_id)),
+        |nd_sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM ste)),
+        |nd_pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nd_sh a, nd_sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |nd_und AS (SELECT id_a AS src, id_b AS dst FROM nd_pairs
+        |           UNION SELECT id_b, id_a FROM nd_pairs),
+        |nd_reach AS (
+        |  SELECT src, dst FROM nd_und
+        |  UNION
+        |  SELECT r.src, u.dst FROM nd_reach r JOIN nd_und u ON r.dst = u.src),
+        |nd_clusters AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM nd_reach GROUP BY src),
+        |stn AS (
+        |  SELECT doc_id, text FROM ste
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nd_clusters WHERE doc_id <> cluster_id)),
+        |spc_c AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM stn),
+        |spc_w AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'h': array_to_string(toks[i:i+7], ' ')}
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS w
+        |  FROM spc_c),
+        |spc_p AS (SELECT doc_id, w.pos AS pos, w.h AS h FROM spc_w),
+        |spc_cov AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id, unnest(range(b.pos, b.pos + 8)) AS idx
+        |  FROM spc_p a JOIN spc_p b USING (h) WHERE a.doc_id < b.doc_id),
+        |spc_cut AS (SELECT doc_id, list(idx) AS idxs FROM spc_cov GROUP BY doc_id),
+        |cutdocs AS (
+        |  SELECT c.doc_id,
+        |    coalesce(array_to_string([toks[i] FOR i IN range(1, len(toks) + 1)
+        |      IF NOT list_contains(coalesce(cut.idxs, []), i)], ' '), '') AS text
+        |  FROM spc_c c LEFT JOIN spc_cut cut USING (doc_id)),
+        |sized AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+        |  FROM cutdocs
+        |  WHERE text <> '' AND len(string_split(lower(trim(text)), ' ')) >= 5),
+        |ct_bench AS (
+        |  SELECT DISTINCT unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
+        |  FROM (SELECT string_split(lower(trim(text)), ' ') AS toks
+        |        FROM documents WHERE doc_id < 25)),
+        |ct_corpus AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM sized)),
+        |dirty AS (SELECT DISTINCT doc_id FROM ct_corpus JOIN ct_bench USING (g)),
+        |std AS (SELECT * FROM sized WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |qsrc AS (
+        |  SELECT c.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY c.n_tokens DESC, c.doc_id ASC) AS rn
+        |  FROM std c JOIN documents d USING (doc_id)),
+        |kept AS (SELECT doc_id FROM qsrc WHERE rn <= 15)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+        |    (SELECT count(*) FROM corpus0) AS docs
+        |  UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM stq)
+        |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM ste)
+        |  UNION ALL SELECT 3, 'near_dedup', (SELECT count(*) FROM stn)
+        |  UNION ALL SELECT 4, 'span_cut', (SELECT count(*) FROM sized)
+        |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM std)
+        |  UNION ALL SELECT 6, 'source_quota', (SELECT count(*) FROM kept)
+        |) ORDER BY stage_idx""".stripMargin,
+
     "t1_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS char_count,
         |  CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS word_count,

@@ -84,7 +84,7 @@ object MakeScale {
     }
     (keyCols ++ extras.map(t => t -> extraKeys(t))).foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
-      val scaled = (0 until factor).map { i =>
+      val replicated = (0 until factor).map { i =>
         keys.foldLeft(base) { (df, k) =>
           // cast back: the + widens, and a changed physical type would make
           // the scaled fixture diverge from the source schema contract
@@ -92,6 +92,23 @@ object MakeScale {
           df.withColumn(k, (col(k) + lit(i * Shift)).cast(dt))
         }
       }.reduce(_ union _)
+      // a LEGACY events fixture reads ts as LongType (nanosAsLong); writing
+      // that long back produces a BARE INT64 column with no timestamp
+      // logical type — Spark's Tables.events still decodes it, but DuckDB
+      // cannot, so every event-time ORACLE would error on the scaled
+      // fixture. Re-encode through the same normalization Tables.events
+      // applies, landing on timestamp_ntz = the native fixture encoding
+      // (micros precision, naive-as-UTC — exactly what epoch_ns reads).
+      val scaled =
+        if (t == "events" &&
+            replicated.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+          val ns = when(col("ts") > lit(graft.operators.Standardize.NsThreshold),
+            col("ts")).otherwise(col("ts") * lit(1000000000L))
+          replicated.withColumn("ts",
+            timestamp_micros(floor(ns.cast(org.apache.spark.sql.types.DecimalType(38, 0)) / lit(1000))
+              .cast(org.apache.spark.sql.types.LongType))
+              .cast(org.apache.spark.sql.types.TimestampNTZType))
+        } else replicated
       val tmp = s"$out/_tmp_$t"
       scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new File(tmp).listFiles

@@ -34,7 +34,14 @@ object Tables {
     * arithmetic and epoch-decode tests consume.
     *
     *  - epoch-nanos `LongType` source → `ts` via the engine's epoch
-    *    heuristic ([[Standardize.epochDecode]]), `ts_ns` is the raw long;
+    *    heuristic ([[Standardize.epochDecode]]), `ts_ns` is the raw long.
+    *    KNOWN BLIND SPOT (faithful to the reference heuristic, which has
+    *    exactly two regimes): a long encoded in epoch MILLIS (~1.7e12
+    *    today) exceeds [[Standardize.NsThreshold]] and is silently read
+    *    as nanos (decoding to ~1970) — only seconds- and nanos-encoded
+    *    longs round-trip. The loud-failure guarantee below covers
+    *    unsupported COLUMN TYPES, not in-range unit ambiguity, which no
+    *    value heuristic can resolve;
     *  - native `timestamp`/`timestamp_ntz` source → `ts` passes through
     *    (NTZ wall-clock is the UTC instant — session tz is pinned to UTC
     *    everywhere, matching DuckDB's naive-as-UTC `epoch_ns`), `ts_ns`
