@@ -730,13 +730,22 @@ object TextDedup {
     * shuffle beyond the fingerprint scan; the batch side is
     * AQE-broadcast-sized by construction. */
   def incrementalExactIds(corpus: DataFrame, newDocs: DataFrame,
-                          idCol: String, textCol: String): DataFrame = {
+                          idCol: String, textCol: String): DataFrame =
+    incrementalExactIdsFps(
+      corpus.select(TextStats.fingerprintMd5(col(textCol)).as("fingerprint")),
+      newDocs, idCol, textCol)
+
+  /** [[incrementalExactIds]] fed from a maintained corpus FINGERPRINT
+    * frame (one column, duplicates tolerated — the anti join is a
+    * membership test): the steady-state ingest call, where the corpus
+    * fingerprint projection is a persisted index grown per accepted
+    * batch, never a recompute over settled text. */
+  def incrementalExactIdsFps(corpusFps: DataFrame, newDocs: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
     val newFp = newDocs.select(col(idCol),
       TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
     val batchFirst = newFp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol))
-    val corpusFp = corpus.select(
-      TextStats.fingerprintMd5(col(textCol)).as("fingerprint")).distinct()
-    batchFirst.join(corpusFp, Seq("fingerprint"), "left_anti")
+    batchFirst.join(corpusFps.toDF("fingerprint"), Seq("fingerprint"), "left_anti")
       .select(idCol, "fingerprint")
   }
 
@@ -750,15 +759,36 @@ object TextDedup {
     * ngramJaccardPairs]]' job — this join is strictly cross-sided. */
   def nearDupPairsAgainst(corpus: DataFrame, newDocs: DataFrame,
                           idCol: String, textCol: String,
-                          k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val cSh = shingleFrame(corpus, idCol, textCol, k)
+                          k: Int = 3, threshold: Double = 0.5): DataFrame =
+    nearDupPairsAgainstIndex(shinglePosts(corpus, idCol, textCol, k)
+        .toDF("corpus_id", "sz_c", "s"),
+      newDocs, idCol, textCol, k, threshold)
+
+  /** Per-document shingle POSTINGS `(idCol, sz, s)` — the inverted-index
+    * table an ingest deployment PERSISTS per accepted batch (each id
+    * appears in exactly one batch delta, so append-only growth never
+    * duplicates a posting) and feeds to [[nearDupPairsAgainstIndex]]
+    * instead of re-shingling settled text. `sz` is the owning document's
+    * distinct-shingle count, denormalized so the Jaccard denominator
+    * needs no second join. */
+  def shinglePosts(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame =
+    shingleFrame(docs, idCol, textCol, k)
       .withColumn("sz", size(col("sh")))
-    val nSh = shingleFrame(newDocs, idCol, textCol, k)
-      .withColumn("sz", size(col("sh")))
-    val cPosts = cSh.select(col(idCol).as("corpus_id"), col("sz").as("sz_c"),
-      explode_outer(col("sh")).as("s")).filter(col("s").isNotNull)
-    val nPosts = nSh.select(col(idCol).as("new_id"), col("sz").as("sz_n"),
-      explode_outer(col("sh")).as("s")).filter(col("s").isNotNull)
+      .select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+
+  /** [[nearDupPairsAgainst]] fed from maintained corpus postings
+    * `(corpus_id, sz_c, s)` (the [[shinglePosts]] layout): the
+    * steady-state ingest call — candidate volume is Σ_s df_new·df_corpus,
+    * proportional to the batch, and the settled corpus contributes only
+    * its index scan. */
+  def nearDupPairsAgainstIndex(corpusPosts: DataFrame, newDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cPosts = corpusPosts.toDF("corpus_id", "sz_c", "s")
+    val nPosts = shinglePosts(newDocs, idCol, textCol, k)
+      .toDF("new_id", "sz_n", "s")
     nPosts.join(cPosts, "s")
       .groupBy("new_id", "corpus_id", "sz_n", "sz_c")
       .agg(count(lit(1)).as("common"))
@@ -828,6 +858,74 @@ object TextDedup {
     exactOk
       .join(nearCorpusDup, Seq(idCol), "left_anti")
       .join(batchDropped, Seq(idCol), "left_anti")
+  }
+
+  /** GREEDY (arrival-order-consistent) within-batch survivor selection:
+    * processing candidates in ascending id order, a document is dropped
+    * iff it pairs with a lower-id candidate that itself SURVIVED — i.e.
+    * exactly the result of ingesting the batch one document at a time.
+    * This differs from [[incrementalSurvivors]]' any-pair rule (greater
+    * side of EVERY pair drops) precisely on chains through dropped
+    * documents: under greedy, a dropped document cannot drop its
+    * neighbors. The property bought by the extra work is SEQUENTIAL
+    * CONSISTENCY — splitting a batch in two and ingesting the halves in
+    * id order yields byte-identical survivors to ingesting it whole
+    * (IngestSpec proves this on a planted chain where the any-pair rule
+    * provably diverges).
+    *
+    * Shape: bounded-round label propagation on the candidate pair graph.
+    * Each round resolves every candidate whose lower-id partners are all
+    * resolved (the minimum unresolved id always qualifies, so rounds ≤
+    * longest survivor-alternation chain, in practice a handful). Rounds
+    * run on batch-sized frames (the settled corpus never enters) with a
+    * local checkpoint per round to keep the plan constant-size — the
+    * [[dupClusters]] treatment.
+    *
+    * @param candidates one id per candidate (already past the corpus
+    *   screens — documents dropped by exact/near corpus membership must
+    *   NOT appear: under greedy semantics they cannot kill batch mates)
+    * @param pairs near-dup pairs among the candidates (`idA` < `idB`
+    *   per row; pairs touching non-candidates are ignored) */
+  def greedySurvivors(candidates: DataFrame, idCol: String,
+                      pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b"): DataFrame = {
+    val ids = candidates.select(col(idCol)).distinct()
+    // edges restricted to candidate endpoints, oriented lo -> hi
+    val edges0 = pairs.select(col(idA).as("lo"), col(idB).as("hi"))
+      .join(ids.select(col(idCol).as("lo")), Seq("lo"), "left_semi")
+      .join(ids.select(col(idCol).as("hi")), Seq("hi"), "left_semi")
+      .distinct().localCheckpoint(true)
+    // candidates with no lower-id partner survive immediately
+    var resolved = ids.join(edges0.select(col("hi").as(idCol)),
+        Seq(idCol), "left_anti")
+      .withColumn("survives", lit(true)).localCheckpoint(true)
+    var unresolvedEdges = edges0
+    var remaining = unresolvedEdges.select("hi").distinct().count()
+    while (remaining > 0) {
+      // per unresolved hi: any surviving lower partner -> dropped;
+      // all lower partners resolved-dropped -> survives; else wait
+      val stats = unresolvedEdges
+        .join(resolved.select(col(idCol).as("lo"), col("survives")),
+          Seq("lo"), "left")
+        .groupBy("hi").agg(
+          count(lit(1)).as("n_lower"),
+          count(col("survives")).as("n_resolved"),
+          sum(when(col("survives"), 1).otherwise(0)).as("n_surviving"))
+      val newly = stats
+        .filter(col("n_surviving") > 0 || col("n_resolved") === col("n_lower"))
+        .select(col("hi").as(idCol),
+          (col("n_surviving") === 0).as("survives"))
+      val newResolved = resolved.union(newly).localCheckpoint(true)
+      unresolvedEdges = unresolvedEdges
+        .join(newly.select(col(idCol).as("hi")), Seq("hi"), "left_anti")
+        .localCheckpoint(true)
+      val left = unresolvedEdges.select("hi").distinct().count()
+      require(left < remaining,
+        "greedySurvivors made no progress — pair orientation violated (idA < idB required)")
+      resolved = newResolved
+      remaining = left
+    }
+    resolved.filter(col("survives")).select(idCol)
   }
 
   /** Benchmark-contamination screen: corpus documents sharing at least one

@@ -408,6 +408,46 @@ object ExtQueries {
       }).toDF("stage_idx", "stage", "docs")
     }),
 
+    // composed ingest STEP: the file-less driver path — bootstrap the
+    // settled corpus (ids < 400) into an IngestState, screen the batch
+    // (ids >= 400) through bloom-exact → corpus-near → within-batch, and
+    // emit the accepted ids. Under AnyPairDrops this must land exactly on
+    // d16's composed decision — the gate proves the driver COMPOSITION
+    // (state indexes + sketch + screen wiring) changes nothing vs the
+    // direct operator call the d16 oracle replays
+    "c2_ingest_step" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val state = IngestPipeline.bootstrap(docs.filter(col("doc_id") < 400))
+      IngestPipeline.screen(state, docs.filter(col("doc_id") >= 400),
+          policy = IngestPipeline.AnyPairDrops)
+        .filter(col("accepted")).select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // composed ingest CONVERGENCE, oracled: two sequential ingest steps
+    // (batch 400–449, then 450–499) where each accepted batch GROWS the
+    // state the next screens against — the restartable daily-ingest
+    // composition end to end. NoCut keeps stored text ≡ raw text so the
+    // whole two-step chain stays SQL-replayable (the with-cut flavor
+    // mutates stored text; its convergence is IngestSpec's job). The
+    // oracle replays batch 1's d16 decision, grows the corpus, and
+    // replays batch 2 against the GROWN corpus — so index growth itself
+    // is under the hash gate
+    "c3_ingest_converged" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val state0 = IngestPipeline.bootstrap(docs.filter(col("doc_id") < 400))
+      val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      val b2 = docs.filter(col("doc_id") >= 450)
+      val r1 = IngestPipeline.ingest(state0, b1,
+        policy = IngestPipeline.AnyPairDrops, cutMode = IngestPipeline.NoCut)
+      val state1 = IngestPipeline.grow(state0, r1.delta)
+      val r2 = IngestPipeline.ingest(state1, b2,
+        policy = IngestPipeline.AnyPairDrops, cutMode = IngestPipeline.NoCut)
+      r1.delta.docs.select(col("doc_id"), lit(1).as("ingest_step"))
+        .unionByName(r2.delta.docs.select(col("doc_id"), lit(2).as("ingest_step")))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints — xxhash-based, rows-only
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
@@ -800,6 +840,103 @@ object ExtQueries {
         |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM std)
         |  UNION ALL SELECT 6, 'source_quota', (SELECT count(*) FROM kept)
         |) ORDER BY stage_idx""".stripMargin,
+
+    // c2 must land exactly on d16's composed decision — same SQL, doc_id
+    // projection (the driver's bloom/index/screen wiring is what's under
+    // test; the semantics are d16's)
+    "c2_ingest_step" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |exact_ok AS (
+        |  SELECT min(doc_id) AS doc_id FROM fp WHERE doc_id >= 400
+        |  GROUP BY f
+        |  HAVING f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id < 400)),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |near_corpus AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM sh n, sh c
+        |  WHERE n.doc_id >= 400 AND c.doc_id < 400
+        |    AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(n.s, c.s))) AS DOUBLE) >= 0.5),
+        |batch_dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id >= 400 AND b.doc_id > a.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5)
+        |SELECT doc_id FROM exact_ok
+        |WHERE doc_id NOT IN (SELECT doc_id FROM near_corpus)
+        |  AND doc_id NOT IN (SELECT doc_id FROM batch_dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    // two sequential d16 decisions with the corpus GROWN between them —
+    // the stored-remnant filter (nonempty, >= 5 tokens) replays because
+    // NoCut keeps stored text ≡ raw text
+    "c3_ingest_converged" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |ntok AS (
+        |  SELECT doc_id, text, len(string_split(lower(trim(text)), ' ')) AS nt
+        |  FROM documents),
+        |b1_exact_ok AS (
+        |  SELECT min(doc_id) AS doc_id FROM fp
+        |  WHERE doc_id >= 400 AND doc_id < 450
+        |  GROUP BY f
+        |  HAVING f NOT IN (SELECT DISTINCT f FROM fp WHERE doc_id < 400)),
+        |b1_near AS (
+        |  SELECT DISTINCT n.doc_id FROM sh n, sh c
+        |  WHERE n.doc_id >= 400 AND n.doc_id < 450 AND c.doc_id < 400
+        |    AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(n.s, c.s))) AS DOUBLE) >= 0.5),
+        |b1_drop AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a, sh b
+        |  WHERE a.doc_id >= 400 AND a.doc_id < 450
+        |    AND b.doc_id > a.doc_id AND b.doc_id < 450
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |b1_stored AS (
+        |  SELECT e.doc_id FROM b1_exact_ok e JOIN ntok USING (doc_id)
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM b1_near)
+        |    AND e.doc_id NOT IN (SELECT doc_id FROM b1_drop)
+        |    AND ntok.text <> '' AND ntok.nt >= 5),
+        |c1ids AS (SELECT doc_id FROM documents WHERE doc_id < 400
+        |          UNION ALL SELECT doc_id FROM b1_stored),
+        |b2_exact_ok AS (
+        |  SELECT min(doc_id) AS doc_id FROM fp
+        |  WHERE doc_id >= 450
+        |  GROUP BY f
+        |  HAVING f NOT IN (SELECT DISTINCT f FROM fp
+        |                   WHERE doc_id IN (SELECT doc_id FROM c1ids))),
+        |b2_near AS (
+        |  SELECT DISTINCT n.doc_id FROM sh n, sh c
+        |  WHERE n.doc_id >= 450
+        |    AND c.doc_id IN (SELECT doc_id FROM c1ids)
+        |    AND CAST(len(list_intersect(n.s, c.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(n.s, c.s))) AS DOUBLE) >= 0.5),
+        |b2_drop AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a, sh b
+        |  WHERE a.doc_id >= 450 AND b.doc_id > a.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |b2_stored AS (
+        |  SELECT e.doc_id FROM b2_exact_ok e JOIN ntok USING (doc_id)
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM b2_near)
+        |    AND e.doc_id NOT IN (SELECT doc_id FROM b2_drop)
+        |    AND ntok.text <> '' AND ntok.nt >= 5)
+        |SELECT doc_id, 1 AS ingest_step FROM b1_stored
+        |UNION ALL SELECT doc_id, 2 FROM b2_stored
+        |ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS char_count,
