@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
   * is not (SURVEY §7.3).
   *
   * Scale note: partitioning by low-cardinality keys (the W2 fact pattern)
-  * skews; AQE skew handling is enabled in the session and, for extreme
-  * cases, `saltedKeepLatest` pre-aggregates per salt bucket before the
-  * final window, bounding any single task's partition size.
+  * skews — but for the `row_number = 1` shape all of these compile to,
+  * Spark ≥3.5's InferWindowGroupLimit already inserts a PARTIAL
+  * WindowGroupLimit before the exchange: every map task forwards at most
+  * one row per key, so a hot key reaches the final sort with ≤ #map-tasks
+  * rows regardless of its true size. Measured (SkewBench, SCALE.md): a
+  * single key owning ALL 40M input rows dedups in 0.6 s through the
+  * plain window — FASTER than `saltedKeepLatest`, whose hand-rolled
+  * pre-reduction pays an extra full shuffle for the same bound. Keep
+  * using `keepLatest`; `saltedKeepLatest` remains for window shapes the
+  * rewrite cannot cover (rank filters keeping many rows per key, engines
+  * without the optimization) and as the explicit-bound fallback.
   */
 object Dedup {
 

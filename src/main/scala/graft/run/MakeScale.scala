@@ -85,12 +85,27 @@ object MakeScale {
     (keyCols ++ extras.map(t => t -> extraKeys(t))).foreach { case (t, keys) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val replicated = (0 until factor).map { i =>
-        keys.foldLeft(base) { (df, k) =>
+        val shifted = keys.foldLeft(base) { (df, k) =>
           // cast back: the + widens, and a changed physical type would make
           // the scaled fixture diverge from the source schema contract
           val dt = base.schema(k).dataType
           df.withColumn(k, (col(k) + lit(i * Shift)).cast(dt))
         }
+        // embeddings copies are PERTURBED, not byte-identical: verbatim
+        // vector copies would make every ANN/near-dup measurement at 10×
+        // degenerate (ties at cosine 1.0, bucket collisions by
+        // construction). Deterministic hash noise (±1% per component,
+        // keyed on vec_id/dimension/copy) keeps copy 0 exact and gives
+        // the scaled corpus realistic near-duplicate structure — close
+        // cross-copy cousins, never exact repeats. In-plan, engine-free
+        // of RNG, reproducible across runs.
+        if (t == "embeddings" && i > 0)
+          shifted.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              (x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(2001L))
+                .cast("double") / lit(1000.0) - lit(1.0)) * lit(0.01))
+                .cast("float")))
+        else shifted
       }.reduce(_ union _)
       // a LEGACY events fixture reads ts as LongType (nanosAsLong); writing
       // that long back produces a BARE INT64 column with no timestamp
