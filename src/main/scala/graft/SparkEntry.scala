@@ -81,6 +81,37 @@ object SparkEntry {
       Dedup.mergeUpsert(target, source, Seq("event_id"), Seq(col("ts").desc))
     }),
 
+    // ---- layout & file skipping (Layout / SkippingIndex) ----
+    // Z value arithmetic under the hash gate: exact integer scaling +
+    // Morton interleave, replayed bit-for-bit by the DuckDB oracle
+    // (same shifts, BIGINT `//` ≡ Spark `div` on non-negative operands)
+    "s16_zorder_value" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      Layout.zValueAuto(li, Seq("l_orderkey", "l_partkey"))
+        .withColumnRenamed("__z", "zval")
+    }),
+
+    // end-to-end pruned scan soundness: write a Z-ordered layout, build
+    // the footer-stats index, prune files, scan survivors + residual —
+    // the oracle is the PLAIN filtered aggregate, so a green hash proves
+    // file skipping lost nothing (LayoutSpec additionally asserts the
+    // skip ratio and random-box equality)
+    "s17_pruned_scan" -> ((s, d) => {
+      import graft.sources.SkippingIndex
+      import graft.sources.SkippingIndex.ColRange
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_s17_${math.abs(d.hashCode)}"
+      Layout.zorder(
+          t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity"),
+          Seq("l_orderkey", "l_partkey"), numFiles = 16)
+        .write.mode("overwrite").parquet(dir)
+      SkippingIndex.prunedRead(s, dir,
+          Seq(ColRange("l_orderkey", 1000, 20000), ColRange("l_partkey", 200, 1200)))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- §2.2 projections / filters ----
     "p1_identifier_normalize" -> ((s, d) => {
       // exercises the normalizer on messy source-style names
@@ -1191,6 +1222,7 @@ object SparkEntry {
     "q17_small_quantity"      -> Seq("small_qty_revenue"),
     "q18_large_orders"        -> Seq("total_qty"),
     "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
+    "s17_pruned_scan"         -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -1228,6 +1260,34 @@ object SparkEntry {
         |r AS (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY pri DESC, ts DESC) AS rn FROM u)
         |SELECT event_id, ts, user_id, event_type, value FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "s16_zorder_value" -> {
+      // the EXACT integer construction Layout.zValueAuto runs: per-dim
+      // min/max bounds, ((c-min)*65536)//(max-min+1) scaling, then bit b
+      // of dim i interleaved to position b*2+i — DuckDB's BIGINT >> & <<
+      // | and floor-div // agree with Spark's shiftright/bitwiseAND/
+      // shiftleft/bitwiseOR and `div` on these non-negative operands
+      def terms(e: String, i: Int) = (0 until 16)
+        .map(b => s"((($e >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS mn0, CAST(max(l_orderkey) AS BIGINT) AS mx0,
+         |         CAST(min(l_partkey) AS BIGINT) AS mn1, CAST(max(l_partkey) AS BIGINT) AS mx1
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_orderkey, l_partkey,
+         |         ((CAST(l_orderkey AS BIGINT) - mn0) * 65536) // (mx0 - mn0 + 1) AS s0,
+         |         ((CAST(l_partkey AS BIGINT) - mn1) * 65536) // (mx1 - mn1 + 1) AS s1
+         |  FROM lineitem, b)
+         |SELECT l_orderkey, l_partkey, (${terms("s0", 0)}) | (${terms("s1", 1)}) AS zval
+         |FROM s""".stripMargin
+    },
+
+    "s17_pruned_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 20000 AND l_partkey BETWEEN 200 AND 1200
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "p1_identifier_normalize" ->
       "SELECT r_regionkey AS region_key, r_name AS region_name FROM region ORDER BY region_key",

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.sources.SkippingIndex
+import graft.sources.SkippingIndex.ColRange
+
+/** Z-order layout + footer-stats file skipping: arithmetic correctness,
+  * index fidelity, pruning soundness on random boxes, and the actual
+  * skipping EFFECTIVENESS claim (a Z-ordered layout prunes on every
+  * clustered dimension; a linear sort only on its own key). */
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Slow bit-by-bit reference for the Morton interleave. */
+  private def mortonRef(vals: Seq[Long]): Long = {
+    var z = 0L
+    val n = vals.size
+    for (i <- vals.indices; b <- 0 until Layout.Bits)
+      z |= ((vals(i) >> b) & 1L) << (b * n + i)
+    z
+  }
+
+  test("zValue matches the bit-by-bit Morton reference on random points") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong))
+    val df = pts.toDF("a", "b", "c")
+    val got = df.select(col("a"), col("b"), col("c"),
+        Layout.zValue(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    pts.foreach { case p @ (a, b, c) =>
+      assert(got(p) == mortonRef(Seq(a, b, c)), s"morton mismatch at $p")
+    }
+  }
+
+  test("scaleTo is exact integer bucketing: full range onto [0, 65535]") {
+    val df = Seq(0L, 1L, 999999L, 1000000L).toDF("v")
+    val r = df.select(Layout.scaleTo(col("v"), lit(0L), lit(1000000L)).as("s"))
+      .as[Long].collect().sorted
+    assert(r.head == 0L && r.last == 65535L && r.forall(s => s >= 0 && s < 65536))
+    // constant column degenerates to bucket 0, not a division blowup
+    val const = Seq(5L, 5L).toDF("v")
+      .select(Layout.scaleTo(col("v"), lit(5L), lit(5L)).as("s")).as[Long].collect()
+    assert(const.forall(_ == 0L))
+  }
+
+  private def writeLayouts(): (String, String) = {
+    val li = sources.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+    val zDir = Files.createTempDirectory("layout_z").toString
+    val lDir = Files.createTempDirectory("layout_lin").toString
+    Layout.zorder(li, Seq("l_orderkey", "l_partkey"), numFiles = 16)
+      .write.mode("overwrite").parquet(zDir)
+    Layout.linear(li, "l_orderkey", numFiles = 16)
+      .write.mode("overwrite").parquet(lDir)
+    (zDir, lDir)
+  }
+
+  test("footer stats equal scan-computed per-file stats (no data pages read)") {
+    val (zDir, _) = writeLayouts()
+    val footer = SkippingIndex.footerStats(spark, zDir, Seq("l_orderkey", "l_partkey"))
+      .select("file", "column", "min_v", "max_v", "n_rows")
+      .as[(String, String, Option[Double], Option[Double], Long)].collect().toSet
+    val scan = spark.read.parquet(zDir)
+      .withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .groupBy("file")
+      .agg(min("l_orderkey").as("mn0"), max("l_orderkey").as("mx0"),
+        min("l_partkey").as("mn1"), max("l_partkey").as("mx1"),
+        count(lit(1)).as("n"))
+      .collect().flatMap { r =>
+        Seq((r.getString(0), "l_orderkey", Some(r.getLong(1).toDouble),
+              Some(r.getLong(2).toDouble), r.getLong(5)),
+          (r.getString(0), "l_partkey", Some(r.getLong(3).toDouble),
+            Some(r.getLong(4).toDouble), r.getLong(5)))
+      }.toSet
+    assert(footer == scan, "footer-derived stats must equal scan-derived stats")
+  }
+
+  test("prunedRead equals the plain filtered read on random boxes") {
+    val (zDir, _) = writeLayouts()
+    val full = spark.read.parquet(zDir)
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val lo0 = rnd.nextInt(5000).toLong; val hi0 = lo0 + rnd.nextInt(3000)
+      val lo1 = rnd.nextInt(150).toLong; val hi1 = lo1 + rnd.nextInt(100)
+      val ranges = Seq(ColRange("l_orderkey", lo0.toDouble, hi0.toDouble),
+        ColRange("l_partkey", lo1.toDouble, hi1.toDouble))
+      val pruned = SkippingIndex.prunedRead(spark, zDir, ranges)
+      val expect = full.filter(col("l_orderkey").between(lo0, hi0) &&
+        col("l_partkey").between(lo1, hi1))
+      assert(pruned.count() == expect.count(),
+        s"row count drift on box ($lo0-$hi0, $lo1-$hi1)")
+      assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+        s"content drift on box ($lo0-$hi0, $lo1-$hi1)")
+    }
+  }
+
+  test("Z layout skips files on BOTH dimensions; linear only on its own key") {
+    val (zDir, lDir) = writeLayouts()
+    // a narrow box on the SECOND dimension: the linear (orderkey-sorted)
+    // layout has every file spanning ~the full partkey range, so it can
+    // prune (almost) nothing; the Z layout keeps a contiguous band
+    val box = Seq(ColRange("l_partkey", 10, 40))
+    val (zKept, zTotal) = SkippingIndex.skipRatio(spark, zDir, box)
+    val (lKept, lTotal) = SkippingIndex.skipRatio(spark, lDir, box)
+    assert(zTotal == 16 && lTotal == 16)
+    assert(lKept >= 15, s"linear layout should be unprunable on partkey, kept $lKept")
+    assert(zKept <= zTotal / 2,
+      s"z layout should skip at least half the files on the partkey box, kept $zKept")
+    // and on its own first dimension both layouts prune
+    val box0 = Seq(ColRange("l_orderkey", 0, 350))
+    val (zk0, _) = SkippingIndex.skipRatio(spark, zDir, box0)
+    val (lk0, _) = SkippingIndex.skipRatio(spark, lDir, box0)
+    assert(zk0 < 16 && lk0 < 16)
+  }
+
+  test("pruning is conservative: unknown column or missing stats keep every file") {
+    val (zDir, _) = writeLayouts()
+    // l_returnflag is a string column — footer stats carry no numeric
+    // bound for it, so a range on it must not prune anything
+    val stats = SkippingIndex.footerStats(spark, zDir, Seq("l_returnflag"))
+    assert(stats.filter(col("min_v").isNotNull).count() == 0)
+    val kept = SkippingIndex.pruneFiles(stats, Seq(ColRange("l_returnflag", 0, 1))).count()
+    assert(kept == 16, s"non-numeric stats must keep all files, kept $kept")
+  }
+}
