@@ -130,16 +130,44 @@ object SkippingIndex {
       .join(excluded, Seq("file"), "left_anti")
   }
 
-  /** End-to-end pruned scan: footer index → file pruning → scan ONLY the
-    * surviving files → residual filter (pruning is file-granular, the
-    * exact predicate still applies). The surviving NAMES are collected —
-    * bounded by file count, the manifest trade every lakehouse makes.
-    * Equals `read(dir).filter(ranges)` by construction (soundness gated
-    * by `s16_pruned_scan` + LayoutSpec). */
-  def prunedRead(spark: SparkSession, dir: String,
-                 ranges: Seq[ColRange]): DataFrame = {
-    val stats = footerStats(spark, dir, ranges.map(_.column))
-    val keep = pruneFiles(stats, ranges).collect().map(_.getString(0)).toSet
+  /** Collected, reusable form of the index: build once when the table is
+    * written (or compacted), prune every subsequent query on the driver
+    * in microseconds. Memory is O(files × columns) — the manifest trade
+    * every lakehouse makes (a million files × 4 columns ≈ tens of MB). */
+  final case class Manifest(stats: Seq[FileColStats]) {
+    private val byFile = stats.groupBy(_.file)
+    def files: Seq[String] = byFile.keys.toSeq.sorted
+    /** Files that can contain a row matching ALL ranges (conservative:
+      * a missing/unusable bound never prunes). */
+    def survivors(ranges: Seq[ColRange]): Seq[String] =
+      files.filter { f =>
+        val cols = byFile(f)
+        ranges.forall { r =>
+          cols.find(_.column == r.column) match {
+            case Some(FileColStats(_, _, Some(mn), Some(mx), _, _)) =>
+              !(mx < r.lo || mn > r.hi)
+            case _ => true // no usable bound — keep
+          }
+        }
+      }
+  }
+
+  /** Build the reusable manifest for `dir` (one footer pass). */
+  def manifest(spark: SparkSession, dir: String, cols: Seq[String]): Manifest =
+    Manifest(footerStats(spark, dir, cols).as[FileColStats](
+      org.apache.spark.sql.Encoders.product[FileColStats]).collect().toIndexedSeq)
+
+  /** End-to-end pruned scan: manifest → driver-side file pruning → scan
+    * ONLY the surviving files → residual filter (pruning is
+    * file-granular, the exact predicate still applies). Pass a prebuilt
+    * `index` to amortize the footer pass across queries — the deployed
+    * shape, where the manifest is maintained at write time. Equals
+    * `read(dir).filter(ranges)` by construction (soundness gated by
+    * `s17_pruned_scan` + LayoutSpec). */
+  def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColRange],
+                 index: Option[Manifest] = None): DataFrame = {
+    val m = index.getOrElse(manifest(spark, dir, ranges.map(_.column)))
+    val keep = m.survivors(ranges).toSet
     val all = listParquet(spark, dir)
     val paths = all.filter(p => keep(new Path(p).getName))
     val residual = ranges.map(r =>
@@ -147,17 +175,19 @@ object SkippingIndex {
       .reduce(_ && _)
     if (paths.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
+    else if (paths.size == all.size)
+      // nothing pruned — keep the plain directory read (single listed
+      // relation, no per-path enumeration overhead)
+      spark.read.parquet(dir).filter(residual)
     else
       spark.read.parquet(paths: _*).filter(residual)
   }
 
   /** Count of files a range set would scan vs the total — the evidence
     * metric LayoutSpec and SCALE.md report. */
-  def skipRatio(spark: SparkSession, dir: String,
-                ranges: Seq[ColRange]): (Long, Long) = {
-    val stats = footerStats(spark, dir, ranges.map(_.column))
-    val total = stats.select("file").distinct().count()
-    val kept = pruneFiles(stats, ranges).count()
-    (kept, total)
+  def skipRatio(spark: SparkSession, dir: String, ranges: Seq[ColRange],
+                index: Option[Manifest] = None): (Long, Long) = {
+    val m = index.getOrElse(manifest(spark, dir, ranges.map(_.column)))
+    (m.survivors(ranges).size.toLong, m.files.size.toLong)
   }
 }
