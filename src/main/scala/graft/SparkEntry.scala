@@ -492,6 +492,17 @@ object SparkEntry {
           col("r_event_id"), col("r_ts"))
     }),
 
+    // batch twin of the STATE-STORE streaming dedup (flatMapGroupsWith
+    // State seeded with the settled corpus via initial state): per-doc
+    // accept/reject decisions for an id-ordered arrival. StreamingSpec
+    // proves the multi-micro-batch streaming run emits exactly this set
+    "st6_dedup_state" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.dedupStateBatch(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        docs.filter(col("doc_id") < 400), "text")
+    }),
+
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
     "a9_approx_distinct" -> ((s, d) =>
@@ -1897,6 +1908,17 @@ object SparkEntry {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY p.event_id, r_event_id""".stripMargin,
+
+    "st6_dedup_state" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |cor AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 400),
+        |str AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id >= 400),
+        |own AS (SELECT fingerprint, min(doc_id) AS mn FROM str GROUP BY fingerprint)
+        |SELECT s.doc_id, s.fingerprint,
+        |  (s.doc_id = o.mn AND s.fingerprint NOT IN (SELECT fingerprint FROM cor)) AS accepted
+        |FROM str s JOIN own o ON s.fingerprint = o.fingerprint""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

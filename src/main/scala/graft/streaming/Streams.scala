@@ -263,6 +263,81 @@ object Streams {
     q.stop()
   }
 
+  /** Per-fingerprint dedup state: the owning (first-accepted) doc id and
+    * how many duplicates have hit it since. */
+  final case class FpState(owner_id: Long, n_dups: Long)
+  final case class DocFp(doc_id: Long, fingerprint: String)
+  /** One row per input doc, emitted exactly once (append mode). */
+  final case class DedupDecision(doc_id: Long, fingerprint: String,
+                                 accepted: Boolean)
+
+  /** STATE-STORE exact dedup — the pure-streaming twin of the ingest
+    * exact screen ([[graft.ext.IngestPipeline]] stage 1): documents
+    * arrive as micro-batches, each fingerprint group holds one
+    * [[FpState]] in the state store, and every doc gets an accept/reject
+    * decision exactly once. `initial` seeds the store with the SETTLED
+    * corpus's (fingerprint, owner_id) pairs — Spark's initial-state
+    * support, so the settled corpus is never rescanned and redeliveries
+    * arbitrarily far apart still hit their owner. Unlike the
+    * foreachBatch [[ingestScreenStream]] (bloom + file-backed confirm,
+    * the at-scale deployment), this keeps ALL state in the store — the
+    * right shape when the fingerprint set fits executor state (RocksDB
+    * at cluster scale) and per-doc decisions must flow with at-most-
+    * batch latency. First arrival wins across micro-batches; within one
+    * micro-batch the minimum doc id wins, so a stream fed in id order
+    * equals the batch min-id rule ([[dedupStateBatch]], the
+    * `st6_dedup_state` gate; StreamingSpec proves stream ≡ batch over a
+    * multi-batch corpus-seeded run). */
+  def dedupStateStream(docs: DataFrame, idCol: String, textCol: String,
+                       initial: DataFrame): Dataset[DedupDecision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val in = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.ext.TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .as[DocFp]
+    val initState = initial.select(
+        col("fingerprint").cast("string"), col("owner_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues { case (_, o) => FpState(o, 0L) }
+    in.groupByKey(_.fingerprint)
+      .flatMapGroupsWithState[FpState, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout, initState) {
+        (fp: String, rows: Iterator[DocFp], state: GroupState[FpState]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.doc_id)
+          state.getOption match {
+            case Some(s) =>
+              state.update(FpState(s.owner_id, s.n_dups + batch.size))
+              batch.iterator.map(d => DedupDecision(d.doc_id, fp, accepted = false))
+            case None =>
+              state.update(FpState(batch.head.doc_id, (batch.size - 1).toLong))
+              Iterator(DedupDecision(batch.head.doc_id, fp, accepted = true)) ++
+                batch.tail.iterator.map(d => DedupDecision(d.doc_id, fp, accepted = false))
+          }
+      }
+  }
+
+  /** Batch twin of [[dedupStateStream]] for an id-ordered arrival:
+    * accepted iff the doc owns the minimum id for its fingerprint AND
+    * the fingerprint is absent from the corpus. Window-min + broadcast
+    * anti join — no collect, shuffles only on the fingerprint key. */
+  def dedupStateBatch(docs: DataFrame, idCol: String, textCol: String,
+                      corpus: DataFrame, corpusTextCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.ext.TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
+    val corpusFps = corpus
+      .select(graft.ext.TextStats.fingerprintMd5(col(corpusTextCol)).as("fingerprint"))
+      .distinct()
+    fps
+      .withColumn("__mn", min("doc_id").over(Window.partitionBy("fingerprint")))
+      .join(broadcast(corpusFps.withColumn("__in_corpus", lit(true))),
+        Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        (col("doc_id") === col("__mn") && col("__in_corpus").isNull).as("accepted"))
+  }
+
   /** Streaming quantile monitor — the deployment mode of
     * [[graft.functions.KllQuantile]]: each micro-batch folds into
     * per-group KLL sketches that merge into a persisted running sketch

@@ -74,6 +74,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$outPath/accepted_fps").distinct().count() == 2)
   }
 
+  test("state-store dedup stream (corpus-seeded initial state) equals the batch twin") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 400)
+    // the fixture's 400+ docs are all fresh — plant both reject paths:
+    // 9400 redelivers a CORPUS text, 9500 redelivers a STREAM text (and
+    // lands in the second micro-batch, so it must hit cross-batch state)
+    val planted = corpus.filter(col("doc_id") === 5)
+      .select(lit(9400L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") === 400)
+        .select(lit(9500L).as("doc_id"), col("text")))
+    val stream = docs.filter(col("doc_id") >= 400).unionByName(planted)
+    // initial state = the settled corpus's fingerprint owners
+    val initial = corpus
+      .groupBy(graft.ext.TextStats.fingerprintMd5(col("text")).as("fingerprint"))
+      .agg(min("doc_id").as("owner_id"))
+    // two id-ascending micro-batches (file mod times force the order)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_st6").toString
+    stream.filter(col("doc_id") < 450).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(_.setLastModified(1000000L))
+    stream.filter(col("doc_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles()
+      .filter(_.lastModified() != 1000000L).foreach(_.setLastModified(2000000L))
+    val in = spark.readStream.schema(stream.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Streams.dedupStateStream(in, "doc_id", "text", initial)
+      .writeStream.format("memory").queryName("st6_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st6_out")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val expect = Streams.dedupStateBatch(stream, "doc_id", "text", corpus, "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(got.size == 102 && got == expect,
+      "stream decisions must equal the batch min-id/anti-corpus rule")
+    // the fixture plants both reject paths: corpus dups and in-stream dups
+    assert(got.values.exists(!_), "some stream doc must be rejected")
+    assert(got.values.exists(identity), "some stream doc must be accepted")
+  }
+
   test("foreachBatch streaming upsert converges to batch merge result") {
     val base = java.nio.file.Files.createTempDirectory("graft_fb").toString
     val srcDir = s"$base/src"
