@@ -108,43 +108,50 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
+  /** Coarse k-means quantizer fit (MLlib, fixed seed) over a frame with a
+    * `features` vector column. Random init + few iterations: the quantizer
+    * only needs a roughly balanced partition of the space (recall comes
+    * from nprobe, bounded in ExtSpec), not converged centroids — k-means||
+    * init alone costs more passes than this entire fit. Shared by
+    * [[ivfTopK]] and the persisted [[VectorIndex]]. */
+  private[ext] def fitCoarseCentroids(feat: DataFrame, nlist: Int,
+                                      seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
+      .setMaxIter(4).fit(feat).clusterCenters.map(_.toArray)
+  }
+
+  /** Squared euclidean distance to one broadcast-literal centroid. */
+  private[ext] def sqDist(vec: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(vec, typedlit(centroid.toSeq), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The `n` nearest centroid cell ids for `vec`, as a pure expression
+    * (broadcast literal centroids; no model UDF in the hot path). */
+  private[ext] def nearestCells(vec: Column, centroids: Array[Array[Double]],
+                                n: Int): Column = {
+    val ranked = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(vec, c).as("d"), lit(i).as("cell")) }.toIndexedSeq: _*))
+    slice(transform(ranked, s => s.getField("cell")), 1, n)
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer (MLlib, fixed
     * seed) partitions the corpus into `nlist` cells; each query probes the
     * `nprobe` nearest centroids and ranks exactly inside them. The corpus
     * assignment is a one-off O(N·nlist) map stage; per-query work drops to
-    * ~nprobe·N/nlist. Centroids are tiny and broadcast. */
+    * ~nprobe·N/nlist. Centroids are tiny and broadcast. Session-transient;
+    * [[VectorIndex]] is the persisted build-once/load/grow variant. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // derived from the shared cached corpus; persisted itself because
     // k-means is iterative (each iteration re-reads its input)
     val feat = graft.util.Caches.cached(
       corpusFrame(corpus, idCol, vecCol)
         .withColumn("features", array_to_vector(col("n_vec"))))
-    // random init + few iterations: the quantizer only needs a roughly
-    // balanced partition of the space (recall comes from nprobe, bounded in
-    // ExtSpec), not converged centroids — k-means|| init alone costs more
-    // passes than this entire fit
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setInitMode("random").setMaxIter(4).fit(feat)
-    val centroids = model.clusterCenters.map(_.toArray)
-
-    // nearest-centroid assignment / probing as pure expressions (broadcast
-    // literal centroids; no model UDF in the hot path)
-    def dists(vec: Column): Seq[(Int, Column)] = centroids.zipWithIndex.map {
-      case (c, i) =>
-        val lit = typedlit(c.toSeq)
-        val d = aggregate(zip_with(vec, lit, (x, y) => (x - y) * (x - y)),
-          org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x)
-        i -> d
-    }.toSeq
-    def cellsFor(vec: Column, n: Int): Column = {
-      val ranked = array_sort(array(dists(vec).map { case (i, d) =>
-        struct(d.as("d"), org.apache.spark.sql.functions.lit(i).as("cell")) }: _*))
-      slice(transform(ranked, s => s.getField("cell")), 1, n)
-    }
+    val centroids = fitCoarseCentroids(feat, nlist, seed)
+    def cellsFor(vec: Column, n: Int): Column = nearestCells(vec, centroids, n)
 
     val c = feat.withColumn("cell", element_at(cellsFor(col("n_vec"), 1), 1))
       .select("n_id", "n_vec", "n_norm", "cell")
@@ -325,6 +332,33 @@ object Similarity {
       .withColumn("cos_sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Incremental EMBEDDING ingest screen: the e-family analogue of
+    * [[TextDedup]]'s d14/d15 text screens. Returns the batch ids with NO
+    * stored vector at cosine >= `threshold` — the rows an ingest step may
+    * accept into the corpus.
+    *
+    * Scale shape: the stored corpus is scanned ONCE and never shuffled;
+    * the (small, per-step) batch rides as the broadcast side of a
+    * nested-loop join whose condition is the codegen'd dot product, so
+    * candidate work is O(N·B) with B bounded by the ingest batch size —
+    * the same batch-pays/corpus-rests economics as every d1x screen. The
+    * id-distinct and anti join shuffle only batch ids. Exact by
+    * construction (every stored×batch pair is scored); swap the corpus
+    * side for [[VectorIndex]] probed cells when batch latency matters more
+    * than boundary exactness. Within-batch near-dups are a separate policy
+    * ([[IngestPipeline]]'s AnyPairDrops/Greedy); this screen is
+    * batch-vs-stored only, matching its text siblings. */
+  def embedIngestScreen(stored: DataFrame, batch: DataFrame, idCol: String,
+                        vecCol: String, threshold: Double): DataFrame = {
+    val c = corpusFrame(stored, idCol, vecCol)
+    val b = batch.select(col(idCol).as("b_id"), asDouble(col(vecCol)).as("b_vec"))
+      .withColumn("b_norm", norm(col("b_vec")))
+    val dropped = c.join(broadcast(b),
+        dot(col("n_vec"), col("b_vec")) / (col("n_norm") * col("b_norm")) >= threshold)
+      .select(col("b_id")).distinct()
+    b.join(dropped, Seq("b_id"), "left_anti").select(col("b_id").as(idCol))
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,

@@ -584,6 +584,45 @@ object ExtQueries {
         .select("q_id", "n_id", "rnk")
     }),
 
+    // persisted IVF index, searched under a FULL probe (nprobe = nlist):
+    // every cell is probed, so the result is exact brute force whatever
+    // the quantizer did — which is what makes the build→write→load→search
+    // round trip hash-gateable against the e1 oracle (partition pruning
+    // and nprobe<nlist recall are VectorIndexSpec's job)
+    "e7_ivf_index_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_e7_${math.abs(d.hashCode)}"
+      val idx = VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8)
+      VectorIndex.search(idx, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, nprobe = 8)
+        .select("q_id", "n_id", "rnk")
+    }),
+
+    // append-only index growth: build on the even half, grow with the odd
+    // half against the FROZEN centroids, search under a full probe — a
+    // green hash proves the grown index ranks exactly like an index over
+    // the union corpus (same e1 oracle)
+    "e8_ivf_index_grow" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_e8_${math.abs(d.hashCode)}"
+      VectorIndex.build(emb.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", dir, nlist = 8)
+      val idx = VectorIndex.grow(s, dir, emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      VectorIndex.search(idx, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, nprobe = 8)
+        .select("q_id", "n_id", "rnk")
+    }),
+
+    // embedding ingest screen: batch ids with no stored vector at
+    // cosine >= 0.5 — stored corpus scanned once, batch broadcast (the
+    // e-family analogue of the d14/d15 text screens)
+    "e9_embed_ingest_screen" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.embedIngestScreen(emb.filter(col("vec_id") < 350),
+        emb.filter(col("vec_id") >= 350), "vec_id", "embedding", 0.5)
+    }),
+
     // ---- multimodal ----
     "m1_media_meta" -> ((s, d) =>
       t(s, d, "documents")
@@ -1648,6 +1687,31 @@ object ExtQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // e7/e8: a full probe (nprobe = nlist) of the persisted index is exact
+    // brute force over the whole corpus, so both replay e1's oracle — e8's
+    // corpus is the union of its build half and its grown half
+    "e7_ivf_index_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs
+        |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
+        |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "e8_ivf_index_grow" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs
+        |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
+        |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "e9_embed_ingest_screen" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 350),
+        |b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 350)
+        |SELECT b.vec_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM c
+        |                  WHERE list_cosine_similarity(c.v, b.v) >= 0.5)
+        |ORDER BY vec_id""".stripMargin,
 
     "m3_frame_sample" ->
       """SELECT doc_id, CAST(unnest(range(0, CAST(strlen(text) % 24 + 1 AS INT), 4)) AS INT) AS frame_idx

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Similarity, VectorIndex}
+import graft.sources.Tables
+
+/** Persisted IVF index: build/load round trip, append-only growth, static
+  * partition pruning on the probed cells, and recall under a partial
+  * probe. The exact-equality tests pin search's full probe to brute force
+  * — the property the e7/e8 hash gates rely on. */
+class VectorIndexSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+  private def tmp(name: String) = s"${sys.props("java.io.tmpdir")}/graft_vix_$name"
+
+  private def triples(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("q_id", "n_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("full-probe index search == brute force (build/write/load round trip)") {
+    val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("full"), nlist = 8)
+    val viaIndex = triples(
+      VectorIndex.search(idx, queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    val brute = triples(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(viaIndex == brute,
+      "a full probe must rank exactly like brute force, stored norms included")
+  }
+
+  test("grown index == index built on the union corpus (full probe)") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    VectorIndex.build(even, "vec_id", "embedding", tmp("grow"), nlist = 8)
+    val grown = VectorIndex.grow(spark, tmp("grow"), odd, "vec_id", "embedding")
+    assert(grown.assignments.count() == emb.count(),
+      "growth must append exactly the batch rows")
+    val viaGrown = triples(
+      VectorIndex.search(grown, queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    val brute = triples(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(viaGrown == brute,
+      "frozen-centroid growth must not change full-probe ranking")
+  }
+
+  test("partial-probe search statically prunes the assignments scan to the probed cells") {
+    val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("prune"), nlist = 8)
+    val one = emb.filter(col("vec_id") === 0)
+    val res = VectorIndex.search(idx, one, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(res.count() == 5)
+    val scans = planOf(res).collect { case f: FileSourceScanExec => f }
+    val assignScan = scans.find(_.output.exists(_.name == "n_vec"))
+      .getOrElse(fail("no assignments scan in the search plan"))
+    assert(assignScan.partitionFilters.nonEmpty,
+      "the probed-cell IN filter must land as a partition filter")
+    assert(assignScan.metadata("PartitionFilters").contains("cell"),
+      s"partition filter must be on cell: ${assignScan.metadata("PartitionFilters")}")
+    // one query probing 2 of 8 cells: the scan's file set must exclude the
+    // other 6 cell directories entirely
+    val dirs = assignScan.relation.location.inputFiles
+      .flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(dirs.size == 8, s"fixture should populate all 8 cells, got $dirs")
+  }
+
+  test("partial probe keeps useful recall vs brute force") {
+    val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("recall"), nlist = 8)
+    val part = triples(
+      VectorIndex.search(idx, queries, "vec_id", "embedding", k = 5, nprobe = 3))
+      .map(t => (t._1, t._2))
+    val brute = triples(
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+      .map(t => (t._1, t._2))
+    val recall = (part intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low for nprobe=3/8 cells")
+  }
+
+  test("loaded centroids round-trip: nlist entries of corpus dimension") {
+    VectorIndex.build(emb, "vec_id", "embedding", tmp("meta"), nlist = 8)
+    val idx = VectorIndex.load(spark, tmp("meta"))
+    assert(idx.nlist == 8)
+    assert(idx.centroids.forall(_.length == 64),
+      "centroids must keep the corpus dimension through the parquet round trip")
+    assert(idx.assignments.columns.toSet == Set("n_id", "n_vec", "n_norm", "cell"))
+  }
+
+  test("embedding ingest screen == exact stored-vs-batch decision") {
+    val stored = emb.filter(col("vec_id") < 350)
+    val batch = emb.filter(col("vec_id") >= 350)
+    val survivors = Similarity.embedIngestScreen(stored, batch, "vec_id",
+        "embedding", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // oracle twin: exact pairwise against the stored side
+    val dropped = Similarity.nearDupPairsExpr(emb, "vec_id", "embedding", 0.5)
+      .filter((col("id_a") < 350 && col("id_b") >= 350) ||
+        (col("id_a") >= 350 && col("id_b") < 350))
+      .select(greatest(col("id_a"), col("id_b")).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (batchIds -- dropped),
+      "screen must keep exactly the batch ids with no stored mate at threshold")
+  }
+}
