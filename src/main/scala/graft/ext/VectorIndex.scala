@@ -57,23 +57,36 @@ object VectorIndex {
 
   /** Fit the coarse quantizer on `corpus` and write a fresh index at
     * `dir`, wiping any previous one (the gates' idempotence guarantee:
-    * a re-run can never double-append). */
+    * a re-run can never double-append). `payload` columns (labels,
+    * source tags, timestamps) are stored alongside each vector so
+    * [[search]] can filter on them INSIDE the pruned scan — hybrid
+    * metadata+vector search without a join back to the source table. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-            nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+            nlist: Int = 16, seed: Long = 42L,
+            payload: Seq[String] = Nil): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     deleteDir(spark, dir)
-    val c = Similarity.corpusFrame(corpus, idCol, vecCol)
     val centroids = Similarity.fitCoarseCentroids(
-      c.withColumn("features", array_to_vector(col("n_vec"))), nlist, seed)
+      Similarity.corpusFrame(corpus, idCol, vecCol)
+        .withColumn("features", array_to_vector(col("n_vec"))), nlist, seed)
     import spark.implicits._
     centroids.zipWithIndex.toSeq
       .map { case (cent, i) => (i, cent.toSeq) }.toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    withCell(c, centroids)
+    withCell(normalized(corpus, idCol, vecCol, payload), centroids)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/assignments")
     load(spark, dir)
   }
+
+  /** (n_id, n_vec, n_norm, payload...) — recomputed per call rather than
+    * via the cached [[Similarity.corpusFrame]] because payload columns
+    * vary by index; build/grow are one-off writes, not hot paths. */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+                         payload: Seq[String]): DataFrame =
+    df.select(col(idCol).as("n_id") +: asDouble(col(vecCol)).as("n_vec") +:
+        payload.map(col): _*)
+      .withColumn("n_norm", Similarity.norm(col("n_vec")))
 
   /** Assign `batch` to the EXISTING centroids and append its rows into the
     * cell directories — growth touches only the batch; stored cells gain
@@ -81,11 +94,9 @@ object VectorIndex {
     * index built on the union corpus rank identically under a full probe
     * (VectorIndexSpec pins this). */
   def grow(spark: SparkSession, dir: String, batch: DataFrame,
-           idCol: String, vecCol: String): IvfIndex = {
+           idCol: String, vecCol: String, payload: Seq[String] = Nil): IvfIndex = {
     val idx = load(spark, dir)
-    val n = batch.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
-      .withColumn("n_norm", Similarity.norm(col("n_vec")))
-    withCell(n, idx.centroids)
+    withCell(normalized(batch, idCol, vecCol, payload), idx.centroids)
       .write.partitionBy("cell").mode("append").parquet(s"$dir/assignments")
     load(spark, dir)
   }
@@ -105,9 +116,16 @@ object VectorIndex {
     * known pre-execution and a literal IN survives every planner path.
     * `nprobe = nlist` probes every cell and is EXACT brute force (the
     * e7/e8 hash gates run there); cosine uses the same expression tree as
-    * [[Similarity.bruteForceTopK]], over the stored norms. */
+    * [[Similarity.bruteForceTopK]], over the stored norms.
+    *
+    * `pred` (over stored payload columns) makes this HYBRID search: the
+    * predicate lands on the pruned scan itself — pushed into the parquet
+    * footers of the surviving cell files, visible as PushedFilters — so
+    * non-matching vectors die before a single dot product, and top-k
+    * ranks among the matching vectors only (post-filter semantics). */
   def search(index: IvfIndex, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
+             vecCol: String, k: Int = 5, nprobe: Int = 4,
+             pred: Option[Column] = None): DataFrame = {
     val q = queries
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_norm", Similarity.norm(col("q_vec")))
@@ -118,8 +136,8 @@ object VectorIndex {
         explode_outer(Similarity.nearestCells(col("q_vec"), index.centroids, nprobe)))
       .filter(col("cell").isNotNull)
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)) // ≤ |Q|·nprobe
-    val pruned = index.assignments.filter(col("cell").isin(probed.toSeq: _*))
-    searchCells(pruned, q, k)
+    val cellPruned = index.assignments.filter(col("cell").isin(probed.toSeq: _*))
+    searchCells(pred.fold(cellPruned)(cellPruned.filter), q, k)
   }
 
   /** The distinct cells a query set would probe — what [[search]]'s static

@@ -614,6 +614,20 @@ object ExtQueries {
         .select("q_id", "n_id", "rnk")
     }),
 
+    // HYBRID metadata+vector search: label stored as index payload, the
+    // predicate filters inside the pruned assignments scan (PushedFilters)
+    // before any dot product, top-k ranks among survivors — full probe
+    // keeps it exact, so the whole filtered path is hash-gateable
+    "e10_filtered_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_e10_${math.abs(d.hashCode)}"
+      val idx = VectorIndex.build(emb, "vec_id", "embedding", dir, nlist = 8,
+        payload = Seq("label"))
+      VectorIndex.search(idx, emb.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, nprobe = 8, pred = Some(col("label") < 3))
+        .select("q_id", "n_id", "rnk")
+    }),
+
     // embedding ingest screen: batch ids with no stored vector at
     // cosine >= 0.5 — stored corpus scanned once, batch broadcast (the
     // e-family analogue of the d14/d15 text screens)
@@ -1702,6 +1716,13 @@ object ExtQueries {
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs
         |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
+        |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "e10_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs
+        |      FROM q, embeddings WHERE vec_id <> q_id AND label < 3),
         |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 

@@ -72,6 +72,22 @@ class VectorIndexSpec extends SparkSpecBase {
     assert(dirs.size == 8, s"fixture should populate all 8 cells, got $dirs")
   }
 
+  test("hybrid filtered search == brute force over the filtered corpus, predicate pushed") {
+    val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("filt"),
+      nlist = 8, payload = Seq("label"))
+    val res = VectorIndex.search(idx, queries, "vec_id", "embedding",
+      k = 5, nprobe = 8, pred = Some(col("label") < 3))
+    val brute = Similarity.bruteForceTopK(emb.filter(col("label") < 3),
+      queries, "vec_id", "embedding", k = 5)
+    assert(triples(res) == triples(brute),
+      "filtered full probe must rank exactly like brute force on the filtered corpus")
+    val scans = planOf(res).collect { case f: FileSourceScanExec => f }
+    val assignScan = scans.find(_.output.exists(_.name == "n_vec"))
+      .getOrElse(fail("no assignments scan in the filtered search plan"))
+    assert(assignScan.metadata("PushedFilters").contains("label"),
+      s"payload predicate must reach the parquet footers: ${assignScan.metadata("PushedFilters")}")
+  }
+
   test("partial probe keeps useful recall vs brute force") {
     val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("recall"), nlist = 8)
     val part = triples(
