@@ -205,6 +205,57 @@ object TextStats {
     * Scale shape: two shuffles (doc-term count, term df) + one broadcast
     * of the 1-row corpus count; no O(n²) anywhere.
     */
+  /** Okapi BM25 retrieval: rank documents against a literal query-term
+    * set — the standard quality-retrieval scorer a curation pipeline uses
+    * to pull topical subsets out of a corpus.
+    *
+    * Scale shape: tokens explode once; tf/df aggregate only rows whose
+    * term is IN the (tiny, literal) query set, so the shuffled volume is
+    * matching (doc, term) pairs, never the corpus vocabulary; df and the
+    * corpus stats ride back as broadcasts; the final ranking windows over
+    * docs that matched at least one term.
+    *
+    * Determinism (the t6/temperatureMix treatment): per-doc contributions
+    * fold in SORTED term order (collect_list → array_sort → fold) so the
+    * IEEE sum has one defined order on both engines; ranking happens on
+    * the 6-decimal rounding, which absorbs last-ulp ln() differences
+    * between libm implementations; composite constants like k1+1 are
+    * ARITHMETIC on both sides (never a decimal literal like 2.2, whose
+    * parse differs from the 1.2+1.0 float sum); avgdl is safe as a plain
+    * avg because integer-valued doubles below 2^53 add exactly in any
+    * order. Output is (doc_id, rnk) — rank-only, like t6. */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], topK: Int = 20,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode_outer(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = tok.groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(tokens(col(textCol)))).as("avgdl"))
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val contrib = col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", idf)
+      .withColumn("contrib", contrib)
+      .groupBy(col(idCol))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")), 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col(idCol), col("rnk"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -537,6 +537,13 @@ object ExtQueries {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term").asc).limit(20)),
 
+    // Okapi BM25 retrieval: rank the corpus against a literal query-term
+    // set (k1=1.2, b=0.75); deterministic sorted-term fold + 6-decimal
+    // ranking, rank-only output (the t6 treatment)
+    "t20_bm25_topk" -> ((s, d) =>
+      TextStats.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
+        Seq("hash", "join", "vector"), topK = 20)),
+
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1572,6 +1579,32 @@ object ExtQueries {
         |      FROM sc)
         |SELECT doc_id, term, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    // BM25 replay: identical IEEE expression shapes; composite constants
+    // stay ARITHMETIC ((1.2 + 1.0), never 2.2 — the literal's parse is a
+    // different double than the float sum); per-doc contributions fold in
+    // sorted term order via the ordered list; ranking on round(.,6)
+    "t20_bm25_topk" ->
+      """WITH tl AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |m AS (SELECT * FROM tl WHERE term IN ('hash', 'join', 'vector')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM m GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |         avg(len(string_split(lower(trim(text)), ' '))) AS avgdl
+        |       FROM documents),
+        |contrib AS (
+        |  SELECT doc_id, term,
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS c
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN st),
+        |sc AS (SELECT doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+        |       FROM contrib GROUP BY doc_id),
+        |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "t8_redacted" ->
       """SELECT doc_id,

@@ -358,6 +358,23 @@ class ExtSpec extends SparkSpecBase {
     assert(top(3L) == "dragon")
   }
 
+  test("bm25 ranks term-dense short docs first; non-matching docs never rank") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hash join vector hash join vector"),
+      (2L, "hash filler filler filler filler filler filler filler filler filler"),
+      (3L, "banana orange pear"),
+      (4L, "hash join filler")
+    ).toDF("doc_id", "text")
+    val r = TextStats.bm25TopDocs(df, "doc_id", "text",
+        Seq("hash", "join", "vector"), topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r(1L) == 1, "the doc matching all terms densely must rank first")
+    assert(r(4L) == 2, "two matched terms beat one tf-heavy-diluted term")
+    assert(!r.contains(3L), "docs with no query term must not appear")
+    assert(r.size == 3)
+  }
+
   test("native dot_product is bit-identical to the HOF fold and handles nulls") {
     import spark.implicits._
     graft.functions.DotProduct.register(spark)
