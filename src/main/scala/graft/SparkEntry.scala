@@ -589,6 +589,15 @@ object SparkEntry {
           alpha = 0.5, target = 300L)
         .select("doc_id", "lang")),
 
+    // deterministic global shuffle + sharding — the training-export step:
+    // every order gets a reproducible (shard, pos); workers read shards
+    // independently in pos order. Seeded md5, no RNG — the oracle replays
+    // the shard byte and the per-shard rank verbatim
+    "p18_global_shuffle" -> ((s, d) =>
+      Sampling.globalShuffle(t(s, d, "orders").select("o_orderkey"),
+          col("o_orderkey"), seed = "r8", nShards = 8)
+        .select("o_orderkey", "shard", "pos")),
+
     // ---- exact percentiles / pivot / ranking breadth ----
     "a11_percentiles" -> ((s, d) =>
       t(s, d, "orders").groupBy("o_orderstatus")
@@ -1988,6 +1997,24 @@ object SparkEntry {
         |WHERE units >= 65536
         |   OR (units > 0 AND substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', units))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // shard = first hash byte mod 8 (hex→int as ascii arithmetic), pos =
+    // per-shard rank by (hash, key) — both engines compute the identical
+    // assignment from the identical md5 hex
+    "p18_global_shuffle" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, md5('r8' || ':' || CAST(o_orderkey AS VARCHAR)) AS hh
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderkey, hh,
+        |    ((CASE WHEN ascii(substr(hh, 1, 1)) >= 97 THEN ascii(substr(hh, 1, 1)) - 87
+        |           ELSE ascii(substr(hh, 1, 1)) - 48 END) * 16 +
+        |     (CASE WHEN ascii(substr(hh, 2, 1)) >= 97 THEN ascii(substr(hh, 2, 1)) - 87
+        |           ELSE ascii(substr(hh, 2, 1)) - 48 END)) % 8 AS shard
+        |  FROM h)
+        |SELECT o_orderkey, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, o_orderkey) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     // identical gate + rank replay; 80 = margin(4) * n(20)
     "p16_exact_stratified" ->

@@ -947,4 +947,41 @@ object TextDedup {
     posts.join(broadcast(benchShingles), Seq("s"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /** Train/test SPLIT-LEAKAGE screen: after a deterministic hash split
+    * (test = ids whose md5 leading nibble is in `testHexDigits`, the
+    * [[graft.operators.Sampling.hashSample]] gate — so the split itself
+    * is reproducible and engine-portable), report every (test, train)
+    * pair that leaks across the boundary: `kind = "exact"` when the
+    * whitespace-normalized fingerprints collide, `kind = "near"` when
+    * the k-shingle Jaccard clears `threshold`. An exact pair is also a
+    * near pair (Jaccard 1.0) — both rows are reported so the consumer
+    * can distinguish "drop the test doc" from "re-cut the split".
+    *
+    * This is the eval-hygiene counterpart of [[contaminatedIds]]: that
+    * screens a training corpus against an EXTERNAL benchmark; this
+    * audits a split OF THE CORPUS ITSELF (the common failure when
+    * eval sets are carved from the same crawl as the training mix).
+    * Scale shape: the exact side is a fingerprint-keyed join (index
+    * shape); the near side is [[nearDupPairsAgainst]] — batch-sized
+    * postings ⋈ corpus postings, candidate volume Σ_s df·df, never
+    * test×train. Both sides reuse the persisted fingerprint/postings
+    * indexes when they exist. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   testHexDigits: Seq[String], k: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val nib = substring(md5(col(idCol).cast("string")), 1, 1)
+    val test = docs.filter(nib.isin(testHexDigits: _*))
+    val train = docs.filter(!nib.isin(testHexDigits: _*))
+    val fpTest = test.select(col(idCol).as("test_id"),
+      TextStats.fingerprintMd5(col(textCol)).as("fp"))
+    val fpTrain = train.select(col(idCol).as("train_id"),
+      TextStats.fingerprintMd5(col(textCol)).as("fp"))
+    val exact = fpTest.join(fpTrain, "fp")
+      .select(col("test_id"), col("train_id"), lit("exact").as("kind"))
+    val near = nearDupPairsAgainst(train, test, idCol, textCol, k, threshold)
+      .select(col("new_id").as("test_id"), col("corpus_id").as("train_id"),
+        lit("near").as("kind"))
+    exact.unionByName(near)
+  }
 }

@@ -274,4 +274,50 @@ object TextStats {
       .filter(col("rnk") <= topK)
       .select(col(idCol), col("term"), col("rnk"))
   }
+
+  /** Corpus-trained unigram language-model score per document — the
+    * CCNet-style "perplexity filter" primitive, with a unigram LM in
+    * place of the 5-gram KenLM (no model artifacts exist in this
+    * environment; the pipeline shape is identical): train token
+    * frequencies over the corpus in one aggregation pass, then score
+    * every document by its mean token log-probability under add-k
+    * smoothing, `lp(t) = ln((c_t + k) / (N + k·V))`. Low (very negative)
+    * scores mark gibberish / rare-token soup; implausibly high scores
+    * mark boilerplate — both standard cut points for a pre-training
+    * quality gate (sits beside [[qualityFilter]]'s rule gate).
+    *
+    * Scale shape: token counts are one mergeable aggregation over the
+    * exploded corpus; the per-document join is keyed on the term — an
+    * inverted-index join whose volume is the corpus token count, never
+    * corpus². The count table is vocab-sized: broadcast it when the
+    * vocabulary fits (real corpora: millions of terms, a few hundred MB —
+    * usually broadcastable), shuffle-join otherwise. The per-document sum
+    * folds the (term, contribution) list in ascending-term order so the
+    * IEEE double result is identical across partitionings and engines
+    * (same determinism rule as [[graft.operators.Sampling.temperatureMix]]);
+    * the DuckDB oracle replays the fold with `list_reduce` over a
+    * term-ordered list. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     smoothing: Double = 1.0): DataFrame = {
+    val tok = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val cc = tf.groupBy("term").agg(sum("tf").as("c"))
+    val tot = cc.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    tf.join(cc, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", col("tf").cast("double") *
+        log((col("c").cast("double") + lit(smoothing)) /
+            (col("n").cast("double") + lit(smoothing) * col("v").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("__lpsum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__lpsum") / col("n_tokens").cast("double"), 6)
+          .as("avg_logprob"))
+  }
 }

@@ -137,4 +137,39 @@ object Sampling {
             lpad(lower(conv(col("__units").cast("string"), 10, 16)), 4, "0")))
       .drop("__units")
   }
+
+  /** Deterministic GLOBAL SHUFFLE + sharding — the last step before a
+    * corpus ships to training: every row gets a pseudorandom but
+    * reproducible `(shard, pos)`, so N trainer workers each read one
+    * shard in `pos` order and the example order is (a) uncorrelated with
+    * ingest order (no source/time clumping within a batch), (b) identical
+    * across re-runs, engines, and partitionings (seeded md5, no RNG),
+    * and (c) resumable — a checkpoint at (shard, pos) restarts exactly.
+    *
+    * `shard` is the seeded hash's first byte mod `nShards`; `pos` ranks
+    * rows within a shard by the full hash (key as tiebreak — total order
+    * even on hash collisions). Scale shape: ONE hash-partition exchange
+    * on `shard` plus a per-shard sort — `row_number` over a
+    * partitionBy(shard) window is exactly `repartition(shard) +
+    * sortWithinPartitions`, each shard sorts in parallel and nothing
+    * global orders. Pick `nShards` ≥ cluster parallelism so shards stay
+    * executor-sized (100 TB / 4096 shards ≈ 25 GB — a spillable sort).
+    * Engine-portable: the hex→int nibble math is ascii arithmetic the
+    * DuckDB oracle replays verbatim. */
+  def globalShuffle(df: DataFrame, key: Column, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 256,
+      s"nShards must be in 1..256 (one hash byte), got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    def nib(c: Column): Column =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val h = md5(concat_ws(":", lit(seed), key.cast("string")))
+    val shard = pmod(nib(substring(col("__h"), 1, 1)) * 16 +
+      nib(substring(col("__h"), 2, 1)), lit(nShards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("shard", shard.cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -387,6 +387,14 @@ object ExtQueries {
         "doc_id", "text")
     }),
 
+    // train/test split-leakage audit: deterministic hash split (test =
+    // md5 nibble in 0..2, ~19%), then every cross-boundary exact-
+    // fingerprint or near-dup pair — the eval-hygiene twin of d7, with
+    // the split carved from the corpus itself
+    "d22_split_leakage" -> ((s, d) =>
+      TextDedup.splitLeakage(t(s, d, "documents"), "doc_id", "text",
+        testHexDigits = Seq("0", "1", "2"))),
+
     // end-to-end corpus pipeline LINEAGE CENSUS: one row per stage with
     // the surviving doc count (same id<25 benchmark split as d7). This
     // puts the full composed pipeline — quality gate → self-cut → exact →
@@ -543,6 +551,12 @@ object ExtQueries {
     "t20_bm25_topk" -> ((s, d) =>
       TextStats.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
         Seq("hash", "join", "vector"), topK = 20)),
+
+    // corpus-trained unigram LM score per doc (the CCNet-style perplexity
+    // filter with a unigram LM): count aggregation → term-keyed join →
+    // ordered IEEE fold; the oracle replays the training AND the scoring
+    "t21_unigram_logprob" -> ((s, d) =>
+      TextStats.unigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
@@ -1564,6 +1578,35 @@ object ExtQueries {
         |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
 
+    // the hash split, the fingerprint join, and the cross-boundary
+    // Jaccard all replay verbatim (an exact pair is also a near pair —
+    // both rows appear on both engines)
+    "d22_split_leakage" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib
+        |  FROM documents),
+        |fp AS (
+        |  SELECT doc_id, nib,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM base),
+        |exact AS (
+        |  SELECT t.doc_id AS test_id, r.doc_id AS train_id, 'exact' AS kind
+        |  FROM fp t JOIN fp r ON t.f = r.f
+        |  WHERE t.nib IN ('0','1','2') AND r.nib NOT IN ('0','1','2')),
+        |sh AS (
+        |  SELECT doc_id, nib, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, nib, string_split(lower(trim(text)), ' ') AS toks FROM base)),
+        |near AS (
+        |  SELECT t.doc_id AS test_id, r.doc_id AS train_id, 'near' AS kind
+        |  FROM sh t, sh r
+        |  WHERE t.nib IN ('0','1','2') AND r.nib NOT IN ('0','1','2')
+        |    AND CAST(len(list_intersect(t.s, r.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(t.s, r.s))) AS DOUBLE) >= 0.5)
+        |SELECT * FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+        |ORDER BY test_id, train_id, kind""".stripMargin,
+
     "t6_tfidf_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
@@ -1605,6 +1648,27 @@ object ExtQueries {
         |       FROM contrib GROUP BY doc_id),
         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // replays the LM TRAINING (corpus term counts, N, V) and the scoring
+    // (add-1 smoothed ln, tf-weighted) with the per-doc sum folded in
+    // ascending-term order on both engines
+    "t21_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IS NOT NULL AND term <> '' GROUP BY 1, 2),
+        |cc AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n, count(*) AS v FROM cc),
+        |ctr AS (
+        |  SELECT doc_id, term, tf,
+        |    CAST(tf AS DOUBLE) * ln((CAST(c AS DOUBLE) + 1.0) /
+        |      (CAST(n AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp
+        |  FROM tf JOIN cc USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(list_sum(list(lp ORDER BY term)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |    AS avg_logprob
+        |FROM ctr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t8_redacted" ->
       """SELECT doc_id,

@@ -263,6 +263,56 @@ object Streams {
     q.stop()
   }
 
+  /** The COMPOSED streaming ingest — the streaming face of
+    * [[graft.run.RunIngest]]: every micro-batch runs the full screen
+    * chain (bloom+exact → near vs the corpus postings → within-batch
+    * policy → span/chunk cut) via [[graft.ext.IngestPipeline.ingest]]
+    * and lands as one committed state delta, so the settled corpus
+    * grows between micro-batches and a doc near-duplicating an earlier
+    * MICRO-BATCH's survivor is caught, not just exact redeliveries.
+    *
+    * Exactly-once comes from composing Structured Streaming's replay
+    * with RunIngest's idempotent commit log: the epoch id becomes the
+    * `batch_id`, a crash between delta write and checkpoint advance
+    * replays the epoch, and the LOG's already-committed check turns the
+    * replay into a no-op (the same contract the batch driver gives
+    * redelivered batches). State IO is RunIngest's — versioned deltas +
+    * merged bloom sketch — so batch and streaming ingest are
+    * interchangeable mid-stream: bootstrap with the batch driver,
+    * stream for a while, batch again.
+    *
+    * Requires a bootstrapped `stateDir` ([[graft.run.RunIngest]]
+    * `bootstrap`). At cluster scale the per-epoch state load unions
+    * committed deltas — compaction (RunIngest's layout note) bounds the
+    * file count; nothing here rescans settled text. */
+  def fullIngestStream(spark: SparkSession, schema: StructType,
+                       srcDir: String, stateDir: String,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       batchIdPrefix: String = "stream"): Unit = {
+    import graft.run.RunIngest
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val batchId = s"${batchIdPrefix}_$epoch"
+      if (!RunIngest.committedBatchIds(stateDir).contains(batchId)) {
+        val committed = RunIngest.committedVersions(stateDir)
+        require(committed.nonEmpty,
+          s"$stateDir has no bootstrap — run RunIngest bootstrap first")
+        val state = RunIngest.loadState(spark, stateDir, committed)
+        val sketch = RunIngest.loadSketch(stateDir, committed)
+        val result = graft.ext.IngestPipeline.ingest(state, batch,
+          idCol = idCol, textCol = textCol, sketch = sketch)
+        val version = committed.max + 1
+        RunIngest.writeDelta(stateDir, version, result.delta, sketch)
+        RunIngest.commit(stateDir, version, batchId,
+          result.census.map(c => c.stage -> c.docs))
+      }
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Per-fingerprint dedup state: the owning (first-accepted) doc id and
     * how many duplicates have hit it since. */
   final case class FpState(owner_id: Long, n_dups: Long)

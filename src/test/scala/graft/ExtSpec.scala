@@ -1186,4 +1186,50 @@ class ExtSpec extends SparkSpecBase {
     assert(got(1)._3 > 0, "the shared interior block must cost doc 2 tokens")
   }
 
+  test("unigram LM score: common-token docs outscore rare-token soup; identical docs tie") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "zyx qwv jkl pqr xxz vvq"), // six singleton tokens
+      (4L, "the the the the the the")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogProb(toy, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1) == got(2), "identical documents score identically")
+    assert(got(1)._1 == 6, "n_tokens is the whitespace token count")
+    assert(got(4)._2 > got(1)._2 && got(1)._2 > got(3)._2,
+      s"frequent tokens score above mixed above rare soup: $got")
+    // hand check doc 4: N=24 corpus tokens, V=11 distinct, c(the)=10,
+    // every token contributes ln((10+1)/(24+11))
+    val want = math.log(11.0 / 35.0)
+    assert(math.abs(got(4)._2 - want) < 1e-6, s"${got(4)._2} vs $want")
+    // score is invariant to partitioning (the ordered fold, not sum order)
+    val re = TextStats.unigramLogProb(toy.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.forall { case (id, (_, s)) => re(id) == s })
+  }
+
+  test("split leakage: planted cross-boundary duplicate found, clean docs stay silent") {
+    import spark.implicits._
+    def nib(id: Long): Char = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val testId = (1L to 200L).find(i => "012".contains(nib(i))).get
+    val trainId = (1L to 200L).find(i => !"012".contains(nib(i))).get
+    val cleanId = (1L to 200L).filter(i => !"012".contains(nib(i)))
+      .find(_ != trainId).get
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val toy = Seq(
+      (testId, dupText),
+      (trainId, dupText),
+      (cleanId, "completely unrelated vocabulary occupies this document body"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.splitLeakage(toy, "doc_id", "text", Seq("0", "1", "2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((testId, trainId, "exact"), (testId, trainId, "near")),
+      s"exactly the planted pair leaks (as exact AND near): $got")
+  }
+
 }

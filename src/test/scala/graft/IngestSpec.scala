@@ -172,6 +172,41 @@ class IngestSpec extends SparkSpecBase {
     assert(viaFiles == ids(r1.delta.docs) ++ ids(r2.delta.docs),
       "the file-backed driver must land on the in-memory composition")
   }
+
+  test("fullIngestStream: micro-batched ingest equals the batch composition; replays no-op") {
+    val dir = Files.createTempDirectory("graft_sing").toString
+    val corpusP = s"$dir/__corpus.parquet"
+    docs.filter(col("doc_id") < 400).write.parquet(corpusP)
+    RunIngestHarness.run(spark, dir, Seq("bootstrap", corpusP))
+    // two micro-batches, file mod times force the order
+    val srcDir = s"$dir/src"
+    val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val b2 = docs.filter(col("doc_id") >= 450)
+    b1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(_.setLastModified(1000000L))
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles()
+      .filter(_.lastModified() != 1000000L).foreach(_.setLastModified(2000000L))
+    graft.streaming.Streams.fullIngestStream(spark, b1.schema, srcDir, dir)
+    assert(RunIngest.committedVersions(dir) == Seq(0, 1, 2),
+      "each micro-batch commits one state delta")
+    val got = ids(RunIngest.loadState(spark, dir, Seq(0, 1, 2))
+      .docs.filter(col("doc_id") >= 400))
+    // ground truth: the same two batches through the in-memory pipeline
+    // with the stream's defaults (Greedy policy, SpanCut)
+    val state0 = IngestPipeline.bootstrap(docs.filter(col("doc_id") < 400))
+    val r1 = IngestPipeline.ingest(state0, b1)
+    val r2 = IngestPipeline.ingest(IngestPipeline.grow(state0, r1.delta), b2)
+    assert(got == ids(r1.delta.docs) ++ ids(r2.delta.docs),
+      "streamed micro-batches must land on the batch composition")
+    // replaying the whole stream (fresh checkpoint → epochs restart at 0)
+    // hits the commit log's already-committed check: byte-level no-op
+    val logBefore = Files.readAllLines(Paths.get(s"$dir/LOG"))
+    graft.streaming.Streams.fullIngestStream(spark, b1.schema, srcDir, dir)
+    assert(RunIngest.committedVersions(dir) == Seq(0, 1, 2) &&
+      Files.readAllLines(Paths.get(s"$dir/LOG")) == logBefore,
+      "a replayed epoch must be a no-op against the commit log")
+  }
 }
 
 /** Test-only twin of [[RunIngest.main]]'s command dispatch that reuses the

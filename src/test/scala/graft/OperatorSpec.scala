@@ -381,4 +381,34 @@ class OperatorSpec extends SparkSpecBase {
       s"the binned overlap form must plan as an equi join:\n$plan")
   }
 
+  test("global shuffle: total, dense per-shard positions, deterministic, seed-sensitive") {
+    import graft.operators.Sampling
+    val orders = graft.sources.Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey")
+    val n = orders.count()
+    val got = Sampling.globalShuffle(orders, col("o_orderkey"), "s1", 8).cache()
+    assert(got.count() == n, "every row is assigned exactly once")
+    assert(got.select("o_orderkey").distinct().count() == n)
+    val per = got.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(per.length == 8, "all 8 shards are populated")
+    per.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("c"),
+        s"positions are dense 1..count within each shard: $r")
+    }
+    val counts = per.map(_.getAs[Long]("c"))
+    assert(counts.max.toDouble / (n.toDouble / 8) < 1.5,
+      s"hash sharding stays balanced, got ${counts.toSeq}")
+    // identical assignment regardless of input partitioning (no RNG,
+    // no partition-index dependence)
+    val again = Sampling.globalShuffle(orders.repartition(13),
+      col("o_orderkey"), "s1", 8)
+    assert(got.except(again).isEmpty && again.except(got).isEmpty)
+    // a different seed is a different permutation
+    val other = Sampling.globalShuffle(orders, col("o_orderkey"), "s2", 8)
+    assert(got.except(other).count() > 0)
+    got.unpersist()
+  }
+
 }
