@@ -112,6 +112,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // JSONL interchange round trip: documents → newline-delimited JSON →
+    // declared-schema read-back. The oracle is the plain documents
+    // table, so a green hash proves the source/sink pair loses nothing
+    // (escaping, nulls, longs) — the training-data exchange path
+    "s18_jsonl_roundtrip" -> ((s, d) => {
+      import graft.sources.JsonLines
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
+      val docs = t(s, d, "documents")
+      JsonLines.write(docs, dir)
+      JsonLines.read(s, dir, docs.schema)
+    }),
+
     // ---- §2.2 projections / filters ----
     "p1_identifier_normalize" -> ((s, d) => {
       // exercises the normalizer on messy source-style names
@@ -597,6 +609,24 @@ object SparkEntry {
       Sampling.globalShuffle(t(s, d, "orders").select("o_orderkey"),
           col("o_orderkey"), seed = "r8", nShards = 8)
         .select("o_orderkey", "shard", "pos")),
+
+    // token-BUDGET corpus sizing: admit docs per source in seeded-hash
+    // order until ~800 tokens each — how training mixes are actually
+    // sized (doc-count quotas over-weight short-doc sources)
+    "p19_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(
+          t(s, d, "documents").withColumn("n_tok",
+            size(graft.ext.TextStats.tokens(col("text"))).cast("long")),
+          col("doc_id"), "source", col("n_tok"), budget = 800L)
+        .select("doc_id", "source", "n_tok")),
+
+    // epoch-expanded recipe materialization: weights > 1 duplicate whole
+    // strata (2.5 epochs of src0), fractions gate deterministically;
+    // each copy carries an epoch ordinal
+    "p20_upsample_mix" -> ((s, d) =>
+      Sampling.upsampleMix(t(s, d, "documents"), col("doc_id"), "source",
+          Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25, "src3" -> 0.0))
+        .select("doc_id", "source", "epoch")),
 
     // ---- exact percentiles / pivot / ranking breadth ----
     "a11_percentiles" -> ((s, d) =>
@@ -1309,6 +1339,10 @@ object SparkEntry {
         |WHERE l_orderkey BETWEEN 1000 AND 20000 AND l_partkey BETWEEN 200 AND 1200
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // lossless round trip ⇒ the oracle is the untouched source table
+    "s18_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
     "p1_identifier_normalize" ->
       "SELECT r_regionkey AS region_key, r_name AS region_name FROM region ORDER BY region_key",
 
@@ -2015,6 +2049,38 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(shard AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, o_orderkey) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // greedy-prefix budget rule: a doc is admitted iff the cumulative
+    // tokens BEFORE it (md5 order, id tiebreak) are under budget
+    "p19_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum - n_tok < 800 ORDER BY doc_id""".stripMargin,
+
+    // copies = floor(w) + md5-gated fractional unit (0.5 → '8000',
+    // 0.25 → '4000'); each copy numbered by generate_series
+    "p20_upsample_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN source = 'src0'
+        |              AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' THEN 1
+        |            WHEN source = 'src2'
+        |              AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000' THEN 1
+        |            ELSE 0 END) AS copies
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
+        |      FROM c WHERE copies >= 1)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM e
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // identical gate + rank replay; 80 = margin(4) * n(20)
     "p16_exact_stratified" ->

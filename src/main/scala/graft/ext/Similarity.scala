@@ -350,6 +350,29 @@ object Similarity {
     * than boundary exactness. Within-batch near-dups are a separate policy
     * ([[IngestPipeline]]'s AnyPairDrops/Greedy); this screen is
     * batch-vs-stored only, matching its text siblings. */
+  /** Cluster-BALANCED sampling — diversity-aware curation (the sampling
+    * half of the SemDeDup idea): partition the embedding space into
+    * sign-bit LSH cells (deterministic seeded hyperplanes — no k-means
+    * fit, no iteration) and keep exactly `perCell` vectors per populated
+    * cell, ranked by the standard md5 order. A uniform sample keeps the
+    * corpus's density skew — dense regions (boilerplate clusters) keep
+    * dominating; equal-per-cell flattens that, which is the point of
+    * diversity sampling for eval sets and seed corpora. Scale shape:
+    * the cell id is a pure map expression, the quota reuses
+    * [[graft.operators.Sampling.exactStratifiedSample]]'s skew-safe
+    * hash-threshold prefilter + per-cell window — no pairwise anything,
+    * no centroid fit. Bucket ids are engine-specific (hyperplane RNG) →
+    * rows-only gate; quota/determinism/flattening are spec-asserted. */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            bits: Int = 4, perCell: Int = 10,
+                            dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val cells = corpus.withColumn("__cell", lshBucket(asDouble(col(vecCol)), planes))
+    graft.operators.Sampling
+      .exactStratifiedSample(cells, col(idCol), "__cell", perCell)
+      .withColumnRenamed("__cell", "cell")
+  }
+
   def embedIngestScreen(stored: DataFrame, batch: DataFrame, idCol: String,
                         vecCol: String, threshold: Double): DataFrame = {
     val c = corpusFrame(stored, idCol, vecCol)

@@ -275,6 +275,38 @@ object TextStats {
       .select(col(idCol), col("term"), col("rnk"))
   }
 
+  /** Per-document DEFLATE compression ratio — the classic cheap
+    * gibberish/boilerplate detector (used alongside the Gopher rules):
+    * highly repetitive boilerplate compresses far below normal prose,
+    * while random/encoded soup stays near (or above) 1.0, so both tails
+    * of the ratio distribution are drop candidates. No built-in or
+    * Catalyst expression exposes a compressor, so this is a
+    * `mapPartitions` over the JDK `Deflater` — the same justified-JDK
+    * shape as [[Multimodal]]'s codec work: shuffle-free, one reused
+    * compressor per partition (not per row), linear in corpus bytes.
+    * Engine-specific output (zlib heuristics) → rows-only gate; the
+    * ordering/bounds properties are spec-asserted. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(bytes); deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n,
+            if (bytes.length == 0) 1.0 else n.toDouble / bytes.length)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflate", "ratio")
+  }
+
   /** Corpus-trained unigram language-model score per document — the
     * CCNet-style "perplexity filter" primitive, with a unigram LM in
     * place of the 5-gram KenLM (no model artifacts exist in this

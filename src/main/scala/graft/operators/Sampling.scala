@@ -138,6 +138,59 @@ object Sampling {
       .drop("__units")
   }
 
+  /** Token-BUDGET sampling: admit documents per stratum, in seeded-hash
+    * order, until the stratum's token budget is exhausted — "give me
+    * ~2B tokens per source" is how training mixes are actually sized
+    * (doc-count quotas over-weight short-doc sources). Greedy prefix
+    * rule: a doc is admitted iff the tokens admitted BEFORE it (in md5
+    * order, key tiebreak) are still under budget, so the budget
+    * overshoots by at most one document and the admitted set is a
+    * PREFIX — shrinking the budget can only shrink the sample, and two
+    * engines replaying the same hash order land on the identical set.
+    * One cumulative-sum window per stratum (each stratum sorts in
+    * parallel, nothing global); the same shuffle the export step needs
+    * anyway. `tokensCol` is any per-row token count (e.g.
+    * `size(TextStats.tokens(text))`). */
+  def tokenBudgetSample(df: DataFrame, key: Column, stratumCol: String,
+                        tokensCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__cum", sum(tokensCol).over(w))
+      .filter(col("__cum") - tokensCol < lit(budget))
+      .drop("__cum")
+  }
+
+  /** Epoch-expanded UPSAMPLING mix — the other half of recipe
+    * construction ([[weightedMix]] handles weights ≤ 1): a stratum with
+    * weight w > 1 is materialized ⌊w⌋ full times plus a deterministic
+    * md5-gated slice for the fractional remainder, each copy tagged
+    * with an `epoch` ordinal (so downstream shuffling/sharding can keep
+    * copies apart and dedup-by-(key, epoch) stays exact). This is the
+    * standard "2.5 epochs of Wikipedia, 0.3 of CommonCrawl" recipe
+    * materialization. Pure map + explode — no shuffle at any scale; the
+    * gate is the same engine-portable 1/65536 md5 threshold as
+    * [[weightedMix]], so expected volume is Σ_s n_s·w_s exactly. */
+  def upsampleMix(df: DataFrame, key: Column, stratumCol: String,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 100.0),
+      "weights must be in [0, 100]")
+    val wcol = weights.foldLeft(lit(0.0)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    val fullCopies = floor(wcol).cast("long")
+    val units = round((wcol - floor(wcol)) * 65536.0).cast("long")
+    val gated = substring(md5(key.cast("string")), 1, 4) <
+      lpad(lower(conv(units.cast("string"), 10, 16)), 4, "0")
+    val copies = fullCopies +
+      when(units >= 65536L, 1L).otherwise(when(units > 0L && gated, 1L).otherwise(0L))
+    df.withColumn("__copies", copies)
+      .withColumn("epoch",
+        explode(when(col("__copies") >= 1L,
+          sequence(lit(1L), col("__copies"))).otherwise(array())))
+      .drop("__copies")
+  }
+
   /** Deterministic GLOBAL SHUFFLE + sharding — the last step before a
     * corpus ships to training: every row gets a pseudorandom but
     * reproducible `(shard, pos)`, so N trainer workers each read one

@@ -558,6 +558,20 @@ object ExtQueries {
     "t21_unigram_logprob" -> ((s, d) =>
       TextStats.unigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
+    // DEFLATE ratio per doc — the cheap boilerplate/gibberish detector;
+    // zlib output is engine-specific → rows-only (ExtSpec asserts the
+    // ordering and bounds the ratios)
+    "t22_compress_ratio" -> ((s, d) =>
+      TextStats.compressionRatio(t(s, d, "documents"), "doc_id", "text")),
+
+    // diversity sampling: exactly-N per LSH cell of the embedding space —
+    // flattens density skew instead of reproducing it; hyperplane RNG is
+    // engine-specific → rows-only (ExtSpec asserts quota/flattening)
+    "e11_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(t(s, d, "embeddings"),
+          "vec_id", "embedding", bits = 4, perCell = 10)
+        .select("vec_id", "cell")),
+
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
       val emb = t(s, d, "embeddings")

@@ -1209,6 +1209,50 @@ class ExtSpec extends SparkSpecBase {
     assert(got.forall { case (id, (_, s)) => re(id) == s })
   }
 
+  test("cluster-balanced sample: exact per-cell quota, covers every cell, flattens skew") {
+    val got = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      bits = 3, perCell = 5).cache()
+    // recompute the cell partition the sampler used
+    val planes = Similarity.hyperplanes(64, 3, 42L)
+    val cells = emb.withColumn("cell",
+      Similarity.lshBucket(col("embedding").cast("array<double>"), planes))
+    val full = cells.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val samp = got.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(samp.keySet == full.keySet, "every populated cell is represented")
+    samp.foreach { case (c, n) =>
+      assert(n == math.min(5L, full(c)), s"cell $c quota: $n of ${full(c)}")
+    }
+    // the point of the op: sampled counts are flatter than the corpus's
+    assert(samp.values.max - samp.values.min <= full.values.max - full.values.min)
+    val again = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      bits = 3, perCell = 5)
+    assert(got.select("vec_id").except(again.select("vec_id")).isEmpty,
+      "deterministic: identical reruns keep identical vectors")
+    got.unpersist()
+  }
+
+  test("compression ratio: repetitive < prose < random, byte counts exact, deterministic") {
+    import spark.implicits._
+    val rep = ("spam " * 200).trim
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "wanders home through quiet autumn streets before supper ") * 10
+    val rand = new scala.util.Random(42).alphanumeric.take(2000).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, rand)).toDF("doc_id", "text")
+    val rows = TextStats.compressionRatio(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(1)._1 == rep.getBytes("UTF-8").length.toLong,
+      "n_bytes is the exact UTF-8 byte count")
+    assert(rows(1)._3 < rows(2)._3 && rows(2)._3 < rows(3)._3,
+      s"repetition compresses below prose below randomness: $rows")
+    assert(rows(1)._3 > 0.0 && rows(3)._3 < 1.2, s"ratios stay plausible: $rows")
+    val again = TextStats.compressionRatio(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.forall { case (id, (_, _, ratio)) => again(id) == ratio },
+      "the JDK deflater is deterministic for identical input")
+  }
+
   test("split leakage: planted cross-boundary duplicate found, clean docs stay silent") {
     import spark.implicits._
     def nib(id: Long): Char = {

@@ -411,4 +411,53 @@ class OperatorSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("token-budget sample: greedy prefix per stratum, bounded overshoot, monotone") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+    def sample(b: Long) =
+      Sampling.tokenBudgetSample(docs, col("doc_id"), "source", col("n_tok"), b)
+    val s1 = sample(500L).cache()
+    // overshoot is bounded by one document: dropping the last admitted
+    // doc must bring every stratum back under budget
+    s1.groupBy("source")
+      .agg(sum("n_tok").as("s"), max("n_tok").as("m")).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("s") - r.getAs[Long]("m") < 500L,
+          s"stratum over budget even without its last doc: $r")
+      }
+    // admitted sets are PREFIXES: a smaller budget is a subset of a larger
+    val s2 = sample(2000L)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty,
+      "budget 500 sample must be a subset of budget 2000")
+    // a budget beyond the corpus admits everything
+    assert(sample(100000000L).count() == docs.count())
+    s1.unpersist()
+  }
+
+  test("upsample mix: integer weights duplicate exactly, epochs tag copies, fractions gate") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.upsampleMix(docs, col("doc_id"), "source",
+      Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 0.0)).cache()
+    val bySrc = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 2 * full("src0"), "weight 2.0 is exactly two copies")
+    assert(!bySrc.contains("src2"), "weight 0.0 drops the stratum")
+    assert(!bySrc.keys.exists(_ == "src3"), "unmapped strata are dropped")
+    val rate = bySrc("src1").toDouble / full("src1")
+    assert(rate > 0.35 && rate < 0.65, s"weight 0.5 keeps about half, got $rate")
+    // (key, epoch) is unique and epochs are dense 1..copies
+    assert(got.groupBy("doc_id", "epoch").count().filter(col("count") > 1).isEmpty)
+    val epochs = got.filter(col("source") === "src0").groupBy("doc_id")
+      .agg(sort_array(collect_list("epoch")).as("e"))
+      .select("e").distinct().collect()
+    assert(epochs.length == 1 && epochs(0).getSeq[Long](0) == Seq(1L, 2L),
+      "every src0 doc carries exactly epochs [1, 2]")
+    got.unpersist()
+  }
+
 }

@@ -93,4 +93,30 @@ class SchemaDriftSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll
     val e = intercept[IllegalArgumentException](Tables.events(spark, asString))
     assert(e.getMessage.contains("unsupported encoding"))
   }
+
+  test("JSONL source: FAILFAST throws on a corrupt line, PERMISSIVE quarantines it") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import graft.sources.JsonLines
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "good line"}""",
+        """{"doc_id": oops not json""",
+        """{"doc_id": 3, "text": "another good line"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // default: the corrupt line is a loud failure, not a silent null row
+    intercept[org.apache.spark.SparkException] {
+      JsonLines.read(spark, dir, schema).collect()
+    }
+    // opt-in quarantine: the corrupt line lands in _corrupt_record intact
+    val rows = JsonLines.read(spark, dir,
+        schema.add(StructField("_corrupt_record", StringType)),
+        mode = "PERMISSIVE").cache()
+    assert(rows.filter(col("_corrupt_record").isNotNull).count() == 1)
+    val good = rows.filter(col("_corrupt_record").isNull)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(good.toSet == Set((1L, "good line"), (3L, "another good line")))
+    rows.unpersist()
+  }
 }
