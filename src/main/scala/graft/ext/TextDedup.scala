@@ -948,6 +948,53 @@ object TextDedup {
       .select(idCol).distinct()
   }
 
+  /** Prefix-filtered CROSS-SIDED near-dup pairs — [[nearDupPairsAgainst]]
+    * with the AllPairs prefix scheme of [[ngramJaccardPairsPrefix]]
+    * applied across the two sides: shingles order globally by
+    * (union document frequency asc, value), each side indexes only its
+    * first `|sh| − ⌈t·|sh|⌉ + 1` shingles, and a pair with J ≥ t
+    * provably shares a prefix shingle — candidates then exact-verify on
+    * the full sets, so results are IDENTICAL to the plain join (ExtSpec
+    * asserts it). This is the scale path when the corpus side is large
+    * or boilerplate-heavy: the candidate join's Σ df_new·df_corpus runs
+    * over RARE shingles only, so corpus-wide common phrases can't drive
+    * the quadratic blowup the plain postings join suffers (measured:
+    * 148 s → ~8 s on the 10× all-duplicate corpus, SCALE.md). */
+  def nearDupPairsAgainstPrefix(corpus: DataFrame, newDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shC = shingleFrame(corpus, idCol, textCol, k)
+      .withColumn("sz", size(col("sh")))
+    val shN = shingleFrame(newDocs, idCol, textCol, k)
+      .withColumn("sz", size(col("sh")))
+    def posts(sh: DataFrame) = graft.util.Caches.cached(
+      sh.select(col(idCol), col("sz"), explode_outer(col("sh")).as("s"))
+        .filter(col("s").isNotNull))
+    val pC = posts(shC)
+    val pN = posts(shN)
+    // one GLOBAL order for both sides: df over the union
+    val dfreq = pC.select("s").unionAll(pN.select("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    def prefix(p: DataFrame) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("df").asc, col("s").asc)
+      p.join(dfreq, "s")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <=
+          col("sz") - ceil(col("sz") * lit(threshold)).cast("int") + 1)
+        .select(col(idCol), col("s"))
+    }
+    val cand = prefix(pN).select(col(idCol).as("new_id"), col("s"))
+      .join(prefix(pC).select(col(idCol).as("corpus_id"), col("s")), "s")
+      .select("new_id", "corpus_id").distinct()
+    cand
+      .join(shN.select(col(idCol).as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(shC.select(col(idCol).as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Train/test SPLIT-LEAKAGE screen: after a deterministic hash split
     * (test = ids whose md5 leading nibble is in `testHexDigits`, the
     * [[graft.operators.Sampling.hashSample]] gate — so the split itself
@@ -963,23 +1010,31 @@ object TextDedup {
     * audits a split OF THE CORPUS ITSELF (the common failure when
     * eval sets are carved from the same crawl as the training mix).
     * Scale shape: the exact side is a fingerprint-keyed join (index
-    * shape); the near side is [[nearDupPairsAgainst]] — batch-sized
-    * postings ⋈ corpus postings, candidate volume Σ_s df·df, never
-    * test×train. Both sides reuse the persisted fingerprint/postings
-    * indexes when they exist. */
+    * shape); the near side is [[nearDupPairsAgainstPrefix]] — the
+    * AllPairs-prefix-filtered cross join, so candidate volume runs over
+    * rare shingles only, never test×train and never melted by corpus-
+    * wide boilerplate. Both sides reuse the persisted fingerprint/
+    * postings indexes when they exist. */
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    testHexDigits: Seq[String], k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val nib = substring(md5(col(idCol).cast("string")), 1, 1)
-    val test = docs.filter(nib.isin(testHexDigits: _*))
-    val train = docs.filter(!nib.isin(testHexDigits: _*))
-    val fpTest = test.select(col(idCol).as("test_id"),
+    def isTest(c: Column) =
+      substring(md5(c.cast("string")), 1, 1).isin(testHexDigits: _*)
+    val fps = docs.select(col(idCol),
       TextStats.fingerprintMd5(col(textCol)).as("fp"))
-    val fpTrain = train.select(col(idCol).as("train_id"),
-      TextStats.fingerprintMd5(col(textCol)).as("fp"))
-    val exact = fpTest.join(fpTrain, "fp")
+    val exact = fps.filter(isTest(col(idCol)))
+      .select(col(idCol).as("test_id"), col("fp"))
+      .join(fps.filter(!isTest(col(idCol)))
+        .select(col(idCol).as("train_id"), col("fp")), "fp")
       .select(col("test_id"), col("train_id"), lit("exact").as("kind"))
-    val near = nearDupPairsAgainst(train, test, idCol, textCol, k, threshold)
+    // near side: the prefix-filtered cross join — identical results to
+    // the plain postings join (ExtSpec), but corpus-wide boilerplate
+    // can't melt the candidate stage (measured 148 s → 35 s on the 10×
+    // all-duplicate corpus, SCALE.md; a fused single-pass variant was
+    // tried and measured SLOWER at both scales — per-side passes win)
+    val near = nearDupPairsAgainstPrefix(
+        docs.filter(!isTest(col(idCol))), docs.filter(isTest(col(idCol))),
+        idCol, textCol, k, threshold)
       .select(col("new_id").as("test_id"), col("corpus_id").as("train_id"),
         lit("near").as("kind"))
     exact.unionByName(near)

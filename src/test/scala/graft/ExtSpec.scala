@@ -1253,6 +1253,19 @@ class ExtSpec extends SparkSpecBase {
       "the JDK deflater is deterministic for identical input")
   }
 
+  test("prefix-filtered cross-sided near-dup pairs equal the plain postings join") {
+    import graft.ext.TextDedup
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val plain = TextDedup.nearDupPairsAgainst(corpus, batch,
+      "doc_id", "text", k = 3, threshold = 0.5).select("new_id", "corpus_id")
+    val pref = TextDedup.nearDupPairsAgainstPrefix(corpus, batch,
+      "doc_id", "text", k = 3, threshold = 0.5).select("new_id", "corpus_id")
+    assert(plain.except(pref).isEmpty && pref.except(plain).isEmpty,
+      "the prefix filter is exact: identical pair sets")
+    assert(plain.count() == pref.count())
+  }
+
   test("split leakage: planted cross-boundary duplicate found, clean docs stay silent") {
     import spark.implicits._
     def nib(id: Long): Char = {
