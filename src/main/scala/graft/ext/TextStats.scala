@@ -275,6 +275,45 @@ object TextStats {
       .select(col(idCol), col("term"), col("rnk"))
   }
 
+  /** DATA CARD: the per-source composition-and-identity report a
+    * dataset release ships — docs, tokens, token share, distinct
+    * fingerprints, and a CONTENT HASH that identifies the exact
+    * multiset of documents (so "did anything change since the last
+    * release?" is one row compare, and two independently-built mixes
+    * can prove byte-equivalence without diffing text).
+    *
+    * The content hash must be order-insensitive (no global sort),
+    * mergeable (partial aggregates combine), and duplicate-sensitive
+    * (adding a copy of an existing doc MUST change it — a plain xor of
+    * per-doc hashes is blind to even multiplicities). Construction:
+    * group (source, fingerprint) → count, hash the (fingerprint, count)
+    * pair to 60 bits, then `bit_xor` the per-fingerprint terms. Both
+    * stages are ordinary mergeable aggregations — no collect_list, no
+    * driver state, engine-portable (the DuckDB oracle replays the exact
+    * bits via `CAST('0x…' AS BIGINT)` + `bit_xor`). */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               stratumCol: String): DataFrame = {
+    val base = docs.select(col(stratumCol),
+      fingerprintMd5(col(textCol)).as("fp"),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val perFp = base.groupBy(col(stratumCol), col("fp"))
+      .agg(count(lit(1)).as("cnt"), sum("n_tok").as("toks"))
+      .withColumn("term",
+        conv(substring(md5(concat_ws(":", col("fp"), col("cnt"))), 1, 15),
+          16, 10).cast("long"))
+    val tot = perFp.agg(sum("toks").as("corpus_tokens"))
+    perFp.groupBy(col(stratumCol))
+      .agg(sum("cnt").as("docs"), sum("toks").as("tokens"),
+        count(lit(1)).as("distinct_fps"),
+        expr("bit_xor(term)").as("content_hash"))
+      .crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        round(col("tokens").cast("double") /
+          col("corpus_tokens").cast("double"), 6))
+      .select(col(stratumCol), col("docs"), col("tokens"),
+        col("distinct_fps"), col("content_hash"), col("token_share"))
+  }
+
   /** Per-document DEFLATE compression ratio — the classic cheap
     * gibberish/boilerplate detector (used alongside the Gopher rules):
     * highly repetitive boilerplate compresses far below normal prose,

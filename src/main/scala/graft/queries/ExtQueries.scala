@@ -564,6 +564,12 @@ object ExtQueries {
     "t22_compress_ratio" -> ((s, d) =>
       TextStats.compressionRatio(t(s, d, "documents"), "doc_id", "text")),
 
+    // per-source data card: composition counts + a mergeable orderless
+    // duplicate-sensitive content hash — the release-identity report;
+    // the oracle replays the exact 60-bit xor construction
+    "c4_data_card" -> ((s, d) =>
+      TextStats.dataCard(t(s, d, "documents"), "doc_id", "text", "source")),
+
     // diversity sampling: exactly-N per LSH cell of the embedding space —
     // flattens density skew instead of reproducing it; hyperplane RNG is
     // engine-specific → rows-only (ExtSpec asserts quota/flattening)
@@ -1662,6 +1668,31 @@ object ExtQueries {
         |       FROM contrib GROUP BY doc_id),
         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
         |SELECT doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+    // replays the 60-bit term construction and the xor fold bit-exactly
+    "c4_data_card" ->
+      """WITH base AS (
+        |  SELECT source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pf AS (
+        |  SELECT source, fp, COUNT(*) AS cnt, SUM(n_tok) AS toks
+        |  FROM base GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, cnt, toks,
+        |    CAST('0x' || substring(md5(fp || ':' || CAST(cnt AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS term
+        |  FROM pf),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS corpus_tokens FROM pf)
+        |SELECT source, CAST(SUM(cnt) AS BIGINT) AS docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_fps,
+        |  bit_xor(term) AS content_hash,
+        |  round(CAST(SUM(toks) AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6)
+        |    AS token_share
+        |FROM t CROSS JOIN tot GROUP BY source, corpus_tokens
+        |ORDER BY source""".stripMargin,
 
     // replays the LM TRAINING (corpus term counts, N, V) and the scoring
     // (add-1 smoothed ln, tf-weighted) with the per-doc sum folded in

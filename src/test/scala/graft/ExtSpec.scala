@@ -1233,6 +1233,31 @@ class ExtSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("data card: content hash is partition-invariant and duplicate-sensitive") {
+    import spark.implicits._
+    def card(df: org.apache.spark.sql.DataFrame) =
+      TextStats.dataCard(df, "doc_id", "text", "source").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val a = Seq((1L, "alpha beta gamma", "s"), (2L, "delta epsilon zeta", "s"))
+      .toDF("doc_id", "text", "source")
+    val ca = card(a)
+    assert(ca("s")._1 == 2 && ca("s")._3 == 2)
+    // partitioning must not move the hash (mergeable orderless aggregate)
+    assert(card(a.repartition(7)) == ca)
+    // adding a COPY of an existing doc must change the hash — the xor
+    // terms embed multiplicity, so even counts cannot cancel out
+    val b = a.unionByName(
+      Seq((3L, "alpha beta gamma", "s")).toDF("doc_id", "text", "source"))
+    val cb = card(b)
+    assert(cb("s")._1 == 3 && cb("s")._3 == 2, "copy adds a doc, not a fingerprint")
+    assert(cb("s")._4 != ca("s")._4, "duplicate multiplicity must move the hash")
+    // different content, same counts → different hash
+    val c = Seq((1L, "alpha beta gamma", "s"), (2L, "other words here", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(card(c)("s")._4 != ca("s")._4)
+  }
+
   test("compression ratio: repetitive < prose < random, byte counts exact, deterministic") {
     import spark.implicits._
     val rep = ("spam " * 200).trim
