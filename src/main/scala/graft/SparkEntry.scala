@@ -2050,18 +2050,23 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, o_orderkey) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
 
-    // greedy-prefix budget rule: a doc is admitted iff the cumulative
-    // tokens BEFORE it (md5 order, id tiebreak) are under budget
+    // greedy-prefix budget rule behind the token-weighted skew gate
+    // (identical gate + cumsum replay; 3200 = margin(4) * budget(800))
     "p19_token_budget" ->
       """WITH d AS (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
         |    md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents),
+        |st AS (SELECT source, SUM(n_tok) AS stoks FROM d GROUP BY 1),
+        |g AS (
+        |  SELECT d.*, least(65536, CAST(ceil(65536.0 * 3200 / stoks) AS BIGINT)) AS t
+        |  FROM d JOIN st USING (source)),
+        |f AS (SELECT * FROM g WHERE t >= 65536 OR substr(h, 1, 4) < printf('%04x', t)),
         |c AS (
         |  SELECT doc_id, source, n_tok,
         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
-        |  FROM d)
+        |  FROM f)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - n_tok < 800 ORDER BY doc_id""".stripMargin,
 

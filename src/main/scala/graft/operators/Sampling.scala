@@ -147,18 +147,35 @@ object Sampling {
     * overshoots by at most one document and the admitted set is a
     * PREFIX — shrinking the budget can only shrink the sample, and two
     * engines replaying the same hash order land on the identical set.
-    * One cumulative-sum window per stratum (each stratum sorts in
-    * parallel, nothing global); the same shuffle the export step needs
-    * anyway. `tokensCol` is any per-row token count (e.g.
+    *
+    * Skew guard ([[exactStratifiedSample]]'s scheme, token-weighted): a
+    * naive per-stratum window ships a WHOLE low-cardinality stratum to
+    * one task. The hash-threshold prefilter keeps each stratum's
+    * expected `margin`·budget leading tokens (threshold from one
+    * mergeable token-total aggregate, broadcast back), and the
+    * cumulative-sum window ranks only that sliver. The admitted set is
+    * a hash-prefix and the gate keeps a hash-prefix superset, so gated
+    * ≡ ungated whenever the sliver's tokens cover the budget —
+    * `margin`-fold headroom makes that a Chernoff-tail certainty at any
+    * real stratum size, and at toy sizes the threshold saturates to
+    * keep-everything. `tokensCol` is any per-row token count (e.g.
     * `size(TextStats.tokens(text))`). */
   def tokenBudgetSample(df: DataFrame, key: Column, stratumCol: String,
-                        tokensCol: Column, budget: Long): DataFrame = {
+                        tokensCol: Column, budget: Long,
+                        margin: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(key.cast("string")), key)
-    df.withColumn("__cum", sum(tokensCol).over(w))
+    val h = md5(key.cast("string"))
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(tokensCol).as("__stoks"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h, key)
+    df.join(broadcast(totals), Seq(stratumCol))
+      .withColumn("__t", least(lit(65536L),
+        ceil(lit(65536.0 * margin * budget) / col("__stoks"))))
+      .filter(col("__t") >= 65536L ||
+        substring(h, 1, 4) < lpad(lower(conv(col("__t").cast("string"), 10, 16)), 4, "0"))
+      .withColumn("__cum", sum(tokensCol).over(w))
       .filter(col("__cum") - tokensCol < lit(budget))
-      .drop("__cum")
+      .drop("__stoks", "__t", "__cum")
   }
 
   /** Epoch-expanded UPSAMPLING mix — the other half of recipe

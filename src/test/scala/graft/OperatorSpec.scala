@@ -434,6 +434,23 @@ class OperatorSpec extends SparkSpecBase {
     // a budget beyond the corpus admits everything
     assert(sample(100000000L).count() == docs.count())
     s1.unpersist()
+    // gate-ACTIVE regime (threshold < 65536): the skew prefilter must not
+    // change the admitted set — compare against the ungated plain rule
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, "s", 7L + i % 8))
+      .toDF("doc_id", "stratum", "n_tok")
+    val gated = Sampling.tokenBudgetSample(big, col("doc_id"), "stratum",
+      col("n_tok"), 300L)
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val plain = big.withColumn("__cum", sum(col("n_tok")).over(w))
+      .filter(col("__cum") - col("n_tok") < 300L).drop("__cum")
+    assert(gated.select("doc_id").except(plain.select("doc_id")).isEmpty &&
+      plain.select("doc_id").except(gated.select("doc_id")).isEmpty,
+      "gated must equal the ungated greedy prefix when the threshold is active")
+    assert(gated.count() > 20 && gated.count() < 60,
+      s"budget 300 over ~10-token docs admits ~30, got ${gated.count()}")
   }
 
   test("upsample mix: integer weights duplicate exactly, epochs tag copies, fractions gate") {

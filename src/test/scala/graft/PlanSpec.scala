@@ -202,4 +202,34 @@ class PlanSpec extends SparkSpecBase {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("p20 upsample mix is shuffle-free (pure map + explode)") {
+    val p = planOf(q("p20_upsample_mix"))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty,
+      s"recipe materialization must not exchange anything, found: $shuffles")
+  }
+
+  test("p18 global shuffle is exactly one exchange (the shard partition)") {
+    val p = planOf(q("p18_global_shuffle"))
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 1,
+      s"one hash exchange on shard, then per-shard sorts: $shuffles")
+  }
+
+  test("c4 data card aggregates partially (map-side combine on both stages)") {
+    val p = planOf(q("c4_data_card"))
+    val s = p.toString
+    assert(s.contains("partial_bit_xor") || s.contains("partial_xor"),
+      s"the xor fold must have a partial (map-side) stage:\n$s")
+    assert(s.contains("partial_count") && s.contains("partial_sum"),
+      "the count/sum aggregates must combine map-side")
+  }
+
+  test("t21 unigram LM broadcasts the totals and never explodes a cartesian") {
+    val p = planOf(SparkEntry.queries("t21_unigram_logprob")(spark, sfDir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      "the 1-row totals frame must broadcast, not cartesian")
+  }
 }
