@@ -334,22 +334,6 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** Incremental EMBEDDING ingest screen: the e-family analogue of
-    * [[TextDedup]]'s d14/d15 text screens. Returns the batch ids with NO
-    * stored vector at cosine >= `threshold` — the rows an ingest step may
-    * accept into the corpus.
-    *
-    * Scale shape: the stored corpus is scanned ONCE and never shuffled;
-    * the (small, per-step) batch rides as the broadcast side of a
-    * nested-loop join whose condition is the codegen'd dot product, so
-    * candidate work is O(N·B) with B bounded by the ingest batch size —
-    * the same batch-pays/corpus-rests economics as every d1x screen. The
-    * id-distinct and anti join shuffle only batch ids. Exact by
-    * construction (every stored×batch pair is scored); swap the corpus
-    * side for [[VectorIndex]] probed cells when batch latency matters more
-    * than boundary exactness. Within-batch near-dups are a separate policy
-    * ([[IngestPipeline]]'s AnyPairDrops/Greedy); this screen is
-    * batch-vs-stored only, matching its text siblings. */
   /** Cluster-BALANCED sampling — diversity-aware curation (the sampling
     * half of the SemDeDup idea): partition the embedding space into
     * sign-bit LSH cells (deterministic seeded hyperplanes — no k-means
@@ -373,6 +357,22 @@ object Similarity {
       .withColumnRenamed("__cell", "cell")
   }
 
+  /** Incremental EMBEDDING ingest screen: the e-family analogue of
+    * [[TextDedup]]'s d14/d15 text screens. Returns the batch ids with NO
+    * stored vector at cosine >= `threshold` — the rows an ingest step may
+    * accept into the corpus.
+    *
+    * Scale shape: the stored corpus is scanned ONCE and never shuffled;
+    * the (small, per-step) batch rides as the broadcast side of a
+    * nested-loop join whose condition is the codegen'd dot product, so
+    * candidate work is O(N·B) with B bounded by the ingest batch size —
+    * the same batch-pays/corpus-rests economics as every d1x screen. The
+    * id-distinct and anti join shuffle only batch ids. Exact by
+    * construction (every stored×batch pair is scored); swap the corpus
+    * side for [[VectorIndex]] probed cells when batch latency matters more
+    * than boundary exactness. Within-batch near-dups are a separate policy
+    * ([[IngestPipeline]]'s AnyPairDrops/Greedy); this screen is
+    * batch-vs-stored only, matching its text siblings. */
   def embedIngestScreen(stored: DataFrame, batch: DataFrame, idCol: String,
                         vecCol: String, threshold: Double): DataFrame = {
     val c = corpusFrame(stored, idCol, vecCol)

@@ -1013,8 +1013,10 @@ object TextDedup {
     * shape); the near side is [[nearDupPairsAgainstPrefix]] — the
     * AllPairs-prefix-filtered cross join, so candidate volume runs over
     * rare shingles only, never test×train and never melted by corpus-
-    * wide boilerplate. Both sides reuse the persisted fingerprint/
-    * postings indexes when they exist. */
+    * wide boilerplate. This audit recomputes fingerprints and shingles
+    * from the docs frame (the split is data-dependent, so no persisted
+    * per-side index exists); within one session the shingle frames ride
+    * the [[graft.util.Caches]] registry alongside the d-family ops. */
   def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
                    testHexDigits: Seq[String], k: Int = 3,
                    threshold: Double = 0.5): DataFrame = {

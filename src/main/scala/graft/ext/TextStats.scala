@@ -333,6 +333,11 @@ object TextStats {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
+        // release the native zlib buffers when the task ends — GC
+        // finalization is too late on long-lived executors chewing
+        // thousands of partitions (off-heap leak, heap looks healthy)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val bytes = Option(text).getOrElse("").getBytes("UTF-8")

@@ -92,11 +92,21 @@ object VectorIndex {
     * cell directories — growth touches only the batch; stored cells gain
     * files, never rewrite. Centroids stay frozen, so a grown index and an
     * index built on the union corpus rank identically under a full probe
-    * (VectorIndexSpec pins this). */
+    * (VectorIndexSpec pins this). The payload column set is NOT a
+    * parameter: it is read from the stored assignments schema, so grown
+    * rows always carry exactly the columns [[build]] declared — a batch
+    * missing one fails loudly here instead of silently appending files
+    * whose null payload would exclude every grown vector from any later
+    * hybrid-search predicate. */
   def grow(spark: SparkSession, dir: String, batch: DataFrame,
-           idCol: String, vecCol: String, payload: Seq[String] = Nil): IvfIndex = {
+           idCol: String, vecCol: String): IvfIndex = {
     val idx = load(spark, dir)
-    withCell(normalized(batch, idCol, vecCol, payload), idx.centroids)
+    val stored = idx.assignments.schema.fieldNames.toSeq
+      .filterNot(Set("n_id", "n_vec", "n_norm", "cell"))
+    val missing = stored.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"index at $dir stores payload columns $stored; the batch lacks $missing")
+    withCell(normalized(batch, idCol, vecCol, stored), idx.centroids)
       .write.partitionBy("cell").mode("append").parquet(s"$dir/assignments")
     load(spark, dir)
   }

@@ -158,9 +158,16 @@ object RunIngest {
     delta.docs.count()
   }
 
-  /** Append the LOG line that makes `version` live. */
+  /** Append the LOG line that makes `version` live. `batchId` is
+    * restricted to a JSON-inert charset — an id with a quote or
+    * backslash would corrupt the flat LOG line and silently break the
+    * redelivery-is-a-no-op contract (the committed id would re-parse
+    * differently), so reject it loudly instead of escaping. */
   def commit(stateDir: String, version: Int, batchId: String,
              counts: Seq[(String, Long)]): Unit = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"batch id must match [A-Za-z0-9._-]+, got '$batchId'")
     val fields = Seq(s""""version":$version""", s""""batch_id":"$batchId"""") ++
       counts.map { case (k, v) => s""""$k":$v""" }
     Files.write(Paths.get(s"$stateDir/LOG"),

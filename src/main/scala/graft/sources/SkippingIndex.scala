@@ -120,6 +120,7 @@ object SkippingIndex {
     * queried column PROVES disjointness (`max < lo || min > hi`).
     * Returns the surviving file names (relative, as indexed). */
   def pruneFiles(stats: DataFrame, ranges: Seq[ColRange]): DataFrame = {
+    if (ranges.isEmpty) return stats.select("file").distinct()
     val excluded = ranges.map { r =>
       stats.filter(col("column") === r.column &&
           col("min_v").isNotNull && col("max_v").isNotNull &&
@@ -168,11 +169,18 @@ object SkippingIndex {
                  index: Option[Manifest] = None): DataFrame = {
     val m = index.getOrElse(manifest(spark, dir, ranges.map(_.column)))
     val keep = m.survivors(ranges).toSet
+    val indexed = m.files.toSet
     val all = listParquet(spark, dir)
-    val paths = all.filter(p => keep(new Path(p).getName))
+    // conservative at FILE granularity too: a file the manifest has never
+    // seen (appended/compacted after the index was built) must be KEPT —
+    // excluding it would anti-conservatively lose rows from a stale index
+    val paths = all.filter { p =>
+      val name = new Path(p).getName
+      keep(name) || !indexed(name)
+    }
     val residual = ranges.map(r =>
       col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi))
-      .reduce(_ && _)
+      .reduceOption(_ && _).getOrElse(lit(true))
     if (paths.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
     else if (paths.size == all.size)

@@ -126,5 +126,22 @@ class LayoutSpec extends SparkSpecBase {
     assert(stats.filter(col("min_v").isNotNull).count() == 0)
     val kept = SkippingIndex.pruneFiles(stats, Seq(ColRange("l_returnflag", 0, 1))).count()
     assert(kept == 16, s"non-numeric stats must keep all files, kept $kept")
+    // and an empty range list is "no pruning", not a crash
+    assert(SkippingIndex.pruneFiles(stats, Seq.empty).count() == 16)
+  }
+
+  test("a STALE manifest keeps files it has never seen (appends cannot lose rows)") {
+    val dir = Files.createTempDirectory("graft_stale").toString
+    (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val m = SkippingIndex.manifest(spark, dir, Seq("k"))
+    // the table grows AFTER the index was built
+    (5001L to 5100L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val ranges = Seq(ColRange("k", 5000, 6000))
+    val got = SkippingIndex.prunedRead(spark, dir, ranges, Some(m))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(got == 100,
+      s"rows in un-indexed appended files must survive a stale-manifest read, got $got")
   }
 }

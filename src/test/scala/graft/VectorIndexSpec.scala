@@ -57,19 +57,38 @@ class VectorIndexSpec extends SparkSpecBase {
     val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("prune"), nlist = 8)
     val one = emb.filter(col("vec_id") === 0)
     val res = VectorIndex.search(idx, one, "vec_id", "embedding", k = 5, nprobe = 2)
-    assert(res.count() == 5)
-    val scans = planOf(res).collect { case f: FileSourceScanExec => f }
+    // collect() (not count()) so the metrics below belong to THIS
+    // queryExecution — count() would spawn a separate execution
+    assert(res.collect().length == 5)
+    // AQE hides executed scans inside QueryStageExec nodes, which
+    // TreeNode.collect does not enter — walk stages explicitly
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val nested = p match {
+        case q: QueryStageExec => allNodes(q.plan)
+        case r: ReusedExchangeExec => allNodes(r.child)
+        case _ => Nil
+      }
+      p +: (p.children.flatMap(allNodes) ++ nested)
+    }
+    val scans = allNodes(planOf(res)).collect { case f: FileSourceScanExec => f }
     val assignScan = scans.find(_.output.exists(_.name == "n_vec"))
       .getOrElse(fail("no assignments scan in the search plan"))
     assert(assignScan.partitionFilters.nonEmpty,
       "the probed-cell IN filter must land as a partition filter")
     assert(assignScan.metadata("PartitionFilters").contains("cell"),
       s"partition filter must be on cell: ${assignScan.metadata("PartitionFilters")}")
-    // one query probing 2 of 8 cells: the scan's file set must exclude the
-    // other 6 cell directories entirely
+    // fixture sanity: the UNFILTERED table spans all 8 cell directories
     val dirs = assignScan.relation.location.inputFiles
       .flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
     assert(dirs.size == 8, s"fixture should populate all 8 cells, got $dirs")
+    // the EXECUTED scan must have read only the 2 probed cell partitions —
+    // this is the actual exclusion property (a regression to a post-scan
+    // filter would read all 8 and fail here)
+    val partitionsRead = assignScan.metrics("numPartitions").value
+    assert(partitionsRead == 2,
+      s"nprobe=2 must read exactly 2 of 8 cell partitions, read $partitionsRead")
   }
 
   test("hybrid filtered search == brute force over the filtered corpus, predicate pushed") {
@@ -86,6 +105,28 @@ class VectorIndexSpec extends SparkSpecBase {
       .getOrElse(fail("no assignments scan in the filtered search plan"))
     assert(assignScan.metadata("PushedFilters").contains("label"),
       s"payload predicate must reach the parquet footers: ${assignScan.metadata("PushedFilters")}")
+  }
+
+  test("grow onto a payload index keeps the payload; a batch lacking it fails loudly") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    VectorIndex.build(even, "vec_id", "embedding", tmp("gpay"),
+      nlist = 8, payload = Seq("label"))
+    val grown = VectorIndex.grow(spark, tmp("gpay"), odd, "vec_id", "embedding")
+    // grown rows carry the stored payload column, populated — so hybrid
+    // predicates can still match them
+    assert(grown.assignments.columns.contains("label"))
+    assert(grown.assignments.filter(col("label").isNull).count() == 0,
+      "grown vectors must store real payload values, not nulls")
+    val res = VectorIndex.search(grown, queries, "vec_id", "embedding",
+      k = 5, nprobe = 8, pred = Some(col("label").isNotNull))
+    assert(res.filter(col("n_id") % 2 =!= 0).count() > 0,
+      "hybrid search must be able to return grown (odd-id) vectors")
+    // a batch missing the stored payload is rejected, not silently nulled
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.grow(spark, tmp("gpay"), odd.drop("label"), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("label"))
   }
 
   test("partial probe keeps useful recall vs brute force") {
