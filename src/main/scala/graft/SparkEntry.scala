@@ -610,6 +610,13 @@ object SparkEntry {
           col("o_orderkey"), seed = "r8", nShards = 8)
         .select("o_orderkey", "shard", "pos")),
 
+    // curriculum export: hash-stratified shards, easy→hard within each
+    // (n_chars as the difficulty proxy), hash tiebreak on equal scores
+    "p21_curriculum_shards" -> ((s, d) =>
+      Sampling.curriculumShards(t(s, d, "documents").select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars"), seed = "r8c", nShards = 4)
+        .select("doc_id", "n_chars", "shard", "pos")),
+
     // token-BUDGET corpus sizing: admit docs per source in seeded-hash
     // order until ~800 tokens each — how training mixes are actually
     // sized (doc-count quotas over-weight short-doc sources)
@@ -2048,6 +2055,24 @@ object SparkEntry {
         |  FROM h)
         |SELECT o_orderkey, CAST(shard AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, o_orderkey) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // same shard byte; rank ordered by (score, hash, key)
+    "p21_curriculum_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    md5('r8c' || ':' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_chars, hh,
+        |    ((CASE WHEN ascii(substr(hh, 1, 1)) >= 97 THEN ascii(substr(hh, 1, 1)) - 87
+        |           ELSE ascii(substr(hh, 1, 1)) - 48 END) * 16 +
+        |     (CASE WHEN ascii(substr(hh, 2, 1)) >= 97 THEN ascii(substr(hh, 2, 1)) - 87
+        |           ELSE ascii(substr(hh, 2, 1)) - 48 END)) % 4 AS shard
+        |  FROM h)
+        |SELECT doc_id, n_chars, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY n_chars, hh, doc_id)
+        |    AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
 
     // greedy-prefix budget rule behind the token-weighted skew gate

@@ -227,7 +227,24 @@ object Sampling {
     * Engine-portable: the hex→int nibble math is ascii arithmetic the
     * DuckDB oracle replays verbatim. */
   def globalShuffle(df: DataFrame, key: Column, seed: String,
-                    nShards: Int): DataFrame = {
+                    nShards: Int): DataFrame =
+    shardAndRank(df, key, seed, nShards, orderPrefix = Seq.empty)
+
+  /** CURRICULUM export — [[globalShuffle]]'s ordered twin: shards are
+    * still hash-stratified (each shard sees the full difficulty
+    * distribution, so N workers stay statistically identical), but
+    * WITHIN a shard positions follow `scoreCol` ascending (easy→hard,
+    * the standard curriculum-learning order; pass a negated column for
+    * hard→easy), with the seeded hash as the shuffle tiebreak so
+    * equal-score runs don't preserve ingest order. Same single-exchange
+    * + parallel per-shard sort shape and the same engine-portable
+    * arithmetic as the shuffle. */
+  def curriculumShards(df: DataFrame, key: Column, scoreCol: Column,
+                       seed: String, nShards: Int): DataFrame =
+    shardAndRank(df, key, seed, nShards, orderPrefix = Seq(scoreCol))
+
+  private def shardAndRank(df: DataFrame, key: Column, seed: String,
+                           nShards: Int, orderPrefix: Seq[Column]): DataFrame = {
     require(nShards > 0 && nShards <= 256,
       s"nShards must be in 1..256 (one hash byte), got $nShards")
     import org.apache.spark.sql.expressions.Window
@@ -236,7 +253,8 @@ object Sampling {
     val h = md5(concat_ws(":", lit(seed), key.cast("string")))
     val shard = pmod(nib(substring(col("__h"), 1, 1)) * 16 +
       nib(substring(col("__h"), 2, 1)), lit(nShards))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), key)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(orderPrefix :+ col("__h") :+ key: _*)
     df.withColumn("__h", h)
       .withColumn("shard", shard.cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))

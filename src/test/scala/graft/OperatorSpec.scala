@@ -411,6 +411,30 @@ class OperatorSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("curriculum shards: score-monotone within shard, stratified, total") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars")
+    val got = Sampling.curriculumShards(docs, col("doc_id"), col("n_chars"),
+      "c1", 4).cache()
+    assert(got.count() == docs.count())
+    // within every shard, pos order is n_chars-nondecreasing
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("pos")
+    val violations = got
+      .withColumn("prev", lag("n_chars", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("n_chars")).count()
+    assert(violations == 0, s"$violations easy→hard order violations")
+    // stratification: every shard's mean difficulty is near the global mean
+    val global = docs.agg(avg("n_chars")).collect()(0).getDouble(0)
+    got.groupBy("shard").agg(avg("n_chars").as("m")).collect().foreach { r =>
+      val m = r.getDouble(1)
+      assert(math.abs(m - global) / global < 0.15,
+        s"shard ${r.getLong(0)} mean $m strays from global $global")
+    }
+    got.unpersist()
+  }
+
   test("token-budget sample: greedy prefix per stratum, bounded overshoot, monotone") {
     import graft.operators.Sampling
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
