@@ -558,6 +558,11 @@ object ExtQueries {
     "t21_unigram_logprob" -> ((s, d) =>
       TextStats.unigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
+    // bigram transition LM — the rung above t21: catches common words in
+    // impossible orders; training and scoring both replayed in SQL
+    "t23_bigram_logprob" -> ((s, d) =>
+      TextStats.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
+
     // DEFLATE ratio per doc — the cheap boilerplate/gibberish detector;
     // zlib output is engine-specific → rows-only (ExtSpec asserts the
     // ordering and bounds the ratios)
@@ -1693,6 +1698,31 @@ object ExtQueries {
         |    AS token_share
         |FROM t CROSS JOIN tot GROUP BY source, corpus_tokens
         |ORDER BY source""".stripMargin,
+
+    // replays the bigram training (transition + history counts, V) and
+    // the tf-weighted scoring with the (w1, w2)-ordered fold
+    "t23_bigram_logprob" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |ix AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ix),
+        |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf2 FROM bg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, SUM(tf2) AS c12 FROM tf2 GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT doc_id, unnest(t) AS term FROM c),
+        |c1 AS (SELECT term AS w1, count(*) AS c1 FROM uni
+        |       WHERE term IS NOT NULL AND term <> '' GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |ctr AS (
+        |  SELECT doc_id, w1, w2, tf2,
+        |    CAST(tf2 AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0) /
+        |      (CAST(c1 AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp
+        |  FROM tf2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(SUM(tf2) AS BIGINT) AS n_bigrams,
+        |  round(list_sum(list(lp ORDER BY w1, w2)) / CAST(SUM(tf2) AS DOUBLE), 6)
+        |    AS avg_logprob
+        |FROM ctr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replays the LM TRAINING (corpus term counts, N, V) and the scoring
     // (add-1 smoothed ln, tf-weighted) with the per-doc sum folded in

@@ -1291,6 +1291,28 @@ class ExtSpec extends SparkSpecBase {
     assert(plain.count() == pref.count())
   }
 
+  test("bigram LM: penalizes shuffled word order that unigram scoring cannot see") {
+    import spark.implicits._
+    val natural = "the cat sat on the mat"
+    val shuffled = "mat the on sat cat the" // same token multiset
+    val toy = Seq((1L, natural), (2L, natural), (3L, natural),
+      (4L, shuffled), (5L, "solo")).toDF("doc_id", "text")
+    val uni = TextStats.unigramLogProb(toy, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(4) == uni(1),
+      "unigram scoring is order-blind: shuffled text ties the natural one")
+    val bi = TextStats.bigramLogProb(toy, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(bi(1) == bi(2) && bi(1)._1 == 5, "identical docs tie; 6 tokens → 5 bigrams")
+    assert(bi(4)._2 < bi(1)._2,
+      s"rare transitions must score below the corpus-frequent order: $bi")
+    assert(!bi.contains(5L), "a single-token doc has no transitions and drops")
+    val re = TextStats.bigramLogProb(toy.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi.forall { case (id, (_, s)) => re(id) == s },
+      "the ordered fold makes the score partition-invariant")
+  }
+
   test("split leakage: planted cross-boundary duplicate found, clean docs stay silent") {
     import spark.implicits._
     def nib(id: Long): Char = {
