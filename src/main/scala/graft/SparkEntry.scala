@@ -722,6 +722,15 @@ object SparkEntry {
     "f7_column_profile" -> ((s, d) =>
       operators.Profile.profile(t(s, d, "documents")).orderBy("column")),
 
+    // robust outlier screen: per-type median/MAD flags (50% breakdown
+    // point — the screen mean/σ rules fail on); raw events load, the
+    // value column is ts-encoding-independent
+    "f9_mad_outliers" -> ((s, d) =>
+      operators.Profile.madOutliers(
+          t(s, d, "events").select("event_id", "event_type", "value"),
+          "event_type", "value")
+        .select("event_id", "event_type", "value", "med", "mad", "is_outlier")),
+
     // semi-structured extraction: typed from_json with an EXPLICIT schema
     // (schema_of_json sampling is a driver-side hazard at scale — the
     // schema is a contract, not an inference), extracted field aggregated
@@ -1631,6 +1640,20 @@ object SparkEntry {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // percentile ≙ quantile_cont (the a11-proven pairing) for BOTH the
+    // median and the MAD; the flag is a single comparison on each side
+    "f9_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+        |  (abs(e.value - m.med) > 3.5 * d.mad) AS is_outlier
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "f7_column_profile" ->
       """WITH p AS (

@@ -70,4 +70,29 @@ object Profile {
     }
     row.select(explode(array(entries: _*)).as("m")).select("m.*")
   }
+
+  /** Robust per-group outlier flags via median / MAD (median absolute
+    * deviation) — the screen that drops corrupt numeric rows before
+    * training or aggregation. Mean/σ rules break exactly when needed
+    * most (the outliers inflate σ until nothing is an outlier); the
+    * median/MAD pair has a 50% breakdown point. `k` ≈ 3.5 is the
+    * conventional cut (≈ 2.3σ on clean gaussian data, MAD·1.4826 ≈ σ).
+    *
+    * Shape: two grouped EXACT percentiles (the a11-proven sort-based
+    * aggregate — swap for [[graft.functions.KllQuantile]] when groups
+    * run to billions of rows) + one broadcast join of the tiny
+    * per-group stats back onto the rows; flagging is a pure map. Fully
+    * engine-replayable (`percentile` ≙ DuckDB `quantile_cont`). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+    df.join(broadcast(med), Seq(groupCol))
+      .join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
+  }
 }

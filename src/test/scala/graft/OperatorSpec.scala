@@ -411,6 +411,29 @@ class OperatorSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("MAD outliers: planted spikes flagged where the 3-sigma rule breaks down") {
+    import graft.operators.Profile
+    import spark.implicits._
+    // 40 clean values around 100 plus a 23% mass of 10k spikes — enough
+    // to drag mean/sigma until NO spike clears 3 sigma (the classic
+    // masking failure); median/MAD must still flag every spike
+    val clean = (1 to 40).map(i => (i.toLong, "a", 100.0 + (i % 5)))
+    val spikes = (101 to 112).map(i => (i.toLong, "a", 10000.0))
+    val df = (clean ++ spikes).toDF("id", "grp", "v")
+    val got = Profile.madOutliers(df, "grp", "v").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier")).toMap
+    assert(spikes.forall { case (id, _, _) => got(id) },
+      "every spike must be flagged")
+    assert(clean.forall { case (id, _, _) => !got(id) },
+      "no clean value may be flagged")
+    // prove the masking: the naive z-rule misses every spike here
+    val vs = df.select("v").collect().map(_.getDouble(0))
+    val mean = vs.sum / vs.length
+    val sigma = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.length)
+    assert(math.abs(10000.0 - mean) / sigma < 3.0,
+      "fixture must sit in the z-rule's blind spot for the test to mean anything")
+  }
+
   test("curriculum shards: score-monotone within shard, stratified, total") {
     import graft.operators.Sampling
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
