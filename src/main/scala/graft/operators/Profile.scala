@@ -85,13 +85,20 @@ object Profile {
     * engine-replayable (`percentile` ≙ DuckDB `quantile_cont`). */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.5): DataFrame = {
-    val med = df.groupBy(col(groupCol))
+    require(df.columns.toSet.intersect(Set("med", "mad", "is_outlier")).isEmpty,
+      "input already has a med/mad/is_outlier column — rename it first")
+    // null-SAFE joins throughout: a NULL group key forms its own stratum
+    // with its own med/mad instead of silently vanishing from the output
+    // (an equi join back onto the rows would drop every NULL-group row —
+    // the exact silent-loss failure a screening op must not have)
+    val med = df.groupBy(col(groupCol).as("__g"))
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
-    val mad = df.join(broadcast(med), Seq(groupCol))
-      .groupBy(col(groupCol))
+    val withMed = df.join(broadcast(med), col(groupCol) <=> col("__g"))
+      .drop("__g")
+    val mad = withMed.groupBy(col(groupCol).as("__g"))
       .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
-    df.join(broadcast(med), Seq(groupCol))
-      .join(broadcast(mad), Seq(groupCol))
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }

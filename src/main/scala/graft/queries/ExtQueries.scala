@@ -1701,9 +1701,14 @@ object ExtQueries {
 
     // replays the bigram training (transition + history counts, V) and
     // the tf-weighted scoring with the (w1, w2)-ordered fold
+    // list_filter drops the '' tokens a multi-space run produces, so the
+    // pairing matches Spark's \s+ split (t21 gets this for free from its
+    // empty-term filter; bigrams have no such cancellation)
     "t23_bigram_logprob" ->
       """WITH c AS (
-        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
         |ix AS (
         |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
         |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ix),

@@ -74,6 +74,7 @@ object RunIngest {
         println(s"[ingest] bootstrap: $n docs settled into $stateDir/delta_v0")
       case "ingest" =>
         val (batchPath, batchId) = (args(2), args(3))
+        requireValidBatchId(batchId) // before any work, not at commit time
         val policy = args.lift(4).getOrElse("greedy") match {
           case "greedy" => Greedy
           case "anypair" => AnyPairDrops
@@ -158,16 +159,22 @@ object RunIngest {
     delta.docs.count()
   }
 
-  /** Append the LOG line that makes `version` live. `batchId` is
-    * restricted to a JSON-inert charset — an id with a quote or
-    * backslash would corrupt the flat LOG line and silently break the
-    * redelivery-is-a-no-op contract (the committed id would re-parse
-    * differently), so reject it loudly instead of escaping. */
+  /** Batch ids are restricted to ASCII [A-Za-z0-9._-]+ — an id with a
+    * quote or backslash would corrupt the flat LOG line and silently
+    * break the redelivery-is-a-no-op contract (the committed id would
+    * re-parse differently), and the ASCII restriction keeps ids safe as
+    * path/URL components. Callers validate at ENTRY (before the ingest
+    * work runs); [[commit]] re-checks as the last-line backstop. */
+  def requireValidBatchId(batchId: String): Unit =
+    require(batchId.nonEmpty && batchId.forall(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.'),
+      s"batch id must match ASCII [A-Za-z0-9._-]+, got '$batchId'")
+
+  /** Append the LOG line that makes `version` live. */
   def commit(stateDir: String, version: Int, batchId: String,
              counts: Seq[(String, Long)]): Unit = {
-    require(batchId.nonEmpty && batchId.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"batch id must match [A-Za-z0-9._-]+, got '$batchId'")
+    requireValidBatchId(batchId)
     val fields = Seq(s""""version":$version""", s""""batch_id":"$batchId"""") ++
       counts.map { case (k, v) => s""""$k":$v""" }
     Files.write(Paths.get(s"$stateDir/LOG"),

@@ -290,6 +290,7 @@ object Streams {
                        idCol: String = "doc_id", textCol: String = "text",
                        batchIdPrefix: String = "stream"): Unit = {
     import graft.run.RunIngest
+    RunIngest.requireValidBatchId(s"${batchIdPrefix}_0") // fail at start, not per epoch
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>

@@ -432,6 +432,13 @@ class OperatorSpec extends SparkSpecBase {
     val sigma = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.length)
     assert(math.abs(10000.0 - mean) / sigma < 3.0,
       "fixture must sit in the z-rule's blind spot for the test to mean anything")
+    // NULL group keys form their own stratum — they must not vanish
+    val withNull = df.unionByName(Seq((200L, null.asInstanceOf[String], 5.0),
+      (201L, null.asInstanceOf[String], 5.0)).toDF("id", "grp", "v"))
+    val nulls = Profile.madOutliers(withNull, "grp", "v")
+      .filter(col("grp").isNull).collect()
+    assert(nulls.length == 2 && nulls.forall(!_.getAs[Boolean]("is_outlier")),
+      "null-group rows survive the screen with their own med/mad")
   }
 
   test("curriculum shards: score-monotone within shard, stratified, total") {
