@@ -617,6 +617,19 @@ object SparkEntry {
           col("doc_id"), col("n_chars"), seed = "r8c", nShards = 4)
         .select("doc_id", "n_chars", "shard", "pos")),
 
+    // COMPOSED export: epoch-expanded recipe → global shuffle keyed on
+    // (doc, epoch), so the copies of an upsampled doc land in
+    // independent shards instead of colocating (a trainer never sees
+    // the same text twice in one shard pass)
+    "p22_epoch_shards" -> ((s, d) =>
+      Sampling.globalShuffle(
+          Sampling.upsampleMix(t(s, d, "documents"), col("doc_id"), "source",
+              Map("src0" -> 2.0, "src1" -> 1.0))
+            .select("doc_id", "source", "epoch"),
+          concat_ws(":", col("doc_id"), col("epoch")),
+          seed = "r8e", nShards = 8)
+        .select("doc_id", "epoch", "shard", "pos")),
+
     // token-BUDGET corpus sizing: admit docs per source in seeded-hash
     // order until ~800 tokens each — how training mixes are actually
     // sized (doc-count quotas over-weight short-doc sources)
@@ -2096,6 +2109,33 @@ object SparkEntry {
         |SELECT doc_id, n_chars, CAST(shard AS BIGINT) AS shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY n_chars, hh, doc_id)
         |    AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // chains the p20 replay (integer weights, no gate) into the p18
+    // replay with the composite (doc_id:epoch) key
+    "p22_epoch_shards" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END AS copies
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+        |  FROM c WHERE copies >= 1),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS k,
+        |    md5('r8e' || ':' || CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(epoch AS VARCHAR)) AS hh
+        |  FROM e),
+        |s AS (
+        |  SELECT doc_id, epoch, k, hh,
+        |    ((CASE WHEN ascii(substr(hh, 1, 1)) >= 97 THEN ascii(substr(hh, 1, 1)) - 87
+        |           ELSE ascii(substr(hh, 1, 1)) - 48 END) * 16 +
+        |     (CASE WHEN ascii(substr(hh, 2, 1)) >= 97 THEN ascii(substr(hh, 2, 1)) - 87
+        |           ELSE ascii(substr(hh, 2, 1)) - 48 END)) % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, epoch, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, k) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
 
     // greedy-prefix budget rule behind the token-weighted skew gate

@@ -465,6 +465,28 @@ class OperatorSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("epoch shards: upsampled copies land in independent shards, not together") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val sharded = Sampling.globalShuffle(
+      Sampling.upsampleMix(docs, col("doc_id"), "source",
+        Map("src0" -> 2.0, "src1" -> 2.0, "src2" -> 2.0, "src3" -> 2.0))
+        .select("doc_id", "epoch"),
+      concat_ws(":", col("doc_id"), col("epoch")), "e1", 8).cache()
+    // hashing (doc, epoch) decorrelates copies: the colocation rate of a
+    // doc's two epochs must sit near the 1/8 chance level, far from the
+    // 100% a doc-keyed shuffle would produce
+    val pairs = sharded.groupBy("doc_id")
+      .agg(countDistinct("shard").as("nsh"), count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+    val colocated = pairs.filter(col("nsh") === 1).count().toDouble
+    val total = pairs.count().toDouble
+    assert(total > 50, s"need enough duplicated docs to measure, got $total")
+    assert(colocated / total < 0.3,
+      s"copies must spread across shards (chance = 1/8), got ${colocated / total}")
+    sharded.unpersist()
+  }
+
   test("token-budget sample: greedy prefix per stratum, bounded overshoot, monotone") {
     import graft.operators.Sampling
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
