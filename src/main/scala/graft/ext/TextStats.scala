@@ -451,4 +451,152 @@ object TextStats {
         round(col("__lpsum") / col("n_tokens").cast("double"), 6)
           .as("avg_logprob"))
   }
+
+  // ---- BPE tokenizer induction ----
+
+  /** Symbol-sequence encoding used by the BPE trainer: a word becomes
+    * `"||" + sym1 + "||" + sym2 + ... + "||"` — every symbol bounded by a
+    * DOUBLE delimiter on both sides. The double delimiter is what makes a
+    * literal `replace` a correct BPE merge step: the pair pattern
+    * `|a||b|` (single outer bars) can only match where `a` starts and `b`
+    * ends at symbol boundaries, and two ADJACENT matches don't share
+    * characters (`||a||b||a||b||` → `||ab||ab||` in one left-to-right
+    * non-overlapping `replace` pass — a single-delimiter encoding would
+    * consume the shared separator and merge only every other occurrence).
+    * Words containing the delimiter itself are excluded by
+    * [[bpeWordFreqs]]. */
+  private[ext] def bpeEncodeWord(w: Column): Column =
+    concat(lit("||"), array_join(
+      filter(split(w, ""), x => x =!= ""), "||"), lit("||"))
+
+  /** Word-frequency table of the corpus — the classic BPE compression:
+    * the trainer never iterates over documents, only over this
+    * Zipf-compressed table (one corpus-scale mergeable count aggregation,
+    * then everything downstream is vocabulary-sized). Words containing
+    * the `|` delimiter are dropped (they would corrupt the symbol
+    * encoding; real tokenizers normalize such bytes away first). */
+  def bpeWordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull && col("w") =!= "" && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  private def bpeSymbols(enc: Column): Column =
+    filter(split(enc, "\\|\\|"), x => x =!= "")
+
+  /** Adjacent-symbol pair counts over the encoded vocabulary, weighted by
+    * word frequency — Sennrich's `get_stats` as one explode + aggregate.
+    * Counts are OVERLAPPING adjacencies (`aaa` counts `(a,a)` twice),
+    * matching the reference implementation; the merge step is greedy
+    * left-to-right non-overlapping, also matching. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame = {
+    val s = bpeSymbols(col("enc"))
+    vocab.select(col("freq"), s.as("s"))
+      .select(col("freq"), explode(zip_with(
+        slice(col("s"), lit(1), greatest(size(col("s")) - 1, lit(0))),
+        slice(col("s"), lit(2), greatest(size(col("s")) - 1, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .select(col("p.l").as("left_sym"), col("p.r").as("right_sym"),
+        col("freq"))
+      .groupBy("left_sym", "right_sym").agg(sum("freq").as("pair_count"))
+  }
+
+  /** Byte-pair-encoding tokenizer induction (Sennrich et al.,
+    * arXiv:1508.07909) as distributed aggregations — the
+    * tokenizer-TRAINING primitive of a pre-training pipeline. Returns the
+    * ordered merge table `(merge_rank, left_sym, right_sym, pair_count,
+    * token)`: round r counts adjacent symbol pairs over the encoded
+    * vocabulary (weighted by word frequency), picks the argmax with a
+    * deterministic total-order tie-break (count DESC, then pair
+    * lexicographic ASC), and applies the merge to every word via one
+    * literal-`replace` projection (see [[bpeEncodeWord]] for why that is
+    * exactly the greedy left-to-right merge).
+    *
+    * Scale shape: the corpus is touched ONCE ([[bpeWordFreqs]] — a
+    * mergeable count); each round then runs one vocab-sized explode +
+    * partial-aggregating pair count and one map-only replace. The 1-row
+    * argmax fetched per round is the learned model parameter itself
+    * (same pattern as the k-means centroids in
+    * [[Similarity]] — model state is driver-side by definition, the DATA
+    * never is). Each round's vocab frame is eagerly checkpointed so plans
+    * stay constant-size across hundreds of merges; pass `checkpointDir`
+    * for a reliable (executor-loss-safe) location at cluster scale.
+    *
+    * Training stops early when no pair is left to merge (every word a
+    * single symbol) — the merge table then has fewer than `numMerges`
+    * rows. */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    var vocab = ckpt(bpeWordFreqs(docs, textCol)
+      .select(bpeEncodeWord(col("w")).as("enc"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = bpePairCounts(vocab)
+        .orderBy(col("pair_count").desc, col("left_sym").asc,
+          col("right_sym").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rt, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rt, c))
+        vocab = ckpt(vocab.withColumn("enc",
+          call_function("replace", col("enc"),
+            lit("|" + l + "||" + rt + "|"), lit("|" + l + rt + "|"))))
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .withColumn("token", concat(col("left_sym"), col("right_sym")))
+  }
+
+  /** Apply a learned BPE merge table to the corpus — the tokenizer
+    * APPLICATION side: each document becomes its BPE symbol sequence.
+    * Returns `(idCol, n_bpe_tokens, bpe_text)` with the symbols
+    * space-joined in document order.
+    *
+    * Scale shape: the merge rules (model metadata, `numMerges` rows) fold
+    * into ONE projection of nested literal replaces applied to the
+    * DISTINCT words of the corpus — the same Zipf compression as
+    * training, so the expensive fold runs vocab-many times, not
+    * token-many. Documents then re-acquire their words' symbol arrays
+    * through a word-keyed join (vocabulary-sized build side — broadcast
+    * when it fits, shuffle join otherwise; Catalyst/AQE decides) and
+    * reassemble in position order. A merge table past ~1k rules should be
+    * applied in chunks (nested-replace expression depth is codegen-bounded);
+    * the gate trains 8. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame = {
+    val rules = merges.orderBy("merge_rank")
+      .select("left_sym", "right_sym").collect()
+      .map(row => (row.getString(0), row.getString(1)))
+    val wordGuard = col("w").isNotNull && col("w") =!= "" &&
+      !col("w").contains("|")
+    val words = docs.select(explode_outer(tokens(col(textCol))).as("w"))
+      .filter(wordGuard).distinct()
+    val encFinal = rules.foldLeft(bpeEncodeWord(col("w"))) { case (e, (l, rt)) =>
+      call_function("replace", e,
+        lit("|" + l + "||" + rt + "|"), lit("|" + l + rt + "|"))
+    }
+    val wordSyms = words.select(col("w"), bpeSymbols(encFinal).as("syms"))
+    docs.select(col(idCol), posexplode_outer(tokens(col(textCol))))
+      .toDF(idCol, "pos", "w")
+      .filter(wordGuard)
+      .join(wordSyms, "w")
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x.getField("syms"))).as("toks"))
+      .select(col(idCol), size(col("toks")).as("n_bpe_tokens"),
+        array_join(col("toks"), " ").as("bpe_text"))
+  }
 }

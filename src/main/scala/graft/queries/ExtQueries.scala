@@ -563,6 +563,22 @@ object ExtQueries {
     "t23_bigram_logprob" -> ((s, d) =>
       TextStats.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
+    // BPE tokenizer induction (Sennrich) — train 8 merges over the corpus
+    // word-frequency table; the oracle replays ALL 8 rounds (pair counts,
+    // deterministic argmax, greedy replace-merge) as unrolled SQL CTEs, so
+    // the whole training loop is hash-gated, not just one round
+    "t24_bpe_merges" -> ((s, d) =>
+      TextStats.bpeTrain(t(s, d, "documents"), "text", BpeMerges)),
+
+    // tokenizer APPLICATION: encode every document with the 8 learned
+    // merges; the oracle chains the training replay into the final vocab
+    // state and re-tokenizes each doc from it (word join + ordered concat)
+    "t25_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextStats.bpeEncode(docs, "doc_id", "text",
+        TextStats.bpeTrain(docs, "text", BpeMerges))
+    }),
+
     // DEFLATE ratio per doc — the cheap boilerplate/gibberish detector;
     // zlib output is engine-specific → rows-only (ExtSpec asserts the
     // ordering and bounds the ratios)
@@ -811,7 +827,74 @@ object ExtQueries {
 
   private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
 
+  /** Number of BPE merges the t24/t25 gates train — each merge round is
+    * one unrolled CTE block in the oracle, so keep it small. */
+  private val BpeMerges = 8
+
+  /** The BPE training replay as unrolled DuckDB CTEs: word freqs → symbol
+    * encoding (same `||`-bounded layout as `TextStats.bpeEncodeWord`) →
+    * k rounds of (pair counts over `generate_series` adjacency, argmax
+    * with the count-DESC / pair-ASC tie-break, literal-`replace` merge).
+    * Exposes CTEs `m1..mk` (the chosen merges) and `e0..ek` (the evolving
+    * vocab encoding); `replace` scans left-to-right non-overlapping in
+    * both engines, which with the double-delimiter layout is exactly the
+    * greedy BPE merge. */
+  private def bpeTrainingCtes(k: Int): String = {
+    val head =
+      """w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split(lower(trim(text)), ' '),
+        |          x -> x <> '' AND NOT contains(x, '|'))) AS w FROM documents)
+        |  GROUP BY 1),
+        |e0 AS (SELECT w, freq,
+        |  '||' || array_to_string(string_split_regex(w, ''), '||') || '||' AS enc
+        |  FROM w)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""s$i AS (SELECT freq, list_filter(string_split(enc, '||'), x -> x <> '') AS s FROM e${i - 1}),
+         |x$i AS (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS ix FROM s$i),
+         |p$i AS (SELECT s[ix] AS left_sym, s[ix + 1] AS right_sym,
+         |  CAST(SUM(freq) AS BIGINT) AS pair_count FROM x$i GROUP BY 1, 2),
+         |m$i AS (SELECT left_sym, right_sym, pair_count FROM p$i
+         |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+         |e$i AS (SELECT w, freq,
+         |  replace(enc, '|' || m.left_sym || '||' || m.right_sym || '|',
+         |    '|' || m.left_sym || m.right_sym || '|') AS enc
+         |  FROM e${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeMergesOracle(k: Int): String = {
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS merge_rank, left_sym, right_sym, pair_count FROM m$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH
+       |${bpeTrainingCtes(k)}
+       |SELECT merge_rank, left_sym, right_sym, pair_count,
+       |  left_sym || right_sym AS token
+       |FROM ($union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  private def bpeEncodeOracle(k: Int): String =
+    s"""WITH
+       |${bpeTrainingCtes(k)}
+       |, f AS (SELECT w, list_filter(string_split(enc, '||'), x -> x <> '') AS syms FROM e$k),
+       |dt AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(text)), ' '),
+       |    x -> x <> '' AND NOT contains(x, '|')) AS t
+       |  FROM documents),
+       |dw AS (SELECT doc_id, pos, t[pos] AS w
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM dt)),
+       |g AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks
+       |  FROM dw JOIN f USING (w) GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe_tokens,
+       |  array_to_string(toks, ' ') AS bpe_text
+       |FROM g ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
+    "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
     // END-TO-END replay of the composed corpus pipeline (c1): the same
     // already-green per-stage oracles — t12 quality gate → t8 redaction →
     // d12 self-cut → d1 exact dedup → d3+d8 near-dup removal → d11 span

@@ -1336,4 +1336,117 @@ class ExtSpec extends SparkSpecBase {
       s"exactly the planted pair leaks (as exact AND near): $got")
   }
 
+  // ---- BPE tokenizer induction ----
+
+  /** Reference Sennrich BPE on a word-frequency map: overlapping adjacent
+    * pair counts, argmax with (count DESC, pair ASC), greedy left-to-right
+    * non-overlapping merge. */
+  private def refBpe(words: Map[String, Long], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    def mergeGreedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var vocab: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.toVector.map(_.toString), f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= k && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, rt), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        out += ((r, l, rt, c))
+        vocab = vocab.map { case (syms, f) => (mergeGreedy(syms, l, rt), f) }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain reproduces the reference Sennrich loop on the real fixture") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val freqs = texts.flatMap(t => t.toLowerCase.trim.split("\\s+"))
+      .filter(w => w.nonEmpty && !w.contains("|"))
+      .groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+    val expect = refBpe(freqs, 6)
+    val got = TextStats.bpeTrain(docs, "text", 6).orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"distributed trainer must equal the reference loop:\n$got\nvs\n$expect")
+  }
+
+  test("bpe counts overlapping pairs but merges greedily left-to-right") {
+    import spark.implicits._
+    val toy = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(toy, "text", 2).orderBy("merge_rank").collect()
+    // 'aaaa' has THREE overlapping (a,a) adjacencies but the greedy merge
+    // leaves [aa, aa]; round 2 then merges (aa, aa) once
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(3)) == ("a", "a", 3L))
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(3)) == ("aa", "aa", 1L))
+    val enc1 = TextStats.bpeEncode(toy, "doc_id", "text",
+      TextStats.bpeTrain(toy, "text", 1)).collect()(0)
+    assert(enc1.getInt(1) == 2 && enc1.getString(2) == "aa aa",
+      s"one merge must yield the greedy [aa, aa] split: $enc1")
+  }
+
+  test("bpeEncode is a lossless partition of each doc and shrinks with merges") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val merges = TextStats.bpeTrain(docs, "text", 6)
+    val enc = TextStats.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- raw) {
+      val words = text.toLowerCase.trim.split("\\s+")
+        .filter(w => w.nonEmpty && !w.contains("|"))
+      val (n, bpe) = enc(id)
+      assert(bpe.replace(" ", "") == words.mkString(""),
+        s"concatenated symbols must reproduce doc $id's characters")
+      assert(n == bpe.split(" ").length)
+      assert(n <= words.map(_.length).sum,
+        "symbol count can never exceed character count")
+    }
+    // zero merges = pure character tokenization
+    val none = TextStats.bpeEncode(docs, "doc_id", "text",
+      TextStats.bpeTrain(docs, "text", 0))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, text) <- raw) {
+      val chars = text.toLowerCase.trim.split("\\s+")
+        .filter(w => w.nonEmpty && !w.contains("|")).map(_.length).sum
+      assert(none(id) == chars, s"0-merge encode of doc $id must be characters")
+      assert(enc(id)._1 <= none(id))
+    }
+    assert(enc.values.map(_._1.toLong).sum < none.values.map(_.toLong).sum,
+      "6 corpus-trained merges must strictly compress the corpus")
+  }
+
+  test("bpeTrain is partition-invariant and delimiter words are excluded") {
+    import spark.implicits._
+    val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
+      (3L, "bandana banana")).toDF("doc_id", "text")
+    val a = TextStats.bpeTrain(toy, "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = TextStats.bpeTrain(toy.repartition(7), "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(a == b, "merge table must not depend on partitioning")
+    val enc = TextStats.bpeEncode(toy, "doc_id", "text",
+      TextStats.bpeTrain(toy, "text", 4)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!enc(2L).replace(" ", "").contains("|"),
+      "delimiter-carrying words are excluded from the encode output")
+  }
+
 }
