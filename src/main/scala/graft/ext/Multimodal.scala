@@ -603,4 +603,158 @@ object Multimodal {
     jpegs.foreach(buf.put)
     buf.array()
   }
+
+  // ------------------------------------------- perceptual hash (dHash)
+
+  /** dHash grid: 9 columns × 8 rows of luminance, 64 horizontal-gradient
+    * bits. */
+  val DHashCols = 9
+  val DHashRows = 8
+
+  final case class MediaHash(doc_id: Long, byte_len: Int, phash: Long,
+                             decoded: Boolean)
+
+  /** 64-bit difference hash of a decoded image — the standard perceptual
+    * fingerprint for image dedup: downscale luminance to a
+    * [[DHashCols]]×[[DHashRows]] grid, set bit `row*8 + col` iff the cell
+    * right of `col` is strictly brighter. Near-duplicate images (re-saves,
+    * light edits, small crops) land within a few bits; unrelated images
+    * differ in ~32.
+    *
+    * All arithmetic is EXACT-INTEGER so the hash is engine-replayable:
+    * per-pixel luminance is Rec.601 scaled by 1000 (`299r + 587g + 114b`),
+    * and each grid cell is the floor-mean of its pixel block (block
+    * boundaries `floor(g*W/9)`..`floor((g+1)*W/9)`, always non-empty for
+    * images at least 9×8; a 9×8 input uses its pixels directly, which is
+    * what the arithmetic-oracle gate synthesizes). */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, px, 0, w)
+    def cell(gx: Int, gy: Int): Long = {
+      val x0 = gx * w / DHashCols
+      val x1 = math.max((gx + 1) * w / DHashCols, x0 + 1)
+      val y0 = gy * h / DHashRows
+      val y1 = math.max((gy + 1) * h / DHashRows, y0 + 1)
+      var s = 0L
+      var y = y0
+      while (y < h && y < y1) {
+        var x = x0
+        while (x < w && x < x1) {
+          val rgb = px(y * w + x)
+          s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      s / ((math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0))
+    }
+    var hash = 0L
+    var i = 0
+    while (i < DHashRows) {
+      var j = 0
+      while (j < DHashCols - 1) {
+        if (cell(j + 1, i) > cell(j, i)) hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** Partition-wise perceptual hashing over (id, payload) rows — the same
+    * shuffle-free decode shape as [[extractFeatures]]. Payloads without a
+    * decodable image (or smaller than the 9×8 grid) report
+    * `decoded = false` with `phash = 0`; dedup consumers filter on the
+    * flag instead of trusting a stub hash. */
+  def extractImageHash(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaHash] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r: Row =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img.filter(i => i.getWidth >= DHashCols && i.getHeight >= DHashRows) match {
+          case Some(i) => MediaHash(id, bytes.length, dHash64(i), decoded = true)
+          case None    => MediaHash(id, bytes.length, 0L, decoded = false)
+        }
+      }
+    }(Encoders.product[MediaHash])
+
+  /** Near-duplicate image pairs by dHash hamming distance — the
+    * multimodal face of the text near-dup family. Pigeonhole banding: a
+    * pair within `maxHamming` bits differs in at most `maxHamming` of the
+    * hash's bit-bands, so splitting 64 bits into `maxHamming + 1` (or
+    * more) equal bands guarantees at least one band matches EXACTLY —
+    * candidates come from an equality join on `(band, band_value)`
+    * (shuffle volume = 64/w bands per image, never image²), then one
+    * codegen'd `bit_count(xor)` confirms. Same LSH-band shape as
+    * [[TextDedup.minhashDupPairs]], but the banding here is LOSSLESS
+    * (pigeonhole, not probabilistic) — spec-proven equal to the
+    * brute-force pair set. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
+    val nBands = Seq(2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).getOrElse(64)
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("h"), b * width).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val bands = hashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("h"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.h").as("ha"), col("r.h").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Deterministic synthetic luminance used by the m10/m11 gates: a
+    * scene pattern from `id % 5` (bucketed linear grid, steps of 60) plus
+    * a sparse id-dependent ±1 perturbation — images of the same scene
+    * hash within ~6 bits, different scenes ~27+. Pure integer arithmetic
+    * so the DuckDB oracle replays the EXPECTED hash from first
+    * principles while the Spark side round-trips real PNG bytes through
+    * the JDK codec (the encode/decode path is what's under test). */
+  def syntheticLuma(x: Int, y: Int, id: Long): Int = {
+    val s = (id % 5).toInt
+    val base = (((x * (s + 1) + y * (s + 2)) % 7) / 2) * 60
+    val pert = if ((x + y * 9 + id) % 16 == 0) 1 else 0
+    (base + pert) % 256
+  }
+
+  /** Grayscale PNG bytes for a synthetic luminance field (lossless —
+    * decoded pixels equal `v` exactly, which is what makes the
+    * arithmetic oracle sound). */
+  def grayPngBytes(width: Int, height: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = v(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 }

@@ -822,8 +822,45 @@ object ExtQueries {
         .toDF("doc_id", "payload")
       Multimodal.extractVideoFrames(payloads, "doc_id", "payload")
         .toDF().select("doc_id", "frame_idx", "width", "height")
+    }),
+
+    // perceptual hash: REAL PNG encode→decode round trip per doc, dHash
+    // over the decoded pixels — the oracle recomputes the expected hash
+    // from the synthetic pixel arithmetic (HUGEINT bit-fold), so a codec
+    // or hash-packing bug on either side fails the gate
+    "m10_image_phash" -> ((s, d) =>
+      Multimodal.extractImageHash(syntheticImages(s, d), "doc_id", "payload")
+        .toDF().select("doc_id", "phash")),
+
+    // multimodal near-dup: pigeonhole hamming-band join over the dHashes
+    // (same-scene images land within 6 bits, cross-scene 27+); the oracle
+    // is the BRUTE-FORCE pair scan, so a green hash proves the banding
+    // candidate generation lost nothing
+    "m11_image_near_dups" -> ((s, d) => {
+      val hashes = Multimodal.extractImageHash(
+          syntheticImages(s, d), "doc_id", "payload")
+        .toDF().filter(col("decoded"))
+      Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     })
   )
+
+  /** Synthesized 9×8 grayscale PNGs (one per doc_id, pixel field =
+    * `Multimodal.syntheticLuma`) round-tripped through the REAL JDK PNG
+    * codec — PNG is lossless, so the decoded pixels equal the arithmetic
+    * field and the DuckDB oracle can compute the expected dHash from
+    * first principles. Shared by m10/m11. */
+  private def syntheticImages(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"))
+      .map(r => r.getLong(0))(Encoders.scalaLong)
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.grayPngBytes(
+          Multimodal.DHashCols, Multimodal.DHashRows,
+          (x, y) => Multimodal.syntheticLuma(x, y, id)))
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "payload")
+  }
 
   private val markerList = "'the','a','of','and','is','el','la','de','y','es','le','et','est','der','die','das','und','ist'"
 
@@ -892,9 +929,51 @@ object ExtQueries {
        |  array_to_string(toks, ' ') AS bpe_text
        |FROM g ORDER BY doc_id""".stripMargin
 
+  /** The dHash replay CTEs: recompute each doc's synthetic 9×8 luminance
+    * field (`Multimodal.syntheticLuma` arithmetic), evaluate the 64
+    * horizontal-gradient comparisons, and fold the bits into a signed
+    * 64-bit value via HUGEINT (two's complement at bit 63 — same
+    * treatment as the t5 rolling-hash oracle). Exposes CTE `ph(doc_id,
+    * phash)`. */
+  private val dHashCtes: String =
+    """g AS (
+      |  SELECT doc_id, j, i,
+      |    ((((j * (s + 1) + i * (s + 2)) % 7) // 2) * 60 +
+      |      CASE WHEN (j + i * 9 + doc_id) % 16 = 0 THEN 1 ELSE 0 END) % 256 AS v0,
+      |    (((((j + 1) * (s + 1) + i * (s + 2)) % 7) // 2) * 60 +
+      |      CASE WHEN ((j + 1) + i * 9 + doc_id) % 16 = 0 THEN 1 ELSE 0 END) % 256 AS v1
+      |  FROM (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS s FROM documents),
+      |    generate_series(0, 7) tj(j), generate_series(0, 7) ti(i)),
+      |hh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v1 > v0 THEN 1::HUGEINT << (i * 8 + j)
+      |             ELSE 0::HUGEINT END) AS acc
+      |  FROM g GROUP BY doc_id),
+      |ph AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN acc >= 1::HUGEINT << 63
+      |              THEN acc - (1::HUGEINT << 64) ELSE acc END AS BIGINT) AS phash
+      |  FROM hh)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    "m10_image_phash" ->
+      s"""WITH
+         |$dHashCtes
+         |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin,
+
+    // brute-force hamming pair scan — the lossless twin of the Spark
+    // side's pigeonhole band join
+    "m11_image_near_dups" ->
+      s"""WITH
+         |$dHashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     // END-TO-END replay of the composed corpus pipeline (c1): the same
     // already-green per-stage oracles — t12 quality gate → t8 redaction →
     // d12 self-cut → d1 exact dedup → d3+d8 near-dup removal → d11 span

@@ -225,4 +225,69 @@ class MultimodalSpec extends SparkSpecBase {
       m(2L).n_frames == -1L, "a truncated header must not fabricate parameters")
     assert(m(3L).container == "stub/raw")
   }
+
+  // ------------------------------------------- perceptual hash (dHash)
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def pngFor(id: Long, w: Int = 9, h: Int = 8): Array[Byte] =
+    Multimodal.grayPngBytes(w, h, (x, y) =>
+      Multimodal.syntheticLuma(x * 9 / w, y * 8 / h, id))
+
+  test("dHash area-average: a block-scaled image hashes identically to its 9x8 source") {
+    import spark.implicits._
+    val ids = (0L until 20L).toSeq
+    def hashes(w: Int, h: Int): Map[Long, Long] = {
+      val df = ids.map(id => (id, pngFor(id, w, h))).toDF("doc_id", "payload")
+      Multimodal.extractImageHash(df, "doc_id", "payload")
+        .collect().map(m => m.doc_id -> m.phash).toMap
+    }
+    val direct = hashes(9, 8)
+    // 36x32 = each grid cell a constant 4x4 block; the floor-mean of a
+    // constant block is the block value, so the hash must be identical
+    val scaled = hashes(36, 32)
+    assert(ids.forall(id => direct(id) == scaled(id)),
+      "block-constant upscale must not change the dHash")
+    assert(direct.values.toSet.size > 1, "scenes must produce distinct hashes")
+  }
+
+  test("dHash pigeonhole banding finds exactly the brute-force pair set") {
+    import spark.implicits._
+    val df = (0L until 60L).map(id => (id, pngFor(id))).toDF("doc_id", "payload")
+    val hs = Multimodal.extractImageHash(df, "doc_id", "payload").toDF()
+    val got = Multimodal.imageNearDupPairs(hs, "doc_id", "phash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = hs.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phash")))
+    val brute = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw
+      if ia < ib && hamming(ha, hb) <= 6
+    } yield (ia, ib, hamming(ha, hb))).toSet
+    assert(got == brute, s"banding must be lossless: ${got.size} vs ${brute.size}")
+    assert(brute.nonEmpty && brute.forall { case (a, b, _) => a % 5 == b % 5 },
+      "at threshold 6 only same-scene pairs qualify")
+  }
+
+  test("dHash survives a lossy JPEG re-save; undecodable payloads are flagged out") {
+    import spark.implicits._
+    def jpegFor(id: Long): Array[Byte] = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(pngFor(id, 36, 32)))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (0L, pngFor(0L, 36, 32)), (100L, jpegFor(0L)), // same scene, lossy re-save
+      (1L, pngFor(1L, 36, 32)),                      // different scene
+      (999L, Array[Byte](1, 2, 3)),                  // undecodable
+      (998L, Multimodal.grayPngBytes(4, 4, (_, _) => 7))) // below the 9x8 grid
+    val hs = Multimodal.extractImageHash(rows.toDF("doc_id", "payload"),
+      "doc_id", "payload").collect().map(m => m.doc_id -> m).toMap
+    assert(!hs(999L).decoded && !hs(998L).decoded,
+      "undecodable / undersized payloads must be flagged, not stub-hashed")
+    val reSave = hamming(hs(0L).phash, hs(100L).phash)
+    val crossScene = hamming(hs(0L).phash, hs(1L).phash)
+    assert(reSave <= 10, s"JPEG re-save of the same scene drifted $reSave bits")
+    assert(crossScene >= 15, s"different scenes too close: $crossScene bits")
+    assert(reSave < crossScene)
+  }
 }
