@@ -690,37 +690,55 @@ object Multimodal {
     * pair within `maxHamming` bits differs in at most `maxHamming` of the
     * hash's bit-bands, so splitting 64 bits into `maxHamming + 1` (or
     * more) equal bands guarantees at least one band matches EXACTLY —
-    * candidates come from an equality join on `(band, band_value)`
-    * (shuffle volume = 64/w bands per image, never image²), then one
-    * codegen'd `bit_count(xor)` confirms. Same LSH-band shape as
+    * candidates come from an equality join on `(band, band_value)`, then
+    * one codegen'd `bit_count(xor)` confirms. Same LSH-band shape as
     * [[TextDedup.minhashDupPairs]], but the banding here is LOSSLESS
     * (pigeonhole, not probabilistic) — spec-proven equal to the
-    * brute-force pair set. */
+    * brute-force pair set.
+    *
+    * Scale shape: hashes are canonicalized to their DISTINCT values
+    * before banding, so the band self-join runs on U unique hashes (a
+    * dup-heavy corpus collapses U ≪ n) and identical-hash groups pair up
+    * through a membership join whose volume IS the emitted pair set —
+    * output-bound, like every dedup pair census. */
   def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                         maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val nBands = Seq(2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).getOrElse(64)
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1L
+    val ids = hashes.select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+    // canonicalize FIRST: band over the DISTINCT hashes, then expand
+    // group memberships. A dup-heavy corpus (the whole point of running
+    // dedup) collapses to few distinct hashes, so the quadratic-looking
+    // band self-join runs on U distinct values, not n images, and the
+    // member expansion joins only produce the output pairs themselves.
+    val uniq = ids.select("h").distinct()
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("h"), b * width).bitwiseAND(lit(mask)).as("bv"))
     }
-    val bands = hashes
-      .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
-      .select(col("id"), col("h"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("h"), col("bs.band").as("band"), col("bs.bv").as("bv"))
-    val cand = bands.as("l").join(bands.as("r"),
+    val bands = uniq
+      .select(col("h"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("h"), col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val hashPairs = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.h").as("ha"), col("r.h").as("hb"))
+          col("l.h") < col("r.h"))
+      .select(col("l.h").as("ha"), col("r.h").as("hb"))
       .distinct()
-    cand
       .withColumn("hamming",
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val cross = hashPairs
+      .join(ids.select(col("id").as("ia"), col("h").as("ha")), "ha")
+      .join(ids.select(col("id").as("ib"), col("h").as("hb")), "hb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    val within = ids.as("a").join(ids.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Deterministic synthetic luminance used by the m10/m11 gates: a
