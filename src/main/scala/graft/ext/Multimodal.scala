@@ -702,7 +702,15 @@ object Multimodal {
     * through a membership join whose volume IS the emitted pair set —
     * output-bound, like every dedup pair census. */
   def imageNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                        maxHamming: Int): DataFrame = {
+                        maxHamming: Int): DataFrame =
+    hammingNearDupPairs(hashes, idCol, hashCol, maxHamming)
+
+  /** Generic 64-bit-fingerprint near-dup pair join (see
+    * [[imageNearDupPairs]] for the algorithm and scale notes) — shared by
+    * the image dHash and audio energy-hash dedup paths; works over any
+    * long hash column whose hamming distance means similarity. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val nBands = Seq(2, 4, 8, 16, 32, 64).find(_ >= maxHamming + 1).getOrElse(64)
     val width = 64 / nBands
@@ -739,6 +747,91 @@ object Multimodal {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         lit(0).as("hamming"))
     cross.unionByName(within)
+  }
+
+  // ------------------------------------------- audio energy hash
+
+  /** Audio hash frame: 65 equal windows → 64 energy-gradient bits. */
+  val AudioHashWindows = 65
+
+  final case class AudioHash(doc_id: Long, n_samples: Long, ahash: Long,
+                             decoded: Boolean)
+
+  /** 64-bit energy-gradient hash of decoded PCM — dHash's audio twin and
+    * the fingerprint for audio near-dup: split the clip into
+    * [[AudioHashWindows]] equal windows (sample `i` belongs to window
+    * `⌊i·65/n⌋`), per-window energy = exact-Long sum of |sample|,
+    * bit `w` set iff window `w+1` is strictly louder than window `w`.
+    * Re-encodes, level-independent edits, and small splices land within a
+    * few bits; unrelated clips differ in ~32. Windowed |x|-energy is the
+    * time-domain core of real audio fingerprints (spectral-band versions
+    * swap FFT bins in for windows; the pipeline shape — decode → windowed
+    * aggregate → gradient bits → hamming banding — is identical). */
+  def audioHash64(bytes: Array[Byte]): Option[(Long, Long)] =
+    sniffAudioFormat(bytes).flatMap { _ =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val af = ais.getFormat
+        if (af.getSampleSizeInBits != 16) None
+        else {
+          val big = af.isBigEndian
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          if (n < AudioHashWindows) None
+          else {
+            val en = new Array[Long](AudioHashWindows)
+            var i = 0
+            while (i < n) {
+              val s =
+                if (big) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+                else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+              // sample i belongs to the window whose floor-boundary range
+              // contains it; i*W/n is that window for every n >= W
+              en((i.toLong * AudioHashWindows / n).toInt) += math.abs(s.toInt)
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < AudioHashWindows - 1) {
+              if (en(w + 1) > en(w)) hash |= 1L << w
+              w += 1
+            }
+            Some((n.toLong, hash))
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Partition-wise audio hashing over (id, payload) rows — same
+    * shuffle-free decode shape and same flagged-not-stubbed policy as
+    * [[extractImageHash]]. */
+  def extractAudioHash(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioHash] =
+    df.select(col(idCol), col(payloadCol)).mapPartitions { rows =>
+      rows.map { r: Row =>
+        val id = r.getLong(0)
+        audioHash64(r.getAs[Array[Byte]](1)) match {
+          case Some((n, h)) => AudioHash(id, n, h, decoded = true)
+          case None         => AudioHash(id, 0L, 0L, decoded = false)
+        }
+      }
+    }(Encoders.product[AudioHash])
+
+  /** Deterministic synthetic PCM used by the m12/m13 gates: 650 samples =
+    * 10 per window; a scene energy profile from `id % 5` plus a sparse
+    * id-dependent window boost — same-scene clips hash within ~6 bits,
+    * different scenes ~24+. Window-constant integer samples, so the
+    * DuckDB oracle computes every window energy (and thus the hash) in
+    * closed form while Spark round-trips real WAV bytes through
+    * `javax.sound.sampled`. */
+  def syntheticPcm(id: Long): Array[Short] = {
+    val sc = (id % 5).toInt
+    Array.tabulate(AudioHashWindows * 10) { g =>
+      val w = g * AudioHashWindows / (AudioHashWindows * 10)
+      val base = ((w * (sc + 1) + 3 * sc) % 7) * 30
+      val boost = if ((w + id * 7) % 23 == 0) 70 else 0
+      (base + boost).toShort
+    }
   }
 
   /** Deterministic synthetic luminance used by the m10/m11 gates: a

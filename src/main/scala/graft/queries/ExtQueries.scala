@@ -841,8 +841,41 @@ object ExtQueries {
           syntheticImages(s, d), "doc_id", "payload")
         .toDF().filter(col("decoded"))
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
+    }),
+
+    // audio energy-gradient hash: REAL WAV encode→javax.sound.sampled
+    // decode round trip per doc; the oracle computes every window energy
+    // (and the 64-bit hash fold) in closed form from the synthetic
+    // waveform arithmetic
+    "m12_audio_hash" -> ((s, d) =>
+      Multimodal.extractAudioHash(syntheticWavs(s, d), "doc_id", "payload")
+        .toDF().select("doc_id", "n_samples", "ahash")),
+
+    // audio near-dup: the SAME pigeonhole hamming-band join as m11 over
+    // the audio fingerprints — perceptual dedup generalizes across
+    // modalities; brute-force oracle again proves the banding lossless
+    "m13_audio_near_dups" -> ((s, d) => {
+      val hashes = Multimodal.extractAudioHash(
+          syntheticWavs(s, d), "doc_id", "payload")
+        .toDF().filter(col("decoded"))
+      Multimodal.hammingNearDupPairs(hashes, "doc_id", "ahash", maxHamming = 6)
     })
   )
+
+  /** Synthesized 650-sample WAVs (one per doc_id, waveform =
+    * `Multimodal.syntheticPcm`) round-tripped through the REAL JDK audio
+    * parser — PCM is lossless, so decoded samples equal the arithmetic
+    * field. Shared by m12/m13. */
+  private def syntheticWavs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id"))
+      .map(r => r.getLong(0))(Encoders.scalaLong)
+      .mapPartitions(_.map { id =>
+        (id, Multimodal.wavBytesPcm(8000, Multimodal.syntheticPcm(id)))
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "payload")
+  }
 
   /** Synthesized 9×8 grayscale PNGs (one per doc_id, pixel field =
     * `Multimodal.syntheticLuma`) round-tripped through the REAL JDK PNG
@@ -955,9 +988,47 @@ object ExtQueries {
       |              THEN acc - (1::HUGEINT << 64) ELSE acc END AS BIGINT) AS phash
       |  FROM hh)""".stripMargin
 
+  /** The audio energy-hash replay CTEs: per-window energies in closed
+    * form (the synthetic waveform is window-constant: 10 samples of
+    * `base + boost` each), then the same HUGEINT bit-fold as the dHash
+    * oracle. Exposes CTE `ah(doc_id, ahash)`. */
+  private val audioHashCtes: String =
+    """en AS (
+      |  SELECT doc_id, w,
+      |    10 * (((w * (s + 1) + 3 * s) % 7) * 30 +
+      |      CASE WHEN (w + doc_id * 7) % 23 = 0 THEN 70 ELSE 0 END) AS e
+      |  FROM (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS s FROM documents),
+      |    generate_series(0, 64) tw(w)),
+      |ab AS (
+      |  SELECT a.doc_id,
+      |    SUM(CASE WHEN b.e > a.e THEN 1::HUGEINT << a.w
+      |             ELSE 0::HUGEINT END) AS acc
+      |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      |  GROUP BY a.doc_id),
+      |ah AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN acc >= 1::HUGEINT << 63
+      |              THEN acc - (1::HUGEINT << 64) ELSE acc END AS BIGINT) AS ahash
+      |  FROM ab)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    "m12_audio_hash" ->
+      s"""WITH
+         |$audioHashCtes
+         |SELECT doc_id, CAST(650 AS BIGINT) AS n_samples, ahash
+         |FROM ah ORDER BY doc_id""".stripMargin,
+
+    "m13_audio_near_dups" ->
+      s"""WITH
+         |$audioHashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "m10_image_phash" ->
       s"""WITH

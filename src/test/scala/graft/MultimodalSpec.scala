@@ -267,6 +267,49 @@ class MultimodalSpec extends SparkSpecBase {
       "at threshold 6 only same-scene pairs qualify")
   }
 
+  test("audio hash: gain-invariant, splice stays near, scenes separate, short clips flagged") {
+    import spark.implicits._
+    def wav(samples: Array[Short]): Array[Byte] =
+      Multimodal.wavBytesPcm(8000, samples)
+    val base = Multimodal.syntheticPcm(0L)
+    val louder = base.map(s => (s * 2).toShort)          // same clip, +6 dB
+    val spliced = base.clone()
+    for (g <- 100 until 120) spliced(g) = (spliced(g) + 300).toShort // 2 windows edited
+    val rows = Seq(
+      (0L, wav(base)), (1L, wav(louder)), (2L, wav(spliced)),
+      (3L, wav(Multimodal.syntheticPcm(1L))),            // different scene
+      (4L, wav(Array.fill[Short](10)(5))),               // below 65 windows
+      (5L, Array[Byte](9, 9, 9)))                        // not audio
+    val hs = Multimodal.extractAudioHash(rows.toDF("doc_id", "payload"),
+      "doc_id", "payload").collect().map(h => h.doc_id -> h).toMap
+    assert(!hs(4L).decoded && !hs(5L).decoded,
+      "short / non-audio payloads flagged, not stub-hashed")
+    assert(hs(0L).n_samples == 650L)
+    assert(hs(0L).ahash == hs(1L).ahash,
+      "energy GRADIENTS are gain-invariant: a louder copy hashes identically")
+    val splice = hamming(hs(0L).ahash, hs(2L).ahash)
+    val cross = hamming(hs(0L).ahash, hs(3L).ahash)
+    assert(splice <= 6, s"a 2-window splice drifted $splice bits")
+    assert(cross >= 15 && splice < cross, s"scenes too close: $cross")
+  }
+
+  test("audio hamming banding equals brute force over the synthetic corpus") {
+    import spark.implicits._
+    val df = (0L until 60L)
+      .map(id => (id, Multimodal.wavBytesPcm(8000, Multimodal.syntheticPcm(id))))
+      .toDF("doc_id", "payload")
+    val hs = Multimodal.extractAudioHash(df, "doc_id", "payload").toDF()
+    val got = Multimodal.hammingNearDupPairs(hs, "doc_id", "ahash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = hs.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ahash")))
+    val brute = (for {
+      (ia, ha) <- raw; (ib, hb) <- raw
+      if ia < ib && hamming(ha, hb) <= 6
+    } yield (ia, ib, hamming(ha, hb))).toSet
+    assert(got == brute, s"banding must be lossless: ${got.size} vs ${brute.size}")
+    assert(brute.nonEmpty && brute.forall { case (a, b, _) => a % 5 == b % 5 })
+  }
+
   test("dHash survives a lossy JPEG re-save; undecodable payloads are flagged out") {
     import spark.implicits._
     def jpegFor(id: Long): Array[Byte] = {
