@@ -843,6 +843,23 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // seeded-Laplace release noise (the DP release pipeline shape with a
+    // reproducible keyed-hash uniform): per-source doc-count census as a
+    // data release; the oracle recomputes the EXACT noise (md5 → 52-bit
+    // uniform → inverse CDF) so the whole construction is hash-gated
+    "p23_dp_release" -> ((s, d) =>
+      graft.operators.Privacy.dpNoisedCounts(
+        t(s, d, "documents"), "source", epsilon = 1.0, seed = "rel1")),
+
+    // noised TOKEN-sum release: per-record contributions clipped to 200
+    // tokens (bounded sensitivity), Laplace(cap/eps) on each source's sum
+    "p24_dp_token_release" -> ((s, d) =>
+      graft.operators.Privacy.dpNoisedSums(
+        t(s, d, "documents")
+          .select(col("source"),
+            size(TextStats.tokens(col("text"))).as("n_tok")),
+        "source", "n_tok", cap = 200L, epsilon = 0.5, seed = "rel1")),
+
     // audio energy-gradient hash: REAL WAV encode→javax.sound.sampled
     // decode round trip per doc; the oracle computes every window energy
     // (and the 64-bit hash fold) in closed form from the synthetic
@@ -1014,6 +1031,41 @@ object ExtQueries {
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    // exact replay of the seeded Laplace construction: same md5 keying,
+    // same 52-bit uniform + half-ULP offset, same inverse-CDF op order;
+    // round(…, 6) absorbs any last-ulp ln() divergence (the t21 treatment)
+    "p23_dp_release" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |h AS (
+        |  SELECT source, n,
+        |    (CAST(CAST('0x' || substring(md5('rel1:' || source), 1, 13) AS BIGINT)
+        |       AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5 AS p
+        |  FROM g)
+        |SELECT source,
+        |  round(n + CASE WHEN p < 0 THEN -(-(1.0) * ln(1.0 - 2.0 * abs(p)))
+        |                 ELSE -(1.0) * ln(1.0 - 2.0 * abs(p)) END, 6)
+        |    AS noised_count
+        |FROM h ORDER BY source""".stripMargin,
+
+    "p24_dp_token_release" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    least(greatest(CAST(len(string_split(lower(trim(text)), ' '))
+        |      AS BIGINT), 0), 200) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS s FROM t GROUP BY 1),
+        |h AS (
+        |  SELECT source, s,
+        |    (CAST(CAST('0x' || substring(md5('rel1:' || source), 1, 13) AS BIGINT)
+        |       AS DOUBLE) + 0.5) / 4503599627370496.0 - 0.5 AS p
+        |  FROM g)
+        |SELECT source,
+        |  round(s + CASE WHEN p < 0 THEN -(-(400.0) * ln(1.0 - 2.0 * abs(p)))
+        |                 ELSE -(400.0) * ln(1.0 - 2.0 * abs(p)) END, 6)
+        |    AS noised_sum
+        |FROM h ORDER BY source""".stripMargin,
 
     "m12_audio_hash" ->
       s"""WITH

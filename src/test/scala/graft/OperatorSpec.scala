@@ -553,4 +553,54 @@ class OperatorSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  // ---- seeded-Laplace release noise ----
+
+  test("laplace noise: shape matches Laplace(b), keyed-hash independent, deterministic") {
+    import spark.implicits._
+    val keys = (1 to 4000).map(i => s"grp$i").toDF("k")
+    def noises(seed: String, b: Double): Array[Double] = keys
+      .select(Privacy.laplaceNoise(seed, col("k"), b).as("x"))
+      .collect().map(_.getDouble(0))
+    val x = noises("s1", 1.0)
+    // Laplace(1): median |x| = ln 2 ≈ 0.693, mean |x| = 1, symmetric signs
+    val absX = x.map(math.abs).sorted
+    val medAbs = absX(absX.length / 2)
+    assert(math.abs(medAbs - math.log(2)) < 0.08, s"median |x| = $medAbs")
+    val meanAbs = absX.sum / absX.length
+    assert(math.abs(meanAbs - 1.0) < 0.1, s"mean |x| = $meanAbs")
+    val pos = x.count(_ > 0).toDouble / x.length
+    assert(math.abs(pos - 0.5) < 0.05, s"sign balance $pos")
+    // scale is exactly linear in b (same uniform, scaled inverse CDF)
+    val x4 = noises("s1", 4.0)
+    assert(x.zip(x4).forall { case (a, b4) => math.abs(b4 - 4 * a) < 1e-9 },
+      "Laplace(4b) must be exactly 4x the Laplace(b) deviate per key")
+    // deterministic per (seed, key); a new seed redraws
+    assert(noises("s1", 1.0).sameElements(x))
+    val y = noises("s2", 1.0)
+    assert(x.zip(y).count { case (a, b2) => a == b2 } < 5,
+      "a different seed must redraw essentially every group's noise")
+  }
+
+  test("dp releases: noise centered on the true stat, clipping bounds sensitivity") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val rel = Privacy.dpNoisedCounts(docs, "source", epsilon = 1.0, seed = "r")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rel.size == 3 && rel.values.forall(v => math.abs(v - 100.0) < 30),
+      s"eps=1 noise on a count of 100 stays small: $rel")
+    // idempotent release: same data + seed => identical artifact
+    val again = Privacy.dpNoisedCounts(docs, "source", epsilon = 1.0, seed = "r")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == rel)
+    // clipping: an adversarial outlier moves the released sum by at most
+    // cap (the whole point of bounded sensitivity)
+    val base = (1L to 100L).map(i => ("g", 10L)).toDF("source", "v")
+    val spiked = base.union(Seq(("g", 1000000L)).toDF("source", "v"))
+    def rsum(df: org.apache.spark.sql.DataFrame): Double =
+      Privacy.dpNoisedSums(df, "source", "v", cap = 50L, epsilon = 1.0, seed = "r")
+        .collect()(0).getDouble(1)
+    assert(rsum(spiked) - rsum(base) == 50.0,
+      "the outlier contributes exactly its clipped value")
+  }
+
 }

@@ -232,4 +232,31 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"),
       "the 1-row totals frame must broadcast, not cartesian")
   }
+
+  test("m10/m12 perceptual hashing is shuffle-free (decode map only)") {
+    for (name <- Seq("m10_image_phash", "m12_audio_hash")) {
+      val p = planOf(q(name))
+      val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+      assert(shuffles.isEmpty,
+        s"$name must stay a per-partition decode map, found: $shuffles")
+    }
+  }
+
+  test("bpe pair counting aggregates partially (map-side combine over the vocab)") {
+    // the round's pair-count shuffle carries partial sums, never raw pairs
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val vocab = graft.ext.TextStats.bpeWordFreqs(docs, "text")
+    val p = planOf(vocab)
+    assert(p.toString.contains("partial_count"),
+      "word-frequency census must combine map-side before its one shuffle")
+    val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 1, s"exactly one corpus-scale exchange: $shuffles")
+  }
+
+  test("m11 near-dup pairs never cartesian: banding + membership equi-joins only") {
+    val p = planOf(q("m11_image_near_dups"))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"hamming pair join must stay equi-keyed:\n$s")
+  }
 }
