@@ -102,4 +102,48 @@ object Profile {
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
+
+  /** Population Stability Index between a reference and a current
+    * distribution — the standard drift monitor for an ingest batch
+    * against the settled corpus (PSI < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted): fixed-width floor bins, add-k smoothed bin
+    * probabilities (empty bins stay finite), `PSI = Σ (p_cur − p_ref) ·
+    * ln(p_cur / p_ref)`. Returns ONE row `(n_ref, n_cur, n_bins, psi)`.
+    *
+    * Scale shape: one count aggregation per side (mergeable), a full
+    * outer join on the bin (bin-cardinality-sized, tiny), a broadcast
+    * 1-row total, and the final sum folded in ascending-bin order so the
+    * IEEE double is identical across partitionings and engines (the
+    * [[graft.ext.TextStats.unigramLogProb]] determinism rule). */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          binWidth: Double, smoothing: Double = 0.5): DataFrame = {
+    require(binWidth > 0 && smoothing > 0, "binWidth and smoothing positive")
+    def binned(df: DataFrame, as: String): DataFrame = df
+      .select(floor(col(valueCol).cast("double") / lit(binWidth))
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+    val u = binned(ref, "c_ref")
+      .join(binned(cur, "c_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = u.agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+      count(lit(1)).as("n_bins"))
+    u.crossJoin(broadcast(tot))
+      .withColumn("p_ref",
+        (col("c_ref").cast("double") + lit(smoothing)) /
+          (col("n_ref").cast("double") + lit(smoothing) * col("n_bins").cast("double")))
+      .withColumn("p_cur",
+        (col("c_cur").cast("double") + lit(smoothing)) /
+          (col("n_cur").cast("double") + lit(smoothing) * col("n_bins").cast("double")))
+      .withColumn("term",
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+      .groupBy()
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        max("n_bins").as("n_bins"),
+        aggregate(
+          array_sort(collect_list(struct(col("bin"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("__psi"))
+      .select(col("n_ref"), col("n_cur"), col("n_bins"),
+        round(col("__psi"), 6).as("psi"))
+  }
 }

@@ -843,6 +843,17 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // distribution-drift monitor: PSI of one source's token-count
+    // distribution against the whole corpus (the ingest-batch-vs-settled
+    // check an incremental pipeline runs before accepting a batch);
+    // fixed-width bins, smoothed probabilities, ordered IEEE fold
+    "f10_psi_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), size(TextStats.tokens(col("text"))).as("n_tok"))
+      graft.operators.Profile.psi(docs,
+        docs.filter(col("source") === "src0"), "n_tok", binWidth = 10.0)
+    }),
+
     // seeded-Laplace release noise (the DP release pipeline shape with a
     // reproducible keyed-hash uniform): per-source doc-count census as a
     // data release; the oracle recomputes the EXACT noise (md5 → 52-bit
@@ -1031,6 +1042,36 @@ object ExtQueries {
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    // PSI replay: same bins, same smoothing op order, list_sum in
+    // ascending-bin order (the t21 fold-parity treatment)
+    "f10_psi_drift" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |rb AS (SELECT CAST(floor(CAST(n_tok AS DOUBLE) / 10.0) AS BIGINT) AS bin,
+        |         count(*) AS c_ref FROM v GROUP BY 1),
+        |cb AS (SELECT CAST(floor(CAST(n_tok AS DOUBLE) / 10.0) AS BIGINT) AS bin,
+        |         count(*) AS c_cur FROM v WHERE source = 'src0' GROUP BY 1),
+        |u AS (
+        |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+        |    COALESCE(c_ref, 0) AS c_ref, COALESCE(c_cur, 0) AS c_cur
+        |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+        |tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+        |  CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+        |  CAST(count(*) AS BIGINT) AS n_bins FROM u),
+        |p AS (
+        |  SELECT bin, n_ref, n_cur, n_bins,
+        |    (CAST(c_ref AS DOUBLE) + 0.5) /
+        |      (CAST(n_ref AS DOUBLE) + 0.5 * CAST(n_bins AS DOUBLE)) AS p_ref,
+        |    (CAST(c_cur AS DOUBLE) + 0.5) /
+        |      (CAST(n_cur AS DOUBLE) + 0.5 * CAST(n_bins AS DOUBLE)) AS p_cur
+        |  FROM u CROSS JOIN tot)
+        |SELECT n_ref, n_cur, n_bins,
+        |  round(list_sum(list((p_cur - p_ref) * ln(p_cur / p_ref) ORDER BY bin)), 6)
+        |    AS psi
+        |FROM p GROUP BY n_ref, n_cur, n_bins""".stripMargin,
 
     // exact replay of the seeded Laplace construction: same md5 keying,
     // same 52-bit uniform + half-ULP offset, same inverse-CDF op order;

@@ -603,4 +603,22 @@ class OperatorSpec extends SparkSpecBase {
       "the outlier contributes exactly its clipped value")
   }
 
+  test("psi drift: zero on self, monotone in shift, partition-invariant") {
+    import spark.implicits._
+    def dist(mean: Int, n: Int): org.apache.spark.sql.DataFrame =
+      (0 until n).map(i => mean + (i % 21) - 10).toDF("v")
+    val ref = dist(100, 2000)
+    val self = Profile.psi(ref, ref, "v", binWidth = 5.0).collect()(0)
+    assert(self.getDouble(3) == 0.0, s"identical distributions: $self")
+    assert(self.getLong(0) == 2000 && self.getLong(1) == 2000)
+    val small = Profile.psi(ref, dist(105, 500), "v", 5.0).collect()(0).getDouble(3)
+    val large = Profile.psi(ref, dist(140, 500), "v", 5.0).collect()(0).getDouble(3)
+    assert(small > 0.0 && large > small,
+      s"a bigger mean shift must score higher: $small vs $large")
+    assert(large > 0.25, s"a disjoint-support shift is 'shifted' territory: $large")
+    val re = Profile.psi(ref.repartition(7), dist(105, 500).repartition(5), "v", 5.0)
+      .collect()(0).getDouble(3)
+    assert(re == small, "the ordered fold makes psi partition-invariant")
+  }
+
 }
