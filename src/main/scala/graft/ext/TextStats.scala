@@ -158,6 +158,53 @@ object TextStats {
       .drop("__cum")
   }
 
+  /** First-fit-decreasing sequence packing — the bin-MINIMIZING variant
+    * of [[packSequences]]: within each shard, documents are visited in
+    * token-count-DESCENDING order (id ascending on ties) and placed into
+    * the first open bin with room; a doc larger than the budget opens its
+    * own (overfull, single-doc) bin. FFD's classical guarantee is
+    * ≤ 11/9·OPT + 1 bins, vs next-fit's 2·OPT — fewer bins means fewer
+    * padded tokens, which at pre-training scale is directly wasted
+    * compute; use [[packSequences]] when curriculum/arrival ORDER inside
+    * the pack matters more than density.
+    *
+    * Scale shape: one hash repartition on the shard + a
+    * sort-within-partitions on (shard, tokens DESC, id) — the classic
+    * secondary sort — then a single streaming pass with per-shard
+    * open-bin state (reset at each shard boundary; state is
+    * bins-per-shard sized, bounded by shard token volume / budget). The
+    * first-fit scan is linear in open bins per doc — swap in a best-fit
+    * capacity tree if shards carry millions of bins. Deterministic:
+    * shard hash placement + total sort order fix every assignment
+    * regardless of input partitioning. */
+  def packSequencesFFD(df: DataFrame, idCol: String, tokenCol: String,
+                       budget: Long, shardCol: Option[String] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepped = df.select(
+        shardCol.fold(lit(""))(s => col(s).cast("string")).as("__shard"),
+        col(idCol).cast("long").as("__id"),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("__tok"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__tok").desc, col("__id").asc)
+      .as[(String, Long, Long)]
+    val packed = prepped.mapPartitions { rows =>
+      var shard: String = null
+      val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.map { case (s, id, tok) =>
+        if (s != shard) { shard = s; remaining.clear() }
+        var b = 0
+        while (b < remaining.length && remaining(b) < tok) b += 1
+        if (b == remaining.length) remaining += budget
+        remaining(b) -= tok
+        (s, id, tok, b.toLong)
+      }
+    }
+    val out = packed.toDF("__shard", idCol, "n_tokens", "bin")
+    shardCol.fold(out.drop("__shard"))(s => out.withColumnRenamed("__shard", s))
+  }
+
   /** Assemble the packed training sequences [[packSequences]] plans: each
     * bin's documents concatenate in pack order with `sep` into one
     * training-ready string (plus the bin's doc count and token total for

@@ -843,6 +843,18 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // first-fit-decreasing packing: the bin-MINIMIZING packer (fewer
+    // padded tokens = less wasted pre-training compute); per-source
+    // shards, 256-token bins; the oracle replays the whole sequential
+    // first-fit scan as a recursive CTE carrying the open-bin state
+    "t26_ffd_bins" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextStats.tokens(col("text"))).as("n_tok"))
+      TextStats.packSequencesFFD(docs, "doc_id", "n_tok",
+        budget = 256L, shardCol = Some("source"))
+    }),
+
     // distribution-drift monitor: PSI of one source's token-count
     // distribution against the whole corpus (the ingest-batch-vs-settled
     // check an incremental pipeline runs before accepting a batch);
@@ -1042,6 +1054,45 @@ object ExtQueries {
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    // the FFD packing replay: row_number fixes the visit order (tokens
+    // DESC, id ASC per shard), then a recursive CTE walks each shard's
+    // docs one level at a time carrying the open-bin remainders as a
+    // LIST — first fit = min index with room, else append a bin
+    "t26_ffd_bins" ->
+      """WITH RECURSIVE
+        |src AS (
+        |  SELECT source AS shard, doc_id AS id,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |d AS (SELECT shard, id, tok,
+        |    row_number() OVER (PARTITION BY shard ORDER BY tok DESC, id) AS i
+        |  FROM src),
+        |step AS (
+        |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS rem,
+        |    CAST([] AS STRUCT(id BIGINT, tok BIGINT, bin BIGINT)[]) AS asg
+        |  FROM (SELECT DISTINCT shard FROM d)
+        |  UNION ALL
+        |  SELECT s.shard, s.i + 1,
+        |    CASE WHEN fit.j IS NULL THEN list_append(s.rem, 256 - d.tok)
+        |         ELSE list_transform(s.rem,
+        |           (x, k) -> CASE WHEN k = fit.j THEN x - d.tok ELSE x END)
+        |    END,
+        |    list_append(s.asg, {'id': d.id, 'tok': d.tok,
+        |      'bin': COALESCE(fit.j, len(s.rem) + 1) - 1})
+        |  FROM step s
+        |  JOIN d ON d.shard = s.shard AND d.i = s.i + 1
+        |  LEFT JOIN LATERAL (
+        |    SELECT min(k) AS j FROM (
+        |      SELECT unnest(s.rem) AS v,
+        |        unnest(generate_series(1, len(s.rem))) AS k)
+        |    WHERE v >= d.tok) fit ON true),
+        |fin AS (
+        |  SELECT shard, asg FROM step s
+        |  WHERE i = (SELECT max(i) FROM step x WHERE x.shard = s.shard))
+        |SELECT shard AS source, a.id AS doc_id, a.tok AS n_tokens,
+        |  a.bin AS bin
+        |FROM fin, unnest(asg) u(a) ORDER BY source, doc_id""".stripMargin,
 
     // PSI replay: same bins, same smoothing op order, list_sum in
     // ascending-bin order (the t21 fold-parity treatment)

@@ -1433,6 +1433,43 @@ class ExtSpec extends SparkSpecBase {
       "6 corpus-trained merges must strictly compress the corpus")
   }
 
+  test("FFD packing: budget-bounded, lossless, fewer bins than next-fit, invariant") {
+    import spark.implicits._
+    // adversarial for whole-doc next-fit: every shard sees all its sixes
+    // before any four (a six never pairs with a six under budget 10)
+    val docs = (0L until 400L)
+      .map(id => (id, "s" + (id % 4), if (id < 200) 6L else 4L))
+      .toDF("doc_id", "source", "n_tok")
+    val ffd = TextStats.packSequencesFFD(docs, "doc_id", "n_tok",
+      budget = 10L, shardCol = Some("source"))
+    val rows = ffd.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).distinct.length == 400, "every doc packed exactly once")
+    val perBin = rows.groupBy(t => (t._1, t._4)).values
+    assert(perBin.forall(_.map(_._3).sum <= 10L), "no bin exceeds the budget")
+    // whole-doc next-fit reference in arrival order: 50 solo sixes, then
+    // 25 paired-four bins = 75 bins; FFD pairs every 6 with a 4 → 50
+    val s0 = rows.filter(_._1 == "s0")
+    val nfBins = s0.sortBy(_._2).foldLeft((0, 0L)) { case ((bins, room), (_, _, tok, _)) =>
+      if (tok <= room) (bins, room - tok) else (bins + 1, 10L - tok)
+    }._1
+    val ffdBins = s0.map(_._4).distinct.length
+    assert(nfBins == 75 && ffdBins == 50,
+      s"FFD must beat arrival-order next-fit: $ffdBins vs $nfBins")
+    // partition invariance
+    val re = TextStats.packSequencesFFD(docs.repartition(13), "doc_id", "n_tok",
+      budget = 10L, shardCol = Some("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(re == rows.toSet, "assignments must not depend on input partitioning")
+    // an oversized doc opens its own overfull bin and poisons nothing
+    val over = TextStats.packSequencesFFD(
+      Seq((1L, 50L), (2L, 6L), (3L, 4L)).toDF("doc_id", "n_tok"),
+      "doc_id", "n_tok", budget = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(over(1L) != over(2L) && over(2L) == over(3L),
+      s"oversized solo, small docs still pair: $over")
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
