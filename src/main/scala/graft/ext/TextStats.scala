@@ -499,6 +499,25 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** Shannon entropy (nats) of the document's character distribution —
+    * the third cheap gibberish detector next to [[compressionRatio]] and
+    * the LM scores: random-key soup maxes entropy, single-char runs and
+    * boilerplate floor it; both tails are drop candidates. Pure
+    * higher-order-function composition (distinct chars × count scan —
+    * alphabet-bounded, so ~26·len comparisons per row), folded in
+    * ascending-character order so the IEEE double matches across engines
+    * and partitionings. */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(lower(text), ""), x => x =!= "")
+    val n = size(chars).cast("double")
+    val terms = transform(array_sort(array_distinct(chars)), c => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      -p * log(p)
+    })
+    round(when(size(chars) === 0, lit(0.0))
+      .otherwise(aggregate(terms, lit(0.0), (acc, t) => acc + t)), 6)
+  }
+
   // ---- BPE tokenizer induction ----
 
   /** Symbol-sequence encoding used by the BPE trainer: a word becomes

@@ -243,6 +243,43 @@ object Sampling {
                        seed: String, nShards: Int): DataFrame =
     shardAndRank(df, key, seed, nShards, orderPrefix = Seq(scoreCol))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    * the distributed-standard algorithm): each row draws a seeded uniform
+    * `u` from `md5(seed:key)` (52 mantissa bits + half-ULP offset, never
+    * 0 or 1) and scores `−ln(u) / w` — the exponential-clocks
+    * formulation, order-equivalent to the classical `u^(1/w)` key; the
+    * `k` SMALLEST scores per stratum are the sample. Higher weight →
+    * stochastically smaller score → proportionally more likely to be
+    * drawn, without replacement by construction.
+    *
+    * Deterministic and engine-replayable: the ranking key is
+    * `(round(score, 9), key)` — the 1e-9 rounding absorbs last-ulp `ln`
+    * divergence between engines, and the id tie-break makes any rounding
+    * collision harmless. Non-positive / null weights never sample (their
+    * score is +∞). Scale shape: pure map + one per-stratum top-k window
+    * behind the same skew logic as [[exactStratifiedSample]] — at real
+    * scale feed the score through `topk_by` for a windowless bounded-heap
+    * pass. */
+  def weightedSampleWithoutReplacement(df: DataFrame, key: Column,
+                                       weightCol: String, k: Int, seed: String,
+                                       stratumCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))),
+        1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
+    val w = col(weightCol).cast("double")
+    val score = when(w.isNull || w <= 0, lit(Double.PositiveInfinity))
+      .otherwise(-log(u) / w)
+    val win = stratumCol.fold(Window.orderBy(round(col("__score"), 9), key))(s =>
+      Window.partitionBy(col(s)).orderBy(round(col("__score"), 9), key))
+    df.withColumn("__score", score)
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k && col("__score") =!= lit(Double.PositiveInfinity))
+      .drop("__rk")
+      .withColumnRenamed("__score", "es_score")
+  }
+
   private def shardAndRank(df: DataFrame, key: Column, seed: String,
                            nShards: Int, orderPrefix: Seq[Column]): DataFrame = {
     require(nShards > 0 && nShards <= 256,

@@ -843,6 +843,25 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // character-distribution Shannon entropy: the third cheap gibberish
+    // detector (random soup maxes it, single-char runs floor it); HOF
+    // composition, ascending-char IEEE fold
+    "t27_char_entropy" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextStats.charEntropy(col("text")).as("char_entropy"))),
+
+    // Efraimidis-Spirakis weighted sampling WITHOUT replacement: top-10
+    // per source by -ln(u)/w with the seeded 52-bit uniform, weight =
+    // n_chars; the oracle replays uniform, score, and the rounded-score
+    // ranking exactly
+    "p25_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSampleWithoutReplacement(
+          t(s, d, "documents"), col("doc_id"), "n_chars", k = 10,
+          seed = "ws1", stratumCol = Some("source"))
+        .select(col("source"), col("doc_id"),
+          round(col("es_score"), 6).as("es_score"))),
+
     // first-fit-decreasing packing: the bin-MINIMIZING packer (fewer
     // padded tokens = less wasted pre-training compute); per-source
     // shards, 256-token bins; the oracle replays the whole sequential
@@ -1054,6 +1073,37 @@ object ExtQueries {
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    // per-doc char census → p·ln p summed in ascending-char order (the
+    // t21 fold-parity treatment)
+    "t27_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    unnest(string_split_regex(lower(text), '')) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_chars, ch, count(*) AS cnt
+        |      FROM c WHERE ch <> '' GROUP BY 1, 2, 3),
+        |n AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS n FROM f GROUP BY 1),
+        |t AS (
+        |  SELECT f.doc_id, f.n_chars, f.ch,
+        |    -(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n) AS term
+        |  FROM f JOIN n ON f.doc_id = n.doc_id)
+        |SELECT doc_id, n_chars,
+        |  round(list_sum(list(term ORDER BY ch)), 6) AS char_entropy
+        |FROM t GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin,
+
+    "p25_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    (CAST(CAST('0x' || substring(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+        |  FROM documents),
+        |s AS (SELECT source, doc_id, -ln(u) / w AS score FROM b WHERE w > 0),
+        |r AS (SELECT source, doc_id, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY round(score, 9), doc_id) AS rk FROM s)
+        |SELECT source, doc_id, round(score, 6) AS es_score
+        |FROM r WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
 
     // the FFD packing replay: row_number fixes the visit order (tokens
     // DESC, id ASC per shard), then a recursive CTE walks each shard's

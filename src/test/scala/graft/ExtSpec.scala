@@ -1433,6 +1433,24 @@ class ExtSpec extends SparkSpecBase {
       "6 corpus-trained merges must strictly compress the corpus")
   }
 
+  test("char entropy: exact on known distributions, orders soup > prose > runs") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "aaaaaaaa"),                    // single symbol: 0 nats
+      (2L, "abababab"),                    // two equiprobable: ln 2
+      (3L, "the cat sat on the mat here"), // natural text
+      (4L, "qzjxkvbwpfygmdhcl urnotiase")) // alphabet soup
+      .toDF("doc_id", "text")
+    val e = toy.select(col("doc_id"), TextStats.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e(1L) == 0.0)
+    assert(math.abs(e(2L) - math.log(2)) < 1e-6, s"ln2 expected: ${e(2L)}")
+    assert(e(1L) < e(3L) && e(3L) < e(4L),
+      s"runs < prose < soup must hold: $e")
+    // 27 distinct chars each once: exactly ln 27 (the distribution max)
+    assert(math.abs(e(4L) - math.log(27)) < 1e-6)
+  }
+
   test("FFD packing: budget-bounded, lossless, fewer bins than next-fit, invariant") {
     import spark.implicits._
     // adversarial for whole-doc next-fit: every shard sees all its sixes

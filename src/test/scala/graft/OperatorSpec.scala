@@ -603,6 +603,34 @@ class OperatorSpec extends SparkSpecBase {
       "the outlier contributes exactly its clipped value")
   }
 
+  test("ES weighted sampling: weight-proportional, without replacement, deterministic") {
+    import spark.implicits._
+    // 3000 independent strata, each {a: w=9, b: w=1}, k=1 — the draw
+    // frequency of `a` estimates P(a) = 0.9 (single job, no seed loop)
+    val df = (0 until 3000).flatMap(g =>
+      Seq((g, g * 2L, 9.0, "a"), (g, g * 2L + 1, 1.0, "b")))
+      .toDF("grp", "id", "w", "tag")
+    def draw(seed: String) = Sampling.weightedSampleWithoutReplacement(
+      df, col("id"), "w", k = 1, seed = seed, stratumCol = Some("grp"))
+    val fracA = draw("s1").filter(col("tag") === "a").count() / 3000.0
+    assert(math.abs(fracA - 0.9) < 0.03, s"P(draw a) should be ~0.9: $fracA")
+    // without replacement: k = group size returns everything once
+    val all = Sampling.weightedSampleWithoutReplacement(
+      df, col("id"), "w", k = 2, seed = "s1", stratumCol = Some("grp"))
+    assert(all.count() == 6000 && all.select("id").distinct().count() == 6000)
+    // zero / negative weights never sample
+    val wz = Seq((1L, 5.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+    val got = Sampling.weightedSampleWithoutReplacement(
+      wz, col("id"), "w", k = 3, seed = "x").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"only the positive weight samples: $got")
+    // deterministic per seed; a new seed reshuffles some draws
+    val a1 = draw("s1").select("id").collect().map(_.getLong(0)).toSet
+    assert(a1 == draw("s1").select("id").collect().map(_.getLong(0)).toSet)
+    val a2 = draw("s2").select("id").collect().map(_.getLong(0)).toSet
+    assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
+  }
+
   test("psi drift: zero on self, monotone in shift, partition-invariant") {
     import spark.implicits._
     def dist(mean: Int, n: Int): org.apache.spark.sql.DataFrame =
