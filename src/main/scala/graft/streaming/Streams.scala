@@ -428,6 +428,31 @@ object Streams {
     q.stop()
   }
 
+  /** Per-micro-batch distribution-drift monitor — the streaming face of
+    * [[graft.operators.Profile.psi]]: every incoming batch's value
+    * distribution is PSI-scored against a FROZEN reference census (the
+    * settled corpus at deploy time), and one `(epoch, n_ref, n_cur,
+    * n_bins, psi)` row is appended per micro-batch. An ingest stream
+    * alarms on drifting batches (PSI > 0.25) BEFORE they pollute the
+    * corpus, which is the operational point of a drift monitor. The
+    * reference frame is tiny (bin census) and re-broadcast per batch;
+    * per-batch work is the batch's own bin count plus a bin-sized join. */
+  def psiMonitorStream(spark: SparkSession, schema: StructType, srcDir: String,
+                       ref: DataFrame, valueCol: String, binWidth: Double,
+                       outPath: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      graft.operators.Profile.psi(ref, batch, valueCol, binWidth)
+        .withColumn("epoch", lit(epoch))
+        .write.mode(SaveMode.Append).parquet(outPath)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming query from a bounded parquet directory into a memory
     * sink synchronously (test/local harness). */
   def runToMemory(spark: SparkSession, schema: StructType, srcDir: String,

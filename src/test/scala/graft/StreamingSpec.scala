@@ -408,4 +408,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(perEpochTotals.last == ev.filter(col("value").isNotNull).count())
   }
 
+  test("streaming psi monitor: per-batch scores equal their batch twins, drift alarms") {
+    import graft.operators.Profile
+    val base = java.nio.file.Files.createTempDirectory("graft_psistream").toString
+    val srcDir = s"$base/src"
+    val outPath = s"$base/out"
+    val ev = events.select("event_type", "value")
+    val ref = ev // the frozen settled-corpus census: the full distribution
+    // batch 1 resembles the reference; batch 2 is a sliced (shifted) tail
+    val b1 = ev.limit(400)
+    val b2 = ev.filter(col("value") >= 8)
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    Streams.psiMonitorStream(spark, ev.schema, srcDir, ref, "value",
+      binWidth = 1.0, outPath)
+    val got = spark.read.parquet(outPath)
+      .orderBy("epoch").collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Double]("psi")))
+    assert(got.length == 2, s"one psi row per micro-batch: ${got.toSeq}")
+    // stream ≡ batch: each micro-batch's score equals the direct call.
+    // File-source epoch ORDER is not pinned to write order, so compare
+    // the score MULTISET and check the drifting batch alarms.
+    val twins = Seq(b1, b2)
+      .map(b => Profile.psi(ref, b, "value", 1.0).collect()(0).getDouble(3))
+    assert(got.map(_._2).sorted.toSeq == twins.sorted,
+      s"stream scores must equal their batch twins: ${got.toSeq} vs $twins")
+    assert(twins.max > 0.25, s"the sliced batch must alarm as shifted: $twins")
+    assert(twins.min < twins.max, "the resembling batch scores lower")
+  }
+
 }
