@@ -847,9 +847,7 @@ object ExtQueries {
     // detector (random soup maxes it, single-char runs floor it); HOF
     // composition, ascending-char IEEE fold
     "t27_char_entropy" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        length(col("text")).as("n_chars"),
-        TextStats.charEntropy(col("text")).as("char_entropy"))),
+      TextStats.charEntropy(t(s, d, "documents"), "doc_id", "text")),
 
     // Efraimidis-Spirakis weighted sampling WITHOUT replacement: top-10
     // per source by -ln(u)/w with the seeded 52-bit uniform, weight =
@@ -1078,19 +1076,15 @@ object ExtQueries {
     // t21 fold-parity treatment)
     "t27_char_entropy" ->
       """WITH c AS (
-        |  SELECT doc_id, length(text) AS n_chars,
-        |    unnest(string_split_regex(lower(text), '')) AS ch
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
         |  FROM documents),
-        |f AS (SELECT doc_id, n_chars, ch, count(*) AS cnt
-        |      FROM c WHERE ch <> '' GROUP BY 1, 2, 3),
-        |n AS (SELECT doc_id, CAST(SUM(cnt) AS DOUBLE) AS n FROM f GROUP BY 1),
-        |t AS (
-        |  SELECT f.doc_id, f.n_chars, f.ch,
-        |    -(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n) AS term
-        |  FROM f JOIN n ON f.doc_id = n.doc_id)
-        |SELECT doc_id, n_chars,
-        |  round(list_sum(list(term ORDER BY ch)), 6) AS char_entropy
-        |FROM t GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin,
+        |f AS (SELECT doc_id, ch, count(*) AS cnt
+        |      FROM c WHERE ch <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |  round(ln(CAST(SUM(cnt) AS DOUBLE)) -
+        |    list_sum(list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+        |      ORDER BY ch)) / CAST(SUM(cnt) AS DOUBLE), 6) AS char_entropy
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p25_weighted_sample" ->
       """WITH b AS (

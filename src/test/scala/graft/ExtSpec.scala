@@ -1441,8 +1441,8 @@ class ExtSpec extends SparkSpecBase {
       (3L, "the cat sat on the mat here"), // natural text
       (4L, "qzjxkvbwpfygmdhcl urnotiase")) // alphabet soup
       .toDF("doc_id", "text")
-    val e = toy.select(col("doc_id"), TextStats.charEntropy(col("text")).as("h"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = TextStats.charEntropy(toy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(e(1L) == 0.0)
     assert(math.abs(e(2L) - math.log(2)) < 1e-6, s"ln2 expected: ${e(2L)}")
     assert(e(1L) < e(3L) && e(3L) < e(4L),
