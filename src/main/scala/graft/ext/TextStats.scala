@@ -522,6 +522,49 @@ object TextStats {
         round(log(col("n_chars").cast("double")) -
           col("__s") / col("n_chars").cast("double"), 6).as("char_entropy"))
 
+  /** Top collocations by pointwise mutual information over the corpus
+    * bigram census — the standard phrase/term-of-art extractor (and the
+    * word2phrase pre-pass of embedding pipelines): `PMI = ln( p(w1,w2) /
+    * (p(w1)·p(w2)) )` with the joint from the bigram census and the
+    * marginals from the token census. A `minCount` floor kills the
+    * rare-pair PMI explosion (a pair seen once between two hapaxes maxes
+    * PMI — the classic artifact). Ranking key is `(round(pmi, 6), w1,
+    * w2)` so the top-k cut is deterministic across engines and
+    * partitionings; the PMI itself is ONE double expression over exact
+    * long counts, identical op order in the oracle.
+    *
+    * Scale shape: two mergeable censuses (bigrams, tokens), two
+    * vocab-keyed joins of the (min-count-floored, much smaller) pair
+    * table against the unigram table, one broadcast totals row, one
+    * top-k sort of the surviving pairs. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val toksF = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bigrams = toksF.select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = toksF.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n1")).crossJoin(
+      bigrams.agg(count(lit(1)).as("n12")))
+    c12
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+          (col("n12").cast("double") * col("c1").cast("double") * col("c2").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select("w1", "w2", "c12", "pmi")
+  }
+
   // ---- BPE tokenizer induction ----
 
   /** Symbol-sequence encoding used by the BPE trainer: a word becomes

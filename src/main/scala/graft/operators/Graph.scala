@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics beyond connected components: PageRank over an edge
+  * list — the crawl-quality ranking a web-scale corpus pipeline feeds its
+  * source-trust weighting from (Common Crawl publishes exactly this as
+  * host-level ranks; near-dup clustering is `TextDedup.dupClusters`, this
+  * is the other graph pillar).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank: `r₀ = 1/N`, `r_{t+1}(v) = (1−d)/N +
+    * d·Σ_{(u,v)∈E} r_t(u)/outdeg(u)`. Mass leaking through dangling
+    * nodes is NOT redistributed (the simplified variant most batch
+    * systems run; ranks stay comparable, totals shrink — document-ranking
+    * use cases only need the order).
+    *
+    * Determinism/oracle parity: each node's incoming contributions fold
+    * in ascending-source order (in-degree-bounded state), so every
+    * iteration is bit-identical across partitionings and replayable as
+    * unrolled SQL; swap the fold for a plain `sum` when bit
+    * reproducibility is not required and hub in-degrees are extreme.
+    *
+    * Scale shape per round: one join of ranks onto edges (both keyed on
+    * the node), one dst-keyed aggregation, a broadcast N; round frames
+    * eagerly checkpointed (the [[graft.ext.TextDedup.dupClusters]]
+    * treatment) so plans stay constant-size across iterations. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0 && damping > 0 && damping < 1)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = ckpt(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val n = nodes.count()
+    var ranks = ckpt(nodes.withColumn("r", lit(1.0) / lit(n.toDouble)))
+    val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("r") / col("outdeg").cast("double")).as("c"))
+        .groupBy("dst")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("in_sum"))
+      ranks = ckpt(nodes
+        .join(contrib.select(col("dst").as("id"), col("in_sum")), Seq("id"), "left")
+        .select(col("id"),
+          (base + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("r")))
+    }
+    ranks
+  }
+}

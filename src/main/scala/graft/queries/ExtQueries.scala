@@ -843,6 +843,29 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // PMI collocation extraction (the word2phrase pre-pass): bigram +
+    // token censuses -> min-count-floored pairs -> one-expression PMI,
+    // deterministic (round-6, lexicographic) top-k
+    "t28_pmi_collocations" -> ((s, d) =>
+      TextStats.pmiCollocations(t(s, d, "documents"), "doc_id", "text",
+        minCount = 5, topK = 50)),
+
+    // PageRank over a deterministic synthetic doc graph (hub + ring +
+    // skip edges from doc_id arithmetic) — the crawl-quality ranking a
+    // corpus pipeline feeds source-trust weights from; 5 iterations, all
+    // per-node folds source-ordered, replayed as 5 unrolled SQL rounds
+    "g6_pagerank" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val m = ids.count()
+      val edges = ids.select(col("doc_id").as("src"),
+          explode(array(
+            col("doc_id") % 10,
+            pmod(col("doc_id") + 1, lit(m)),
+            pmod(col("doc_id") * 7 + 3, lit(m)))).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("id").as("node"), round(col("r"), 9).as("pr"))
+    }),
+
     // character-distribution Shannon entropy: the third cheap gibberish
     // detector (random soup maxes it, single-char runs floor it); HOF
     // composition, ascending-char IEEE fold
@@ -1068,9 +1091,62 @@ object ExtQueries {
       |              THEN acc - (1::HUGEINT << 64) ELSE acc END AS BIGINT) AS ahash
       |  FROM ab)""".stripMargin
 
+  /** One unrolled PageRank round: contributions of `r{i-1}` folded per
+    * dst in ascending-src order, then the damped update over all nodes. */
+  private def pageRankRound(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst,
+       |    list_sum(list(r.r / CAST(deg.outdeg AS DOUBLE) ORDER BY e.src)) AS s
+       |  FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON e.src = deg.src
+       |  GROUP BY e.dst),
+       |r$i AS (
+       |  SELECT nodes.id,
+       |    (1.0 - 0.85) / CAST(n AS DOUBLE) + 0.85 * COALESCE(s, 0.0) AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.id = c$i.dst)""".stripMargin
+
+  private def pageRankOracle(iters: Int): String =
+    s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+       |  UNION ALL SELECT doc_id, (doc_id + 1) % m FROM documents, m
+       |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % m FROM documents, m),
+       |nodes AS (SELECT DISTINCT id FROM
+       |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT id, 1.0 / CAST(n AS DOUBLE) AS r FROM nodes, nn),
+       |${(1 to iters).map(pageRankRound).mkString(",\n")}
+       |SELECT id AS node, round(r, 9) AS pr FROM r$iters ORDER BY node""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
+
+    "g6_pagerank" -> pageRankOracle(5),
+
+    // bigram + unigram censuses and the single-expression PMI replayed;
+    // the deterministic (round-6 PMI, w1, w2) ranking fixes the top-50
+    "t28_pmi_collocations" ->
+      """WITH c AS (
+        |  SELECT list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |ix AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM ix),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT unnest(t) AS w FROM c),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni
+        |       WHERE w <> '' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cu) AS n1,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM bg) AS n12)
+        |SELECT w1, w2, c12,
+        |  round(ln((CAST(c12 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+        |    (CAST(n12 AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+        |FROM c12
+        |JOIN cu a ON c12.w1 = a.w
+        |JOIN cu b ON c12.w2 = b.w
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     // per-doc char census → p·ln p summed in ascending-char order (the
     // t21 fold-parity treatment)

@@ -1433,6 +1433,33 @@ class ExtSpec extends SparkSpecBase {
       "6 corpus-trained merges must strictly compress the corpus")
   }
 
+  test("pmi collocations: association beats co-frequency, min-count kills rare pairs") {
+    import spark.implicits._
+    // frequency-CONTROLLED design (PMI rewards rarity, so compare pairs
+    // whose words are equally frequent): aa/bb are always adjacent,
+    // cc/dd adjacent in only half the docs — every word appears exactly
+    // once per doc. 'rare pair' appears once and must be floored.
+    val docs = ((0 until 30).map { i =>
+      val text = if (i % 2 == 0) "aa bb pad cc dd qq" else "aa bb pad cc qq dd"
+      (i.toLong, text)
+    } :+ (99L, "rare pair")).toDF("doc_id", "text")
+    val top = TextStats.pmiCollocations(docs, "doc_id", "text",
+      minCount = 5, topK = 20).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val m = top.toMap
+    assert(m(("aa", "bb"))._1 == 30L && m(("cc", "dd"))._1 == 15L)
+    assert(m(("aa", "bb"))._2 > m(("cc", "dd"))._2,
+      s"with equal word frequencies, the stronger association must score higher: $m")
+    assert(!m.contains(("rare", "pair")),
+      "a once-seen pair must be killed by the min-count floor")
+    // exact value: ln(c12·N1² / (N12·c1·c2)) with N1 = 30·6+2 = 182,
+    // N12 = 30·5+1 = 151, c12=30, c1=c2=30 — engine-independent replay
+    val expect = BigDecimal(math.log(30.0 * 182 * 182 / (151.0 * 30 * 30)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(("aa", "bb"))._2 == expect,
+      s"PMI must equal the closed form: ${m(("aa", "bb"))._2} vs $expect")
+  }
+
   test("char entropy: exact on known distributions, orders soup > prose > runs") {
     import spark.implicits._
     val toy = Seq(

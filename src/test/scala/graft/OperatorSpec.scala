@@ -631,6 +631,36 @@ class OperatorSpec extends SparkSpecBase {
     assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
   }
 
+  test("pagerank: symmetric cycle ties, hubs dominate, mass bounded, invariant") {
+    import spark.implicits._
+    // 2-cycle: perfect symmetry must give identical ranks
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rc = Graph.pageRank(cyc, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rc(1L) == rc(2L) && math.abs(rc(1L) - 0.5) < 1e-12,
+      s"the 2-cycle is stationary at 0.5/0.5: $rc")
+    // star: every leaf points at the hub — hub rank far above leaves
+    val star = (1L to 20L).map(i => (i, 0L)).toDF("src", "dst")
+    val rs = Graph.pageRank(star, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rs(0L) > 10 * rs(1L), s"hub must dominate: $rs")
+    assert((1L to 20L).map(rs).distinct.size == 1, "leaves tie exactly")
+    // total mass bounded by 1 (dangling leak only shrinks it)
+    assert(rs.values.sum <= 1.0 + 1e-9 && rs.values.sum > 0.2)
+    // partition invariance (the ordered in-edge fold)
+    val big = (0L until 300L).flatMap(i =>
+      Seq((i, (i + 1) % 300), (i, (i * 7 + 3) % 300), (i, i % 10)))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(big, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(big.repartition(13), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "ranks must be bit-identical across partitionings")
+    val hubMin = (0L until 10L).map(a).min
+    val nonHubMax = (10L until 300L).map(a).max
+    assert(hubMin > nonHubMax, "the 10 hub nodes outrank every other node")
+  }
+
   test("psi drift: zero on self, monotone in shift, partition-invariant") {
     import spark.implicits._
     def dist(mean: Int, n: Int): org.apache.spark.sql.DataFrame =
