@@ -522,6 +522,23 @@ object TextStats {
         round(log(col("n_chars").cast("double")) -
           col("__s") / col("n_chars").cast("double"), 6).as("char_entropy"))
 
+  /** Ingest text normalization — the C4-style cleaning pass run before
+    * any tokenization or fingerprinting: strip control characters
+    * (except the whitespace ones) and zero-width code points
+    * (ZWSP/ZWNJ/ZWJ/BOM — the classic invisible-dup source: two
+    * byte-different texts that render identically), then collapse
+    * whitespace runs to one space and trim. Pure codegen'd regexp chain.
+    *
+    * Engine portability: the whitespace collapse uses the EXPLICIT class
+    * `[ \t\n\f\r]` because Java's `\s` includes `\x0B` while RE2's does
+    * not — `\x0B` goes in the strip class instead, so both engines
+    * compute the identical function (the oracle writes the same classes
+    * in RE2 syntax). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text,
+      "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f\\u200b-\\u200d\\ufeff]", ""),
+      "[ \\t\\n\\f\\r]+", " "))
+
   /** Top collocations by pointwise mutual information over the corpus
     * bigram census — the standard phrase/term-of-art extractor (and the
     * word2phrase pre-pass of embedding pipelines): `PMI = ln( p(w1,w2) /

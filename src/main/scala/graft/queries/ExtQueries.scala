@@ -843,6 +843,13 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // C4-style ingest normalization: control/zero-width strip +
+    // whitespace collapse; engine-portable explicit classes (Java \s
+    // and RE2 \s disagree on \x0B — see TextStats.cleanText)
+    "t29_clean_text" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.cleanText(col("text")).as("cleaned"))),
+
     // PMI collocation extraction (the word2phrase pre-pass): bigram +
     // token censuses -> min-count-floored pairs -> one-expression PMI,
     // deterministic (round-6, lexicographic) top-k
@@ -1123,6 +1130,14 @@ object ExtQueries {
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
 
     "g6_pagerank" -> pageRankOracle(5),
+
+    // same classes in RE2 syntax (\x{...} escapes; RE2 has no \uXXXX)
+    "t29_clean_text" ->
+      ("SELECT doc_id,\n" +
+       "  trim(regexp_replace(regexp_replace(text,\n" +
+       "    '[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]', '', 'g'),\n" +
+       "    '[ \\t\\n\\f\\r]+', ' ', 'g')) AS cleaned\n" +
+       "FROM documents ORDER BY doc_id"),
 
     // bigram + unigram censuses and the single-expression PMI replayed;
     // the deterministic (round-6 PMI, w1, w2) ranking fixes the top-50

@@ -1433,6 +1433,29 @@ class ExtSpec extends SparkSpecBase {
       "6 corpus-trained merges must strictly compress the corpus")
   }
 
+  test("cleanText: strips invisibles, collapses whitespace, idempotent") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "a\u200bb\u200cc\u200dd\ufeffe"),    // zero-widths vanish
+      (2L, "x\u0001y\u0007z\u007fw"),            // controls vanish
+      (3L, "  a\t\tb\n\nc\r\n d  "),          // runs collapse, ends trim
+      (4L, "a\u000bb"),                          // \x0B strips (RE2 \s gap)
+      (5L, "already clean text"))
+      .toDF("doc_id", "text")
+    val got = dirty.select(col("doc_id"), TextStats.cleanText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "abcde", s"zero-widths: ${got(1L)}")
+    assert(got(2L) == "xyzw", s"controls: ${got(2L)}")
+    assert(got(3L) == "a b c d", s"whitespace: '${got(3L)}'")
+    assert(got(4L) == "ab", s"vertical tab: '${got(4L)}'")
+    assert(got(5L) == "already clean text")
+    // idempotence: cleaning a cleaned corpus is the identity
+    val twice = dirty.select(col("doc_id"),
+      TextStats.cleanText(TextStats.cleanText(col("text"))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got, "cleanText must be idempotent")
+  }
+
   test("pmi collocations: association beats co-frequency, min-count kills rare pairs") {
     import spark.implicits._
     // frequency-CONTROLLED design (PMI rewards rarity, so compare pairs
