@@ -873,6 +873,42 @@ object ExtQueries {
         .select(col("id").as("node"), round(col("r"), 9).as("pr"))
     }),
 
+    // COMPOSITION: the d3 near-dup pair construction chained into
+    // PageRank — duplication centrality: a "template" text with many
+    // partial near-dups outranks its variants (symmetric components rank
+    // flat — the signal is ASYMMETRIC duplication structure), a
+    // prioritization signal for manual review / dedup policy
+    "g7_dup_pagerank" -> ((s, d) => {
+      val pairs = TextDedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.5)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("id").as("node"), round(col("r"), 9).as("pr"))
+    }),
+
+    // COMPOSITION: three oracled quality signals (t4 stopword ratio, t21
+    // unigram-LM score, t27 char entropy) fused by a fixed logistic —
+    // the ensemble-scoring shape (production fits the weights on labels;
+    // the gate pins the fusion arithmetic end to end)
+    "t30_quality_ensemble" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val qm = TextStats.qualityMetrics(docs, "text")
+        .select(col("doc_id"), col("stopword_ratio"))
+      val lm = TextStats.unigramLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob"))
+      val he = TextStats.charEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("char_entropy"))
+      qm.join(lm, "doc_id").join(he, "doc_id")
+        .withColumn("q_score", round(
+          lit(1.0) / (lit(1.0) + exp(-(lit(-1.0) +
+            lit(4.0) * col("stopword_ratio") +
+            lit(0.8) * col("avg_logprob") +
+            lit(0.5) * col("char_entropy")))), 6))
+        .select("doc_id", "stopword_ratio", "avg_logprob", "char_entropy",
+          "q_score")
+    }),
+
     // character-distribution Shannon entropy: the third cheap gibberish
     // detector (random soup maxes it, single-char runs floor it); HOF
     // composition, ascending-char IEEE fold
@@ -1111,12 +1147,11 @@ object ExtQueries {
        |    (1.0 - 0.85) / CAST(n AS DOUBLE) + 0.85 * COALESCE(s, 0.0) AS r
        |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.id = c$i.dst)""".stripMargin
 
-  private def pageRankOracle(iters: Int): String =
-    s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM documents),
-       |e AS (
-       |  SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
-       |  UNION ALL SELECT doc_id, (doc_id + 1) % m FROM documents, m
-       |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % m FROM documents, m),
+  /** Unrolled PageRank replay over an `e(src, dst)` CTE supplied by the
+    * caller — shared by the synthetic-graph gate (g6) and the
+    * near-dup-graph composition (g7). */
+  private def pageRankOracleOn(edgeCtes: String, iters: Int): String =
+    s"""WITH $edgeCtes,
        |nodes AS (SELECT DISTINCT id FROM
        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
@@ -1125,11 +1160,82 @@ object ExtQueries {
        |${(1 to iters).map(pageRankRound).mkString(",\n")}
        |SELECT id AS node, round(r, 9) AS pr FROM r$iters ORDER BY node""".stripMargin
 
+  private def pageRankOracle(iters: Int): String = pageRankOracleOn(
+    """m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, doc_id % 10 AS dst FROM documents
+      |  UNION ALL SELECT doc_id, (doc_id + 1) % m FROM documents, m
+      |  UNION ALL SELECT doc_id, (doc_id * 7 + 3) % m FROM documents, m)""".stripMargin,
+    iters)
+
+  /** g7: the d3 exact-Jaccard pair construction chained into PageRank —
+    * duplication centrality over the near-dup graph (both directions of
+    * every pair). */
+  private def dupPageRankOracle(iters: Int): String = pageRankOracleOn(
+    """sh AS (
+      |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+      |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a, sh b
+      |  WHERE a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION ALL SELECT id_b, id_a FROM pairs)""".stripMargin,
+    iters)
+
   def oracleSql: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeMergesOracle(BpeMerges),
     "t25_bpe_encode" -> bpeEncodeOracle(BpeMerges),
 
     "g6_pagerank" -> pageRankOracle(5),
+    "g7_dup_pagerank" -> dupPageRankOracle(3),
+
+    // the three signal chains (t4 / t21 / t27 oracles) joined, then the
+    // identical left-associated logistic fusion
+    "t30_quality_ensemble" ->
+      s"""WITH qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+         |      x -> x IN ($markerList))) AS DOUBLE)
+         |      / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IS NOT NULL AND term <> '' GROUP BY 1, 2),
+         |cc AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+         |tot AS (SELECT SUM(c) AS n, count(*) AS v FROM cc),
+         |ctr AS (
+         |  SELECT doc_id, term, tf,
+         |    CAST(tf AS DOUBLE) * ln((CAST(c AS DOUBLE) + 1.0) /
+         |      (CAST(n AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp
+         |  FROM tf JOIN cc USING (term) CROSS JOIN tot),
+         |lm AS (
+         |  SELECT doc_id,
+         |    round(list_sum(list(lp ORDER BY term)) / CAST(SUM(tf) AS DOUBLE), 6)
+         |      AS avg_logprob
+         |  FROM ctr GROUP BY doc_id),
+         |ch AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+         |  FROM documents),
+         |cf AS (SELECT doc_id, ch, count(*) AS cnt
+         |       FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         |he AS (
+         |  SELECT doc_id,
+         |    round(ln(CAST(SUM(cnt) AS DOUBLE)) -
+         |      list_sum(list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+         |        ORDER BY ch)) / CAST(SUM(cnt) AS DOUBLE), 6) AS char_entropy
+         |  FROM cf GROUP BY doc_id)
+         |SELECT doc_id, stopword_ratio, avg_logprob, char_entropy,
+         |  round(1.0 / (1.0 + exp(-(-1.0 + 4.0 * stopword_ratio +
+         |    0.8 * avg_logprob + 0.5 * char_entropy))), 6) AS q_score
+         |FROM qm JOIN lm USING (doc_id) JOIN he USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // same classes in RE2 syntax (\x{...} escapes; RE2 has no \uXXXX)
     "t29_clean_text" ->

@@ -661,6 +661,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(hubMin > nonHubMax, "the 10 hub nodes outrank every other node")
   }
 
+  test("dup-graph pagerank: the template doc at a near-dup hub outranks the periphery") {
+    import spark.implicits._
+    // undirected star (a "template" text with 5 partial near-dups) plus a
+    // detached symmetric pair; note pure symmetric components rank FLAT
+    // (regular graphs are stationary at uniform) — centrality only
+    // separates asymmetric duplication structure, which is the signal
+    val star = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L))) ++
+      Seq((10L, 11L), (11L, 10L))
+    val r = Graph.pageRank(star.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > 2 * r(1L), s"the hub template must dominate its variants: $r")
+    assert((1L to 5L).map(r).distinct.size == 1, "variants tie exactly")
+    assert(r(10L) == r(11L), "the detached symmetric pair ties exactly")
+  }
+
   test("psi drift: zero on self, monotone in shift, partition-invariant") {
     import spark.implicits._
     def dist(mean: Int, n: Int): org.apache.spark.sql.DataFrame =
