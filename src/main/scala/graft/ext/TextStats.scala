@@ -522,6 +522,68 @@ object TextStats {
         round(log(col("n_chars").cast("double")) -
           col("__s") / col("n_chars").cast("double"), 6).as("char_entropy"))
 
+  /** Deterministic conversation derivation for the SFT-prep gates: each
+    * document's token stream splits into `turns` contiguous chunks
+    * (floor boundaries `⌊i·n/turns⌋`), roles alternating user/assistant —
+    * the fixture carries no real dialogues, so the gate derives one per
+    * doc and the oracle replays the same slicing. */
+  def chatTurns(docs: DataFrame, idCol: String, textCol: String,
+                turns: Int = 4): DataFrame = {
+    require(turns > 0)
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).as("conv_id"), toks.as("toks"))
+      .select(col("conv_id"), explode(sequence(lit(0), lit(turns - 1))).as("turn_idx"),
+        col("toks"))
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("turn_idx") % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        array_join(slice(col("toks"),
+          floor(col("turn_idx") * size(col("toks")) / lit(turns)).cast("int") + lit(1),
+          (floor((col("turn_idx") + 1) * size(col("toks")) / lit(turns)) -
+            floor(col("turn_idx") * size(col("toks")) / lit(turns))).cast("int")),
+          " ").as("turn_text"))
+  }
+
+  /** SFT chat packing with LOSS-MASK spans — the supervised-fine-tuning
+    * data-prep step: each conversation's turns render in order as
+    * `<|role|>text` segments concatenated into one training string, and
+    * the ASSISTANT turns' text ranges (character offsets into the
+    * rendered string, role tag excluded — the loss is taken on the
+    * response, not the prompt scaffold) come back as a `start:end`
+    * semicolon-joined mask. One conversation-keyed shuffle; the render
+    * and the offsets are a single ordered fold (struct accumulator:
+    * position, mask, text), replayed in SQL via window prefix sums.
+    * Offsets are CHARACTER positions — a tokenizer-aligned variant maps
+    * them through [[bpeEncode]]'s symbol lengths. */
+  def chatPack(turnsDf: DataFrame, convCol: String, idxCol: String,
+               roleCol: String, textCol: String): DataFrame = {
+    val seg = concat(lit("<|"), col(roleCol), lit("|>"), col(textCol))
+    val tagLen = length(col(roleCol)) + lit(4)
+    turnsDf
+      .select(col(convCol), col(idxCol), col(roleCol), seg.as("seg"),
+        tagLen.as("tag_len"))
+      .groupBy(col(convCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(idxCol), col(roleCol), col("seg"),
+          col("tag_len")))),
+        struct(lit(0).as("pos"), lit("").as("mask"), lit("").as("txt")),
+        (acc, t) => {
+          val segLen = length(t.getField("seg"))
+          val isA = t.getField("role") === lit("assistant")
+          struct(
+            (acc.getField("pos") + segLen).as("pos"),
+            when(isA, concat(acc.getField("mask"),
+                when(acc.getField("mask") === "", lit("")).otherwise(lit(";")),
+                (acc.getField("pos") + t.getField("tag_len")).cast("string"),
+                lit(":"), (acc.getField("pos") + segLen).cast("string")))
+              .otherwise(acc.getField("mask")).as("mask"),
+            concat(acc.getField("txt"), t.getField("seg")).as("txt"))
+        }).as("packed"))
+      .select(col(convCol), col("packed.txt").as("rendered"),
+        col("packed.mask").as("assistant_mask"),
+        length(col("packed.txt")).as("n_chars"))
+  }
+
   /** Ingest text normalization — the C4-style cleaning pass run before
     * any tokenization or fingerprinting: strip control characters
     * (except the whitespace ones) and zero-width code points

@@ -843,6 +843,16 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // SFT chat packing: role-tagged turns render into one training
+    // string with ASSISTANT loss-mask character spans (the response is
+    // trained on, the prompt scaffold is not); turns derived
+    // deterministically from each doc, offsets replayed via window
+    // prefix sums in the oracle
+    "t31_chat_pack" -> ((s, d) =>
+      TextStats.chatPack(
+        TextStats.chatTurns(t(s, d, "documents"), "doc_id", "text", turns = 4),
+        "conv_id", "turn_idx", "role", "turn_text")),
+
     // C4-style ingest normalization: control/zero-width strip +
     // whitespace collapse; engine-portable explicit classes (Java \s
     // and RE2 \s disagree on \x0B — see TextStats.cleanText)
@@ -1192,6 +1202,40 @@ object ExtQueries {
 
     "g6_pagerank" -> pageRankOracle(5),
     "g7_dup_pagerank" -> dupPageRankOracle(3),
+
+    // turn slicing (floor boundaries), <|role|> render, and the
+    // assistant-span offsets (window prefix sums over segment lengths)
+    "t31_chat_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS conv_id,
+        |    string_split(lower(trim(text)), ' ') AS toks
+        |  FROM documents),
+        |tu AS (
+        |  SELECT conv_id, i AS turn_idx,
+        |    CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    array_to_string(
+        |      toks[(i * len(toks) // 4) + 1 : ((i + 1) * len(toks) // 4)],
+        |      ' ') AS turn_text
+        |  FROM tk, unnest(generate_series(0, 3)) t(i)),
+        |sg AS (
+        |  SELECT conv_id, turn_idx, role,
+        |    '<|' || role || '|>' || turn_text AS seg,
+        |    length(role) + 4 AS tag_len
+        |  FROM tu),
+        |off AS (
+        |  SELECT conv_id, turn_idx, role, seg, tag_len,
+        |    COALESCE(SUM(length(seg)) OVER (PARTITION BY conv_id
+        |      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS pos
+        |  FROM sg)
+        |SELECT conv_id,
+        |  string_agg(seg, '' ORDER BY turn_idx) AS rendered,
+        |  COALESCE(string_agg(
+        |    CAST(pos + tag_len AS VARCHAR) || ':' ||
+        |      CAST(pos + length(seg) AS VARCHAR), ';' ORDER BY turn_idx)
+        |    FILTER (WHERE role = 'assistant'), '') AS assistant_mask,
+        |  CAST(length(string_agg(seg, '' ORDER BY turn_idx)) AS INT) AS n_chars
+        |FROM off GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
     // the three signal chains (t4 / t21 / t27 oracles) joined, then the
     // identical left-associated logistic fusion

@@ -1433,6 +1433,42 @@ class ExtSpec extends SparkSpecBase {
       "6 corpus-trained merges must strictly compress the corpus")
   }
 
+  test("chat pack: mask spans select exactly the assistant responses; turns lossless") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0, "user", "hello there"),
+      (1L, 1, "assistant", "hi how are you"),
+      (1L, 2, "user", "good"),
+      (1L, 3, "assistant", "great"))
+      .toDF("conv_id", "turn_idx", "role", "turn_text")
+    val got = TextStats.chatPack(turns, "conv_id", "turn_idx", "role", "turn_text")
+      .collect()(0)
+    val rendered = got.getString(1)
+    val mask = got.getString(2)
+    assert(rendered ==
+      "<|user|>hello there<|assistant|>hi how are you<|user|>good<|assistant|>great")
+    val spans = mask.split(";").map { sp =>
+      val Array(a, b) = sp.split(":"); (a.toInt, b.toInt)
+    }
+    assert(spans.map { case (a, b) => rendered.substring(a, b) }.toSeq ==
+      Seq("hi how are you", "great"),
+      s"the mask must recover exactly the responses: $mask")
+    assert(got.getInt(3) == rendered.length)
+    // chatTurns is a lossless partition of the token stream
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t4 = TextStats.chatTurns(docs, "doc_id", "text", turns = 4)
+    val joined = t4.groupBy("conv_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"), col("turn_text")))),
+        x => x.getField("turn_text")), " ").as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim
+        .split("\\s+").mkString(" ")).toMap
+    assert(raw.forall { case (id, s) => joined(id) == s },
+      "concatenated turns must reproduce every doc's token stream")
+  }
+
   test("cleanText: strips invisibles, collapses whitespace, idempotent") {
     import spark.implicits._
     val dirty = Seq(
