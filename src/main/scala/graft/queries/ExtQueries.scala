@@ -1716,6 +1716,32 @@ object ExtQueries {
     // per-character unicode() stands in for the byte ONLY because the
     // fixture text is pure ASCII (verified: zero non-ASCII rows) — the
     // Spark side hashes raw UTF-8 bytes.
+    // the feature stub path IS arithmetic end to end (text payloads have
+    // no JDK codec): 131-multiplier byte fold mod 2^64 (the t5 HUGEINT
+    // treatment; fixture text is ASCII so unicode(char) = the UTF-8
+    // byte), stub geometry from the byte length, sentinel luma — a
+    // formerly rows-only gate, now bit-exact
+    "m2_media_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(text) = 0 THEN 0::HUGEINT
+        |    ELSE list_reduce(
+        |      list_transform(range(1, len(text) + 1), i -> CAST(unicode(text[i]) AS HUGEINT)),
+        |      (acc, x) -> (acc * 131 + x) % 18446744073709551616::HUGEINT)
+        |    END AS cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS byte_len,
+        |  'stub/raw' AS format,
+        |  CAST(320 + strlen(text) % 1280 AS INT) AS width,
+        |  CAST(240 + strlen(text) % 720 AS INT) AS height,
+        |  CAST(CASE WHEN cs >= 9223372036854775808::HUGEINT
+        |       THEN cs - 18446744073709551616::HUGEINT ELSE cs END AS BIGINT)
+        |    AS checksum,
+        |  CAST(-1.0 AS DOUBLE) AS mean_luma,
+        |  CAST(64 AS INT) AS feature_dim
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "t5_rolling_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s

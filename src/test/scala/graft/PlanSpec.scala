@@ -259,4 +259,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"hamming pair join must stay equi-keyed:\n$s")
   }
+
+  test("session-added composed gates stay cartesian-free") {
+    // g7 composes near-dup pairs into PageRank (ngram bucket joins +
+    // rank joins), t30 joins three signal frames, t31 is one grouped
+    // fold, m13 is the audio banding twin — none may nested-loop
+    for (name <- Seq("g7_dup_pagerank", "t30_quality_ensemble",
+        "t31_chat_pack", "m13_audio_near_dups")) {
+      val s = planOf(q(name)).toString
+      assert(!s.contains("CartesianProduct"),
+        s"$name must not plan a cartesian")
+    }
+  }
 }
