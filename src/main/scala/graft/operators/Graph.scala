@@ -36,8 +36,13 @@ object Graph {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
+    // persist the edge frame: every iteration joins it, and an expensive
+    // upstream plan (e.g. the near-dup pair construction feeding
+    // duplication centrality) would otherwise re-execute once per round
+    // PLUS once each for the node and degree censuses
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+        col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = ckpt(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     val deg = ckpt(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
@@ -58,6 +63,8 @@ object Graph {
         .select(col("id"),
           (base + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("r")))
     }
+    // ranks is an eager checkpoint (leaf plan) — the edge cache can go
+    e.unpersist()
     ranks
   }
 }
