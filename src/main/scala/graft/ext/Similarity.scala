@@ -68,6 +68,33 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * per anchor, the top-k most-similar corpus vectors that are NOT
+    * near-duplicates — rank by cosine descending restricted to
+    * `cos < dupThreshold`. The exclusion matters because unlabeled
+    * near-dups of the anchor are the classic contrastive-training poison
+    * (false negatives teach the model to push paraphrases apart);
+    * `dupThreshold` is the same constant the near-dup pair census
+    * ([[nearDupPairs]] / gate e3) uses, so "excluded" is exactly "an e3
+    * pair of the anchor". Same broadcast-anchor scan shape as
+    * [[bruteForceTopK]]; swap the scan for the IVF index at real scale
+    * and keep the threshold filter. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 5,
+                    dupThreshold: Double = 0.5): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpusFrame(corpus, idCol, vecCol)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      .filter(col("cos_sim") < lit(dupThreshold))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos_sim")
+  }
+
   /** Deterministic random-hyperplane matrix (seeded — no runtime RNG). */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -599,6 +599,16 @@ object ExtQueries {
           "vec_id", "embedding", bits = 4, perCell = 10)
         .select("vec_id", "cell")),
 
+    // hard-negative mining for contrastive training: the most similar
+    // NON-near-dup corpus vectors per anchor (near-dups are the false-
+    // negative poison; the exclusion threshold is e3's dup constant)
+    "e12_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dupThreshold = 0.5)
+        .select("q_id", "n_id", "rnk")
+    }),
+
     // ---- similarity search ----
     "e1_knn_brute_force" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -2559,6 +2569,18 @@ object ExtQueries {
         |      FROM q, embeddings WHERE vec_id <> q_id),
         |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // e1's ranking restricted to the sub-dup-threshold band — the e3
+    // exclusion expressed as the cosine cut both constructions share
+    "e12_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS n_id, list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs
+        |      FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+        |      FROM s WHERE cs < 0.5)
+        |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "e3_embedding_near_dups" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -1433,6 +1433,29 @@ class ExtSpec extends SparkSpecBase {
       "6 corpus-trained merges must strictly compress the corpus")
   }
 
+  test("hard negatives: near-dups excluded, most-similar clean vector ranks first") {
+    import spark.implicits._
+    val anchor = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val emb = Seq(
+      (0L, anchor),
+      (1L, Array(0.999f, 0.01f, 0f, 0f)),   // near-dup (cos ~1) — poison
+      (2L, Array(0.4f, 0.9f, 0f, 0f)),      // similar but clean (cos ~0.41)
+      (3L, Array(0.1f, 0.99f, 0f, 0f)),     // less similar
+      (4L, Array(-1.0f, 0f, 0f, 0f)))       // opposite
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3, dupThreshold = 0.9)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 4L),
+      s"the near-dup must be excluded and clean vectors rank by similarity: ${got.toSeq}")
+    // threshold 1.01 disables the exclusion: the near-dup tops the list
+    val all = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 1, dupThreshold = 1.01)
+      .collect()(0).getLong(1)
+    assert(all == 1L, "without the cut this is plain brute-force top-k")
+  }
+
   test("chat pack: mask spans select exactly the assistant responses; turns lossless") {
     import spark.implicits._
     val turns = Seq(
