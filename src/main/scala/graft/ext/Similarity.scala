@@ -95,6 +95,34 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
+  /** Contrastive-training TRIPLET assembly — the deliverable dataset an
+    * embedding-model trainer consumes: for every vector that has a
+    * near-duplicate, emit `(anchor, positive, negative×k)` where the
+    * positive is the anchor's HIGHEST-cosine near-dup partner (tie → min
+    * id) and the negatives come from [[hardNegatives]] (most similar
+    * NON-dups — hard negatives train better than random ones, false
+    * negatives poison). Both ingredients are the already-gated e3/e12
+    * constructions; this composes them into the dataset shape. */
+  def contrastiveTriplets(corpus: DataFrame, idCol: String, vecCol: String,
+                          dupThreshold: Double = 0.5, kNeg: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(corpus, idCol, vecCol, dupThreshold)
+    val bi = pairs.select(col("id_a").as("anchor_id"),
+        col("id_b").as("partner"), col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("anchor_id"),
+        col("id_a").as("partner"), col("cos_sim")))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_sim").desc, col("partner").asc)
+    val pos = bi.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("anchor_id"), col("partner").as("pos_id"))
+    val anchors = corpus.join(
+      pos.select(col("anchor_id").as(idCol)).distinct(), Seq(idCol))
+    hardNegatives(corpus, anchors, idCol, vecCol, kNeg, dupThreshold)
+      .select(col("q_id").as("anchor_id"), col("n_id").as("neg_id"),
+        col("rnk").as("neg_rnk"))
+      .join(pos, "anchor_id")
+      .select("anchor_id", "pos_id", "neg_id", "neg_rnk")
+  }
+
   /** Deterministic random-hyperplane matrix (seeded — no runtime RNG). */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -599,6 +599,14 @@ object ExtQueries {
           "vec_id", "embedding", bits = 4, perCell = 10)
         .select("vec_id", "cell")),
 
+    // COMPOSITION: the e3 near-dup census + e12 hard negatives assembled
+    // into the contrastive-training triplet dataset (anchor, best-dup
+    // positive, k hard negatives) — the dataset an embedding trainer
+    // actually consumes
+    "e13_contrastive_triplets" -> ((s, d) =>
+      Similarity.contrastiveTriplets(t(s, d, "embeddings"),
+        "vec_id", "embedding", dupThreshold = 0.5, kNeg = 3)),
+
     // hard-negative mining for contrastive training: the most similar
     // NON-near-dup corpus vectors per anchor (near-dups are the false-
     // negative poison; the exclusion threshold is e3's dup constant)
@@ -2569,6 +2577,34 @@ object ExtQueries {
         |      FROM q, embeddings WHERE vec_id <> q_id),
         |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // the e3 pair census (argmax partner per anchor) chained into the
+    // e12 hard-negative ranking — two oracled constructions composed
+    "e13_contrastive_triplets" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cs
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+        |pp AS (SELECT * FROM p WHERE cs >= 0.5),
+        |bi AS (SELECT id_a AS anchor_id, id_b AS partner, cs FROM pp
+        |       UNION ALL SELECT id_b, id_a, cs FROM pp),
+        |pos AS (SELECT anchor_id, partner AS pos_id FROM (
+        |  SELECT anchor_id, partner,
+        |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |      ORDER BY cs DESC, partner ASC) AS rk FROM bi) WHERE rk = 1),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+        |      WHERE vec_id IN (SELECT anchor_id FROM pos)),
+        |sc AS (SELECT q_id, vec_id AS n_id,
+        |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS cs2
+        |       FROM q, embeddings WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |          ORDER BY cs2 DESC, n_id ASC) AS rnk
+        |      FROM sc WHERE cs2 < 0.5)
+        |SELECT pos.anchor_id, pos.pos_id, r.n_id AS neg_id,
+        |  CAST(r.rnk AS INT) AS neg_rnk
+        |FROM pos JOIN r ON pos.anchor_id = r.q_id
+        |WHERE r.rnk <= 3 ORDER BY anchor_id, neg_rnk""".stripMargin,
 
     // e1's ranking restricted to the sub-dup-threshold band — the e3
     // exclusion expressed as the cosine cut both constructions share

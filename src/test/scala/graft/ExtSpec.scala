@@ -1456,6 +1456,29 @@ class ExtSpec extends SparkSpecBase {
     assert(all == 1L, "without the cut this is plain brute-force top-k")
   }
 
+  test("contrastive triplets: best dup is the positive, negatives exclude all dups") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.05f, 0f, 0f)),   // dup of 0 (closer)
+      (2L, Array(0.9f, 0.3f, 0f, 0f)),     // dup of 0 AND of 1 (farther from 0)
+      (3L, Array(0.3f, 0.95f, 0f, 0f)),    // clean, somewhat similar
+      (4L, Array(0f, 0f, 1f, 0f)))         // orthogonal
+      .toDF("vec_id", "embedding")
+    val got = Similarity.contrastiveTriplets(emb, "vec_id", "embedding",
+      dupThreshold = 0.9, kNeg = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byAnchor = got.groupBy(_._1)
+    // anchor 0: positive must be its CLOSEST dup (1, not 2)
+    assert(byAnchor(0L).head._2 == 1L, s"closest dup is the positive: ${got.toSeq}")
+    // negatives never include any of the anchor's dups
+    assert(byAnchor(0L).forall(t => t._3 != 1L && t._3 != 2L && t._3 != 0L))
+    // first negative of anchor 0 is the most-similar clean vector
+    assert(byAnchor(0L).find(_._4 == 1).get._3 == 3L)
+    // every vector in a dup pair becomes an anchor; clean vectors do not
+    assert(byAnchor.keySet == Set(0L, 1L, 2L), s"anchors: ${byAnchor.keySet}")
+  }
+
   test("chat pack: mask spans select exactly the assistant responses; turns lossless") {
     import spark.implicits._
     val turns = Seq(
