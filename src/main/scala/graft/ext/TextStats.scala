@@ -584,6 +584,65 @@ object TextStats {
         length(col("packed.txt")).as("n_chars"))
   }
 
+  /** Length-bucketed batching for inference / eval over variable-length
+    * sequences: rank documents by token count (descending, id tiebreak)
+    * and cut consecutive ranks into batches of `batchSize` — each batch
+    * pads to ITS OWN max, and sorting first makes batch members
+    * near-equal length, which provably minimizes total padding over any
+    * ordering for fixed batch size. Returns per-doc batch id, the
+    * batch's pad-to length, and the doc's padding waste. Pass `shardCol`
+    * to rank within shards (the [[packSequences]] parallelism treatment —
+    * a global rank is one window). */
+  def lengthBuckets(df: DataFrame, idCol: String, tokenCol: String,
+                    batchSize: Int, shardCol: Option[String] = None): DataFrame = {
+    require(batchSize > 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = shardCol.fold(Window.orderBy(col(tokenCol).desc, col(idCol).asc))(s =>
+      Window.partitionBy(col(s)).orderBy(col(tokenCol).desc, col(idCol).asc))
+    val batchKeys = (shardCol.toSeq :+ "batch").map(col)
+    val wb = Window.partitionBy(batchKeys: _*)
+    df.select((shardCol.toSeq :+ idCol :+ tokenCol).map(col): _*)
+      .withColumn("batch", ((row_number().over(base) - 1) / batchSize)
+        .cast("long"))
+      .withColumn("pad_to", max(col(tokenCol)).over(wb))
+      .withColumn("padding", col("pad_to") - col(tokenCol))
+  }
+
+  /** Corpus diversity census — the release-tracking metric next to the
+    * [[dataCard]]: per stratum, the type–token ratio (distinct/total
+    * unigrams) and the distinct-shingle ratio (k-gram diversity; a
+    * boilerplate-heavy or template-expanded release shows a falling
+    * shingle ratio long before exact-dup counts move). Two mergeable
+    * censuses, exact longs, single IEEE divisions. */
+  def diversityCensus(docs: DataFrame, idCol: String, textCol: String,
+                      stratumCol: String, k: Int = 3): DataFrame = {
+    val toks = docs.select(col(stratumCol), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(col(stratumCol), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+    // sequence(1, stop) DESCENDS for stop < 1 — short docs need an
+    // explicit empty, not a reversed range
+    val idx = when(size(col("toks")) >= k,
+      sequence(lit(1), size(col("toks")) - (k - 1))).otherwise(
+      array().cast("array<int>"))
+    val sh = toks.select(col(stratumCol),
+        explode(filter(transform(idx,
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))), x => x =!= ""))
+          .as("g"))
+    val u = uni.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      count_distinct(col("t")).as("distinct_tokens"))
+    val s2 = sh.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_shingles"),
+      count_distinct(col("g")).as("distinct_shingles"))
+    u.join(s2, stratumCol)
+      .select(col(stratumCol), col("n_tokens"), col("distinct_tokens"),
+        (col("distinct_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        col("n_shingles"), col("distinct_shingles"),
+        (col("distinct_shingles").cast("double") / col("n_shingles").cast("double"))
+          .as("shingle_diversity"))
+  }
+
   /** Ingest text normalization — the C4-style cleaning pass run before
     * any tokenization or fingerprinting: strip control characters
     * (except the whitespace ones) and zero-width code points

@@ -861,6 +861,23 @@ object ExtQueries {
       Multimodal.imageNearDupPairs(hashes, "doc_id", "phash", maxHamming = 6)
     }),
 
+    // length-bucketed batching: per-source descending-length batches of 8
+    // with per-batch pad-to and per-doc padding waste — sorting first is
+    // what makes batch members near-equal length (the inference/eval
+    // padding-efficiency lever)
+    "t32_length_buckets" -> ((s, d) =>
+      TextStats.lengthBuckets(
+        t(s, d, "documents").select(col("source"), col("doc_id"),
+          size(TextStats.tokens(col("text"))).as("n_tok")),
+        "doc_id", "n_tok", batchSize = 8, shardCol = Some("source"))),
+
+    // corpus diversity census: per-source type-token ratio + distinct-
+    // shingle ratio — the release-tracking metric that catches template
+    // expansion before exact-dup counts move
+    "t33_diversity_census" -> ((s, d) =>
+      TextStats.diversityCensus(t(s, d, "documents"), "doc_id", "text",
+        "source", k = 3)),
+
     // SFT chat packing: role-tagged turns render into one training
     // string with ASSISTANT loss-mask character spans (the response is
     // trained on, the prompt scaffold is not); turns derived
@@ -1220,6 +1237,45 @@ object ExtQueries {
 
     "g6_pagerank" -> pageRankOracle(5),
     "g7_dup_pagerank" -> dupPageRankOracle(3),
+
+    "t32_length_buckets" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_tok,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tok DESC, doc_id) AS rn FROM t),
+        |b AS (SELECT source, doc_id, n_tok,
+        |    CAST((rn - 1) // 8 AS BIGINT) AS batch FROM r)
+        |SELECT source, doc_id, n_tok, batch,
+        |  MAX(n_tok) OVER (PARTITION BY source, batch) AS pad_to,
+        |  MAX(n_tok) OVER (PARTITION BY source, batch) - n_tok AS padding
+        |FROM b ORDER BY source, doc_id""".stripMargin,
+
+    "t33_diversity_census" ->
+      """WITH tk AS (
+        |  SELECT source, string_split(lower(trim(text)), ' ') AS toks
+        |  FROM documents),
+        |u AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens
+        |  FROM (SELECT source, unnest(toks) AS t FROM tk) WHERE t <> ''
+        |  GROUP BY source),
+        |g AS (SELECT source, unnest([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS g
+        |  FROM tk),
+        |s2 AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_shingles
+        |  FROM g WHERE g <> '' GROUP BY source)
+        |SELECT source, n_tokens, distinct_tokens,
+        |  CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS type_token_ratio,
+        |  n_shingles, distinct_shingles,
+        |  CAST(distinct_shingles AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        |    AS shingle_diversity
+        |FROM u JOIN s2 USING (source) ORDER BY source""".stripMargin,
 
     // turn slicing (floor boundaries), <|role|> render, and the
     // assistant-span offsets (window prefix sums over segment lengths)

@@ -1456,6 +1456,48 @@ class ExtSpec extends SparkSpecBase {
     assert(all == 1L, "without the cut this is plain brute-force top-k")
   }
 
+  test("length buckets: sorted batches cut padding vs arrival order, batches full") {
+    import spark.implicits._
+    // alternating long/short arrivals — the worst case for arrival-order
+    // batching, which pads every short doc to its batch's long max
+    val docs = (0L until 160L).map(id => (id, "s", if (id % 2 == 0) 100 else 10))
+      .toDF("doc_id", "source", "n_tok")
+    val got = TextStats.lengthBuckets(docs, "doc_id", "n_tok",
+      batchSize = 8, shardCol = Some("source")).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    assert(got.length == 160 && got.map(_._1).distinct.length == 160)
+    val perBatch = got.groupBy(_._3)
+    assert(perBatch.values.forall(_.length == 8), "160/8: every batch full")
+    assert(got.forall { case (_, n, _, padTo, pad) => pad == padTo - n })
+    val sortedPad = got.map(_._5).sum
+    // arrival-order reference: batch = doc_id/8 → 4 longs + 4 shorts per
+    // batch → pad = 4*90 per batch * 20 batches
+    val arrivalPad = (0L until 160L).groupBy(_ / 8).values.map { b =>
+      val lens = b.map(id => if (id % 2 == 0) 100 else 10)
+      lens.map(lens.max - _).sum
+    }.sum
+    assert(sortedPad == 0 && arrivalPad == 7200,
+      s"equal-length batches pad zero; arrival order pays: $sortedPad vs $arrivalPad")
+  }
+
+  test("diversity census: unique corpus maxes ratios, cloned corpus floors them") {
+    import spark.implicits._
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "cloned", "alpha beta gamma delta epsilon")) ++
+      (0 until 20).map(i => (100L + i, "unique",
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e"))).toDF("doc_id", "source", "text")
+    val got = TextStats.diversityCensus(docs, "doc_id", "text", "source", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val (cn, cd, cttr, csn, csd, cshd) = got("cloned")
+    val (un, ud, uttr, usn, usd, ushd) = got("unique")
+    assert(cn == 100 && cd == 5 && cttr == 0.05, s"cloned unigrams: ${got("cloned")}")
+    assert(csn == 60 && csd == 3 && cshd == 0.05, "20 copies of 3 shingles")
+    assert(un == 100 && ud == 100 && uttr == 1.0, "all-unique tokens")
+    assert(usn == 60 && usd == 60 && ushd == 1.0, "all-unique shingles")
+    assert(cshd < ushd && cttr < uttr)
+  }
+
   test("contrastive triplets: best dup is the positive, negatives exclude all dups") {
     import spark.implicits._
     val emb = Seq(
