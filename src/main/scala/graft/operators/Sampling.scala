@@ -243,6 +243,34 @@ object Sampling {
                        seed: String, nShards: Int): DataFrame =
     shardAndRank(df, key, seed, nShards, orderPrefix = Seq(scoreCol))
 
+  /** Quality-tiered mix — the "keep more of the best data" curation move:
+    * rank rows into `tiers` quantile tiers of a quality score (ntile;
+    * ascending, so tier `tiers` is the best) and keep each tier at a rate
+    * rising linearly to `topRate` via the same engine-portable md5
+    * threshold gate as [[weightedMix]] (units = round(rate·65536), hex
+    * compare, runtime-formatted because the units are now data-derived).
+    * Deterministic per key; the DuckDB oracle replays ntile, units, and
+    * the gate exactly.
+    *
+    * Scale note: the exact global ntile is a single-task window over the
+    * (key, score) projection — fine to ~10⁸ rows; at corpus scale swap
+    * the tier assignment for KLL-sketch quantile thresholds
+    * (`functions.KllQuantile`) and keep the identical gate. */
+  def qualityTieredMix(df: DataFrame, key: Column, scoreCol: String,
+                       tiers: Int = 10, topRate: Double = 1.0): DataFrame = {
+    require(tiers > 0 && topRate > 0 && topRate <= 1.0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(scoreCol).asc, key.asc)
+    df.withColumn("tier", ntile(tiers).over(w))
+      .withColumn("__units",
+        round(lit(topRate * 65536.0) * col("tier").cast("double") / lit(tiers.toDouble))
+          .cast("long"))
+      .filter(col("__units") >= 65536L ||
+        substring(md5(key.cast("string")), 1, 4) <
+          lower(lpad(hex(col("__units")), 4, "0")))
+      .drop("__units")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
     * the distributed-standard algorithm): each row draws a seeded uniform
     * `u` from `md5(seed:key)` (52 mantissa bits + half-ULP offset, never

@@ -932,6 +932,17 @@ object ExtQueries {
         .select(col("id").as("node"), round(col("r"), 9).as("pr"))
     }),
 
+    // COMPOSITION: the t30 ensemble score drives a quality-tiered keep
+    // gate (deciles upsampled linearly toward the top) — score → rank →
+    // deterministic md5 gate, the whole curation chain hash-gated
+    "p26_quality_mix" -> ((s, d) => {
+      val scored = queries("t30_quality_ensemble")(s, d)
+        .select(col("doc_id"), col("q_score"))
+      graft.operators.Sampling.qualityTieredMix(scored, col("doc_id"),
+          "q_score", tiers = 10, topRate = 1.0)
+        .select("doc_id", "q_score", "tier")
+    }),
+
     // COMPOSITION: three oracled quality signals (t4 stopword ratio, t21
     // unigram-LM score, t27 char entropy) fused by a fixed logistic —
     // the ensemble-scoring shape (production fits the weights on labels;
@@ -1310,6 +1321,63 @@ object ExtQueries {
         |    FILTER (WHERE role = 'assistant'), '') AS assistant_mask,
         |  CAST(length(string_agg(seg, '' ORDER BY turn_idx)) AS INT) AS n_chars
         |FROM off GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+
+    // the t30 chain continued: NTILE tiers over the fused score, then
+    // the runtime-hex md5 gate — the full curation composition
+    "p26_quality_mix" ->
+      s"""WITH qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+         |      x -> x IN ($markerList))) AS DOUBLE)
+         |      / CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE)
+         |      AS stopword_ratio
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IS NOT NULL AND term <> '' GROUP BY 1, 2),
+         |cc AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY 1),
+         |tot AS (SELECT SUM(c) AS n, count(*) AS v FROM cc),
+         |ctr AS (
+         |  SELECT doc_id, term, tf,
+         |    CAST(tf AS DOUBLE) * ln((CAST(c AS DOUBLE) + 1.0) /
+         |      (CAST(n AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp
+         |  FROM tf JOIN cc USING (term) CROSS JOIN tot),
+         |lm AS (
+         |  SELECT doc_id,
+         |    round(list_sum(list(lp ORDER BY term)) / CAST(SUM(tf) AS DOUBLE), 6)
+         |      AS avg_logprob
+         |  FROM ctr GROUP BY doc_id),
+         |chs AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+         |  FROM documents),
+         |cf AS (SELECT doc_id, ch, count(*) AS cnt
+         |       FROM chs WHERE ch <> '' GROUP BY 1, 2),
+         |he AS (
+         |  SELECT doc_id,
+         |    round(ln(CAST(SUM(cnt) AS DOUBLE)) -
+         |      list_sum(list(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))
+         |        ORDER BY ch)) / CAST(SUM(cnt) AS DOUBLE), 6) AS char_entropy
+         |  FROM cf GROUP BY doc_id),
+         |sc AS (
+         |  SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(-1.0 + 4.0 * stopword_ratio +
+         |      0.8 * avg_logprob + 0.5 * char_entropy))), 6) AS q_score
+         |  FROM qm JOIN lm USING (doc_id) JOIN he USING (doc_id)),
+         |nt AS (
+         |  SELECT doc_id, q_score,
+         |    NTILE(10) OVER (ORDER BY q_score ASC, doc_id ASC) AS tier
+         |  FROM sc),
+         |un AS (
+         |  SELECT doc_id, q_score, tier,
+         |    CAST(round(65536.0 * CAST(tier AS DOUBLE) / 10.0) AS BIGINT) AS units
+         |  FROM nt)
+         |SELECT doc_id, q_score, CAST(tier AS INT) AS tier
+         |FROM un
+         |WHERE units >= 65536
+         |   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < printf('%04x', units)
+         |ORDER BY doc_id""".stripMargin,
 
     // the three signal chains (t4 / t21 / t27 oracles) joined, then the
     // identical left-associated logistic fusion

@@ -631,6 +631,30 @@ class OperatorSpec extends SparkSpecBase {
     assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
   }
 
+  test("quality-tiered mix: keep rate rises with tier, top keeps all, rate-monotone") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val kept = Sampling.qualityTieredMix(df, col("id"), "score", tiers = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val byTier = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byTier(10) == 500, "the top tier keeps everything")
+    assert(byTier.getOrElse(1, 0) < byTier(5) && byTier(5) < byTier(10),
+      s"keep counts must rise with tier: $byTier")
+    val r1 = byTier.getOrElse(1, 0) / 500.0
+    assert(math.abs(r1 - 0.1) < 0.05, s"bottom tier keeps ~10%: $r1")
+    // halving topRate halves every tier's threshold -> kept set shrinks
+    // to a SUBSET (the md5 gate is a nested prefix family)
+    val half = Sampling.qualityTieredMix(df, col("id"), "score",
+      tiers = 10, topRate = 0.5).collect().map(_.getLong(0)).toSet
+    val full = kept.map(_._1).toSet
+    assert(half.subsetOf(full) && half.size < full.size,
+      s"rate monotonicity: ${half.size} vs ${full.size}")
+    // deterministic
+    val again = Sampling.qualityTieredMix(df, col("id"), "score", tiers = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == full)
+  }
+
   test("pagerank: symmetric cycle ties, hubs dominate, mass bounded, invariant") {
     import spark.implicits._
     // 2-cycle: perfect symmetry must give identical ranks
