@@ -124,6 +124,18 @@ object SparkEntry {
       JsonLines.read(s, dir, docs.schema)
     }),
 
+    // ORC interchange round trip through the generic FileFormatSource —
+    // the columnar-format sibling of s18 (same lossless-oracle shape:
+    // green hash ⇒ the source/sink pair preserves every value and type)
+    "s19_orc_roundtrip" -> ((s, d) => {
+      import graft.sources.FileFormatSource
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_s19_${math.abs(d.hashCode)}"
+      val docs = t(s, d, "documents")
+      docs.write.mode("overwrite").format("orc").save(s"$dir/documents.orc")
+      FileFormatSource(dir, "orc", Seq("documents"),
+        Map("documents" -> docs.schema)).read(s, "documents")
+    }),
+
     // ---- §2.2 projections / filters ----
     "p1_identifier_normalize" -> ((s, d) => {
       // exercises the normalizer on messy source-style names
@@ -1370,6 +1382,9 @@ object SparkEntry {
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "s19_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
     "p1_identifier_normalize" ->
