@@ -740,6 +740,16 @@ object SparkEntry {
           .cast("long").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))),
 
+    // equi-DEPTH histogram (f6's fixed-width complement): 10 equal-
+    // population buckets of o_totalprice per order priority — the
+    // range-partitioner / CBO-selectivity profile; id tiebreak pins tied
+    // values to deterministic buckets on both engines
+    "f11_equidepth_histogram" -> ((s, d) =>
+      graft.operators.Profile.equiDepthHistogram(
+        t(s, d, "orders").select(col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("price"), col("o_orderkey")),
+        "o_orderpriority", "price", "o_orderkey", buckets = 10)),
+
     // column-profiling census (onboarding / data-contract primitive):
     // one wide aggregate -> long format, exact distincts (the Expand cost
     // is bounded by the 5 profiled columns; approxProfile is the
@@ -1386,6 +1396,16 @@ object SparkEntry {
 
     "s19_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "f11_equidepth_histogram" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+        |    NTILE(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) ASC, o_orderkey ASC) AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT o_orderpriority, CAST(bucket AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, MIN(price) AS lo, MAX(price) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p1_identifier_normalize" ->
       "SELECT r_regionkey AS region_key, r_name AS region_name FROM region ORDER BY region_key",

@@ -103,6 +103,30 @@ object Profile {
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
 
+  /** Equi-DEPTH histogram per group — the optimizer/profiling standard
+    * next to the fixed-width census (`f6`): `buckets` ntile ranks of the
+    * value (ties broken by the value itself — deterministic), each bucket
+    * reporting its count and [lo, hi] bounds. Equal-population buckets
+    * resolve skewed distributions where fixed-width bins collapse into
+    * one giant bar; the boundaries are exactly what a range-partitioner
+    * or a CBO selectivity estimate wants. One window + one aggregation;
+    * at extreme scale swap the exact ntile for KLL quantile cuts. */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         idCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    // the id tiebreak pins which of N TIED values lands each side of a
+    // bucket boundary — without it two runs (or engines) disagree on the
+    // straddling rows' buckets and the per-bucket counts/bounds drift
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   /** Population Stability Index between a reference and a current
     * distribution — the standard drift monitor for an ingest batch
     * against the settled corpus (PSI < 0.1 stable, 0.1–0.25 drifting,

@@ -631,6 +631,33 @@ class OperatorSpec extends SparkSpecBase {
     assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
   }
 
+  test("equi-depth histogram: equal populations, ordered disjoint bounds, skew-proof") {
+    import spark.implicits._
+    // heavy skew: 900 values at ~0 plus a 100-value long tail — a fixed-
+    // width histogram puts 900 in one bar; equi-depth keeps buckets equal
+    val df = ((0 until 900).map(i => (i.toLong, "g", i / 1000.0)) ++
+      (0 until 100).map(i => (900L + i, "g", 100.0 + i * 50.0)))
+      .toDF("id", "grp", "v")
+    val h = Profile.equiDepthHistogram(df, "grp", "v", "id", buckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(h.length == 10)
+    assert(h.forall(_._2 == 100), s"equal population everywhere: ${h.toSeq}")
+    // bounds ascend and never overlap across buckets
+    for (pair <- h.sliding(2); a = pair(0); b = pair(1))
+      assert(a._4 <= b._3,
+        s"bucket ${a._1} hi ${a._4} must not pass bucket ${b._1} lo ${b._3}")
+    assert(h.last._3 >= 100.0, "the tail occupies its own bucket(s)")
+    // deterministic under ties: constant values split by id, stable
+    val ties = (0L until 40L).map(i => (i, "g", 7.0)).toDF("id", "grp", "v")
+    val t1 = Profile.equiDepthHistogram(ties, "grp", "v", "id", 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(t1 == Set((1, 10L), (2, 10L), (3, 10L), (4, 10L)))
+    val t2 = Profile.equiDepthHistogram(ties.repartition(7), "grp", "v", "id", 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(t2 == t1, "the id tiebreak makes tied splits partition-invariant")
+  }
+
   test("quality-tiered mix: keep rate rises with tier, top keeps all, rate-monotone") {
     import spark.implicits._
     val df = (0L until 5000L).map(i => (i, i.toDouble)).toDF("id", "score")
