@@ -301,6 +301,31 @@ object SparkEntry {
         .select("event_id", "user_id", "gap_us")
     }),
 
+    // first-touch attribution: each purchase credits the FIRST event of
+    // its 30-minute-gap session (the marketing-analytics classic on top
+    // of the w5 sessionization; one user-keyed shuffle feeds all three
+    // windows — same sort order, no extra exchange)
+    "w12_first_touch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > lit(1800000000L), 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val ws = Window.partitionBy("user_id", "sess")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("attributed_event_id", first(col("event_id")).over(ws))
+        .withColumn("attributed_type", first(col("event_type")).over(ws))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sess"),
+          col("attributed_event_id"), col("attributed_type"),
+          col("value").as("revenue"))
+    }),
+
     // ordered-sequence funnel: users reaching each stage IN timestamp
     // order (first signup → first view after it → first purchase after
     // that). Stage frames are per-user minima — one user-keyed shuffle
@@ -1568,6 +1593,30 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "w12_first_touch" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, ts, event_type, value,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - LAG(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |f AS (
+        |  SELECT *,
+        |    FIRST_VALUE(event_id) OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts, event_id) AS attributed_event_id,
+        |    FIRST_VALUE(event_type) OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts, event_id) AS attributed_type
+        |  FROM s)
+        |SELECT event_id, user_id, CAST(sess AS BIGINT) AS sess,
+        |  attributed_event_id, attributed_type, value AS revenue
+        |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "w6_topk_per_group" ->
       """WITH r AS (

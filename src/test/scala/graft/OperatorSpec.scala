@@ -631,6 +631,33 @@ class OperatorSpec extends SparkSpecBase {
     assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
   }
 
+  test("first-touch attribution equals the sequential reference walk") {
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // reference: walk each user's (ts, id)-ordered events, 30-min gap
+    // opens a session, purchases credit the session's first event
+    val expect: Map[Long, (Long, String)] =
+      rows.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+        var lastTs = Long.MinValue
+        var first: (Long, String) = null
+        evs.sortBy(e => (e._3, e._1)).toSeq.flatMap { case (id, _, ts, tpe) =>
+          if (first == null || ts - lastTs > 1800000000L) first = (id, tpe)
+          lastTs = ts
+          if (tpe == "purchase") Seq(id -> first) else Nil
+        }
+      }.toMap
+    val got = SparkEntry.queries("w12_first_touch")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(got.size == expect.size && expect.forall { case (k, v) => got(k) == v },
+      s"${got.size} purchases must match the reference walk (${expect.size})")
+    // sanity: some purchase opens its own session, some doesn't
+    val self = got.count { case (id, (aid, _)) => id == aid }
+    assert(self > 0 && self < got.size, s"self-attributed: $self/${got.size}")
+  }
+
   test("equi-depth histogram: equal populations, ordered disjoint bounds, skew-proof") {
     import spark.implicits._
     // heavy skew: 900 values at ~0 plus a 100-value long tail — a fixed-
