@@ -17,11 +17,23 @@ object Graph {
     * systems run; ranks stay comparable, totals shrink — document-ranking
     * use cases only need the order).
     *
-    * Determinism/oracle parity: each node's incoming contributions fold
-    * in ascending-source order (in-degree-bounded state), so every
-    * iteration is bit-identical across partitionings and replayable as
-    * unrolled SQL; swap the fold for a plain `sum` when bit
-    * reproducibility is not required and hub in-degrees are extreme.
+    * Aggregation state — the 100× lever: the DEFAULT
+    * (`deterministic = false`) sums incoming contributions with a plain
+    * `sum`, whose partial-aggregation state is one double per (partition,
+    * dst) regardless of in-degree — a web-crawl hub with 10⁸ in-edges
+    * costs the same task memory as a leaf (proven flat by
+    * [[graft.run.HubBench]] on a ≥10⁶-in-degree star). Summation order
+    * is then partitioning-dependent; ranks agree with the deterministic
+    * path only to IEEE reassociation error (~1e-15 relative — HubBench
+    * and OperatorSpec bound it at 1e-12 absolute).
+    *
+    * `deterministic = true` (the ORACLE path): each node's incoming
+    * contributions fold in ascending-source order via
+    * `aggregate(array_sort(collect_list(...)))`, so every iteration is
+    * bit-identical across partitionings and replayable as unrolled SQL
+    * (the g6/g7 DuckDB gates). Its aggregation state is O(in-degree) per
+    * destination — opt in only when in-degrees are bounded or bit
+    * reproducibility is worth one fat task per hub.
     *
     * Scale shape per round: one join of ranks onto edges (both keyed on
     * the node), one dst-keyed aggregation, a broadcast N; round frames
@@ -29,7 +41,8 @@ object Graph {
     * treatment) so plans stay constant-size across iterations. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               deterministic: Boolean = false): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 1)
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -55,9 +68,11 @@ object Graph {
         .join(deg, "src")
         .select(col("dst"), col("src"), (col("r") / col("outdeg").cast("double")).as("c"))
         .groupBy("dst")
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("in_sum"))
+        .agg(if (deterministic)
+          aggregate(
+            array_sort(collect_list(struct(col("src"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("in_sum")
+        else sum(col("c")).as("in_sum"))
       ranks = ckpt(nodes
         .join(contrib.select(col("dst").as("id"), col("in_sum")), Seq("id"), "left")
         .select(col("id"),

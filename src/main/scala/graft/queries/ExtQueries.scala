@@ -914,7 +914,8 @@ object ExtQueries {
             col("doc_id") % 10,
             pmod(col("doc_id") + 1, lit(m)),
             pmod(col("doc_id") * 7 + 3, lit(m)))).as("dst"))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5,
+          deterministic = true)
         .select(col("id").as("node"), round(col("r"), 9).as("pr"))
     }),
 
@@ -928,7 +929,8 @@ object ExtQueries {
         "doc_id", "text", k = 3, threshold = 0.5)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3,
+          deterministic = true)
         .select(col("id").as("node"), round(col("r"), 9).as("pr"))
     }),
 

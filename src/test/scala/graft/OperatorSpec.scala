@@ -725,18 +725,26 @@ class OperatorSpec extends SparkSpecBase {
     assert((1L to 20L).map(rs).distinct.size == 1, "leaves tie exactly")
     // total mass bounded by 1 (dangling leak only shrinks it)
     assert(rs.values.sum <= 1.0 + 1e-9 && rs.values.sum > 0.2)
-    // partition invariance (the ordered in-edge fold)
+    // partition invariance (the deterministic ordered in-edge fold)
     val big = (0L until 300L).flatMap(i =>
       Seq((i, (i + 1) % 300), (i, (i * 7 + 3) % 300), (i, i % 10)))
       .toDF("src", "dst")
-    val a = Graph.pageRank(big, "src", "dst", iters = 4)
+    val a = Graph.pageRank(big, "src", "dst", iters = 4, deterministic = true)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val b = Graph.pageRank(big.repartition(13), "src", "dst", iters = 4)
+    val b = Graph.pageRank(big.repartition(13), "src", "dst", iters = 4,
+        deterministic = true)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b, "ranks must be bit-identical across partitionings")
     val hubMin = (0L until 10L).map(a).min
     val nonHubMax = (10L until 300L).map(a).max
     assert(hubMin > nonHubMax, "the 10 hub nodes outrank every other node")
+    // the DEFAULT (bounded-state sum) path agrees with the fold to IEEE
+    // reassociation error — the scale path is numerically the same model
+    val s = Graph.pageRank(big.repartition(13), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.keySet == a.keySet)
+    val maxDiff = a.map { case (k, v) => math.abs(v - s(k)) }.max
+    assert(maxDiff < 1e-12, s"sum path diverged from fold: $maxDiff")
   }
 
   test("dup-graph pagerank: the template doc at a near-dup hub outranks the periphery") {
