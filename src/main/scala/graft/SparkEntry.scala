@@ -136,6 +136,29 @@ object SparkEntry {
         Map("documents" -> docs.schema)).read(s, "documents")
     }),
 
+    // s17 on a HIVE-PARTITIONED layout (the engine's own gold-table
+    // shape): the manifest recurses into year=… directories, partition
+    // path values give exact bounds for l_year, and the string range on
+    // l_returnflag rides the truncated footer bounds — the oracle is the
+    // plain filtered aggregate, so a green hash proves recursion +
+    // partition-value pruning + basePath reassembly lose nothing
+    "s20_partitioned_prune" -> ((s, d) => {
+      import graft.sources.SkippingIndex
+      import graft.sources.SkippingIndex.{ColRange, StrRange}
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_s20_${math.abs(d.hashCode)}"
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          year(col("l_shipdate")).as("l_year"))
+        .write.mode("overwrite").partitionBy("l_year").parquet(dir)
+      SkippingIndex.prunedRead(s, dir,
+          Seq(ColRange("l_year", 1994, 1995), ColRange("l_orderkey", 0, 30000)),
+          strRanges = Seq(StrRange("l_returnflag", "N", "R")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- §2.2 projections / filters ----
     "p1_identifier_normalize" -> ((s, d) => {
       // exercises the normalizer on messy source-style names
@@ -1349,6 +1372,7 @@ object SparkEntry {
     "q18_large_orders"        -> Seq("total_qty"),
     "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
     "s17_pruned_scan"         -> Seq("sum_qty"),
+    "s20_partitioned_prune"   -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -1413,6 +1437,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 20000 AND l_partkey BETWEEN 200 AND 1200
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s20_partitioned_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE year(l_shipdate) BETWEEN 1994 AND 1995
+        |  AND l_orderkey BETWEEN 0 AND 30000
+        |  AND l_returnflag BETWEEN 'N' AND 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table

@@ -4,6 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,86 +24,202 @@ import org.apache.spark.sql.functions._
   * filter by date and dimension keys simultaneously); this makes that
   * capability an explicit, inspectable operator.
   *
+  * Layout coverage: listing RECURSES into Hive-partitioned directories
+  * (`year=2021/part-…`, the engine's own gold-table layout) skipping
+  * `_`/`.`-prefixed metadata entries; file identity is the
+  * DIRECTORY-RELATIVE path, so `part-00000` under two partitions never
+  * collide. A `k=v` path segment contributes exact bounds
+  * (min = max = v) for column `k` — partition columns are absent from
+  * footers, so this is what makes partition pruning fall out of the
+  * same manifest; `__HIVE_DEFAULT_PARTITION__` (null) contributes no
+  * bound and is always kept.
+  *
   * Scale notes:
   *  - footers are read DISTRIBUTED (one task per file batch); only file
   *    NAMES pass through the driver — the standard manifest shape, a
   *    few MB per million files;
-  *  - stats rows are (file, column, min, max, nulls, rows) — numeric
-  *    and date columns only (strings need truncated-bound semantics;
-  *    out of scope here, the scaladoc'd extension point);
+  *  - stats rows are (file, column, min_v, max_v, min_s, max_s, nulls,
+  *    rows): numeric/date bounds in min_v/max_v, string bounds in
+  *    min_s/max_s TRUNCATED to 16 chars (min is a prefix — always ≤ the
+  *    true min; max is the prefix with its last char bumped — always ≥
+  *    any string sharing the prefix: the Delta/Iceberg truncation
+  *    contract). String bounds are emitted for ASCII values only:
+  *    Spark compares strings in UTF-8 binary order and the JVM in
+  *    UTF-16 code-unit order, which agree on ASCII — a non-ASCII bound
+  *    could prune unsoundly, so it degrades to "no bound" instead;
   *  - pruning is CONSERVATIVE by construction: a file with no usable
   *    stats for a queried column (all-null chunks, missing column,
-  *    non-numeric type) is always kept, so a pruned read can never
-  *    lose rows — `s16_pruned_scan` puts that soundness under the
-  *    DuckDB hash gate, and LayoutSpec asserts equality on random
-  *    boxes. Values are carried as DOUBLE: exact for every integral
-  *    value below 2^53 (any surrogate key / date / epoch-seconds);
-  *    larger longs round — callers indexing epoch-nanos columns should
-  *    index a coarser-unit twin instead. */
+  *    non-matching type) is always kept, so a pruned read can never
+  *    lose rows — `s17_pruned_scan`/`s20_partitioned_prune` put that
+  *    soundness under the DuckDB hash gate, and LayoutSpec asserts
+  *    equality on random boxes. Values are carried as DOUBLE: exact for
+  *    every integral value below 2^53 (any surrogate key / date /
+  *    epoch-seconds); larger longs round — callers indexing epoch-nanos
+  *    columns should index a coarser-unit twin instead. */
 object SkippingIndex {
 
   /** One (file, column) stats row. Nulls in min/max mean "no usable
-    * bound — never prune this file on this column". */
+    * bound — never prune this file on this column"; numeric and string
+    * bounds are carried independently (a column has one kind). */
   final case class FileColStats(file: String, column: String,
                                 min_v: Option[Double], max_v: Option[Double],
+                                min_s: Option[String], max_s: Option[String],
                                 n_nulls: Long, n_rows: Long)
 
-  /** Inclusive range predicate on one indexed column. */
+  /** Inclusive range predicate on one indexed numeric column. */
   final case class ColRange(column: String, lo: Double, hi: Double)
 
-  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+  /** Inclusive range predicate on one indexed string column (equality =
+    * `StrRange(c, v, v)`). Compared in the ASCII-safe order both Spark
+    * and the manifest use. */
+  final case class StrRange(column: String, lo: String, hi: String)
+
+  private val StrBoundLen = 16
+
+  /** `(absolute path, dir-relative path)` for every data file under
+    * `dir`, recursing through partition directories; `_`/`.`-prefixed
+    * segments (\_SUCCESS, \_delta_log, hidden) are skipped. */
+  private def listParquet(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toString.stripSuffix("/")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val abs = f.toString
+      if (abs.startsWith(rootUri + "/")) {
+        val rel = abs.stripPrefix(rootUri + "/")
+        val segs = rel.split('/')
+        val hidden = segs.exists(s => s.startsWith("_") || s.startsWith("."))
+        if (!hidden && f.getName.endsWith(".parquet")) out += ((abs, rel))
+      }
+    }
+    out.toSeq.sortBy(_._2)
   }
 
+  /** Hive partition values parsed from a relative path's `k=v` directory
+    * segments. `__HIVE_DEFAULT_PARTITION__` → None (null partition — no
+    * bound). Minimal %-unescape (Hive escapes `/`, `:` … as %XX). */
+  private def partitionValues(rel: String): Map[String, Option[String]] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = unescapePath(seg.substring(i + 1))
+        Some(seg.substring(0, i) ->
+          (if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(v)))
+      }
+    }.toMap
+
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 128)
+
+  /** Conservative truncated LOWER string bound: a ≤16-char prefix is
+    * always ≤ the full value. */
+  private def truncMin(s: String): Option[String] =
+    if (isAscii(s)) Some(s.take(StrBoundLen)) else None
+
+  /** Conservative truncated UPPER string bound: values ≤16 chars pass
+    * through; longer ones take the 16-char prefix with its last
+    * incrementable char bumped (strictly greater than every string
+    * sharing the prefix). No incrementable char → no bound. */
+  private def truncMax(s: String): Option[String] =
+    if (!isAscii(s)) None
+    else if (s.length <= StrBoundLen) Some(s)
+    else {
+      val p = s.take(StrBoundLen)
+      val i = p.lastIndexWhere(_ < 127)
+      if (i < 0) None
+      else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    }
+
   /** Read per-file stats for `cols` from parquet footers, one spark task
-    * per file slice. The Hadoop `Configuration` is constructed INSIDE
-    * the task (it is not serializable); footers are a few KB each. */
+    * per file slice; partition-path values supply the bounds for
+    * columns not present in the footer. The Hadoop `Configuration` is
+    * constructed INSIDE the task (it is not serializable); footers are
+    * a few KB each. */
   def footerStats(spark: SparkSession, dir: String,
                   cols: Seq[String]): DataFrame = {
     import spark.implicits._
     val files = listParquet(spark, dir)
     val want = cols.toSet
     val slices = math.max(1, math.min(files.size, 64))
-    spark.sparkContext.parallelize(files, slices).flatMap { f =>
+    spark.sparkContext.parallelize(files, slices).flatMap { case (abs, rel) =>
       val conf = new Configuration()
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
       try {
         val blocks = reader.getFooter.getBlocks
         val rows = { var r = 0L; blocks.forEach(b => r += b.getRowCount); r }
-        val name = new Path(f).getName
         // per-block bounds first; the FILE bound combines them afterwards
         // so ONE statless chunk poisons the whole file's bound (a partial
         // bound would prune unsoundly), while a clean file takes the
         // min/max across its row groups
         val perBlock = scala.collection.mutable.Map[String,
-          List[(Option[Double], Option[Double], Long)]]().withDefaultValue(Nil)
+          List[(Option[Double], Option[Double], Option[String], Option[String], Long)]]()
+          .withDefaultValue(Nil)
         blocks.forEach { b =>
           b.getColumns.forEach { c =>
             val colName = c.getPath.toDotString
             if (want(colName)) {
               val st = c.getStatistics
-              val (mn, mx): (Option[Double], Option[Double]) =
-                if (st == null || st.isEmpty || !st.hasNonNullValue) (None, None)
+              val isStr = c.getPrimitiveType.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val (mn, mx, ms, xs): (Option[Double], Option[Double],
+                  Option[String], Option[String]) =
+                if (st == null || st.isEmpty || !st.hasNonNullValue)
+                  (None, None, None, None)
+                else if (isStr)
+                  (None, None,
+                    str(st.genericGetMin.asInstanceOf[Any]).flatMap(truncMin),
+                    str(st.genericGetMax.asInstanceOf[Any]).flatMap(truncMax))
                 else (num(st.genericGetMin.asInstanceOf[Any]),
-                      num(st.genericGetMax.asInstanceOf[Any]))
+                      num(st.genericGetMax.asInstanceOf[Any]), None, None)
               val nulls = if (st == null) 0L else st.getNumNulls
-              perBlock(colName) = (mn, mx, nulls) :: perBlock(colName)
+              perBlock(colName) = (mn, mx, ms, xs, nulls) :: perBlock(colName)
             }
           }
         }
+        val parts = partitionValues(rel)
         // emit a row for every requested column: a column ABSENT from the
-        // footer still yields (None, None) so pruning stays conservative
+        // footer still yields all-None bounds so pruning stays
+        // conservative — unless the PARTITION PATH carries its value
         cols.map { cn =>
-          val bs = perBlock(cn)
-          val nu = bs.map(_._3).sum
-          val (mn, mx): (Option[Double], Option[Double]) =
-            if (bs.isEmpty || bs.exists(b => b._1.isEmpty || b._2.isEmpty))
-              (None, None)
-            else (Some(bs.flatMap(_._1).min), Some(bs.flatMap(_._2).max))
-          FileColStats(name, cn, mn, mx, nu, rows)
+          parts.get(cn) match {
+            case Some(Some(v)) =>
+              val d = v.toDoubleOption
+              FileColStats(rel, cn, d, d,
+                if (d.isEmpty) truncMin(v) else None,
+                if (d.isEmpty) truncMax(v) else None, 0L, rows)
+            case Some(None) => // null partition — no bound, all rows null
+              FileColStats(rel, cn, None, None, None, None, rows, rows)
+            case None =>
+              val bs = perBlock(cn)
+              val nu = bs.map(_._5).sum
+              val (mn, mx): (Option[Double], Option[Double]) =
+                if (bs.isEmpty || bs.exists(b => b._1.isEmpty || b._2.isEmpty))
+                  (None, None)
+                else (Some(bs.flatMap(_._1).min), Some(bs.flatMap(_._2).max))
+              val (ms, xs): (Option[String], Option[String]) =
+                if (bs.isEmpty || bs.exists(b => b._3.isEmpty || b._4.isEmpty))
+                  (None, None)
+                else (Some(bs.flatMap(_._3).min), Some(bs.flatMap(_._4).max))
+              FileColStats(rel, cn, mn, mx, ms, xs, nu, rows)
+          }
         }
       } finally reader.close()
     }.toDF()
@@ -116,17 +233,30 @@ object SkippingIndex {
     case _                    => None // binary/bool — no numeric bound
   }
 
+  private def str(v: Any): Option[String] = v match {
+    case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+    case _                                   => None
+  }
+
   /** Files that can contain a row matching ALL ranges: keep unless some
     * queried column PROVES disjointness (`max < lo || min > hi`).
     * Returns the surviving file names (relative, as indexed). */
-  def pruneFiles(stats: DataFrame, ranges: Seq[ColRange]): DataFrame = {
-    if (ranges.isEmpty) return stats.select("file").distinct()
-    val excluded = ranges.map { r =>
+  def pruneFiles(stats: DataFrame, ranges: Seq[ColRange],
+                 strRanges: Seq[StrRange] = Nil): DataFrame = {
+    if (ranges.isEmpty && strRanges.isEmpty) return stats.select("file").distinct()
+    val numEx = ranges.map { r =>
       stats.filter(col("column") === r.column &&
           col("min_v").isNotNull && col("max_v").isNotNull &&
           (col("max_v") < lit(r.lo) || col("min_v") > lit(r.hi)))
         .select("file")
-    }.reduce(_ union _).distinct()
+    }
+    val strEx = strRanges.map { r =>
+      stats.filter(col("column") === r.column &&
+          col("min_s").isNotNull && col("max_s").isNotNull &&
+          (col("max_s") < lit(r.lo) || col("min_s") > lit(r.hi)))
+        .select("file")
+    }
+    val excluded = (numEx ++ strEx).reduce(_ union _).distinct()
     stats.select("file").distinct()
       .join(excluded, Seq("file"), "left_anti")
   }
@@ -140,14 +270,21 @@ object SkippingIndex {
     def files: Seq[String] = byFile.keys.toSeq.sorted
     /** Files that can contain a row matching ALL ranges (conservative:
       * a missing/unusable bound never prunes). */
-    def survivors(ranges: Seq[ColRange]): Seq[String] =
+    def survivors(ranges: Seq[ColRange],
+                  strRanges: Seq[StrRange] = Nil): Seq[String] =
       files.filter { f =>
         val cols = byFile(f)
         ranges.forall { r =>
           cols.find(_.column == r.column) match {
-            case Some(FileColStats(_, _, Some(mn), Some(mx), _, _)) =>
-              !(mx < r.lo || mn > r.hi)
+            case Some(s) if s.min_v.isDefined && s.max_v.isDefined =>
+              !(s.max_v.get < r.lo || s.min_v.get > r.hi)
             case _ => true // no usable bound — keep
+          }
+        } && strRanges.forall { r =>
+          cols.find(_.column == r.column) match {
+            case Some(s) if s.min_s.isDefined && s.max_s.isDefined =>
+              !(s.max_s.get < r.lo || s.min_s.get > r.hi)
+            case _ => true
           }
         }
       }
@@ -164,22 +301,25 @@ object SkippingIndex {
     * `index` to amortize the footer pass across queries — the deployed
     * shape, where the manifest is maintained at write time. Equals
     * `read(dir).filter(ranges)` by construction (soundness gated by
-    * `s17_pruned_scan` + LayoutSpec). */
+    * `s17_pruned_scan`/`s20_partitioned_prune` + LayoutSpec). The read
+    * carries `basePath = dir`, so partition columns survive a
+    * subset-of-files scan of a partitioned layout. */
   def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColRange],
-                 index: Option[Manifest] = None): DataFrame = {
-    val m = index.getOrElse(manifest(spark, dir, ranges.map(_.column)))
-    val keep = m.survivors(ranges).toSet
+                 index: Option[Manifest] = None,
+                 strRanges: Seq[StrRange] = Nil): DataFrame = {
+    val m = index.getOrElse(
+      manifest(spark, dir, (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
+    val keep = m.survivors(ranges, strRanges).toSet
     val indexed = m.files.toSet
     val all = listParquet(spark, dir)
     // conservative at FILE granularity too: a file the manifest has never
     // seen (appended/compacted after the index was built) must be KEPT —
     // excluding it would anti-conservatively lose rows from a stale index
-    val paths = all.filter { p =>
-      val name = new Path(p).getName
-      keep(name) || !indexed(name)
-    }
-    val residual = ranges.map(r =>
-      col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi))
+    val paths = all.collect { case (abs, rel) if keep(rel) || !indexed(rel) => abs }
+    val residual = (ranges.map(r =>
+        col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)) ++
+      strRanges.map(r =>
+        col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)))
       .reduceOption(_ && _).getOrElse(lit(true))
     if (paths.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
@@ -188,14 +328,16 @@ object SkippingIndex {
       // relation, no per-path enumeration overhead)
       spark.read.parquet(dir).filter(residual)
     else
-      spark.read.parquet(paths: _*).filter(residual)
+      spark.read.option("basePath", dir).parquet(paths: _*).filter(residual)
   }
 
   /** Count of files a range set would scan vs the total — the evidence
     * metric LayoutSpec and SCALE.md report. */
   def skipRatio(spark: SparkSession, dir: String, ranges: Seq[ColRange],
-                index: Option[Manifest] = None): (Long, Long) = {
-    val m = index.getOrElse(manifest(spark, dir, ranges.map(_.column)))
-    (m.survivors(ranges).size.toLong, m.files.size.toLong)
+                index: Option[Manifest] = None,
+                strRanges: Seq[StrRange] = Nil): (Long, Long) = {
+    val m = index.getOrElse(
+      manifest(spark, dir, (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
+    (m.survivors(ranges, strRanges).size.toLong, m.files.size.toLong)
   }
 }

@@ -130,6 +130,75 @@ class LayoutSpec extends SparkSpecBase {
     assert(SkippingIndex.pruneFiles(stats, Seq.empty).count() == 16)
   }
 
+  test("hive-partitioned layout: manifest recurses, partition values prune, read keeps partition cols") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    // 4 year partitions × 2 files each, k clustered within partition
+    (0L until 8000L).map(i => (2020 + (i % 4), i, i * 3))
+      .toDF("year", "k", "v")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").partitionBy("year").parquet(dir)
+    val m = SkippingIndex.manifest(spark, dir, Seq("year", "k"))
+    assert(m.files.size == 8, s"expected 8 files across partitions: ${m.files}")
+    assert(m.files.forall(_.contains("year=")), s"relative paths: ${m.files}")
+    // partition-value bounds: a year range keeps exactly that partition's files
+    val oneYear = m.survivors(Seq(ColRange("year", 2021, 2021)))
+    assert(oneYear.size == 2 && oneYear.forall(_.startsWith("year=2021/")),
+      s"partition pruning must isolate year=2021: $oneYear")
+    // stacked partition + data-column pruning, and the read equality
+    val ranges = Seq(ColRange("year", 2021, 2022), ColRange("k", 0, 1500))
+    val pruned = SkippingIndex.prunedRead(spark, dir, ranges, Some(m))
+    val expect = spark.read.parquet(dir)
+      .filter(col("year").between(2021, 2022) && col("k").between(0, 1500))
+    assert(pruned.columns.sorted.sameElements(Array("k", "v", "year")),
+      s"partition column must survive the subset read: ${pruned.columns.toSeq}")
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "partitioned pruned read must equal the plain filtered read")
+    val (kept, total) = SkippingIndex.skipRatio(spark, dir, ranges, Some(m))
+    assert(total == 8 && kept <= 2,
+      s"2 partitions x the low-k file only: kept $kept of $total")
+  }
+
+  test("string bounds: truncated footer stats prune soundly, 17+ char values stay conservative") {
+    import graft.sources.SkippingIndex.StrRange
+    val dir = Files.createTempDirectory("graft_str").toString
+    // prefix-clustered long strings (> 16 chars) so every bound is truncated
+    (0L until 4000L).map { i =>
+      val bucket = ('a' + (i % 4)).toChar
+      (s"$bucket-0123456789abcdef-suffix-$i", i)
+    }.toDF("name", "v")
+      .repartitionByRange(4, col("name"))
+      .write.mode("overwrite").parquet(dir)
+    val m = SkippingIndex.manifest(spark, dir, Seq("name"))
+    assert(m.stats.forall(s => s.min_s.isDefined && s.max_s.isDefined),
+      s"ascii string columns must carry bounds: ${m.stats}")
+    assert(m.stats.forall(s => s.min_s.get.length <= 16 && s.max_s.get.length <= 16))
+    val r = Seq(StrRange("name", "b", "b~"))
+    val kept = m.survivors(Nil, r)
+    // range-partition boundaries are sampled, so the "b" bucket spans at
+    // most 2 of the 4 files — half the table is still provably skipped
+    assert(kept.size <= 2, s"the b prefix bucket spans at most 2 files: $kept")
+    val pruned = SkippingIndex.prunedRead(spark, dir, Nil, Some(m), r)
+    val expect = spark.read.parquet(dir)
+      .filter(col("name") >= "b" && col("name") <= "b~")
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty,
+      "string-pruned read must equal the plain filtered read")
+    assert(expect.count() == 1000)
+  }
+
+  test("null partition (__HIVE_DEFAULT_PARTITION__) is conservatively kept") {
+    val dir = Files.createTempDirectory("graft_nullpart").toString
+    Seq((Some("x"), 1L), (Some("y"), 2L), (None, 3L))
+      .toDF("p", "v").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val m = SkippingIndex.manifest(spark, dir, Seq("p"))
+    assert(m.files.size == 3)
+    import graft.sources.SkippingIndex.StrRange
+    // a range excluding x and y must still keep the null partition's file
+    val kept = m.survivors(Nil, Seq(StrRange("p", "z", "zz")))
+    assert(kept.size == 1 && kept.head.contains("__HIVE_DEFAULT_PARTITION__"),
+      s"null partition must never be pruned: $kept")
+  }
+
   test("a STALE manifest keeps files it has never seen (appends cannot lose rows)") {
     val dir = Files.createTempDirectory("graft_stale").toString
     (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
