@@ -82,6 +82,20 @@ object IngestPipeline {
   final case class IngestResult(delta: IngestState, decisions: DataFrame,
                                 census: Seq[StageCount])
 
+  /** Eager materialization barrier for stage frames: RELIABLE
+    * `checkpoint` into `checkpointDir` when given (executor-loss-safe —
+    * the cluster path, mirroring [[TextStats.bpeTrain]]'s option),
+    * `localCheckpoint` otherwise (fine single-node / when
+    * [[graft.run.RunIngest]]'s file-backed deltas already bound the
+    * blast radius to one batch re-run). */
+  private def ckpt(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+
   /** Index a corpus as the initial state (the "settle everything you
     * already have" step — screening among these docs is
     * [[CorpusPipeline]]'s job, deliberately not repeated here). */
@@ -110,7 +124,8 @@ object IngestPipeline {
              idCol: String = "doc_id", textCol: String = "text",
              shingleK: Int = 3, threshold: Double = 0.5,
              policy: BatchPolicy = Greedy,
-             sketch: Option[Array[Byte]] = None): DataFrame = {
+             sketch: Option[Array[Byte]] = None,
+             checkpointDir: Option[String] = None): DataFrame = {
     val fpsOnly = state.fps.select(col("fingerprint"))
     val blob = sketch.orElse(BloomScreen.fpSketch(fpsOnly.toDF("fp")))
     // exact verdicts: corpus membership (bloom prefilter + confirm) and
@@ -127,7 +142,7 @@ object IngestPipeline {
         idCol, textCol, shingleK, threshold)
       .select(col("new_id").as(idCol)).distinct()
       .withColumn("__cnear", lit(true))
-    val base = fp
+    val base0 = fp
       .join(verdictExact, Seq(idCol))
       .join(batchFirst, Seq(idCol), "left")
       .join(corpusNear, Seq(idCol), "left")
@@ -135,7 +150,7 @@ object IngestPipeline {
         coalesce(col("__first"), lit(false)).unary_!.as("batch_exact"),
         col("corpus_exact"),
         coalesce(col("__cnear"), lit(false)).as("corpus_near"))
-      .localCheckpoint(true)
+    val base = ckpt(base0, checkpointDir)
     // within-batch near-dup resolution
     val batchNear = policy match {
       case AnyPairDrops =>
@@ -165,21 +180,23 @@ object IngestPipeline {
 
   /** One full ingest step: screen, cut, and produce the accepted DELTA.
     * Pure over frames — no files are touched; [[graft.run.RunIngest]]
-    * owns persistence. Every returned delta frame is eagerly local-
-    * checkpointed (they are batch-sized and each feeds multiple
+    * owns persistence. Every returned delta frame is an eager
+    * checkpoint (they are batch-sized and each feeds multiple
     * consumers), so callers can count/write them without replaying the
-    * screen chain. */
+    * screen chain; pass `checkpointDir` for the reliable
+    * (executor-loss-safe) variant on a cluster. */
   def ingest(state: IngestState, batch: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              shingleK: Int = 3, threshold: Double = 0.5,
              spanK: Int = 8, minTokensAfterCut: Int = 5,
              boundaryHex: Seq[String] = Seq("0", "1"),
              policy: BatchPolicy = Greedy, cutMode: CutMode = SpanCut,
-             sketch: Option[Array[Byte]] = None): IngestResult = {
+             sketch: Option[Array[Byte]] = None,
+             checkpointDir: Option[String] = None): IngestResult = {
     val counts = Seq.newBuilder[StageCount]
     counts += StageCount("batch", batch.count())
-    val decisions = screen(state, batch, idCol, textCol, shingleK,
-      threshold, policy, sketch).localCheckpoint(true)
+    val decisions = ckpt(screen(state, batch, idCol, textCol, shingleK,
+      threshold, policy, sketch, checkpointDir), checkpointDir)
     counts += StageCount("exact_ok",
       decisions.filter(!col("batch_exact") && !col("corpus_exact")).count())
     counts += StageCount("near_ok",
@@ -202,23 +219,21 @@ object IngestPipeline {
             idCol, textCol, boundaryHex)
           .withColumnRenamed("text_dedup", textCol).drop("n_tokens_removed")
     }
-    val stored = cut
+    val stored = ckpt(cut
       .withColumn("__nt", size(TextStats.tokens(col(textCol))))
       .filter(col(textCol) =!= "" && col("__nt") >= minTokensAfterCut)
-      .drop("__nt")
-      .localCheckpoint(true)
+      .drop("__nt"), checkpointDir)
     counts += StageCount("stored", stored.count())
     val delta = IngestState(
       docs = stored,
-      fps = stored.select(col(idCol),
-        TextStats.fingerprintMd5(col(textCol)).as("fingerprint"))
-        .localCheckpoint(true),
-      posts = TextDedup.shinglePosts(stored, idCol, textCol, shingleK)
-        .localCheckpoint(true),
-      windows = TextDedup.windowIndex(stored, idCol, textCol, spanK)
-        .localCheckpoint(true),
-      chunks = TextDedup.chunkIndex(stored, idCol, textCol, boundaryHex)
-        .localCheckpoint(true))
+      fps = ckpt(stored.select(col(idCol),
+        TextStats.fingerprintMd5(col(textCol)).as("fingerprint")), checkpointDir),
+      posts = ckpt(TextDedup.shinglePosts(stored, idCol, textCol, shingleK),
+        checkpointDir),
+      windows = ckpt(TextDedup.windowIndex(stored, idCol, textCol, spanK),
+        checkpointDir),
+      chunks = ckpt(TextDedup.chunkIndex(stored, idCol, textCol, boundaryHex),
+        checkpointDir))
     IngestResult(delta, decisions, counts.result())
   }
 

@@ -816,17 +816,26 @@ object TextStats {
     * space-joined in document order.
     *
     * Scale shape: the merge rules (model metadata, `numMerges` rows) fold
-    * into ONE projection of nested literal replaces applied to the
-    * DISTINCT words of the corpus — the same Zipf compression as
-    * training, so the expensive fold runs vocab-many times, not
-    * token-many. Documents then re-acquire their words' symbol arrays
-    * through a word-keyed join (vocabulary-sized build side — broadcast
-    * when it fits, shuffle join otherwise; Catalyst/AQE decides) and
-    * reassemble in position order. A merge table past ~1k rules should be
-    * applied in chunks (nested-replace expression depth is codegen-bounded);
-    * the gate trains 8. */
+    * into nested-literal-replace projections applied to the DISTINCT
+    * words of the corpus — the same Zipf compression as training, so the
+    * expensive fold runs vocab-many times, not token-many. Documents
+    * then re-acquire their words' symbol arrays through a word-keyed
+    * join (vocabulary-sized build side — broadcast when it fits, shuffle
+    * join otherwise; Catalyst/AQE decides) and reassemble in position
+    * order.
+    *
+    * The rule table is applied in `chunkSize`-rule PASSES over the
+    * vocab frame, each pass one nested-replace projection with a
+    * localCheckpoint barrier after it — without the barrier Catalyst's
+    * projection collapse would fuse the passes back into one
+    * codegen-depth-unbounded expression (a 32k-merge production vocab is
+    * ~128 cheap vocab-sized passes, not one 32k-deep tree; rule order
+    * across pass boundaries is preserved exactly because each pass runs
+    * its rules left-to-right before the next pass starts). ExtSpec
+    * proves ≥1k trained rules chunk-apply ≡ the 8-rule hash gate. */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: DataFrame): DataFrame = {
+                merges: DataFrame, chunkSize: Int = 256): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
     val rules = merges.orderBy("merge_rank")
       .select("left_sym", "right_sym").collect()
       .map(row => (row.getString(0), row.getString(1)))
@@ -834,11 +843,24 @@ object TextStats {
       !col("w").contains("|")
     val words = docs.select(explode_outer(tokens(col(textCol))).as("w"))
       .filter(wordGuard).distinct()
-    val encFinal = rules.foldLeft(bpeEncodeWord(col("w"))) { case (e, (l, rt)) =>
-      call_function("replace", e,
-        lit("|" + l + "||" + rt + "|"), lit("|" + l + rt + "|"))
+    def applyChunk(e: Column, chunk: Array[(String, String)]): Column =
+      chunk.foldLeft(e) { case (acc, (l, rt)) =>
+        call_function("replace", acc,
+          lit("|" + l + "||" + rt + "|"), lit("|" + l + rt + "|"))
+      }
+    val chunks = rules.grouped(chunkSize).toSeq
+    val encoded = chunks match {
+      case Nil => words.select(col("w"), bpeEncodeWord(col("w")).as("enc"))
+      case first +: rest =>
+        val head = words.select(col("w"),
+          applyChunk(bpeEncodeWord(col("w")), first).as("enc"))
+        rest.foldLeft(head) { (df, chunk) =>
+          // barrier between passes: vocab-sized, cheap to materialize
+          df.localCheckpoint(true)
+            .select(col("w"), applyChunk(col("enc"), chunk).as("enc"))
+        }
     }
-    val wordSyms = words.select(col("w"), bpeSymbols(encFinal).as("syms"))
+    val wordSyms = encoded.select(col("w"), bpeSymbols(col("enc")).as("syms"))
     docs.select(col(idCol), posexplode_outer(tokens(col(textCol))))
       .toDF(idCol, "pos", "w")
       .filter(wordGuard)

@@ -592,8 +592,9 @@ object ExtQueries {
       TextStats.dataCard(t(s, d, "documents"), "doc_id", "text", "source")),
 
     // diversity sampling: exactly-N per LSH cell of the embedding space —
-    // flattens density skew instead of reproducing it; hyperplane RNG is
-    // engine-specific → rows-only (ExtSpec asserts quota/flattening)
+    // flattens density skew instead of reproducing it; the seeded
+    // hyperplanes ride into the oracle as double literals, so cell
+    // assignment AND the md5 quota gate are hash-gated end to end
     "e11_cluster_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(t(s, d, "embeddings"),
           "vec_id", "embedding", bits = 4, perCell = 10)
@@ -1108,9 +1109,9 @@ object ExtQueries {
          |m$i AS (SELECT left_sym, right_sym, pair_count FROM p$i
          |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
          |e$i AS (SELECT w, freq,
-         |  replace(enc, '|' || m.left_sym || '||' || m.right_sym || '|',
-         |    '|' || m.left_sym || m.right_sym || '|') AS enc
-         |  FROM e${i - 1} CROSS JOIN m$i m)""".stripMargin
+         |  COALESCE(replace(enc, '|' || m.left_sym || '||' || m.right_sym || '|',
+         |    '|' || m.left_sym || m.right_sym || '|'), enc) AS enc
+         |  FROM e${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }
@@ -2767,6 +2768,33 @@ object ExtQueries {
         |      FROM q, embeddings WHERE vec_id <> q_id),
         |r AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk FROM s)
         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // e11: the seeded hyperplanes are deterministic doubles — ship them
+    // to DuckDB as E-notation literals (full 18-significant-digit
+    // round-trip; E-notation forces DOUBLE, a bare decimal literal would
+    // land as DECIMAL and truncate) and replay sign-bit cell assignment
+    // (list_dot_product ≡ the sequential-fold native dot, both engines
+    // sum index-ascending in IEEE double) + the md5 stratified gate
+    "e11_cluster_sample" -> {
+      val planes = graft.ext.Similarity.hyperplanes(64, 4, 42L)
+      val lits = planes.zipWithIndex.map { case (row, p) =>
+        s"($p, [${row.map(v => f"$v%.17e").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH planes AS (SELECT * FROM (VALUES $lits) AS t(p, h)),
+         |cells AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], h) > 0
+         |      THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS cell
+         |  FROM embeddings CROSS JOIN planes GROUP BY vec_id),
+         |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY cell),
+         |g AS (SELECT c.vec_id, c.cell, md5(CAST(c.vec_id AS VARCHAR)) AS h,
+         |        LEAST(65536, CAST(CEIL(65536.0 * 4 * 10 / n) AS BIGINT)) AS t
+         |      FROM cells c JOIN cnt USING (cell)),
+         |f AS (SELECT * FROM g WHERE t >= 65536 OR substring(h, 1, 4) < printf('%04x', t)),
+         |r AS (SELECT vec_id, cell,
+         |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rk FROM f)
+         |SELECT vec_id, cell FROM r WHERE rk <= 10 ORDER BY cell, vec_id""".stripMargin
+    },
 
     "e10_filtered_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

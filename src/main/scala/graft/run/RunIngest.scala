@@ -30,22 +30,38 @@ import graft.ext.IngestPipeline._
   *    mid-write leaves an orphan `delta_vN` that the next run ignores
   *    and overwrites;
   *  - a `batch_id` already in the LOG is SKIPPED (exit 0, no state
-  *    change) — re-delivering a batch is safe;
-  *  - state load is a union of committed deltas only. Each doc id lives
-  *    in exactly one delta, so appends never duplicate postings; the
-  *    window/chunk indexes tolerate duplicate hashes (membership semi
-  *    joins), so cross-delta distinct is deferred to compaction.
+  *    change) — re-delivering a batch is safe, INCLUDING across a
+  *    compaction (batch-id memory spans the whole LOG);
+  *  - state load is a union of the LIVE deltas only: every delta after
+  *    (and including) the newest `"kind":"compact"` LOG line. Each doc
+  *    id lives in exactly one delta, so appends never duplicate
+  *    postings; the window/chunk indexes tolerate duplicate hashes
+  *    (membership semi joins), so cross-delta distinct is deferred to
+  *    [[runCompact]].
+  *
+  * `compact` folds every live delta into ONE new version (docs/fps/
+  * posts re-unioned, windows/chunks distinct-ed, sketch re-derived —
+  * bit-identical to the incremental merge because the bloom geometry is
+  * a config constant): after ~10³ daily batches the state read would
+  * otherwise fan across 10³ file groups forever. The fold is itself a
+  * normal committed version, so a crash mid-compact leaves an orphan
+  * dir and the old deltas stay live — same restart contract as ingest.
+  * Old delta dirs are left on disk (time travel / audit) until `retire`
+  * deletes the subsumed ones; the LOG — and with it batch-id
+  * idempotence — is never trimmed.
   *
   * On an object store the LOG append becomes a conditional put of a
   * manifest-per-version; the layout is otherwise the 100 TB shape —
   * state grows by appending batch-sized deltas, settled data is never
-  * rewritten.
+  * rewritten (only compaction rewrites, into a NEW version).
   *
   * Usage:
   * {{{
   *   RunIngest <stateDir> bootstrap <corpusParquet>
   *   RunIngest <stateDir> ingest <batchParquet> <batchId> \
   *     [greedy|anypair] [span|chunk|nocut]
+  *   RunIngest <stateDir> compact
+  *   RunIngest <stateDir> retire
   * }}}
   */
 object RunIngest {
@@ -92,8 +108,9 @@ object RunIngest {
           println(s"[ingest] batch '$batchId' already committed — no-op")
           return
         }
-        val state = loadState(spark, stateDir, committed)
-        val sketch = loadSketch(stateDir, committed)
+        val live = liveVersions(stateDir)
+        val state = loadState(spark, stateDir, live)
+        val sketch = loadSketch(stateDir, live)
         val batch = spark.read.parquet(batchPath)
         val result = IngestPipeline.ingest(state, batch,
           policy = policy, cutMode = cutMode, sketch = sketch)
@@ -103,7 +120,17 @@ object RunIngest {
           result.census.map(c => c.stage -> c.docs))
         result.census.foreach(c => println(s"[ingest] ${c.stage}: ${c.docs}"))
         println(s"[ingest] batch '$batchId' committed as delta_v$version")
-      case other => sys.error(s"unknown command $other (bootstrap|ingest)")
+      case "compact" =>
+        runCompact(spark, stateDir) match {
+          case Some(v) => println(s"[ingest] compacted into delta_v$v")
+          case None => println("[ingest] single live delta — nothing to compact")
+        }
+      case "retire" =>
+        val gone = retireSubsumed(stateDir)
+        println(s"[ingest] retired ${gone.size} subsumed delta dirs: " +
+          gone.mkString(", "))
+      case other =>
+        sys.error(s"unknown command $other (bootstrap|ingest|compact|retire)")
     } finally {
       graft.util.Caches.releaseAll()
       spark.stop()
@@ -118,6 +145,42 @@ object RunIngest {
 
   def committedBatchIds(stateDir: String): Set[String] =
     logLines(stateDir).map(l => pickStr(l, "batch_id")).toSet
+
+  /** The versions whose deltas constitute CURRENT state: everything from
+    * the newest `"kind":"compact"` line onward (the compacted version
+    * subsumes all earlier deltas), or every version when no compaction
+    * has run. This is what bounds the state-read fan-out: N daily
+    * batches + periodic compaction reads O(batches-since-compact) file
+    * groups, not O(N). */
+  def liveVersions(stateDir: String): Seq[Int] = {
+    val lines = logLines(stateDir)
+    val lastCompact = lines.lastIndexWhere(_.contains(""""kind":"compact""""))
+    (if (lastCompact < 0) lines else lines.drop(lastCompact))
+      .map(l => pick(l, "version").toInt)
+  }
+
+  /** Fold every live delta into one new committed version (see object
+    * scaladoc). Returns the new version, or None when a single live
+    * delta makes compaction a no-op. Screen behavior is IDENTICAL
+    * before and after (IngestSpec's equality gate): docs/fps/posts are
+    * disjoint across deltas by the append contract, windows/chunks are
+    * membership indexes where distinct preserves the key set, and the
+    * re-derived bloom sketch equals the incremental merge bit-for-bit
+    * (fixed geometry, idempotent inserts). */
+  def runCompact(spark: SparkSession, stateDir: String): Option[Int] = {
+    val committed = committedVersions(stateDir)
+    require(committed.nonEmpty, s"$stateDir has no bootstrap — nothing to compact")
+    val live = liveVersions(stateDir)
+    if (live.size <= 1) return None
+    val state = loadState(spark, stateDir, live)
+    val folded = IngestState(state.docs, state.fps, state.posts,
+      state.windows.distinct(), state.chunks.distinct())
+    val version = committed.max + 1
+    val n = writeDelta(stateDir, version, folded, prevSketch = None)
+    commit(stateDir, version, s"__compact_v$version", Seq("folded" -> live.size.toLong,
+      "stored" -> n), kind = Some("compact"))
+    Some(version)
+  }
 
   /** Union the committed deltas into one [[IngestState]]. */
   def loadState(spark: SparkSession, stateDir: String,
@@ -171,11 +234,37 @@ object RunIngest {
         (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '.'),
       s"batch id must match ASCII [A-Za-z0-9._-]+, got '$batchId'")
 
-  /** Append the LOG line that makes `version` live. */
+  /** Delete the delta DIRS a compaction subsumed (strictly below the
+    * newest compact version) — the retention sweep the object-store
+    * deployment runs on a schedule. The LOG is untouched: batch-id
+    * memory (redelivery-is-a-no-op) and the version history survive;
+    * only bytes the live state can never read again are reclaimed. A
+    * no-op when nothing was ever compacted. */
+  def retireSubsumed(stateDir: String): Seq[Int] = {
+    val lines = logLines(stateDir)
+    val lastCompact = lines.lastIndexWhere(_.contains(""""kind":"compact""""))
+    if (lastCompact < 0) return Seq.empty
+    val live = liveVersions(stateDir).toSet
+    val retired = lines.take(lastCompact).map(l => pick(l, "version").toInt)
+      .filterNot(live).distinct
+    retired.foreach { v =>
+      val root = Paths.get(s"$stateDir/delta_v$v")
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+    retired
+  }
+
+  /** Append the LOG line that makes `version` live; `kind` marks
+    * non-batch lines (compaction epochs). */
   def commit(stateDir: String, version: Int, batchId: String,
-             counts: Seq[(String, Long)]): Unit = {
+             counts: Seq[(String, Long)], kind: Option[String] = None): Unit = {
     requireValidBatchId(batchId)
     val fields = Seq(s""""version":$version""", s""""batch_id":"$batchId"""") ++
+      kind.map(k => s""""kind":"$k"""") ++
       counts.map { case (k, v) => s""""$k":$v""" }
     Files.write(Paths.get(s"$stateDir/LOG"),
       (fields.mkString("{", ",", "}") + "\n").getBytes("UTF-8"),

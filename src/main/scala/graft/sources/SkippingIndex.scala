@@ -295,6 +295,21 @@ object SkippingIndex {
     Manifest(footerStats(spark, dir, cols).as[FileColStats](
       org.apache.spark.sql.Encoders.product[FileColStats]).collect().toIndexedSeq)
 
+  /** Persist a manifest next to (or anywhere near) its table — the
+    * deployed write-time shape: the job that lands/compacts a table
+    * refreshes the manifest once, every reader loads it instead of
+    * re-walking footers. Plain parquet (one stats table), so the
+    * manifest is itself queryable and engine-portable. */
+  def writeManifest(spark: SparkSession, m: Manifest, path: String): Unit = {
+    import spark.implicits._
+    m.stats.toDF().repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeManifest]]-persisted manifest. */
+  def readManifest(spark: SparkSession, path: String): Manifest =
+    Manifest(spark.read.parquet(path).as[FileColStats](
+      org.apache.spark.sql.Encoders.product[FileColStats]).collect().toIndexedSeq)
+
   /** End-to-end pruned scan: manifest → driver-side file pruning → scan
     * ONLY the surviving files → residual filter (pruning is
     * file-granular, the exact predicate still applies). Pass a prebuilt

@@ -436,7 +436,12 @@ object Streams {
     * alarms on drifting batches (PSI > 0.25) BEFORE they pollute the
     * corpus, which is the operational point of a drift monitor. The
     * reference frame is tiny (bin census) and re-broadcast per batch;
-    * per-batch work is the batch's own bin count plus a bin-sized join. */
+    * per-batch work is the batch's own bin count plus a bin-sized join.
+    *
+    * Exactly-once rows: the score lands as a DYNAMIC OVERWRITE of its
+    * own `epoch=` partition, so a retried micro-batch replaces its row
+    * instead of appending a duplicate — foreachBatch is at-least-once,
+    * and an operational alarm table must not double-count an epoch. */
   def psiMonitorStream(spark: SparkSession, schema: StructType, srcDir: String,
                        ref: DataFrame, valueCol: String, binWidth: Double,
                        outPath: String): Unit = {
@@ -446,7 +451,9 @@ object Streams {
     val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       graft.operators.Profile.psi(ref, batch, valueCol, binWidth)
         .withColumn("epoch", lit(epoch))
-        .write.mode(SaveMode.Append).parquet(outPath)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(outPath)
       ()
     }.start()
     q.processAllAvailable()

@@ -1402,6 +1402,76 @@ class ExtSpec extends SparkSpecBase {
       s"one merge must yield the greedy [aa, aa] split: $enc1")
   }
 
+  test("bpeEncode chunk-applies a >=1k-rule merge table exactly (codegen depth unbounded)") {
+    import spark.implicits._
+    // enrich the fixture with once-seen random words so >=1k merges exist
+    // before exhaustion — random letters keep the symbol PAIRS distinct
+    // across words (structured words share merges and exhaust early)
+    val rng = new scala.util.Random(5)
+    val extra = (0 until 250).map(i => (100000L + i,
+        Vector.fill(10)(('a' + rng.nextInt(26)).toChar).mkString))
+      .toDF("doc_id", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").unionByName(extra)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val freqs = texts.flatMap(_._2.toLowerCase.trim.split("\\s+"))
+      .filter(w => w.nonEmpty && !w.contains("|"))
+      .groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+    // reference trainer, extended to also return the final word splits;
+    // its merge table IS bpeTrain's on this corpus (equality proven at 6
+    // rounds by the fixture test above, and re-linked at 30 below — the
+    // trainer applies ONE rule per round, so its plan depth never grows
+    // with the rule count; only the APPLY side needed chunking)
+    def mergeGreedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var vocab: Map[String, Vector[String]] =
+      freqs.keys.map(w => w -> w.toVector.map(_.toString)).toMap
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var r = 1
+    var stop = false
+    while (r <= 1100 && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += freqs(w)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, rt), _) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        rules += ((r, l, rt))
+        vocab = vocab.map { case (w, syms) => w -> mergeGreedy(syms, l, rt) }
+        r += 1
+      }
+    }
+    assert(rules.size >= 1000, s"corpus must sustain >=1k merges, got ${rules.size}")
+    // the distributed trainer lands on the same table prefix on this corpus
+    val trained = TextStats.bpeTrain(docs, "text", 30).orderBy("merge_rank")
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2))).toSeq
+    assert(trained == rules.take(30).toSeq,
+      "bpeTrain must agree with the reference loop on the enriched corpus")
+    val mergesDf = rules.toSeq.toDF("merge_rank", "left_sym", "right_sym")
+    val expect = texts.map { case (id, text) =>
+      val syms = text.toLowerCase.trim.split("\\s+")
+        .filter(w => w.nonEmpty && !w.contains("|"))
+        .flatMap(vocab).toSeq
+      id -> ((syms.length, syms.mkString(" ")))
+    }.toMap
+    // two DIFFERENT chunkings (5 and 12 passes) both land on the reference
+    for (cs <- Seq(256, 97)) {
+      val got = TextStats.bpeEncode(docs, "doc_id", "text", mergesDf, chunkSize = cs)
+        .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getString(2)))).toMap
+      assert(got == expect, s"chunkSize=$cs apply must equal the reference encode")
+    }
+  }
+
   test("bpeEncode is a lossless partition of each doc and shrinks with merges") {
     val docs = Tables.load(spark, sfDir, "documents")
     val merges = TextStats.bpeTrain(docs, "text", 6)

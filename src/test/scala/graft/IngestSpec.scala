@@ -173,6 +173,87 @@ class IngestSpec extends SparkSpecBase {
       "the file-backed driver must land on the in-memory composition")
   }
 
+  test("ingest with a reliable checkpointDir lands on the local-checkpoint result") {
+    val ckptDir = Files.createTempDirectory("ingest_ckpt").toString
+    val state = IngestPipeline.bootstrap(docs.filter(col("doc_id") < 400))
+    val batch = docs.filter(col("doc_id") >= 400)
+    val local = IngestPipeline.ingest(state, batch)
+    val reliable = IngestPipeline.ingest(state, batch,
+      checkpointDir = Some(ckptDir))
+    assert(ids(reliable.delta.docs) == ids(local.delta.docs))
+    assert(reliable.census == local.census)
+    // the reliable path actually wrote checkpoint state to the dir
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+    assert(walk(new java.io.File(ckptDir)) > 0,
+      "reliable checkpoints must persist RDD state under checkpointDir")
+  }
+
+  test("compact folds live deltas into one version with identical screen decisions") {
+    val dir = Files.createTempDirectory("ingest_compact").toString
+    val corpusP = s"$dir/__corpus.parquet"
+    val b1P = s"$dir/__b1.parquet"
+    val b2P = s"$dir/__b2.parquet"
+    docs.filter(col("doc_id") < 350).write.parquet(corpusP)
+    docs.filter(col("doc_id") >= 350 && col("doc_id") < 420).write.parquet(b1P)
+    docs.filter(col("doc_id") >= 420 && col("doc_id") < 460).write.parquet(b2P)
+    def step(args: String*): Unit = RunIngestHarness.run(spark, dir, args)
+    step("bootstrap", corpusP)
+    step("ingest", b1P, "day1", "greedy", "span")
+    step("ingest", b2P, "day2", "greedy", "span")
+    assert(RunIngest.liveVersions(dir) == Seq(0, 1, 2))
+
+    // the probe: an UNCOMMITTED ingest decision against the pre-compact state
+    val probe = docs.filter(col("doc_id") >= 460)
+    def decide(): (Seq[(String, Long)], Set[Long]) = {
+      val live = RunIngest.liveVersions(dir)
+      val state = RunIngest.loadState(spark, dir, live)
+      val sketch = RunIngest.loadSketch(dir, live)
+      val r = IngestPipeline.ingest(state, probe, sketch = sketch)
+      (r.census.map(c => c.stage -> c.docs), ids(r.delta.docs).toSet)
+    }
+    val before = decide()
+
+    step("compact")
+    // live collapses to the single compacted version; full history intact
+    assert(RunIngest.liveVersions(dir) == Seq(3),
+      s"live must be just the compacted delta: ${RunIngest.liveVersions(dir)}")
+    assert(RunIngest.committedVersions(dir) == Seq(0, 1, 2, 3))
+    // screen decisions over the compacted state are IDENTICAL
+    assert(decide() == before,
+      "compaction must not change any screen decision (census + accepted ids)")
+    // batch-id memory survives compaction: re-delivering day1 is still a no-op
+    step("ingest", b1P, "day1", "greedy", "span")
+    assert(RunIngest.committedVersions(dir) == Seq(0, 1, 2, 3),
+      "a pre-compaction batch_id must stay a no-op after compaction")
+    // compacting a single live delta is a no-op
+    step("compact")
+    assert(RunIngest.committedVersions(dir) == Seq(0, 1, 2, 3))
+    // ingest continues on top of the compacted state
+    step("ingest", b1P, "day1b", "greedy", "span")
+    assert(RunIngest.liveVersions(dir) == Seq(3, 4))
+    // window/chunk indexes lost no keys in the distinct fold (checked
+    // BEFORE retention deletes the subsumed dirs)
+    val pre = RunIngest.loadState(spark, dir, Seq(0, 1, 2))
+    val post = RunIngest.loadState(spark, dir, Seq(3))
+    assert(pre.windows.select("h").distinct().count() ==
+      post.windows.select("h").distinct().count())
+    assert(pre.docs.count() == post.docs.count() &&
+      pre.posts.count() == post.posts.count())
+    // retention: the subsumed delta dirs go, batch-id memory stays (the
+    // LOG is never trimmed), and state reads keep working
+    val retired = RunIngest.retireSubsumed(dir)
+    assert(retired.toSet == Set(0, 1, 2), s"v0..v2 are subsumed: $retired")
+    assert(!Files.exists(Paths.get(s"$dir/delta_v0")) &&
+      Files.exists(Paths.get(s"$dir/delta_v3")))
+    assert(RunIngest.committedVersions(dir) == Seq(0, 1, 2, 3, 4))
+    step("ingest", b1P, "day1", "greedy", "span")
+    assert(RunIngest.committedVersions(dir).size == 5,
+      "pre-retire batch ids must stay no-ops after the sweep")
+    assert(RunIngest.loadState(spark, dir,
+      RunIngest.liveVersions(dir)).docs.count() > 0)
+  }
+
   test("fullIngestStream: micro-batched ingest equals the batch composition; replays no-op") {
     val dir = Files.createTempDirectory("graft_sing").toString
     val corpusP = s"$dir/__corpus.parquet"
@@ -229,8 +310,9 @@ object RunIngestHarness {
         case "span" => SpanCut; case "chunk" => ChunkCut; case _ => NoCut
       }
       val committed = RunIngest.committedVersions(stateDir)
-      val state = RunIngest.loadState(spark, stateDir, committed)
-      val sketch = RunIngest.loadSketch(stateDir, committed)
+      val live = RunIngest.liveVersions(stateDir)
+      val state = RunIngest.loadState(spark, stateDir, live)
+      val sketch = RunIngest.loadSketch(stateDir, live)
       val batch = spark.read.parquet(batchPath)
       val result = IngestPipeline.ingest(state, batch,
         policy = policy, cutMode = cut, sketch = sketch)
@@ -238,5 +320,7 @@ object RunIngestHarness {
       RunIngest.writeDelta(stateDir, version, result.delta, sketch)
       RunIngest.commit(stateDir, version, batchId,
         result.census.map(c => c.stage -> c.docs))
+    case "compact" =>
+      RunIngest.runCompact(spark, stateDir)
   }
 }

@@ -199,6 +199,21 @@ class LayoutSpec extends SparkSpecBase {
       s"null partition must never be pruned: $kept")
   }
 
+  test("a persisted manifest round-trips and prunes identically") {
+    val (zDir, _) = writeLayouts()
+    val mPath = Files.createTempDirectory("graft_manifest").toString + "/m"
+    val m = SkippingIndex.manifest(spark, zDir, Seq("l_orderkey", "l_partkey"))
+    SkippingIndex.writeManifest(spark, m, mPath)
+    val loaded = SkippingIndex.readManifest(spark, mPath)
+    assert(loaded.stats.toSet == m.stats.toSet, "stats must round-trip exactly")
+    val box = Seq(ColRange("l_orderkey", 100, 2000), ColRange("l_partkey", 10, 90))
+    assert(loaded.survivors(box) == m.survivors(box))
+    val viaLoaded = SkippingIndex.prunedRead(spark, zDir, box, Some(loaded))
+    val plain = spark.read.parquet(zDir)
+      .filter(col("l_orderkey").between(100, 2000) && col("l_partkey").between(10, 90))
+    assert(viaLoaded.exceptAll(plain).isEmpty && plain.exceptAll(viaLoaded).isEmpty)
+  }
+
   test("a STALE manifest keeps files it has never seen (appends cannot lose rows)") {
     val dir = Files.createTempDirectory("graft_stale").toString
     (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")

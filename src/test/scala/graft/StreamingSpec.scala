@@ -422,10 +422,19 @@ class StreamingSpec extends SparkSpecBase {
     b2.coalesce(1).write.mode("append").parquet(srcDir)
     Streams.psiMonitorStream(spark, ev.schema, srcDir, ref, "value",
       binWidth = 1.0, outPath)
-    val got = spark.read.parquet(outPath)
+    def readOut() = spark.read.parquet(outPath)
+      .select(col("epoch").cast("long"), col("psi"))
       .orderBy("epoch").collect()
-      .map(r => (r.getAs[Long]("epoch"), r.getAs[Double]("psi")))
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val got = readOut()
     assert(got.length == 2, s"one psi row per micro-batch: ${got.toSeq}")
+    // at-least-once retry safety: replaying the whole stream (fresh
+    // checkpoint, epochs restart at 0) dynamic-overwrites each epoch's
+    // partition instead of appending duplicates
+    Streams.psiMonitorStream(spark, ev.schema, srcDir, ref, "value",
+      binWidth = 1.0, outPath)
+    assert(readOut().length == 2,
+      "a replayed epoch must overwrite its partition, not append")
     // stream ≡ batch: each micro-batch's score equals the direct call.
     // File-source epoch ORDER is not pinned to write order, so compare
     // the score MULTISET and check the drifting batch alarms.
