@@ -159,9 +159,13 @@ object SkippingIndex {
     * constructed INSIDE the task (it is not serializable); footers are
     * a few KB each. */
   def footerStats(spark: SparkSession, dir: String,
-                  cols: Seq[String]): DataFrame = {
+                  cols: Seq[String]): DataFrame =
+    footerStatsFiles(spark, listParquet(spark, dir), cols)
+
+  private def footerStatsFiles(spark: SparkSession,
+                               files: Seq[(String, String)],
+                               cols: Seq[String]): DataFrame = {
     import spark.implicits._
-    val files = listParquet(spark, dir)
     val want = cols.toSet
     val slices = math.max(1, math.min(files.size, 64))
     spark.sparkContext.parallelize(files, slices).flatMap { case (abs, rel) =>
@@ -314,6 +318,26 @@ object SkippingIndex {
   def readManifest(spark: SparkSession, path: String): Manifest =
     Manifest(spark.read.parquet(path).as[FileColStats](
       org.apache.spark.sql.Encoders.product[FileColStats]).collect().toIndexedSeq)
+
+  /** INCREMENTAL manifest maintenance — the write-time op at 100 TB:
+    * footer-pass ONLY the files the manifest has never seen (one
+    * listing + new-file footers; settled files are never re-read) and
+    * drop entries for files that vanished (compaction/retention).
+    * `refresh(m) ≡ manifest(dir, cols)` by construction — LayoutSpec
+    * asserts the equality after appends AND deletes — so a daily-append
+    * table pays O(new files) per refresh, not O(table). */
+  def refreshManifest(spark: SparkSession, dir: String, m: Manifest): Manifest = {
+    val cols = m.stats.map(_.column).distinct
+    val current = listParquet(spark, dir)
+    val currentRel = current.map(_._2).toSet
+    val known = m.files.toSet
+    val kept = m.stats.filter(s => currentRel(s.file))
+    val fresh = current.filterNot { case (_, rel) => known(rel) }
+    if (fresh.isEmpty) Manifest(kept)
+    else Manifest(kept ++ footerStatsFiles(spark, fresh, cols)
+      .as[FileColStats](org.apache.spark.sql.Encoders.product[FileColStats])
+      .collect().toIndexedSeq)
+  }
 
   /** End-to-end pruned scan: manifest → driver-side file pruning → scan
     * ONLY the surviving files → residual filter (pruning is

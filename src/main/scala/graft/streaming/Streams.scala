@@ -288,7 +288,8 @@ object Streams {
   def fullIngestStream(spark: SparkSession, schema: StructType,
                        srcDir: String, stateDir: String,
                        idCol: String = "doc_id", textCol: String = "text",
-                       batchIdPrefix: String = "stream"): Unit = {
+                       batchIdPrefix: String = "stream",
+                       compactEvery: Int = 0): Unit = {
     import graft.run.RunIngest
     RunIngest.requireValidBatchId(s"${batchIdPrefix}_0") // fail at start, not per epoch
     val in = spark.readStream.schema(schema)
@@ -299,14 +300,24 @@ object Streams {
         val committed = RunIngest.committedVersions(stateDir)
         require(committed.nonEmpty,
           s"$stateDir has no bootstrap — run RunIngest bootstrap first")
-        val state = RunIngest.loadState(spark, stateDir, committed)
-        val sketch = RunIngest.loadSketch(stateDir, committed)
+        // LIVE versions, not all committed — after a compaction the
+        // subsumed deltas must not be unioned in again (double state)
+        val live = RunIngest.liveVersions(stateDir)
+        val state = RunIngest.loadState(spark, stateDir, live)
+        val sketch = RunIngest.loadSketch(stateDir, live)
         val result = graft.ext.IngestPipeline.ingest(state, batch,
           idCol = idCol, textCol = textCol, sketch = sketch)
         val version = committed.max + 1
         RunIngest.writeDelta(stateDir, version, result.delta, sketch)
         RunIngest.commit(stateDir, version, batchId,
           result.census.map(c => c.stage -> c.docs))
+        // inline maintenance: fold the state once the live-delta fan
+        // exceeds the budget (the CompactBench-measured O(batches) read
+        // cost) — a compaction epoch is itself a committed version, so
+        // stream replays stay no-ops either way
+        if (compactEvery > 0 &&
+            RunIngest.liveVersions(stateDir).size > compactEvery)
+          RunIngest.runCompact(spark, stateDir)
       }
       ()
     }.start()

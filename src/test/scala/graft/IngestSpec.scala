@@ -254,6 +254,35 @@ class IngestSpec extends SparkSpecBase {
       RunIngest.liveVersions(dir)).docs.count() > 0)
   }
 
+  test("fullIngestStream with compactEvery folds state inline without changing results") {
+    val dir = Files.createTempDirectory("graft_singc").toString
+    val corpusP = s"$dir/__corpus.parquet"
+    docs.filter(col("doc_id") < 400).write.parquet(corpusP)
+    RunIngestHarness.run(spark, dir, Seq("bootstrap", corpusP))
+    val srcDir = s"$dir/src"
+    val b1 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val b2 = docs.filter(col("doc_id") >= 450)
+    b1.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    new java.io.File(srcDir).listFiles().foreach(_.setLastModified(1000000L))
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    new java.io.File(srcDir).listFiles()
+      .filter(_.lastModified() != 1000000L).foreach(_.setLastModified(2000000L))
+    graft.streaming.Streams.fullIngestStream(spark, b1.schema, srcDir, dir,
+      compactEvery = 1)
+    // every batch commit was followed by a compaction epoch, so live
+    // state is always ONE delta
+    assert(RunIngest.liveVersions(dir).size == 1,
+      s"live must be a single compacted delta: ${RunIngest.liveVersions(dir)}")
+    // accepted docs equal the batch composition (compaction is invisible)
+    val got = ids(RunIngest.loadState(spark, dir, RunIngest.liveVersions(dir))
+      .docs.filter(col("doc_id") >= 400))
+    val state0 = IngestPipeline.bootstrap(docs.filter(col("doc_id") < 400))
+    val r1 = IngestPipeline.ingest(state0, b1)
+    val r2 = IngestPipeline.ingest(IngestPipeline.grow(state0, r1.delta), b2)
+    assert(got == ids(r1.delta.docs) ++ ids(r2.delta.docs),
+      "inline compaction must not change any accepted-doc decision")
+  }
+
   test("fullIngestStream: micro-batched ingest equals the batch composition; replays no-op") {
     val dir = Files.createTempDirectory("graft_sing").toString
     val corpusP = s"$dir/__corpus.parquet"

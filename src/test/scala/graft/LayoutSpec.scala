@@ -214,6 +214,28 @@ class LayoutSpec extends SparkSpecBase {
     assert(viaLoaded.exceptAll(plain).isEmpty && plain.exceptAll(viaLoaded).isEmpty)
   }
 
+  test("refreshManifest pays only for new files and equals a from-scratch build") {
+    val dir = Files.createTempDirectory("graft_refresh").toString
+    (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val m0 = SkippingIndex.manifest(spark, dir, Seq("k"))
+    // append two files, delete one original (compaction/retention shape)
+    (5001L to 5100L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        m0.files.contains(f.getName)).head
+    assert(victim.delete())
+    val refreshed = SkippingIndex.refreshManifest(spark, dir, m0)
+    val scratch = SkippingIndex.manifest(spark, dir, Seq("k"))
+    assert(refreshed.stats.toSet == scratch.stats.toSet,
+      "incremental refresh must equal the from-scratch manifest")
+    assert(refreshed.files.size == 5) // 4 - 1 deleted + 2 appended
+    // and the refreshed manifest prunes the appended range correctly
+    val kept = refreshed.survivors(Seq(ColRange("k", 5000, 6000)))
+    assert(kept.nonEmpty && kept.size <= 2, s"only the appended files match: $kept")
+  }
+
   test("a STALE manifest keeps files it has never seen (appends cannot lose rows)") {
     val dir = Files.createTempDirectory("graft_stale").toString
     (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
