@@ -111,6 +111,21 @@ object VectorIndex {
     load(spark, dir)
   }
 
+  /** Fold the per-grow file fan back to ~one file per cell: each [[grow]]
+    * APPENDS files into the cell directories, so after N daily batches a
+    * probe of one cell opens N small files ([[graft.run.RunIngest]]'s
+    * delta-fan problem, index-shaped). Reads the assignments fully into
+    * a materialized barrier FIRST (overwriting a path being read), then
+    * rewrites cell-partitioned. Row set, centroids, and search results
+    * are unchanged (VectorIndexSpec pins search equality pre/post). */
+  def compact(spark: SparkSession, dir: String): IvfIndex = {
+    val idx = load(spark, dir)
+    val all = idx.assignments.localCheckpoint(true)
+    all.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/assignments")
+    load(spark, dir)
+  }
+
   def load(spark: SparkSession, dir: String): IvfIndex = {
     val cents = spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect() // nlist rows: index metadata, bounded

@@ -53,6 +53,30 @@ class VectorIndexSpec extends SparkSpecBase {
       "frozen-centroid growth must not change full-probe ranking")
   }
 
+  test("compact folds the per-grow file fan; search and row set unchanged") {
+    val third = (r: Int) => emb.filter(col("vec_id") % 3 === r)
+    VectorIndex.build(third(0), "vec_id", "embedding", tmp("cpt"), nlist = 8)
+    VectorIndex.grow(spark, tmp("cpt"), third(1), "vec_id", "embedding")
+    val grown = VectorIndex.grow(spark, tmp("cpt"), third(2), "vec_id", "embedding")
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"${tmp("cpt")}/assignments"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val fannedFiles = dataFiles()
+    val before = triples(
+      VectorIndex.search(grown, queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    val compacted = VectorIndex.compact(spark, tmp("cpt"))
+    assert(dataFiles() < fannedFiles,
+      s"compaction must reduce the file fan: $fannedFiles -> ${dataFiles()}")
+    assert(compacted.assignments.count() == emb.count(),
+      "compaction must preserve every stored vector")
+    val after = triples(
+      VectorIndex.search(compacted, queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    assert(after == before, "compaction must not change search results")
+  }
+
   test("partial-probe search statically prunes the assignments scan to the probed cells") {
     val idx = VectorIndex.build(emb, "vec_id", "embedding", tmp("prune"), nlist = 8)
     val one = emb.filter(col("vec_id") === 0)
