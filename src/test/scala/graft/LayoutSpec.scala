@@ -156,6 +156,18 @@ class LayoutSpec extends SparkSpecBase {
     val (kept, total) = SkippingIndex.skipRatio(spark, dir, ranges, Some(m))
     assert(total == 8 && kept <= 2,
       s"2 partitions x the low-k file only: kept $kept of $total")
+    // the plan-level lock: the scan RELATION itself holds only the
+    // surviving files — pruning happened before the scan, not as a filter
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = pruned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanFiles = plan.collect { case f: FileSourceScanExec => f }
+      .head.relation.location.inputFiles.length
+    assert(scanFiles == kept,
+      s"the scan must be built over exactly the $kept surviving files, saw $scanFiles")
   }
 
   test("string bounds: truncated footer stats prune soundly, 17+ char values stay conservative") {
