@@ -351,8 +351,43 @@ final case class Warehouse(spark: SparkSession, root: String) {
     Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.startsWith(prefix))
       .filterNot(n => n.endsWith("_execution_log") || n.endsWith("_control") ||
-        n.endsWith("__staging"))
+        n.endsWith("__staging") || n.endsWith("__manifest"))
       .sorted
+  }
+
+  // ---- write-time skipping manifests (SkippingIndex, deployed shape) ----
+
+  /** Build or incrementally refresh the file-skipping manifest for a
+    * stored table, persisted as the peer table `<name>__manifest`
+    * (outside the data dir, so data readers and the lister see nothing
+    * new; excluded from [[list]] like the other metadata tables). Call
+    * after [[write]]/[[mergeUpsert]]/[[append]] lands a table — an
+    * existing manifest footer-passes ONLY files it has never seen and
+    * forgets vanished ones, so the nightly refresh costs O(files the
+    * run touched). `cols` is used on first build; refreshes keep the
+    * manifest's column set. */
+  def refreshManifest(name: String, cols: Seq[String]): Unit = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val m =
+      if (new java.io.File(mPath).exists())
+        SkippingIndex.refreshManifest(spark, path(name),
+          SkippingIndex.readManifest(spark, mPath))
+      else SkippingIndex.manifest(spark, path(name), cols)
+    SkippingIndex.writeManifest(spark, m, mPath)
+  }
+
+  /** [[read]] through the table's persisted manifest: files whose
+    * bounds (footer or partition-path) exclude every range are never
+    * opened; equals `read(name).filter(ranges)` by SkippingIndex's
+    * conservative contract (files the manifest has never seen are
+    * kept). Requires a prior [[refreshManifest]]. */
+  def prunedRead(name: String,
+                 ranges: Seq[graft.sources.SkippingIndex.ColRange],
+                 strRanges: Seq[graft.sources.SkippingIndex.StrRange] = Nil): DataFrame = {
+    import graft.sources.SkippingIndex
+    val m = SkippingIndex.readManifest(spark, path(name + "__manifest"))
+    SkippingIndex.prunedRead(spark, path(name), ranges, Some(m), strRanges)
   }
 }
 

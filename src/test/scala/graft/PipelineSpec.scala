@@ -54,6 +54,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(!silver.exists(_.endsWith("_execution_log")))
   }
 
+  test("write-time manifest: gold-table pruned reads equal plain reads, metadata hidden") {
+    pipe // ordered: gold tables exist
+    val wh = Warehouse(spark, whRoot)
+    wh.refreshManifest("gold_fact_sales", Seq("billing_year", "customer_key"))
+    assert(!wh.list("gold_").exists(_.endsWith("__manifest")),
+      "manifest tables are metadata — hidden from the catalog listing")
+    import graft.sources.SkippingIndex.ColRange
+    val ranges = Seq(ColRange("billing_year", 1994, 1995),
+      ColRange("customer_key", 0, 500))
+    val pruned = wh.prunedRead("gold_fact_sales", ranges)
+    val plain = wh.read("gold_fact_sales")
+      .filter(col("billing_year").between(1994, 1995) &&
+        col("customer_key").between(0, 500))
+    assert(pruned.count() == plain.count() && plain.count() > 0)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+      "manifest-pruned gold read must equal the plain filtered read")
+    // refresh after new files land: only the new files are footer-passed,
+    // and the refreshed manifest still covers the whole table
+    wh.append("gold_fact_sales", wh.read("gold_fact_sales").limit(0))
+    wh.refreshManifest("gold_fact_sales", Seq("billing_year", "customer_key"))
+    val again = wh.prunedRead("gold_fact_sales", ranges)
+    assert(again.count() == plain.count())
+  }
+
   test("parallel warehouse copies mirror every gold table") {
     val wh = Warehouse(spark, whRoot)
     val copied = pipe.copyToWarehouse()
