@@ -499,6 +499,116 @@ object TextStats {
           .as("avg_logprob"))
   }
 
+  /** MOORE-LEWIS cross-entropy difference selection (Moore & Lewis,
+    * ACL 2010, "Intelligent Selection of Language Model Training Data" —
+    * the canonical in-domain data-selection method): every document is
+    * scored by the gap between its per-token log-likelihood under an LM
+    * trained ONLY on the in-domain slice (`targetPred`) and under one
+    * trained on the whole corpus. High `ml_score` ⇒ the doc reads like
+    * the target domain relative to generic background text; selecting
+    * docs above a threshold yields the Moore-Lewis subset. Both models
+    * are the same add-k unigram construction as [[unigramLogProb]],
+    * sharing the BACKGROUND vocabulary V, so a word the target slice
+    * never saw backs off to pure smoothing mass (`c_t = 0`).
+    *
+    * Scale shape: identical to [[unigramLogProb]] — two vocab-sized
+    * count tables (broadcastable), one token-volume inverted-index
+    * join, and ONE term-sorted per-doc fold that feeds both
+    * accumulators, so each engine adds both columns in the identical
+    * sequence and the IEEE doubles match (the DuckDB oracle replays
+    * both trainings, the shared-V backoff, and the ordered fold). */
+  def mooreLewisScore(docs: DataFrame, idCol: String, textCol: String,
+                      targetPred: Column, smoothing: Double = 1.0): DataFrame = {
+    val tok = docs.select(col(idCol), targetPred.as("__tgt"),
+        explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("__tgt"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy("term").agg(sum("tf").as("cb"))
+    val ct = tf.filter(col("__tgt")).groupBy("term").agg(sum("tf").as("ct"))
+    val tot = cb.join(ct, Seq("term"), "left").agg(
+      sum("cb").as("nb"),
+      sum(coalesce(col("ct"), lit(0L))).as("nt"),
+      count(lit(1)).as("v"))
+    def lp(c: Column, n: Column): Column =
+      col("tf").cast("double") * log((c.cast("double") + lit(smoothing)) /
+        (n.cast("double") + lit(smoothing) * col("v").cast("double")))
+    tf.join(cb, Seq("term"))
+      .join(ct, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_t", lp(coalesce(col("ct"), lit(0L)), col("nt")))
+      .withColumn("lp_b", lp(col("cb"), col("nb")))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("lp_t"), col("lp_b")))),
+          struct(lit(0.0).as("t"), lit(0.0).as("b")),
+          (acc, x) => struct(
+            (acc.getField("t") + x.getField("lp_t")).as("t"),
+            (acc.getField("b") + x.getField("lp_b")).as("b"))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s.t") / col("n_tokens").cast("double"), 6).as("lp_target"),
+        round(col("__s.b") / col("n_tokens").cast("double"), 6).as("lp_background"),
+        round((col("__s.t") - col("__s.b")) / col("n_tokens").cast("double"), 6)
+          .as("ml_score"))
+  }
+
+  /** Interpolated KNESER-NEY bigram scoring — the smoothing the real
+    * CCNet / KenLM perplexity filter uses (vs [[bigramLogProb]]'s add-1):
+    * `P(w2|w1) = max(c12 − D, 0)/c1• + D·N1+(w1·)/c1• · N1+(·w2)/N1+(··)`
+    * where `c1•` is w1's count AS A HISTORY (Σ_w2 c12), `N1+(w1·)` the
+    * distinct continuations of w1, and the unigram backoff is the
+    * CONTINUATION probability (in how many distinct contexts does w2
+    * appear) — the Kneser-Ney insight that makes "francisco" cheap as a
+    * continuation even though it is frequent as a token. Scoring the
+    * training corpus itself means every scored bigram has `c12 ≥ 1`, so
+    * no OOV floor is needed and the probability is strictly positive.
+    *
+    * Scale shape: four count aggregations (two vocab-sized, one
+    * pair-vocab-sized, one scalar) + the inverted-index join, exactly
+    * the [[bigramLogProb]] plan; the per-doc sum folds in ascending
+    * (w1, w2) order for cross-engine IEEE equality, and the DuckDB
+    * oracle replays counts, discounting, and backoff verbatim. */
+  def kneserNeyBigram(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toksF = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bg = toksF
+      .select(col(idCol), explode_outer(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2"))))
+          .otherwise(array())).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf2 = bg.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf2"))
+    val c12 = tf2.groupBy("w1", "w2").agg(sum("tf2").as("c12"))
+    val hist = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))   // c(w1·), N1+(w1·)
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1r")) // N1+(·w2)
+    val tot = c12.agg(count(lit(1)).as("npairs"))            // N1+(··)
+    val d = lit(discount)
+    tf2.join(c12, Seq("w1", "w2"))
+      .join(hist, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", col("tf2").cast("double") * log(
+        greatest(col("c12").cast("double") - d, lit(0.0)) /
+          col("c1").cast("double") +
+        d * col("n1f").cast("double") / col("c1").cast("double") *
+          (col("n1r").cast("double") / col("npairs").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(sum("tf2").as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("__lpsum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lpsum") / col("n_bigrams").cast("double"), 6)
+          .as("avg_logprob"))
+  }
+
   /** Shannon entropy (nats) of each document's character distribution —
     * the third cheap gibberish detector next to [[compressionRatio]] and
     * the LM scores: random-key soup maxes entropy, single-char runs and

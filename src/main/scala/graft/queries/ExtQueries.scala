@@ -563,6 +563,21 @@ object ExtQueries {
     "t23_bigram_logprob" -> ((s, d) =>
       TextStats.bigramLogProb(t(s, d, "documents"), "doc_id", "text")),
 
+    // Moore-Lewis cross-entropy difference selection (ACL 2010): docs
+    // scored by target-LM vs background-LM per-token logprob gap, the
+    // target slice being the English documents; oracle replays BOTH
+    // trainings (shared background vocab, zero-count backoff) and the
+    // single term-ordered fold that feeds both accumulators
+    "t34_moore_lewis" -> ((s, d) =>
+      TextStats.mooreLewisScore(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en")),
+
+    // interpolated Kneser-Ney bigram scoring — the real CCNet/KenLM
+    // smoothing (absolute discount + continuation-probability backoff)
+    // above t23's add-1; counts, discounting, and backoff all replayed
+    "t35_kneser_ney" -> ((s, d) =>
+      TextStats.kneserNeyBigram(t(s, d, "documents"), "doc_id", "text")),
+
     // BPE tokenizer induction (Sennrich) — train 8 merges over the corpus
     // word-frequency table; the oracle replays ALL 8 rounds (pair counts,
     // deterministic argmax, greedy replace-merge) as unrolled SQL CTEs, so
@@ -2557,6 +2572,69 @@ object ExtQueries {
         |    CAST(tf2 AS DOUBLE) * ln((CAST(c12 AS DOUBLE) + 1.0) /
         |      (CAST(c1 AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp
         |  FROM tf2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(SUM(tf2) AS BIGINT) AS n_bigrams,
+        |  round(list_sum(list(lp ORDER BY w1, w2)) / CAST(SUM(tf2) AS DOUBLE), 6)
+        |    AS avg_logprob
+        |FROM ctr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays Moore-Lewis end to end: both unigram trainings over the
+    // SHARED background vocab (LEFT JOIN ct + COALESCE 0 is the target
+    // model's smoothing backoff), then one term-ordered fold per column —
+    // the same addition sequence the Spark struct-accumulator fold uses
+    "t34_moore_lewis" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tgt AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cb AS (SELECT term, SUM(tf) AS cb FROM tf GROUP BY 1),
+        |ct AS (SELECT term, SUM(tf) AS ct FROM tf JOIN tgt USING (doc_id)
+        |       WHERE is_t GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cb) FROM cb) AS nb,
+        |               (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt,
+        |               (SELECT count(*) FROM cb) AS v),
+        |ctr AS (
+        |  SELECT doc_id, term, tf,
+        |    CAST(tf AS DOUBLE) * ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(nt AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp_t,
+        |    CAST(tf AS DOUBLE) * ln((CAST(cb AS DOUBLE) + 1.0) /
+        |      (CAST(nb AS DOUBLE) + 1.0 * CAST(v AS DOUBLE))) AS lp_b
+        |  FROM tf JOIN cb USING (term) LEFT JOIN ct USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(list_sum(list(lp_t ORDER BY term)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |    AS lp_target,
+        |  round(list_sum(list(lp_b ORDER BY term)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |    AS lp_background,
+        |  round((list_sum(list(lp_t ORDER BY term)) -
+        |         list_sum(list(lp_b ORDER BY term))) / CAST(SUM(tf) AS DOUBLE), 6)
+        |    AS ml_score
+        |FROM ctr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // replays interpolated Kneser-Ney: history counts c(w1.) and
+    // N1+(w1.), continuation counts N1+(.w2), pair-type total N1+(..),
+    // absolute discount D=0.75, and the (w1, w2)-ordered per-doc fold
+    "t35_kneser_ney" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ix),
+        |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf2 FROM bg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, SUM(tf2) AS c12 FROM tf2 GROUP BY 1, 2),
+        |hist AS (SELECT w1, SUM(c12) AS c1, count(*) AS n1f FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1r FROM c12 GROUP BY 1),
+        |tot AS (SELECT count(*) AS npairs FROM c12),
+        |ctr AS (
+        |  SELECT doc_id, w1, w2, tf2,
+        |    CAST(tf2 AS DOUBLE) * ln(
+        |      greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) +
+        |      0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE) *
+        |        (CAST(n1r AS DOUBLE) / CAST(npairs AS DOUBLE))) AS lp
+        |  FROM tf2 JOIN c12 USING (w1, w2) JOIN hist USING (w1)
+        |    JOIN cont USING (w2) CROSS JOIN tot)
         |SELECT doc_id, CAST(SUM(tf2) AS BIGINT) AS n_bigrams,
         |  round(list_sum(list(lp ORDER BY w1, w2)) / CAST(SUM(tf2) AS DOUBLE), 6)
         |    AS avg_logprob

@@ -1732,6 +1732,58 @@ class ExtSpec extends SparkSpecBase {
       s"oversized solo, small docs still pair: $over")
   }
 
+  test("moore-lewis: hand-computed scores on a toy corpus; target docs score higher on the fixture") {
+    import spark.implicits._
+    // vocab {x, y}; target slice = doc 1. cb: x=2,y=2, nb=4, V=2; ct: x=2, nt=2
+    val toy = Seq((1L, "x x", "en"), (2L, "y y", "de")).toDF("doc_id", "text", "lang")
+    val got = TextStats.mooreLewisScore(toy, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // doc1: lp_t = ln(3/4), lp_b = ln(1/2), ml = ln(3/2)
+    assert(math.abs(got(1L)._1 - math.log(0.75)) < 1e-6)
+    assert(math.abs(got(1L)._2 - math.log(0.5)) < 1e-6)
+    assert(math.abs(got(1L)._3 - math.log(1.5)) < 1e-6)
+    // doc2's y never occurs in the target slice: backoff lp_t = ln(1/4)
+    assert(math.abs(got(2L)._1 - math.log(0.25)) < 1e-6)
+    assert(math.abs(got(2L)._3 - math.log(0.5)) < 1e-6)
+    // on the fixture, English docs must out-score non-English on average —
+    // the selection property the method exists for
+    val scored = TextStats.mooreLewisScore(docs, "doc_id", "text",
+        col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("ml_score").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) > scored(false),
+      s"en mean ${scored(true)} must exceed non-en mean ${scored(false)}")
+    // partition invariance of the ordered fold
+    val a = TextStats.mooreLewisScore(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextStats.mooreLewisScore(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("kneser-ney: exact toy probabilities, per-history mass sums to 1, finite on the fixture") {
+    import spark.implicits._
+    // corpus: (a,b)x2, (a,c)x1 → P(b|a) = (2-.75)/3 + .75*(2/3)*(1/2) = 2/3,
+    // P(c|a) = (1-.75)/3 + .75*(2/3)*(1/2) = 1/3 — they sum to 1 exactly,
+    // the mass-conservation property interpolated KN guarantees
+    val toy = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextStats.kneserNeyBigram(toy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got(1L) - math.log(2.0 / 3)) < 1e-6)
+    assert(math.abs(got(2L) - math.log(2.0 / 3)) < 1e-6)
+    assert(math.abs(got(3L) - math.log(1.0 / 3)) < 1e-6)
+    // fixture: every score strictly negative and finite (P in (0,1)),
+    // every doc with >=2 tokens present
+    val f = TextStats.kneserNeyBigram(docs, "doc_id", "text").cache()
+    val bad = f.filter(col("avg_logprob") >= 0 || isnan(col("avg_logprob")) ||
+      col("avg_logprob") === Double.NegativeInfinity).count()
+    assert(bad == 0)
+    assert(f.count() == docs.filter(size(TextStats.tokens(col("text"))) >= 2).count())
+    f.unpersist()
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
