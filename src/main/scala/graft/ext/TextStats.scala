@@ -553,6 +553,65 @@ object TextStats {
           .as("ml_score"))
   }
 
+  /** DSIR importance log-weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): every
+    * document's hashed bag of uni+bigram features is scored by
+    * `Σ_f tf_f · (ln p̂_target(f) − ln p̂_raw(f))` — the log importance
+    * ratio between an add-k bucket distribution fitted on the in-domain
+    * slice (`targetPred`) and one fitted on the whole corpus. Feature
+    * hashing (md5 → 52-bit int → mod `buckets`) bounds the model at
+    * `buckets` cells regardless of vocabulary, exactly the paper's
+    * construction; feed the result straight into
+    * [[graft.operators.Sampling.gumbelTopK]] to draw the resampled
+    * subset without ever exponentiating the ratio.
+    *
+    * Scale shape: one gram explode (token volume ×2), one
+    * buckets-sized count table per model (broadcastable at any
+    * `buckets` a hash-feature model would use), the inverted-index
+    * join, and a bucket-sorted per-doc fold for cross-engine IEEE
+    * equality — the [[mooreLewisScore]] plan with a fixed-width
+    * feature space. */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, buckets: Int = 1024,
+                     smoothing: Double = 1.0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val toksF = docs.select(col(idCol), targetPred.as("__tgt"),
+      tokens(col(textCol)).as("toks"))
+    val uni = toksF.select(col(idCol), col("__tgt"),
+        explode_outer(col("toks")).as("g"))
+      .filter(col("g").isNotNull && col("g") =!= "")
+    val bi = toksF.select(col(idCol), col("__tgt"), explode_outer(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array())).as("g"))
+      .filter(col("g").isNotNull)
+    val fb = uni.unionByName(bi)
+      .withColumn("b", pmod(conv(substring(md5(col("g")), 1, 13), 16, 10)
+        .cast("long"), lit(buckets)))
+    val tf = fb.groupBy(col(idCol), col("__tgt"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val cr = tf.groupBy("b").agg(sum("tf").as("cr"))
+    val ct = tf.filter(col("__tgt")).groupBy("b").agg(sum("tf").as("ct"))
+    val tot = cr.join(ct, Seq("b"), "left").agg(
+      sum("cr").as("nr"), sum(coalesce(col("ct"), lit(0L))).as("nt"))
+    val bD = lit(buckets.toDouble)
+    tf.join(cr, Seq("b"))
+      .join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lw", col("tf").cast("double") * (
+        log((coalesce(col("ct"), lit(0L)).cast("double") + lit(smoothing)) /
+            (col("nt").cast("double") + lit(smoothing) * bD)) -
+        log((col("cr").cast("double") + lit(smoothing)) /
+            (col("nr").cast("double") + lit(smoothing) * bD))))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_grams"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("lw")))),
+          lit(0.0), (acc, x) => acc + x.getField("lw")).as("log_weight"))
+      .select(col(idCol), col("n_grams"), col("log_weight"))
+  }
+
   /** Interpolated KNESER-NEY bigram scoring — the smoothing the real
     * CCNet / KenLM perplexity filter uses (vs [[bigramLogProb]]'s add-1):
     * `P(w2|w1) = max(c12 − D, 0)/c1• + D·N1+(w1·)/c1• · N1+(·w2)/N1+(··)`

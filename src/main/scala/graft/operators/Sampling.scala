@@ -308,6 +308,39 @@ object Sampling {
       .withColumnRenamed("__score", "es_score")
   }
 
+  /** Log-space weighted sampling WITHOUT replacement — the Gumbel
+    * top-k formulation of [[weightedSampleWithoutReplacement]]: the
+    * weight arrives as a LOG weight and the ranking key is
+    * `ln(−ln u) − logw`, algebraically the ln of the ES score, so the
+    * selection order is identical — but the linear weight
+    * `exp(logw)` is never materialized. This is the form
+    * importance-resampling selection (DSIR) needs: log-ratio weights
+    * routinely span ±hundreds of nats, where `exp` saturates to 0/∞
+    * and erases the ordering, while the log-space key is exact AND
+    * shift-invariant (a constant added to every logw moves every key
+    * equally), so unnormalized log weights rank correctly. Same
+    * seeded 52-bit uniform, same `(round(key, 9), id)` deterministic
+    * ranking, same per-stratum top-k window shape (feed through
+    * `topk_by` at real scale, as with the ES variant). */
+  def gumbelTopK(df: DataFrame, key: Column, logWeightCol: String, k: Int,
+                 seed: String, stratumCol: Option[String] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))),
+        1, 13), 16, 10).cast("long").cast("double") + lit(0.5)) /
+      lit(4503599627370496.0)
+    val lw = col(logWeightCol).cast("double")
+    val score = when(lw.isNull || isnan(lw), lit(Double.PositiveInfinity))
+      .otherwise(log(-log(u)) - lw)
+    val win = stratumCol.fold(Window.orderBy(round(col("__score"), 9), key))(s =>
+      Window.partitionBy(col(s)).orderBy(round(col("__score"), 9), key))
+    df.withColumn("__score", score)
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= k && col("__score") =!= lit(Double.PositiveInfinity))
+      .drop("__rk")
+      .withColumnRenamed("__score", "gk_score")
+  }
+
   private def shardAndRank(df: DataFrame, key: Column, seed: String,
                            nShards: Int, orderPrefix: Seq[Column]): DataFrame = {
     require(nShards > 0 && nShards <= 256,

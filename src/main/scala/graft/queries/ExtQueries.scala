@@ -1000,6 +1000,21 @@ object ExtQueries {
         .select(col("source"), col("doc_id"),
           round(col("es_score"), 6).as("es_score"))),
 
+    // DSIR importance resampling (NeurIPS 2023): hashed uni+bigram
+    // bucket counts → target/raw log-ratio weights → Gumbel top-k draw
+    // in LOG space (no exp, shift-invariant); the oracle replays the
+    // feature hashing, both bucket models, the bucket-ordered fold,
+    // the seeded uniform, and the rounded-key ranking end to end
+    "p27_dsir_sample" -> ((s, d) => {
+      val w = TextStats.dsirLogWeights(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 128)
+      graft.operators.Sampling.gumbelTopK(w, col("doc_id"), "log_weight",
+          k = 50, seed = "dsir1")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("log_weight"), 6).as("log_weight"),
+          round(col("gk_score"), 6).as("gk_score"))
+    }),
+
     // first-fit-decreasing packing: the bin-MINIMIZING packer (fewer
     // padded tokens = less wasted pre-training compute); per-source
     // shards, 256-token bins; the oracle replays the whole sequential
@@ -1499,6 +1514,55 @@ object ExtQueries {
         |      ORDER BY round(score, 9), doc_id) AS rk FROM s)
         |SELECT source, doc_id, round(score, 6) AS es_score
         |FROM r WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // DSIR replay: hashed uni+bigram buckets (md5 52-bit → mod 128),
+    // add-1 bucket models on the en slice vs the whole corpus, the
+    // bucket-ordered per-doc fold, then the Gumbel top-k key
+    // ln(-ln u) - logw with the p25 uniform and rounded-key ranking
+    "p27_dsir_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM c),
+        |ixb AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM ixb),
+        |grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+        |tgt AS (SELECT doc_id, lang = 'en' AS is_t FROM documents),
+        |fb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(g), 1, 13) AS BIGINT) % 128 AS b
+        |  FROM grams),
+        |tf AS (SELECT doc_id, b, count(*) AS tf FROM fb GROUP BY 1, 2),
+        |cr AS (SELECT b, SUM(tf) AS cr FROM tf GROUP BY 1),
+        |ct AS (SELECT b, SUM(tf) AS ct FROM tf JOIN tgt USING (doc_id)
+        |       WHERE is_t GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cr) FROM cr) AS nr,
+        |               (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt),
+        |ctr AS (
+        |  SELECT doc_id, b, tf,
+        |    CAST(tf AS DOUBLE) * (
+        |      ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) /
+        |         (CAST(nt AS DOUBLE) + 1.0 * 128.0)) -
+        |      ln((CAST(cr AS DOUBLE) + 1.0) /
+        |         (CAST(nr AS DOUBLE) + 1.0 * 128.0))) AS lw
+        |  FROM tf JOIN cr USING (b) LEFT JOIN ct USING (b) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+        |    list_sum(list(lw ORDER BY b)) AS logw
+        |  FROM ctr GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id, n_grams, logw,
+        |    ln(-ln((CAST(CAST('0x' ||
+        |        substring(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)) - logw AS score
+        |  FROM w),
+        |r AS (SELECT doc_id, n_grams, logw, score,
+        |    row_number() OVER (ORDER BY round(score, 9), doc_id) AS rk FROM s)
+        |SELECT doc_id, n_grams, round(logw, 6) AS log_weight,
+        |  round(score, 6) AS gk_score
+        |FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
 
     // the FFD packing replay: row_number fixes the visit order (tokens
     // DESC, id ASC per shard), then a recursive CTE walks each shard's

@@ -631,6 +631,46 @@ class OperatorSpec extends SparkSpecBase {
     assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
   }
 
+  test("gumbel top-k == ES sampling on exp-able weights; shift-invariant; null-safe") {
+    import spark.implicits._
+    // same draw, two formulations: gumbelTopK(ln w) must select the same
+    // rows in the same order as the ES score -ln(u)/w (its key is the ln
+    // of the ES key, a monotone map)
+    val df = (0 until 500).map(i => (i.toLong, 0.1 + (i * 7 % 100) / 10.0))
+      .toDF("id", "w").withColumn("lw", log(col("w")))
+    val es = Sampling.weightedSampleWithoutReplacement(
+        df, col("id"), "w", k = 40, seed = "gk")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val gk = Sampling.gumbelTopK(df, col("id"), "lw", k = 40, seed = "gk")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gk == es, "log-space and linear-space draws must agree")
+    // shift invariance: +1000 nats on every log weight — far past where
+    // exp() would overflow — leaves the selection untouched
+    val shifted = Sampling.gumbelTopK(
+        df.withColumn("lw", col("lw") + 1000.0), col("id"), "lw",
+        k = 40, seed = "gk")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(shifted == gk)
+    // null log weights never sample
+    val wn = Seq((1L, Some(0.0)), (2L, None)).toDF("id", "lw")
+    assert(Sampling.gumbelTopK(wn, col("id"), "lw", k = 2, seed = "x")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("dsir log-weights favor the target slice; partition-invariant fold") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    def lw(d: org.apache.spark.sql.DataFrame) =
+      graft.ext.TextStats.dsirLogWeights(d, "doc_id", "text",
+        col("lang") === "en", buckets = 128)
+    val means = lw(docs).join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("log_weight").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-en ${means(false)}")
+    assert(lw(docs).orderBy("doc_id").collect().toSeq ==
+      lw(docs.repartition(7)).orderBy("doc_id").collect().toSeq)
+  }
+
   test("first-touch attribution equals the sequential reference walk") {
     val rows = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"),
