@@ -612,6 +612,133 @@ object TextStats {
       .select(col(idCol), col("n_grams"), col("log_weight"))
   }
 
+  /** Learned hashed-ngram linear classifier: `buckets` weights + bias,
+    * model state driver-side by definition (like the k-means centroids
+    * and the BPE merge table — the DATA never is). */
+  final case class TextClassifierModel(weights: Array[Double], bias: Double,
+                                       buckets: Int)
+
+  /** Shared feature construction for [[trainTextClassifier]] /
+    * [[scoreTextClassifier]]: hashed uni+bigram bucket counts
+    * (the [[dsirLogWeights]] hashing), l1-normalized per document —
+    * `x_b = tf_b / n_grams`, the fastText bag-average form. Documents
+    * with zero grams carry no features and drop out of train/score. */
+  private def hashedGramFeatures(docs: DataFrame, idCol: String,
+                                 textCol: String, buckets: Int): DataFrame = {
+    val toksF = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val uni = toksF.select(col(idCol), explode_outer(col("toks")).as("g"))
+      .filter(col("g").isNotNull && col("g") =!= "")
+    val bi = toksF.select(col(idCol), explode_outer(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array())).as("g"))
+      .filter(col("g").isNotNull)
+    val tf = uni.unionByName(bi)
+      .withColumn("b", pmod(conv(substring(md5(col("g")), 1, 13), 16, 10)
+        .cast("long"), lit(buckets)))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
+    val n = tf.groupBy(col(idCol)).agg(sum("tf").as("n"))
+    tf.join(n, idCol)
+      .select(col(idCol), col("b"),
+        (col("tf").cast("double") / col("n").cast("double")).as("x"))
+  }
+
+  /** fastText/CCNet-style QUALITY CLASSIFIER: logistic regression over
+    * hashed uni+bigram bucket features, trained by full-batch gradient
+    * descent from zero weights — the classic learned replacement for
+    * rule-based quality gates (GPT-3 / CCNet trained exactly this shape
+    * against a known-good reference corpus; here `labelPred` names the
+    * positive slice). `steps` synchronous GD rounds at fixed `lr`;
+    * every round is ONE aggregation pass over the cached feature table
+    * (weights ride into the plan as a literal array — fine to ~64k
+    * buckets; join a weights table beyond that), so training cost is
+    * `steps × token-volume`, and the gradient state is `buckets`
+    * doubles — scale-safe by construction.
+    *
+    * `deterministic = true` is the ORACLE OPT-IN (the
+    * [[graft.operators.Graph.pageRank]] treatment): the per-doc z fold
+    * and the per-bucket gradient fold run over sorted collect_lists so
+    * the IEEE sums are engine- and partitioning-exact, at the cost of
+    * O(per-doc buckets) / O(per-bucket docs) aggregation state — use
+    * the default plain-sum path on real corpora, where last-ulp
+    * ordering noise is irrelevant. Pass `checkpointDir` for an
+    * executor-loss-safe feature materialization at cluster scale. */
+  def trainTextClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          labelPred: Column, buckets: Int = 1024,
+                          steps: Int = 8, lr: Double = 0.5,
+                          deterministic: Boolean = false,
+                          checkpointDir: Option[String] = None): TextClassifierModel = {
+    require(buckets > 0 && steps >= 1 && lr > 0,
+      s"need buckets>0, steps>=1, lr>0: $buckets/$steps/$lr")
+    val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val labeled = docs.select(col(idCol).as("__id"),
+      labelPred.cast("double").as("y"), col(textCol).as("__text"))
+    val base = hashedGramFeatures(labeled, "__id", "__text", buckets)
+      .join(labeled.select("__id", "y"), "__id")
+    val feats =
+      if (checkpointDir.isDefined) base.checkpoint(eager = true)
+      else base.localCheckpoint(true)
+    val nDocs = feats.select("__id").distinct().count().toDouble
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    for (_ <- 1 to steps) {
+      val wArr = array(w.toIndexedSeq.map(lit(_)): _*)
+      val zTerm = (element_at(wArr, col("b").cast("int") + 1) * col("x")).as("t")
+      val zAgg =
+        if (deterministic)
+          aggregate(array_sort(collect_list(struct(col("b"), zTerm))),
+            lit(0.0), (a, s) => a + s.getField("t"))
+        else sum(element_at(wArr, col("b").cast("int") + 1) * col("x"))
+      val scored = feats.groupBy("__id", "y").agg(zAgg.as("__z"))
+        .withColumn("r",
+          lit(1.0) / (lit(1.0) + exp(-(col("__z") + lit(bias)))) - col("y"))
+      val rj = feats.join(scored.select("__id", "r"), "__id")
+      val gTerm = (col("r") * col("x")).as("t")
+      val gAgg =
+        if (deterministic)
+          aggregate(array_sort(collect_list(struct(col("__id"), gTerm))),
+            lit(0.0), (a, s) => a + s.getField("t"))
+        else sum(col("r") * col("x"))
+      val bAgg =
+        if (deterministic)
+          aggregate(array_sort(collect_list(struct(col("__id"), col("r").as("t")))),
+            lit(0.0), (a, s) => a + s.getField("t"))
+        else sum(col("r"))
+      val gRows = rj.groupBy("b").agg(gAgg.as("g")).collect() // ≤ buckets rows
+      val gBias = scored.agg(bAgg.as("g")).collect()(0).getDouble(0)
+      gRows.foreach { row =>
+        val b = row.getLong(0).toInt
+        w(b) = w(b) - lr * (row.getDouble(1) / nDocs)
+      }
+      bias = bias - lr * (gBias / nDocs)
+    }
+    TextClassifierModel(w, bias, buckets)
+  }
+
+  /** Score every document under a trained [[TextClassifierModel]]:
+    * `sigmoid(bias + Σ_b w_b · x_b)` over the same hashed features.
+    * Same `deterministic` contract as the trainer. Returns
+    * `(idCol, score)` for every document with at least one gram. */
+  def scoreTextClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          model: TextClassifierModel,
+                          deterministic: Boolean = false): DataFrame = {
+    val feats = hashedGramFeatures(docs, idCol, textCol, model.buckets)
+    val wArr = array(model.weights.toIndexedSeq.map(lit(_)): _*)
+    val zTerm = (element_at(wArr, col("b").cast("int") + 1) * col("x")).as("t")
+    val zAgg =
+      if (deterministic)
+        aggregate(array_sort(collect_list(struct(col("b"), zTerm))),
+          lit(0.0), (a, s) => a + s.getField("t"))
+      else sum(element_at(wArr, col("b").cast("int") + 1) * col("x"))
+    feats.groupBy(col(idCol)).agg(zAgg.as("__z"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-(col("__z") + lit(model.bias)))))
+          .as("score"))
+  }
+
   /** Interpolated KNESER-NEY bigram scoring — the smoothing the real
     * CCNet / KenLM perplexity filter uses (vs [[bigramLogProb]]'s add-1):
     * `P(w2|w1) = max(c12 − D, 0)/c1• + D·N1+(w1·)/c1• · N1+(·w2)/N1+(··)`

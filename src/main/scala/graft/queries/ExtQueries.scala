@@ -578,6 +578,25 @@ object ExtQueries {
     "t35_kneser_ney" -> ((s, d) =>
       TextStats.kneserNeyBigram(t(s, d, "documents"), "doc_id", "text")),
 
+    // fastText/CCNet-style learned quality classifier: logistic
+    // regression over hashed uni+bigram buckets, 6 full-batch GD steps
+    // from zero weights (positive class = English docs); the oracle
+    // replays ALL 6 rounds — features, sigmoid, per-bucket gradient
+    // folds, weight/bias updates — as unrolled CTEs, the t24 treatment
+    // for a training loop whose model state is driver-side
+    "t36_quality_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
+        deterministic = true)
+      TextStats.scoreTextClassifier(docs, "doc_id", "text", m,
+          deterministic = true)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("label")), "doc_id")
+        .select(col("doc_id"), col("label"),
+          round(col("score"), 6).as("score"))
+    }),
+
     // BPE tokenizer induction (Sennrich) — train 8 merges over the corpus
     // word-frequency table; the oracle replays ALL 8 rounds (pair counts,
     // deterministic argmax, greedy replace-merge) as unrolled SQL CTEs, so
@@ -1113,6 +1132,74 @@ object ExtQueries {
     * one unrolled CTE block in the oracle, so keep it small. */
   private val BpeMerges = 8
 
+  /** The t36 logistic-regression training replay as unrolled DuckDB
+    * CTEs — the BPE treatment for a GD loop: base CTEs build the
+    * l1-normalized hashed uni+bigram features `x(doc_id, b, x)`, labels
+    * `y`, and doc count `nd`; step `i` then derives residuals `r_i`
+    * from `z_i` + `bs_{i-1}` (sigmoid), per-bucket gradients `g_i`
+    * (doc-ordered fold / nd), weights `w_i = w_{i-1} − lr·g_i`, bias
+    * `bs_i`, and the next margins `z_{i+1}` (bucket-ordered fold) —
+    * every IEEE op in the same order as the Spark trainer's
+    * deterministic path, so the final scores hash-match at 6 dp. */
+  private def clfOracleSql(steps: Int, lr: String): String = {
+    val base =
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM c),
+        |ixb AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM ixb),
+        |grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+        |tf AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(g), 1, 13) AS BIGINT) % 64 AS b,
+        |    count(*) AS tf
+        |  FROM grams GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY 1),
+        |x AS MATERIALIZED (
+        |  SELECT doc_id, b, CAST(tf AS DOUBLE) / CAST(n AS DOUBLE) AS x
+        |  FROM tf JOIN n USING (doc_id)),
+        |y AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM n)),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM y),
+        |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, 0.0 AS w WHERE FALSE),
+        |bs0 AS (SELECT 0.0 AS bias),
+        |z1 AS (SELECT doc_id, 0.0 AS z FROM y)""".stripMargin
+    val rounds = (1 to steps).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT y.doc_id, y.y,
+         |    1.0 / (1.0 + exp(-(bs${i - 1}.bias + z$i.z))) - y.y AS r
+         |  FROM y JOIN z$i ON y.doc_id = z$i.doc_id CROSS JOIN bs${i - 1}),
+         |g$i AS MATERIALIZED (
+         |  SELECT x.b, list_sum(list(r$i.r * x.x ORDER BY x.doc_id)) / nd.nd AS g
+         |  FROM x JOIN r$i ON x.doc_id = r$i.doc_id CROSS JOIN nd
+         |  GROUP BY x.b, nd.nd),
+         |w$i AS MATERIALIZED (
+         |  SELECT g$i.b, COALESCE(w${i - 1}.w, 0.0) - $lr * g$i.g AS w
+         |  FROM g$i LEFT JOIN w${i - 1} ON g$i.b = w${i - 1}.b),
+         |bs$i AS MATERIALIZED (
+         |  SELECT bs${i - 1}.bias - $lr * (
+         |    (SELECT list_sum(list(r ORDER BY doc_id)) FROM r$i) /
+         |    (SELECT nd FROM nd)) AS bias
+         |  FROM bs${i - 1}),
+         |z${i + 1} AS MATERIALIZED (
+         |  SELECT x.doc_id, list_sum(list(w$i.w * x.x ORDER BY x.b)) AS z
+         |  FROM x JOIN w$i ON x.b = w$i.b GROUP BY x.doc_id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val fin =
+      s"""
+         |SELECT y.doc_id, y.y AS label,
+         |  round(1.0 / (1.0 + exp(-(bs$steps.bias + z${steps + 1}.z))), 6)
+         |    AS score
+         |FROM y JOIN z${steps + 1} ON y.doc_id = z${steps + 1}.doc_id
+         |CROSS JOIN bs$steps ORDER BY y.doc_id""".stripMargin
+    base + rounds + fin
+  }
+
   /** The BPE training replay as unrolled DuckDB CTEs: word freqs → symbol
     * encoding (same `||`-bounded layout as `TextStats.bpeEncodeWord`) →
     * k rounds of (pair counts over `generate_series` adjacency, argmax
@@ -1514,6 +1601,9 @@ object ExtQueries {
         |      ORDER BY round(score, 9), doc_id) AS rk FROM s)
         |SELECT source, doc_id, round(score, 6) AS es_score
         |FROM r WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    // the full 6-round logistic-GD training replay (see clfOracleSql)
+    "t36_quality_classifier" -> clfOracleSql(steps = 6, lr = "0.5"),
 
     // DSIR replay: hashed uni+bigram buckets (md5 52-bit → mod 128),
     // add-1 bucket models on the en slice vs the whole corpus, the

@@ -1784,6 +1784,42 @@ class ExtSpec extends SparkSpecBase {
     f.unpersist()
   }
 
+  test("quality classifier: GD reduces loss, separates the labeled slice, sum path == fold path") {
+    val label = col("lang") === "en"
+    def loss(m: TextStats.TextClassifierModel): Double = {
+      val s = TextStats.scoreTextClassifier(docs, "doc_id", "text", m)
+        .join(docs.select(col("doc_id"), label.cast("double").as("y")), "doc_id")
+      s.select(avg(-(col("y") * log(col("score")) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("score")))))
+        .collect()(0).getDouble(0)
+    }
+    def train(steps: Int, det: Boolean) =
+      TextStats.trainTextClassifier(docs, "doc_id", "text", label,
+        buckets = 64, steps = steps, lr = 0.5, deterministic = det)
+    val m1 = train(1, det = false)
+    val m6 = train(6, det = false)
+    val (l0, l1, l6) = (math.log(2.0), loss(m1), loss(m6)) // loss at w=0 is ln 2
+    assert(l1 < l0 && l6 < l1, s"GD must descend: $l0 -> $l1 -> $l6")
+    // separation: the positive slice scores higher on average
+    val ms = TextStats.scoreTextClassifier(docs, "doc_id", "text", m6)
+      .join(docs.select(col("doc_id"), label.as("en")), "doc_id")
+      .groupBy("en").agg(avg("score").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(ms(true) > ms(false),
+      s"positive-slice mean ${ms(true)} must exceed ${ms(false)}")
+    // the scale path (plain sums) and the oracle path (ordered folds)
+    // train the same model to ~ulp: scores agree far inside the 6 dp gate
+    val det = train(6, det = true)
+    val a = TextStats.scoreTextClassifier(docs, "doc_id", "text", m6)
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    val b = TextStats.scoreTextClassifier(docs, "doc_id", "text", det,
+        deterministic = true)
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(a.length == b.length &&
+      a.zip(b).forall { case (x, yv) => math.abs(x - yv) < 1e-9 })
+    assert(m6.weights.length == 64)
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
