@@ -170,4 +170,51 @@ object Profile {
       .select(col("n_ref"), col("n_cur"), col("n_bins"),
         round(col("__psi"), 6).as("psi"))
   }
+
+  private def cmsBucket(j: Int, key: org.apache.spark.sql.Column, width: Int,
+                        seed: String) =
+    pmod(conv(substring(md5(concat_ws(":", lit(seed), lit(j),
+      key.cast("string"))), 1, 13), 16, 10).cast("long"), lit(width))
+
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) — the fixed-size
+    * frequency summary next to the HLL/theta/KLL family: `depth`
+    * independent hash rows × `width` counters; an item's estimate is
+    * the MIN of its `depth` counters, so the sketch only ever
+    * OVER-estimates (collisions add, never subtract) and the error is
+    * bounded by N/width per row with failure probability 2^-depth.
+    * Returned sparse — `(row, bucket, cnt)`, only touched counters —
+    * and MERGEABLE by construction: counters are plain sums, so
+    * unioning two sketches and re-summing per (row, bucket) IS the
+    * sketch of the concatenated streams (the per-segment/per-day
+    * rollup shape; OperatorSpec proves merge ≡ whole). One explode
+    * (depth× map-side, like profile's Expand) + one mergeable
+    * aggregation; grid size is `depth·width` regardless of corpus
+    * cardinality. */
+  def countMinSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+                     width: Int = 256, seed: String = "cms"): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth>0, width>0: $depth/$width")
+    val rb = (0 until depth).map(j => struct(lit(j).as("row"),
+      cmsBucket(j, col(keyCol), width, seed).as("bucket")))
+    df.select(explode(array(rb: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a [[countMinSketch]]: for each distinct key in `keys`,
+    * `est_cnt = min_j counter[j][h_j(key)]` (0 for a key hashing only
+    * to untouched counters). `depth`/`width`/`seed` must match the
+    * build. Broadcast-sized whenever the sketch is (`depth·width`
+    * rows), so the probe is a map-side join however large `keys` is. */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                       depth: Int = 4, width: Int = 256,
+                       seed: String = "cms"): DataFrame = {
+    val rb = (0 until depth).map(j => struct(lit(j).as("row"),
+      cmsBucket(j, col(keyCol), width, seed).as("bucket")))
+    keys.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(rb: _*)).as("rb"))
+      .select(col(keyCol), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
 }

@@ -100,6 +100,26 @@ object ExtQueries {
         .select(explode(call_function("approx_top_k_estimate", col("c"), lit(10))).as("e"))
         .select(col("e.item").as("item"), col("e.count").as("n"))),
 
+    // Count-Min sketch (Cormode-Muthukrishnan) point queries: the
+    // fixed-size frequency summary beside HLL/theta/KLL — estimates
+    // only ever OVER-count, merge = counter sums. Deterministic md5
+    // rows mean the whole grid AND the min-of-rows probe replay in
+    // SQL; queried for the 30 most frequent tokens vs true counts
+    "a20_countmin" -> ((s, d) => {
+      import graft.operators.Profile
+      val toks = t(s, d, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sk = Profile.countMinSketch(toks, "term", depth = 4, width = 256,
+        seed = "cms9")
+      val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("term").asc).limit(30)
+      Profile.countMinEstimate(sk, top, "term", depth = 4, width = 256,
+          seed = "cms9")
+        .join(top, "term")
+        .select(col("term"), col("true_cnt"), col("est_cnt"))
+    }),
+
     // theta-sketch distinct-set ALGEBRA (union / intersection / difference
     // of distinct-user sets) — the operation HLL cannot do (HLL only
     // unions). Fixture cardinalities sit below the sketch's exact
@@ -2416,6 +2436,34 @@ object ExtQueries {
     "t17_topk_merge" ->
       """SELECT event_type AS item, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY n DESC, item""".stripMargin,
+
+    // CMS replay: same md5 row hashes mod 256, counter sums, top-30
+    // probe keys (count DESC, term ASC), min over the 4 rows
+    "a20_countmin" ->
+      """WITH tok AS (
+        |  SELECT unnest(
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |rb AS (
+        |  SELECT term, j,
+        |    CAST('0x' || substring(md5('cms9:' || CAST(j AS VARCHAR) || ':' || term),
+        |      1, 13) AS BIGINT) % 256 AS bucket
+        |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |grid AS (SELECT j AS row, bucket, count(*) AS cnt
+        |         FROM rb GROUP BY 1, 2),
+        |top AS (SELECT term, count(*) AS true_cnt FROM tok GROUP BY 1
+        |        ORDER BY true_cnt DESC, term ASC LIMIT 30),
+        |probe AS (
+        |  SELECT top.term, top.true_cnt, j,
+        |    CAST('0x' || substring(md5('cms9:' || CAST(j AS VARCHAR) || ':' ||
+        |      top.term), 1, 13) AS BIGINT) % 256 AS bucket
+        |  FROM top CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT probe.term, probe.true_cnt,
+        |  min(COALESCE(grid.cnt, 0)) AS est_cnt
+        |FROM probe LEFT JOIN grid
+        |  ON probe.j = grid.row AND probe.bucket = grid.bucket
+        |GROUP BY probe.term, probe.true_cnt
+        |ORDER BY probe.term""".stripMargin,
 
     "a16_theta_sets" ->
       """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),

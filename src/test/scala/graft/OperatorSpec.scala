@@ -631,6 +631,38 @@ class OperatorSpec extends SparkSpecBase {
     assert((a1 diff a2).nonEmpty, "a different seed must redraw some strata")
   }
 
+  test("count-min sketch: never under-counts, merge == whole, exact at generous width") {
+    import spark.implicits._
+    val toks = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.ext.TextStats.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val truth = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val sk = Profile.countMinSketch(toks, "term", depth = 4, width = 64,
+      seed = "t")
+    // the one-sided guarantee, for EVERY key in the stream (not a sample):
+    // min-of-rows can only over-count
+    val under = Profile.countMinEstimate(sk, truth, "term", depth = 4,
+        width = 64, seed = "t")
+      .join(truth, "term").filter(col("est_cnt") < col("true_cnt")).count()
+    assert(under == 0, "CMS must never under-estimate")
+    // mergeability: per-half sketches re-summed == whole-stream sketch
+    val h1 = Profile.countMinSketch(toks.filter(md5(col("term")).startsWith("0") ||
+      ascii(md5(col("term"))) % 2 === 0), "term", depth = 4, width = 64, seed = "t")
+    val h2 = Profile.countMinSketch(toks.filter(!(md5(col("term")).startsWith("0") ||
+      ascii(md5(col("term"))) % 2 === 0)), "term", depth = 4, width = 64, seed = "t")
+    val merged = h1.unionByName(h2).groupBy("row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty,
+      "summed half-stream sketches must equal the whole-stream sketch")
+    // generous width (>> vocab): no collisions, every estimate exact
+    val wide = Profile.countMinSketch(toks, "term", depth = 4, width = 1 << 16,
+      seed = "t")
+    val inexact = Profile.countMinEstimate(wide, truth, "term", depth = 4,
+        width = 1 << 16, seed = "t")
+      .join(truth, "term").filter(col("est_cnt") =!= col("true_cnt")).count()
+    assert(inexact == 0, "at width >> vocab the sketch is exact")
+  }
+
   test("gumbel top-k == ES sampling on exp-able weights; shift-invariant; null-safe") {
     import spark.implicits._
     // same draw, two formulations: gumbelTopK(ln w) must select the same
