@@ -739,6 +739,40 @@ object TextStats {
           .as("score"))
   }
 
+  /** DPO/RLHF PREFERENCE-PAIR assembly: within each group (a prompt
+    * id, a source, a topic cluster), the top-scored document becomes
+    * `chosen` and the bottom-scored `rejected` — the (chosen,
+    * rejected) rows a preference trainer consumes, with the score
+    * margin attached so low-signal pairs can be thresholded away.
+    * Ranking is `(score DESC, id ASC)` for chosen and
+    * `(score ASC, id DESC)` for rejected — feed a 6-dp-rounded score
+    * for cross-engine-stable ordering (the ES rounding treatment);
+    * the OPPOSITE id tiebreaks mean an all-tied group still pairs two
+    * DISTINCT docs (margin 0, thresholdable) instead of a degenerate
+    * self-pair. Singleton groups emit nothing. Scale shape: two per-group top-1 windows over the
+    * same partitioning — swap in `topk_by` for the windowless
+    * bounded-heap pass at extreme group counts. */
+  def preferencePairs(scored: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val up = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val dn = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).desc)
+    val top = scored.withColumn("__rk", row_number().over(up))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(idCol).as("chosen_id"),
+        col(scoreCol).as("chosen_score"))
+    val bot = scored.withColumn("__rk", row_number().over(dn))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(idCol).as("rejected_id"),
+        col(scoreCol).as("rejected_score"))
+    top.join(bot, groupCol)
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .withColumn("margin",
+        round(col("chosen_score") - col("rejected_score"), 6))
+  }
+
   /** Interpolated KNESER-NEY bigram scoring — the smoothing the real
     * CCNet / KenLM perplexity filter uses (vs [[bigramLogProb]]'s add-1):
     * `P(w2|w1) = max(c12 − D, 0)/c1• + D·N1+(w1·)/c1• · N1+(·w2)/N1+(··)`

@@ -617,6 +617,34 @@ object ExtQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // COMPOSITION: the t36-trained classifier scored per doc, then per
+    // SOURCE the top-scored doc paired as `chosen` against the
+    // bottom-scored `rejected` — the (chosen, rejected, margin) rows a
+    // DPO/RLHF preference trainer consumes; oracle = the 6-round GD
+    // replay chained into both ranking windows
+    "c6_preference_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
+        deterministic = true)
+      val scored = TextStats.scoreTextClassifier(docs, "doc_id", "text", m,
+          deterministic = true)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("score", round(col("score"), 6))
+      TextStats.preferencePairs(scored, "source", "doc_id", "score")
+        .select("source", "chosen_id", "rejected_id",
+          "chosen_score", "rejected_score", "margin")
+    }),
+
+    // leakage-proof split assignment: dup-cluster labels (the d5 CC
+    // construction, singletons = own id) hash-gated on the CLUSTER id,
+    // so near-dups can never straddle train/test — the constructive
+    // fix for what d22 audits; ExtSpec proves zero leakage where the
+    // per-doc split provably leaks
+    "c5_leakproof_split" -> ((s, d) =>
+      TextDedup.leakProofSplit(t(s, d, "documents"), "doc_id", "text",
+        testHexDigits = Seq("0", "1"))),
+
     // BPE tokenizer induction (Sennrich) — train 8 merges over the corpus
     // word-frequency table; the oracle replays ALL 8 rounds (pair counts,
     // deterministic argmax, greedy replace-merge) as unrolled SQL CTEs, so
@@ -1210,15 +1238,38 @@ object ExtQueries {
          |  SELECT x.doc_id, list_sum(list(w$i.w * x.x ORDER BY x.b)) AS z
          |  FROM x JOIN w$i ON x.b = w$i.b GROUP BY x.doc_id)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val fin =
-      s"""
-         |SELECT y.doc_id, y.y AS label,
-         |  round(1.0 / (1.0 + exp(-(bs$steps.bias + z${steps + 1}.z))), 6)
-         |    AS score
-         |FROM y JOIN z${steps + 1} ON y.doc_id = z${steps + 1}.doc_id
-         |CROSS JOIN bs$steps ORDER BY y.doc_id""".stripMargin
-    base + rounds + fin
+    val scores =
+      s""",
+         |scores AS MATERIALIZED (
+         |  SELECT y.doc_id, y.y AS label,
+         |    round(1.0 / (1.0 + exp(-(bs$steps.bias + z${steps + 1}.z))), 6)
+         |      AS score
+         |  FROM y JOIN z${steps + 1} ON y.doc_id = z${steps + 1}.doc_id
+         |  CROSS JOIN bs$steps)""".stripMargin
+    base + rounds + scores
   }
+
+  /** c6 = the t36 scores CTE chained into the per-source preference
+    * ranking (top-1 / bottom-1 windows on the 6-dp score, id
+    * tiebreak) — two oracled constructions composed, the g7/e13
+    * treatment. */
+  private def prefPairsOracleSql(steps: Int, lr: String): String =
+    clfOracleSql(steps, lr) +
+      """,
+        |src AS (SELECT s.doc_id, s.score, d.source
+        |        FROM scores s JOIN documents d ON s.doc_id = d.doc_id),
+        |up AS (SELECT source, doc_id, score, row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM src),
+        |dn AS (SELECT source, doc_id, score, row_number() OVER (
+        |    PARTITION BY source ORDER BY score ASC, doc_id DESC) AS rk
+        |  FROM src)
+        |SELECT up.source, up.doc_id AS chosen_id, dn.doc_id AS rejected_id,
+        |  up.score AS chosen_score, dn.score AS rejected_score,
+        |  round(up.score - dn.score, 6) AS margin
+        |FROM up JOIN dn ON up.source = dn.source
+        |WHERE up.rk = 1 AND dn.rk = 1 AND up.doc_id <> dn.doc_id
+        |ORDER BY up.source""".stripMargin
 
   /** The BPE training replay as unrolled DuckDB CTEs: word freqs → symbol
     * encoding (same `||`-bounded layout as `TextStats.bpeEncodeWord`) →
@@ -1623,7 +1674,39 @@ object ExtQueries {
         |FROM r WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
 
     // the full 6-round logistic-GD training replay (see clfOracleSql)
-    "t36_quality_classifier" -> clfOracleSql(steps = 6, lr = "0.5"),
+    "t36_quality_classifier" -> (clfOracleSql(steps = 6, lr = "0.5") +
+      "\nSELECT doc_id, label, score FROM scores ORDER BY doc_id"),
+
+    // the t36 training replay chained into the preference ranking
+    "c6_preference_pairs" -> prefPairsOracleSql(steps = 6, lr = "0.5"),
+
+    // d5's transitive closure + singleton coalesce + the hex gate on
+    // the CLUSTER id — the whole leakage-proof assignment replayed
+    "c5_leakproof_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src, dst FROM und
+        |  UNION
+        |  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+        |         IN ('0', '1') THEN 'test' ELSE 'train' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     // DSIR replay: hashed uni+bigram buckets (md5 52-bit → mod 128),
     // add-1 bucket models on the en slice vs the whole corpus, the

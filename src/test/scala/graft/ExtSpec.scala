@@ -1820,6 +1820,54 @@ class ExtSpec extends SparkSpecBase {
     assert(m6.weights.length == 64)
   }
 
+  test("leak-proof split: zero cross-split near-dups by construction where the doc split leaks") {
+    val split = TextDedup.leakProofSplit(docs, "doc_id", "text", Seq("0", "1"))
+      .cache()
+    assert(split.count() == docs.count(), "every doc gets an assignment")
+    assert(split.select("split").distinct().count() == 2,
+      "both splits populated on the fixture")
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .cache()
+    assert(!pairs.isEmpty, "fixture must contain near-dups for this to bite")
+    def leaks(asg: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(asg.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(asg.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks(split) == 0, "cluster-keyed split must never separate near-dups")
+    // the same hex gate applied per-DOC does leak on the planted-dup fixture
+    val naive = docs.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"),
+        "test").otherwise("train").as("split"))
+    assert(leaks(naive) > 0,
+      "per-doc hash split must leak here, or the fixture lost its planted dups")
+    // cluster-mates always share a split (the invariant the gate hashes on)
+    val mixed = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(mixed == 0)
+    split.unpersist(); pairs.unpersist()
+  }
+
+  test("preference pairs: per-group argmax vs argmin with margin, singletons emit nothing") {
+    import spark.implicits._
+    val scored = Seq(
+      ("g1", 1L, 0.9), ("g1", 2L, 0.2), ("g1", 3L, 0.5),
+      ("g2", 4L, 0.4),                       // singleton: no pair
+      ("g3", 5L, 0.7), ("g3", 6L, 0.7))      // tie: id-ordered, still a pair
+      .toDF("grp", "id", "s")
+    val got = TextStats.preferencePairs(scored, "grp", "id", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDouble(5))).sortBy(_._1)
+    assert(got.toSeq == Seq(("g1", 1L, 2L, 0.7), ("g3", 5L, 6L, 0.0)))
+    // fixture composition: chosen always outscores (or ties) rejected
+    val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64, steps = 3, lr = 0.5)
+    val sc = TextStats.scoreTextClassifier(docs, "doc_id", "text", m)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .withColumn("score", round(col("score"), 6))
+    val pp = TextStats.preferencePairs(sc, "source", "doc_id", "score")
+    assert(pp.filter(col("margin") < 0).count() == 0 && pp.count() > 0)
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
