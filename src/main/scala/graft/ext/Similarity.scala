@@ -412,6 +412,28 @@ object Similarity {
       .withColumnRenamed("__cell", "cell")
   }
 
+  /** JOHNSON-LINDENSTRAUSS random projection: `outDim` seeded Gaussian
+    * directions (the [[hyperplanes]] generator), `y_p = (v·h_p)/√outDim`
+    * — with unit-variance entries this preserves expected squared norms
+    * (`E‖y‖² = ‖x‖²`) and, by the JL lemma, pairwise distances within
+    * `1±ε` for `outDim = O(log n / ε²)`. The cheap dimensionality cut
+    * in front of brute-force scoring: an 8× narrower vector makes the
+    * candidate scan 8× cheaper, with the exact re-rank on the original
+    * vectors (the PQ pattern). Pure codegen projection — `outDim`
+    * native sequential-fold dot products per row, no shuffle, matrix
+    * rides the plan as literals (the e11 hyperplane treatment, so the
+    * oracle replays every coordinate). Returns `(idCol, proj)` with
+    * `proj` an `outDim` double array. */
+  def randomProjection(corpus: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int = 8, dim: Int = 64,
+                       seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1: $outDim")
+    val planes = hyperplanes(dim, outDim, seed)
+    val s = math.sqrt(outDim.toDouble)
+    corpus.select(col(idCol), array(planes.toIndexedSeq.map(h =>
+      dot(asDouble(col(vecCol)), typedlit(h.toSeq)) / lit(s)): _*).as("proj"))
+  }
+
   /** Incremental EMBEDDING ingest screen: the e-family analogue of
     * [[TextDedup]]'s d14/d15 text screens. Returns the batch ids with NO
     * stored vector at cosine >= `threshold` — the rows an ingest step may

@@ -1042,6 +1042,53 @@ object TextDedup {
     exact.unionByName(near)
   }
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD '03 — the MOSS local-fingerprinting algorithm): hash every
+    * positional k-gram, then from each window of `window` consecutive
+    * hashes keep the MINIMUM (rightmost position on ties), deduped.
+    * The guarantees that make it the standard plagiarism/overlap
+    * sketch: (a) any shared token run of length ≥ `window + k − 1`
+    * between two documents shares at least one SELECTED fingerprint —
+    * matches are local and position-attributable, which MinHash
+    * signatures cannot give; (b) expected density 2/(window+1), so the
+    * sketch is a bounded fraction of the k-gram stream. Documents with
+    * fewer than `window` k-grams winnow their single truncated window,
+    * so every doc with ≥ k tokens fingerprints. Hash = the portable
+    * 52-bit md5 int (the DSIR hashing), so DuckDB replays selection
+    * exactly.
+    *
+    * Scale shape: one posexplode (token volume) + two window passes
+    * over a (doc)-partitioned position order — no joins, nothing
+    * corpus²; the output feeds the same postings-join machinery as the
+    * span index family. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"need k>=1, window>=1: $k/$window")
+    import org.apache.spark.sql.expressions.Window
+    val kg = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode_outer(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ",
+              (0 until k).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .otherwise(array())))
+      .toDF(idCol, "pos", "g")
+      .filter(col("g").isNotNull)
+      .withColumn("h", conv(substring(md5(col("g")), 1, 13), 16, 10)
+        .cast("long"))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    val whole = Window.partitionBy(col(idCol))
+    kg.withColumn("n", count(lit(1)).over(whole))
+      // min over (hash, -pos): the window's smallest hash, rightmost on
+      // ties, in one struct-ordered aggregate
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("pos") <= greatest(lit(0), col("n") - window))
+      .select(col(idCol), (-col("m.np")).cast("int").as("pos"),
+        col("m.h").as("h"))
+      .distinct()
+  }
+
   /** LEAKAGE-PROOF split assignment — the constructive fix for what
     * [[splitLeakage]] audits: hash-splitting DOCUMENTS lets two
     * near-duplicates land on opposite sides of the train/test fence

@@ -617,6 +617,25 @@ object ExtQueries {
           round(col("score"), 6).as("score"))
     }),
 
+    // winnowing (MOSS) fingerprint selection: window-min of positional
+    // k-gram hashes, rightmost on ties — the local, position-
+    // attributable overlap sketch MinHash cannot give; portable md5
+    // hashing so selection replays exactly
+    "d23_winnow" -> ((s, d) =>
+      TextDedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 3, window = 4)),
+
+    // Johnson-Lindenstrauss projection: 8 seeded Gaussian directions /
+    // sqrt(8) — the dimensionality cut in front of brute-force scoring;
+    // the matrix rides into DuckDB as double literals (e11 treatment)
+    "e14_jl_projection" -> ((s, d) =>
+      Similarity.randomProjection(t(s, d, "embeddings"), "vec_id",
+          "embedding", outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .toDF("vec_id", "p", "y")
+        .select(col("vec_id"), col("p").cast("int").as("p"),
+          round(col("y"), 6).as("y"))),
+
     // COMPOSITION: the t36-trained classifier scored per doc, then per
     // SOURCE the top-scored doc paired as `chosen` against the
     // bottom-scored `rejected` — the (chosen, rejected, margin) rows a
@@ -1679,6 +1698,51 @@ object ExtQueries {
 
     // the t36 training replay chained into the preference ranking
     "c6_preference_pairs" -> prefPairsOracleSql(steps = 6, lr = "0.5"),
+
+    // winnowing replay: positional k-gram 52-bit hashes, window starts
+    // 0..max(0, n-W), per-window min hash then max pos among the mins
+    // (== the struct-ordered (h, -pos) min), deduped
+    "d23_winnow" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |kg AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 13)
+        |      AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM c WHERE len(t) >= 3)),
+        |n AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY 1),
+        |starts AS (
+        |  SELECT kg.doc_id, kg.pos AS w FROM kg JOIN n USING (doc_id)
+        |  WHERE kg.pos <= greatest(0, n - 4)),
+        |wnd AS (
+        |  SELECT s.doc_id, s.w, k2.pos, k2.h
+        |  FROM starts s JOIN kg k2 ON s.doc_id = k2.doc_id
+        |    AND k2.pos BETWEEN s.w AND s.w + 3),
+        |mn AS (SELECT doc_id, w, min(h) AS mh FROM wnd GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT wnd.doc_id, wnd.h, max(wnd.pos) AS pos
+        |  FROM wnd JOIN mn ON wnd.doc_id = mn.doc_id AND wnd.w = mn.w
+        |    AND wnd.h = mn.mh
+        |  GROUP BY wnd.doc_id, wnd.w, wnd.h)
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h
+        |FROM ch ORDER BY doc_id, pos""".stripMargin,
+
+    // the e11 literal-matrix treatment for the JL projection: every
+    // coordinate is one list_dot_product / sqrt(8), both engines
+    // folding index-ascending in IEEE double
+    "e14_jl_projection" -> {
+      val planes = graft.ext.Similarity.hyperplanes(64, 8, 42L)
+      val lits = planes.zipWithIndex.map { case (row, p) =>
+        s"($p, [${row.map(v => f"$v%.17e").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH planes AS (SELECT * FROM (VALUES $lits) AS t(p, h))
+         |SELECT vec_id, CAST(p AS INT) AS p,
+         |  round(list_dot_product(embedding::DOUBLE[], h) / sqrt(8.0), 6) AS y
+         |FROM embeddings CROSS JOIN planes ORDER BY vec_id, p""".stripMargin
+    },
 
     // d5's transitive closure + singleton coalesce + the hex gate on
     // the CLUSTER id — the whole leakage-proof assignment replayed

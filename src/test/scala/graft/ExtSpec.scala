@@ -1868,6 +1868,82 @@ class ExtSpec extends SparkSpecBase {
     assert(pp.filter(col("margin") < 0).count() == 0 && pp.count() > 0)
   }
 
+  test("winnowing: coverage guarantee, density band, shared-run detection") {
+    import spark.implicits._
+    val fp = TextDedup.winnowFingerprints(docs, "doc_id", "text", k = 3,
+      window = 4).cache()
+    // the winnowing guarantee: EVERY window of 4 consecutive k-gram
+    // positions contains a selected fingerprint (checked per doc against
+    // the true k-gram count)
+    val nkg = docs.select(col("doc_id"),
+        (size(TextStats.tokens(col("text"))) - 2).as("n"))
+      .filter(col("n") >= 1)
+    val sel = fp.groupBy("doc_id")
+      .agg(collect_list("pos").as("ps"), count(lit(1)).as("nsel"))
+      .join(nkg, "doc_id")
+      .collect()
+    sel.foreach { r =>
+      val ps = r.getSeq[Int](1).toSet
+      val n = r.getInt(3)
+      (0 to math.max(0, n - 4)).foreach { s =>
+        assert((s until math.min(s + 4, n)).exists(ps.contains),
+          s"doc ${r.getLong(0)}: window at $s has no fingerprint")
+      }
+      // density: never more than one per position, and the 2/(w+1)
+      // expectation keeps the sketch a bounded fraction of the stream
+      assert(r.getLong(2) <= n)
+    }
+    val dens = fp.count().toDouble /
+      nkg.agg(sum("n")).collect()(0).getLong(0).toDouble
+    assert(dens > 0.2 && dens < 0.6, s"density $dens outside the 2/(w+1) band")
+    // detection guarantee: docs sharing a run of >= w + k - 1 = 6 tokens
+    // share a selected fingerprint
+    val toy = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii"),
+      (2L, "zz yy cc dd ee ff gg hh xx")).toDF("doc_id", "text")
+    val tf = TextDedup.winnowFingerprints(toy, "doc_id", "text", 3, 4)
+    val shared = tf.filter(col("doc_id") === 1).select("h")
+      .intersect(tf.filter(col("doc_id") === 2).select("h")).count()
+    assert(shared >= 1, "a 6-token shared run must share a fingerprint")
+    fp.unpersist()
+  }
+
+  test("jl projection: norm preservation in expectation, near-dups stay near, deterministic") {
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding",
+      outDim = 8).cache()
+    assert(proj.select(size(col("proj"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+    // E||y||^2 = ||x||^2 with unit-variance entries / sqrt(k): the mean
+    // ratio over 2000 vectors concentrates near 1
+    val ratio = proj.join(emb, "vec_id")
+      .select((aggregate(col("proj"), lit(0.0), (a, x) => a + x * x) /
+        aggregate(col("embedding"),
+          lit(0.0), (a, x) => a + x.cast("double") * x.cast("double")))
+        .as("r"))
+      .agg(avg("r")).collect()(0).getDouble(0)
+    assert(math.abs(ratio - 1.0) < 0.1, s"mean norm ratio $ratio should be ~1")
+    // planted near-dups stay nearer in the projection than random pairs
+    val pd = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b")
+    assert(!pd.isEmpty, "fixture must contain embedding near-dups")
+    def projDist(pairs: org.apache.spark.sql.DataFrame): Double = pairs
+      .join(proj.select(col("vec_id").as("id_a"), col("proj").as("pa")), "id_a")
+      .join(proj.select(col("vec_id").as("id_b"), col("proj").as("pb")), "id_b")
+      .select(aggregate(zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x).as("d2"))
+      .agg(avg("d2")).collect()(0).getDouble(0)
+    val rand = emb.select(col("vec_id").as("id_a")).limit(50)
+      .crossJoin(emb.select(col("vec_id").as("id_b")).limit(50))
+      .filter(col("id_a") < col("id_b"))
+    assert(projDist(pd) < projDist(rand),
+      "planted high-cosine pairs must be closer in the projection")
+    val again = Similarity.randomProjection(emb.repartition(7), "vec_id",
+      "embedding", outDim = 8)
+    assert(proj.orderBy("vec_id").collect().toSeq ==
+      again.orderBy("vec_id").collect().toSeq)
+    proj.unpersist()
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
