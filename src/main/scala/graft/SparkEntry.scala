@@ -575,6 +575,26 @@ object SparkEntry {
         docs.filter(col("doc_id") < 400), "text")
     }),
 
+    // batch twin of the streaming CMS monitor: three per-slice sketches
+    // merged by counter sums — by mergeability ≡ the whole-corpus grid,
+    // which is exactly what the oracle replays (so the hash gate IS the
+    // merge-correctness proof); StreamingSpec proves the foreachBatch
+    // run converges to the same grid bit-for-bit
+    "st7_cms_stream" -> ((s, d) => {
+      import graft.operators.Profile
+      val docs = t(s, d, "documents")
+      def toks(df: DataFrame) = df
+        .select(explode(graft.ext.TextStats.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      Seq(docs.filter(col("doc_id") < 400),
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450))
+        .map(sl => Profile.countMinSketch(toks(sl), "term", depth = 4,
+          width = 256, seed = "cms9"))
+        .reduce(_ unionByName _)
+        .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    }),
+
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
     "a9_approx_distinct" -> ((s, d) =>
@@ -2122,6 +2142,20 @@ object SparkEntry {
         |SELECT s.doc_id, s.fingerprint,
         |  (s.doc_id = o.mn AND s.fingerprint NOT IN (SELECT fingerprint FROM cor)) AS accepted
         |FROM str s JOIN own o ON s.fingerprint = o.fingerprint""".stripMargin,
+
+    // the whole-stream grid: merged per-slice counters == one pass
+    "st7_cms_stream" ->
+      """WITH tok AS (
+        |  SELECT unnest(
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |rb AS (
+        |  SELECT term, j,
+        |    CAST('0x' || substring(md5('cms9:' || CAST(j AS VARCHAR) || ':' || term),
+        |      1, 13) AS BIGINT) % 256 AS bucket
+        |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT j AS row, bucket, count(*) AS cnt
+        |FROM rb GROUP BY 1, 2 ORDER BY row, bucket""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

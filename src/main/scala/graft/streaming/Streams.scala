@@ -439,6 +439,51 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming Count-Min frequency monitor — the deployment mode of
+    * [[graft.operators.Profile.countMinSketch]] (the
+    * [[quantileMonitorStream]] treatment for frequencies): each
+    * micro-batch's keys fold into a batch grid that MERGES into the
+    * persisted running grid by plain counter sums — the mergeability
+    * the sketch guarantees by construction — so history is never
+    * rescanned and state is `depth·width` counters regardless of
+    * stream volume. A per-epoch top-`reportK` heavy-key estimate
+    * snapshot lands as a dynamic overwrite of its own `epoch=`
+    * partition (the [[psiMonitorStream]] exactly-once treatment).
+    * StreamingSpec proves the multi-micro-batch grid equals the
+    * whole-corpus batch grid bit-for-bit; the `st7_cms_stream` gate
+    * hash-checks the same merge path against the DuckDB whole-stream
+    * replay. */
+  def cmsMonitorStream(spark: SparkSession, schema: StructType, srcDir: String,
+                       keyCol: String, outPath: String, depth: Int = 4,
+                       width: Int = 256, seed: String = "cms",
+                       reportK: Int = 10): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val gridDir = outPath + "/grid"
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val batchSk = graft.operators.Profile.countMinSketch(
+        batch, keyCol, depth, width, seed)
+      val merged =
+        (if (new java.io.File(gridDir).exists())
+           spark.read.parquet(gridDir).union(batchSk)
+         else batchSk)
+          .groupBy(col("row"), col("bucket")).agg(sum("cnt").as("cnt"))
+          .localCheckpoint(true) // next line overwrites what we just read
+      merged.write.mode(SaveMode.Overwrite).parquet(gridDir)
+      // the epoch's heaviest single-row counters, a cheap hot-key alarm
+      merged.filter(col("row") === 0)
+        .orderBy(col("cnt").desc, col("bucket").asc).limit(reportK)
+        .withColumn("epoch", lit(epoch))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(outPath + "/hot")
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Per-micro-batch distribution-drift monitor — the streaming face of
     * [[graft.operators.Profile.psi]]: every incoming batch's value
     * distribution is PSI-scored against a FROZEN reference census (the

@@ -408,6 +408,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(perEpochTotals.last == ev.filter(col("value").isNotNull).count())
   }
 
+  test("streaming cms monitor: merged grid equals the one-shot sketch, hot snapshots per batch") {
+    import graft.operators.Profile
+    val base = java.nio.file.Files.createTempDirectory("graft_cmsstream").toString
+    val srcDir = s"$base/src"
+    val outPath = s"$base/out"
+    val ev = events.select(col("event_id"), col("event_type").as("k"))
+    ev.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 =!= 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    Streams.cmsMonitorStream(spark, ev.schema, srcDir, "k", outPath,
+      depth = 4, width = 64, seed = "s7")
+    // the evolved grid answers exactly what one pass over all history
+    // answers — counters merged by sums, history never rescanned
+    val evolved = spark.read.parquet(s"$outPath/grid")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Profile.countMinSketch(ev, "k", depth = 4, width = 64,
+        seed = "s7")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(evolved == whole, "streamed grid must equal the one-shot sketch")
+    // one hot-key snapshot per micro-batch epoch
+    val hot = spark.read.parquet(s"$outPath/hot")
+    assert(hot.select("epoch").distinct().count() == 2)
+  }
+
   test("streaming psi monitor: per-batch scores equal their batch twins, drift alarms") {
     import graft.operators.Profile
     val base = java.nio.file.Files.createTempDirectory("graft_psistream").toString
