@@ -595,6 +595,25 @@ object SparkEntry {
         .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
     }),
 
+    // batch twin of the streaming weighted reservoir: per-slice A-ES
+    // top-k merged and re-cut — deterministic scores make the result
+    // bit-equal to the one-shot draw over everything, which is what
+    // the oracle replays; StreamingSpec proves the foreachBatch run
+    // converges to the same reservoir
+    "st8_es_reservoir" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sampling
+      val docs = t(s, d, "documents")
+      Seq(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .map(sl => Sampling.weightedSampleWithoutReplacement(
+          sl, col("doc_id"), "n_chars", k = 25, seed = "res1"))
+        .reduce(_ unionByName _)
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(round(col("es_score"), 9), col("doc_id"))))
+        .filter(col("__rk") <= 25)
+        .select(col("doc_id"), round(col("es_score"), 6).as("es_score"))
+    }),
+
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
     "a9_approx_distinct" -> ((s, d) =>
@@ -2156,6 +2175,19 @@ object SparkEntry {
         |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j))
         |SELECT j AS row, bucket, count(*) AS cnt
         |FROM rb GROUP BY 1, 2 ORDER BY row, bucket""".stripMargin,
+
+    // the one-shot whole-corpus draw the merged reservoir must equal
+    "st8_es_reservoir" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |    (CAST(CAST('0x' || substring(md5('res1:' || CAST(doc_id AS VARCHAR)),
+        |       1, 13) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, -ln(u) / w AS score FROM b WHERE w > 0),
+        |r AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY round(score, 9), doc_id) AS rk FROM s)
+        |SELECT doc_id, round(score, 6) AS es_score
+        |FROM r WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

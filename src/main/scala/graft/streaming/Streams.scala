@@ -484,6 +484,47 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming weighted reservoir — the deployment mode of
+    * [[graft.operators.Sampling.weightedSampleWithoutReplacement]]:
+    * the A-ES score `−ln(u)/w` is a pure function of `(seed, key,
+    * weight)`, so the k-sample of a stream is just the k SMALLEST
+    * scores seen so far — each micro-batch contributes its own top-k
+    * candidates, which merge with the persisted reservoir and re-cut
+    * to k. Reservoir state is k rows FOREVER, history is never
+    * rescanned, and the result is distributionally identical to the
+    * one-shot batch draw over everything that ever flowed — bit-equal,
+    * in fact, because the scores are deterministic (StreamingSpec
+    * proves it; the `st8_es_reservoir` gate hash-checks the same
+    * merge-and-recut path against the whole-corpus replay). The
+    * classic streaming-sampling primitive (weighted reservoir via
+    * exponential clocks, Efraimidis-Spirakis), here with restartable
+    * file-backed state. */
+  def reservoirStream(spark: SparkSession, schema: StructType, srcDir: String,
+                      keyCol: String, weightCol: String, k: Int, seed: String,
+                      outPath: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.expressions.Window
+    val resDir = outPath + "/reservoir"
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val cand = graft.operators.Sampling.weightedSampleWithoutReplacement(
+        batch, col(keyCol), weightCol, k, seed)
+      val merged =
+        (if (new java.io.File(resDir).exists())
+           spark.read.parquet(resDir).unionByName(cand)
+         else cand)
+          .withColumn("__rk", row_number().over(
+            Window.orderBy(round(col("es_score"), 9), col(keyCol))))
+          .filter(col("__rk") <= k).drop("__rk")
+          .localCheckpoint(true) // next line overwrites what we just read
+      merged.write.mode(SaveMode.Overwrite).parquet(resDir)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Per-micro-batch distribution-drift monitor — the streaming face of
     * [[graft.operators.Profile.psi]]: every incoming batch's value
     * distribution is PSI-scored against a FROZEN reference census (the

@@ -433,6 +433,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(hot.select("epoch").distinct().count() == 2)
   }
 
+  test("streaming weighted reservoir: k-row state converges to the one-shot draw bit-for-bit") {
+    import graft.operators.Sampling
+    val base = java.nio.file.Files.createTempDirectory("graft_resstream").toString
+    val srcDir = s"$base/src"
+    val outPath = s"$base/out"
+    val ev = events.select(col("event_id"), col("value"))
+    ev.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    Streams.reservoirStream(spark, ev.schema, srcDir, "event_id", "value",
+      k = 40, seed = "rs8", outPath)
+    val streamed = spark.read.parquet(s"$outPath/reservoir")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val oneShot = Sampling.weightedSampleWithoutReplacement(
+        ev, col("event_id"), "value", k = 40, seed = "rs8")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == oneShot,
+      "the evolved reservoir must equal the one-shot whole-history draw")
+    assert(streamed.size == 40)
+  }
+
   test("streaming psi monitor: per-batch scores equal their batch twins, drift alarms") {
     import graft.operators.Profile
     val base = java.nio.file.Files.createTempDirectory("graft_psistream").toString
