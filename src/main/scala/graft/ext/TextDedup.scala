@@ -1106,8 +1106,11 @@ object TextDedup {
   def leakProofSplit(docs: DataFrame, idCol: String, textCol: String,
                      testHexDigits: Seq[String], k: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
+    // prefix-filtered pair construction: identical pairs to the plain
+    // inverted-index join (ExtSpec), but a dup-saturated corpus can't
+    // melt the candidate stage (the d22 lesson — 5× here at 10× docs)
     val clusters = dupClusters(
-      ngramJaccardPairs(docs, idCol, textCol, k, threshold))
+      ngramJaccardPairsPrefix(docs, idCol, textCol, k, threshold))
     docs.select(col(idCol))
       .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id",
