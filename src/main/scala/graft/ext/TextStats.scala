@@ -739,6 +739,72 @@ object TextStats {
           .as("score"))
   }
 
+  /** CALIBRATION (reliability-diagram) report for a scored, labeled
+    * frame: rank by `(score, id)`, cut into `bins` equal-population
+    * NTILE bins, and report each bin's size, mean score, and positive
+    * fraction — mean ≈ fraction per bin is what "the score is a
+    * probability" means, and the standard sanity check before a
+    * learned quality gate's threshold is trusted ([[trainTextClassifier]]'s
+    * companion diagnostic). Deterministic: the id tiebreak fixes tied
+    * scores' bins on every engine/partitioning (the equi-depth
+    * histogram treatment) and the per-bin mean folds id-ascending.
+    * Scale shape: one rank + one grouped aggregation. */
+  def calibrationReport(scored: DataFrame, idCol: String, labelCol: String,
+                        scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("bin", ntile(bins).over(
+        Window.orderBy(col(scoreCol), col(idCol))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        aggregate(array_sort(collect_list(struct(col(idCol), col(scoreCol).as("s")))),
+          lit(0.0), (a, x) => a + x.getField("s")).as("__ssum"),
+        sum(col(labelCol).cast("double")).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__ssum") / col("n").cast("double"), 6).as("mean_score"),
+        round(col("__pos") / col("n").cast("double"), 6).as("frac_pos"))
+  }
+
+  /** MUTUAL INFORMATION between hashed-feature PRESENCE and the label —
+    * the feature-analysis companion to [[trainTextClassifier]]: for
+    * each bucket, the 2×2 contingency of (doc contains bucket) ×
+    * (label) over all labeled docs, scored
+    * `MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))` with empty cells
+    * contributing 0 (the `p·ln p → 0` limit). High-MI buckets are the
+    * features the classifier leans on; near-zero buckets are hash
+    * ballast — the standard pruning/interpretability census. Exact
+    * counts, fixed left-associated 4-term sum, so the doubles match
+    * across engines. Scale shape: one distinct (doc, bucket) census +
+    * a buckets-sized aggregation. */
+  def featureLabelMI(docs: DataFrame, idCol: String, textCol: String,
+                     labelPred: Column, buckets: Int = 1024): DataFrame = {
+    val labeled = docs.select(col(idCol).as("__id"),
+      labelPred.cast("long").as("y"), col(textCol).as("__text"))
+    val present = hashedGramFeatures(labeled, "__id", "__text", buckets)
+      .select(col("__id"), col("b")).distinct()
+      .join(labeled.select("__id", "y"), "__id")
+    val tot = labeled.join(present.select("__id").distinct(), "__id")
+      .agg(count(lit(1)).as("nn"), sum("y").as("n1"))
+    val perB = present.groupBy("b")
+      .agg(count(lit(1)).as("nb"), sum("y").as("nb1"))
+    def term(nxy: Column, nx: Column, ny: Column, n: Column): Column =
+      when(nxy === 0, lit(0.0)).otherwise(
+        nxy.cast("double") / n.cast("double") *
+          log(nxy.cast("double") * n.cast("double") /
+            (nx.cast("double") * ny.cast("double"))))
+    perB.crossJoin(broadcast(tot))
+      .withColumn("n10", col("nb") - col("nb1"))        // has b, label 0
+      .withColumn("n01", col("n1") - col("nb1"))        // no b, label 1
+      .withColumn("n00", col("nn") - col("nb") - col("n01"))
+      .withColumn("mi",
+        term(col("nb1"), col("nb"), col("n1"), col("nn")) +
+        term(col("n10"), col("nb"), col("nn") - col("n1"), col("nn")) +
+        term(col("n01"), col("nn") - col("nb"), col("n1"), col("nn")) +
+        term(col("n00"), col("nn") - col("nb"), col("nn") - col("n1"), col("nn")))
+      .select(col("b"), col("nb").as("n_docs"), col("mi"))
+  }
+
   /** DPO/RLHF PREFERENCE-PAIR assembly: within each group (a prompt
     * id, a source, a topic cluster), the top-scored document becomes
     * `chosen` and the bottom-scored `rejected` — the (chosen,

@@ -636,6 +636,33 @@ object ExtQueries {
         .select(col("vec_id"), col("p").cast("int").as("p"),
           round(col("y"), 6).as("y"))),
 
+    // calibration / reliability report over the t36 classifier: 10
+    // equal-population score bins, mean score vs positive fraction —
+    // the check that a learned gate's score means "probability" before
+    // its threshold is trusted; oracle chains the GD replay into the
+    // NTILE census
+    "t37_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
+        deterministic = true)
+      val sc = TextStats.scoreTextClassifier(docs, "doc_id", "text", m,
+          deterministic = true)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("label")), "doc_id")
+        .withColumn("score", round(col("score"), 6))
+      TextStats.calibrationReport(sc, "doc_id", "label", "score", bins = 10)
+    }),
+
+    // feature–label mutual information over the hashed buckets: which
+    // features the classifier leans on vs hash ballast — exact 2×2
+    // contingencies, fixed-order 4-term MI sum, top-20
+    "t38_feature_mi" -> ((s, d) =>
+      TextStats.featureLabelMI(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 64)
+        .orderBy(round(col("mi"), 9).desc, col("b").asc).limit(20)
+        .select(col("b"), col("n_docs"), round(col("mi"), 6).as("mi"))),
+
     // COMPOSITION: the t36-trained classifier scored per doc, then per
     // SOURCE the top-scored doc paired as `chosen` against the
     // bottom-scored `rejected` — the (chosen, rejected, margin) rows a
@@ -1698,6 +1725,60 @@ object ExtQueries {
 
     // the t36 training replay chained into the preference ranking
     "c6_preference_pairs" -> prefPairsOracleSql(steps = 6, lr = "0.5"),
+
+    // the t36 training replay chained into the NTILE calibration census
+    "t37_calibration" -> (clfOracleSql(steps = 6, lr = "0.5") +
+      """,
+        |rk AS (SELECT doc_id, label, score,
+        |    ntile(10) OVER (ORDER BY score, doc_id) AS bin FROM scores)
+        |SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+        |  round(list_sum(list(score ORDER BY doc_id)) /
+        |    CAST(count(*) AS DOUBLE), 6) AS mean_score,
+        |  round(SUM(label) / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+        |FROM rk GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // presence census + exact 2x2 contingencies + the fixed-order MI sum
+    "t38_feature_mi" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM c),
+        |ixb AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM c),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g FROM ixb),
+        |grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+        |pres AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST('0x' || substring(md5(g), 1, 13) AS BIGINT) % 64 AS b
+        |  FROM grams),
+        |y AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |      FROM documents WHERE doc_id IN (SELECT doc_id FROM pres)),
+        |tot AS (SELECT count(*) AS nn, SUM(y) AS n1 FROM y),
+        |pb AS (SELECT b, count(*) AS nb, SUM(y.y) AS nb1
+        |       FROM pres JOIN y USING (doc_id) GROUP BY b),
+        |mi AS (
+        |  SELECT b, nb,
+        |    (CASE WHEN nb1 = 0 THEN 0.0 ELSE
+        |       CAST(nb1 AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |       ln(CAST(nb1 AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |          (CAST(nb AS DOUBLE) * CAST(n1 AS DOUBLE))) END +
+        |     CASE WHEN nb - nb1 = 0 THEN 0.0 ELSE
+        |       CAST(nb - nb1 AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |       ln(CAST(nb - nb1 AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |          (CAST(nb AS DOUBLE) * CAST(nn - n1 AS DOUBLE))) END +
+        |     CASE WHEN n1 - nb1 = 0 THEN 0.0 ELSE
+        |       CAST(n1 - nb1 AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |       ln(CAST(n1 - nb1 AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |          (CAST(nn - nb AS DOUBLE) * CAST(n1 AS DOUBLE))) END +
+        |     CASE WHEN nn - nb - (n1 - nb1) = 0 THEN 0.0 ELSE
+        |       CAST(nn - nb - (n1 - nb1) AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |       ln(CAST(nn - nb - (n1 - nb1) AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |          (CAST(nn - nb AS DOUBLE) * CAST(nn - n1 AS DOUBLE))) END)
+        |      AS mi
+        |  FROM pb CROSS JOIN tot)
+        |SELECT b, nb AS n_docs, round(mi, 6) AS mi
+        |FROM mi ORDER BY round(mi, 9) DESC, b ASC LIMIT 20""".stripMargin,
 
     // winnowing replay: positional k-gram 52-bit hashes, window starts
     // 0..max(0, n-W), per-window min hash then max pos among the mins

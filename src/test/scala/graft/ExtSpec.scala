@@ -1944,6 +1944,55 @@ class ExtSpec extends SparkSpecBase {
     proj.unpersist()
   }
 
+  test("calibration report: perfect-calibration identity, full partition, ordered means") {
+    import spark.implicits._
+    // 10 score levels x 10 rows, exactly k positives at score k/10:
+    // a perfectly calibrated scorer, so mean_score == frac_pos per bin
+    val toy = (0 until 10).flatMap(k => (0 until 10).map(i =>
+      (k * 10L + i, k / 10.0, if (i < k) 1.0 else 0.0)))
+      .toDF("id", "score", "label")
+    val rep = TextStats.calibrationReport(toy, "id", "label", "score")
+      .orderBy("bin").collect()
+    assert(rep.map(_.getLong(1)).sum == 100, "bins partition the frame")
+    rep.foreach(r => assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9,
+      s"perfectly calibrated input: mean==frac in bin ${r.getInt(0)}"))
+    val means = rep.map(_.getDouble(2))
+    assert(means.sameElements(means.sorted), "score-ordered bins")
+    // fixture classifier: the top score bin must be purer in positives
+    // than the bottom one (better than random)
+    val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64, steps = 6, lr = 0.5)
+    val sc = TextStats.scoreTextClassifier(docs, "doc_id", "text", m)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === "en").cast("double").as("label")), "doc_id")
+    val f = TextStats.calibrationReport(sc, "doc_id", "label", "score")
+      .orderBy("bin").collect()
+    assert(f.last.getDouble(3) > f.head.getDouble(3),
+      "top score bin should hold more positives than the bottom bin")
+  }
+
+  test("feature-label MI: zero under a constant label, maximal on a perfect marker, nonnegative") {
+    import spark.implicits._
+    val mi0 = TextStats.featureLabelMI(docs, "doc_id", "text", lit(false),
+      buckets = 64)
+    assert(mi0.filter(abs(col("mi")) > 1e-12).count() == 0,
+      "a constant label carries no information about any feature")
+    // 'zzmarker' appears iff label: its bucket's MI is the full label
+    // entropy H(y); unrelated tokens carry ~0
+    val toy = (0 until 40).map(i =>
+      (i.toLong, if (i < 10) "zzmarker common words here"
+                 else "common words here", i < 10))
+      .toDF("doc_id", "text", "is_pos")
+    val mi = TextStats.featureLabelMI(toy, "doc_id", "text", col("is_pos"),
+      buckets = 256)
+    val p = 0.25
+    val hy = -p * math.log(p) - (1 - p) * math.log(1 - p)
+    val top = mi.orderBy(col("mi").desc).limit(1).collect()(0).getDouble(2)
+    assert(math.abs(top - hy) < 1e-9,
+      s"perfect marker MI $top must equal label entropy $hy")
+    assert(mi.filter(col("mi") < -1e-9).count() == 0, "MI is nonnegative")
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
