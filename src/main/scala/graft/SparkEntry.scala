@@ -116,6 +116,27 @@ object SparkEntry {
     // declared-schema read-back. The oracle is the plain documents
     // table, so a green hash proves the source/sink pair loses nothing
     // (escaping, nulls, longs) — the training-data exchange path
+    // snapshot-isolated versioned table (the mini-lakehouse commit
+    // protocol in sources/VersionedTable): overwrite v0, append v1,
+    // then TIME-TRAVEL both snapshots — green hash proves each version
+    // serves exactly its committed row set, immutable under later
+    // commits; PipelineSpec covers atomicity/race/vacuum semantics
+    "s21_time_travel" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s21_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root)) // idempotent gate: rebuild from scratch
+      val docs = t(s, d, "documents")
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") < 400))
+      VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400))
+      VersionedTable.read(s, root, Some(0L))
+        .select(col("doc_id")).withColumn("version", lit(0L))
+        .unionByName(VersionedTable.read(s, root)
+          .select(col("doc_id")).withColumn("version", lit(1L)))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1486,6 +1507,14 @@ object SparkEntry {
         |  AND l_orderkey BETWEEN 0 AND 30000
         |  AND l_returnflag BETWEEN 'N' AND 'R'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // each snapshot serves exactly its committed row set
+    "s21_time_travel" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS version FROM documents
+        |WHERE doc_id < 400
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS version FROM documents
+        |ORDER BY version, doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -78,6 +78,56 @@ class PipelineSpec extends SparkSpecBase {
     assert(again.count() == plain.count())
   }
 
+  test("versioned table: time travel, snapshot isolation, crash orphans, racing appends, vacuum") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vtab").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    def ids(d: org.apache.spark.sql.DataFrame) = d.select("id").collect().map(_.getLong(0)).toSet
+    assert(VersionedTable.overwrite(spark, root, df(0, 100)) == 0L)
+    assert(VersionedTable.append(spark, root, df(100, 150)) == 1L)
+    // time travel: each version serves exactly its committed snapshot
+    assert(ids(VersionedTable.read(spark, root, Some(0L))) == (0L until 100L).toSet)
+    assert(ids(VersionedTable.read(spark, root)) == (0L until 150L).toSet)
+    // snapshot isolation: a reader resolved at v1 is untouched by a later
+    // overwrite (immutable files + list-driven reads, no directory glob)
+    val pinned = VersionedTable.read(spark, root, Some(1L))
+    VersionedTable.overwrite(spark, root, df(500, 510))
+    assert(ids(pinned) == (0L until 150L).toSet,
+      "the pinned snapshot must not see the overwrite")
+    assert(ids(VersionedTable.read(spark, root)) == (500L until 510L).toSet)
+    // a crashed writer (data files, no commit) is invisible; vacuum
+    // removes exactly its orphans
+    df(900, 905).write.parquet(s"$root/__stage_crashed")
+    new java.io.File(s"$root/__stage_crashed").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => f.renameTo(new java.io.File(s"$root/data/crashed-${f.getName}")))
+    assert(ids(VersionedTable.read(spark, root)) == (500L until 510L).toSet)
+    val gone = VersionedTable.vacuum(root)
+    assert(gone.nonEmpty && gone.forall(_.contains("crashed")),
+      s"vacuum removes exactly the orphans: $gone")
+    assert(ids(VersionedTable.read(spark, root, Some(0L))) == (0L until 100L).toSet,
+      "default vacuum keeps every committed version readable")
+    // racing appends: optimistic commit gives them distinct versions and
+    // the final snapshot holds BOTH appended sets exactly once
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val r = Future.sequence(Seq(
+      Future(VersionedTable.append(spark, root, df(1000, 1050))),
+      Future(VersionedTable.append(spark, root, df(2000, 2050)))))
+    val vs = Await.result(r, 120.seconds)
+    assert(vs.toSet.size == 2, s"racing writers must land distinct versions: $vs")
+    val fin = VersionedTable.read(spark, root)
+    assert(ids(fin) == ((500L until 510L) ++ (1000L until 1050L) ++
+      (2000L until 2050L)).toSet)
+    assert(fin.count() == 110, "no row duplicated by the retry path")
+    // vacuum(keep=2): files only older snapshots reference are dropped,
+    // the kept versions stay intact
+    VersionedTable.vacuum(root, keep = Some(2))
+    assert(ids(VersionedTable.read(spark, root)) == ids(fin))
+  }
+
   test("parallel warehouse copies mirror every gold table") {
     val wh = Warehouse(spark, whRoot)
     val copied = pipe.copyToWarehouse()
