@@ -739,6 +739,85 @@ object TextStats {
           .as("score"))
   }
 
+  /** DoReMi-style DOMAIN MIXTURE optimization (after Xie et al.,
+    * NeurIPS 2023 — here the tractable unigram instantiation): find
+    * per-domain sampling weights by iterating
+    *
+    *   1. fit the MIXTURE unigram LM from the weighted per-domain
+    *      counts `m(term) = Σ_d w_d·c_d(term)`;
+    *   2. score each domain's EXCESS LOSS — its per-token logprob
+    *      under its OWN add-k LM minus under the mixture LM (how much
+    *      the current mix underserves it);
+    *   3. exponentiated-gradient update `w ∝ w·exp(η·excess)`,
+    *      renormalized.
+    *
+    * A genuinely underweighted domain raises the mixture's mass on its
+    * terms next round, so excess falls — the fixed point balances
+    * excess loss across domains, which is DoReMi's objective (their
+    * proxy-model loss gap becomes the unigram LM gap here). Model
+    * state is `|domains|` driver doubles per round (the BPE/GD
+    * pattern); per round Spark runs one weighted-count fold and one
+    * scoring fold, both corpus-linear. Every IEEE op — the
+    * domain-sorted mixture folds, the term-sorted scoring folds, the
+    * exp update, the normalization — has a fixed order replayed by the
+    * unrolled-CTE oracle, so the final weights hash-match at 6 dp.
+    * Returns `(domain, weight, excess)` — the sampling ratios a
+    * pre-training mix consumes (feed to [[graft.operators.Sampling]]'s
+    * weighted mixes). */
+  def doremiMix(docs: DataFrame, idCol: String, textCol: String,
+                domainCol: String, rounds: Int = 4, eta: Double = 1.0,
+                smoothing: Double = 1.0): DataFrame = {
+    require(rounds >= 1 && eta > 0, s"need rounds>=1, eta>0: $rounds/$eta")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(domainCol).as("src"),
+        explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val cd = tok.groupBy("src", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ndRows = cd.groupBy("src").agg(sum("c").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val domains = ndRows.keys.toSeq.sorted
+    val vD = cd.select("term").distinct().count().toDouble
+    val ndDf = broadcast(ndRows.toSeq.toDF("src", "n"))
+    def scoreFold(lpTerm: Column): Column =
+      aggregate(array_sort(collect_list(struct(col("term"), lpTerm.as("t")))),
+        lit(0.0), (a, x) => a + x.getField("t"))
+    // per-domain logprob under its OWN LM — constant across rounds
+    val lpOwn: Map[String, Double] = cd.join(ndDf, "src")
+      .groupBy("src")
+      .agg((scoreFold(col("c").cast("double") *
+          log((col("c").cast("double") + lit(smoothing)) /
+            (col("n").cast("double") + lit(smoothing * vD)))) /
+        first(col("n")).cast("double")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    var w: Map[String, Double] =
+      domains.map(_ -> 1.0 / domains.size.toDouble).toMap
+    var excess: Map[String, Double] = Map.empty
+    for (_ <- 1 to rounds) {
+      val wDf = broadcast(w.toSeq.toDF("src", "w"))
+      // mixture counts: the domain-sorted fold Σ_d w_d·c_d per term
+      val mix = cd.join(wDf, "src")
+        .groupBy("term")
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), (col("w") * col("c")).as("t")))),
+          lit(0.0), (a, x) => a + x.getField("t")).as("m"))
+      val nm = domains.foldLeft(0.0)((a, d) => a + w(d) * ndRows(d).toDouble)
+      val lpMix = cd.join(mix, "term").join(ndDf, "src")
+        .groupBy("src")
+        .agg((scoreFold(col("c").cast("double") *
+            log((col("m") + lit(smoothing)) / lit(nm + smoothing * vD))) /
+          first(col("n")).cast("double")).as("l"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      excess = domains.map(d => d -> (lpOwn(d) - lpMix(d))).toMap
+      val wp = domains.map(d => d -> w(d) * math.exp(eta * excess(d))).toMap
+      val z = domains.foldLeft(0.0)((a, d) => a + wp(d))
+      w = domains.map(d => d -> wp(d) / z).toMap
+    }
+    domains.map(d => (d, w(d), excess(d)))
+      .toDF(domainCol, "weight", "excess")
+  }
+
   /** CALIBRATION (reliability-diagram) report for a scored, labeled
     * frame: rank by `(score, id)`, cut into `bins` equal-population
     * NTILE bins, and report each bin's size, mean score, and positive

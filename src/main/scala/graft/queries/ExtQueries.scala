@@ -636,6 +636,17 @@ object ExtQueries {
         .select(col("vec_id"), col("p").cast("int").as("p"),
           round(col("y"), 6).as("y"))),
 
+    // DoReMi-style domain mixture optimization: 4 rounds of
+    // (weighted mixture LM → per-domain excess loss → exponentiated
+    // update); oracle replays every round's domain-sorted mixture
+    // folds, term-sorted scoring folds, exp updates, and
+    // normalizations as unrolled CTEs (the t24/t36 treatment)
+    "t39_doremi_mix" -> ((s, d) =>
+      TextStats.doremiMix(t(s, d, "documents"), "doc_id", "text", "source",
+          rounds = 4)
+        .select(col("source"), round(col("weight"), 6).as("weight"),
+          round(col("excess"), 6).as("excess"))),
+
     // calibration / reliability report over the t36 classifier: 10
     // equal-population score bins, mean score vs positive fraction —
     // the check that a learned gate's score means "probability" before
@@ -1226,6 +1237,65 @@ object ExtQueries {
     * one unrolled CTE block in the oracle, so keep it small. */
   private val BpeMerges = 8
 
+  /** The t39 DoReMi replay: base CTEs build per-domain counts `cd`,
+    * totals `nd`, the shared vocab size, per-domain own-LM scores, and
+    * uniform weights; round `i` then derives the weighted mixture
+    * counts (domain-sorted fold), the mixture total, per-domain
+    * mixture scores (term-sorted fold), excess, the exp update, and
+    * the normalized `w_{i+1}` — the same IEEE sequence as the Spark
+    * driver loop. */
+  private def doremiOracleSql(rounds: Int, eta: String): String = {
+    val base =
+      """WITH tok AS (
+        |  SELECT source AS src, unnest(
+        |    list_filter(string_split(lower(trim(text)), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |cd AS MATERIALIZED (
+        |  SELECT src, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nd AS MATERIALIZED (SELECT src, SUM(c) AS n FROM cd GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM cd),
+        |lpown AS MATERIALIZED (
+        |  SELECT cd.src,
+        |    list_sum(list(CAST(c AS DOUBLE) * ln((CAST(c AS DOUBLE) + 1.0) /
+        |      (CAST(n AS DOUBLE) + 1.0 * v)) ORDER BY term)) /
+        |      CAST(n AS DOUBLE) AS l
+        |  FROM cd JOIN nd USING (src) CROSS JOIN vv GROUP BY cd.src, n),
+        |dcount AS (SELECT CAST(count(*) AS DOUBLE) AS dd FROM nd),
+        |w1 AS MATERIALIZED (SELECT src, 1.0 / dd AS w FROM nd CROSS JOIN dcount)"""
+        .stripMargin
+    val perRound = (1 to rounds).map { i =>
+      s"""mix$i AS MATERIALIZED (
+         |  SELECT term, list_sum(list(w$i.w * cd.c ORDER BY cd.src)) AS m
+         |  FROM cd JOIN w$i USING (src) GROUP BY term),
+         |nm$i AS (
+         |  SELECT list_sum(list(w$i.w * nd.n ORDER BY src)) AS nm
+         |  FROM nd JOIN w$i USING (src)),
+         |lpm$i AS MATERIALIZED (
+         |  SELECT cd.src,
+         |    list_sum(list(CAST(cd.c AS DOUBLE) * ln((m + 1.0) / (nm + 1.0 * v))
+         |      ORDER BY term)) / CAST(nd.n AS DOUBLE) AS l
+         |  FROM cd JOIN mix$i USING (term) JOIN nd USING (src)
+         |  CROSS JOIN nm$i CROSS JOIN vv
+         |  GROUP BY cd.src, nd.n),
+         |ex$i AS MATERIALIZED (
+         |  SELECT lpown.src, lpown.l - lpm$i.l AS e
+         |  FROM lpown JOIN lpm$i ON lpown.src = lpm$i.src),
+         |wp$i AS MATERIALIZED (
+         |  SELECT w$i.src, w$i.w * exp($eta * e) AS wp
+         |  FROM w$i JOIN ex$i USING (src)),
+         |z$i AS (SELECT list_sum(list(wp ORDER BY src)) AS z FROM wp$i),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT src, wp / z AS w FROM wp$i CROSS JOIN z$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val fin =
+      s"""
+         |SELECT w.src AS source, round(w.w, 6) AS weight,
+         |  round(e.e, 6) AS excess
+         |FROM w${rounds + 1} w JOIN ex$rounds e USING (src)
+         |ORDER BY source""".stripMargin
+    base + perRound + fin
+  }
+
   /** The t36 logistic-regression training replay as unrolled DuckDB
     * CTEs — the BPE treatment for a GD loop: base CTEs build the
     * l1-normalized hashed uni+bigram features `x(doc_id, b, x)`, labels
@@ -1725,6 +1795,9 @@ object ExtQueries {
 
     // the t36 training replay chained into the preference ranking
     "c6_preference_pairs" -> prefPairsOracleSql(steps = 6, lr = "0.5"),
+
+    // the full 4-round DoReMi replay (see doremiOracleSql)
+    "t39_doremi_mix" -> doremiOracleSql(rounds = 4, eta = "1.0"),
 
     // the t36 training replay chained into the NTILE calibration census
     "t37_calibration" -> (clfOracleSql(steps = 6, lr = "0.5") +

@@ -1993,6 +1993,38 @@ class ExtSpec extends SparkSpecBase {
     assert(mi.filter(col("mi") < -1e-9).count() == 0, "MI is nonnegative")
   }
 
+  test("doremi mix: underserved domains gain weight, excess spread contracts, weights sum to 1") {
+    import spark.implicits._
+    // two disjoint-vocab domains, 9:1 in size: the uniform-start mixture
+    // is dominated by A, so B's excess loss is larger and its weight
+    // must RISE — the exponentiated update doing its one job
+    val toy = ((0 until 90).map(i => (i.toLong, "aa bb cc", "A")) ++
+      (0 until 10).map(i => (100L + i, "xx yy zz", "B")))
+      .toDF("doc_id", "text", "src")
+    def run(rounds: Int) = TextStats.doremiMix(toy, "doc_id", "text", "src",
+        rounds = rounds)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val m = run(4)
+    assert(m("B")._1 > m("A")._1,
+      s"the underserved domain must out-weight the dominant one: $m")
+    assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-12)
+    // the fixed point BALANCES excess loss: more rounds, tighter spread
+    def spread(mm: Map[String, (Double, Double)]) =
+      math.abs(mm("A")._2 - mm("B")._2)
+    assert(spread(run(8)) < spread(run(1)),
+      "iterating must contract the excess-loss gap")
+    // fixture: a proper distribution over all 20 sources, deterministic
+    val f = TextStats.doremiMix(docs, "doc_id", "text", "source", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(f.size == 20 && f.values.forall(_ > 0) &&
+      math.abs(f.values.sum - 1.0) < 1e-12)
+    val again = TextStats.doremiMix(docs.repartition(7), "doc_id", "text",
+        "source", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(f == again, "driver-state training must be partition-invariant")
+  }
+
   test("bpeTrain is partition-invariant and delimiter words are excluded") {
     import spark.implicits._
     val toy = Seq((1L, "banana bandana"), (2L, "banana x|y"),
