@@ -606,9 +606,7 @@ object ExtQueries {
     // for a training loop whose model state is driver-side
     "t36_quality_classifier" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
-        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
-        deterministic = true)
+      val m = clfModel(s, d)
       TextStats.scoreTextClassifier(docs, "doc_id", "text", m,
           deterministic = true)
         .join(docs.select(col("doc_id"),
@@ -654,9 +652,7 @@ object ExtQueries {
     // NTILE census
     "t37_calibration" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
-        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
-        deterministic = true)
+      val m = clfModel(s, d)
       val sc = TextStats.scoreTextClassifier(docs, "doc_id", "text", m,
           deterministic = true)
         .join(docs.select(col("doc_id"),
@@ -681,9 +677,7 @@ object ExtQueries {
     // replay chained into both ranking windows
     "c6_preference_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val m = TextStats.trainTextClassifier(docs, "doc_id", "text",
-        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
-        deterministic = true)
+      val m = clfModel(s, d)
       val scored = TextStats.scoreTextClassifier(docs, "doc_id", "text", m,
           deterministic = true)
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -1236,6 +1230,19 @@ object ExtQueries {
   /** Number of BPE merges the t24/t25 gates train — each merge round is
     * one unrolled CTE block in the oracle, so keep it small. */
   private val BpeMerges = 8
+
+  /** One trained t36 classifier per fixture dir — the model-registry
+    * shape: t36/t37/c6 all consume the SAME deterministic training run
+    * (identical params, `deterministic = true`), so training once and
+    * serving the registered model is semantics-preserving and saves
+    * two of the three 6-round GD runs per suite pass. */
+  private val clfRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, TextStats.TextClassifierModel]
+  private def clfModel(s: SparkSession, d: String): TextStats.TextClassifierModel =
+    clfRegistry.getOrElseUpdate(d,
+      TextStats.trainTextClassifier(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 64, steps = 6, lr = 0.5,
+        deterministic = true))
 
   /** The t39 DoReMi replay: base CTEs build per-domain counts `cd`,
     * totals `nd`, the shared vocab size, per-domain own-LM scores, and
