@@ -137,6 +137,30 @@ object SparkEntry {
           .select(col("doc_id")).withColumn("version", lit(1L)))
     }),
 
+    // exactly-once sink protocol: two committed epochs + one REDELIVERED
+    // epoch (the at-least-once case) — the redelivery must be a no-op,
+    // so the table still holds exactly two snapshots and the base row
+    // set once; n_commits rides in the output so a broken idempotence
+    // (3 versions, duplicated rows) breaks the hash
+    "s22_idempotent_sink" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s22_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      VersionedTable.appendIdempotent(s, root,
+        docs.filter(col("doc_id") < 400), "gate", epoch = 0L)
+      VersionedTable.appendIdempotent(s, root,
+        docs.filter(col("doc_id") >= 400), "gate", epoch = 1L)
+      VersionedTable.appendIdempotent(s, root,
+        docs.filter(col("doc_id") >= 400), "gate", epoch = 1L) // redelivery
+      VersionedTable.read(s, root).select(col("doc_id"))
+        .withColumn("n_commits",
+          lit(graft.sources.VersionedTable.versions(root).size.toLong))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1515,6 +1539,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(1 AS BIGINT) AS version FROM documents
         |ORDER BY version, doc_id""".stripMargin,
+
+    // idempotence holds ⇔ every doc once + exactly two commits
+    "s22_idempotent_sink" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_commits FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -72,7 +72,8 @@ object VersionedTable {
     require(vs.nonEmpty, s"no commits at $root")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val files = filesOf(root, v)
+    // '#'-prefixed lines are commit metadata (txn headers), not files
+    val files = filesOf(root, v).filterNot(_.startsWith("#"))
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(files.map(f => s"$root/$f"): _*)
   }
@@ -140,6 +141,43 @@ object VersionedTable {
       val v = if (vs.isEmpty) 0L else vs.last + 1
       if (tryCommit(root, v, fresh)) done = v
     }
+    done
+  }
+
+  /** IDEMPOTENT append — the Delta `txn` (transaction-identifier)
+    * pattern that makes an at-least-once producer exactly-once: the
+    * commit list carries a `#txn:<writerId>:<epoch>` header line, and
+    * a re-delivered (writerId, epoch) is detected against the CURRENT
+    * snapshot's committed headers and becomes a NO-OP before any data
+    * is written. This is what a Structured Streaming `foreachBatch`
+    * sink needs (foreachBatch is at-least-once; the epoch is the
+    * batchId) — see `streaming/Streams.versionedSinkStream`. The
+    * txn check re-runs inside the optimistic-commit retry loop, so
+    * two racing deliveries of the SAME epoch also collapse to one
+    * commit. Returns the committed version, or -1 for a skipped
+    * redelivery. */
+  def appendIdempotent(spark: SparkSession, root: String, df: DataFrame,
+                       writerId: String, epoch: Long): Long = {
+    require(!writerId.contains(":") && !writerId.contains("\n"),
+      s"writerId must not contain ':' or newlines: $writerId")
+    val txn = s"#txn:$writerId:$epoch"
+    def committed(): Boolean =
+      versions(root).exists(v => filesOf(root, v).contains(txn))
+    if (committed()) return -1L
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val fresh = writeData(df, root, tag)
+    var done = -1L
+    var skipped = false
+    while (done < 0 && !skipped) {
+      if (committed()) skipped = true // racing duplicate landed first
+      else {
+        val vs = versions(root)
+        val v = if (vs.isEmpty) 0L else vs.last + 1
+        val base = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last)
+        if (tryCommit(root, v, base ++ fresh :+ txn)) done = v
+      }
+    }
+    if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
     done
   }
 

@@ -525,6 +525,33 @@ object Streams {
     q.stop()
   }
 
+  /** EXACTLY-ONCE streaming sink onto a
+    * [[graft.sources.VersionedTable]]: `foreachBatch` is at-least-once
+    * (a failed epoch re-delivers), so each micro-batch lands through
+    * [[graft.sources.VersionedTable.appendIdempotent]] with the
+    * batchId as the transaction epoch — a re-delivered epoch is
+    * detected against the committed `#txn` headers and becomes a
+    * no-op, which together with the table's atomic commits gives the
+    * classic source-replay + idempotent-sink exactly-once recipe (the
+    * Delta `txn` pattern). Readers meanwhile enjoy the table's
+    * snapshot isolation: a query pinned mid-stream never sees a torn
+    * batch. StreamingSpec proves re-running the whole stream over the
+    * same source adds ZERO new versions and leaves the row multiset
+    * identical. */
+  def versionedSinkStream(spark: SparkSession, schema: StructType,
+                          srcDir: String, tableRoot: String,
+                          writerId: String): Unit = {
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      graft.sources.VersionedTable.appendIdempotent(
+        spark, tableRoot, batch, writerId, epoch)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Per-micro-batch distribution-drift monitor — the streaming face of
     * [[graft.operators.Profile.psi]]: every incoming batch's value
     * distribution is PSI-scored against a FROZEN reference census (the

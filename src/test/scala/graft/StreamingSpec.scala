@@ -457,6 +457,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.size == 40)
   }
 
+  test("versioned sink: whole-stream replay adds zero versions, rows exactly once") {
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_vsink").toString
+    val srcDir = s"$base/src"
+    val root = s"$base/table"
+    val ev = events.select(col("event_id"), col("event_type"))
+    ev.filter(col("event_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    ev.filter(col("event_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    Streams.versionedSinkStream(spark, ev.schema, srcDir, root, "w1")
+    val vs1 = VersionedTable.versions(root)
+    assert(vs1.size == 3, s"one commit per micro-batch: $vs1")
+    val n = VersionedTable.read(spark, root).count()
+    assert(n == ev.count(), "every source row landed exactly once")
+    // the at-least-once case: replay the WHOLE stream (fresh query, same
+    // writer — batchIds restart at 0) — every epoch is a detected
+    // redelivery, so zero new versions and an identical row multiset
+    Streams.versionedSinkStream(spark, ev.schema, srcDir, root, "w1")
+    assert(VersionedTable.versions(root) == vs1,
+      "replayed epochs must all no-op")
+    assert(VersionedTable.read(spark, root).count() == n)
+    // a DIFFERENT writer's epoch 0 is its own transaction, not a dup
+    import spark.implicits._
+    val v = VersionedTable.appendIdempotent(spark, root,
+      Seq((99999L, "extra")).toDF("event_id", "event_type"), "w2", 0L)
+    assert(v == vs1.max + 1 &&
+      VersionedTable.read(spark, root).count() == n + 1)
+    // direct redelivery returns -1 and leaves no orphan data files
+    val before = new java.io.File(s"$root/data").listFiles().length
+    assert(VersionedTable.appendIdempotent(spark, root,
+      Seq((99999L, "extra")).toDF("event_id", "event_type"), "w2", 0L) == -1L)
+    assert(new java.io.File(s"$root/data").listFiles().length == before)
+  }
+
   test("streaming psi monitor: per-batch scores equal their batch twins, drift alarms") {
     import graft.operators.Profile
     val base = java.nio.file.Files.createTempDirectory("graft_psistream").toString
