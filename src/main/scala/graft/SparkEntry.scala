@@ -161,6 +161,28 @@ object SparkEntry {
           lit(graft.sources.VersionedTable.versions(root).size.toLong))
     }),
 
+    // OPTIMIZE ZORDER in miniature: the clustered rewrite must preserve
+    // the snapshot's logical content EXACTLY (that is the hash) while
+    // committing a third version; PipelineSpec checks the physical
+    // layout and that sink idempotence survives the rewrite
+    "s23_optimize_zorder" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s23_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      VersionedTable.appendIdempotent(s, root,
+        docs.filter(col("doc_id") < 400), "gate", epoch = 0L)
+      VersionedTable.appendIdempotent(s, root,
+        docs.filter(col("doc_id") >= 400), "gate", epoch = 1L)
+      VersionedTable.optimize(s, root, Seq("n_chars", "doc_id"), numFiles = 8)
+      VersionedTable.read(s, root).select(col("doc_id"))
+        .withColumn("n_commits",
+          lit(graft.sources.VersionedTable.versions(root).size.toLong))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1543,6 +1565,11 @@ object SparkEntry {
     // idempotence holds ⇔ every doc once + exactly two commits
     "s22_idempotent_sink" ->
       """SELECT doc_id, CAST(2 AS BIGINT) AS n_commits FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the rewrite preserves content ⇔ every doc once + three commits
+    "s23_optimize_zorder" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_commits FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table

@@ -181,6 +181,39 @@ object VersionedTable {
     done
   }
 
+  /** OPTIMIZE — the Delta `OPTIMIZE ... ZORDER BY` shape on this
+    * table: rewrite the CURRENT snapshot's rows as `numFiles`
+    * Z-order-clustered files ([[graft.operators.Layout.zorder]], so
+    * footer stats prune on every clustered column) and commit them as
+    * a NEW version with IDENTICAL logical content. The previous
+    * snapshot's files stay on disk for time travel until a keep-N
+    * [[vacuum]]; `#txn` headers CARRY OVER into the new list, so a
+    * streaming sink's exactly-once guarantee survives an optimize run
+    * between its epochs. Returns the committed version. */
+  def optimize(spark: SparkSession, root: String, zorderCols: Seq[String],
+               numFiles: Int): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val baseV = vs.last
+    val baseFiles = filesOf(root, baseV).toSet
+    val clustered = graft.operators.Layout.zorder(
+      read(spark, root, Some(baseV)), zorderCols, numFiles)
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val fresh = writeData(clustered, root, tag)
+    var done = -1L
+    while (done < 0) {
+      val cur = versions(root)
+      val latest = filesOf(root, cur.last)
+      // conflict rule: the rewrite replaces exactly the BASE snapshot's
+      // files — anything a concurrent append landed since rides along
+      // untouched, as do the txn headers
+      val since = latest.filterNot(f => baseFiles.contains(f) || f.startsWith("#"))
+      val txns = latest.filter(_.startsWith("#"))
+      if (tryCommit(root, cur.last + 1, fresh ++ since ++ txns)) done = cur.last + 1
+    }
+    done
+  }
+
   /** Delete data files no commit references (orphans of crashed writers,
     * or files only old, since-dropped snapshots used — pass `keep` to
     * retain the trailing N versions' files; default keeps them all). */

@@ -128,6 +128,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(ids(VersionedTable.read(spark, root)) == ids(fin))
   }
 
+  test("versioned optimize: content-identical clustered rewrite, txn guarantee survives, old snapshot vacuumable") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vopt").toString
+    val df = (0 until 2000).map(i => (i.toLong, (i * 37) % 500L)).toDF("id", "k")
+    VersionedTable.appendIdempotent(spark, root, df.filter(col("id") < 1000), "w", 0L)
+    VersionedTable.appendIdempotent(spark, root, df.filter(col("id") >= 1000), "w", 1L)
+    val before = VersionedTable.read(spark, root)
+    val v = VersionedTable.optimize(spark, root, Seq("k", "id"), numFiles = 6)
+    val after = VersionedTable.read(spark, root)
+    assert(v == 2L && VersionedTable.versions(root) == Seq(0L, 1L, 2L))
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "optimize must preserve the snapshot's exact row multiset")
+    // physically: exactly numFiles clustered files
+    assert(VersionedTable.read(spark, root, Some(2L)).inputFiles.length == 6)
+    // the exactly-once guarantee survives the rewrite: old epochs still no-op
+    assert(VersionedTable.appendIdempotent(spark, root,
+      df.limit(5), "w", 1L) == -1L)
+    // old pre-optimize files are reclaimable without touching the optimized
+    // snapshot
+    VersionedTable.vacuum(root, keep = Some(1))
+    assert(VersionedTable.read(spark, root).count() == 2000)
+  }
+
   test("parallel warehouse copies mirror every gold table") {
     val wh = Warehouse(spark, whRoot)
     val copied = pipe.copyToWarehouse()
