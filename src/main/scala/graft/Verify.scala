@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    // restriction args: space- or comma-separated query names
+    val (sfDir, outDir, only) =
+      (args(0), args(1), args.drop(2).flatMap(_.split(",")).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

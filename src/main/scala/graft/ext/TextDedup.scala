@@ -106,9 +106,11 @@ object TextDedup {
   }
 
   /** SimHash: 64-bit locality-sensitive fingerprint — bit i of the result is
-    * the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Hamming-near
-    * fingerprints ⇒ near-dup texts. Native codegen expression
-    * ([[graft.functions.SimHash64]], registered in Tables.load);
+    * the sign of Σ_tokens (bit i of h(token) ? +1 : -1), with h = the md5
+    * digest's first 8 bytes big-endian (portable, so the `d4_simhash` gate
+    * replays the whole construction in DuckDB and is hash-checked, not
+    * rows-only). Hamming-near fingerprints ⇒ near-dup texts. Native codegen
+    * expression ([[graft.functions.SimHash64]], registered in Tables.load);
     * [[simhashFold]] is the registration-free HOF twin (bit-identical,
     * asserted in ExtSpec). */
   def simhash(text: Column): Column =
@@ -116,10 +118,17 @@ object TextDedup {
       array_distinct(split(lower(trim(text)), "\\s+")))
 
   /** HOF formulation of [[simhash]] (interpreted — CodegenFallback):
-    * each token hashed once, folded into a 64-wide vote vector. */
+    * each token hashed once, folded into a 64-wide vote vector. The
+    * two 32-bit `conv` halves reassemble exactly SimHash64.compute's
+    * big-endian first-8-bytes hash ((hi << 32) | lo wraps negative for
+    * bit 63, same as the JVM long). */
   def simhashFold(text: Column): Column = {
     val toks = array_distinct(split(lower(trim(text)), "\\s+"))
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t => {
+      val hex = md5(t.cast("binary"))
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    })
     val bits = sequence(lit(0), lit(63))
     val votes = aggregate(
       hashes,
@@ -1106,6 +1115,15 @@ object TextDedup {
   def leakProofSplit(docs: DataFrame, idCol: String, textCol: String,
                      testHexDigits: Seq[String], k: Int = 3,
                      threshold: Double = 0.5): DataFrame = {
+    // The whole cluster machinery (dupClusters' min-label CC, the
+    // singleton coalesce below) keys on a NUMERIC doc id; a string id
+    // would cast to null, md5(null) is null, and every singleton would
+    // silently land in 'train' — refuse loudly instead.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"leakProofSplit needs an integral id column; `$idCol` is $idType — " +
+        "pre-assign numeric ids (e.g. a dense rank over the natural key)")
     // prefix-filtered pair construction: identical pairs to the plain
     // inverted-index join (ExtSpec), but a dup-saturated corpus can't
     // melt the candidate stage (the d22 lesson — 5× here at 10× docs)

@@ -9,12 +9,13 @@ import graft.ext._
 /** North-star extension queries (dedup / similarity / text / multimodal)
   * over the `documents` and `embeddings` fixtures. Queries whose Spark
   * implementation rests on engine-specific hashing with no SQL replay
-  * (xxhash64 simhash, LSH bucketing, k-means cells) have no DuckDB
-  * oracle — the gate records rows-only checks; their correctness is
-  * asserted by ScalaTest (determinism, planted-near-dup recall,
-  * brute-force agreement). The rolling-hash fingerprint IS oracled (a
-  * bit-exact HUGEINT fold replay) and the minhash pair set is oracled
-  * against the exact-Jaccard pairs its verify step must reproduce.
+  * (xxhash64 LSH bucketing, k-means cells) have no DuckDB oracle — the
+  * gate records rows-only checks; their correctness is asserted by
+  * ScalaTest (determinism, planted-near-dup recall, brute-force
+  * agreement). The rolling-hash fingerprint and the md5-token SimHash
+  * ARE oracled (bit-exact fold/bit-vote replays) and the minhash pair
+  * set is oracled against the exact-Jaccard pairs its verify step must
+  * reproduce.
   */
 object ExtQueries {
 
@@ -476,7 +477,9 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // SimHash fingerprints — xxhash-based, rows-only
+    // SimHash fingerprints — md5-derived token hash, so the whole bit
+    // construction (per-token 64-bit hash, ±1 votes, sign collapse)
+    // replays in DuckDB and the gate is hash-checked
     "d4_simhash" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextDedup.simhash(col("text")).as("simhash"))),
@@ -770,7 +773,9 @@ object ExtQueries {
         .select("q_id", "n_id", "rnk")
     }),
 
-    // LSH-bucketed ANN — seeded-hyperplane dependent, rows-only
+    // LSH-bucketed ANN — the 8 seeded hyperplane tables ship to DuckDB
+    // as literals (the e11 treatment), so bucket assignment + in-bucket
+    // exact ranking replay fully and the gate is hash-checked
     "e2_knn_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
@@ -2549,6 +2554,38 @@ object ExtQueries {
         |      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // full SimHash replay: per-token hash = first 16 md5 hex chars as an
+    // unsigned 64-bit value (parsed as two 32-bit halves so BIGINT never
+    // overflows), ±1 vote per bit position, sign → bit; the signed
+    // fingerprint reassembles with bit 63 contributing -2^63 (two's
+    // complement), matching the JVM long bit-for-bit
+    "d4_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS hi,
+        |    CAST('0x' || substring(md5(t), 9, 8) AS BIGINT) AS lo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b.i AS i,
+        |    SUM(CASE WHEN
+        |      (CASE WHEN b.i < 32 THEN lo >> b.i ELSE hi >> (b.i - 32) END) & 1 = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+        |  GROUP BY doc_id, b.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v <= 0 THEN 0
+        |             WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |             ELSE CAST(1 AS BIGINT) << i END) AS simhash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+        |FROM documents d LEFT JOIN fp USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d7_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -3382,6 +3419,41 @@ object ExtQueries {
          |r AS (SELECT vec_id, cell,
          |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h, vec_id) AS rk FROM f)
          |SELECT vec_id, cell FROM r WHERE rk <= 10 ORDER BY cell, vec_id""".stripMargin
+    },
+
+    // e2: full multi-table LSH ANN replay — all 8 seeded 6×64 hyperplane
+    // tables as E-notation literals (the e11 treatment), sign-bit bucket
+    // per (vector, table), candidates = corpus vectors sharing ANY
+    // (table, bucket) with the query, then exact cosine ranking within
+    // candidates with the Spark side's (cos desc, n_id asc) tie-break
+    "e2_knn_lsh" -> {
+      val lits = (0 until 8).flatMap { tb =>
+        graft.ext.Similarity.hyperplanes(64, 6, 42L + tb).zipWithIndex.map {
+          case (row, p) =>
+            s"($tb, $p, [${row.map(v => f"$v%.17e").mkString(", ")}])"
+        }
+      }.mkString(", ")
+      s"""WITH planes AS (SELECT * FROM (VALUES $lits) AS t(tbl, p, h)),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bk AS (
+         |  SELECT vec_id, tbl,
+         |    CAST(SUM(CASE WHEN list_dot_product(v.v, h) > 0
+         |      THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),
+         |qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT qb.q_id, cb.vec_id AS n_id
+         |  FROM qb JOIN bk cb USING (tbl, bucket)
+         |  WHERE cb.vec_id <> qb.q_id),
+         |s AS (SELECT c.q_id, c.n_id, list_cosine_similarity(q.qv, cv.v) AS cs
+         |      FROM cand c JOIN q ON c.q_id = q.q_id
+         |      JOIN v cv ON c.n_id = cv.vec_id),
+         |r AS (SELECT q_id, n_id,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+         |      FROM s)
+         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin
     },
 
     "e10_filtered_knn" ->

@@ -22,34 +22,95 @@ import graft.util.Identifiers
   * file counts (§4). Nothing collects to the driver except 1-row log frames
   * and scalar watermarks.
   */
-final case class Warehouse(spark: SparkSession, root: String) {
+final case class Warehouse(spark: SparkSession, root: String,
+                           versioned: Boolean = true) {
+  import graft.sources.VersionedTable
+
   /** Storage strategy, re-derived from the session (SURVEY §7.1): Delta
-    * when genuinely available on this session, parquet emulation else. */
+    * when genuinely available on this session, parquet emulation else.
+    * In parquet mode the emulation is the engine's own
+    * [[graft.sources.VersionedTable]] (default since round 10): every
+    * write is a snapshot-isolated COMMIT, so the medallion's gold tables
+    * get time travel ([[readAt]]), exactly-once appends, conflict-safe
+    * OPTIMIZE ([[compact]]/[[clusterBy]]/[[zorderBy]] commit rewrites as
+    * new versions) and vacuum from ONE code path — the Delta semantics
+    * the reference runs, without the Delta jar. `versioned = false`
+    * keeps the flat single-snapshot parquet layout; an EXISTING table
+    * always keeps its own layout regardless of the flag, so mixed
+    * warehouses stay readable. */
   val format: TableFormat = TableFormat.detect(spark)
   private def path(name: String) = s"$root/$name"
+
+  /** True iff table `name` is (or, when absent, should be created as) a
+    * versioned-layout table. Existing layout wins over the flag. */
+  private def vt(name: String): Boolean =
+    format == TableFormat.Parquet && {
+      if (VersionedTable.isVersioned(path(name))) true
+      else if (exists(name)) false // existing flat table stays flat
+      else versioned
+    }
+
+  /** The reference's S14-style volume-adaptive file-count policy
+    * (>1M rows => clamp(rows/150k, 4, 200) partitions, else rows/50k). */
+  private def volumeParts(n: Long): Int =
+    if (n > 1000000L) math.min(math.max(n / 150000L, 4L), 200L).toInt
+    else math.max(n / 50000L, 1L).toInt
 
   def write(name: String, df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
             partitionBy: Seq[String] = Nil): Long = {
     val out = df.persist()
     val n = out.count()
-    // S14-style small-file control: the reference's volume-adaptive policy
-    // (>1M rows => clamp(rows/150k, 4, 200) partitions, else rows/50k)
-    val parts = if (n > 1000000L) math.min(math.max(n / 150000L, 4L), 200L).toInt
-                else math.max(n / 50000L, 1L).toInt
-    val writer =
+    val sized =
       if (partitionBy.nonEmpty)
         // physically cluster by the partition column so each Hive-style
         // directory gets few files (incremental MERGE then prunes by it)
-        out.repartition(parts, partitionBy.map(org.apache.spark.sql.functions.col): _*)
-          .write.partitionBy(partitionBy: _*)
-      else out.repartition(parts).write
-    writer.mode(mode).format(format.name).save(path(name))
+        out.repartition(volumeParts(n), partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else out.repartition(volumeParts(n))
+    if (vt(name)) {
+      if (mode == SaveMode.Append)
+        VersionedTable.append(spark, path(name), sized, partitionBy)
+      else VersionedTable.overwrite(spark, path(name), sized, partitionBy)
+      refreshManifestIfPresent(name)
+    } else {
+      val writer =
+        if (partitionBy.nonEmpty) sized.write.partitionBy(partitionBy: _*)
+        else sized.write
+      writer.mode(mode).format(format.name).save(path(name))
+    }
     out.unpersist()
     n
   }
+
   def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).format(format.name).save(path(name))
-  def read(name: String): DataFrame = spark.read.format(format.name).load(path(name))
+    if (vt(name)) {
+      // preserve the table's committed partition layout on blind appends
+      VersionedTable.append(spark, path(name), df,
+        if (VersionedTable.isVersioned(path(name)))
+          VersionedTable.partitionCols(path(name))
+        else Nil)
+      refreshManifestIfPresent(name)
+    } else df.write.mode(SaveMode.Append).format(format.name).save(path(name))
+
+  def read(name: String): DataFrame =
+    if (vt(name) && VersionedTable.isVersioned(path(name)))
+      VersionedTable.read(spark, path(name))
+    else spark.read.format(format.name).load(path(name))
+
+  /** TIME TRAVEL: read table `name` at a pinned commit version — the
+    * medallion table's own history, one code path with [[read]]
+    * (versioned layout only). */
+  def readAt(name: String, version: Long): DataFrame =
+    VersionedTable.read(spark, path(name), Some(version))
+
+  /** Committed versions of a versioned-layout table, ascending. */
+  def versionsOf(name: String): Seq[Long] =
+    VersionedTable.versions(path(name))
+
+  /** Reclaim unreferenced data files; `keep = Some(n)` retires all but
+    * the trailing n versions (their commit lists are tombstoned — time
+    * travel to them fails fast). */
+  def vacuum(name: String, keep: Option[Int] = None): Seq[String] =
+    VersionedTable.vacuum(path(name), keep)
 
   /** S11 — MERGE upsert by business key, incoming side winning under
     * `versionCols`. Delta mode: native `MERGE INTO` (rewrites only matched
@@ -84,6 +145,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
         touched match {
           case Some(Nil) => read(name).count() // empty batch: no-op merge
           case Some(parts) => prunedMerge(name, incoming, keys, versionCols, partitionBy, parts)
+          case None if vt(name) =>
+            // versioned merge-as-new-version: the union+window plan READS
+            // the current snapshot's immutable files while the commit
+            // WRITES fresh ones — no staging table, no checkpoint, no
+            // double write; the old snapshot stays time-travelable
+            val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
+            write(name, merged, partitionBy = partitionBy)
           case None =>
             val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
             val staged = merged.persist()
@@ -150,6 +218,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }.reduce(_ || _)
     val restricted = read(name).filter(prunePred)
     val merged = graft.operators.Dedup.mergeUpsert(restricted, incoming, keys, versionCols)
+    if (vt(name)) {
+      // versioned dynamic partition overwrite: ONE commit replaces exactly
+      // the touched partition directories' files (untouched directories
+      // carry their files byte-for-byte into the new snapshot); the plan
+      // reads the old immutable files while writing new ones, so the
+      // staging/persist dance of the flat path disappears. One output
+      // file per touched directory; compaction owns long-term counts.
+      VersionedTable.overwritePartitions(spark, path(name),
+        merged.repartition(partitionBy.map(col): _*), partitionBy)
+      refreshManifestIfPresent(name)
+      return read(name).count()
+    }
     val staging = s"${name}__staging"
     val staged = merged.persist()
     staged.count() // materialize before touching the target's files
@@ -224,13 +304,36 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * Re-run after each load; `REFRESH` first so cached file listings
     * never go stale. */
   def analyze(name: String, columns: Seq[String] = Nil): Unit = {
+    // A catalog table is LOCATION-addressed — it cannot express a commit's
+    // file list. For a versioned table the data dir IS the snapshot right
+    // after a write (and again after vacuum(keep=1)); in between, older
+    // versions' files would leak into the catalog scan, so refuse loudly
+    // rather than register a table that reads resurrected rows.
+    val loc =
+      if (VersionedTable.isVersioned(path(name))) {
+        val snapshot = VersionedTable.dataFiles(path(name)).toSet
+        val onDisk = {
+          def walk(f: java.io.File, rel: String): Seq[String] =
+            Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap { c =>
+              val r = if (rel.isEmpty) c.getName else s"$rel/${c.getName}"
+              if (c.isDirectory) walk(c, r)
+              else if (c.getName.endsWith(".parquet")) Seq(s"data/$r") else Nil
+            }
+          walk(new java.io.File(s"${path(name)}/data"), "").toSet
+        }
+        require(onDisk == snapshot,
+          s"analyze($name): data dir holds ${onDisk.size} files but the " +
+            s"snapshot lists ${snapshot.size} — run vacuum(\"$name\", keep = Some(1)) " +
+            "first so the catalog location equals the snapshot")
+        s"${path(name)}/data"
+      } else path(name)
     // DROP + CREATE, not IF NOT EXISTS: a name registered earlier against
     // a DIFFERENT warehouse root would silently keep its old location and
     // the stats would describe the wrong table. LOCATION makes the table
     // external, so the drop never touches data files.
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(s"CREATE TABLE `$name` USING ${format.name} " +
-      s"LOCATION '${path(name)}'")
+      s"LOCATION '$loc'")
     spark.sql(s"REFRESH TABLE `$name`")
     val cols =
       if (columns.nonEmpty) s"FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}"
@@ -238,17 +341,32 @@ final case class Warehouse(spark: SparkSession, root: String) {
     spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS $cols")
   }
 
-  /** S14 — compaction: Delta OPTIMIZE when native, else rewrite at the
-    * volume-policy file count (same observable table either way). */
+  /** S14 — compaction: Delta OPTIMIZE when native; versioned parquet
+    * commits the rewrite as a NEW version through the conflict-safe
+    * [[graft.sources.VersionedTable.rewrite]] (old files stay for time
+    * travel until [[vacuum]], txn headers carry over, and a concurrent
+    * overwrite aborts-and-restarts the compaction instead of being
+    * resurrected); flat parquet rewrites in place. Same observable table
+    * in every mode. */
   def compact(name: String): Long = format match {
     case TableFormat.Delta =>
       spark.sql(TableFormat.optimizeSql(path(name)))
       read(name).count()
+    case TableFormat.Parquet if vt(name) =>
+      val n = read(name).count()
+      val pcols = partitionColsOf(name)
+      VersionedTable.rewrite(spark, path(name), pcols) { df =>
+        // preserve the physical partition layout: compacting a year-
+        // partitioned fact into a flat directory would destroy partition
+        // pruning for every later merge and date-range scan
+        if (pcols.nonEmpty)
+          df.repartition(volumeParts(n), pcols.map(org.apache.spark.sql.functions.col): _*)
+        else df.repartition(volumeParts(n))
+      }
+      refreshManifestIfPresent(name)
+      n
     case TableFormat.Parquet =>
       val staged = read(name).localCheckpoint(true) // cut lineage off old files
-      // preserve the physical partition layout: compacting a year-
-      // partitioned fact into a flat directory would destroy partition
-      // pruning for every later merge and date-range scan
       write(name, staged, partitionBy = partitionColsOf(name))
   }
 
@@ -263,16 +381,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def clusterBy(name: String, cols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col => c}
     val parts = partitionColsOf(name)
-    val staged = read(name).localCheckpoint(true) // cut lineage off old files
-    val n = staged.count()
-    val nFiles = (if (n > 1000000L) math.min(math.max(n / 150000L, 4L), 200L)
-                  else math.max(n / 50000L, 1L)).toInt
-    val clustered = staged
-      .repartitionByRange(math.max(nFiles, 4), cols.map(c): _*)
-      .sortWithinPartitions(cols.map(c): _*)
-    val writer = clustered.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .format(format.name).save(path(name))
+    val n = read(name).count()
+    val nFiles = math.max(volumeParts(n), 4)
+    def cluster(df: DataFrame): DataFrame =
+      df.repartitionByRange(nFiles, cols.map(c): _*)
+        .sortWithinPartitions(cols.map(c): _*)
+    if (vt(name)) {
+      // OPTIMIZE-as-a-commit: the clustered rewrite lands as a new
+      // version (conflict-safe, time-travelable, txn headers carried)
+      VersionedTable.rewrite(spark, path(name), parts)(cluster)
+      refreshManifestIfPresent(name)
+    } else {
+      val staged = read(name).localCheckpoint(true) // cut lineage off old files
+      val writer = cluster(staged).write.mode(SaveMode.Overwrite)
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .format(format.name).save(path(name))
+    }
     n
   }
 
@@ -295,41 +419,51 @@ final case class Warehouse(spark: SparkSession, root: String) {
     require(cols.size >= 2, "zorderBy wants 2+ columns; use clusterBy for one")
     require(bits * cols.size <= 62, s"bits=$bits over ${cols.size} cols overflows a long")
     val parts = partitionColsOf(name)
-    val staged = read(name).localCheckpoint(true) // cut lineage off old files
-    val n = staged.count()
+    val n = read(name).count()
     val nBuckets = 1 << bits
-    val cuts: Seq[Array[Double]] = cols.map { c =>
-      staged.stat.approxQuantile(c,
-        (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
-    }
-    // bucket = #cutpoints <= value; a NULL value nulls every comparison,
-    // the filter drops them all, and the row lands in bucket 0
-    def bucket(c: String, cut: Array[Double]): Column =
-      size(org.apache.spark.sql.functions.filter(typedlit(cut.toSeq),
-        x => col(c).cast("double") >= x)).cast("long")
-    val zval = cols.indices.map { i =>
-      val bk = bucket(cols(i), cuts(i))
-      (0 until bits).map { b =>
-        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * cols.size + i)
+    val nFiles = targetFiles.getOrElse(math.max(volumeParts(n), 4))
+    def cluster(src: DataFrame): DataFrame = {
+      val cuts: Seq[Array[Double]] = cols.map { c =>
+        src.stat.approxQuantile(c,
+          (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.01)
+      }
+      // bucket = #cutpoints <= value; a NULL value nulls every comparison,
+      // the filter drops them all, and the row lands in bucket 0
+      def bucket(c: String, cut: Array[Double]): Column =
+        size(org.apache.spark.sql.functions.filter(typedlit(cut.toSeq),
+          x => col(c).cast("double") >= x)).cast("long")
+      val zval = cols.indices.map { i =>
+        val bk = bucket(cols(i), cuts(i))
+        (0 until bits).map { b =>
+          shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * cols.size + i)
+        }.reduce(_ bitwiseOR _)
       }.reduce(_ bitwiseOR _)
-    }.reduce(_ bitwiseOR _)
-    val nFiles = targetFiles.getOrElse(math.max(
-      (if (n > 1000000L) math.min(math.max(n / 150000L, 4L), 200L)
-       else math.max(n / 50000L, 1L)).toInt, 4))
-    val clustered = staged.withColumn("__z", zval)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    val writer = clustered.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .format(format.name).save(path(name))
+      src.withColumn("__z", zval)
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+    if (vt(name)) {
+      VersionedTable.rewrite(spark, path(name), parts)(cluster)
+      refreshManifestIfPresent(name)
+    } else {
+      val staged = read(name).localCheckpoint(true) // cut lineage off old files
+      val writer = cluster(staged).write.mode(SaveMode.Overwrite)
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .format(format.name).save(path(name))
+    }
     n
   }
 
-  /** Partition columns of an existing table, discovered from its Hive-style
-    * directory layout (`col=value` nesting) — the physical partitioning a
-    * plain `read` → `write` round-trip would otherwise flatten. */
+  /** Partition columns of an existing table: from the committed file
+    * paths for a versioned table (no directory walk — dead files of old
+    * versions must not speak for the snapshot), else discovered from the
+    * Hive-style directory layout (`col=value` nesting) — the physical
+    * partitioning a plain `read` → `write` round-trip would otherwise
+    * flatten. */
   def partitionColsOf(name: String): Seq[String] = {
+    if (VersionedTable.isVersioned(path(name)))
+      return VersionedTable.partitionCols(path(name))
     @annotation.tailrec
     def walk(dir: java.io.File, acc: List[String]): List[String] = {
       val sub = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
@@ -370,11 +504,41 @@ final case class Warehouse(spark: SparkSession, root: String) {
     import graft.sources.SkippingIndex
     val mPath = path(name + "__manifest")
     val m =
-      if (new java.io.File(mPath).exists())
+      if (VersionedTable.isVersioned(path(name))) {
+        // snapshot-scoped: the committed file list is the universe, so
+        // dead files of older versions are never indexed (and a file
+        // carried unchanged across commits is never re-footer-passed)
+        val files = snapshotFiles(name)
+        if (new java.io.File(mPath).exists())
+          SkippingIndex.refreshManifestFor(spark, files,
+            SkippingIndex.readManifest(spark, mPath))
+        else SkippingIndex.manifestFor(spark, files, cols)
+      } else if (new java.io.File(mPath).exists())
         SkippingIndex.refreshManifest(spark, path(name),
           SkippingIndex.readManifest(spark, mPath))
       else SkippingIndex.manifest(spark, path(name), cols)
     SkippingIndex.writeManifest(spark, m, mPath)
+  }
+
+  /** `(absolute, relative)` data files of a versioned table's current
+    * snapshot; relative names are commit-list names (`data/…`), so a
+    * manifest keyed by them survives commits that keep files. */
+  private def snapshotFiles(name: String): Seq[(String, String)] =
+    VersionedTable.dataFiles(path(name)).map(rel => (s"${path(name)}/$rel", rel))
+
+  /** Manifest-on-commit: every versioned write/append/merge/compact
+    * refreshes an EXISTING manifest against the new snapshot (cost:
+    * footers of the files the commit added — O(new files), the
+    * write-time maintenance shape). First build stays explicit via
+    * [[refreshManifest]] because it chooses the indexed columns. */
+  private def refreshManifestIfPresent(name: String): Unit = {
+    val mPath = path(name + "__manifest")
+    if (new java.io.File(mPath).exists()) {
+      import graft.sources.SkippingIndex
+      SkippingIndex.writeManifest(spark,
+        SkippingIndex.refreshManifestFor(spark, snapshotFiles(name),
+          SkippingIndex.readManifest(spark, mPath)), mPath)
+    }
   }
 
   /** [[read]] through the table's persisted manifest: files whose
@@ -387,7 +551,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
                  strRanges: Seq[graft.sources.SkippingIndex.StrRange] = Nil): DataFrame = {
     import graft.sources.SkippingIndex
     val m = SkippingIndex.readManifest(spark, path(name + "__manifest"))
-    SkippingIndex.prunedRead(spark, path(name), ranges, Some(m), strRanges)
+    if (VersionedTable.isVersioned(path(name)))
+      // candidate universe = the SNAPSHOT's committed files: pruning and
+      // the conservative unseen-file fallback both stay inside the
+      // current version — a dead file can never leak into the scan
+      SkippingIndex.prunedReadFiles(spark, s"${path(name)}/data",
+        snapshotFiles(name), ranges, Some(m), strRanges)
+    else SkippingIndex.prunedRead(spark, path(name), ranges, Some(m), strRanges)
   }
 }
 

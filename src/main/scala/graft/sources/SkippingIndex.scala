@@ -301,7 +301,17 @@ object SkippingIndex {
 
   /** Build the reusable manifest for `dir` (one footer pass). */
   def manifest(spark: SparkSession, dir: String, cols: Seq[String]): Manifest =
-    Manifest(footerStats(spark, dir, cols).as[FileColStats](
+    manifestFor(spark, listParquet(spark, dir), cols)
+
+  /** Build a manifest over an EXPLICIT `(absolute, relative)` file list —
+    * the snapshot-aware entry point: a
+    * [[graft.sources.VersionedTable]]'s data directory also holds files
+    * of OLDER versions (kept for time travel), so a directory walk would
+    * index dead files; the caller passes the commit's file list
+    * instead and the manifest describes exactly the snapshot. */
+  def manifestFor(spark: SparkSession, files: Seq[(String, String)],
+                  cols: Seq[String]): Manifest =
+    Manifest(footerStatsFiles(spark, files, cols).as[FileColStats](
       org.apache.spark.sql.Encoders.product[FileColStats]).collect().toIndexedSeq)
 
   /** Persist a manifest next to (or anywhere near) its table — the
@@ -326,9 +336,16 @@ object SkippingIndex {
     * `refresh(m) ≡ manifest(dir, cols)` by construction — LayoutSpec
     * asserts the equality after appends AND deletes — so a daily-append
     * table pays O(new files) per refresh, not O(table). */
-  def refreshManifest(spark: SparkSession, dir: String, m: Manifest): Manifest = {
+  def refreshManifest(spark: SparkSession, dir: String, m: Manifest): Manifest =
+    refreshManifestFor(spark, listParquet(spark, dir), m)
+
+  /** [[refreshManifest]] over an explicit `(absolute, relative)` file
+    * list — the versioned-table form, where "current files" means the
+    * latest COMMIT's list, not a directory walk (which would resurrect
+    * older versions' files into the index). */
+  def refreshManifestFor(spark: SparkSession, current: Seq[(String, String)],
+                         m: Manifest): Manifest = {
     val cols = m.stats.map(_.column).distinct
-    val current = listParquet(spark, dir)
     val currentRel = current.map(_._2).toSet
     val known = m.files.toSet
     val kept = m.stats.filter(s => currentRel(s.file))
@@ -350,12 +367,22 @@ object SkippingIndex {
     * subset-of-files scan of a partitioned layout. */
   def prunedRead(spark: SparkSession, dir: String, ranges: Seq[ColRange],
                  index: Option[Manifest] = None,
-                 strRanges: Seq[StrRange] = Nil): DataFrame = {
+                 strRanges: Seq[StrRange] = Nil): DataFrame =
+    prunedReadFiles(spark, dir, listParquet(spark, dir), ranges, index, strRanges)
+
+  /** [[prunedRead]] over an explicit `(absolute, relative)` candidate
+    * universe — the versioned-table form: the universe is the snapshot's
+    * committed file list, so neither the pruning nor the fallback scan
+    * can touch a dead (older-version) file. `basePath` drives partition
+    * column reassembly for the subset scan. */
+  def prunedReadFiles(spark: SparkSession, basePath: String,
+                      all: Seq[(String, String)], ranges: Seq[ColRange],
+                      index: Option[Manifest] = None,
+                      strRanges: Seq[StrRange] = Nil): DataFrame = {
     val m = index.getOrElse(
-      manifest(spark, dir, (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
+      manifestFor(spark, all, (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
     val keep = m.survivors(ranges, strRanges).toSet
     val indexed = m.files.toSet
-    val all = listParquet(spark, dir)
     // conservative at FILE granularity too: a file the manifest has never
     // seen (appended/compacted after the index was built) must be KEPT —
     // excluding it would anti-conservatively lose rows from a stale index
@@ -365,14 +392,12 @@ object SkippingIndex {
       strRanges.map(r =>
         col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    if (paths.isEmpty)
-      spark.read.parquet(dir).filter(lit(false))
-    else if (paths.size == all.size)
-      // nothing pruned — keep the plain directory read (single listed
-      // relation, no per-path enumeration overhead)
-      spark.read.parquet(dir).filter(residual)
-    else
-      spark.read.option("basePath", dir).parquet(paths: _*).filter(residual)
+    if (paths.isEmpty) {
+      if (all.isEmpty) spark.emptyDataFrame.filter(lit(false))
+      else spark.read.option("basePath", basePath)
+        .parquet(all.map(_._1): _*).filter(lit(false))
+    } else
+      spark.read.option("basePath", basePath).parquet(paths: _*).filter(residual)
   }
 
   /** Count of files a range set would scan vs the total — the evidence

@@ -6,11 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Minimal SNAPSHOT-ISOLATED versioned parquet table — the lakehouse
   * transaction protocol in miniature (the shape Delta/Iceberg implement;
   * cf. the dispatch seam in `operators/Dedup.mergeUpsert`, which targets
-  * the real Delta when its jar is present):
+  * the real Delta when its jar is present). Since round 10 this is the
+  * storage layer under [[graft.run.Warehouse]], so the medallion's own
+  * gold tables get time travel, exactly-once appends, and OPTIMIZE from
+  * one code path:
   *
   *   - DATA FILES are immutable and uniquely named
-  *     (`data/<version>-<uuid>.parquet`); a writer never touches bytes a
-  *     reader could be scanning.
+  *     (`data/<partition dirs>/<version tag>-<i>.parquet`); a writer
+  *     never touches bytes a reader could be scanning. Hive-style
+  *     partition directories (`year=2021/…`) nest under `data/` when a
+  *     commit writes with `partitionBy`, so partition pruning and
+  *     dynamic partition overwrite compose with versioning.
   *   - A COMMIT is one file, `_commits/v<N>.list`, holding the snapshot's
   *     COMPLETE relative file list (one per line). Snapshot state is a
   *     single read — no log replay — and the append commit simply lists
@@ -23,12 +29,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     concurrency, the Delta protocol's conflict rule for blind
   *     appends).
   *   - READERS never lock: [[read]] resolves a version's file list and
-  *     hands Spark exactly those files. A reader holding version N is
-  *     untouched by any later commit (time travel is the same code path
-  *     with an explicit version).
+  *     hands Spark exactly those files (with `basePath = data/`, so
+  *     partition columns survive a subset-of-files scan). A reader
+  *     holding version N is untouched by any later commit (time travel
+  *     is the same code path with an explicit version).
   *   - A CRASHED writer leaves orphan data files and no commit — invisible
   *     to every reader by construction; [[vacuum]] deletes data files no
   *     commit references.
+  *   - `#txn:<writerId>:<epoch>` HEADER lines make an at-least-once
+  *     producer exactly-once ([[appendIdempotent]]); each writer keeps
+  *     ONE header carrying its highest committed epoch (the Delta
+  *     SetTransaction shape: appId → latest version), so the redelivery
+  *     check is one commit-list read regardless of stream lifetime, and
+  *     header count is O(writers), not O(epochs).
   *
   * 100 TB notes: per-snapshot complete file lists are O(files) text —
   * the simple trade for log-replay-free reads; at very high commit
@@ -42,13 +55,31 @@ object VersionedTable {
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
-  /** Committed versions, ascending (empty for a nonexistent table). */
+  /** True iff `root` carries the versioned layout (has committed at
+    * least once) — [[graft.run.Warehouse]] dispatches reads on this. */
+  def isVersioned(root: String): Boolean =
+    Files.isDirectory(commitsDir(root)) && versions(root).nonEmpty
+
+  /** Committed versions, ascending (empty for a nonexistent table).
+    * Versions retired by a keep-N [[vacuum]] are excluded — see
+    * [[retiredVersions]]. */
   def versions(root: String): Seq[Long] = {
     val d = commitsDir(root)
     if (!Files.isDirectory(d)) Seq.empty
     else listNames(d)
       .filter(n => n.startsWith("v") && n.endsWith(".list"))
       .map(n => n.stripPrefix("v").stripSuffix(".list").toLong)
+      .sorted
+  }
+
+  /** Versions a keep-N [[vacuum]] retired: their data files may be gone,
+    * their commit lists are tombstoned, and [[read]] fails fast on them. */
+  def retiredVersions(root: String): Seq[Long] = {
+    val d = commitsDir(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else listNames(d)
+      .filter(n => n.startsWith("v") && n.endsWith(".retired"))
+      .map(n => n.stripPrefix("v").stripSuffix(".retired").toLong)
       .sorted
   }
 
@@ -64,38 +95,90 @@ object VersionedTable {
     s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  private def isHeader(line: String): Boolean = line.startsWith("#")
+
+  /** The snapshot's data files (header lines excluded), relative to root. */
+  def dataFiles(root: String, version: Option[Long] = None): Seq[String] = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    filesOf(root, version.getOrElse(vs.last)).filterNot(isHeader)
+  }
+
+  /** Hive partition columns of the current snapshot, parsed from its
+    * file paths' `k=v` directory segments (a versioned table's partition
+    * layout without any directory walk). */
+  def partitionCols(root: String): Seq[String] = {
+    val vs = versions(root)
+    if (vs.isEmpty) Seq.empty
+    else filesOf(root, vs.last).filterNot(isHeader).headOption
+      .map(_.split('/').drop(1).dropRight(1).toSeq
+        .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+      .getOrElse(Seq.empty)
+  }
+
   /** Read the table at `version` (default: latest). Spark scans exactly
-    * the committed files — never a directory glob. */
+    * the committed files — never a directory glob; `basePath = data/`
+    * reassembles Hive partition columns for partitioned commits. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val vs = versions(root)
     require(vs.nonEmpty, s"no commits at $root")
     val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs")
-    // '#'-prefixed lines are commit metadata (txn headers), not files
-    val files = filesOf(root, v).filterNot(_.startsWith("#"))
+    if (!vs.contains(v)) {
+      if (Files.exists(commitsDir(root).resolve(s"v$v.retired")))
+        throw new IllegalStateException(
+          s"version $v at $root was retired by vacuum(keep); " +
+            s"readable versions: $vs")
+      else throw new IllegalArgumentException(s"version $v not in $vs")
+    }
+    val files = filesOf(root, v).filterNot(isHeader)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    else spark.read.option("basePath", s"$root/data")
+      .parquet(files.map(f => s"$root/$f"): _*)
   }
 
-  /** Write `df`'s rows as new immutable data files; returns the new
-    * files' relative names. No commit yet — invisible to readers. */
-  private def writeData(df: DataFrame, root: String, tag: String): Seq[String] = {
+  /** Write `df`'s rows as new immutable data files (Hive partition
+    * directories under `data/` when `partitionBy` is set); returns the
+    * new files' relative names. No commit yet — invisible to readers. */
+  private def writeData(df: DataFrame, root: String, tag: String,
+                        partitionBy: Seq[String]): Seq[String] = {
     Files.createDirectories(dataDir(root))
     val staging = s"$root/__stage_$tag"
-    df.write.mode("overwrite").parquet(staging)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging)
     val stageDir = Paths.get(staging)
-    val parts = listNames(stageDir).filter(_.endsWith(".parquet")).sorted
-    val named = parts.zipWithIndex.map { case (p, i) =>
-      val rel = s"data/$tag-$i.parquet"
-      Files.move(stageDir.resolve(p), Paths.get(root, rel),
-        StandardCopyOption.ATOMIC_MOVE)
-      rel
+    // recursive walk: with partitionBy the part files nest under k=v dirs;
+    // relative subpaths are preserved on the move so the committed names
+    // carry their partition values
+    def walk(p: Path, rel: String): Seq[(Path, String)] =
+      listNames(p).sorted.flatMap { n =>
+        val child = p.resolve(n)
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (Files.isDirectory(child)) walk(child, childRel)
+        else if (n.endsWith(".parquet")) Seq((child, childRel))
+        else Seq.empty
+      }
+    val parts = walk(stageDir, "")
+    val named = parts.zipWithIndex.map { case ((src, rel), i) =>
+      val dir = rel.split('/').dropRight(1).mkString("/")
+      val relOut =
+        if (dir.isEmpty) s"data/$tag-$i.parquet"
+        else s"data/$dir/$tag-$i.parquet"
+      val target = Paths.get(root, relOut)
+      Files.createDirectories(target.getParent)
+      Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+      relOut
     }
-    // remove the drained staging dir (best-effort; leftovers are inert)
-    stageDir.toFile.listFiles().foreach(_.delete())
-    Files.deleteIfExists(stageDir)
+    rmTree(stageDir) // drained staging dir (best-effort; leftovers inert)
     named
+  }
+
+  private def rmTree(p: Path): Unit = {
+    val f = p.toFile
+    Option(f.listFiles()).foreach(_.foreach(c => rmTree(c.toPath)))
+    f.delete()
+    ()
   }
 
   /** Atomically publish `files` as version `v`. Returns false if some
@@ -117,10 +200,12 @@ object VersionedTable {
   /** APPEND commit: new snapshot = previous snapshot's files + `df`'s new
     * files. Data is written once; only the commit retries on a version
     * race (blind appends never conflict semantically, so the retry is
-    * safe — the Delta rule). Returns the committed version. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    * safe — the Delta rule). Txn headers carry forward. Returns the
+    * committed version. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             partitionBy: Seq[String] = Nil): Long = {
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag)
+    val fresh = writeData(df, root, tag, partitionBy)
     var done = -1L
     while (done < 0) {
       val vs = versions(root)
@@ -131,41 +216,91 @@ object VersionedTable {
     done
   }
 
-  /** OVERWRITE commit: new snapshot = exactly `df`'s new files. */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+  /** OVERWRITE commit: new snapshot = exactly `df`'s new files. Txn
+    * headers CARRY OVER (Delta's SetTransaction actions likewise survive
+    * a full replace: the writer's epoch history is about delivery, not
+    * content — a streaming sink's redelivered epoch must stay a no-op
+    * even if a batch job rebuilt the table in between). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+                partitionBy: Seq[String] = Nil): Long = {
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag)
+    val fresh = writeData(df, root, tag, partitionBy)
     var done = -1L
     while (done < 0) {
       val vs = versions(root)
       val v = if (vs.isEmpty) 0L else vs.last + 1
-      if (tryCommit(root, v, fresh)) done = v
+      val txns = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last).filter(isHeader)
+      if (tryCommit(root, v, fresh ++ txns)) done = v
     }
     done
   }
 
+  /** DYNAMIC PARTITION OVERWRITE commit (Delta `replaceWhere` on the
+    * touched partitions): new snapshot = previous files NOT under any
+    * partition directory `df` writes into, plus `df`'s files. Untouched
+    * directories keep their files byte-for-byte — the bounded-write
+    * shape a partition-pruned MERGE needs at 100 TB. NULL partitions
+    * (`__HIVE_DEFAULT_PARTITION__`) match by directory name like any
+    * other value. Returns the committed version. */
+  def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
+                          partitionBy: Seq[String]): Long = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val fresh = writeData(df, root, tag, partitionBy)
+    def dirOf(rel: String): String = rel.split('/').dropRight(1).mkString("/")
+    val touched = fresh.map(dirOf).toSet
+    var done = -1L
+    while (done < 0) {
+      val vs = versions(root)
+      val v = if (vs.isEmpty) 0L else vs.last + 1
+      val base = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last)
+      val kept = base.filterNot(f => !isHeader(f) && touched.contains(dirOf(f)))
+      if (tryCommit(root, v, kept ++ fresh)) done = v
+    }
+    done
+  }
+
+  private def parseTxn(line: String): Option[(String, Long)] =
+    if (!line.startsWith("#txn:")) None
+    else {
+      val rest = line.stripPrefix("#txn:")
+      val i = rest.lastIndexOf(':')
+      if (i <= 0) None else rest.substring(i + 1).toLongOption.map(e => (rest.substring(0, i), e))
+    }
+
+  /** The highest committed epoch per writer in the CURRENT snapshot —
+    * the whole idempotency state, one commit-list read. */
+  def committedEpochs(root: String): Map[String, Long] = {
+    val vs = versions(root)
+    if (vs.isEmpty) Map.empty
+    else filesOf(root, vs.last).flatMap(parseTxn)
+      .groupBy(_._1).map { case (w, es) => w -> es.map(_._2).max }
+  }
+
   /** IDEMPOTENT append — the Delta `txn` (transaction-identifier)
     * pattern that makes an at-least-once producer exactly-once: the
-    * commit list carries a `#txn:<writerId>:<epoch>` header line, and
-    * a re-delivered (writerId, epoch) is detected against the CURRENT
-    * snapshot's committed headers and becomes a NO-OP before any data
-    * is written. This is what a Structured Streaming `foreachBatch`
-    * sink needs (foreachBatch is at-least-once; the epoch is the
-    * batchId) — see `streaming/Streams.versionedSinkStream`. The
-    * txn check re-runs inside the optimistic-commit retry loop, so
-    * two racing deliveries of the SAME epoch also collapse to one
-    * commit. Returns the committed version, or -1 for a skipped
-    * redelivery. */
+    * commit list carries one `#txn:<writerId>:<maxEpoch>` header per
+    * writer, and a delivery with `epoch <= maxEpoch(writerId)` is a
+    * NO-OP before any data is written. Sound because Structured
+    * Streaming batchIds are strictly monotonic per query — exactly the
+    * contract Delta's idempotent writes (`txnAppId`/`txnVersion`) rely
+    * on; the check is one read of the LATEST commit list (headers carry
+    * forward through append/overwrite/optimize), so a long-running
+    * stream pays O(1) per epoch, not O(versions × files). The txn check
+    * re-runs inside the optimistic-commit retry loop, so two racing
+    * deliveries of the SAME epoch also collapse to one commit. Returns
+    * the committed version, or -1 for a skipped redelivery. */
   def appendIdempotent(spark: SparkSession, root: String, df: DataFrame,
-                       writerId: String, epoch: Long): Long = {
+                       writerId: String, epoch: Long,
+                       partitionBy: Seq[String] = Nil): Long = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
-    val txn = s"#txn:$writerId:$epoch"
     def committed(): Boolean =
-      versions(root).exists(v => filesOf(root, v).contains(txn))
+      committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag)
+    val fresh = writeData(df, root, tag, partitionBy)
+    val txn = s"#txn:$writerId:$epoch"
     var done = -1L
     var skipped = false
     while (done < 0 && !skipped) {
@@ -173,7 +308,10 @@ object VersionedTable {
       else {
         val vs = versions(root)
         val v = if (vs.isEmpty) 0L else vs.last + 1
-        val base = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last)
+        // replace this writer's header with the new max epoch; other
+        // writers' headers and all data files carry forward untouched
+        val base = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
+          .filterNot(l => parseTxn(l).exists(_._1 == writerId))
         if (tryCommit(root, v, base ++ fresh :+ txn)) done = v
       }
     }
@@ -181,50 +319,136 @@ object VersionedTable {
     done
   }
 
-  /** OPTIMIZE — the Delta `OPTIMIZE ... ZORDER BY` shape on this
-    * table: rewrite the CURRENT snapshot's rows as `numFiles`
-    * Z-order-clustered files ([[graft.operators.Layout.zorder]], so
-    * footer stats prune on every clustered column) and commit them as
-    * a NEW version with IDENTICAL logical content. The previous
-    * snapshot's files stay on disk for time travel until a keep-N
-    * [[vacuum]]; `#txn` headers CARRY OVER into the new list, so a
-    * streaming sink's exactly-once guarantee survives an optimize run
-    * between its epochs. Returns the committed version. */
-  def optimize(spark: SparkSession, root: String, zorderCols: Seq[String],
-               numFiles: Int): Long = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val baseV = vs.last
-    val baseFiles = filesOf(root, baseV).toSet
-    val clustered = graft.operators.Layout.zorder(
-      read(spark, root, Some(baseV)), zorderCols, numFiles)
+  /** IDEMPOTENT OVERWRITE — the epoch-gated STATE CHECKPOINT commit: the
+    * new snapshot is exactly `df`'s files (plus carried headers), but a
+    * delivery with `epoch <= maxEpoch(writerId)` is a NO-OP, exactly as
+    * in [[appendIdempotent]]. This is what a streaming monitor's
+    * accumulated state (a sketch grid, a reservoir) needs under
+    * at-least-once `foreachBatch`: state(epoch N) already folds batch N
+    * in, so a redelivered batch N must NOT re-merge — the atomic commit
+    * carries the data and the epoch marker in one move, closing the
+    * crash window a separate marker file would leave. Returns the
+    * committed version, or -1 for a skipped redelivery. */
+  def overwriteIdempotent(spark: SparkSession, root: String, df: DataFrame,
+                          writerId: String, epoch: Long): Long = {
+    require(!writerId.contains(":") && !writerId.contains("\n"),
+      s"writerId must not contain ':' or newlines: $writerId")
+    def committed(): Boolean =
+      committedEpochs(root).get(writerId).exists(epoch <= _)
+    if (committed()) return -1L
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(clustered, root, tag)
+    val fresh = writeData(df, root, tag, Nil)
+    val txn = s"#txn:$writerId:$epoch"
     var done = -1L
-    while (done < 0) {
-      val cur = versions(root)
-      val latest = filesOf(root, cur.last)
-      // conflict rule: the rewrite replaces exactly the BASE snapshot's
-      // files — anything a concurrent append landed since rides along
-      // untouched, as do the txn headers
-      val since = latest.filterNot(f => baseFiles.contains(f) || f.startsWith("#"))
-      val txns = latest.filter(_.startsWith("#"))
-      if (tryCommit(root, cur.last + 1, fresh ++ since ++ txns)) done = cur.last + 1
+    var skipped = false
+    while (done < 0 && !skipped) {
+      if (committed()) skipped = true
+      else {
+        val vs = versions(root)
+        val v = if (vs.isEmpty) 0L else vs.last + 1
+        val txns = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
+          .filter(isHeader).filterNot(l => parseTxn(l).exists(_._1 == writerId))
+        if (tryCommit(root, v, fresh ++ txns :+ txn)) done = v
+      }
     }
+    if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
     done
   }
 
+  /** CONFLICT-SAFE REWRITE commit: re-express the current snapshot's
+    * rows through `transform` (clustering, compaction) and commit them
+    * as a NEW version with IDENTICAL logical content. Conflict rules,
+    * per commit kind that may interleave between the base read and the
+    * commit:
+    *
+    *   - concurrent APPEND: its files are not in the base snapshot and
+    *     ride along untouched into the rewrite commit (Delta's
+    *     RewriteFiles ∥ AddFile resolution);
+    *   - concurrent OVERWRITE / dynamic partition overwrite / other
+    *     rewrite — detected as the base snapshot's files NO LONGER all
+    *     present in the latest snapshot: committing our rewrite would
+    *     RESURRECT the replaced rows (Delta aborts this pair), so the
+    *     stale rewrite's files are deleted and the whole rewrite
+    *     RESTARTS from the new snapshot.
+    *
+    * `#txn` headers carry over, so a streaming sink's exactly-once
+    * guarantee survives a rewrite between its epochs. Returns the
+    * committed version. */
+  def rewrite(spark: SparkSession, root: String,
+              partitionBy: Seq[String] = Nil)
+             (transform: DataFrame => DataFrame): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      val baseV = vs.last
+      val baseData = filesOf(root, baseV).filterNot(isHeader).toSet
+      val out = transform(read(spark, root, Some(baseV)))
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val fresh = writeData(out, root, tag, partitionBy)
+      var stale = false
+      while (committed < 0 && !stale) {
+        val cur = versions(root)
+        val latest = filesOf(root, cur.last)
+        val latestData = latest.filterNot(isHeader).toSet
+        if (!baseData.subsetOf(latestData)) {
+          // an overwrite replaced (some of) the base: our rewrite is
+          // computed from rows that are no longer current — abandon it
+          fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+          stale = true
+        } else {
+          val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
+          val txns = latest.filter(isHeader)
+          if (tryCommit(root, cur.last + 1, fresh ++ since ++ txns))
+            committed = cur.last + 1
+        }
+      }
+    }
+    committed
+  }
+
+  /** OPTIMIZE — the Delta `OPTIMIZE ... ZORDER BY` shape on this
+    * table: rewrite the CURRENT snapshot's rows as `numFiles`
+    * Z-order-clustered files ([[graft.operators.Layout.zorder]], so
+    * footer stats prune on every clustered column) via the
+    * conflict-safe [[rewrite]] commit. The previous snapshot's files
+    * stay on disk for time travel until a keep-N [[vacuum]]. Preserves
+    * the snapshot's Hive partition layout. Returns the committed
+    * version. */
+  def optimize(spark: SparkSession, root: String, zorderCols: Seq[String],
+               numFiles: Int): Long =
+    rewrite(spark, root, partitionCols(root))(
+      graft.operators.Layout.zorder(_, zorderCols, numFiles))
+
   /** Delete data files no commit references (orphans of crashed writers,
-    * or files only old, since-dropped snapshots used — pass `keep` to
-    * retain the trailing N versions' files; default keeps them all). */
+    * or files only old snapshots used). Pass `keep` to RETIRE all but
+    * the trailing N versions: the retired versions' commit lists are
+    * tombstoned (`v<N>.retired`) BEFORE their files are deleted, so a
+    * later time travel to a retired version fails fast with "retired by
+    * vacuum" instead of dying mid-scan on a missing file. Default keeps
+    * every version (only orphans are reclaimed). Returns the deleted
+    * files' relative names. */
   def vacuum(root: String, keep: Option[Int] = None): Seq[String] = {
     val vs = versions(root)
     val kept = keep.fold(vs)(n => vs.takeRight(n))
-    val live = kept.flatMap(filesOf(root, _)).toSet
+    val retiring = vs.filterNot(kept.contains)
+    retiring.foreach { v =>
+      Files.move(commitsDir(root).resolve(s"v$v.list"),
+        commitsDir(root).resolve(s"v$v.retired"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val live = kept.flatMap(filesOf(root, _)).filterNot(isHeader).toSet
     val d = dataDir(root)
     if (!Files.isDirectory(d)) return Seq.empty
-    val all = listNames(d).filter(_.endsWith(".parquet"))
-    val doomed = all.filterNot(n => live.contains(s"data/$n"))
+    def walk(p: Path, rel: String): Seq[String] =
+      listNames(p).flatMap { n =>
+        val child = p.resolve(n)
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (Files.isDirectory(child)) walk(child, childRel)
+        else if (n.endsWith(".parquet")) Seq(childRel)
+        else Seq.empty
+      }
+    val doomed = walk(d, "").filterNot(n => live.contains(s"data/$n"))
     doomed.foreach(n => Files.deleteIfExists(d.resolve(n)))
     doomed.map(n => s"data/$n")
   }

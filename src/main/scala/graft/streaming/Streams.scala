@@ -409,13 +409,27 @@ object Streams {
     * and the persisted blobs survive restarts (re-read, re-merged).
     * This is what replaces "recompute percentile_approx over all
     * history each hour" at 100 TB: history is never rescanned, only
-    * blobs merge. */
+    * blobs merge.
+    *
+    * Exactly-once state: `foreachBatch` is at-least-once, so the merged
+    * blobs land through
+    * [[graft.sources.VersionedTable.overwriteIdempotent]] with the
+    * batchId as the writer's epoch — a re-delivered or restarted epoch
+    * is a NO-OP (the committed state already folds that batch in)
+    * instead of a double-merge. The commit writes NEW immutable files,
+    * so the read-state-then-overwrite-it hazard (and its
+    * localCheckpoint workaround) disappears; a keep-2 vacuum per epoch
+    * bounds state disk to two snapshots. The per-epoch quantile
+    * snapshot dynamically overwrites its own `epoch=` partition (the
+    * [[psiMonitorStream]] treatment), computed from the COMMITTED
+    * state so a redelivery republishes rather than double-counts. */
   def quantileMonitorStream(spark: SparkSession, schema: StructType,
                             srcDir: String, groupCol: String, valueCol: String,
                             outPath: String, k: Int = 4096,
                             quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Unit = {
     import graft.functions.KllQuantile._
     import org.apache.spark.sql.SaveMode
+    import graft.sources.VersionedTable
     val sketchDir = outPath + "/sketches"
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -423,16 +437,18 @@ object Streams {
       val batchSk = batch.groupBy(col(groupCol))
         .agg(kllAgg(col(valueCol), k).as("sk"))
       val merged =
-        (if (new java.io.File(sketchDir).exists())
-           spark.read.parquet(sketchDir).union(batchSk)
+        (if (VersionedTable.isVersioned(sketchDir))
+           VersionedTable.read(spark, sketchDir).union(batchSk)
          else batchSk)
           .groupBy(col(groupCol)).agg(kllMerge(col("sk"), k).as("sk"))
-          .localCheckpoint(true) // next line overwrites what we just read
-      merged.write.mode(SaveMode.Overwrite).parquet(sketchDir)
-      merged.select(
+      VersionedTable.overwriteIdempotent(spark, sketchDir, merged, "kll", epoch)
+      VersionedTable.read(spark, sketchDir).select(
           col(groupCol) +: lit(epoch).as("epoch") +: kllN(col("sk")).as("n") +:
             quantiles.map(p => kllQuantile(col("sk"), p).as(s"p${(p * 100).toInt}")): _*)
-        .write.mode(SaveMode.Append).parquet(outPath + "/quantiles")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(outPath + "/quantiles")
+      VersionedTable.vacuum(sketchDir, keep = Some(2))
       ()
     }.start()
     q.processAllAvailable()
@@ -452,12 +468,22 @@ object Streams {
     * StreamingSpec proves the multi-micro-batch grid equals the
     * whole-corpus batch grid bit-for-bit; the `st7_cms_stream` gate
     * hash-checks the same merge path against the DuckDB whole-stream
-    * replay. */
+    * replay.
+    *
+    * Exactly-once grid: the merged counters commit through
+    * [[graft.sources.VersionedTable.overwriteIdempotent]] with the
+    * batchId as the writer's epoch, so a re-delivered epoch (or a
+    * stream restart replaying it) is a NO-OP instead of double-counting
+    * every frequency; the hot-key report reads the COMMITTED grid for
+    * the same reason. The commit writes new immutable files (no
+    * read-then-overwrite hazard, no localCheckpoint) and a keep-2
+    * vacuum per epoch bounds state disk. */
   def cmsMonitorStream(spark: SparkSession, schema: StructType, srcDir: String,
                        keyCol: String, outPath: String, depth: Int = 4,
                        width: Int = 256, seed: String = "cms",
                        reportK: Int = 10): Unit = {
     import org.apache.spark.sql.SaveMode
+    import graft.sources.VersionedTable
     val gridDir = outPath + "/grid"
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -465,19 +491,19 @@ object Streams {
       val batchSk = graft.operators.Profile.countMinSketch(
         batch, keyCol, depth, width, seed)
       val merged =
-        (if (new java.io.File(gridDir).exists())
-           spark.read.parquet(gridDir).union(batchSk)
+        (if (VersionedTable.isVersioned(gridDir))
+           VersionedTable.read(spark, gridDir).union(batchSk)
          else batchSk)
           .groupBy(col("row"), col("bucket")).agg(sum("cnt").as("cnt"))
-          .localCheckpoint(true) // next line overwrites what we just read
-      merged.write.mode(SaveMode.Overwrite).parquet(gridDir)
+      VersionedTable.overwriteIdempotent(spark, gridDir, merged, "cms", epoch)
       // the epoch's heaviest single-row counters, a cheap hot-key alarm
-      merged.filter(col("row") === 0)
+      VersionedTable.read(spark, gridDir).filter(col("row") === 0)
         .orderBy(col("cnt").desc, col("bucket").asc).limit(reportK)
         .withColumn("epoch", lit(epoch))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch").parquet(outPath + "/hot")
+      VersionedTable.vacuum(gridDir, keep = Some(2))
       ()
     }.start()
     q.processAllAvailable()
@@ -498,27 +524,39 @@ object Streams {
     * merge-and-recut path against the whole-corpus replay). The
     * classic streaming-sampling primitive (weighted reservoir via
     * exponential clocks, Efraimidis-Spirakis), here with restartable
-    * file-backed state. */
+    * file-backed state.
+    *
+    * Exactly-once state: the re-cut reservoir commits through
+    * [[graft.sources.VersionedTable.overwriteIdempotent]] with the
+    * batchId as the writer's epoch, so a re-delivered epoch is a NO-OP
+    * — without it, a replayed batch unions identical candidate rows
+    * into the reservoir and duplicate (key, score) rows rank
+    * adjacently, letting one key occupy multiple slots and shrinking
+    * the sample below k distinct keys. (A key genuinely recurring in
+    * the SOURCE still contributes per occurrence — exactly the
+    * one-shot batch draw's semantics, which the bit-equality claim
+    * requires.) Keep-2 vacuum bounds state disk. */
   def reservoirStream(spark: SparkSession, schema: StructType, srcDir: String,
                       keyCol: String, weightCol: String, k: Int, seed: String,
                       outPath: String): Unit = {
     import org.apache.spark.sql.SaveMode
     import org.apache.spark.sql.expressions.Window
+    import graft.sources.VersionedTable
     val resDir = outPath + "/reservoir"
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
-    val q = in.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val cand = graft.operators.Sampling.weightedSampleWithoutReplacement(
         batch, col(keyCol), weightCol, k, seed)
       val merged =
-        (if (new java.io.File(resDir).exists())
-           spark.read.parquet(resDir).unionByName(cand)
+        (if (VersionedTable.isVersioned(resDir))
+           VersionedTable.read(spark, resDir).unionByName(cand)
          else cand)
           .withColumn("__rk", row_number().over(
             Window.orderBy(round(col("es_score"), 9), col(keyCol))))
           .filter(col("__rk") <= k).drop("__rk")
-          .localCheckpoint(true) // next line overwrites what we just read
-      merged.write.mode(SaveMode.Overwrite).parquet(resDir)
+      VersionedTable.overwriteIdempotent(spark, resDir, merged, "res", epoch)
+      VersionedTable.vacuum(resDir, keep = Some(2))
       ()
     }.start()
     q.processAllAvailable()

@@ -1845,6 +1845,14 @@ class ExtSpec extends SparkSpecBase {
       .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
     assert(mixed == 0)
     split.unpersist(); pairs.unpersist()
+    // a non-numeric id column fails LOUDLY (a silent null-cast would put
+    // every singleton in 'train' and skew the split invisibly)
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.leakProofSplit(
+        docs.withColumn("doc_id", concat(lit("doc-"), col("doc_id"))),
+        "doc_id", "text", Seq("0", "1"))
+    }
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("preference pairs: per-group argmax vs argmin with margin, singletons emit nothing") {

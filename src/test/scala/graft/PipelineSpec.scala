@@ -70,12 +70,75 @@ class PipelineSpec extends SparkSpecBase {
     assert(pruned.count() == plain.count() && plain.count() > 0)
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
       "manifest-pruned gold read must equal the plain filtered read")
-    // refresh after new files land: only the new files are footer-passed,
-    // and the refreshed manifest still covers the whole table
+    // manifest-on-commit: new files landing through the warehouse refresh
+    // the existing manifest as part of the commit — NO explicit refresh
     wh.append("gold_fact_sales", wh.read("gold_fact_sales").limit(0))
-    wh.refreshManifest("gold_fact_sales", Seq("billing_year", "customer_key"))
     val again = wh.prunedRead("gold_fact_sales", ranges)
     assert(again.count() == plain.count())
+  }
+
+  test("pipeline-written gold tables are versioned: time travel across an incremental merge") {
+    pipe // ordered: gold tables exist
+    val wh = Warehouse(spark, whRoot)
+    val vs0 = wh.versionsOf("gold_fact_orders")
+    assert(vs0.nonEmpty, "the medallion's own gold output must be a versioned table")
+    val before = wh.read("gold_fact_orders").count()
+    // a re-merge of everything commits a NEW version; the pinned old
+    // version stays byte-stable under it (snapshot isolation)
+    val pinned = wh.readAt("gold_fact_orders", vs0.last).count()
+    pipe.runGoldIncremental(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+    val vs1 = wh.versionsOf("gold_fact_orders")
+    assert(vs1.size > vs0.size, "the incremental merge must land as a commit")
+    assert(wh.readAt("gold_fact_orders", vs0.last).count() == pinned,
+      "time travel to the pre-merge snapshot")
+    assert(wh.read("gold_fact_orders").count() == before)
+  }
+
+  test("rewrite vs concurrent overwrite: the rewrite aborts and restarts instead of resurrecting rows") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vconf").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    def ids(d: org.apache.spark.sql.DataFrame) = d.select("id").collect().map(_.getLong(0)).toSet
+    VersionedTable.overwrite(spark, root, df(0, 100))
+    // deterministic interleave: the FIRST rewrite attempt's transform
+    // sneaks a full overwrite in before the rewrite can commit — exactly
+    // the window the conflict rule guards (Delta aborts RewriteFiles vs
+    // full replace; committing would resurrect the pre-overwrite rows)
+    var attempts = 0
+    val v = VersionedTable.rewrite(spark, root) { snap =>
+      attempts += 1
+      if (attempts == 1) VersionedTable.overwrite(spark, root, df(500, 520))
+      snap.repartition(2)
+    }
+    assert(attempts == 2, "the stale rewrite must restart from the new snapshot")
+    assert(ids(VersionedTable.read(spark, root)) == (500L until 520L).toSet,
+      "the final snapshot equals the overwrite and nothing else")
+    assert(v == VersionedTable.versions(root).last)
+    // and the restarted rewrite is content-preserving of the NEW snapshot
+    assert(VersionedTable.read(spark, root, Some(v)).count() == 20)
+  }
+
+  test("vacuum(keep) retires versions cleanly: fail-fast time travel, versions() reflects retirement") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vret").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    VersionedTable.overwrite(spark, root, df(0, 50))
+    VersionedTable.overwrite(spark, root, df(50, 120))
+    VersionedTable.append(spark, root, df(120, 130))
+    assert(VersionedTable.versions(root) == Seq(0L, 1L, 2L))
+    VersionedTable.vacuum(root, keep = Some(1))
+    assert(VersionedTable.versions(root) == Seq(2L),
+      "retired versions must leave the committed-version list")
+    assert(VersionedTable.retiredVersions(root) == Seq(0L, 1L))
+    val e = intercept[IllegalStateException] {
+      VersionedTable.read(spark, root, Some(0L))
+    }
+    assert(e.getMessage.contains("retired by vacuum"),
+      s"retired time travel must fail fast with a clean error, got: ${e.getMessage}")
+    // the kept snapshot is complete and scannable (no mid-scan surprises)
+    assert(VersionedTable.read(spark, root).count() == 80)
   }
 
   test("versioned table: time travel, snapshot isolation, crash orphans, racing appends, vacuum") {
@@ -194,9 +257,13 @@ class PipelineSpec extends SparkSpecBase {
     val after = wh.read("silver_lineitem").orderBy("l_orderkey", "l_linenumber",
       "l_partkey", "l_suppkey").collect().toSeq
     assert(after == before)
-    val files = new java.io.File(s"$whRoot/silver_lineitem")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(files == 1) // 6k rows -> volume policy says one file
+    // versioned compaction: the SNAPSHOT collapses to the volume-policy
+    // count (6k rows -> one file); pre-compaction files stay on disk for
+    // time travel until vacuum
+    assert(wh.read("silver_lineitem").inputFiles.length == 1)
+    val preCompact = wh.versionsOf("silver_lineitem").dropRight(1).last
+    assert(wh.readAt("silver_lineitem", preCompact).count() == before.size,
+      "the pre-compaction snapshot stays time-travelable")
   }
 
   test("a broken source table logs failed and the run continues") {
@@ -368,7 +435,7 @@ class PipelineSpec extends SparkSpecBase {
     wh.write("f", Seq((1, 2020, "a", 1), (2, 2021, "b", 1), (3, 2022, "c", 1),
       (4, 2021, "d", 1)).toDF("id", "y", "v", "ver"), partitionBy = Seq("y"))
     def dirState(y: Int): Seq[(String, Long, Long)] =
-      Option(new java.io.File(s"$root/f/y=$y").listFiles()).map(_.toSeq).getOrElse(Nil)
+      Option(new java.io.File(s"$root/f/data/y=$y").listFiles()).map(_.toSeq).getOrElse(Nil)
         .filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1)
     val before2020 = dirState(2020)
@@ -474,12 +541,12 @@ class PipelineSpec extends SparkSpecBase {
     assert(wh.partitionColsOf("gold_f") == Seq("y"))
     val before = wh.read("gold_f").orderBy("id").collect().toSeq
     wh.compact("gold_f")
-    assert(new java.io.File(s"$root/gold_f/y=2020").isDirectory,
+    assert(new java.io.File(s"$root/gold_f/data/y=2020").isDirectory,
       "compaction must keep the year directories")
     assert(wh.read("gold_f").orderBy("id").collect().toSeq == before)
     val p = new Pipeline(wh, src, "exec-pk", fixedClock)
     p.copyToWarehouse()
-    assert(new java.io.File(s"$root/dw_gold_f/y=2021").isDirectory,
+    assert(new java.io.File(s"$root/dw_gold_f/data/y=2021").isDirectory,
       "warehouse copies must keep the year directories")
     assert(wh.read("dw_gold_f").orderBy("id").collect().toSeq == before)
   }

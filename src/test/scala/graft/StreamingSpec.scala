@@ -395,7 +395,7 @@ class StreamingSpec extends SparkSpecBase {
       .select(col("event_type"), kllN(col("sk")).as("n"),
         kllQuantile(col("sk"), 0.5).as("p50"), kllQuantile(col("sk"), 0.99).as("p99"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    val evolved = snap(spark.read.parquet(s"$outPath/sketches"))
+    val evolved = snap(graft.sources.VersionedTable.read(spark, s"$outPath/sketches"))
     val oneShot = snap(ev.groupBy("event_type").agg(kllAgg(col("value"), 65535).as("sk")))
     assert(evolved == oneShot, s"evolved blobs must equal the one-shot sketch:\n$evolved\n$oneShot")
     // one quantile snapshot per (epoch, group); counts grow monotonically
@@ -422,7 +422,7 @@ class StreamingSpec extends SparkSpecBase {
       depth = 4, width = 64, seed = "s7")
     // the evolved grid answers exactly what one pass over all history
     // answers — counters merged by sums, history never rescanned
-    val evolved = spark.read.parquet(s"$outPath/grid")
+    val evolved = graft.sources.VersionedTable.read(spark, s"$outPath/grid")
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val whole = Profile.countMinSketch(ev, "k", depth = 4, width = 64,
         seed = "s7")
@@ -447,7 +447,7 @@ class StreamingSpec extends SparkSpecBase {
       .write.mode("append").parquet(srcDir)
     Streams.reservoirStream(spark, ev.schema, srcDir, "event_id", "value",
       k = 40, seed = "rs8", outPath)
-    val streamed = spark.read.parquet(s"$outPath/reservoir")
+    val streamed = graft.sources.VersionedTable.read(spark, s"$outPath/reservoir")
       .select("event_id").collect().map(_.getLong(0)).toSet
     val oneShot = Sampling.weightedSampleWithoutReplacement(
         ev, col("event_id"), "value", k = 40, seed = "rs8")
