@@ -109,8 +109,9 @@ final case class Warehouse(spark: SparkSession, root: String,
   /** Reclaim unreferenced data files; `keep = Some(n)` retires all but
     * the trailing n versions (their commit lists are tombstoned — time
     * travel to them fails fast). */
-  def vacuum(name: String, keep: Option[Int] = None): Seq[String] =
-    VersionedTable.vacuum(path(name), keep)
+  def vacuum(name: String, keep: Option[Int] = None,
+             minAgeMs: Long = 0L): Seq[String] =
+    VersionedTable.vacuum(path(name), keep, minAgeMs)
 
   /** S11 — MERGE upsert by business key, incoming side winning under
     * `versionCols`. Delta mode: native `MERGE INTO` (rewrites only matched

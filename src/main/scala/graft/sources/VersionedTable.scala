@@ -426,16 +426,31 @@ object VersionedTable {
     * tombstoned (`v<N>.retired`) BEFORE their files are deleted, so a
     * later time travel to a retired version fails fast with "retired by
     * vacuum" instead of dying mid-scan on a missing file. Default keeps
-    * every version (only orphans are reclaimed). Returns the deleted
-    * files' relative names. */
-  def vacuum(root: String, keep: Option[Int] = None): Seq[String] = {
+    * every version (only orphans are reclaimed).
+    *
+    * `minAgeMs` is the RETENTION WINDOW (the Delta VACUUM shape): an
+    * unreferenced file younger than it is spared, because "unreferenced"
+    * and "in flight" look identical on disk — a concurrent writer stages
+    * data files BEFORE its commit publishes them, and an age-0 vacuum
+    * racing that writer would delete files its commit is about to
+    * reference. Any maintenance job that can overlap a live writer
+    * (the streaming-soak shape: sink ∥ optimize ∥ vacuum) must pass a
+    * window comfortably above a write+commit latency; 0 is only for
+    * quiesced tables (the default keeps sequential callers' semantics:
+    * crash orphans reclaim immediately). Returns the deleted files'
+    * relative names. */
+  def vacuum(root: String, keep: Option[Int] = None,
+             minAgeMs: Long = 0L): Seq[String] = {
     val vs = versions(root)
     val kept = keep.fold(vs)(n => vs.takeRight(n))
     val retiring = vs.filterNot(kept.contains)
     retiring.foreach { v =>
-      Files.move(commitsDir(root).resolve(s"v$v.list"),
+      try Files.move(commitsDir(root).resolve(s"v$v.list"),
         commitsDir(root).resolve(s"v$v.retired"),
         StandardCopyOption.ATOMIC_MOVE)
+      catch { // a racing vacuum already retired it — idempotent
+        case _: java.nio.file.NoSuchFileException => ()
+      }
     }
     val live = kept.flatMap(filesOf(root, _)).filterNot(isHeader).toSet
     val d = dataDir(root)
@@ -448,7 +463,16 @@ object VersionedTable {
         else if (n.endsWith(".parquet")) Seq(childRel)
         else Seq.empty
       }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(n: String): Boolean =
+      minAgeMs <= 0L || {
+        try Files.getLastModifiedTime(d.resolve(n)).toMillis <= cutoff
+        catch { // vanished mid-walk (racing vacuum/writer): not ours
+          case _: java.io.IOException => false
+        }
+      }
     val doomed = walk(d, "").filterNot(n => live.contains(s"data/$n"))
+      .filter(oldEnough)
     doomed.foreach(n => Files.deleteIfExists(d.resolve(n)))
     doomed.map(n => s"data/$n")
   }

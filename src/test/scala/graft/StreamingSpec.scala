@@ -494,6 +494,69 @@ class StreamingSpec extends SparkSpecBase {
     assert(new java.io.File(s"$root/data").listFiles().length == before)
   }
 
+  test("soak: versioned sink under CONCURRENT optimize + vacuum — rows exactly once, replay no-ops, retention spares in-flight files") {
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_vsoak").toString
+    val srcDir = s"$base/src"
+    val root = s"$base/table"
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+    val nEpochs = 12
+    (0 until nEpochs).foreach { i =>
+      ev.filter(col("event_id") % nEpochs === i).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    }
+    // maintenance loop racing the live sink: OPTIMIZE commits clustered
+    // rewrites between the sink's epochs, and vacuum runs with a WIDE
+    // retention window — an age-0 vacuum here could delete files the
+    // racing append has staged but not yet committed (on disk,
+    // "in flight" and "orphan" are indistinguishable; the retention
+    // window is how Delta's VACUUM stays safe under live writers)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val optimized = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maint = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          if (VersionedTable.isVersioned(root)) {
+            VersionedTable.optimize(spark, root, Seq("event_id", "value"), 2)
+            optimized.incrementAndGet()
+            VersionedTable.vacuum(root, keep = Some(4), minAgeMs = 600000L)
+          }
+          Thread.sleep(20)
+        }
+      } catch { case t: Throwable => maintErr.set(t) }
+    })
+    maint.start()
+    try Streams.versionedSinkStream(spark, ev.schema, srcDir, root, "w1")
+    finally { stop.set(true); maint.join() }
+    assert(maintErr.get() == null,
+      s"maintenance must survive racing the sink: ${maintErr.get()}")
+    assert(optimized.get() >= 1, "at least one optimize interleaved the epochs")
+    // exactly once despite the rewrites: the table's row MULTISET equals
+    // the source's (an optimize that raced an append and resurrected or
+    // dropped rows would break either direction)
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == ev.count())
+    assert(got.exceptAll(ev).isEmpty && ev.exceptAll(got).isEmpty,
+      "post-soak table must equal the source row-for-row")
+    // the retention window spared every in-flight file: nothing the soak
+    // vacuums deleted is referenced by the surviving snapshot (implied by
+    // the multiset check) AND replaying the whole stream no-ops — the
+    // writer's txn header survived every rewrite and retirement
+    val vs = VersionedTable.versions(root)
+    Streams.versionedSinkStream(spark, ev.schema, srcDir, root, "w1")
+    assert(VersionedTable.versions(root) == vs, "replayed epochs must all no-op")
+    assert(VersionedTable.read(spark, root).count() == ev.count())
+    // quiesced: an age-0 keep-1 vacuum reclaims the soak's history;
+    // the survivor still reads clean and retired versions fail fast
+    VersionedTable.vacuum(root, keep = Some(1))
+    assert(VersionedTable.read(spark, root).count() == ev.count())
+    val e = intercept[IllegalStateException] {
+      VersionedTable.read(spark, root, Some(vs.head))
+    }
+    assert(e.getMessage.contains("retired by vacuum"))
+  }
+
   test("streaming psi monitor: per-batch scores equal their batch twins, drift alarms") {
     import graft.operators.Profile
     val base = java.nio.file.Files.createTempDirectory("graft_psistream").toString
