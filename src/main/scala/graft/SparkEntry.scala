@@ -183,6 +183,36 @@ object SparkEntry {
           lit(graft.sources.VersionedTable.versions(root).size.toLong))
     }),
 
+    // bounded DELETE WHERE: a range-clustered versioned lineitem loses
+    // exactly the (orderkey × returnflag) box — footer stats prove most
+    // files cannot match, so they carry untouched and only the rest rewrite
+    // with the anti-filter. The hash checks BOTH the surviving content
+    // (vs the oracle's NOT-box filter) and, via the `bounded` column,
+    // that the delete really carried files instead of rewriting the
+    // table; the old snapshot stays time-travelable (PipelineSpec).
+    "s24_delete_where" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      import SkippingIndex.{ColRange, StrRange}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s24_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      VersionedTable.overwrite(s, root,
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val (_, rewritten, carried) = VersionedTable.deleteWhere(s, root,
+        Seq(ColRange("l_orderkey", 1000, 2000)),
+        Seq(StrRange("l_returnflag", "R", "R")))
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+        .orderBy("l_returnflag")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -679,6 +709,25 @@ object SparkEntry {
           Window.orderBy(round(col("es_score"), 9), col("doc_id"))))
         .filter(col("__rk") <= 25)
         .select(col("doc_id"), round(col("es_score"), 6).as("es_score"))
+    }),
+
+    // batch twin of the streaming CDC upsert sink: three change slices
+    // folded through the incoming-wins MERGE (slice 2 beats slice 1
+    // beats slice 0 per key; within a slice the highest event_id wins).
+    // The oracle replays the SAME last-writer-wins order as one window
+    // over the whole history — a green hash proves iterated MERGE
+    // converges to the one-shot state, out-of-order versions included;
+    // StreamingSpec proves the foreachBatch stream equals this fold
+    // bit-for-bit and that a replayed stream no-ops
+    "st9_cdc_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.streaming.Streams.cdcUpsertBatch(
+        Seq(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+            ev.filter(pmod(col("event_id"), lit(3)) === 1),
+            ev.filter(pmod(col("event_id"), lit(3)) === 2)),
+        Seq("user_id"), Seq(col("event_id").desc))
+        .orderBy("user_id")
     }),
 
     // approximate distinct (HLL++) — scale substitute for exact COUNT
@@ -1479,6 +1528,7 @@ object SparkEntry {
     "q1_pricing_summary"      -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
     "s17_pruned_scan"         -> Seq("sum_qty"),
     "s20_partitioned_prune"   -> Seq("sum_qty"),
+    "s24_delete_where"        -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -1571,6 +1621,18 @@ object SparkEntry {
     "s23_optimize_zorder" ->
       """SELECT doc_id, CAST(3 AS BIGINT) AS n_commits FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // surviving rows = NOT coalesce(box, false) — SQL DELETE semantics
+    // (a NULL comparison is not a match); `bounded` hashes the
+    // bounded-write claim itself
+    "s24_delete_where" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM lineitem
+        |WHERE NOT COALESCE(l_orderkey BETWEEN 1000 AND 2000
+        |                   AND l_returnflag = 'R', FALSE)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->
@@ -2273,6 +2335,17 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY round(score, 9), doc_id) AS rk FROM s)
         |SELECT doc_id, round(score, 6) AS es_score
         |FROM r WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
+
+    // last-writer-wins replay: slice rank (event_id % 3) is the arrival
+    // order, event_id the within-slice version — one window expresses
+    // the whole fold
+    "st9_cdc_upsert" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY event_id % 3 DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

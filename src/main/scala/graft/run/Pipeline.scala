@@ -113,6 +113,28 @@ final case class Warehouse(spark: SparkSession, root: String,
              minAgeMs: Long = 0L): Seq[String] =
     VersionedTable.vacuum(path(name), keep, minAgeMs)
 
+  /** Bounded DELETE WHERE (range-box predicate) on a versioned table:
+    * files whose stats exclude the box carry untouched, only
+    * possibly-matching files rewrite — see
+    * [[graft.sources.VersionedTable.deleteWhere]]. Reuses the table's
+    * persisted `__manifest` when present (no footer re-pass) and
+    * refreshes it after the commit. Returns (version, rewrittenFiles,
+    * carriedFiles). */
+  def deleteWhere(name: String,
+                  ranges: Seq[graft.sources.SkippingIndex.ColRange],
+                  strRanges: Seq[graft.sources.SkippingIndex.StrRange] = Nil)
+      : (Long, Int, Int) = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val cached =
+      if (new java.io.File(mPath).exists())
+        Some(SkippingIndex.readManifest(spark, mPath))
+      else None
+    val r = VersionedTable.deleteWhere(spark, path(name), ranges, strRanges, cached)
+    refreshManifestIfPresent(name)
+    r
+  }
+
   /** S11 — MERGE upsert by business key, incoming side winning under
     * `versionCols`. Delta mode: native `MERGE INTO` (rewrites only matched
     * files; the incoming batch is pre-deduped per key because SQL MERGE

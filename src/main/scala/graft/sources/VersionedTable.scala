@@ -420,6 +420,87 @@ object VersionedTable {
     rewrite(spark, root, partitionCols(root))(
       graft.operators.Layout.zorder(_, zorderCols, numFiles))
 
+  /** DELETE WHERE as a BOUNDED rewrite commit — the Delta/Iceberg
+    * row-delete shape. The predicate is a conjunction of INCLUSIVE range
+    * boxes (numeric + string), exactly the form footer/partition stats
+    * can decide per file: a file whose bounds exclude the box provably
+    * holds no matching row and CARRIES into the new snapshot untouched —
+    * never re-read, never re-written — while only possibly-matching
+    * files are rewritten with the anti-filter (`NOT coalesce(pred,
+    * false)`: a NULL comparison is not a match, SQL DELETE semantics).
+    * At 100 TB this is the difference between a bounded redaction /
+    * retention job touching the files that contain the data and a
+    * full-table rewrite per pass. Stats come from `cached` when given
+    * (a persisted manifest, refreshed against the base snapshot so new
+    * files footer-pass once); else one footer pass over the snapshot.
+    * A manifest that does not index a predicate column never prunes on
+    * it — conservative: correct, just less bounded.
+    *
+    * Conflict rules are [[rewrite]]'s: a concurrent append's files ride
+    * along UNFILTERED (the delete-then-append serialization — Delta's
+    * WriteSerializable outcome for DELETE ∥ blind append); a concurrent
+    * overwrite aborts the stale delete and RESTARTS it from the new
+    * snapshot. Old snapshots stay time-travelable until [[vacuum]].
+    * Returns (committedVersion, rewrittenFiles, carriedFiles); a box no
+    * file can match commits nothing and returns the current version
+    * with rewrittenFiles = 0. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  ranges: Seq[SkippingIndex.ColRange],
+                  strRanges: Seq[SkippingIndex.StrRange] = Nil,
+                  cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(ranges.nonEmpty || strRanges.nonEmpty,
+      "deleteWhere needs at least one range (an empty box deletes nothing)")
+    val pcols = partitionCols(root)
+    var out: Option[(Long, Int, Int)] = None
+    while (out.isEmpty) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      val baseV = vs.last
+      val base = filesOf(root, baseV)
+      val baseData = base.filterNot(isHeader)
+      val files = baseData.map(rel => (s"$root/$rel", rel))
+      val m = cached
+        .map(SkippingIndex.refreshManifestFor(spark, files, _))
+        .getOrElse(SkippingIndex.manifestFor(spark, files,
+          (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
+      val touchSet = m.survivors(ranges, strRanges).toSet
+      val (touch, carry) = baseData.partition(touchSet.contains)
+      if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
+      else {
+        val pred = (ranges.map(r =>
+            col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)) ++
+          strRanges.map(r =>
+            col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)))
+          .reduce(_ && _)
+        val survivorRows = spark.read.option("basePath", s"$root/data")
+          .parquet(touch.map(f => s"$root/$f"): _*)
+          .filter(not(coalesce(pred, lit(false))))
+        val tag = java.util.UUID.randomUUID().toString.take(12)
+        val fresh = writeData(survivorRows, root, tag, pcols)
+        var stale = false
+        while (out.isEmpty && !stale) {
+          val cur = versions(root)
+          val latest = filesOf(root, cur.last)
+          val latestData = latest.filterNot(isHeader).toSet
+          if (!baseData.toSet.subsetOf(latestData)) {
+            // an overwrite/rewrite replaced (some of) the base — the
+            // anti-filtered rows were computed from a stale snapshot
+            fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+            stale = true
+          } else {
+            val since = latest.filterNot(f =>
+              baseData.contains(f) || isHeader(f))
+            val txns = latest.filter(isHeader)
+            if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns))
+              out = Some((cur.last + 1, touch.size, carry.size))
+          }
+        }
+      }
+    }
+    out.get
+  }
+
   /** Delete data files no commit references (orphans of crashed writers,
     * or files only old snapshots used). Pass `keep` to RETIRE all but
     * the trailing N versions: the retired versions' commit lists are

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, StructType}
@@ -588,6 +588,59 @@ object Streams {
     }.start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Streaming CDC UPSERT sink — MERGE as a stream: every micro-batch's
+    * change rows upsert into a versioned current-state table by business
+    * key with LAST-WRITER-WINS semantics (the incoming batch beats the
+    * standing state; within a batch the highest `versionCols` row wins —
+    * exactly the reference's S11 "incoming side winning" merge, applied
+    * per epoch). The merged state lands through
+    * [[graft.sources.VersionedTable.overwriteIdempotent]] with the
+    * batchId as the writer's epoch, so at-least-once `foreachBatch`
+    * delivery stays exactly-once: a re-delivered epoch (whose merge is
+    * already folded into the committed state) is a NO-OP, and a stream
+    * restart replays the whole source without double-applying a single
+    * change. Version N = the state after epoch N, time-travelable until
+    * a keep-N [[graft.sources.VersionedTable.vacuum]].
+    *
+    * Scale shape: each epoch rewrites the STATE table (the streaming-
+    * MERGE trade — Delta rewrites matched files too); the state this
+    * pattern maintains is a keyed current-state table (a dimension, a
+    * session registry), orders smaller than the event history feeding
+    * it. The merge itself is one union + one per-key window. The
+    * `st9_cdc_upsert` gate hash-checks the batch twin's fold against
+    * the whole-history SQL window; StreamingSpec proves the stream
+    * equals the fold bit-for-bit and that a full replay no-ops. */
+  def cdcUpsertStream(spark: SparkSession, schema: StructType, srcDir: String,
+                      tableRoot: String, keys: Seq[String],
+                      versionCols: Seq[Column], writerId: String): Unit = {
+    import graft.sources.VersionedTable
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val merged =
+        if (VersionedTable.isVersioned(tableRoot))
+          graft.operators.Dedup.mergeUpsert(
+            VersionedTable.read(spark, tableRoot), batch, keys, versionCols)
+        else graft.operators.Dedup.keepLatest(batch, keys, versionCols)
+      VersionedTable.overwriteIdempotent(spark, tableRoot, merged, writerId, epoch)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Batch twin of [[cdcUpsertStream]]: fold the change slices through
+    * the same merge, in the same order. The st9 gate hash-checks this
+    * fold against the one-shot whole-history window — the associativity
+    * proof that iterated MERGE converges to the same state. */
+  def cdcUpsertBatch(slices: Seq[DataFrame], keys: Seq[String],
+                     versionCols: Seq[Column]): DataFrame = {
+    require(slices.nonEmpty, "cdcUpsertBatch needs at least one slice")
+    slices.tail.foldLeft(
+      graft.operators.Dedup.keepLatest(slices.head, keys, versionCols))(
+      (state, b) => graft.operators.Dedup.mergeUpsert(state, b, keys, versionCols))
   }
 
   /** Per-micro-batch distribution-drift monitor — the streaming face of

@@ -141,6 +141,55 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).count() == 80)
   }
 
+  test("deleteWhere is a bounded rewrite: non-matching files carry byte-identical, content equals the anti-filter, old snapshot travels") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import SkippingIndex.ColRange
+    val root = java.nio.file.Files.createTempDirectory("graft_vdel").toString
+    // 8 near-disjoint id ranges, one file each, via a range-clustered write
+    val df = (0 until 8000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    VersionedTable.overwrite(spark, root, df)
+    val v0Files = VersionedTable.dataFiles(root)
+    def diskState(rel: String) = {
+      val f = new java.io.File(s"$root/$rel")
+      (f.lastModified(), f.length())
+    }
+    val before = v0Files.map(f => f -> diskState(f)).toMap
+    val (v1, rewritten, carried) = VersionedTable.deleteWhere(spark, root,
+      Seq(ColRange("id", 2000, 2999)))
+    assert(rewritten >= 1 && carried >= 6,
+      s"the delete must be bounded: rewritten=$rewritten carried=$carried")
+    val v1Files = VersionedTable.dataFiles(root)
+    // every carried file is THE SAME file: same committed name, untouched bytes
+    val carriedRel = v0Files.toSet.intersect(v1Files.toSet)
+    assert(carriedRel.size == carried)
+    carriedRel.foreach(f => assert(diskState(f) == before(f),
+      s"carried file $f must not be rewritten"))
+    // surviving content equals the anti-filter exactly
+    val got = VersionedTable.read(spark, root)
+    val want = df.filter(!(col("id") >= 2000 && col("id") <= 2999))
+    assert(got.count() == 7000)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the pre-delete snapshot still serves the deleted rows
+    assert(VersionedTable.read(spark, root, Some(v1 - 1)).count() == 8000)
+    // a box no file can match is a free no-op: no commit, nothing rewritten
+    val (v2, r2, _) = VersionedTable.deleteWhere(spark, root,
+      Seq(ColRange("id", 1000000, 2000000)))
+    assert(v2 == v1 && r2 == 0 && VersionedTable.versions(root).last == v1)
+    // warehouse wrapper: persisted-manifest path + refresh after commit
+    val whRoot2 = java.nio.file.Files.createTempDirectory("graft_vdelwh").toString
+    val wh2 = Warehouse(spark, whRoot2)
+    wh2.write("t", df) // volume policy: 8k rows land in ONE file
+    wh2.clusterBy("t", Seq("id")) // 4 range-clustered files so carry is possible
+    wh2.refreshManifest("t", Seq("id"))
+    val (_, rw, cw) = wh2.deleteWhere("t", Seq(ColRange("id", 0, 999)))
+    assert(rw >= 1 && cw >= 2, s"bounded at warehouse level: rw=$rw cw=$cw")
+    assert(wh2.read("t").count() == 7000)
+    // the refreshed manifest serves a pruned read over the new snapshot
+    assert(wh2.prunedRead("t", Seq(ColRange("id", 7000, 7999))).count() == 1000)
+  }
+
   test("versioned table: time travel, snapshot isolation, crash orphans, racing appends, vacuum") {
     import spark.implicits._
     import graft.sources.VersionedTable

@@ -494,6 +494,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(new java.io.File(s"$root/data").listFiles().length == before)
   }
 
+  test("cdc upsert stream: final state equals the batch fold, whole-stream replay no-ops, history time-travels") {
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val srcDir = s"$base/src"
+    val root = s"$base/state"
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val slices = Seq(
+      ev.filter(pmod(col("event_id"), lit(3)) === 0),
+      ev.filter(pmod(col("event_id"), lit(3)) === 1),
+      ev.filter(pmod(col("event_id"), lit(3)) === 2))
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+    val keys = Seq("user_id")
+    val ord = Seq(col("event_id").desc)
+    Streams.cdcUpsertStream(spark, ev.schema, srcDir, root, keys, ord, "cdc1")
+    val streamed = VersionedTable.read(spark, root)
+    val folded = Streams.cdcUpsertBatch(slices, keys, ord)
+    assert(streamed.count() == folded.count())
+    assert(streamed.exceptAll(folded).isEmpty && folded.exceptAll(streamed).isEmpty,
+      "streamed CDC state must equal the batch fold row-for-row")
+    // one state version per epoch, each a time-travelable checkpoint:
+    // version 0 = keep-latest of slice 0 alone
+    val vs = VersionedTable.versions(root)
+    assert(vs.size == 3)
+    val v0 = VersionedTable.read(spark, root, Some(vs.head))
+    val w0 = graft.operators.Dedup.keepLatest(slices.head, keys, ord)
+    assert(v0.exceptAll(w0).isEmpty && w0.exceptAll(v0).isEmpty)
+    // at-least-once: replaying the WHOLE stream (fresh query, batchIds
+    // restart at 0) re-merges nothing — every epoch is a detected
+    // redelivery of already-folded state
+    Streams.cdcUpsertStream(spark, ev.schema, srcDir, root, keys, ord, "cdc1")
+    assert(VersionedTable.versions(root) == vs, "replayed epochs must no-op")
+    assert(VersionedTable.read(spark, root).count() == folded.count())
+  }
+
   test("soak: versioned sink under CONCURRENT optimize + vacuum — rows exactly once, replay no-ops, retention spares in-flight files") {
     import graft.sources.VersionedTable
     val base = java.nio.file.Files.createTempDirectory("graft_vsoak").toString
