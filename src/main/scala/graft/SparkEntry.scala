@@ -213,6 +213,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // schema evolution in the commit log (Delta mergeSchema shape): the
+    // table starts (doc_id, text); an append ARRIVES WITH a new `lang`
+    // column, which evolves the committed schema — earlier files serve
+    // lang as NULL, and version 0 still time-travels under its own
+    // 2-column schema (hash-gated via v0_cols). A type flip on append
+    // fails loudly instead (PipelineSpec).
+    "s25_schema_evolution" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s25_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      VersionedTable.overwrite(s, root,
+        docs.filter(col("doc_id") < 400).select("doc_id", "text"))
+      VersionedTable.append(s, root,
+        docs.filter(col("doc_id") >= 400).select("doc_id", "text", "lang"))
+      VersionedTable.read(s, root).select("doc_id", "text", "lang")
+        .withColumn("v0_cols",
+          lit(VersionedTable.read(s, root, Some(0L)).columns.length.toLong))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1633,6 +1656,14 @@ object SparkEntry {
         |WHERE NOT COALESCE(l_orderkey BETWEEN 1000 AND 2000
         |                   AND l_returnflag = 'R', FALSE)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // pre-evolution rows serve the evolved column as NULL; version 0
+    // keeps its own 2-column schema
+    "s25_schema_evolution" ->
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id >= 400 THEN lang END AS lang,
+        |  CAST(2 AS BIGINT) AS v0_cols
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

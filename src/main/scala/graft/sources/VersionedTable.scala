@@ -97,6 +97,61 @@ object VersionedTable {
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
 
+  private val SchemaPrefix = "#schema:"
+  private def isSchema(line: String): Boolean = line.startsWith(SchemaPrefix)
+
+  /** The snapshot's committed schema — the Delta shape: schema is
+    * TABLE METADATA carried in the log, one `#schema:<json>` header per
+    * commit, so every version time-travels with the schema it was
+    * committed under and readers never re-infer from file footers.
+    * `None` for legacy pre-schema commits (readers fall back to parquet
+    * inference, exactly the old behavior). */
+  def schemaOf(root: String, version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
+    val vs = versions(root)
+    if (vs.isEmpty) None
+    else filesOf(root, version.getOrElse(vs.last)).find(isSchema)
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(
+        l.stripPrefix(SchemaPrefix)).asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** One-line header form (schema JSON has no newlines); top-level
+    * nullability is relaxed because appended files null-fill columns
+    * they predate. */
+  private def schemaHeader(s: org.apache.spark.sql.types.StructType): String =
+    SchemaPrefix + org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true))).json
+
+  /** Append-path SCHEMA EVOLUTION (Delta `mergeSchema`): a same-named
+    * column must keep its type — a type flip fails LOUDLY (silent
+    * coercion corrupts every earlier file's reads); batch-only columns
+    * APPEND to the table schema; table columns the batch lacks are
+    * null-filled by [[align]]. */
+  private[sources] def evolve(current: org.apache.spark.sql.types.StructType,
+                              batch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    current.foreach { f =>
+      batch.find(_.name == f.name).foreach { b =>
+        require(b.dataType == f.dataType,
+          s"schema evolution cannot change column `${f.name}` from " +
+            s"${f.dataType.simpleString} to ${b.dataType.simpleString}; " +
+            "cast the batch before appending")
+      }
+    }
+    org.apache.spark.sql.types.StructType(
+      current.fields ++ batch.fields.filterNot(b => current.fieldNames.contains(b.name)))
+  }
+
+  /** Project `df` onto `target` column-for-column, null-filling the
+    * columns it lacks (types from the table schema, so the written
+    * files stay read-compatible). */
+  private def align(df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(target.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** The snapshot's data files (header lines excluded), relative to root. */
   def dataFiles(root: String, version: Option[Long] = None): Seq[String] = {
     val vs = versions(root)
@@ -131,10 +186,22 @@ object VersionedTable {
             s"readable versions: $vs")
       else throw new IllegalArgumentException(s"version $v not in $vs")
     }
-    val files = filesOf(root, v).filterNot(isHeader)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", s"$root/data")
-      .parquet(files.map(f => s"$root/$f"): _*)
+    val lines = filesOf(root, v)
+    val files = lines.filterNot(isHeader)
+    // the committed schema (when present) drives the scan: columns a
+    // file predates come back null, every version reads under ITS
+    // schema, and no footer-inference pass runs at plan time
+    val sch = lines.find(isSchema).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    if (files.isEmpty)
+      sch.map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.emptyDataFrame)
+    else {
+      val rd = spark.read.option("basePath", s"$root/data")
+      sch.fold(rd)(rd.schema).parquet(files.map(f => s"$root/$f"): _*)
+    }
   }
 
   /** Write `df`'s rows as new immutable data files (Hive partition
@@ -204,14 +271,24 @@ object VersionedTable {
     * committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Long = {
+    val cur = schemaOf(root)
+    val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
+    val aligned = if (cur.isDefined) align(df, target) else df
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag, partitionBy)
+    val fresh = writeData(aligned, root, tag, partitionBy)
     var done = -1L
     while (done < 0) {
       val vs = versions(root)
       val v = if (vs.isEmpty) 0L else vs.last + 1
       val base = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last)
-      if (tryCommit(root, v, base ++ fresh)) done = v
+      // stamp the (re-evolved vs the LATEST head, in case a racing
+      // append evolved first) schema — except onto a legacy table with
+      // files but no header, whose reads must keep inferring
+      val stamp = vs.isEmpty || base.exists(isSchema)
+      val sch =
+        if (!stamp) Seq.empty
+        else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
+      if (tryCommit(root, v, base.filterNot(isSchema) ++ fresh ++ sch)) done = v
     }
     done
   }
@@ -229,8 +306,10 @@ object VersionedTable {
     while (done < 0) {
       val vs = versions(root)
       val v = if (vs.isEmpty) 0L else vs.last + 1
-      val txns = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last).filter(isHeader)
-      if (tryCommit(root, v, fresh ++ txns)) done = v
+      val txns = if (vs.isEmpty) Seq.empty
+                 else filesOf(root, vs.last).filter(l => isHeader(l) && !isSchema(l))
+      // a full replace REDEFINES the schema: stamp df's own
+      if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(df.schema))) done = v
     }
     done
   }
@@ -245,8 +324,11 @@ object VersionedTable {
   def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
                           partitionBy: Seq[String]): Long = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    val cur = schemaOf(root)
+    val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
+    val aligned = if (cur.isDefined) align(df, target) else df
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag, partitionBy)
+    val fresh = writeData(aligned, root, tag, partitionBy)
     def dirOf(rel: String): String = rel.split('/').dropRight(1).mkString("/")
     val touched = fresh.map(dirOf).toSet
     var done = -1L
@@ -255,7 +337,13 @@ object VersionedTable {
       val v = if (vs.isEmpty) 0L else vs.last + 1
       val base = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last)
       val kept = base.filterNot(f => !isHeader(f) && touched.contains(dirOf(f)))
-      if (tryCommit(root, v, kept ++ fresh)) done = v
+      // untouched directories keep OLD files, so the schema EVOLVES
+      // (append rules) rather than being redefined; legacy stays legacy
+      val stamp = vs.isEmpty || base.exists(isSchema)
+      val sch =
+        if (!stamp) Seq.empty
+        else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
+      if (tryCommit(root, v, kept.filterNot(isSchema) ++ fresh ++ sch)) done = v
     }
     done
   }
@@ -298,8 +386,11 @@ object VersionedTable {
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
+    val cur = schemaOf(root)
+    val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
+    val aligned = if (cur.isDefined) align(df, target) else df
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag, partitionBy)
+    val fresh = writeData(aligned, root, tag, partitionBy)
     val txn = s"#txn:$writerId:$epoch"
     var done = -1L
     var skipped = false
@@ -312,7 +403,11 @@ object VersionedTable {
         // writers' headers and all data files carry forward untouched
         val base = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
           .filterNot(l => parseTxn(l).exists(_._1 == writerId))
-        if (tryCommit(root, v, base ++ fresh :+ txn)) done = v
+        val stamp = vs.isEmpty || base.exists(isSchema)
+        val sch =
+          if (!stamp) Seq.empty
+          else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
+        if (tryCommit(root, v, base.filterNot(isSchema) ++ fresh ++ sch :+ txn)) done = v
       }
     }
     if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
@@ -347,8 +442,11 @@ object VersionedTable {
         val vs = versions(root)
         val v = if (vs.isEmpty) 0L else vs.last + 1
         val txns = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
-          .filter(isHeader).filterNot(l => parseTxn(l).exists(_._1 == writerId))
-        if (tryCommit(root, v, fresh ++ txns :+ txn)) done = v
+          .filter(l => isHeader(l) && !isSchema(l))
+          .filterNot(l => parseTxn(l).exists(_._1 == writerId))
+        // a full state replace redefines the schema: stamp df's own
+        if (tryCommit(root, v,
+            fresh ++ txns :+ schemaHeader(df.schema) :+ txn)) done = v
       }
     }
     if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
@@ -473,7 +571,11 @@ object VersionedTable {
           strRanges.map(r =>
             col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)))
           .reduce(_ && _)
-        val survivorRows = spark.read.option("basePath", s"$root/data")
+        // touched files scan under the COMMITTED schema (when present):
+        // a file predating an evolved column must rewrite with that
+        // column null-filled, exactly as [[read]] serves it
+        val rd = spark.read.option("basePath", s"$root/data")
+        val survivorRows = schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
           .parquet(touch.map(f => s"$root/$f"): _*)
           .filter(not(coalesce(pred, lit(false))))
         val tag = java.util.UUID.randomUUID().toString.take(12)

@@ -190,6 +190,48 @@ class PipelineSpec extends SparkSpecBase {
     assert(wh2.prunedRead("t", Seq(ColRange("id", 7000, 7999))).count() == 1000)
   }
 
+  test("schema evolution: append adds columns with null-fill, type flips fail loudly, versions keep their own schema") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vschema").toString
+    VersionedTable.overwrite(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(VersionedTable.schemaOf(root).get.fieldNames.toSeq == Seq("id", "v"))
+    // evolving append: new column arrives; old rows read it as null
+    VersionedTable.append(spark, root,
+      Seq((3L, "c", 10.5)).toDF("id", "v", "score"))
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "v", "score"))
+    assert(cur.filter(col("id") < 3 && col("score").isNull).count() == 2)
+    assert(cur.filter(col("id") === 3 && col("score") === 10.5).count() == 1)
+    // a batch MISSING a column null-fills it (align), nothing is lost
+    VersionedTable.append(spark, root, Seq((4L, "d")).toDF("id", "v"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 4 && col("score").isNull).count() == 1)
+    // every version time-travels under ITS schema
+    assert(VersionedTable.read(spark, root, Some(0L)).columns.toSeq == Seq("id", "v"))
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq == Seq("id", "v", "score"))
+    // a type flip is refused loudly — silent coercion would corrupt
+    // every earlier file's reads
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root, Seq(("5", "e")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("cannot change column"))
+    // overwrite REDEFINES the schema (a full replace is a new contract)
+    VersionedTable.overwrite(spark, root, Seq((9L, 1.0)).toDF("id", "w"))
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "w"))
+    // idempotent sink epochs evolve the same way and replay still no-ops
+    val root2 = java.nio.file.Files.createTempDirectory("graft_vschema2").toString
+    VersionedTable.appendIdempotent(spark, root2,
+      Seq((1L, "a")).toDF("id", "v"), "w", 0L)
+    VersionedTable.appendIdempotent(spark, root2,
+      Seq((2L, "b", true)).toDF("id", "v", "flag"), "w", 1L)
+    assert(VersionedTable.appendIdempotent(spark, root2,
+      Seq((2L, "b", true)).toDF("id", "v", "flag"), "w", 1L) == -1L)
+    val r2 = VersionedTable.read(spark, root2)
+    assert(r2.columns.toSeq == Seq("id", "v", "flag") && r2.count() == 2)
+  }
+
   test("versioned table: time travel, snapshot isolation, crash orphans, racing appends, vacuum") {
     import spark.implicits._
     import graft.sources.VersionedTable
