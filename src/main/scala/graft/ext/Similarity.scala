@@ -163,17 +163,55 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos_sim")
   }
 
-  /** Coarse k-means quantizer fit (MLlib, fixed seed) over a frame with a
-    * `features` vector column. Random init + few iterations: the quantizer
-    * only needs a roughly balanced partition of the space (recall comes
-    * from nprobe, bounded in ExtSpec), not converged centroids — k-means||
-    * init alone costs more passes than this entire fit. Shared by
-    * [[ivfTopK]] and the persisted [[VectorIndex]]. */
-  private[ext] def fitCoarseCentroids(feat: DataFrame, nlist: Int,
-                                      seed: Long): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
-      .setMaxIter(4).fit(feat).clusterCenters.map(_.toArray)
+  /** Coarse k-means quantizer fit — the engine's OWN deterministic Lloyd
+    * loop over a `(n_id, n_vec)` frame, no MLlib: init = the `nlist`
+    * corpus vectors with the smallest `(md5("seed:id"), id)` (order-free,
+    * partition-free, no engine RNG), then `rounds` assign-and-mean
+    * passes; an emptied cell keeps its previous centroid. Random-ish init
+    * + few iterations is deliberate: the quantizer only needs a roughly
+    * balanced partition of the space (recall comes from nprobe, bounded
+    * in ExtSpec), not converged centroids.
+    *
+    * Because every step is plain relational algebra on a seeded md5
+    * init, the whole fit REPLAYS IN SQL as `rounds` unrolled CTEs — the
+    * t36/t39 GD-loop treatment — which is what converts the IVF gate
+    * from rows-only to hash-checked. `deterministic = true` is the
+    * oracle opt-in (the pageRank/classifier pattern): per-(cell, dim)
+    * sums fold a SORTED collect_list so the IEEE order is engine- and
+    * partitioning-exact; the default plain-sum path is the 100 TB shape
+    * (per-round cost: one dim-exploded shuffle, ≤ nlist×dim aggregate
+    * rows, centroid state = nlist×dim driver doubles). Shared by
+    * [[ivfTopK]], [[semanticDedup]] and the persisted [[VectorIndex]]. */
+  private[ext] def fitCoarseCentroids(feat: DataFrame, nlist: Int, seed: Long,
+                                      deterministic: Boolean = false,
+                                      rounds: Int = 4): Array[Array[Double]] = {
+    val init = feat
+      .withColumn("__h", md5(concat_ws(":", lit(seed.toString), col("n_id").cast("string"))))
+      .orderBy(col("__h"), col("n_id")).limit(nlist)
+      .select("n_vec").collect().map(_.getSeq[Double](0).toArray)
+    require(init.nonEmpty, "fitCoarseCentroids needs a non-empty corpus")
+    var cents = init
+    for (_ <- 1 to rounds) {
+      val assigned = feat.withColumn("cell",
+        element_at(nearestCells(col("n_vec"), cents, 1), 1))
+      val dims = assigned.select(col("cell"), col("n_id"),
+        posexplode(col("n_vec")).as(Seq("pos", "x")))
+      val sumAgg =
+        if (deterministic)
+          aggregate(array_sort(collect_list(struct(col("n_id"), col("x").as("t")))),
+            lit(0.0), (a, s) => a + s.getField("t"))
+        else sum(col("x"))
+      val rows = dims.groupBy("cell", "pos")
+        .agg(sumAgg.as("s"), count(lit(1)).as("n"))
+        .collect() // bounded: <= nlist × dim rows of driver state
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      cents = next
+    }
+    cents
   }
 
   /** Squared euclidean distance to one broadcast-literal centroid. */
@@ -198,14 +236,11 @@ object Similarity {
     * [[VectorIndex]] is the persisted build-once/load/grow variant. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
+              seed: Long = 42L, deterministic: Boolean = false): DataFrame = {
     // derived from the shared cached corpus; persisted itself because
     // k-means is iterative (each iteration re-reads its input)
-    val feat = graft.util.Caches.cached(
-      corpusFrame(corpus, idCol, vecCol)
-        .withColumn("features", array_to_vector(col("n_vec"))))
-    val centroids = fitCoarseCentroids(feat, nlist, seed)
+    val feat = graft.util.Caches.cached(corpusFrame(corpus, idCol, vecCol))
+    val centroids = fitCoarseCentroids(feat, nlist, seed, deterministic)
     def cellsFor(vec: Column, n: Int): Column = nearestCells(vec, centroids, n)
 
     val c = feat.withColumn("cell", element_at(cellsFor(col("n_vec"), 1), 1))
@@ -488,28 +523,16 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int = 16,
                     seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = graft.util.Caches.cached(
-      corpusFrame(corpus, idCol, vecCol)
-        .withColumn("features", array_to_vector(col("n_vec"))))
+    val feat = graft.util.Caches.cached(corpusFrame(corpus, idCol, vecCol))
     val assigned =
       if (nlist <= 1) feat.withColumn("cell", lit(0))
       else {
-        // same rough-quantizer economics as ivfTopK: random init, few
+        // same rough-quantizer economics as ivfTopK: seeded init, few
         // iterations — the partition only has to be balanced, dedup
         // correctness within a cell never depends on centroid quality
-        val model = new KMeans().setK(nlist).setSeed(seed)
-          .setInitMode("random").setMaxIter(4).fit(feat)
-        val centroids = model.clusterCenters.map(_.toArray)
-        val dists = centroids.zipWithIndex.map { case (cArr, i) =>
-          val d = aggregate(
-            zip_with(col("n_vec"), typedlit(cArr.toSeq), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x)
-          struct(d.as("d"), lit(i).as("cell"))
-        }
+        val centroids = fitCoarseCentroids(feat, nlist, seed)
         feat.withColumn("cell",
-          element_at(array_sort(array(dists.toIndexedSeq: _*)), 1).getField("cell"))
+          element_at(nearestCells(col("n_vec"), centroids, 1), 1))
       }
     val cells = assigned.select(col("n_id"), col("n_vec"), col("n_norm"), col("cell"))
     val lower = cells.select(col("cell"), col("n_id").as("id_l"),

@@ -64,12 +64,10 @@ object VectorIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
             nlist: Int = 16, seed: Long = 42L,
             payload: Seq[String] = Nil): IvfIndex = {
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     deleteDir(spark, dir)
     val centroids = Similarity.fitCoarseCentroids(
-      Similarity.corpusFrame(corpus, idCol, vecCol)
-        .withColumn("features", array_to_vector(col("n_vec"))), nlist, seed)
+      Similarity.corpusFrame(corpus, idCol, vecCol), nlist, seed)
     import spark.implicits._
     centroids.zipWithIndex.toSeq
       .map { case (cent, i) => (i, cent.toSeq) }.toDF("cell", "centroid")

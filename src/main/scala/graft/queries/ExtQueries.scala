@@ -795,11 +795,15 @@ object ExtQueries {
       Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.5, nlist = 16)),
 
-    // IVF ANN (k-means coarse quantizer) — model-dependent, rows-only
+    // IVF ANN — the coarse quantizer is the engine's own seeded Lloyd
+    // loop (md5 init, 4 assign-and-mean rounds), so the WHOLE index
+    // build + probe replays in DuckDB as unrolled CTEs (the t36/t39
+    // GD-loop treatment) and the gate is hash-checked, not rows-only;
+    // deterministic = true is the oracle opt-in (sorted IEEE folds)
     "e4_knn_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-          "embedding", k = 5, nlist = 16, nprobe = 4)
+          "embedding", k = 5, nlist = 16, nprobe = 4, deterministic = true)
         .select("q_id", "n_id", "rnk")
     }),
 
@@ -1317,6 +1321,73 @@ object ExtQueries {
     * `bs_i`, and the next margins `z_{i+1}` (bucket-ordered fold) —
     * every IEEE op in the same order as the Spark trainer's
     * deterministic path, so the final scores hash-match at 6 dp. */
+  /** Full IVF replay for the e4 oracle: the seeded-md5 Lloyd init,
+    * `rounds` unrolled assign-and-mean CTEs (ordered `list_sum(list(x
+    * ORDER BY n_id))` folds = the Spark side's sorted-collect IEEE
+    * folds), final corpus assignment, nprobe cell probe, and exact
+    * cosine ranking inside the probed cells. Mirrors
+    * `Similarity.fitCoarseCentroids(deterministic = true)` +
+    * `ivfTopK` step for step. */
+  private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int, rounds: Int,
+                           seed: Long): String = {
+    // squared euclidean distance, same fold order as Similarity.sqDist
+    def sq(v: String, c: String) =
+      s"list_sum(list_transform(range(1, len($v) + 1), j -> ($v[j] - $c[j]) * ($v[j] - $c[j])))"
+    val base =
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(ROW_NUMBER() OVER (
+         |      ORDER BY md5('$seed:' || CAST(n_id AS VARCHAR)), n_id) - 1 AS INT) AS cell,
+         |    v AS c
+         |  FROM v
+         |  QUALIFY ROW_NUMBER() OVER (
+         |    ORDER BY md5('$seed:' || CAST(n_id AS VARCHAR)), n_id) <= $nlist)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT n_id, v, cell FROM (
+         |    SELECT v.n_id, v.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.n_id
+         |        ORDER BY ${sq("v.v", "c.c")}, c.cell) AS rn
+         |    FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cell, j AS pos,
+         |    list_sum(list(x ORDER BY n_id)) / CAST(count(*) AS DOUBLE) AS c
+         |  FROM (SELECT n_id, cell, unnest(v) AS x,
+         |          unnest(range(1, len(v) + 1)) AS j FROM a$i)
+         |  GROUP BY cell, j),
+         |c$i AS MATERIALIZED (
+         |  SELECT prev.cell, COALESCE(cur.c, prev.c) AS c
+         |  FROM c${i - 1} prev LEFT JOIN (
+         |    SELECT cell, list(c ORDER BY pos) AS c FROM m$i GROUP BY cell) cur
+         |  USING (cell))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val probe =
+      s""",
+         |af AS MATERIALIZED (
+         |  SELECT n_id, v, cell FROM (
+         |    SELECT v.n_id, v.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.n_id
+         |        ORDER BY ${sq("v.v", "c.c")}, c.cell) AS rn
+         |    FROM v CROSS JOIN c$rounds c) WHERE rn = 1),
+         |q AS (SELECT n_id AS q_id, v AS qv FROM v WHERE n_id < 10),
+         |qp AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${sq("q.qv", "c.c")}, c.cell) AS rn
+         |    FROM q CROSS JOIN c$rounds c) WHERE rn <= $nprobe),
+         |s AS (
+         |  SELECT qp.q_id, af.n_id, list_cosine_similarity(qp.qv, af.v) AS cs
+         |  FROM qp JOIN af USING (cell) WHERE af.n_id <> qp.q_id),
+         |r AS (SELECT q_id, n_id,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+         |      FROM s)
+         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= $k
+         |ORDER BY q_id, rnk""".stripMargin
+    base + rs + probe
+  }
+
   private def clfOracleSql(steps: Int, lr: String): String = {
     val base =
       """WITH c AS (
@@ -3426,6 +3497,12 @@ object ExtQueries {
     // per (vector, table), candidates = corpus vectors sharing ANY
     // (table, bucket) with the query, then exact cosine ranking within
     // candidates with the Spark side's (cos desc, n_id asc) tie-break
+    // e4: the whole IVF pipeline replayed — md5-seeded Lloyd quantizer
+    // (4 unrolled rounds), final assignment, 4-cell probe, exact
+    // in-cell cosine ranking
+    "e4_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, k = 5, rounds = 4,
+      seed = 42L),
+
     "e2_knn_lsh" -> {
       val lits = (0 until 8).flatMap { tb =>
         graft.ext.Similarity.hyperplanes(64, 6, 42L + tb).zipWithIndex.map {
