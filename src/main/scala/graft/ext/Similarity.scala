@@ -263,7 +263,8 @@ object Similarity {
 
   /** Product-quantization ANN (SIFT-style PQ with asymmetric distance and
     * exact re-rank): each vector splits into `m` subvectors; per subspace a
-    * small k-means codebook (`ksub` centroids, MLlib, fixed seed) encodes
+    * small k-means codebook (`ksub` centroids, the seeded Lloyd fit of
+    * [[fitCoarseCentroids]] at `seed + j`) encodes
     * the corpus as `m` small ints — at 100 TB this is THE memory lever
     * (d×8 bytes/vector → m codes; dim=64, m=8, ksub=16 is 128:1 on the
     * scored representation). Scoring never touches corpus vectors:
@@ -275,26 +276,26 @@ object Similarity {
     * expression-only over the cached corpus/code frames. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int = 5, m: Int = 8, ksub: Int = 16,
-             rerank: Int = 32, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+             rerank: Int = 32, seed: Long = 42L,
+             deterministic: Boolean = false): DataFrame = {
     val c0 = corpusFrame(corpus, idCol, vecCol)
     val dim = c0.select(size(col("n_vec"))).head().getInt(0) // metadata probe
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val dsub = dim / m
 
-    // the m subspace fits are independent — submit them CONCURRENTLY so
-    // Spark schedules the tiny k-means jobs across the executor pool
+    // the m subspace fits (the seeded Lloyd loop of fitCoarseCentroids,
+    // seed + j per subspace — SQL-replayable, which is what oracles the
+    // e5 gate) are independent — submit them CONCURRENTLY so Spark
+    // schedules the small per-round jobs across the executor pool
     // instead of paying m sequential job latencies
     val codebooks: Array[Array[Array[Double]]] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val fits = (0 until m).map { j => Future {
-        val sub = c0.select(
-          array_to_vector(slice(col("n_vec"), j * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + j).setInitMode("random")
-          .setMaxIter(4).fit(sub).clusterCenters.map(_.toArray)
+        val sub = c0.select(col("n_id"),
+          slice(col("n_vec"), j * dsub + 1, dsub).as("n_vec"))
+        fitCoarseCentroids(sub, ksub, seed + j, deterministic)
       } }
       Await.result(Future.sequence(fits), Duration(10, "min")).toArray
     }
@@ -522,7 +523,7 @@ object Similarity {
     * connected-component semantics are wanted. */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int = 16,
-                    seed: Long = 42L): DataFrame = {
+                    seed: Long = 42L, deterministic: Boolean = false): DataFrame = {
     val feat = graft.util.Caches.cached(corpusFrame(corpus, idCol, vecCol))
     val assigned =
       if (nlist <= 1) feat.withColumn("cell", lit(0))
@@ -530,7 +531,7 @@ object Similarity {
         // same rough-quantizer economics as ivfTopK: seeded init, few
         // iterations — the partition only has to be balanced, dedup
         // correctness within a cell never depends on centroid quality
-        val centroids = fitCoarseCentroids(feat, nlist, seed)
+        val centroids = fitCoarseCentroids(feat, nlist, seed, deterministic)
         feat.withColumn("cell",
           element_at(nearestCells(col("n_vec"), centroids, 1), 1))
       }

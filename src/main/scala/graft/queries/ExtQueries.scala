@@ -764,12 +764,14 @@ object ExtQueries {
 
     // product-quantization ANN — per-subspace k-means codebooks encode the
     // corpus as m small ints (the 100 TB memory lever), asymmetric-distance
-    // scoring + exact re-rank; codebook-dependent, rows-only (ExtSpec
+    // scoring + exact re-rank; the per-subspace codebooks are seeded
+    // Lloyd fits (seed + j), so ALL 8 quantizers + the ADC math replay
+    // in DuckDB and the gate is hash-checked (ExtSpec additionally
     // bounds recall vs brute force)
     "e5_knn_pq" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
-          "embedding", k = 5)
+          "embedding", k = 5, deterministic = true)
         .select("q_id", "n_id", "rnk")
     }),
 
@@ -787,13 +789,14 @@ object ExtQueries {
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.5)
         .select("id_a", "id_b")),
 
-    // SemDeDup-style semantic dedup over embeddings: k-means cells, drop
-    // any vector with a lower-id cell-mate at cosine >= 0.5 — kmeans-
-    // dependent, rows-only (ExtSpec pins nlist=1 to the exact policy and
-    // planted-duplicate recall at nlist>1)
+    // SemDeDup-style semantic dedup over embeddings: seeded-Lloyd cells,
+    // drop any vector with a lower-id cell-mate at cosine >= 0.5 — the
+    // quantizer replays in DuckDB (the e4 treatment), so the gate is
+    // hash-checked end to end (ExtSpec additionally pins nlist=1 to the
+    // exact policy and planted-duplicate recall at nlist>1)
     "e6_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.5, nlist = 16)),
+          threshold = 0.5, nlist = 16, deterministic = true)),
 
     // IVF ANN — the coarse quantizer is the engine's own seeded Lloyd
     // loop (md5 init, 4 assign-and-mean rounds), so the WHOLE index
@@ -1328,11 +1331,18 @@ object ExtQueries {
     * cosine ranking inside the probed cells. Mirrors
     * `Similarity.fitCoarseCentroids(deterministic = true)` +
     * `ivfTopK` step for step. */
-  private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int, rounds: Int,
-                           seed: Long): String = {
-    // squared euclidean distance, same fold order as Similarity.sqDist
-    def sq(v: String, c: String) =
-      s"list_sum(list_transform(range(1, len($v) + 1), j -> ($v[j] - $c[j]) * ($v[j] - $c[j])))"
+  // squared euclidean distance, same fold order as Similarity.sqDist
+  private def sqSql(v: String, c: String) =
+    s"list_sum(list_transform(range(1, len($v) + 1), j -> ($v[j] - $c[j]) * ($v[j] - $c[j])))"
+
+  /** Shared quantizer replay: `WITH v` (the embeddings), the seeded-md5
+    * Lloyd init `c0`, `rounds` unrolled assign-and-mean CTEs (ordered
+    * `list_sum(list(x ORDER BY n_id))` folds = the Spark side's
+    * sorted-collect IEEE folds), and the FINAL corpus assignment `af`
+    * over the fitted centroids `c<rounds>`. Mirrors
+    * `Similarity.fitCoarseCentroids(deterministic = true)` step for
+    * step; e4 chains a probe onto it, e6 an in-cell dedup. */
+  private def lloydCtes(nlist: Int, rounds: Int, seed: Long): String = {
     val base =
       s"""WITH v AS MATERIALIZED (
          |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1348,7 +1358,7 @@ object ExtQueries {
          |  SELECT n_id, v, cell FROM (
          |    SELECT v.n_id, v.v, c.cell,
          |      ROW_NUMBER() OVER (PARTITION BY v.n_id
-         |        ORDER BY ${sq("v.v", "c.c")}, c.cell) AS rn
+         |        ORDER BY ${sqSql("v.v", "c.c")}, c.cell) AS rn
          |    FROM v CROSS JOIN c${i - 1} c) WHERE rn = 1),
          |m$i AS (
          |  SELECT cell, j AS pos,
@@ -1362,20 +1372,29 @@ object ExtQueries {
          |    SELECT cell, list(c ORDER BY pos) AS c FROM m$i GROUP BY cell) cur
          |  USING (cell))""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val probe =
+    val af =
       s""",
          |af AS MATERIALIZED (
          |  SELECT n_id, v, cell FROM (
          |    SELECT v.n_id, v.v, c.cell,
          |      ROW_NUMBER() OVER (PARTITION BY v.n_id
-         |        ORDER BY ${sq("v.v", "c.c")}, c.cell) AS rn
-         |    FROM v CROSS JOIN c$rounds c) WHERE rn = 1),
+         |        ORDER BY ${sqSql("v.v", "c.c")}, c.cell) AS rn
+         |    FROM v CROSS JOIN c$rounds c) WHERE rn = 1)""".stripMargin
+    base + rs + af
+  }
+
+  /** Full IVF replay for the e4 oracle: [[lloydCtes]] + nprobe cell
+    * probe + exact cosine ranking inside the probed cells. */
+  private def ivfOracleSql(nlist: Int, nprobe: Int, k: Int, rounds: Int,
+                           seed: Long): String = {
+    val probe =
+      s""",
          |q AS (SELECT n_id AS q_id, v AS qv FROM v WHERE n_id < 10),
          |qp AS (
          |  SELECT q_id, qv, cell FROM (
          |    SELECT q.q_id, q.qv, c.cell,
          |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-         |        ORDER BY ${sq("q.qv", "c.c")}, c.cell) AS rn
+         |        ORDER BY ${sqSql("q.qv", "c.c")}, c.cell) AS rn
          |    FROM q CROSS JOIN c$rounds c) WHERE rn <= $nprobe),
          |s AS (
          |  SELECT qp.q_id, af.n_id, list_cosine_similarity(qp.qv, af.v) AS cs
@@ -1385,7 +1404,130 @@ object ExtQueries {
          |      FROM s)
          |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= $k
          |ORDER BY q_id, rnk""".stripMargin
-    base + rs + probe
+    lloydCtes(nlist, rounds, seed) + probe
+  }
+
+  /** Full PQ replay for the e5 oracle: per subspace `j` (seed + j, the
+    * sliced `v[lo:hi]` frame) the same unrolled Lloyd CTEs as
+    * [[lloydCtes]], then code assignment (argmin centroid per
+    * subvector), asymmetric-distance scoring from the codebooks alone
+    * (num = left-assoc Σⱼ qsubⱼ·centroid, denom = q_norm ×
+    * sqrt(left-assoc Σⱼ ‖centroid‖²) — every fold in the Spark
+    * expression's order), rerank-candidate cut, and the exact cosine
+    * re-rank. Mirrors `Similarity.pqTopK(deterministic = true)`. */
+  private def pqOracleSql(m: Int, ksub: Int, rounds: Int, rerank: Int,
+                          k: Int, seed: Long, dsub: Int): String = {
+    def subQuantizer(j: Int): String = {
+      val lo = j * dsub + 1
+      val hi = (j + 1) * dsub
+      val s = seed + j
+      val init =
+        s"""sv$j AS MATERIALIZED (SELECT n_id, v[$lo:$hi] AS v FROM v),
+           |s${j}c0 AS MATERIALIZED (
+           |  SELECT CAST(ROW_NUMBER() OVER (
+           |      ORDER BY md5('$s:' || CAST(n_id AS VARCHAR)), n_id) - 1 AS INT) AS cell,
+           |    v AS c
+           |  FROM sv$j
+           |  QUALIFY ROW_NUMBER() OVER (
+           |    ORDER BY md5('$s:' || CAST(n_id AS VARCHAR)), n_id) <= $ksub)""".stripMargin
+      val rs = (1 to rounds).map { i =>
+        s"""s${j}a$i AS MATERIALIZED (
+           |  SELECT n_id, v, cell FROM (
+           |    SELECT sv.n_id, sv.v, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY sv.n_id
+           |        ORDER BY ${sqSql("sv.v", "c.c")}, c.cell) AS rn
+           |    FROM sv$j sv CROSS JOIN s${j}c${i - 1} c) WHERE rn = 1),
+           |s${j}m$i AS (
+           |  SELECT cell, j AS pos,
+           |    list_sum(list(x ORDER BY n_id)) / CAST(count(*) AS DOUBLE) AS c
+           |  FROM (SELECT n_id, cell, unnest(v) AS x,
+           |          unnest(range(1, len(v) + 1)) AS j FROM s${j}a$i)
+           |  GROUP BY cell, j),
+           |s${j}c$i AS MATERIALIZED (
+           |  SELECT prev.cell, COALESCE(cur.c, prev.c) AS c
+           |  FROM s${j}c${i - 1} prev LEFT JOIN (
+           |    SELECT cell, list(c ORDER BY pos) AS c FROM s${j}m$i GROUP BY cell) cur
+           |  USING (cell))""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val enc =
+        s""",
+           |s${j}af AS MATERIALIZED (
+           |  SELECT n_id, cell AS code FROM (
+           |    SELECT sv.n_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY sv.n_id
+           |        ORDER BY ${sqSql("sv.v", "c.c")}, c.cell) AS rn
+           |    FROM sv$j sv CROSS JOIN s${j}c$rounds c) WHERE rn = 1),
+           |contrib$j AS MATERIALIZED (
+           |  SELECT a.n_id, q.q_id,
+           |    list_dot_product(q.qv[$lo:$hi], cb.c) AS adc,
+           |    list_sum(list_transform(cb.c, x -> x * x)) AS n2
+           |  FROM s${j}af a JOIN s${j}c$rounds cb ON a.code = cb.cell
+           |  CROSS JOIN q)""".stripMargin
+      init + rs + enc
+    }
+    val q =
+      """q AS MATERIALIZED (
+        |  SELECT n_id AS q_id, v AS qv,
+        |    sqrt(list_dot_product(v, v)) AS qn
+        |  FROM v WHERE n_id < 10)""".stripMargin
+    val joins = (1 until m).map(j =>
+      s"JOIN contrib$j c$j ON c0.q_id = c$j.q_id AND c0.n_id = c$j.n_id").mkString("\n  ")
+    val adcSum = (0 until m).map(j => s"c$j.adc").mkString(" + ")
+    val n2Sum = (0 until m).map(j => s"c$j.n2").mkString(" + ")
+    val score =
+      s""",
+         |approx AS (
+         |  SELECT c0.q_id, c0.n_id,
+         |    ($adcSum) / (q.qn * sqrt($n2Sum)) AS approx_sim
+         |  FROM contrib0 c0
+         |  $joins
+         |  JOIN q ON c0.q_id = q.q_id
+         |  WHERE c0.n_id <> c0.q_id),
+         |cands AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |        ORDER BY approx_sim DESC, n_id ASC) AS rn
+         |    FROM approx) WHERE rn <= $rerank),
+         |exact AS (
+         |  SELECT c.q_id, c.n_id,
+         |    list_dot_product(q.qv, v.v) /
+         |      (q.qn * sqrt(list_dot_product(v.v, v.v))) AS cs
+         |  FROM cands c JOIN v ON c.n_id = v.n_id JOIN q ON c.q_id = q.q_id),
+         |r AS (SELECT q_id, n_id,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+         |      FROM exact)
+         |SELECT q_id, n_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= $k
+         |ORDER BY q_id, rnk""".stripMargin
+    val head =
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),""".stripMargin
+    head + "\n" + q + ",\n" +
+      (0 until m).map(subQuantizer).mkString(",\n") + score
+  }
+
+  /** Full semantic-dedup replay for the e6 oracle: [[lloydCtes]] +
+    * within-cell lower-id pair scan at the cosine threshold + survivor
+    * anti-join — exactly `Similarity.semanticDedup`. */
+  private def semanticDedupOracleSql(nlist: Int, rounds: Int, seed: Long,
+                                     threshold: Double): String = {
+    // cosine mirrored op-for-op: dot / (sqrt(self-dot) * sqrt(self-dot))
+    // — a >= threshold comparison is value-exact, not just rank-exact,
+    // so the association order must match the Spark expression
+    val dedup =
+      s""",
+         |dropped AS (
+         |  SELECT DISTINCT hi.n_id
+         |  FROM af lo JOIN af hi USING (cell)
+         |  WHERE lo.n_id < hi.n_id
+         |    AND list_dot_product(lo.v, hi.v) /
+         |        (sqrt(list_dot_product(lo.v, lo.v)) *
+         |         sqrt(list_dot_product(hi.v, hi.v))) >= $threshold)
+         |SELECT af.n_id AS vec_id, af.cell
+         |FROM af LEFT JOIN dropped USING (n_id)
+         |WHERE dropped.n_id IS NULL
+         |ORDER BY vec_id""".stripMargin
+    lloydCtes(nlist, rounds, seed) + dedup
   }
 
   private def clfOracleSql(steps: Int, lr: String): String = {
@@ -3502,6 +3644,14 @@ object ExtQueries {
     // in-cell cosine ranking
     "e4_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, k = 5, rounds = 4,
       seed = 42L),
+
+    // e6: the same quantizer replay chained into the in-cell dedup scan
+    "e6_semantic_dedup" -> semanticDedupOracleSql(nlist = 16, rounds = 4,
+      seed = 42L, threshold = 0.5),
+
+    // e5: 8 per-subspace quantizer replays + ADC scoring + exact re-rank
+    "e5_knn_pq" -> pqOracleSql(m = 8, ksub = 16, rounds = 4, rerank = 32,
+      k = 5, seed = 42L, dsub = 8),
 
     "e2_knn_lsh" -> {
       val lits = (0 until 8).flatMap { tb =>
