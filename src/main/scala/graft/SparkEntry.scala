@@ -236,6 +236,49 @@ object SparkEntry {
           lit(VersionedTable.read(s, root, Some(0L)).columns.length.toLong))
     }),
 
+    // CHANGE FEED derived from the commit diff: step 1 = an append (the
+    // feed reads JUST the appended files), step 2 = a bounded delete
+    // (the feed reads just the rewritten files, and the surviving rows
+    // they carried cancel from the multiset diff exactly) — green hash
+    // proves the file-diff feed equals the row-level snapshot diff
+    "s26_change_feed" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s26_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents").select("doc_id", "lang")
+      VersionedTable.overwrite(s, root,
+        docs.filter(col("doc_id") < 400)
+          .repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"))
+      VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400))
+      VersionedTable.deleteWhere(s, root,
+        Seq(SkippingIndex.ColRange("doc_id", 100, 199)))
+      VersionedTable.changeFeed(s, root, 0L, 1L).withColumn("step", lit(1L))
+        .unionByName(
+          VersionedTable.changeFeed(s, root, 1L, 2L).withColumn("step", lit(2L)))
+    }),
+
+    // RESTORE as a commit: roll the table back to v0 WITHOUT copying
+    // data — the rollback is itself a new time-travelable version, so
+    // n_commits = 3 while the content equals v0 exactly
+    "s27_restore" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s27_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") < 400))
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") >= 400))
+      VersionedTable.restore(s, root, 0L)
+      VersionedTable.read(s, root).select(col("doc_id"))
+        .withColumn("n_commits",
+          lit(VersionedTable.versions(root).size.toLong))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1664,6 +1707,20 @@ object SparkEntry {
         |  CASE WHEN doc_id >= 400 THEN lang END AS lang,
         |  CAST(2 AS BIGINT) AS v0_cols
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the file-diff feed must equal the row-level snapshot diff
+    "s26_change_feed" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type, CAST(1 AS BIGINT) AS step
+        |FROM documents WHERE doc_id >= 400
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199
+        |ORDER BY step, doc_id""".stripMargin,
+
+    // rollback-as-commit: content equals v0, history has 3 versions
+    "s27_restore" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_commits FROM documents
+        |WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

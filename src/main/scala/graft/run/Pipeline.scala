@@ -113,6 +113,22 @@ final case class Warehouse(spark: SparkSession, root: String,
              minAgeMs: Long = 0L): Seq[String] =
     VersionedTable.vacuum(path(name), keep, minAgeMs)
 
+  /** CHANGE FEED between two committed versions of a versioned table —
+    * row-level inserts/deletes from the file-level commit diff (only
+    * files added or removed between the versions are read); see
+    * [[graft.sources.VersionedTable.changeFeed]]. */
+  def changeFeed(name: String, fromVersion: Long, toVersion: Long): DataFrame =
+    VersionedTable.changeFeed(spark, path(name), fromVersion, toVersion)
+
+  /** RESTORE a versioned table to an old version as a NEW commit (no
+    * data copied; history preserved); the manifest re-syncs to the
+    * restored snapshot. */
+  def restoreVersion(name: String, version: Long): Long = {
+    val v = VersionedTable.restore(spark, path(name), version)
+    refreshManifestIfPresent(name)
+    v
+  }
+
   /** Bounded DELETE WHERE (range-box predicate) on a versioned table:
     * files whose stats exclude the box carry untouched, only
     * possibly-matching files rewrite — see

@@ -603,6 +603,87 @@ object VersionedTable {
     out.get
   }
 
+  /** CHANGE FEED between two committed versions — the Delta CDF read,
+    * derived instead of stored: row-level inserts and deletes computed
+    * from the FILE-level commit diff. A file carried unchanged across
+    * commits contributes identical rows to both snapshots, so it cancels
+    * from the multiset difference EXACTLY — only files ADDED or REMOVED
+    * between the versions are ever read. The result therefore equals
+    * `read(to) EXCEPT ALL read(from)` (inserts) and the reverse
+    * (deletes) while the scan stays bounded like the commits
+    * themselves: an append's feed reads just the appended files, a
+    * partition-overwrite's just the swapped directories, a bounded
+    * delete's just the rewritten files. Each side scans under ITS
+    * version's committed schema and aligns to the evolved union, so a
+    * feed across a schema evolution serves pre-evolution rows with the
+    * new columns NULL. Returns the changed rows plus
+    * `_change_type` ('insert' | 'delete'). */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(root)
+    require(vs.contains(fromVersion) && vs.contains(toVersion),
+      s"changeFeed needs two committed versions; have $vs")
+    val fromLines = filesOf(root, fromVersion)
+    val toLines = filesOf(root, toVersion)
+    val fromData = fromLines.filterNot(isHeader).toSet
+    val toData = toLines.filterNot(isHeader).toSet
+    val removed = (fromData -- toData).toSeq.sorted
+    val added = (toData -- fromData).toSeq.sorted
+    def schemaIn(lines: Seq[String]) = lines.find(isSchema).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val target = (schemaIn(fromLines), schemaIn(toLines)) match {
+      case (Some(f), Some(t)) => Some(evolve(t, f)) // union, to-side order
+      case (f, t) => t.orElse(f)
+    }
+    def readSide(files: Seq[String],
+                 own: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      val out =
+        if (files.isEmpty)
+          own.orElse(target)
+            .map(s => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+            .getOrElse(spark.emptyDataFrame)
+        else {
+          val rd = spark.read.option("basePath", s"$root/data")
+          own.fold(rd)(rd.schema).parquet(files.map(f => s"$root/$f"): _*)
+        }
+      target.map(align(out, _)).getOrElse(out)
+    }
+    val before = readSide(removed, schemaIn(fromLines))
+    val after = readSide(added, schemaIn(toLines))
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
+  /** RESTORE — commit an OLD version's exact file list (and schema) as
+    * a NEW version (the Delta RESTORE shape): no data is copied or
+    * rewritten, history is preserved (the rollback is itself a commit,
+    * time-travelable and change-feed-able), and `#txn` headers carry
+    * over so a streaming sink's exactly-once survives a rollback. The
+    * restored version must not have been retired by a keep-N [[vacuum]]
+    * (its files would be gone); [[read]]'s fail-fast check guards that.
+    * Returns the new committed version. */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val vs = versions(root)
+    if (!vs.contains(version)) {
+      if (Files.exists(commitsDir(root).resolve(s"v$version.retired")))
+        throw new IllegalStateException(
+          s"cannot restore version $version at $root: retired by vacuum(keep)")
+      else throw new IllegalArgumentException(s"version $version not in $vs")
+    }
+    val restored = filesOf(root, version).filterNot(l => parseTxn(l).isDefined)
+    var done = -1L
+    while (done < 0) {
+      val cur = versions(root)
+      val txns = filesOf(root, cur.last).filter(l => parseTxn(l).isDefined)
+      if (tryCommit(root, cur.last + 1, restored ++ txns)) done = cur.last + 1
+    }
+    done
+  }
+
   /** Delete data files no commit references (orphans of crashed writers,
     * or files only old snapshots used). Pass `keep` to RETIRE all but
     * the trailing N versions: the retired versions' commit lists are

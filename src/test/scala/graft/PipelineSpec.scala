@@ -190,6 +190,55 @@ class PipelineSpec extends SparkSpecBase {
     assert(wh2.prunedRead("t", Seq(ColRange("id", 7000, 7999))).count() == 1000)
   }
 
+  test("change feed reads only the commit diff's files and equals the snapshot diff; restore is a data-free rollback commit") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vcdf").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    VersionedTable.overwrite(spark, root,
+      df(0, 4000).repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    VersionedTable.append(spark, root, df(4000, 4500))
+    // append feed: inserts only, and the plan scans ONLY the appended
+    // files (the v0 files are common to both snapshots and never read)
+    val f01 = VersionedTable.changeFeed(spark, root, 0L, 1L)
+    assert(f01.filter(col("_change_type") === "delete").count() == 0)
+    assert(f01.filter(col("_change_type") === "insert").count() == 500)
+    val v0Files = VersionedTable.dataFiles(root, Some(0L)).toSet
+    assert(!f01.inputFiles.exists(f => v0Files.exists(f.endsWith)),
+      "an append's change feed must not read any carried file")
+    // feed across a SCHEMA EVOLUTION: the evolved column comes back
+    // null-filled on the evolved-append side
+    VersionedTable.append(spark, root, Seq((9000L, "x", 1.5)).toDF("id", "v", "w"))
+    val f12 = VersionedTable.changeFeed(spark, root, 1L, 2L)
+    assert(f12.columns.contains("w"))
+    assert(f12.count() == 1 &&
+      f12.head().getAs[Double]("w") == 1.5)
+    // the feed equals the full snapshot diff (multiset) on a rewriting
+    // commit too: deleteWhere rewrites files that carry survivors
+    VersionedTable.deleteWhere(spark, root,
+      Seq(graft.sources.SkippingIndex.ColRange("id", 1000, 1999)))
+    val f23 = VersionedTable.changeFeed(spark, root, 2L, 3L)
+    val snap2 = VersionedTable.read(spark, root, Some(2L))
+    val snap3 = VersionedTable.read(spark, root, Some(3L))
+    val wantDel = snap2.exceptAll(snap3)
+    val gotDel = f23.filter(col("_change_type") === "delete").drop("_change_type")
+    assert(gotDel.exceptAll(wantDel).isEmpty && wantDel.exceptAll(gotDel).isEmpty)
+    assert(f23.filter(col("_change_type") === "insert").count() == 0)
+    // RESTORE: rollback to v1 is a NEW commit with v1's exact content,
+    // no files copied (the restored list names v1's own files)
+    val v4 = VersionedTable.restore(spark, root, 1L)
+    assert(VersionedTable.read(spark, root).count() ==
+      VersionedTable.read(spark, root, Some(1L)).count())
+    assert(VersionedTable.dataFiles(root, Some(v4)).toSet ==
+      VersionedTable.dataFiles(root, Some(1L)).toSet)
+    // a vacuum-retired version refuses restore fast
+    VersionedTable.vacuum(root, keep = Some(2))
+    val e = intercept[IllegalStateException] {
+      VersionedTable.restore(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("retired"))
+  }
+
   test("schema evolution: append adds columns with null-fill, type flips fail loudly, versions keep their own schema") {
     import spark.implicits._
     import graft.sources.VersionedTable
