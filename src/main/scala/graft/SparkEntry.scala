@@ -279,6 +279,31 @@ object SparkEntry {
           lit(VersionedTable.versions(root).size.toLong))
     }),
 
+    // DESCRIBE HISTORY from the protocol's own metadata: overwrite (2
+    // files) → idempotent append (+1 file, writer 'w') → restore of v0
+    // (v0's own 2-file list re-committed, txn header carried) — the
+    // whole history table rides into the hash, file counts, writers,
+    // schema stamps and retirement flags included
+    "s28_describe_history" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s28_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      VersionedTable.overwrite(s, root,
+        docs.filter(col("doc_id") < 400).repartition(2))
+      VersionedTable.appendIdempotent(s, root,
+        docs.filter(col("doc_id") >= 400).repartition(1), "w", 0L)
+      VersionedTable.restore(s, root, 0L)
+      VersionedTable.history(s, root)
+        .select(col("version"), col("n_files"),
+          concat_ws(",", col("txn_writers")).as("writers"),
+          col("has_schema"), col("retired"),
+          (col("n_bytes") > 0).as("has_bytes"))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1721,6 +1746,15 @@ object SparkEntry {
     "s27_restore" ->
       """SELECT doc_id, CAST(3 AS BIGINT) AS n_commits FROM documents
         |WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // protocol-metadata history: exact file counts, writers, flags
+    "s28_describe_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 2, '', TRUE, FALSE, TRUE),
+        |  (CAST(1 AS BIGINT), 3, 'w', TRUE, FALSE, TRUE),
+        |  (CAST(2 AS BIGINT), 2, 'w', TRUE, FALSE, TRUE))
+        |  AS t(version, n_files, writers, has_schema, retired, has_bytes)
+        |ORDER BY version""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -113,6 +113,11 @@ final case class Warehouse(spark: SparkSession, root: String,
              minAgeMs: Long = 0L): Seq[String] =
     VersionedTable.vacuum(path(name), keep, minAgeMs)
 
+  /** DESCRIBE HISTORY of a versioned table: one row per commit
+    * (readable and retired) from the protocol's own metadata. */
+  def historyOf(name: String): DataFrame =
+    VersionedTable.history(spark, path(name))
+
   /** CHANGE FEED between two committed versions of a versioned table —
     * row-level inserts/deletes from the file-level commit diff (only
     * files added or removed between the versions are read); see

@@ -89,11 +89,13 @@ object VersionedTable {
     finally it.close()
   }
 
-  private def filesOf(root: String, version: Long): Seq[String] = {
-    val f = commitsDir(root).resolve(s"v$version.list")
+  private def readList(f: Path): Seq[String] = {
     val s = new String(Files.readAllBytes(f), "UTF-8")
     s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  private def filesOf(root: String, version: Long): Seq[String] =
+    readList(commitsDir(root).resolve(s"v$version.list"))
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
 
@@ -682,6 +684,32 @@ object VersionedTable {
       if (tryCommit(root, cur.last + 1, restored ++ txns)) done = cur.last + 1
     }
     done
+  }
+
+  /** DESCRIBE HISTORY — one row per commit, readable AND retired (the
+    * Delta history surface, from the protocol's own metadata: no
+    * side-car log to drift out of sync). Per version: data-file count,
+    * total committed bytes (0 for a retired version whose files are
+    * gone), the idempotent writers whose `#txn` headers the snapshot
+    * carries, whether the commit stamped a schema, and the retirement
+    * flag. Driver-side work is O(versions) commit-list reads — metadata
+    * scale, like every other protocol op. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val live = versions(root).map(v => (v, s"v$v.list", false))
+    val retired = retiredVersions(root).map(v => (v, s"v$v.retired", true))
+    val rows = (live ++ retired).sortBy(_._1).map { case (v, name, isRetired) =>
+      val lines = readList(commitsDir(root).resolve(name))
+      val data = lines.filterNot(isHeader)
+      val bytes = data.map { f =>
+        val p = Paths.get(root, f)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      val writers = lines.flatMap(parseTxn).map(_._1).distinct.sorted
+      (v, data.size, bytes, writers, lines.exists(isSchema), isRetired)
+    }
+    rows.toDF("version", "n_files", "n_bytes", "txn_writers",
+      "has_schema", "retired")
   }
 
   /** Delete data files no commit references (orphans of crashed writers,

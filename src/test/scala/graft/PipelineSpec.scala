@@ -139,6 +139,13 @@ class PipelineSpec extends SparkSpecBase {
       s"retired time travel must fail fast with a clean error, got: ${e.getMessage}")
     // the kept snapshot is complete and scannable (no mid-scan surprises)
     assert(VersionedTable.read(spark, root).count() == 80)
+    // DESCRIBE HISTORY still lists the retired commits, flagged, with
+    // their reclaimed versions carrying zero live bytes
+    val h = VersionedTable.history(spark, root)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getBoolean(5)).toSeq == Seq(true, true, false))
+    assert(h.last.getLong(2) > 0, "the live version reports its bytes")
   }
 
   test("deleteWhere is a bounded rewrite: non-matching files carry byte-identical, content equals the anti-filter, old snapshot travels") {
