@@ -282,8 +282,10 @@ object SparkEntry {
     // DESCRIBE HISTORY from the protocol's own metadata: overwrite (2
     // files) → idempotent append (+1 file, writer 'w') → restore of v0
     // (v0's own 2-file list re-committed, txn header carried) — the
-    // whole history table rides into the hash, file counts, writers,
-    // schema stamps and retirement flags included
+    // whole history table rides into the hash: since r11 that includes
+    // each commit's TIMESTAMP (injectable clock, for hash stability)
+    // and OPERATION kind from its #meta header, beside file counts,
+    // writers, schema stamps and retirement flags
     "s28_describe_history" -> ((s, d) => {
       import graft.sources.VersionedTable
       val root = s"${sys.props("java.io.tmpdir")}/graft_s28_${math.abs(d.hashCode)}"
@@ -292,16 +294,78 @@ object SparkEntry {
       }
       rm(new java.io.File(root))
       val docs = t(s, d, "documents")
-      VersionedTable.overwrite(s, root,
-        docs.filter(col("doc_id") < 400).repartition(2))
-      VersionedTable.appendIdempotent(s, root,
-        docs.filter(col("doc_id") >= 400).repartition(1), "w", 0L)
-      VersionedTable.restore(s, root, 0L)
+      val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+      VersionedTable.withClock(() => 1000L * tick.incrementAndGet()) {
+        VersionedTable.overwrite(s, root,
+          docs.filter(col("doc_id") < 400).repartition(2))
+        VersionedTable.appendIdempotent(s, root,
+          docs.filter(col("doc_id") >= 400).repartition(1), "w", 0L)
+        VersionedTable.restore(s, root, 0L)
+      }
       VersionedTable.history(s, root)
-        .select(col("version"), col("n_files"),
+        .select(col("version"), col("ts_ms"), col("operation"), col("n_files"),
           concat_ws(",", col("txn_writers")).as("writers"),
           col("has_schema"), col("retired"),
           (col("n_bytes") > 0).as("has_bytes"))
+    }),
+
+    // TIMESTAMP AS OF (the Delta surface the reference's audit-trail
+    // culture queries): three commits stamped 1000 / 2000 / 2000 by the
+    // injected clock — the probe at 1500 resolves to v0, and the probes
+    // at 2000/2500 must BOTH resolve past the tie to v2 (same-instant
+    // commits resolve to the HIGHEST version: version numbers are the
+    // true commit order). The resolved version rides into the hash
+    "s29_time_travel_ts" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s29_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      val times = Array(1000L, 2000L, 2000L)
+      val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+      VersionedTable.withClock(() => times(math.min(tick.getAndIncrement(), 2))) {
+        VersionedTable.overwrite(s, root,
+          docs.filter(col("doc_id") < 200).select("doc_id"))
+        VersionedTable.append(s, root,
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 400).select("doc_id"))
+        VersionedTable.append(s, root,
+          docs.filter(col("doc_id") >= 400).select("doc_id"))
+      }
+      Seq(1500L, 2000L, 2500L).map { ts =>
+        VersionedTable.readAsOf(s, root, ts).select(col("doc_id"))
+          .withColumn("probe_ts", lit(ts))
+          .withColumn("version", lit(VersionedTable.timestampAsOf(root, ts)))
+      }.reduce(_ unionByName _)
+    }),
+
+    // GENERAL-PREDICATE DELETE: an IN-list (not a range box) is the
+    // exact row filter, while its bounding box [1001, 2500] is only the
+    // PRUNING hint — footer stats still prove most range-clustered
+    // files cannot hold a listed key, so they carry untouched (the
+    // `bounded` column hashes that claim) and only the box's files
+    // rewrite with the anti-filter
+    "s30_delete_where_in" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s30_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      VersionedTable.overwrite(s, root,
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val (_, rewritten, carried) = VersionedTable.deleteWherePredicate(s, root,
+        col("l_orderkey").isin(1001L, 1500L, 1999L, 2500L),
+        Seq(SkippingIndex.ColRange("l_orderkey", 1001, 2500)))
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+        .orderBy("l_returnflag")
     }),
 
     "s18_jsonl_roundtrip" -> ((s, d) => {
@@ -819,6 +883,41 @@ object SparkEntry {
             ev.filter(pmod(col("event_id"), lit(3)) === 2)),
         Seq("user_id"), Seq(col("event_id").desc))
         .orderBy("user_id")
+    }),
+
+    // the engine consuming its OWN change feed end-to-end: a versioned
+    // source takes an overwrite, an append, and a bounded delete; the
+    // micro-batch consumer emits changeFeed(v-1, v) per commit and folds
+    // each slice into a keyed target table exactly-once (epoch = source
+    // version in the target's #txn header). The hash checks the folded
+    // target equals the source's final state row-for-row, `n_folded`
+    // that every commit became exactly one slice, and `replay_noop`
+    // that a full second drain commits nothing; StreamingSpec proves
+    // the fold ≡ batch changeFeed fold ≡ direct merge
+    "st10_change_feed_stream" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val src = s"${sys.props("java.io.tmpdir")}/graft_st10src_${math.abs(d.hashCode)}"
+      val tgt = s"${sys.props("java.io.tmpdir")}/graft_st10tgt_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(src)); rm(new java.io.File(tgt))
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, src, ev.filter(col("event_id") < 600)
+        .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      VersionedTable.append(s, src, ev.filter(col("event_id") >= 600))
+      VersionedTable.deleteWhere(s, src,
+        Seq(SkippingIndex.ColRange("event_id", 100, 299)))
+      val keys = Seq("event_id")
+      val order = Seq(col("event_id").desc)
+      val folded = graft.streaming.Streams.changeFeedConsume(
+        s, src, tgt, keys, order, "cdc")
+      val replay = graft.streaming.Streams.changeFeedConsume(
+        s, src, tgt, keys, order, "cdc")
+      VersionedTable.read(s, tgt)
+        .withColumn("n_folded", lit(folded))
+        .withColumn("replay_noop", lit(replay == 0L))
+        .orderBy("event_id")
     }),
 
     // approximate distinct (HLL++) — scale substitute for exact COUNT
@@ -1620,6 +1719,7 @@ object SparkEntry {
     "s17_pruned_scan"         -> Seq("sum_qty"),
     "s20_partitioned_prune"   -> Seq("sum_qty"),
     "s24_delete_where"        -> Seq("sum_qty"),
+    "s30_delete_where_in"     -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -1747,14 +1847,37 @@ object SparkEntry {
       """SELECT doc_id, CAST(3 AS BIGINT) AS n_commits FROM documents
         |WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
-    // protocol-metadata history: exact file counts, writers, flags
+    // protocol-metadata history: exact timestamps (injected clock),
+    // operation kinds, file counts, writers, flags
     "s28_describe_history" ->
       """SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), 2, '', TRUE, FALSE, TRUE),
-        |  (CAST(1 AS BIGINT), 3, 'w', TRUE, FALSE, TRUE),
-        |  (CAST(2 AS BIGINT), 2, 'w', TRUE, FALSE, TRUE))
-        |  AS t(version, n_files, writers, has_schema, retired, has_bytes)
+        |  (CAST(0 AS BIGINT), CAST(1000 AS BIGINT), 'OVERWRITE', 2, '', TRUE, FALSE, TRUE),
+        |  (CAST(1 AS BIGINT), CAST(2000 AS BIGINT), 'IDEMPOTENT APPEND', 3, 'w', TRUE, FALSE, TRUE),
+        |  (CAST(2 AS BIGINT), CAST(3000 AS BIGINT), 'RESTORE', 2, 'w', TRUE, FALSE, TRUE))
+        |  AS t(version, ts_ms, operation, n_files, writers, has_schema, retired, has_bytes)
         |ORDER BY version""".stripMargin,
+
+    // TIMESTAMP AS OF: 1500 → v0 (docs < 200); 2000 and 2500 both → v2
+    // (the full table) — the 2000 probe is the tie case, two commits at
+    // the same instant resolving to the higher version
+    "s29_time_travel_ts" ->
+      """SELECT doc_id, CAST(1500 AS BIGINT) AS probe_ts, CAST(0 AS BIGINT) AS version
+        |FROM documents WHERE doc_id < 200
+        |UNION ALL
+        |SELECT doc_id, CAST(2000 AS BIGINT), CAST(2 AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(2500 AS BIGINT), CAST(2 AS BIGINT) FROM documents
+        |ORDER BY probe_ts, doc_id""".stripMargin,
+
+    // survivors = NOT coalesce(IN-list, false); `bounded` hashes the
+    // carried-files claim (the box pruned, the IN-list filtered)
+    "s30_delete_where_in" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM lineitem
+        |WHERE NOT COALESCE(l_orderkey IN (1001, 1500, 1999, 2500), FALSE)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->
@@ -2468,6 +2591,15 @@ object SparkEntry {
         |      ORDER BY event_id % 3 DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // consume-your-own-feed: insert-all (v0), insert the appended rows
+    // (v0→v1), delete the box (v1→v2) folds to exactly the source's
+    // final state; 3 slices, replay commits nothing
+    "st10_change_feed_stream" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(3 AS BIGINT) AS n_folded, TRUE AS replay_noop
+        |FROM events WHERE event_id NOT BETWEEN 100 AND 299
+        |ORDER BY event_id""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (

@@ -60,20 +60,36 @@ final case class Warehouse(spark: SparkSession, root: String,
             partitionBy: Seq[String] = Nil): Long = {
     val out = df.persist()
     val n = out.count()
+    // an APPEND onto an existing versioned table must match its committed
+    // partition layout: a caller passing Nil inherits the layout (exactly
+    // [[append]]'s guard — unpartitioned files committed into a partitioned
+    // snapshot would give readers mixed directory depths), and a caller
+    // passing a DIFFERENT layout is refused loudly (ADVICE r10)
+    val effParts =
+      if (mode == SaveMode.Append && vt(name) && VersionedTable.isVersioned(path(name))) {
+        val committed = VersionedTable.partitionCols(path(name))
+        if (partitionBy.isEmpty) committed
+        else {
+          require(partitionBy == committed,
+            s"append to versioned table $name: partitionBy $partitionBy does " +
+              s"not match the committed layout $committed")
+          partitionBy
+        }
+      } else partitionBy
     val sized =
-      if (partitionBy.nonEmpty)
+      if (effParts.nonEmpty)
         // physically cluster by the partition column so each Hive-style
         // directory gets few files (incremental MERGE then prunes by it)
-        out.repartition(volumeParts(n), partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        out.repartition(volumeParts(n), effParts.map(org.apache.spark.sql.functions.col): _*)
       else out.repartition(volumeParts(n))
     if (vt(name)) {
       if (mode == SaveMode.Append)
-        VersionedTable.append(spark, path(name), sized, partitionBy)
-      else VersionedTable.overwrite(spark, path(name), sized, partitionBy)
-      refreshManifestIfPresent(name)
+        VersionedTable.append(spark, path(name), sized, effParts)
+      else VersionedTable.overwrite(spark, path(name), sized, effParts)
+      ensureManifest(name)
     } else {
       val writer =
-        if (partitionBy.nonEmpty) sized.write.partitionBy(partitionBy: _*)
+        if (effParts.nonEmpty) sized.write.partitionBy(effParts: _*)
         else sized.write
       writer.mode(mode).format(format.name).save(path(name))
     }
@@ -88,7 +104,7 @@ final case class Warehouse(spark: SparkSession, root: String,
         if (VersionedTable.isVersioned(path(name)))
           VersionedTable.partitionCols(path(name))
         else Nil)
-      refreshManifestIfPresent(name)
+      ensureManifest(name)
     } else df.write.mode(SaveMode.Append).format(format.name).save(path(name))
 
   def read(name: String): DataFrame =
@@ -108,13 +124,23 @@ final case class Warehouse(spark: SparkSession, root: String,
 
   /** Reclaim unreferenced data files; `keep = Some(n)` retires all but
     * the trailing n versions (their commit lists are tombstoned — time
-    * travel to them fails fast). */
+    * travel to them fails fast). Safe by default: files younger than
+    * [[graft.sources.VersionedTable.DefaultRetentionMs]] are spared;
+    * pass `minAgeMs = 0` for immediate reclamation on a quiesced table. */
   def vacuum(name: String, keep: Option[Int] = None,
-             minAgeMs: Long = 0L): Seq[String] =
+             minAgeMs: Long = VersionedTable.DefaultRetentionMs): Seq[String] =
     VersionedTable.vacuum(path(name), keep, minAgeMs)
 
+  /** TIMESTAMP AS OF: read table `name` as of a commit timestamp
+    * (newest commit at or before `tsMillis`; ties resolve to the
+    * highest version — see
+    * [[graft.sources.VersionedTable.timestampAsOf]]). */
+  def readAsOfTimestamp(name: String, tsMillis: Long): DataFrame =
+    VersionedTable.readAsOf(spark, path(name), tsMillis)
+
   /** DESCRIBE HISTORY of a versioned table: one row per commit
-    * (readable and retired) from the protocol's own metadata. */
+    * (readable and retired) from the protocol's own metadata —
+    * timestamp and operation kind included. */
   def historyOf(name: String): DataFrame =
     VersionedTable.history(spark, path(name))
 
@@ -130,7 +156,7 @@ final case class Warehouse(spark: SparkSession, root: String,
     * restored snapshot. */
   def restoreVersion(name: String, version: Long): Long = {
     val v = VersionedTable.restore(spark, path(name), version)
-    refreshManifestIfPresent(name)
+    ensureManifest(name)
     v
   }
 
@@ -152,7 +178,31 @@ final case class Warehouse(spark: SparkSession, root: String,
         Some(SkippingIndex.readManifest(spark, mPath))
       else None
     val r = VersionedTable.deleteWhere(spark, path(name), ranges, strRanges, cached)
-    refreshManifestIfPresent(name)
+    ensureManifest(name)
+    r
+  }
+
+  /** GENERAL-PREDICATE DELETE on a versioned table: `predicate` is the
+    * exact row filter (IN-lists, LIKE, disjunctions — any `Column`);
+    * `pruneRanges`/`pruneStrRanges` are the conservative bounding boxes
+    * that decide which files can possibly match (caller contract: the
+    * predicate must imply the boxes — see
+    * [[graft.sources.VersionedTable.deleteWherePredicate]]). Empty boxes
+    * rewrite every file (always correct, never bounded). Reuses and
+    * refreshes the table's persisted manifest like [[deleteWhere]]. */
+  def deleteWherePredicate(name: String, predicate: Column,
+                           pruneRanges: Seq[graft.sources.SkippingIndex.ColRange] = Nil,
+                           pruneStrRanges: Seq[graft.sources.SkippingIndex.StrRange] = Nil)
+      : (Long, Int, Int) = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val cached =
+      if (new java.io.File(mPath).exists())
+        Some(SkippingIndex.readManifest(spark, mPath))
+      else None
+    val r = VersionedTable.deleteWherePredicate(spark, path(name), predicate,
+      pruneRanges, pruneStrRanges, cached)
+    ensureManifest(name)
     r
   }
 
@@ -271,7 +321,7 @@ final case class Warehouse(spark: SparkSession, root: String,
       // file per touched directory; compaction owns long-term counts.
       VersionedTable.overwritePartitions(spark, path(name),
         merged.repartition(partitionBy.map(col): _*), partitionBy)
-      refreshManifestIfPresent(name)
+      ensureManifest(name)
       return read(name).count()
     }
     val staging = s"${name}__staging"
@@ -305,7 +355,24 @@ final case class Warehouse(spark: SparkSession, root: String,
   /** Bucketed write through the session catalog: both fact tables bucketed
     * on the join key join WITHOUT a shuffle (Exchange elided) — the 100 TB
     * answer for the recurring lineitem⋈orders co-location (SURVEY §4). Only
-    * `saveAsTable` persists bucket metadata, hence the catalog path. */
+    * `saveAsTable` persists bucket metadata, hence the catalog path.
+    *
+    * DECISION RECORD (r11): this is the ONE write path deliberately
+    * outside [[graft.sources.VersionedTable]], trading time travel for
+    * shuffle elision. Bucket metadata lives in the session catalog keyed
+    * by TABLE LOCATION, and Spark's scan only honors it when the relation
+    * is resolved through the catalog — a versioned read hands Spark an
+    * explicit FILE LIST, which drops `outputPartitioning` and the
+    * Exchange returns, defeating the only reason to bucket. Versioning
+    * the layout underneath (bucket spec as a commit header) would
+    * therefore version bytes nobody can exploit: every co-located join
+    * would still shuffle unless we also re-implemented catalog
+    * resolution over commit lists. Bucketed tables here are REBUILD
+    * artifacts (recluster of a fact pair for a recurring join), not
+    * systems of record — their history is the upstream versioned table
+    * they derive from. If a future Spark exposes bucket metadata on
+    * file-list scans, fold this path into the versioned layer then.
+    * BucketingSpec pins the no-Exchange plan so the trade keeps paying. */
   def writeBucketed(table: String, df: DataFrame, buckets: Int,
                     bucketCols: Seq[String]): Long = {
     val out = df.persist()
@@ -407,7 +474,7 @@ final case class Warehouse(spark: SparkSession, root: String,
           df.repartition(volumeParts(n), pcols.map(org.apache.spark.sql.functions.col): _*)
         else df.repartition(volumeParts(n))
       }
-      refreshManifestIfPresent(name)
+      ensureManifest(name)
       n
     case TableFormat.Parquet =>
       val staged = read(name).localCheckpoint(true) // cut lineage off old files
@@ -434,7 +501,7 @@ final case class Warehouse(spark: SparkSession, root: String,
       // OPTIMIZE-as-a-commit: the clustered rewrite lands as a new
       // version (conflict-safe, time-travelable, txn headers carried)
       VersionedTable.rewrite(spark, path(name), parts)(cluster)
-      refreshManifestIfPresent(name)
+      ensureManifest(name)
     } else {
       val staged = read(name).localCheckpoint(true) // cut lineage off old files
       val writer = cluster(staged).write.mode(SaveMode.Overwrite)
@@ -489,7 +556,7 @@ final case class Warehouse(spark: SparkSession, root: String,
     }
     if (vt(name)) {
       VersionedTable.rewrite(spark, path(name), parts)(cluster)
-      refreshManifestIfPresent(name)
+      ensureManifest(name)
     } else {
       val staged = read(name).localCheckpoint(true) // cut lineage off old files
       val writer = cluster(staged).write.mode(SaveMode.Overwrite)
@@ -573,15 +640,43 @@ final case class Warehouse(spark: SparkSession, root: String,
   /** Manifest-on-commit: every versioned write/append/merge/compact
     * refreshes an EXISTING manifest against the new snapshot (cost:
     * footers of the files the commit added — O(new files), the
-    * write-time maintenance shape). First build stays explicit via
-    * [[refreshManifest]] because it chooses the indexed columns. */
-  private def refreshManifestIfPresent(name: String): Unit = {
+    * write-time maintenance shape) — and since round 11 CREATES the
+    * manifest at the FIRST versioned write (over [[defaultManifestCols]]:
+    * every numeric/string column), so a pipeline-written gold table
+    * prunes out of the box — `deleteWhere`/`prunedRead` never pay a
+    * first-use footer pass. Metadata tables (execution log, control,
+    * staging scratch) are exempt: nothing range-scans them.
+    * [[refreshManifest]] stays the explicit entry point for choosing a
+    * narrower column set. */
+  private def ensureManifest(name: String): Unit = {
+    import graft.sources.SkippingIndex
     val mPath = path(name + "__manifest")
-    if (new java.io.File(mPath).exists()) {
-      import graft.sources.SkippingIndex
+    if (new java.io.File(mPath).exists())
       SkippingIndex.writeManifest(spark,
         SkippingIndex.refreshManifestFor(spark, snapshotFiles(name),
           SkippingIndex.readManifest(spark, mPath)), mPath)
+    else if (VersionedTable.isVersioned(path(name)) &&
+             !name.endsWith("_execution_log") && !name.endsWith("_control") &&
+             !name.endsWith("__staging")) {
+      val cols = VersionedTable.schemaOf(path(name))
+        .map(defaultManifestCols)
+        .getOrElse(defaultManifestCols(read(name).schema))
+      if (cols.nonEmpty)
+        SkippingIndex.writeManifest(spark,
+          SkippingIndex.manifestFor(spark, snapshotFiles(name), cols), mPath)
+    }
+  }
+
+  /** First-build manifest columns: every top-level numeric and string
+    * column — the types [[graft.sources.SkippingIndex]] can prune on.
+    * Footer min/max for extra columns cost nothing at read time (stats
+    * rows are per (file, column) and the manifest is driver-side tiny);
+    * indexing them all means any later range predicate prunes. */
+  private def defaultManifestCols(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+      case f if f.dataType == StringType => f.name
     }
   }
 

@@ -102,6 +102,77 @@ object VersionedTable {
   private val SchemaPrefix = "#schema:"
   private def isSchema(line: String): Boolean = line.startsWith(SchemaPrefix)
 
+  private val MetaPrefix = "#meta:"
+  private def isMeta(line: String): Boolean = line.startsWith(MetaPrefix)
+
+  /** Commit-time clock, injectable for deterministic tests/gates (the
+    * same seam as [[graft.run.Pipeline]]'s constructor clock). Commit
+    * timestamps drive [[timestampAsOf]] resolution and the
+    * `timestamp` column of [[history]]. */
+  @volatile private var clockFn: () => Long = () => System.currentTimeMillis()
+  private val clockLock = new Object
+
+  /** Run `body` with every commit stamped by `c` instead of the wall
+    * clock (restored afterwards). Injection is process-global for the
+    * duration — callers that need deterministic commit timestamps (hash
+    * gates, tie-resolution specs) should not overlap other writers. */
+  def withClock[T](c: () => Long)(body: => T): T = clockLock.synchronized {
+    val prev = clockFn
+    clockFn = c
+    try body finally clockFn = prev
+  }
+
+  /** One `#meta:<epochMillis>:<operation>` header per commit, stamped at
+    * commit time and NEVER carried forward (unlike `#txn`/`#schema`,
+    * which describe the snapshot, the meta line describes THIS commit).
+    * Computed once per logical operation, outside the optimistic-commit
+    * retry loop, so a version race never skews the timestamp. */
+  private def metaHeader(op: String): String = {
+    require(!op.contains(":") && !op.contains("\n"),
+      s"operation kind must not contain ':' or newlines: $op")
+    s"$MetaPrefix${clockFn()}:$op"
+  }
+
+  /** `(commitTimestampMillis, operationKind)` of a committed OR retired
+    * version; `None` for legacy pre-meta commits. */
+  def commitMeta(root: String, version: Long): Option[(Long, String)] = {
+    val list = commitsDir(root).resolve(s"v$version.list")
+    val f = if (Files.exists(list)) list
+            else commitsDir(root).resolve(s"v$version.retired")
+    if (!Files.exists(f)) None
+    else readList(f).find(isMeta).flatMap { l =>
+      val rest = l.stripPrefix(MetaPrefix)
+      val i = rest.indexOf(':')
+      if (i <= 0) None
+      else rest.take(i).toLongOption.map(ts => (ts, rest.drop(i + 1)))
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution (the Delta surface): the NEWEST readable
+    * commit whose timestamp is <= `tsMillis`. Ties (two commits stamped
+    * the same instant — coarse clocks, injected test clocks) resolve to
+    * the HIGHEST version among them: version numbers are the table's
+    * true commit order, so "newest" is deterministic even when the
+    * clock is not monotonic. Legacy pre-meta commits count as timestamp
+    * 0 (older than everything). Fails if every commit is newer than
+    * `tsMillis` — there was no table state at that time. */
+  def timestampAsOf(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val eligible = vs.filter(v =>
+      commitMeta(root, v).map(_._1).getOrElse(0L) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no commit at or before timestamp $tsMillis at $root; earliest is " +
+        s"v${vs.head} @ ${commitMeta(root, vs.head).map(_._1).getOrElse(0L)}")
+    eligible.max
+  }
+
+  /** Time travel by TIMESTAMP: read the snapshot as of `tsMillis`
+    * (resolution rules in [[timestampAsOf]]) — same code path as
+    * version-pinned [[read]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(timestampAsOf(root, tsMillis)))
+
   /** The snapshot's committed schema — the Delta shape: schema is
     * TABLE METADATA carried in the log, one `#schema:<json>` header per
     * commit, so every version time-travels with the schema it was
@@ -278,6 +349,7 @@ object VersionedTable {
     val aligned = if (cur.isDefined) align(df, target) else df
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, partitionBy)
+    val meta = metaHeader("APPEND")
     var done = -1L
     while (done < 0) {
       val vs = versions(root)
@@ -290,7 +362,9 @@ object VersionedTable {
       val sch =
         if (!stamp) Seq.empty
         else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
-      if (tryCommit(root, v, base.filterNot(isSchema) ++ fresh ++ sch)) done = v
+      if (tryCommit(root, v,
+          base.filterNot(l => isSchema(l) || isMeta(l)) ++ fresh ++ sch :+ meta))
+        done = v
     }
     done
   }
@@ -304,14 +378,16 @@ object VersionedTable {
                 partitionBy: Seq[String] = Nil): Long = {
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(df, root, tag, partitionBy)
+    val meta = metaHeader("OVERWRITE")
     var done = -1L
     while (done < 0) {
       val vs = versions(root)
       val v = if (vs.isEmpty) 0L else vs.last + 1
       val txns = if (vs.isEmpty) Seq.empty
-                 else filesOf(root, vs.last).filter(l => isHeader(l) && !isSchema(l))
+                 else filesOf(root, vs.last).filter(l => parseTxn(l).isDefined)
       // a full replace REDEFINES the schema: stamp df's own
-      if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(df.schema))) done = v
+      if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(df.schema) :+ meta))
+        done = v
     }
     done
   }
@@ -333,6 +409,7 @@ object VersionedTable {
     val fresh = writeData(aligned, root, tag, partitionBy)
     def dirOf(rel: String): String = rel.split('/').dropRight(1).mkString("/")
     val touched = fresh.map(dirOf).toSet
+    val meta = metaHeader("REPLACE PARTITIONS")
     var done = -1L
     while (done < 0) {
       val vs = versions(root)
@@ -345,7 +422,9 @@ object VersionedTable {
       val sch =
         if (!stamp) Seq.empty
         else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
-      if (tryCommit(root, v, kept.filterNot(isSchema) ++ fresh ++ sch)) done = v
+      if (tryCommit(root, v,
+          kept.filterNot(l => isSchema(l) || isMeta(l)) ++ fresh ++ sch :+ meta))
+        done = v
     }
     done
   }
@@ -394,6 +473,7 @@ object VersionedTable {
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, partitionBy)
     val txn = s"#txn:$writerId:$epoch"
+    val meta = metaHeader("IDEMPOTENT APPEND")
     var done = -1L
     var skipped = false
     while (done < 0 && !skipped) {
@@ -409,7 +489,9 @@ object VersionedTable {
         val sch =
           if (!stamp) Seq.empty
           else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
-        if (tryCommit(root, v, base.filterNot(isSchema) ++ fresh ++ sch :+ txn)) done = v
+        if (tryCommit(root, v,
+            base.filterNot(l => isSchema(l) || isMeta(l)) ++ fresh ++ sch :+ txn :+ meta))
+          done = v
       }
     }
     if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
@@ -436,6 +518,7 @@ object VersionedTable {
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(df, root, tag, Nil)
     val txn = s"#txn:$writerId:$epoch"
+    val meta = metaHeader("IDEMPOTENT OVERWRITE")
     var done = -1L
     var skipped = false
     while (done < 0 && !skipped) {
@@ -444,11 +527,11 @@ object VersionedTable {
         val vs = versions(root)
         val v = if (vs.isEmpty) 0L else vs.last + 1
         val txns = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
-          .filter(l => isHeader(l) && !isSchema(l))
+          .filter(l => parseTxn(l).isDefined)
           .filterNot(l => parseTxn(l).exists(_._1 == writerId))
         // a full state replace redefines the schema: stamp df's own
         if (tryCommit(root, v,
-            fresh ++ txns :+ schemaHeader(df.schema) :+ txn)) done = v
+            fresh ++ txns :+ schemaHeader(df.schema) :+ txn :+ meta)) done = v
       }
     }
     if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
@@ -475,8 +558,9 @@ object VersionedTable {
     * guarantee survives a rewrite between its epochs. Returns the
     * committed version. */
   def rewrite(spark: SparkSession, root: String,
-              partitionBy: Seq[String] = Nil)
+              partitionBy: Seq[String] = Nil, op: String = "REWRITE")
              (transform: DataFrame => DataFrame): Long = {
+    val meta = metaHeader(op)
     var committed = -1L
     while (committed < 0) {
       val vs = versions(root)
@@ -498,8 +582,8 @@ object VersionedTable {
           stale = true
         } else {
           val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
-          val txns = latest.filter(isHeader)
-          if (tryCommit(root, cur.last + 1, fresh ++ since ++ txns))
+          val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+          if (tryCommit(root, cur.last + 1, fresh ++ since ++ txns :+ meta))
             committed = cur.last + 1
         }
       }
@@ -517,7 +601,7 @@ object VersionedTable {
     * version. */
   def optimize(spark: SparkSession, root: String, zorderCols: Seq[String],
                numFiles: Int): Long =
-    rewrite(spark, root, partitionCols(root))(
+    rewrite(spark, root, partitionCols(root), op = "OPTIMIZE")(
       graft.operators.Layout.zorder(_, zorderCols, numFiles))
 
   /** DELETE WHERE as a BOUNDED rewrite commit — the Delta/Iceberg
@@ -548,10 +632,38 @@ object VersionedTable {
                   ranges: Seq[SkippingIndex.ColRange],
                   strRanges: Seq[SkippingIndex.StrRange] = Nil,
                   cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{col, lit}
     require(ranges.nonEmpty || strRanges.nonEmpty,
       "deleteWhere needs at least one range (an empty box deletes nothing)")
+    val pred = (ranges.map(r =>
+        col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)) ++
+      strRanges.map(r =>
+        col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)))
+      .reduce(_ && _)
+    deleteWherePredicate(spark, root, pred, ranges, strRanges, cached)
+  }
+
+  /** GENERAL-PREDICATE DELETE: the two concerns of [[deleteWhere]]
+    * split apart — `predicate` is the EXACT row filter (any `Column`:
+    * IN-lists, LIKE, disjunctions), while `pruneRanges`/`pruneStrRanges`
+    * are the PRUNING HINT, a conservative bounding box of the predicate
+    * that footer stats can decide per file. CALLER CONTRACT: every row
+    * the predicate matches must fall inside the boxes (the boxes may
+    * over-cover — that only rewrites more files; under-covering would
+    * silently skip matching rows in "carried" files, so it is on the
+    * caller exactly as an index hint is). Empty boxes = no pruning:
+    * every file is rewritten with the anti-filter — always correct,
+    * never bounded. Deleted-row semantics are SQL DELETE's
+    * (`NOT coalesce(pred, false)` survives: a NULL comparison is not a
+    * match); conflict rules and the return triple are [[deleteWhere]]'s. */
+  def deleteWherePredicate(spark: SparkSession, root: String,
+                           predicate: org.apache.spark.sql.Column,
+                           pruneRanges: Seq[SkippingIndex.ColRange] = Nil,
+                           pruneStrRanges: Seq[SkippingIndex.StrRange] = Nil,
+                           cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val pcols = partitionCols(root)
+    val meta = metaHeader("DELETE")
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
       val vs = versions(root)
@@ -559,27 +671,26 @@ object VersionedTable {
       val baseV = vs.last
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
-      val files = baseData.map(rel => (s"$root/$rel", rel))
-      val m = cached
-        .map(SkippingIndex.refreshManifestFor(spark, files, _))
-        .getOrElse(SkippingIndex.manifestFor(spark, files,
-          (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
-      val touchSet = m.survivors(ranges, strRanges).toSet
+      val touchSet: Set[String] =
+        if (pruneRanges.isEmpty && pruneStrRanges.isEmpty) baseData.toSet
+        else {
+          val files = baseData.map(rel => (s"$root/$rel", rel))
+          val m = cached
+            .map(SkippingIndex.refreshManifestFor(spark, files, _))
+            .getOrElse(SkippingIndex.manifestFor(spark, files,
+              (pruneRanges.map(_.column) ++ pruneStrRanges.map(_.column)).distinct))
+          m.survivors(pruneRanges, pruneStrRanges).toSet
+        }
       val (touch, carry) = baseData.partition(touchSet.contains)
       if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
       else {
-        val pred = (ranges.map(r =>
-            col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)) ++
-          strRanges.map(r =>
-            col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)))
-          .reduce(_ && _)
         // touched files scan under the COMMITTED schema (when present):
         // a file predating an evolved column must rewrite with that
         // column null-filled, exactly as [[read]] serves it
         val rd = spark.read.option("basePath", s"$root/data")
         val survivorRows = schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
           .parquet(touch.map(f => s"$root/$f"): _*)
-          .filter(not(coalesce(pred, lit(false))))
+          .filter(not(coalesce(predicate, lit(false))))
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(survivorRows, root, tag, pcols)
         var stale = false
@@ -595,8 +706,9 @@ object VersionedTable {
           } else {
             val since = latest.filterNot(f =>
               baseData.contains(f) || isHeader(f))
-            val txns = latest.filter(isHeader)
-            if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns))
+            val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+            if (tryCommit(root, cur.last + 1,
+                carry ++ fresh ++ since ++ txns :+ meta))
               out = Some((cur.last + 1, touch.size, carry.size))
           }
         }
@@ -636,7 +748,25 @@ object VersionedTable {
       org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val target = (schemaIn(fromLines), schemaIn(toLines)) match {
-      case (Some(f), Some(t)) => Some(evolve(t, f)) // union, to-side order
+      case (Some(f), Some(t)) =>
+        // an OVERWRITE between the versions may have legitimately
+        // REDEFINED a column's type (evolve only guards appends); a feed
+        // cannot diff rows across a type flip, so fail with a
+        // feed-specific error instead of evolve's misleading
+        // "cast the batch before appending"
+        t.foreach { tf =>
+          f.find(ff => ff.name == tf.name && ff.dataType != tf.dataType)
+            .foreach { ff =>
+              throw new IllegalArgumentException(
+                s"changeFeed($fromVersion, $toVersion) at $root spans a " +
+                  s"schema redefinition: column `${tf.name}` is " +
+                  s"${ff.dataType.simpleString} at v$fromVersion but " +
+                  s"${tf.dataType.simpleString} at v$toVersion (an overwrite " +
+                  "redefined the schema between the versions); read the two " +
+                  "versions separately, or cast one side before diffing")
+            }
+        }
+        Some(evolve(t, f)) // union, to-side order
       case (f, t) => t.orElse(f)
     }
     def readSide(files: Seq[String],
@@ -667,7 +797,21 @@ object VersionedTable {
     * over so a streaming sink's exactly-once survives a rollback. The
     * restored version must not have been retired by a keep-N [[vacuum]]
     * (its files would be gone); [[read]]'s fail-fast check guards that.
-    * Returns the new committed version. */
+    *
+    * A LEGACY pre-schema version restored onto a schema-stamped table is
+    * RE-STAMPED with the restored snapshot's footer-inferred schema (one
+    * driver-side footer pass over its files), so the table never degrades
+    * back to inference-at-read once it has carried committed schemas.
+    *
+    * RESTORE ∥ VACUUM race: a vacuum whose live-file set was computed
+    * BEFORE this restore's commit landed may delete the restored files
+    * right after (it cannot see the new head). Two guards close it:
+    * [[vacuum]] re-reads the head after tombstoning and spares whatever
+    * it references, and restore VERIFIES its files still exist after
+    * committing — if any vanished, it SELF-HEALS by re-committing the
+    * pre-restore head (whose files the racing vacuum's keep-window
+    * spared) and throws, so the table's head never references deleted
+    * data. Returns the new committed version. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val vs = versions(root)
     if (!vs.contains(version)) {
@@ -676,26 +820,75 @@ object VersionedTable {
           s"cannot restore version $version at $root: retired by vacuum(keep)")
       else throw new IllegalArgumentException(s"version $version not in $vs")
     }
-    val restored = filesOf(root, version).filterNot(l => parseTxn(l).isDefined)
+    val restored =
+      try filesOf(root, version).filterNot(l => parseTxn(l).isDefined || isMeta(l))
+      catch { // a racing vacuum tombstoned the list after our validation
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"cannot restore version $version at $root: retired by vacuum(keep)")
+      }
+    // legacy pre-schema restore onto a schema-stamped table: re-stamp with
+    // the restored snapshot's own inferred schema so later appends keep
+    // committing schemas (ADVICE r10); an empty snapshot keeps the head's
+    val restamped =
+      if (restored.exists(isSchema) || schemaOf(root).isEmpty) restored
+      else {
+        val dataL = restored.filterNot(isHeader)
+        val inferred =
+          if (dataL.isEmpty) schemaOf(root)
+          else Some(spark.read.option("basePath", s"$root/data")
+            .parquet(dataL.map(f => s"$root/$f"): _*).schema)
+        restored ++ inferred.map(schemaHeader)
+      }
+    val meta = metaHeader("RESTORE")
     var done = -1L
+    var prevHead = -1L
     while (done < 0) {
       val cur = versions(root)
-      val txns = filesOf(root, cur.last).filter(l => parseTxn(l).isDefined)
-      if (tryCommit(root, cur.last + 1, restored ++ txns)) done = cur.last + 1
+      prevHead = cur.last
+      val txns = filesOf(root, prevHead).filter(l => parseTxn(l).isDefined)
+      if (tryCommit(root, prevHead + 1, restamped ++ txns :+ meta))
+        done = prevHead + 1
+    }
+    // post-commit existence check: from here on any vacuum sees this head
+    val missing = restamped.filterNot(isHeader)
+      .filterNot(f => Files.exists(Paths.get(root, f)))
+    if (missing.nonEmpty) {
+      // a racing vacuum retired `version` and ate its files between our
+      // validation and our commit — roll the head back to the pre-restore
+      // snapshot (in the vacuum's keep window, so its files live) and fail
+      val healLines = filesOf(root, prevHead).filterNot(isMeta)
+      val healMeta = metaHeader("ROLLBACK")
+      var healed = -1L
+      while (healed < 0) {
+        val cur = versions(root)
+        if (tryCommit(root, cur.last + 1, healLines :+ healMeta))
+          healed = cur.last + 1
+      }
+      throw new IllegalStateException(
+        s"restore of version $version at $root lost a race with " +
+          s"vacuum(keep): ${missing.size} restored file(s) were deleted " +
+          s"after the commit; the head was rolled back to v$prevHead's " +
+          s"snapshot as v$healed")
     }
     done
   }
 
   /** DESCRIBE HISTORY — one row per commit, readable AND retired (the
     * Delta history surface, from the protocol's own metadata: no
-    * side-car log to drift out of sync). Per version: data-file count,
-    * total committed bytes (0 for a retired version whose files are
-    * gone), the idempotent writers whose `#txn` headers the snapshot
-    * carries, whether the commit stamped a schema, and the retirement
-    * flag. Driver-side work is O(versions) commit-list reads — metadata
+    * side-car log to drift out of sync). Per version: the commit
+    * TIMESTAMP and OPERATION kind from its `#meta` header (null for
+    * legacy pre-meta commits — the audit-trail columns the reference's
+    * timestamp-keyed control culture queries, cf.
+    * /root/reference Bincr:cell 10), data-file count, total committed
+    * bytes (0 for a retired version whose files are gone), the
+    * idempotent writers whose `#txn` headers the snapshot carries,
+    * whether the commit stamped a schema, and the retirement flag.
+    * Driver-side work is O(versions) commit-list reads — metadata
     * scale, like every other protocol op. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
     val live = versions(root).map(v => (v, s"v$v.list", false))
     val retired = retiredVersions(root).map(v => (v, s"v$v.retired", true))
     val rows = (live ++ retired).sortBy(_._1).map { case (v, name, isRetired) =>
@@ -706,10 +899,19 @@ object VersionedTable {
         if (Files.exists(p)) Files.size(p) else 0L
       }.sum
       val writers = lines.flatMap(parseTxn).map(_._1).distinct.sorted
-      (v, data.size, bytes, writers, lines.exists(isSchema), isRetired)
+      val meta = commitMeta(root, v)
+      (v, meta.map(_._1), meta.map(_._2).orNull,
+        data.size, bytes, writers, lines.exists(isSchema), isRetired)
     }
-    rows.toDF("version", "n_files", "n_bytes", "txn_writers",
-      "has_schema", "retired")
+    rows.toDF("version", "ts_ms", "operation", "n_files", "n_bytes",
+      "txn_writers", "has_schema", "retired")
+      // timestamp as a real TimestampType beside the raw millis (the
+      // millis stay: they are what timestampAsOf takes, and they hash
+      // identically across engines)
+      .withColumn("timestamp", expr("timestamp_millis(ts_ms)"))
+      .select(col("version"), col("timestamp"), col("ts_ms"), col("operation"),
+        col("n_files"), col("n_bytes"), col("txn_writers"),
+        col("has_schema"), col("retired"))
   }
 
   /** Delete data files no commit references (orphans of crashed writers,
@@ -725,17 +927,20 @@ object VersionedTable {
     * and "in flight" look identical on disk — a concurrent writer stages
     * data files BEFORE its commit publishes them, and an age-0 vacuum
     * racing that writer would delete files its commit is about to
-    * reference. Any maintenance job that can overlap a live writer
-    * (the streaming-soak shape: sink ∥ optimize ∥ vacuum) must pass a
-    * window comfortably above a write+commit latency; 0 is only for
-    * quiesced tables (the default keeps sequential callers' semantics:
-    * crash orphans reclaim immediately). Returns the deleted files'
-    * relative names. */
+    * reference. SAFE BY DEFAULT (Delta's retentionDurationCheck shape,
+    * ADVICE r10): the default window is [[DefaultRetentionMs]],
+    * comfortably above a write+commit latency, so a vacuum that overlaps
+    * a live writer (the streaming-soak shape: sink ∥ optimize ∥ vacuum)
+    * is safe without any argument. IMMEDIATE reclamation (crash-orphan
+    * cleanup on a quiesced table, tests) is the explicit opt-in
+    * `minAgeMs = 0`. Returns the deleted files' relative names. */
   def vacuum(root: String, keep: Option[Int] = None,
-             minAgeMs: Long = 0L): Seq[String] = {
+             minAgeMs: Long = DefaultRetentionMs): Seq[String] = {
     val vs = versions(root)
     val kept = keep.fold(vs)(n => vs.takeRight(n))
     val retiring = vs.filterNot(kept.contains)
+    vacuumWindowHook() // test seam: a racing commit lands HERE, after the
+    // kept-window was computed — the head re-read below must spare it
     retiring.foreach { v =>
       try Files.move(commitsDir(root).resolve(s"v$v.list"),
         commitsDir(root).resolve(s"v$v.retired"),
@@ -763,9 +968,37 @@ object VersionedTable {
           case _: java.io.IOException => false
         }
       }
-    val doomed = walk(d, "").filterNot(n => live.contains(s"data/$n"))
+    // re-read the head AFTER tombstoning: a commit that landed after
+    // `kept` was computed (a RESTORE re-publishing a retired version's
+    // files is the canonical case) may reference files `live` misses —
+    // spare whatever the current head references; restore's post-commit
+    // existence check covers the residual window (see [[restore]])
+    val headLive: Set[String] = versions(root).lastOption
+      .map(v => filesOf(root, v).filterNot(isHeader).toSet)
+      .getOrElse(Set.empty)
+    val doomed = walk(d, "")
+      .filterNot(n => live.contains(s"data/$n") || headLive.contains(s"data/$n"))
       .filter(oldEnough)
     doomed.foreach(n => Files.deleteIfExists(d.resolve(n)))
     doomed.map(n => s"data/$n")
   }
+
+  /** Default [[vacuum]] retention: 10 minutes — orders of magnitude above
+    * any single write+commit latency here, minutes not Delta's 7 days
+    * because this layout targets job-scoped tables whose whole lifetime
+    * is minutes. Immediate reclamation is the explicit `minAgeMs = 0`,
+    * and ONLY safe on a quiesced table: an age-0 vacuum racing ANY
+    * concurrent writer (append staging files, restore re-publishing a
+    * retired version) has an irreducible check-then-delete window — the
+    * same reason Delta's retentionDurationCheck refuses short windows.
+    * The head-re-read guard in [[vacuum]] and the post-commit verify in
+    * [[restore]] shrink that window; the retention default is what
+    * closes it. */
+  val DefaultRetentionMs: Long = 10L * 60L * 1000L
+
+  /** Test seam: runs inside [[vacuum]] right after the kept-version
+    * window is computed, before tombstoning and deletion — specs inject
+    * a racing commit (a restore) here to prove the head-re-read guard
+    * deterministically. No-op in production. */
+  private[graft] var vacuumWindowHook: () => Unit = () => ()
 }

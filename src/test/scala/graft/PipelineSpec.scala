@@ -128,7 +128,7 @@ class PipelineSpec extends SparkSpecBase {
     VersionedTable.overwrite(spark, root, df(50, 120))
     VersionedTable.append(spark, root, df(120, 130))
     assert(VersionedTable.versions(root) == Seq(0L, 1L, 2L))
-    VersionedTable.vacuum(root, keep = Some(1))
+    VersionedTable.vacuum(root, keep = Some(1), minAgeMs = 0L)
     assert(VersionedTable.versions(root) == Seq(2L),
       "retired versions must leave the committed-version list")
     assert(VersionedTable.retiredVersions(root) == Seq(0L, 1L))
@@ -143,9 +143,14 @@ class PipelineSpec extends SparkSpecBase {
     // their reclaimed versions carrying zero live bytes
     val h = VersionedTable.history(spark, root)
       .orderBy("version").collect()
-    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
-    assert(h.map(_.getBoolean(5)).toSeq == Seq(true, true, false))
-    assert(h.last.getLong(2) > 0, "the live version reports its bytes")
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getAs[Boolean]("retired")).toSeq == Seq(true, true, false))
+    assert(h.last.getAs[Long]("n_bytes") > 0, "the live version reports its bytes")
+    // r11: history carries each commit's operation kind and timestamp
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("OVERWRITE", "OVERWRITE", "APPEND"))
+    assert(h.forall(r => r.getAs[Long]("ts_ms") > 0L &&
+      !r.isNullAt(r.fieldIndex("timestamp"))))
   }
 
   test("deleteWhere is a bounded rewrite: non-matching files carry byte-identical, content equals the anti-filter, old snapshot travels") {
@@ -313,7 +318,12 @@ class PipelineSpec extends SparkSpecBase {
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => f.renameTo(new java.io.File(s"$root/data/crashed-${f.getName}")))
     assert(ids(VersionedTable.read(spark, root)) == (500L until 510L).toSet)
-    val gone = VersionedTable.vacuum(root)
+    // SAFE BY DEFAULT (ADVICE r10): without an explicit opt-in the
+    // retention window spares the young orphans — "unreferenced" and
+    // "in flight" look identical on disk
+    assert(VersionedTable.vacuum(root).isEmpty,
+      "default retention must spare files younger than the window")
+    val gone = VersionedTable.vacuum(root, minAgeMs = 0L)
     assert(gone.nonEmpty && gone.forall(_.contains("crashed")),
       s"vacuum removes exactly the orphans: $gone")
     assert(ids(VersionedTable.read(spark, root, Some(0L))) == (0L until 100L).toSet,
@@ -788,5 +798,212 @@ class PipelineSpec extends SparkSpecBase {
         spark.conf.set("spark.sql.cbo.enabled", _))
       spark.sql("DROP TABLE IF EXISTS stats_t")
     }
+  }
+
+  test("timestamp time travel: AS OF resolves the newest commit <= ts, ties to the highest version") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_tts").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    val times = Array(1000L, 2000L, 2000L) // v1 and v2 land the same instant
+    val tick = new java.util.concurrent.atomic.AtomicInteger(0)
+    VersionedTable.withClock(() => times(math.min(tick.getAndIncrement(), 2))) {
+      VersionedTable.overwrite(spark, root, df(0, 10))
+      VersionedTable.append(spark, root, df(10, 20))
+      VersionedTable.append(spark, root, df(20, 30))
+    }
+    assert(VersionedTable.timestampAsOf(root, 1000L) == 0L)
+    assert(VersionedTable.timestampAsOf(root, 1500L) == 0L)
+    // the tie: two commits stamped 2000 resolve DETERMINISTICALLY to the
+    // higher version (version numbers are the true commit order)
+    assert(VersionedTable.timestampAsOf(root, 2000L) == 2L)
+    assert(VersionedTable.timestampAsOf(root, 99999L) == 2L)
+    assert(VersionedTable.readAsOf(spark, root, 1500L).count() == 10)
+    assert(VersionedTable.readAsOf(spark, root, 2000L).count() == 30)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.timestampAsOf(root, 999L)
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+    // history surfaces the same timestamps and the operation kinds
+    val h = VersionedTable.history(spark, root).orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("ts_ms")).toSeq == Seq(1000L, 2000L, 2000L))
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("OVERWRITE", "APPEND", "APPEND"))
+  }
+
+  test("restore vs vacuum(keep): the head never references deleted files") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    def freshTable(tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft_rvr$tag").toString
+      VersionedTable.overwrite(spark, root, df(0, 40))    // v0
+      VersionedTable.overwrite(spark, root, df(100, 160)) // v1
+      root
+    }
+    def headSound(root: String, allowed: Set[Long]): Unit = {
+      assert(allowed.contains(VersionedTable.read(spark, root).count()))
+      VersionedTable.dataFiles(root).foreach(f =>
+        assert(new java.io.File(s"$root/$f").exists(), s"head lists missing $f"))
+    }
+    // (a) vacuum fully first: restore fails FAST with the retired error —
+    // it must never commit a head pointing at the deleted files
+    val a = freshTable("a")
+    VersionedTable.vacuum(a, keep = Some(1), minAgeMs = 0L)
+    val ea = intercept[IllegalStateException] { VersionedTable.restore(spark, a, 0L) }
+    assert(ea.getMessage.contains("retired"))
+    headSound(a, Set(60L))
+    // (b) restore fully first: the later vacuum's kept window includes the
+    // restore commit, so v0's re-published files are live and spared
+    val b = freshTable("b")
+    VersionedTable.restore(spark, b, 0L)
+    VersionedTable.vacuum(b, keep = Some(1), minAgeMs = 0L)
+    headSound(b, Set(40L))
+    // (c) THE window: restore commits INSIDE a running vacuum, after its
+    // live-set was computed from [v0, v1] but before deletion — the
+    // vacuum's head re-read must spare the files the new head references
+    val c = freshTable("c")
+    VersionedTable.vacuumWindowHook = () => {
+      VersionedTable.restore(spark, c, 0L); ()
+    }
+    try VersionedTable.vacuum(c, keep = Some(1), minAgeMs = 0L)
+    finally VersionedTable.vacuumWindowHook = () => ()
+    headSound(c, Set(40L))
+    assert(VersionedTable.read(spark, c).select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 40L).toSet, "the restored content survives the racing vacuum")
+    // (d) CONCURRENT restore ∥ vacuum under the SAFE DEFAULT retention —
+    // the supported concurrent mode (age-0 is documented quiesced-only):
+    // whatever the interleaving, the head stays fully readable
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    (0 until 4).foreach { i =>
+      val root = freshTable(s"d$i")
+      val restore = Future(
+        try Some(VersionedTable.restore(spark, root, 0L))
+        catch { case _: Exception => None }) // lost to vacuum: allowed
+      val vac = Future(VersionedTable.vacuum(root, keep = Some(1)))
+      Await.result(restore, 60.seconds)
+      Await.result(vac, 60.seconds)
+      headSound(root, Set(40L, 60L))
+    }
+  }
+
+  test("general-predicate delete: IN-list filters exactly, the bounding box still carries files untouched") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import SkippingIndex.ColRange
+    val root = java.nio.file.Files.createTempDirectory("graft_vdelin").toString
+    val df = (0 until 8000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    VersionedTable.overwrite(spark, root, df)
+    val v0Files = VersionedTable.dataFiles(root)
+    def diskState(rel: String) = {
+      val f = new java.io.File(s"$root/$rel")
+      (f.lastModified(), f.length())
+    }
+    val before = v0Files.map(f => f -> diskState(f)).toMap
+    val doomed = Seq(2100L, 2500L, 2900L)
+    val (v1, rewritten, carried) = VersionedTable.deleteWherePredicate(spark, root,
+      col("id").isin(doomed: _*), Seq(ColRange("id", 2100, 2900)))
+    assert(rewritten >= 1 && carried >= 6,
+      s"the IN-list delete must stay bounded by its box: rewritten=$rewritten carried=$carried")
+    // exact predicate semantics: ONLY the listed ids left, not the box
+    val ids = VersionedTable.read(spark, root).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 8000L).toSet -- doomed)
+    // carried files are byte-identical, old snapshot still travels
+    val carriedRel = v0Files.toSet.intersect(VersionedTable.dataFiles(root).toSet)
+    assert(carriedRel.size == carried)
+    carriedRel.foreach(f => assert(diskState(f) == before(f)))
+    assert(VersionedTable.read(spark, root, Some(v1 - 1)).count() == 8000)
+    // empty boxes = no pruning, still exact: delete one more id everywhere
+    val (_, rw2, c2) = VersionedTable.deleteWherePredicate(spark, root, col("id") === 7000L)
+    assert(c2 == 0 && rw2 >= 1, "no box => every file rewrites")
+    assert(VersionedTable.read(spark, root).count() == 8000 - doomed.size - 1)
+  }
+
+  test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_cftype").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "x"))
+    // overwrite legitimately REDEFINES x: long -> string
+    VersionedTable.overwrite(spark, root,
+      (0 until 10).map(i => (i.toLong, s"s$i")).toDF("id", "x"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, root, 0L, 1L).collect()
+    }
+    assert(e.getMessage.contains("changeFeed(0, 1)") &&
+      e.getMessage.contains("`x`") && e.getMessage.contains("bigint") &&
+      e.getMessage.contains("string"),
+      s"feed-specific error naming versions and column, got: ${e.getMessage}")
+  }
+
+  test("restore of a legacy pre-schema version re-stamps the commit: the table keeps committed schemas") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_rleg").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    // simulate a legacy pre-schema v0: strip its header lines
+    val v0 = java.nio.file.Paths.get(root, "_commits", "v0.list")
+    val stripped = new String(java.nio.file.Files.readAllBytes(v0), "UTF-8")
+      .split("\n").filterNot(_.startsWith("#")).mkString("\n")
+    java.nio.file.Files.write(v0, stripped.getBytes("UTF-8"))
+    assert(VersionedTable.schemaOf(root, Some(0L)).isEmpty)
+    // a schema-stamped overwrite on top, then restore the legacy version
+    VersionedTable.overwrite(spark, root,
+      (100 until 120).map(i => (i.toLong, s"b$i")).toDF("id", "v"))
+    assert(VersionedTable.schemaOf(root).isDefined)
+    VersionedTable.restore(spark, root, 0L)
+    // the restored commit carries a re-stamped (footer-inferred) schema,
+    // so later appends keep committing schemas instead of degrading
+    assert(VersionedTable.schemaOf(root).isDefined,
+      "restore must re-stamp a legacy version's schema on a stamped table")
+    VersionedTable.append(spark, root,
+      (200 until 210).map(i => (i.toLong, s"c$i")).toDF("id", "v"))
+    assert(VersionedTable.schemaOf(root).isDefined,
+      "the append after the restore must still stamp")
+    assert(VersionedTable.read(spark, root).count() == 20)
+  }
+
+  test("manifests exist from the first versioned write: pipeline gold tables prune out of the box") {
+    pipe // ordered: the full run wrote the gold tables
+    import graft.sources.SkippingIndex.ColRange
+    val wh = Warehouse(spark, whRoot)
+    // no explicit refreshManifest ever ran for fact_orders — the write
+    // path itself must have built the manifest peer
+    assert(new java.io.File(s"$whRoot/gold_fact_orders__manifest").exists(),
+      "first versioned write must create the manifest")
+    val ranges = Seq(ColRange("order_year", 2021, 2021))
+    val pruned = wh.prunedRead("gold_fact_orders", ranges)
+      .filter(col("order_year") === 2021)
+    val plain = wh.read("gold_fact_orders").filter(col("order_year") === 2021)
+    assert(pruned.count() == plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // and the listing still hides it
+    assert(!wh.list("gold_").exists(_.endsWith("__manifest")))
+  }
+
+  test("versioned append inherits the committed partition layout; a mismatched layout is refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("graft_apl").toString
+    val wh = Warehouse(spark, root)
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, (i % 3).toLong, s"r$i"))
+      .toDF("id", "yr", "v")
+    wh.write("t", df(0, 90), partitionBy = Seq("yr"))
+    // append with partitionBy = Nil: inherits yr, no mixed directory depths
+    wh.write("t", df(90, 120), SaveMode.Append)
+    assert(wh.partitionColsOf("t") == Seq("yr"))
+    val got = wh.read("t")
+    assert(got.count() == 120 && got.columns.contains("yr"))
+    assert(got.select("id").distinct().count() == 120)
+    // a DIFFERENT layout on append is refused loudly, not silently mixed
+    val e = intercept[IllegalArgumentException] {
+      wh.write("t", df(120, 130), SaveMode.Append, partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("does not match the committed layout"))
   }
 }

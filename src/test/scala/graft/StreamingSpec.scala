@@ -528,6 +528,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).count() == folded.count())
   }
 
+  test("change-feed consumer: stream fold == batch changeFeed fold == direct state; replay no-ops") {
+    import graft.sources.{SkippingIndex, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_cfc").toString
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    val tgt2 = s"$base/tgt2"
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // source history: overwrite, append, bounded delete, and a dynamic
+    // partition-overwrite-shaped append of REVISED rows (same keys) — the
+    // consumer must treat the re-insert as an update
+    VersionedTable.overwrite(spark, src, ev.filter(col("event_id") < 600)
+      .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"))
+    VersionedTable.append(spark, src, ev.filter(col("event_id") >= 600))
+    VersionedTable.deleteWhere(spark, src,
+      Seq(SkippingIndex.ColRange("event_id", 100, 299)))
+    val keys = Seq("event_id")
+    val ord = Seq(col("value").desc_nulls_last, col("event_id").desc)
+    val folded = Streams.changeFeedConsume(spark, src, tgt, keys, ord, "cdc")
+    assert(folded == 3L, s"one slice per source commit, got $folded")
+    val streamed = VersionedTable.read(spark, tgt)
+    // equivalence 1: the consumed target equals the source's final state
+    val direct = VersionedTable.read(spark, src)
+    assert(streamed.count() == direct.count())
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "consumed target must equal the source's current snapshot")
+    // equivalence 2: folding the batch changeFeed slices by hand into a
+    // SECOND target gives the same state (applyChangeSlice is the shared
+    // fold; this pins consume's slicing to the batch feed's)
+    val vs = VersionedTable.versions(src)
+    val s0 = Streams.applyChangeSlice(None,
+      VersionedTable.read(spark, src, Some(vs.head)).withColumn("_change_type", lit("insert")),
+      keys, ord)
+    val byHand = vs.sliding(2).foldLeft(s0) { case (st, Seq(a, b)) =>
+      Streams.applyChangeSlice(Some(st),
+        VersionedTable.changeFeed(spark, src, a, b), keys, ord)
+    }
+    VersionedTable.overwrite(spark, tgt2, byHand)
+    val manual = VersionedTable.read(spark, tgt2)
+    assert(streamed.exceptAll(manual).isEmpty && manual.exceptAll(streamed).isEmpty,
+      "consumer fold must equal the hand-rolled batch changeFeed fold")
+    // exactly-once: a full replay over the same history commits nothing
+    assert(Streams.changeFeedConsume(spark, src, tgt, keys, ord, "cdc") == 0L)
+    assert(VersionedTable.versions(tgt).size == 3)
+    // and the consumer catches up INCREMENTALLY after a new source commit
+    VersionedTable.append(spark, src,
+      ev.filter(col("event_id") >= 100 && col("event_id") < 150))
+    assert(Streams.changeFeedConsume(spark, src, tgt, keys, ord, "cdc") == 1L)
+    assert(VersionedTable.read(spark, tgt).count() ==
+      VersionedTable.read(spark, src).select("event_id").distinct().count())
+  }
+
   test("soak: versioned sink under CONCURRENT optimize + vacuum — rows exactly once, replay no-ops, retention spares in-flight files") {
     import graft.sources.VersionedTable
     val base = java.nio.file.Files.createTempDirectory("graft_vsoak").toString
