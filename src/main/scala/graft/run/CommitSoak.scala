@@ -1,0 +1,75 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+
+/** Commit-list scaling soak (round-11 verdict item): the versioned
+  * table's per-commit COMPLETE file list is the documented O(files)
+  * trade for log-replay-free reads — this harness MEASURES it instead
+  * of asserting it. One table takes `n` (default 1000) idempotent
+  * appends of one file each; every 100 commits we record the median
+  * and p99 append wall over the block, the commit-list size in bytes,
+  * and the cost of a [[graft.sources.VersionedTable.committedEpochs]]
+  * redelivery check (one list read — the O(1)-per-epoch claim). A
+  * final OPTIMIZE + vacuum shows compaction resetting the list to
+  * O(live files), which is the 100 TB steady state: list growth is
+  * bounded by maintenance, not by commit count.
+  *
+  * Output: a markdown table ready for SCALE.md. If the median append
+  * drifts super-linearly with version count, the verdict's prescribed
+  * fix is a head-checkpoint + delta-segment list split; the
+  * measurement decides whether that complexity is warranted.
+  *
+  * Usage: `runMain graft.run.CommitSoak [nCommits]`. */
+object CommitSoak {
+  def main(args: Array[String]): Unit = {
+    import graft.sources.VersionedTable
+    val n = if (args.nonEmpty) args(0).toInt else 1000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_commitsoak").toString
+    // one small pre-materialized file per commit: the Spark write is
+    // constant work, so any drift in the numbers is the PROTOCOL's
+    val batch = (0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .coalesce(1).persist()
+    batch.count()
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val durs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    println("| commits | files | list bytes | append ms (median) | append ms (p99) | epochs check ms |")
+    println("|---|---|---|---|---|---|")
+    (0 until n).foreach { i =>
+      val t0 = System.nanoTime()
+      VersionedTable.appendIdempotent(spark, root, batch, "soak", i)
+      durs += (System.nanoTime() - t0) / 1e6
+      if ((i + 1) % 100 == 0) {
+        val vs = VersionedTable.versions(root)
+        val listBytes = java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, "_commits", s"v${vs.last}.list"))
+        val nFiles = VersionedTable.dataFiles(root).size
+        val t1 = System.nanoTime()
+        val epochs = VersionedTable.committedEpochs(root)
+        val epochMs = (System.nanoTime() - t1) / 1e6
+        require(epochs("soak") == i.toLong)
+        val block = durs.takeRight(100).sorted
+        val row = f"| ${i + 1} | $nFiles | $listBytes | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f |"
+        println(row)
+        blocks += row
+      }
+    }
+    // maintenance resets the trade: OPTIMIZE collapses the file count,
+    // so the NEXT commit's list is O(live files) again
+    VersionedTable.optimize(spark, root, Seq("id"), numFiles = 8)
+    VersionedTable.vacuum(root, keep = Some(1), minAgeMs = 0L)
+    val vs = VersionedTable.versions(root)
+    val afterBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(root, "_commits", s"v${vs.last}.list"))
+    println(f"| after OPTIMIZE+vacuum | ${VersionedTable.dataFiles(root).size} | $afterBytes | — | — | — |")
+    println(f"total append wall: ${durs.sum / 1000}%.1f s over $n commits")
+    spark.stop()
+  }
+}
