@@ -920,6 +920,40 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // st10 through the REAL streaming engine: readStream over the
+    // versioned-feed SOURCE (offset = commit version, one diff slice per
+    // micro-batch via maxVersionsPerTrigger=1) → foreachBatch CDC fold →
+    // idempotent versioned target. Same oracle as st10 — a green hash
+    // proves the engine-driven feed equals the direct state; the
+    // replay_noop column proves a fresh query over the same history
+    // (batchIds restart at 0) re-commits nothing
+    "st11_feed_source_stream" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val src = s"${sys.props("java.io.tmpdir")}/graft_st11src_${math.abs(d.hashCode)}"
+      val tgt = s"${sys.props("java.io.tmpdir")}/graft_st11tgt_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(src)); rm(new java.io.File(tgt))
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, src, ev.filter(col("event_id") < 600)
+        .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      VersionedTable.append(s, src, ev.filter(col("event_id") >= 600))
+      VersionedTable.deleteWhere(s, src,
+        Seq(SkippingIndex.ColRange("event_id", 100, 299)))
+      val keys = Seq("event_id")
+      val order = Seq(col("event_id").desc)
+      graft.streaming.Streams.changeFeedStream(s, src, tgt, keys, order,
+        "cdcs", maxVersionsPerTrigger = Some(1L))
+      val nAfter = VersionedTable.versions(tgt).size
+      graft.streaming.Streams.changeFeedStream(s, src, tgt, keys, order, "cdcs")
+      VersionedTable.read(s, tgt)
+        .withColumn("n_folded", lit(nAfter.toLong))
+        .withColumn("replay_noop",
+          lit(VersionedTable.versions(tgt).size == nAfter))
+        .orderBy("event_id")
+    }),
+
     // approximate distinct (HLL++) — scale substitute for exact COUNT
     // DISTINCT; engine-specific sketch, rows-only (ExtSpec bounds the error)
     "a9_approx_distinct" -> ((s, d) =>
@@ -2596,6 +2630,15 @@ object SparkEntry {
     // (v0→v1), delete the box (v1→v2) folds to exactly the source's
     // final state; 3 slices, replay commits nothing
     "st10_change_feed_stream" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(3 AS BIGINT) AS n_folded, TRUE AS replay_noop
+        |FROM events WHERE event_id NOT BETWEEN 100 AND 299
+        |ORDER BY event_id""".stripMargin,
+
+    // the engine-driven feed must equal the direct state: same final
+    // content as st10, one target version per source commit
+    // (maxVersionsPerTrigger = 1), fresh-query replay commits nothing
+    "st11_feed_source_stream" ->
       """SELECT event_id, user_id, event_type, value,
         |  CAST(3 AS BIGINT) AS n_folded, TRUE AS replay_noop
         |FROM events WHERE event_id NOT BETWEEN 100 AND 299

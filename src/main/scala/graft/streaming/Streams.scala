@@ -666,6 +666,51 @@ object Streams {
     }
   }
 
+  /** The versioned-feed SOURCE driven through the REAL streaming engine
+    * into a keyed CDC upsert target — `readStream.format("versioned-feed")`
+    * (see [[VersionedFeedSource]]: offset = source commit version, one
+    * bounded diff per batch) → `foreachBatch` folding each batch's
+    * versions IN ORDER via [[applyChangeSlice]] →
+    * [[graft.sources.VersionedTable.overwriteIdempotent]] with the
+    * batchId as epoch. Exactly-once end to end: the engine's checkpoint
+    * WAL replays a failed batch with the SAME offsets and batchId, and
+    * the idempotent commit no-ops the redelivery; a checkpointed RESTART
+    * resumes at the WAL's offsets, so only new source commits fold.
+    * Drains everything available, then stops (the poll-per-call shape
+    * every harness here uses); pass the same `checkpoint` to resume. */
+  def changeFeedStream(spark: SparkSession, srcRoot: String, targetRoot: String,
+                       keys: Seq[String], versionCols: Seq[Column],
+                       writerId: String, checkpoint: Option[String] = None,
+                       maxVersionsPerTrigger: Option[Long] = None): Unit = {
+    import graft.sources.VersionedTable
+    val reader = spark.readStream.format("versioned-feed").option("path", srcRoot)
+    val in = maxVersionsPerTrigger
+      .fold(reader)(m => reader.option("maxVersionsPerTrigger", m.toString)).load()
+    val writer = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      // a catch-up batch may span several source commits: fold them in
+      // commit order. The collect is bounded by versions-per-batch
+      // (commit metadata, not rows; capped by maxVersionsPerTrigger).
+      val vs = batch.select(VersionedFeedSource.CommitVersion).distinct()
+        .collect().map(_.getLong(0)).sorted
+      var state =
+        if (VersionedTable.isVersioned(targetRoot))
+          Some(VersionedTable.read(spark, targetRoot))
+        else None
+      vs.foreach { v =>
+        val slice = batch
+          .filter(col(VersionedFeedSource.CommitVersion) === v)
+          .drop(VersionedFeedSource.CommitVersion)
+        state = Some(applyChangeSlice(state, slice, keys, versionCols))
+      }
+      state.foreach(st =>
+        VersionedTable.overwriteIdempotent(spark, targetRoot, st, writerId, epoch))
+      ()
+    }
+    val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** STREAMING CHANGE-FEED CONSUMER — the engine consuming its OWN CDC
     * feed end-to-end (closing the loop the r10 judge called for): a
     * micro-batch reader over a [[graft.sources.VersionedTable]]'s commit

@@ -579,6 +579,82 @@ class StreamingSpec extends SparkSpecBase {
       VersionedTable.read(spark, src).select("event_id").distinct().count())
   }
 
+  test("versioned-feed source: engine-driven stream equals direct state; checkpointed restart resumes at the WAL offset") {
+    import graft.sources.{SkippingIndex, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_vfs").toString
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    val ckpt = s"$base/ckpt"
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    VersionedTable.overwrite(spark, src, ev.filter(col("event_id") < 600)
+      .repartitionByRange(4, col("event_id")).sortWithinPartitions("event_id"))
+    VersionedTable.append(spark, src, ev.filter(col("event_id") >= 600))
+    VersionedTable.deleteWhere(spark, src,
+      Seq(SkippingIndex.ColRange("event_id", 100, 299)))
+    val keys = Seq("event_id")
+    val ord = Seq(col("event_id").desc)
+    // one micro-batch per source commit through the REAL engine
+    Streams.changeFeedStream(spark, src, tgt, keys, ord, "vfs",
+      checkpoint = Some(ckpt), maxVersionsPerTrigger = Some(1L))
+    val direct = VersionedTable.read(spark, src)
+    val streamed = VersionedTable.read(spark, tgt)
+    assert(streamed.count() == direct.count())
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "engine-driven feed must equal the source's current snapshot")
+    assert(VersionedTable.versions(tgt).size == 3,
+      "maxVersionsPerTrigger=1 => one target commit per source commit")
+    // RESTART from the checkpoint after a new source commit: the WAL
+    // resumes at the stored offset, so exactly the new slice folds
+    VersionedTable.append(spark, src,
+      ev.filter(col("event_id") >= 100 && col("event_id") < 150))
+    Streams.changeFeedStream(spark, src, tgt, keys, ord, "vfs",
+      checkpoint = Some(ckpt))
+    assert(VersionedTable.versions(tgt).size == 4,
+      "the resumed stream must fold exactly the one new commit")
+    assert(VersionedTable.read(spark, tgt).count() ==
+      VersionedTable.read(spark, src).count())
+    // and a drained stream resumed with NOTHING new commits nothing
+    Streams.changeFeedStream(spark, src, tgt, keys, ord, "vfs",
+      checkpoint = Some(ckpt))
+    assert(VersionedTable.versions(tgt).size == 4, "no new offsets => no commits")
+  }
+
+  test("versioned-feed source: a consumer fallen behind retention fails loudly; a fresh stream bootstraps from the snapshot") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val base = java.nio.file.Files.createTempDirectory("graft_vfr").toString
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val ev = events.select(col("event_id"), col("user_id"), col("value"))
+    def run(checkpoint: Option[String]): Long = {
+      val reader = spark.readStream.format("versioned-feed").option("path", src).load()
+      var rows = 0L
+      val writer = reader.writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) => rows += b.count(); ()
+      }
+      val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+      try { q.processAllAvailable(); rows } finally q.stop()
+    }
+    VersionedTable.overwrite(spark, src, ev.filter(col("event_id") < 300))
+    // a checkpointed consumer drains v0, then goes away
+    assert(run(Some(ckpt)) == ev.filter(col("event_id") < 300).count())
+    // meanwhile the source advances two commits and retention retires
+    // everything before the head — the consumer is now PAST the window
+    VersionedTable.append(spark, src,
+      ev.filter(col("event_id") >= 300 && col("event_id") < 400))
+    VersionedTable.append(spark, src, ev.filter(col("event_id") >= 400))
+    VersionedTable.vacuum(src, keep = Some(1), minAgeMs = 0L)
+    // resuming must fail LOUDLY: changeFeed(v1, v2) needs retired v1, and
+    // silently serving a snapshot would skip the window's deletes
+    val e = intercept[StreamingQueryException] { run(Some(ckpt)) }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg != null && msg.contains("retired by vacuum"),
+      s"the feed must fail loudly past retention, got: $msg")
+    // a FRESH stream (no checkpoint) is fine: the earliest readable
+    // version bootstraps as an all-insert snapshot
+    assert(run(None) == VersionedTable.read(spark, src).count())
+  }
+
   test("soak: versioned sink under CONCURRENT optimize + vacuum — rows exactly once, replay no-ops, retention spares in-flight files") {
     import graft.sources.VersionedTable
     val base = java.nio.file.Files.createTempDirectory("graft_vsoak").toString
