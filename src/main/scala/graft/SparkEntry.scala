@@ -368,6 +368,55 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // CONVERT TO VERSIONED in place: a flat Hive-partitioned parquet
+    // table (written by plain Spark) upgrades by atomically MOVING its
+    // files under data/ and committing v0 — zero rows rewritten. The
+    // hash checks the converted content (partition column included, so
+    // directory-derived values survived the move) and that a
+    // POST-convert protocol op works: an evolving append lands v1
+    "s31_convert_flat" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s31_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") < 400).select("doc_id", "n_chars", "lang")
+        .write.partitionBy("lang").parquet(root) // a PLAIN flat table
+      VersionedTable.convert(s, root)
+      VersionedTable.append(s, root,
+        docs.filter(col("doc_id") >= 400).select("doc_id", "n_chars", "lang"))
+      VersionedTable.read(s, root).select("doc_id", "n_chars", "lang")
+        .withColumn("n_commits",
+          lit(VersionedTable.versions(root).size.toLong))
+    }),
+
+    // SHALLOW CLONE: zero-copy clone of v0 into a NEW table via hard
+    // links, then the clone takes its own append while the source takes
+    // a delete — the hash proves the two lifecycles fully decoupled
+    // (clone = v0 + its own rows; source = head minus the deleted box)
+    "s32_shallow_clone" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val src = s"${sys.props("java.io.tmpdir")}/graft_s32src_${math.abs(d.hashCode)}"
+      val dst = s"${sys.props("java.io.tmpdir")}/graft_s32dst_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(src)); rm(new java.io.File(dst))
+      val docs = t(s, d, "documents").select("doc_id", "lang")
+      VersionedTable.overwrite(s, src, docs.filter(col("doc_id") < 400)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"))
+      VersionedTable.clone(s, src, dst)
+      // diverge: source deletes a box, clone appends the tail
+      VersionedTable.deleteWhere(s, src,
+        Seq(SkippingIndex.ColRange("doc_id", 0, 99)))
+      VersionedTable.append(s, dst, docs.filter(col("doc_id") >= 400))
+      VersionedTable.read(s, src).withColumn("side", lit("src"))
+        .unionByName(VersionedTable.read(s, dst).withColumn("side", lit("clone")))
+        .orderBy("side", "doc_id")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1912,6 +1961,21 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT COALESCE(l_orderkey IN (1001, 1500, 1999, 2500), FALSE)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // conversion moves bytes, never rewrites rows: content = the flat
+    // table's rows + the post-convert append, exactly 2 commits
+    "s31_convert_flat" ->
+      """SELECT doc_id, n_chars, lang, CAST(2 AS BIGINT) AS n_commits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // decoupled lifecycles: the clone keeps v0 (plus its own append),
+    // the source's delete never leaks into it — and vice versa
+    "s32_shallow_clone" ->
+      """SELECT doc_id, lang, 'src' AS side FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 400
+        |UNION ALL
+        |SELECT doc_id, lang, 'clone' FROM documents
+        |ORDER BY side, doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

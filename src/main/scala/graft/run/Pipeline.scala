@@ -138,6 +138,25 @@ final case class Warehouse(spark: SparkSession, root: String,
   def readAsOfTimestamp(name: String, tsMillis: Long): DataFrame =
     VersionedTable.readAsOf(spark, path(name), tsMillis)
 
+  /** Upgrade an existing FLAT table to the versioned layout in place
+    * (files atomically moved under `data/`, committed as v0 — no data
+    * rewritten; requires a quiesced table). The manifest peer is built
+    * on the spot, so the converted table prunes immediately. */
+  def convertToVersioned(name: String): Long = {
+    val v = VersionedTable.convert(spark, path(name))
+    ensureManifest(name)
+    v
+  }
+
+  /** Zero-copy SHALLOW CLONE of versioned table `src` (at `version`,
+    * default head) as new table `dst` — hard-linked bytes, decoupled
+    * lifecycles; see [[graft.sources.VersionedTable.clone]]. */
+  def cloneTable(src: String, dst: String, version: Option[Long] = None): Long = {
+    val v = VersionedTable.clone(spark, path(src), path(dst), version)
+    ensureManifest(dst)
+    v
+  }
+
   /** DESCRIBE HISTORY of a versioned table: one row per commit
     * (readable and retired) from the protocol's own metadata —
     * timestamp and operation kind included. */

@@ -337,18 +337,37 @@ object VersionedTable {
     }
   }
 
+  /** An APPEND's physical layout must match the committed one: a caller
+    * passing Nil INHERITS the table's partition columns (unpartitioned
+    * files committed into a partitioned snapshot would hand readers
+    * mixed directory depths — a converted table's first raw append is
+    * the canonical trap), and a conflicting explicit layout is refused
+    * loudly. An empty/unpartitioned table takes whatever the caller
+    * says. */
+  private def effectiveParts(root: String, partitionBy: Seq[String]): Seq[String] = {
+    val committed = partitionCols(root)
+    if (partitionBy.isEmpty) committed
+    else {
+      require(committed.isEmpty || partitionBy == committed,
+        s"append to $root: partitionBy $partitionBy does not match the " +
+          s"committed layout $committed")
+      partitionBy
+    }
+  }
+
   /** APPEND commit: new snapshot = previous snapshot's files + `df`'s new
-    * files. Data is written once; only the commit retries on a version
-    * race (blind appends never conflict semantically, so the retry is
-    * safe — the Delta rule). Txn headers carry forward. Returns the
-    * committed version. */
+    * files (partition layout inherited/validated via the committed
+    * snapshot — see [[effectiveParts]]). Data is written once; only the
+    * commit retries on a version race (blind appends never conflict
+    * semantically, so the retry is safe — the Delta rule). Txn headers
+    * carry forward. Returns the committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Long = {
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
     val aligned = if (cur.isDefined) align(df, target) else df
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(aligned, root, tag, partitionBy)
+    val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
     val meta = metaHeader("APPEND")
     var done = -1L
     while (done < 0) {
@@ -471,7 +490,7 @@ object VersionedTable {
     val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
     val aligned = if (cur.isDefined) align(df, target) else df
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(aligned, root, tag, partitionBy)
+    val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
     val txn = s"#txn:$writerId:$epoch"
     val meta = metaHeader("IDEMPOTENT APPEND")
     var done = -1L
@@ -912,6 +931,84 @@ object VersionedTable {
       .select(col("version"), col("timestamp"), col("ts_ms"), col("operation"),
         col("n_files"), col("n_bytes"), col("txn_writers"),
         col("has_schema"), col("retired"))
+  }
+
+  /** CONVERT an existing FLAT parquet table to the versioned layout IN
+    * PLACE (the Delta `CONVERT TO DELTA` shape): every parquet file under
+    * `root` (Hive `k=v` partition directories preserved) is atomically
+    * MOVED into `data/` and committed as version 0 under the table's
+    * inferred schema — no data is copied or rewritten, and from the
+    * commit on the table has the full protocol (time travel, idempotent
+    * sinks, OPTIMIZE, DELETE, feed). The conversion itself requires a
+    * QUIESCED table: a flat reader globbing the directory mid-move sees
+    * files vanishing (exactly Delta's convert contract — coordinate the
+    * cutover). Returns the committed version (always 0). */
+  def convert(spark: SparkSession, root: String): Long = {
+    require(!isVersioned(root), s"$root is already a versioned table")
+    require(Files.isDirectory(Paths.get(root)), s"no table at $root")
+    // schema (incl. directory-inferred partition columns) BEFORE moving
+    val schema = spark.read.parquet(root).schema
+    def walk(p: Path, rel: String): Seq[String] =
+      listNames(p).sorted.flatMap { n =>
+        val child = p.resolve(n)
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (Files.isDirectory(child)) {
+          if (n == "data" || n == "_commits") Seq.empty // never self-recurse
+          else walk(child, childRel)
+        } else if (n.endsWith(".parquet")) Seq(childRel)
+        else Seq.empty
+      }
+    val flat = walk(Paths.get(root), "")
+    require(flat.nonEmpty, s"no parquet files to convert at $root")
+    val moved = flat.map { rel =>
+      val target = Paths.get(root, "data", rel)
+      Files.createDirectories(target.getParent)
+      Files.move(Paths.get(root, rel), target, StandardCopyOption.ATOMIC_MOVE)
+      s"data/$rel"
+    }
+    val meta = metaHeader("CONVERT")
+    require(tryCommit(root, 0L, moved :+ schemaHeader(schema) :+ meta),
+      s"convert lost a commit race at $root — another writer versioned it first")
+    0L
+  }
+
+  /** SHALLOW CLONE — a new versioned table whose v0 references the SAME
+    * bytes as `src` at `version` (default: head), via HARD LINKS: zero
+    * data copied, constant-time regardless of table size (the Delta
+    * SHALLOW CLONE shape, made crash-safe by the filesystem: a link is
+    * its own directory entry, so the two tables' lifecycles fully
+    * decouple — vacuum on either side unlinks only its own name, and
+    * since data files are immutable by protocol, neither table can ever
+    * see the other's writes). The source's committed schema carries;
+    * its `#txn` headers do NOT (a clone is a new table — a streaming
+    * writer's epochs must not be pre-burned in it, the Delta clone
+    * rule). Falls back to a byte copy per file if the filesystem
+    * refuses links (cross-device). Returns the clone's version 0. */
+  def clone(spark: SparkSession, src: String, dst: String,
+            version: Option[Long] = None): Long = {
+    require(!isVersioned(dst) && !Files.isDirectory(Paths.get(dst, "data")),
+      s"clone target $dst already exists")
+    val vs = versions(src)
+    require(vs.nonEmpty, s"no commits at $src")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $src")
+    val lines = filesOf(src, v)
+    val files = lines.filterNot(isHeader)
+    files.foreach { rel =>
+      val from = Paths.get(src, rel)
+      val to = Paths.get(dst, rel)
+      Files.createDirectories(to.getParent)
+      try Files.createLink(to, from)
+      catch { // cross-device / unsupported: pay the copy, keep the semantics
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    val sch = lines.find(isSchema).toSeq
+    val meta = metaHeader("CLONE")
+    require(tryCommit(dst, 0L, files ++ sch :+ meta),
+      s"clone lost a commit race at $dst")
+    0L
   }
 
   /** Delete data files no commit references (orphans of crashed writers,

@@ -986,6 +986,71 @@ class PipelineSpec extends SparkSpecBase {
     assert(!wh.list("gold_").exists(_.endsWith("__manifest")))
   }
 
+  test("convert upgrades a flat table in place: bytes moved not rewritten, layout preserved, protocol live") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_conv").toString + "/t"
+    // yr as Int: directory-name partition inference types it int, and the
+    // committed schema pins exactly what a flat read would have inferred
+    val df = (0 until 900).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "yr", "v")
+    df.write.partitionBy("yr").parquet(root) // a plain flat table
+    def parquetBytes(dir: java.io.File): Long = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.map(f => if (f.isDirectory) parquetBytes(f)
+                    else if (f.getName.endsWith(".parquet")) f.length() else 0L).sum
+    }
+    val bytesBefore = parquetBytes(new java.io.File(root))
+    VersionedTable.convert(spark, root)
+    // zero rows rewritten: the byte total is untouched (files were MOVED)
+    assert(parquetBytes(new java.io.File(root)) == bytesBefore)
+    assert(VersionedTable.partitionCols(root) == Seq("yr"),
+      "the Hive layout must survive the move")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 900 && got.columns.contains("yr"))
+    // the full protocol is live: an append inherits the layout, time
+    // travel reaches the converted snapshot, history shows CONVERT
+    VersionedTable.append(spark, root,
+      (900 until 1000).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "yr", "v"))
+    assert(VersionedTable.read(spark, root).count() == 1000)
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 900)
+    val ops = VersionedTable.history(spark, root)
+      .orderBy("version").collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops == Seq("CONVERT", "APPEND"))
+    // converting twice, or converting a versioned table, refuses
+    assertThrows[IllegalArgumentException] { VersionedTable.convert(spark, root) }
+  }
+
+  test("shallow clone: hard-linked bytes, decoupled lifecycles, txn epochs not carried") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val df = (0 until 500).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    VersionedTable.appendIdempotent(spark, src, df, "w", 7L)
+    VersionedTable.clone(spark, src, dst)
+    // the clone's v0 references the SAME inodes — zero bytes copied
+    VersionedTable.dataFiles(dst).foreach { rel =>
+      val srcIno = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(src, rel), "unix:ino")
+      val dstIno = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(dst, rel), "unix:ino")
+      assert(srcIno == dstIno, s"$rel must be a hard link, not a copy")
+    }
+    // the source writer's epochs must NOT be pre-burned in the clone
+    assert(VersionedTable.committedEpochs(dst).isEmpty)
+    assert(VersionedTable.appendIdempotent(spark, dst, df.limit(10), "w", 7L) >= 0,
+      "the clone starts with a clean idempotency slate")
+    // diverge, then vacuum the SOURCE hard: the clone's links survive
+    VersionedTable.overwrite(spark, src, df.filter(col("id") < 50))
+    VersionedTable.vacuum(src, keep = Some(1), minAgeMs = 0L)
+    assert(VersionedTable.read(spark, src).count() == 50)
+    assert(VersionedTable.read(spark, dst, Some(0L)).count() == 500,
+      "the source's vacuum must not reach the clone's linked bytes")
+    // and cloning onto an existing table refuses
+    assertThrows[IllegalArgumentException] { VersionedTable.clone(spark, src, dst) }
+  }
+
   test("versioned append inherits the committed partition layout; a mismatched layout is refused") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
