@@ -417,6 +417,38 @@ object SparkEntry {
         .orderBy("side", "doc_id")
     }),
 
+    // CHECK constraints in the commit log (the Delta ALTER TABLE ADD
+    // CONSTRAINT surface): the constraint is committed as metadata,
+    // survives an overwrite, and every later append validates BEFORE
+    // landing — the violating batch here is refused whole (spec-gated),
+    // so the final content is exactly the clean rows. n_checks and
+    // n_commits ride the hash; refusal semantics live in PipelineSpec
+    "s33_check_constraint" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s33_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents").select("doc_id", "n_chars", "lang")
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") < 300))
+      VersionedTable.addCheckConstraint(s, root, "chars_nonneg", "n_chars >= 0")
+      // the constraint survives this overwrite (metadata carries)
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") < 400))
+      val refused =
+        try { // a violating batch must be refused WHOLE, before any data lands
+          VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400)
+            .withColumn("n_chars", -col("n_chars") - lit(1))) // type-preserving negation
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("chars_nonneg") }
+      VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400))
+      VersionedTable.read(s, root)
+        .withColumn("n_checks",
+          lit(VersionedTable.checkConstraints(root).size.toLong))
+        .withColumn("refused_bad_batch", lit(refused))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1976,6 +2008,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, 'clone' FROM documents
         |ORDER BY side, doc_id""".stripMargin,
+
+    // enforced-constraint table: content = the clean rows only, the
+    // violating batch never landed, one constraint live
+    "s33_check_constraint" ->
+      """SELECT doc_id, n_chars, lang,
+        |  CAST(1 AS BIGINT) AS n_checks, TRUE AS refused_bad_batch
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

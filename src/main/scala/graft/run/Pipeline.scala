@@ -157,6 +157,21 @@ final case class Warehouse(spark: SparkSession, root: String,
     v
   }
 
+  /** ADD a CHECK constraint to a versioned table (existing rows
+    * validated first); every later write refuses a violating batch
+    * before any data lands — see
+    * [[graft.sources.VersionedTable.addCheckConstraint]]. */
+  def addCheckConstraint(name: String, constraint: String, sqlExpr: String): Long =
+    VersionedTable.addCheckConstraint(spark, path(name), constraint, sqlExpr)
+
+  /** DROP a CHECK constraint by name. */
+  def dropCheckConstraint(name: String, constraint: String): Long =
+    VersionedTable.dropCheckConstraint(spark, path(name), constraint)
+
+  /** The table's committed CHECK constraints (name → SQL expression). */
+  def checkConstraintsOf(name: String): Map[String, String] =
+    VersionedTable.checkConstraints(path(name))
+
   /** DESCRIBE HISTORY of a versioned table: one row per commit
     * (readable and retired) from the protocol's own metadata —
     * timestamp and operation kind included. */

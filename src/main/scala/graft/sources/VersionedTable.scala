@@ -173,6 +173,12 @@ object VersionedTable {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     read(spark, root, Some(timestampAsOf(root, tsMillis)))
 
+  /** RESTORE TO TIMESTAMP: roll the table back to its state as of
+    * `tsMillis` ([[timestampAsOf]] resolution, then [[restore]]'s
+    * data-free commit). Returns the new committed version. */
+  def restoreAsOf(spark: SparkSession, root: String, tsMillis: Long): Long =
+    restore(spark, root, timestampAsOf(root, tsMillis))
+
   /** The snapshot's committed schema — the Delta shape: schema is
     * TABLE METADATA carried in the log, one `#schema:<json>` header per
     * commit, so every version time-travels with the schema it was
@@ -337,6 +343,89 @@ object VersionedTable {
     }
   }
 
+  private val CheckPrefix = "#check:"
+  private def isCheck(line: String): Boolean = line.startsWith(CheckPrefix)
+
+  /** CHECK constraints committed in the log (the Delta
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK` surface): one
+    * `#check:<name>:<sqlExpr>` header per constraint, carried through
+    * every commit kind like the other table metadata, ENFORCED on every
+    * data-adding commit — a batch with a violating row is refused
+    * BEFORE any data lands. SQL CHECK semantics: a row passes when the
+    * expression is TRUE or NULL (unknown is not a violation). */
+  def checkConstraints(root: String): Map[String, String] = {
+    val vs = versions(root)
+    if (vs.isEmpty) Map.empty
+    else filesOf(root, vs.last).filter(isCheck).flatMap { l =>
+      val rest = l.stripPrefix(CheckPrefix)
+      val i = rest.indexOf(':')
+      if (i <= 0) None else Some(rest.take(i) -> rest.drop(i + 1))
+    }.toMap
+  }
+
+  /** Refuse `df` if any committed CHECK constraint rejects a row — one
+    * combined pass (`limit(1)`-shaped existence check); the violated
+    * constraint is named by re-testing only on the rare failure path. */
+  private def enforceChecks(root: String, df: DataFrame): Unit = {
+    val checks = checkConstraints(root)
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      def bad(sql: String) = not(coalesce(expr(sql), lit(true)))
+      if (!df.filter(checks.values.map(bad).reduce(_ || _)).isEmpty) {
+        val violated = checks.find { case (_, sql) => !df.filter(bad(sql)).isEmpty }
+        val (name, sql) = violated.getOrElse(checks.head)
+        throw new IllegalArgumentException(
+          s"CHECK constraint `$name` ($sql) violated by incoming rows at $root " +
+            "— nothing was committed")
+      }
+    }
+  }
+
+  /** ADD a CHECK constraint: existing data is VALIDATED first (one scan,
+    * the Delta rule — a constraint the current snapshot violates is
+    * refused), then a new version commits with the `#check` header
+    * added; all data files carry. Returns the committed version. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, sqlExpr: String): Long = {
+    require(!name.contains(":") && !name.contains("\n") && name.nonEmpty,
+      s"constraint name must be non-empty without ':' or newlines: $name")
+    require(!sqlExpr.contains("\n"), "constraint expression must be one line")
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    require(!checkConstraints(root).contains(name),
+      s"constraint `$name` already exists at $root (drop it first)")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val existingBad = read(spark, root).filter(not(coalesce(expr(sqlExpr), lit(true))))
+    require(existingBad.isEmpty,
+      s"cannot add CHECK constraint `$name` ($sqlExpr) at $root: " +
+        "existing rows violate it")
+    val meta = metaHeader("ADD CONSTRAINT")
+    var done = -1L
+    while (done < 0) {
+      val cur = versions(root)
+      val base = filesOf(root, cur.last).filterNot(isMeta)
+      if (tryCommit(root, cur.last + 1,
+          base :+ s"$CheckPrefix$name:$sqlExpr" :+ meta)) done = cur.last + 1
+    }
+    done
+  }
+
+  /** DROP a CHECK constraint by name (a new commit without its header). */
+  def dropCheckConstraint(spark: SparkSession, root: String, name: String): Long = {
+    require(checkConstraints(root).contains(name),
+      s"no constraint `$name` at $root; have ${checkConstraints(root).keySet}")
+    val meta = metaHeader("DROP CONSTRAINT")
+    var done = -1L
+    while (done < 0) {
+      val cur = versions(root)
+      val base = filesOf(root, cur.last)
+        .filterNot(l => isMeta(l) || (isCheck(l) &&
+          l.stripPrefix(CheckPrefix).takeWhile(_ != ':') == name))
+      if (tryCommit(root, cur.last + 1, base :+ meta)) done = cur.last + 1
+    }
+    done
+  }
+
   /** An APPEND's physical layout must match the committed one: a caller
     * passing Nil INHERITS the table's partition columns (unpartitioned
     * files committed into a partitioned snapshot would hand readers
@@ -366,6 +455,7 @@ object VersionedTable {
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
     val aligned = if (cur.isDefined) align(df, target) else df
+    enforceChecks(root, aligned)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
     val meta = metaHeader("APPEND")
@@ -395,6 +485,7 @@ object VersionedTable {
     * even if a batch job rebuilt the table in between). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 partitionBy: Seq[String] = Nil): Long = {
+    enforceChecks(root, df)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(df, root, tag, partitionBy)
     val meta = metaHeader("OVERWRITE")
@@ -402,8 +493,10 @@ object VersionedTable {
     while (done < 0) {
       val vs = versions(root)
       val v = if (vs.isEmpty) 0L else vs.last + 1
+      // constraints are table metadata: they survive a full replace,
+      // exactly like the writers' txn epochs
       val txns = if (vs.isEmpty) Seq.empty
-                 else filesOf(root, vs.last).filter(l => parseTxn(l).isDefined)
+                 else filesOf(root, vs.last).filter(l => parseTxn(l).isDefined || isCheck(l))
       // a full replace REDEFINES the schema: stamp df's own
       if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(df.schema) :+ meta))
         done = v
@@ -424,6 +517,7 @@ object VersionedTable {
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
     val aligned = if (cur.isDefined) align(df, target) else df
+    enforceChecks(root, aligned)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, partitionBy)
     def dirOf(rel: String): String = rel.split('/').dropRight(1).mkString("/")
@@ -489,6 +583,7 @@ object VersionedTable {
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
     val aligned = if (cur.isDefined) align(df, target) else df
+    enforceChecks(root, aligned)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
     val txn = s"#txn:$writerId:$epoch"
@@ -534,6 +629,7 @@ object VersionedTable {
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
+    enforceChecks(root, df)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(df, root, tag, Nil)
     val txn = s"#txn:$writerId:$epoch"
@@ -546,7 +642,7 @@ object VersionedTable {
         val vs = versions(root)
         val v = if (vs.isEmpty) 0L else vs.last + 1
         val txns = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
-          .filter(l => parseTxn(l).isDefined)
+          .filter(l => parseTxn(l).isDefined || isCheck(l))
           .filterNot(l => parseTxn(l).exists(_._1 == writerId))
         // a full state replace redefines the schema: stamp df's own
         if (tryCommit(root, v,
@@ -1004,7 +1100,7 @@ object VersionedTable {
           Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
       }
     }
-    val sch = lines.find(isSchema).toSeq
+    val sch = lines.filter(l => isSchema(l) || isCheck(l)) // table metadata carries
     val meta = metaHeader("CLONE")
     require(tryCommit(dst, 0L, files ++ sch :+ meta),
       s"clone lost a commit race at $dst")

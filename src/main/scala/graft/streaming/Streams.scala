@@ -692,18 +692,20 @@ object Streams {
       // (commit metadata, not rows; capped by maxVersionsPerTrigger).
       val vs = batch.select(VersionedFeedSource.CommitVersion).distinct()
         .collect().map(_.getLong(0)).sorted
-      var state =
-        if (VersionedTable.isVersioned(targetRoot))
-          Some(VersionedTable.read(spark, targetRoot))
-        else None
-      vs.foreach { v =>
-        val slice = batch
-          .filter(col(VersionedFeedSource.CommitVersion) === v)
-          .drop(VersionedFeedSource.CommitVersion)
-        state = Some(applyChangeSlice(state, slice, keys, versionCols))
+      if (vs.nonEmpty) { // an empty batch (rate-limit edge) must not
+        var state =      // commit a redundant no-change state version
+          if (VersionedTable.isVersioned(targetRoot))
+            Some(VersionedTable.read(spark, targetRoot))
+          else None
+        vs.foreach { v =>
+          val slice = batch
+            .filter(col(VersionedFeedSource.CommitVersion) === v)
+            .drop(VersionedFeedSource.CommitVersion)
+          state = Some(applyChangeSlice(state, slice, keys, versionCols))
+        }
+        state.foreach(st =>
+          VersionedTable.overwriteIdempotent(spark, targetRoot, st, writerId, epoch))
       }
-      state.foreach(st =>
-        VersionedTable.overwriteIdempotent(spark, targetRoot, st, writerId, epoch))
       ()
     }
     val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()

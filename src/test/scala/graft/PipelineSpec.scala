@@ -829,6 +829,74 @@ class PipelineSpec extends SparkSpecBase {
     assert(h.map(_.getAs[Long]("ts_ms")).toSeq == Seq(1000L, 2000L, 2000L))
     assert(h.map(_.getAs[String]("operation")).toSeq ==
       Seq("OVERWRITE", "APPEND", "APPEND"))
+    // RESTORE TO TIMESTAMP rides the same resolution: back to the 1500
+    // state (= v0) as a new data-free commit
+    VersionedTable.restoreAsOf(spark, root, 1500L)
+    assert(VersionedTable.read(spark, root).count() == 10)
+    assert(VersionedTable.versions(root).size == 4)
+  }
+
+  test("protocol fuzz: 60 random op sequences keep read(), time travel, and history consistent with the model") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    val rnd = new scala.util.Random(42) // seeded: reproducible sequences
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "x")
+    (0 until 3).foreach { run =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft_fuzz$run").toString
+      // the MODEL: expected row set per committed version (id -> x)
+      var model = Map.empty[Long, Long]
+      val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      var nextId = 0L
+      def fresh(n: Int): Seq[(Long, Long)] =
+        (0 until n).map { _ => nextId += 1; (nextId, rnd.nextLong(1000L)) }
+      val init = fresh(50)
+      model = init.toMap
+      VersionedTable.overwrite(spark, root, df(init))
+      history(VersionedTable.versions(root).last) = model
+      (0 until 20).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => // append
+            val rows = fresh(rnd.nextInt(30) + 1)
+            VersionedTable.append(spark, root, df(rows))
+            model = model ++ rows
+          case 1 => // overwrite
+            val rows = fresh(rnd.nextInt(40) + 1)
+            VersionedTable.overwrite(spark, root, df(rows))
+            model = rows.toMap
+          case 2 => // bounded delete on id range
+            val lo = rnd.nextLong(nextId + 1)
+            val hi = math.min(lo + rnd.nextLong(40L), nextId)
+            VersionedTable.deleteWhere(spark, root,
+              Seq(SkippingIndex.ColRange("id", lo.toDouble, hi.toDouble)))
+            model = model.filter { case (id, _) => id < lo || id > hi }
+          case 3 => // optimize (content-preserving)
+            VersionedTable.optimize(spark, root, Seq("id"), numFiles = 3)
+          case 4 => // restore to a random recorded version
+            val vs = VersionedTable.versions(root)
+            val v = vs(rnd.nextInt(vs.size))
+            VersionedTable.restore(spark, root, v)
+            model = history(v)
+          case 5 => // vacuum with the safe default: must change NOTHING
+            VersionedTable.vacuum(root)
+        }
+        val head = VersionedTable.versions(root).last
+        history(head) = model
+        // invariant 1: the head reads exactly the model
+        val got = VersionedTable.read(spark, root).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model, s"run $run: head diverged from the model")
+        // invariant 2: a random recorded version still time-travels true
+        val vs = VersionedTable.versions(root)
+        val probe = vs(rnd.nextInt(vs.size))
+        val old = VersionedTable.read(spark, root, Some(probe)).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(old == history(probe), s"run $run: v$probe time travel diverged")
+      }
+      // invariant 3: every commit has a meta header the history can render
+      val ops = VersionedTable.history(spark, root).collect()
+        .map(_.getAs[String]("operation"))
+      assert(ops.forall(_ != null) && ops.nonEmpty)
+    }
   }
 
   test("restore vs vacuum(keep): the head never references deleted files") {
@@ -1049,6 +1117,54 @@ class PipelineSpec extends SparkSpecBase {
       "the source's vacuum must not reach the clone's linked bytes")
     // and cloning onto an existing table refuses
     assertThrows[IllegalArgumentException] { VersionedTable.clone(spark, src, dst) }
+  }
+
+  test("check constraints: committed metadata, SQL null semantics, validated on add, carried by clone") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    val root = s"$base/t"
+    val df = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None)).toDF("id", "x")
+    VersionedTable.overwrite(spark, root, df)
+    VersionedTable.addCheckConstraint(spark, root, "x_pos", "x > 0")
+    assert(VersionedTable.checkConstraints(root) == Map("x_pos" -> "x > 0"))
+    // SQL CHECK semantics: NULL is not a violation — the None row passed
+    // on add, and a new NULL row appends fine
+    VersionedTable.append(spark, root, Seq((4L, None: Option[Long])).toDF("id", "x"))
+    // a violating batch is refused WHOLE: nothing committed, no data
+    val before = VersionedTable.versions(root)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((5L, Some(5L)), (6L, Some(-1L))).toDF("id", "x"))
+    }
+    assert(e.getMessage.contains("x_pos") && e.getMessage.contains("x > 0"))
+    assert(VersionedTable.versions(root) == before)
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // adding a constraint the EXISTING data violates refuses
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.addCheckConstraint(spark, root, "id_small", "id < 3")
+    }
+    // duplicate name refuses; drop re-opens the gate
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.addCheckConstraint(spark, root, "x_pos", "x > 10")
+    }
+    VersionedTable.dropCheckConstraint(spark, root, "x_pos")
+    VersionedTable.append(spark, root, Seq((7L, Some(-5L))).toDF("id", "x"))
+    assert(VersionedTable.read(spark, root).count() == 5)
+    // a clone carries the constraint metadata (re-add first)
+    VersionedTable.deleteWhere(spark, root,
+      Seq(graft.sources.SkippingIndex.ColRange("x", -5, -5)))
+    VersionedTable.addCheckConstraint(spark, root, "x_pos", "x > 0")
+    val dst = s"$base/c"
+    VersionedTable.clone(spark, root, dst)
+    assert(VersionedTable.checkConstraints(dst) == Map("x_pos" -> "x > 0"))
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.append(spark, dst, Seq((8L, Some(-2L))).toDF("id", "x"))
+    }
+    // history names the metadata commits
+    val ops = VersionedTable.history(spark, root)
+      .orderBy("version").collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops.count(_ == "ADD CONSTRAINT") == 2 && ops.contains("DROP CONSTRAINT"))
   }
 
   test("versioned append inherits the committed partition layout; a mismatched layout is refused") {
