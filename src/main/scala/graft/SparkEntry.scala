@@ -449,6 +449,38 @@ object SparkEntry {
         .withColumn("refused_bad_batch", lit(refused))
     }),
 
+    // GENERATED COLUMNS in the commit log (the Delta generated-column
+    // surface): `bucket` is declared GENERATED AS pmod(doc_id, 10) —
+    // the follow-up appends OMIT it and the table derives it (the
+    // medallion shape: a fact's partition year derives at the table,
+    // not in every writer); a batch carrying a WRONG value is refused
+    // whole. Content + derivation correctness + the refusal in the hash
+    "s34_generated_column" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s34_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents").select("doc_id", "lang")
+      VersionedTable.overwrite(s, root,
+        docs.filter(col("doc_id") < 300).withColumn("bucket", pmod(col("doc_id"), lit(10L))))
+      VersionedTable.addGeneratedColumn(s, root, "bucket", "pmod(doc_id, 10)")
+      // appends OMIT the column: the table derives it
+      VersionedTable.append(s, root,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+      val refused =
+        try { // a wrong carried value must be refused whole
+          VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400)
+            .withColumn("bucket", lit(99L)))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("bucket") }
+      VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400))
+      VersionedTable.read(s, root)
+        .withColumn("refused_bad_value", lit(refused))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2014,6 +2046,13 @@ object SparkEntry {
     "s33_check_constraint" ->
       """SELECT doc_id, n_chars, lang,
         |  CAST(1 AS BIGINT) AS n_checks, TRUE AS refused_bad_batch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the table derives omitted generated columns itself; wrong carried
+    // values never land
+    "s34_generated_column" ->
+      """SELECT doc_id, lang, CAST(doc_id % 10 AS BIGINT) AS bucket,
+        |  TRUE AS refused_bad_value
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table

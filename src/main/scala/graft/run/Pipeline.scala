@@ -172,6 +172,17 @@ final case class Warehouse(spark: SparkSession, root: String,
   def checkConstraintsOf(name: String): Map[String, String] =
     VersionedTable.checkConstraints(path(name))
 
+  /** Declare a column GENERATED AS a SQL expression: later batches may
+    * omit it (the table derives it — e.g. a fact's partition year from
+    * its date); carried wrong values are refused whole. See
+    * [[graft.sources.VersionedTable.addGeneratedColumn]]. */
+  def addGeneratedColumn(name: String, col: String, sqlExpr: String): Long =
+    VersionedTable.addGeneratedColumn(spark, path(name), col, sqlExpr)
+
+  /** Un-declare a generated column (schema and data keep the column). */
+  def dropGeneratedColumn(name: String, col: String): Long =
+    VersionedTable.dropGeneratedColumn(spark, path(name), col)
+
   /** DESCRIBE HISTORY of a versioned table: one row per commit
     * (readable and retired) from the protocol's own metadata —
     * timestamp and operation kind included. */

@@ -426,6 +426,95 @@ object VersionedTable {
     done
   }
 
+  private val GeneratePrefix = "#generate:"
+  private def isGenerate(line: String): Boolean = line.startsWith(GeneratePrefix)
+
+  /** GENERATED COLUMNS committed in the log (the Delta generated-column
+    * surface): one `#generate:<col>:<sqlExpr>` header per column. On
+    * every data-adding commit, a batch that LACKS the column gets it
+    * DERIVED (`withColumn(col, expr)`) before schema alignment — the
+    * medallion shape: a fact's `billing_year` partition column derives
+    * from its date once, at the table, instead of in every writer. A
+    * batch that already CARRIES the column is validated against the
+    * expression (rows where `col <=> expr` is false are refused whole —
+    * Delta's generated-column write check; null-safe equality, so a
+    * NULL derivation matching a NULL value passes). */
+  def generatedColumns(root: String): Map[String, String] = {
+    val vs = versions(root)
+    if (vs.isEmpty) Map.empty
+    else filesOf(root, vs.last).filter(isGenerate).flatMap { l =>
+      val rest = l.stripPrefix(GeneratePrefix)
+      val i = rest.indexOf(':')
+      if (i <= 0) None else Some(rest.take(i) -> rest.drop(i + 1))
+    }.toMap
+  }
+
+  /** Derive missing generated columns; validate present ones. */
+  private def applyGenerated(root: String, df: DataFrame): DataFrame = {
+    val gens = generatedColumns(root)
+    if (gens.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{expr, not}
+      val (present, missing) = gens.partition { case (c, _) => df.columns.contains(c) }
+      present.foreach { case (c, sql) =>
+        val bad = df.filter(not(org.apache.spark.sql.functions.col(c) <=> expr(sql)))
+        if (!bad.isEmpty) throw new IllegalArgumentException(
+          s"generated column `$c` ($sql) at $root: incoming rows carry a " +
+            "value that does not equal the generation expression — nothing was committed")
+      }
+      missing.foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
+    }
+  }
+
+  /** Declare `col` GENERATED AS `sqlExpr`. The column must already exist
+    * in the committed schema with values satisfying the expression (one
+    * validation scan, like [[addCheckConstraint]]); later batches may
+    * simply omit it. Returns the committed version. */
+  def addGeneratedColumn(spark: SparkSession, root: String,
+                         col: String, sqlExpr: String): Long = {
+    require(!col.contains(":") && !col.contains("\n") && col.nonEmpty,
+      s"column name must be non-empty without ':' or newlines: $col")
+    require(!sqlExpr.contains("\n"), "generation expression must be one line")
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    require(!generatedColumns(root).contains(col),
+      s"column `$col` is already generated at $root")
+    val cur = read(spark, root)
+    require(cur.columns.contains(col),
+      s"cannot declare `$col` generated at $root: not in the table schema")
+    import org.apache.spark.sql.functions.{expr, not}
+    val bad = cur.filter(not(org.apache.spark.sql.functions.col(col) <=> expr(sqlExpr)))
+    require(bad.isEmpty,
+      s"cannot declare `$col` GENERATED AS ($sqlExpr) at $root: existing " +
+        "rows disagree with the expression")
+    val meta = metaHeader("ADD GENERATED COLUMN")
+    var done = -1L
+    while (done < 0) {
+      val head = versions(root).last
+      val base = filesOf(root, head).filterNot(isMeta)
+      if (tryCommit(root, head + 1,
+          base :+ s"$GeneratePrefix$col:$sqlExpr" :+ meta)) done = head + 1
+    }
+    done
+  }
+
+  /** Un-declare a generated column (a new commit without its header);
+    * the column itself stays in the schema and in every file. */
+  def dropGeneratedColumn(spark: SparkSession, root: String, col: String): Long = {
+    require(generatedColumns(root).contains(col),
+      s"no generated column `$col` at $root; have ${generatedColumns(root).keySet}")
+    val meta = metaHeader("DROP GENERATED COLUMN")
+    var done = -1L
+    while (done < 0) {
+      val head = versions(root).last
+      val base = filesOf(root, head)
+        .filterNot(l => isMeta(l) || (isGenerate(l) &&
+          l.stripPrefix(GeneratePrefix).takeWhile(_ != ':') == col))
+      if (tryCommit(root, head + 1, base :+ meta)) done = head + 1
+    }
+    done
+  }
+
   /** An APPEND's physical layout must match the committed one: a caller
     * passing Nil INHERITS the table's partition columns (unpartitioned
     * files committed into a partitioned snapshot would hand readers
@@ -452,9 +541,10 @@ object VersionedTable {
     * carry forward. Returns the committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Long = {
+    val gen = applyGenerated(root, df)
     val cur = schemaOf(root)
-    val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
-    val aligned = if (cur.isDefined) align(df, target) else df
+    val target = cur.map(evolve(_, gen.schema)).getOrElse(gen.schema)
+    val aligned = if (cur.isDefined) align(gen, target) else gen
     enforceChecks(root, aligned)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
@@ -485,9 +575,10 @@ object VersionedTable {
     * even if a batch job rebuilt the table in between). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 partitionBy: Seq[String] = Nil): Long = {
-    enforceChecks(root, df)
+    val gen = applyGenerated(root, df)
+    enforceChecks(root, gen)
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag, partitionBy)
+    val fresh = writeData(gen, root, tag, partitionBy)
     val meta = metaHeader("OVERWRITE")
     var done = -1L
     while (done < 0) {
@@ -496,9 +587,10 @@ object VersionedTable {
       // constraints are table metadata: they survive a full replace,
       // exactly like the writers' txn epochs
       val txns = if (vs.isEmpty) Seq.empty
-                 else filesOf(root, vs.last).filter(l => parseTxn(l).isDefined || isCheck(l))
-      // a full replace REDEFINES the schema: stamp df's own
-      if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(df.schema) :+ meta))
+                 else filesOf(root, vs.last)
+                   .filter(l => parseTxn(l).isDefined || isCheck(l) || isGenerate(l))
+      // a full replace REDEFINES the schema: stamp the written frame's own
+      if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(gen.schema) :+ meta))
         done = v
     }
     done
@@ -514,9 +606,10 @@ object VersionedTable {
   def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
                           partitionBy: Seq[String]): Long = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    val gen = applyGenerated(root, df)
     val cur = schemaOf(root)
-    val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
-    val aligned = if (cur.isDefined) align(df, target) else df
+    val target = cur.map(evolve(_, gen.schema)).getOrElse(gen.schema)
+    val aligned = if (cur.isDefined) align(gen, target) else gen
     enforceChecks(root, aligned)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, partitionBy)
@@ -580,9 +673,10 @@ object VersionedTable {
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
+    val gen = applyGenerated(root, df)
     val cur = schemaOf(root)
-    val target = cur.map(evolve(_, df.schema)).getOrElse(df.schema)
-    val aligned = if (cur.isDefined) align(df, target) else df
+    val target = cur.map(evolve(_, gen.schema)).getOrElse(gen.schema)
+    val aligned = if (cur.isDefined) align(gen, target) else gen
     enforceChecks(root, aligned)
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
@@ -629,9 +723,10 @@ object VersionedTable {
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
-    enforceChecks(root, df)
+    val gen = applyGenerated(root, df)
+    enforceChecks(root, gen)
     val tag = java.util.UUID.randomUUID().toString.take(12)
-    val fresh = writeData(df, root, tag, Nil)
+    val fresh = writeData(gen, root, tag, Nil)
     val txn = s"#txn:$writerId:$epoch"
     val meta = metaHeader("IDEMPOTENT OVERWRITE")
     var done = -1L
@@ -642,11 +737,11 @@ object VersionedTable {
         val vs = versions(root)
         val v = if (vs.isEmpty) 0L else vs.last + 1
         val txns = (if (vs.isEmpty) Seq.empty else filesOf(root, vs.last))
-          .filter(l => parseTxn(l).isDefined || isCheck(l))
+          .filter(l => parseTxn(l).isDefined || isCheck(l) || isGenerate(l))
           .filterNot(l => parseTxn(l).exists(_._1 == writerId))
-        // a full state replace redefines the schema: stamp df's own
+        // a full state replace redefines the schema: stamp the written frame's own
         if (tryCommit(root, v,
-            fresh ++ txns :+ schemaHeader(df.schema) :+ txn :+ meta)) done = v
+            fresh ++ txns :+ schemaHeader(gen.schema) :+ txn :+ meta)) done = v
       }
     }
     if (skipped) fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
@@ -1014,7 +1109,14 @@ object VersionedTable {
         if (Files.exists(p)) Files.size(p) else 0L
       }.sum
       val writers = lines.flatMap(parseTxn).map(_._1).distinct.sorted
-      val meta = commitMeta(root, v)
+      // parse the meta header from the lines already in hand (one list
+      // read per version, not two)
+      val meta = lines.find(isMeta).flatMap { l =>
+        val rest = l.stripPrefix(MetaPrefix)
+        val i = rest.indexOf(':')
+        if (i <= 0) None
+        else rest.take(i).toLongOption.map(ts => (ts, rest.drop(i + 1)))
+      }
       (v, meta.map(_._1), meta.map(_._2).orNull,
         data.size, bytes, writers, lines.exists(isSchema), isRetired)
     }
@@ -1100,7 +1202,7 @@ object VersionedTable {
           Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
       }
     }
-    val sch = lines.filter(l => isSchema(l) || isCheck(l)) // table metadata carries
+    val sch = lines.filter(l => isSchema(l) || isCheck(l) || isGenerate(l)) // table metadata carries
     val meta = metaHeader("CLONE")
     require(tryCommit(dst, 0L, files ++ sch :+ meta),
       s"clone lost a commit race at $dst")

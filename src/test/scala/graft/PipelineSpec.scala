@@ -1167,6 +1167,46 @@ class PipelineSpec extends SparkSpecBase {
     assert(ops.count(_ == "ADD CONSTRAINT") == 2 && ops.contains("DROP CONSTRAINT"))
   }
 
+  test("generated columns: omitted columns derive at the table, partition layout included; wrong values refuse") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_gen").toString + "/t"
+    // a fact partitioned by its GENERATED year: writers only ship (id, day)
+    val df = (0 until 300).map(i => (i.toLong, (2020 + i % 3).toLong)).toDF("id", "yr")
+    VersionedTable.overwrite(spark, root, df, partitionBy = Seq("yr"))
+    VersionedTable.addGeneratedColumn(spark, root, "yr", "2020 + id % 3")
+    // an append WITHOUT yr derives it and lands in the right directories
+    VersionedTable.append(spark, root,
+      (300 until 400).map(i => i.toLong).toDF("id"))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 400)
+    assert(got.filter(col("yr") =!= lit(2020L) + col("id") % 3).isEmpty,
+      "derived values must satisfy the expression")
+    assert(VersionedTable.partitionCols(root) == Seq("yr"))
+    assert(VersionedTable.dataFiles(root).forall(_.startsWith("data/yr=")),
+      "derived partition values must produce Hive directories")
+    // declaring over disagreeing data refuses; wrong carried values refuse
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.addGeneratedColumn(spark, root, "id", "yr * 2")
+    }
+    val before = VersionedTable.versions(root)
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((400L, 1999L)).toDF("id", "yr"))
+    }
+    assert(VersionedTable.versions(root) == before, "refused whole: no commit")
+    // a CORRECT carried value passes validation; drop re-opens free values
+    VersionedTable.append(spark, root, Seq((400L, 2021L)).toDF("id", "yr"))
+    VersionedTable.dropGeneratedColumn(spark, root, "yr")
+    VersionedTable.append(spark, root, Seq((500L, 1999L)).toDF("id", "yr"))
+    assert(VersionedTable.read(spark, root).count() == 402)
+    // the metadata carries into a clone
+    VersionedTable.addGeneratedColumn(spark, root, "id", "id") // trivial, re-add shape
+    val dst = root + "_clone"
+    VersionedTable.clone(spark, root, dst)
+    assert(VersionedTable.generatedColumns(dst).contains("id"))
+  }
+
   test("versioned append inherits the committed partition layout; a mismatched layout is refused") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
