@@ -120,7 +120,11 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
           math.min(head, from + m)
         case None => head
       }
-      lastOffered = Some(math.max(capped, lastOffered.getOrElse(Long.MinValue)))
+      // read-only: the engine may probe getOffset several times per
+      // trigger, and each probe must see the SAME capped offset — the
+      // pacing state advances only when getBatch hands a range out
+      // (otherwise two probes merge two commits into one micro-batch,
+      // defeating maxVersionsPerTrigger)
       Some(LongOffset(capped))
     }
   }
