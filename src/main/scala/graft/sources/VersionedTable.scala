@@ -1209,6 +1209,70 @@ object VersionedTable {
     0L
   }
 
+  /** FILES metadata table (the Iceberg `table$files` shape): one row per
+    * data file of the snapshot at `version` (default head) — relative
+    * path, Hive partition values parsed from the path (MapType; empty
+    * for unpartitioned tables), on-disk bytes, and last-modified millis.
+    * Driver-side O(files) stat calls; no data file is opened. */
+  def filesMeta(spark: SparkSession, root: String,
+                version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val rows = dataFiles(root, version).map { rel =>
+      val p = Paths.get(root, rel)
+      val parts = rel.split('/').drop(1).dropRight(1).toSeq
+        .filter(_.contains('='))
+        .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').drop(1))
+        .toMap
+      val (bytes, mtime) =
+        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        else (0L, 0L)
+      (rel, parts, bytes, mtime)
+    }
+    rows.toDF("file", "partition", "n_bytes", "modified_ms")
+  }
+
+  /** PARTITIONS metadata table (the Iceberg `table$partitions` shape):
+    * per Hive partition of the snapshot — file count and total bytes.
+    * One row with an empty map for an unpartitioned table. */
+  def partitionsMeta(spark: SparkSession, root: String,
+                     version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    filesMeta(spark, root, version)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("n_bytes"))
+  }
+
+  /** What a [[vacuum]] with these parameters WOULD delete — the Delta
+    * `VACUUM ... DRY RUN` surface: same walk, same retention filter, no
+    * tombstoning and no deletion (versions that would retire are
+    * reported, not moved). Safe to run against live writers. */
+  def vacuumDryRun(root: String, keep: Option[Int] = None,
+                   minAgeMs: Long = DefaultRetentionMs): (Seq[Long], Seq[String]) = {
+    val vs = versions(root)
+    val kept = keep.fold(vs)(n => vs.takeRight(n))
+    val wouldRetire = vs.filterNot(kept.contains)
+    val live = kept.flatMap(filesOf(root, _)).filterNot(isHeader).toSet
+    val d = dataDir(root)
+    if (!Files.isDirectory(d)) return (wouldRetire, Seq.empty)
+    def walk(p: Path, rel: String): Seq[String] =
+      listNames(p).flatMap { n =>
+        val child = p.resolve(n)
+        val childRel = if (rel.isEmpty) n else s"$rel/$n"
+        if (Files.isDirectory(child)) walk(child, childRel)
+        else if (n.endsWith(".parquet")) Seq(childRel)
+        else Seq.empty
+      }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(n: String): Boolean =
+      minAgeMs <= 0L || {
+        try Files.getLastModifiedTime(d.resolve(n)).toMillis <= cutoff
+        catch { case _: java.io.IOException => false }
+      }
+    val doomed = walk(d, "").filterNot(n => live.contains(s"data/$n"))
+      .filter(oldEnough).map(n => s"data/$n")
+    (wouldRetire, doomed)
+  }
+
   /** Delete data files no commit references (orphans of crashed writers,
     * or files only old snapshots used). Pass `keep` to RETIRE all but
     * the trailing N versions: the retired versions' commit lists are

@@ -1207,6 +1207,69 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.generatedColumns(dst).contains("id"))
   }
 
+  test("files/partitions metadata tables and vacuum dry run report without touching anything") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_meta").toString + "/t"
+    val df = (0 until 300).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "yr")
+    VersionedTable.overwrite(spark, root, df, partitionBy = Seq("yr"))
+    VersionedTable.overwrite(spark, root, df.filter(col("id") < 100),
+      partitionBy = Seq("yr"))
+    val files = VersionedTable.filesMeta(spark, root).collect()
+    assert(files.length == VersionedTable.dataFiles(root).size)
+    assert(files.forall(_.getAs[Long]("n_bytes") > 0))
+    assert(files.forall(r =>
+      r.getAs[Map[String, String]]("partition").keySet == Set("yr")))
+    val parts = VersionedTable.partitionsMeta(spark, root).collect()
+    assert(parts.map(_.getAs[Map[String, String]]("partition")("yr")).toSet ==
+      Set("0", "1", "2"))
+    assert(parts.map(_.getAs[Long]("n_files")).sum == files.length.toLong)
+    // v0's metadata still serves (time-traveled files table)
+    assert(VersionedTable.filesMeta(spark, root, Some(0L)).count() > 0)
+    // dry run reports what an age-0 keep-1 vacuum WOULD do — and does it
+    val (wouldRetire, wouldDelete) =
+      VersionedTable.vacuumDryRun(root, keep = Some(1), minAgeMs = 0L)
+    assert(wouldRetire == Seq(0L) && wouldDelete.nonEmpty)
+    // ...without doing any of it
+    assert(VersionedTable.versions(root) == Seq(0L, 1L))
+    assert(wouldDelete.forall(f => new java.io.File(s"$root/$f").exists()))
+    // the real vacuum then deletes exactly the reported set
+    val gone = VersionedTable.vacuum(root, keep = Some(1), minAgeMs = 0L)
+    assert(gone.toSet == wouldDelete.toSet)
+    // and under the DEFAULT retention the dry run reports zero deletions
+    val (_, spared) = VersionedTable.vacuumDryRun(root)
+    assert(spared.isEmpty)
+  }
+
+  test("warehouse constraints guard the medallion write paths: a violating merge batch never lands") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = java.nio.file.Files.createTempDirectory("graft_whchk").toString
+    val wh = Warehouse(spark, root)
+    def batch(lo: Int, hi: Int, q: Long) =
+      (lo until hi).map(i => (i.toLong, q, s"r$i")).toDF("id", "qty", "v")
+    wh.write("gold_t", batch(0, 100, 5L))
+    wh.addCheckConstraint("gold_t", "qty_pos", "qty > 0")
+    // the versioned MERGE path (union+window → overwrite commit) enforces
+    val e = intercept[IllegalArgumentException] {
+      wh.mergeUpsert("gold_t", batch(50, 120, -1L), Seq("id"),
+        Seq(col("v").desc))
+    }
+    assert(e.getMessage.contains("qty_pos"))
+    assert(wh.read("gold_t").count() == 100, "nothing landed")
+    // a clean merge passes and the constraint still stands after it
+    wh.mergeUpsert("gold_t", batch(50, 120, 7L), Seq("id"), Seq(col("v").desc))
+    assert(wh.read("gold_t").count() == 120)
+    assert(wh.checkConstraintsOf("gold_t") == Map("qty_pos" -> "qty > 0"))
+    // appends enforce too
+    assertThrows[IllegalArgumentException] {
+      wh.write("gold_t", batch(200, 210, 0L), SaveMode.Append)
+    }
+    wh.dropCheckConstraint("gold_t", "qty_pos")
+    wh.write("gold_t", batch(200, 210, 0L), SaveMode.Append)
+    assert(wh.read("gold_t").count() == 130)
+  }
+
   test("versioned append inherits the committed partition layout; a mismatched layout is refused") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
