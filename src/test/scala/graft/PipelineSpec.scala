@@ -1270,6 +1270,79 @@ class PipelineSpec extends SparkSpecBase {
     assert(wh.read("gold_t").count() == 130)
   }
 
+  test("concurrent protocol soak: appenders, optimizer, deleter, vacuum, and readers — every row exactly once") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import java.util.concurrent.atomic.AtomicBoolean
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = java.nio.file.Files.createTempDirectory("graft_csoak").toString + "/t"
+    def df(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"r$i")).toDF("id", "v")
+    VersionedTable.overwrite(spark, root, df(0, 100))
+    val appendersDone = new AtomicBoolean(false)
+    // 3 appenders × 8 disjoint batches: content-preserving maintenance
+    // must deliver EVERY appended row exactly once, whatever interleaves
+    val appenders = (0 until 3).map { t =>
+      Future {
+        (0 until 8).foreach { b =>
+          val lo = 1000L * (t * 8 + b + 1)
+          VersionedTable.append(spark, root, df(lo, lo + 100))
+        }
+      }
+    }
+    // rewrite-shaped maintenance racing the appends and each other:
+    // OPTIMIZE (content-preserving rewrite), a no-match bounded DELETE
+    // (its box [900, 950] hits no appended range — conflict path only),
+    // and a retention-window vacuum
+    val optimizer = Future {
+      while (!appendersDone.get()) {
+        VersionedTable.optimize(spark, root, Seq("id"), numFiles = 4); ()
+      }
+    }
+    val deleter = Future {
+      while (!appendersDone.get()) {
+        VersionedTable.deleteWhere(spark, root,
+          Seq(SkippingIndex.ColRange("id", 900, 950))); ()
+      }
+    }
+    val vacuumer = Future {
+      while (!appendersDone.get()) { VersionedTable.vacuum(root); () }
+    }
+    // readers race everything: the head and random pinned versions must
+    // always serve (the only acceptable refusal is the clean "retired")
+    val rnd = new scala.util.Random(7)
+    val reader = Future {
+      var reads = 0L
+      while (!appendersDone.get()) {
+        val vs = VersionedTable.versions(root)
+        val v = vs(rnd.nextInt(vs.size))
+        try { VersionedTable.read(spark, root, Some(v)).count(); reads += 1 }
+        catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("retired") => () // clean refusal
+        }
+      }
+      reads
+    }
+    Await.result(Future.sequence(appenders), 300.seconds)
+    appendersDone.set(true)
+    Await.result(Future.sequence(Seq(optimizer, deleter, vacuumer)), 300.seconds)
+    val reads = Await.result(reader, 300.seconds)
+    assert(reads > 0, "the racing reader must have completed reads")
+    // exactly-once conservation: base + every appended batch, nothing
+    // duplicated by a retry, nothing resurrected or lost by a rewrite
+    val expected = (0L until 100L) ++
+      (for (t <- 0 until 3; b <- 0 until 8; lo = 1000L * (t * 8 + b + 1);
+            i <- lo until lo + 100) yield i)
+    val got = VersionedTable.read(spark, root).select("id").collect().map(_.getLong(0))
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length} rows")
+    assert(got.toSet == expected.toSet)
+    // and the history renders every surviving commit's operation
+    assert(VersionedTable.history(spark, root).collect()
+      .forall(r => r.getAs[String]("operation") != null || r.getAs[Boolean]("retired")))
+  }
+
   test("versioned append inherits the committed partition layout; a mismatched layout is refused") {
     import spark.implicits._
     import org.apache.spark.sql.SaveMode
