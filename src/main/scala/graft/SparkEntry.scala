@@ -481,6 +481,37 @@ object SparkEntry {
         .withColumn("refused_bad_value", lit(refused))
     }),
 
+    // Bounded UPDATE ... SET (the DML twin of s30's bounded delete):
+    // the exact predicate is a conjunction the box only over-covers
+    // ([1001, 2000] plus a quantity cut footer stats don't see), hit
+    // rows re-flag to 'U' and double their quantity — CASE WHEN
+    // semantics the oracle replays — while files outside the box carry
+    // byte-untouched (the `bounded` column hashes that claim)
+    "s35_update_where" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s35_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      VersionedTable.overwrite(s, root,
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val (_, rewritten, carried) = VersionedTable.updateWhere(s, root,
+        col("l_orderkey") >= 1001L && col("l_orderkey") <= 2000L &&
+          col("l_quantity") < 25.0,
+        Map("l_returnflag" -> lit("U"),
+            "l_quantity" -> (col("l_quantity") * lit(2.0))),
+        Seq(SkippingIndex.ColRange("l_orderkey", 1001, 2000)))
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+        .orderBy("l_returnflag")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1867,6 +1898,7 @@ object SparkEntry {
     "s20_partitioned_prune"   -> Seq("sum_qty"),
     "s24_delete_where"        -> Seq("sum_qty"),
     "s30_delete_where_in"     -> Seq("sum_qty"),
+    "s35_update_where"        -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -2054,6 +2086,21 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(doc_id % 10 AS BIGINT) AS bucket,
         |  TRUE AS refused_bad_value
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // UPDATE = CASE WHEN hit THEN new ELSE old END, hit evaluated once
+    // against the pre-update row; `bounded` hashes the carried-files claim
+    "s35_update_where" ->
+      """SELECT rf AS l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM (
+        |  SELECT CASE WHEN hit THEN 'U' ELSE l_returnflag END AS rf,
+        |         CASE WHEN hit THEN l_quantity * 2 ELSE l_quantity END AS q
+        |  FROM (SELECT l_returnflag, l_quantity,
+        |          COALESCE(l_orderkey BETWEEN 1001 AND 2000
+        |                   AND l_quantity < 25, FALSE) AS hit
+        |        FROM lineitem))
+        |GROUP BY rf ORDER BY rf""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -251,6 +251,30 @@ final case class Warehouse(spark: SparkSession, root: String,
     r
   }
 
+  /** Bounded UPDATE ... SET on a versioned table — the DML twin of
+    * [[deleteWherePredicate]]: `predicate` is the exact row filter,
+    * `set` maps column → new-value expression (cast to the committed
+    * type; generated columns re-derive, CHECK constraints re-validate),
+    * and the boxes are the pruning hint deciding which files can
+    * possibly match (predicate ⇒ boxes; empty boxes rewrite every
+    * file). Reuses and refreshes the table's persisted manifest like
+    * [[deleteWhere]]. Returns (version, rewrittenFiles, carriedFiles). */
+  def updateWhere(name: String, predicate: Column, set: Map[String, Column],
+                  pruneRanges: Seq[graft.sources.SkippingIndex.ColRange] = Nil,
+                  pruneStrRanges: Seq[graft.sources.SkippingIndex.StrRange] = Nil)
+      : (Long, Int, Int) = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val cached =
+      if (new java.io.File(mPath).exists())
+        Some(SkippingIndex.readManifest(spark, mPath))
+      else None
+    val r = VersionedTable.updateWhere(spark, path(name), predicate, set,
+      pruneRanges, pruneStrRanges, cached)
+    ensureManifest(name)
+    r
+  }
+
   /** S11 — MERGE upsert by business key, incoming side winning under
     * `versionCols`. Delta mode: native `MERGE INTO` (rewrites only matched
     * files; the incoming batch is pre-deduped per key because SQL MERGE

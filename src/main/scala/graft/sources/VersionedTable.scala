@@ -927,6 +927,124 @@ object VersionedTable {
     out.get
   }
 
+  /** UPDATE ... SET as a BOUNDED rewrite commit — the Delta UPDATE shape
+    * and the DML twin of [[deleteWherePredicate]], sharing its two split
+    * concerns: `predicate` is the EXACT row filter (any `Column`), and
+    * `pruneRanges`/`pruneStrRanges` the conservative bounding boxes that
+    * decide which files can possibly hold a matching row (caller
+    * contract: predicate ⇒ boxes; empty boxes rewrite every file —
+    * always correct, never bounded). A file the boxes exclude CARRIES
+    * into the new snapshot untouched; a possibly-matching file rewrites
+    * with each SET target becoming `CASE WHEN hit THEN expr ELSE old
+    * END` — hit = `coalesce(predicate, false)` evaluated ONCE against
+    * the PRE-update row (SQL UPDATE semantics: a NULL comparison is not
+    * a match, and a SET that changes a predicate column never re-feeds
+    * the predicate). At 100 TB this makes a backfill/correction job
+    * touch the files that contain the rows, not the table.
+    *
+    * Invariants enforced before any data is written:
+    *   - every SET target must exist in the snapshot's schema with its
+    *     type preserved (the SET expression is cast to the committed
+    *     type — an UPDATE never evolves or re-types the table);
+    *   - a GENERATED column cannot be SET directly; instead every
+    *     generated column is RE-DERIVED on hit rows after the SETs
+    *     apply (Delta's rule: generation expressions stay true), so
+    *     updating a generated column's input keeps the table consistent;
+    *   - CHECK constraints re-validate the rewritten files' post-update
+    *     rows (carried files were valid and stay byte-identical) — a
+    *     violating update is refused whole, nothing commits.
+    *
+    * Conflict rules are [[rewrite]]'s: a concurrent append's files ride
+    * along untouched (update-then-append serialization); a concurrent
+    * overwrite aborts the stale update and RESTARTS it from the new
+    * snapshot. Returns (committedVersion, rewrittenFiles,
+    * carriedFiles); a box no file can match commits nothing. */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  pruneRanges: Seq[SkippingIndex.ColRange] = Nil,
+                  pruneStrRanges: Seq[SkippingIndex.StrRange] = Nil,
+                  cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val gens = generatedColumns(root)
+    set.keys.foreach { c =>
+      require(!gens.contains(c),
+        s"cannot SET generated column `$c` at $root: it derives from " +
+          s"(${gens(c)}); update its inputs instead")
+    }
+    val pcols = partitionCols(root)
+    val meta = metaHeader("UPDATE")
+    var out: Option[(Long, Int, Int)] = None
+    while (out.isEmpty) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      val baseV = vs.last
+      val base = filesOf(root, baseV)
+      val baseData = base.filterNot(isHeader)
+      val touchSet: Set[String] =
+        if (pruneRanges.isEmpty && pruneStrRanges.isEmpty) baseData.toSet
+        else {
+          val files = baseData.map(rel => (s"$root/$rel", rel))
+          val m = cached
+            .map(SkippingIndex.refreshManifestFor(spark, files, _))
+            .getOrElse(SkippingIndex.manifestFor(spark, files,
+              (pruneRanges.map(_.column) ++ pruneStrRanges.map(_.column)).distinct))
+          m.survivors(pruneRanges, pruneStrRanges).toSet
+        }
+      val (touch, carry) = baseData.partition(touchSet.contains)
+      if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
+      else {
+        val rd = spark.read.option("basePath", s"$root/data")
+        val scanned = schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+          .parquet(touch.map(f => s"$root/$f"): _*)
+        val sch = scanned.schema
+        set.keys.foreach { c =>
+          require(sch.fieldNames.contains(c),
+            s"updateWhere SET target `$c` is not a column of $root " +
+              s"(have ${sch.fieldNames.mkString(", ")}); UPDATE never adds columns")
+        }
+        // hit is evaluated ONCE against the pre-update row; the marker
+        // column is uniquified so it can never shadow a table column
+        val hitCol = s"__hit_${java.util.UUID.randomUUID().toString.take(8)}"
+        val marked = scanned.withColumn(hitCol, coalesce(predicate, lit(false)))
+        val afterSet = set.foldLeft(marked) { case (df, (c, e)) =>
+          df.withColumn(c,
+            when(col(hitCol), e.cast(sch(sch.fieldIndex(c)).dataType))
+              .otherwise(col(c)))
+        }
+        // generated columns re-derive on hit rows AFTER the sets apply
+        val afterGen = gens.foldLeft(afterSet) { case (df, (c, sql)) =>
+          df.withColumn(c, when(col(hitCol), expr(sql)).otherwise(col(c)))
+        }
+        val updated = afterGen.drop(hitCol)
+        enforceChecks(root, updated)
+        val tag = java.util.UUID.randomUUID().toString.take(12)
+        val fresh = writeData(updated, root, tag, pcols)
+        var stale = false
+        while (out.isEmpty && !stale) {
+          val cur = versions(root)
+          val latest = filesOf(root, cur.last)
+          val latestData = latest.filterNot(isHeader).toSet
+          if (!baseData.toSet.subsetOf(latestData)) {
+            // an overwrite/rewrite replaced (some of) the base — the
+            // updated rows were computed from a stale snapshot
+            fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+            stale = true
+          } else {
+            val since = latest.filterNot(f =>
+              baseData.contains(f) || isHeader(f))
+            val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+            if (tryCommit(root, cur.last + 1,
+                carry ++ fresh ++ since ++ txns :+ meta))
+              out = Some((cur.last + 1, touch.size, carry.size))
+          }
+        }
+      }
+    }
+    out.get
+  }
+
   /** CHANGE FEED between two committed versions — the Delta CDF read,
     * derived instead of stored: row-level inserts and deletes computed
     * from the FILE-level commit diff. A file carried unchanged across

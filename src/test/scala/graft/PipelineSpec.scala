@@ -990,6 +990,103 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).count() == 8000 - doomed.size - 1)
   }
 
+  test("bounded update: CASE-WHEN semantics, box-carried files byte-identical, NULL predicate is no match") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import SkippingIndex.ColRange
+    val root = java.nio.file.Files.createTempDirectory("graft_vupd").toString
+    // id 100 gets a NULL qty: the predicate evaluates NULL there and SQL
+    // UPDATE semantics must leave the row untouched
+    val df = (0 until 8000).map(i =>
+        (i.toLong, if (i == 100) None else Some(i % 50), s"v$i"))
+      .toDF("id", "qty", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    VersionedTable.overwrite(spark, root, df)
+    val v0Files = VersionedTable.dataFiles(root)
+    def diskState(rel: String) = {
+      val f = new java.io.File(s"$root/$rel")
+      (f.lastModified(), f.length())
+    }
+    val before = v0Files.map(f => f -> diskState(f)).toMap
+    // predicate: id in [50, 150] AND qty < 10 — qty is NULL at id=100
+    val (v1, rewritten, carried) = VersionedTable.updateWhere(spark, root,
+      col("id") >= 50L && col("id") <= 150L && col("qty") < 10,
+      Map("v" -> org.apache.spark.sql.functions.lit("HIT"),
+          "qty" -> (col("qty") + 1000)),
+      Seq(ColRange("id", 50, 150)))
+    assert(rewritten >= 1 && carried >= 6,
+      s"the update must stay bounded by its box: rewritten=$rewritten carried=$carried")
+    val rows = VersionedTable.read(spark, root)
+      .select("id", "qty", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getString(2)))
+      .toMap
+    (0 until 8000).foreach { i =>
+      val hit = i >= 50 && i <= 150 && i != 100 && (i % 50) < 10
+      val expect =
+        if (i == 100) (None, "v100") // NULL predicate: not a match
+        else if (hit) (Some(i % 50 + 1000), "HIT")
+        else (Some(i % 50), s"v$i")
+      assert(rows(i.toLong) == expect, s"row $i: got ${rows(i.toLong)}, want $expect")
+    }
+    // hit was evaluated against the PRE-update row: qty+1000 never re-hits
+    // carried files byte-identical; pre-update snapshot still travels
+    val carriedRel = v0Files.toSet.intersect(VersionedTable.dataFiles(root).toSet)
+    assert(carriedRel.size == carried)
+    carriedRel.foreach(f => assert(diskState(f) == before(f)))
+    assert(VersionedTable.read(spark, root, Some(v1 - 1))
+      .filter(col("v") === "HIT").count() == 0)
+    assert(VersionedTable.commitMeta(root, v1).map(_._2).contains("UPDATE"))
+    // empty boxes = no pruning, still exact
+    val (_, rw2, c2) = VersionedTable.updateWhere(spark, root,
+      col("id") === 7000L, Map("v" -> org.apache.spark.sql.functions.lit("X")))
+    assert(c2 == 0 && rw2 >= 1, "no box => every file rewrites")
+    assert(VersionedTable.read(spark, root).filter(col("v") === "X").count() == 1)
+  }
+
+  test("update refuses unknown SET targets, keeps committed types, and upholds generated columns + checks") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_vupdg").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, i % 10, (i % 10).toLong)).toDF("id", "qty", "bucket"))
+    VersionedTable.addGeneratedColumn(spark, root, "bucket", "pmod(id, 10)")
+    VersionedTable.addCheckConstraint(spark, root, "qty_small", "qty < 100000")
+    // (a) unknown SET target refused — UPDATE never adds columns
+    val eUnknown = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") < 5L, Map("nope" -> lit(1)))
+    }
+    assert(eUnknown.getMessage.contains("nope"))
+    // (b) SET of a generated column refused loudly
+    val eGen = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") < 5L, Map("bucket" -> lit(0L)))
+    }
+    assert(eGen.getMessage.contains("bucket") && eGen.getMessage.contains("generated"))
+    // (c) updating a generated column's INPUT re-derives it on hit rows
+    VersionedTable.updateWhere(spark, root, col("id") === 7L,
+      Map("id" -> lit(1007L)))
+    val r = VersionedTable.read(spark, root).filter(col("id") === 1007L)
+      .select("bucket").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 7L,
+      "bucket must re-derive as pmod(1007, 10) = 7 on the updated row")
+    // (d) the SET expression is cast to the committed type (double -> int here)
+    VersionedTable.updateWhere(spark, root, col("id") === 3L,
+      Map("qty" -> lit(41.9))) // cast(41.9 as int) = 41, schema unchanged
+    assert(VersionedTable.schemaOf(root).get("qty").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(VersionedTable.read(spark, root).filter(col("id") === 3L)
+      .select("qty").collect().head.getInt(0) == 41)
+    // (e) an update violating a CHECK constraint is refused whole
+    val head = VersionedTable.versions(root).last
+    val eChk = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") === 4L,
+        Map("qty" -> lit(200000)))
+    }
+    assert(eChk.getMessage.contains("qty_small"))
+    assert(VersionedTable.versions(root).last == head, "nothing committed")
+    assert(VersionedTable.read(spark, root).filter(col("qty") >= 100000).count() == 0)
+  }
+
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
     import spark.implicits._
     import graft.sources.VersionedTable
