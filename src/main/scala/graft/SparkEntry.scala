@@ -512,6 +512,72 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // METADATA-ONLY RENAME/DROP COLUMN (the Delta column-mapping
+    // surface): one commit each, zero data files rewritten — v0 still
+    // time-travels under its own names (v0_cols rides the hash), the
+    // head serves the renamed view without the dropped column, and the
+    // follow-up append addresses the NEW names. `metadata_only` hashes
+    // the no-rewrite claim: the file list is IDENTICAL across both ops
+    "s36_rename_drop_column" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s36_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents").select("doc_id", "n_chars", "lang", "source")
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") < 400))
+      VersionedTable.renameColumn(s, root, "n_chars", "char_count")
+      VersionedTable.dropColumn(s, root, "source")
+      val untouched =
+        VersionedTable.dataFiles(root, Some(0L)) ==
+          VersionedTable.dataFiles(root, Some(2L))
+      VersionedTable.append(s, root,
+        docs.filter(col("doc_id") >= 400)
+          .withColumnRenamed("n_chars", "char_count").drop("source"))
+      VersionedTable.read(s, root)
+        .withColumn("v0_cols",
+          lit(VersionedTable.read(s, root, Some(0L)).columns.sorted.mkString(",")))
+        .withColumn("metadata_only", lit(untouched))
+    }),
+
+    // FULL-FORM MERGE INTO (the three-clause Delta MERGE): one source
+    // batch updates (s.price beats t.price), deletes (negative-price
+    // sentinel rows — update does not fire, delete does), and inserts
+    // (far keys at +1,000,000). File pruning derives from the SOURCE's
+    // own keys — the exact point probe keeps the far inserts from
+    // inflating the touched set, so `bounded` (carried > rewritten)
+    // rides the hash alongside the full merged content
+    "s37_merge_full" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s37_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.overwrite(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val source =
+        orders.filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 2000L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(
+          orders.filter(col("o_orderkey") >= 2000L && col("o_orderkey") < 2500L)
+            .withColumn("o_totalprice", lit(-1.0)))
+        .unionByName(
+          orders.filter(col("o_orderkey") < 100L)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+            .withColumn("o_orderstatus", lit("NEW")))
+      val (_, rewritten, carried) = VersionedTable.mergeInto(s, root, source,
+        Seq("o_orderkey"),
+        updateWhen = Some(expr("s.o_totalprice > t.o_totalprice")),
+        deleteWhen = Some(expr("s.o_totalprice < 0")),
+        insertWhen = Some(lit(true)))
+      VersionedTable.read(s, root)
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2101,6 +2167,41 @@ object SparkEntry {
         |                   AND l_quantity < 25, FALSE) AS hit
         |        FROM lineitem))
         |GROUP BY rf ORDER BY rf""".stripMargin,
+
+    // rename serves old bytes under the new name; the dropped column
+    // vanishes from the view while v0 keeps the original column list
+    "s36_rename_drop_column" ->
+      """SELECT doc_id, n_chars AS char_count, lang,
+        |  'doc_id,lang,n_chars,source' AS v0_cols, TRUE AS metadata_only
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MERGE = left join with clause CASEs for matched rows, plus the
+    // unmatched source rows as inserts; update takes the source row whole
+    "s37_merge_full" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice + 1000 AS p
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, -1 FROM orders
+        |  WHERE o_orderkey >= 2000 AND o_orderkey < 2500
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, 'NEW', o_totalprice FROM orders
+        |  WHERE o_orderkey < 100),
+        |merged AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.k IS NOT NULL AND s.p > t.o_totalprice
+        |         THEN s.st ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN s.k IS NOT NULL AND s.p > t.o_totalprice
+        |         THEN s.p ELSE t.o_totalprice END AS o_totalprice,
+        |    CASE WHEN s.k IS NOT NULL AND NOT COALESCE(s.p > t.o_totalprice, FALSE)
+        |              AND s.p < 0 THEN 1 ELSE 0 END AS del
+        |  FROM t LEFT JOIN src s ON t.o_orderkey = s.k)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS bounded
+        |FROM merged WHERE del = 0
+        |UNION ALL
+        |SELECT s.k, s.st, s.p, TRUE FROM src s
+        |LEFT JOIN t ON t.o_orderkey = s.k WHERE t.o_orderkey IS NULL""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -205,6 +205,20 @@ final case class Warehouse(spark: SparkSession, root: String,
     v
   }
 
+  /** METADATA-ONLY RENAME COLUMN on a versioned table — one commit, zero
+    * files rewritten; old versions time-travel under their own names.
+    * The persisted manifest needs no rebuild: its stats are keyed by the
+    * files' PHYSICAL columns, which a rename never changes (pruned reads
+    * and bounded DML map logical names through the snapshot mapping). */
+  def renameColumn(name: String, from: String, to: String): Long =
+    VersionedTable.renameColumn(spark, path(name), from, to)
+
+  /** METADATA-ONLY DROP COLUMN on a versioned table — the bytes stay
+    * (RESTORE un-drops); the next OPTIMIZE/compact physically purges the
+    * column from the files it rewrites. */
+  def dropColumn(name: String, colName: String): Long =
+    VersionedTable.dropColumn(spark, path(name), colName)
+
   /** Bounded DELETE WHERE (range-box predicate) on a versioned table:
     * files whose stats exclude the box carry untouched, only
     * possibly-matching files rewrite — see
@@ -271,6 +285,30 @@ final case class Warehouse(spark: SparkSession, root: String,
       else None
     val r = VersionedTable.updateWhere(spark, path(name), predicate, set,
       pruneRanges, pruneStrRanges, cached)
+    ensureManifest(name)
+    r
+  }
+
+  /** FULL-FORM MERGE INTO on a versioned table (WHEN MATCHED UPDATE /
+    * WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT): file pruning comes
+    * from the SOURCE batch's own key min/max, so a small CDC batch
+    * rewrites only the files its keys can live in. Clause conditions
+    * address `t.<col>` / `s.<col>` — see
+    * [[graft.sources.VersionedTable.mergeInto]]. Reuses and refreshes
+    * the table's persisted manifest. Returns (version, rewrittenFiles,
+    * carriedFiles). */
+  def mergeInto(name: String, source: DataFrame, keys: Seq[String],
+                updateWhen: Option[Column],
+                deleteWhen: Option[Column] = None,
+                insertWhen: Option[Column] = None): (Long, Int, Int) = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val cached =
+      if (new java.io.File(mPath).exists())
+        Some(SkippingIndex.readManifest(spark, mPath))
+      else None
+    val r = VersionedTable.mergeInto(spark, path(name), source, keys,
+      updateWhen, deleteWhen, insertWhen, cached)
     ensureManifest(name)
     r
   }
@@ -505,6 +543,14 @@ final case class Warehouse(spark: SparkSession, root: String,
           s"analyze($name): data dir holds ${onDisk.size} files but the " +
             s"snapshot lists ${snapshot.size} — run vacuum(\"$name\", keep = Some(1)) " +
             "first so the catalog location equals the snapshot")
+        // a raw-location catalog table would expose PHYSICAL names — a
+        // renamed/dropped table cannot be registered truthfully this way
+        val (ren, dr) = VersionedTable.columnMapping(path(name))
+        require(ren.isEmpty && dr.isEmpty,
+          s"analyze($name): the table carries a column mapping " +
+            s"(renames ${ren.values.mkString(",")} / dropped ${dr.mkString(",")}) " +
+            "that a location-addressed catalog table cannot express; " +
+            "OPTIMIZE then overwrite to materialize the logical names first")
         s"${path(name)}/data"
       } else path(name)
     // DROP + CREATE, not IF NOT EXISTS: a name registered earlier against

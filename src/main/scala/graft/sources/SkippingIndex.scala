@@ -299,6 +299,47 @@ object SkippingIndex {
       }
   }
 
+  /** EXACT POINT-PROBE pruning — the merge/IN-list shape a single
+    * bounding box over-covers: a bimodal key set (CDC updates around one
+    * range plus new-key inserts far above it) spans the whole table as a
+    * box while actually touching two files. Of `candidates`
+    * (pre-pruned by a global box), keep only files whose [min,max] on
+    * `column` provably CONTAINS at least one probe point — plus files
+    * with no usable bound (conservative, like [[Manifest.survivors]]).
+    * The per-file intervals are driver-side tiny and BROADCAST;
+    * `points` (one column — cast numerics to double to match the
+    * manifest bounds) stays distributed, so the probe is a map-side
+    * broadcast range join whose result is bounded by |candidates|.
+    * Truncated string bounds stay conservative: the stored lower bound
+    * is ≤ the true minimum and the stored upper ≥ the true maximum, so
+    * true containment implies stored containment. */
+  def probeSurvivors(spark: SparkSession, m: Manifest, candidates: Seq[String],
+                     column: String, points: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val cand = candidates.toSet
+    val stats = m.stats.filter(s => s.column == column && cand.contains(s.file))
+    val isStr = points.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    val (bounded, unbounded) = stats.partition(s =>
+      if (isStr) s.min_s.isDefined && s.max_s.isDefined
+      else s.min_v.isDefined && s.max_v.isDefined)
+    val keep = (cand -- stats.map(_.file)) ++ unbounded.map(_.file)
+    val hits =
+      if (bounded.isEmpty) Seq.empty[String]
+      else {
+        val iv =
+          if (isStr) bounded.map(s => (s.file, s.min_s.get, s.max_s.get))
+            .toDF("__file", "__lo", "__hi")
+          else bounded.map(s => (s.file, s.min_v.get, s.max_v.get))
+            .toDF("__file", "__lo", "__hi")
+        points.toDF("__k").na.drop().distinct()
+          .join(broadcast(iv), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__file").distinct().collect().map(_.getString(0)).toSeq
+      }
+    candidates.filter(f => keep.contains(f) || hits.contains(f))
+  }
+
   /** Build the reusable manifest for `dir` (one footer pass). */
   def manifest(spark: SparkSession, dir: String, cols: Seq[String]): Manifest =
     manifestFor(spark, listParquet(spark, dir), cols)

@@ -193,6 +193,20 @@ object VersionedTable {
         l.stripPrefix(SchemaPrefix)).asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** The snapshot's LOGICAL schema — the committed physical schema with
+    * the column mapping applied (dropped columns removed, renames
+    * served under their logical names): the shape [[read]] serves.
+    * `None` for legacy pre-schema commits, like [[schemaOf]]. */
+  def logicalSchema(root: String, version: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(root, version).map { s =>
+      val (ren, dr) = columnMapping(root, version)
+      if (ren.isEmpty && dr.isEmpty) s
+      else org.apache.spark.sql.types.StructType(
+        s.fields.toSeq.filterNot(f => dr.contains(f.name))
+          .map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
+    }
+
   /** One-line header form (schema JSON has no newlines); top-level
     * nullability is relaxed because appended files null-fill columns
     * they predate. */
@@ -229,6 +243,190 @@ object VersionedTable {
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  private val RenamePrefix = "#rename:"
+  private def isRename(line: String): Boolean = line.startsWith(RenamePrefix)
+  private val DroppedPrefix = "#dropped:"
+  private def isDropped(line: String): Boolean = line.startsWith(DroppedPrefix)
+
+  /** COLUMN MAPPING of a snapshot — the Delta column-mapping shape that
+    * makes RENAME/DROP COLUMN metadata-only: data files and the
+    * committed `#schema` header keep their PHYSICAL names forever (no
+    * file is ever rewritten for a rename), while `#rename:<physical>:
+    * <logical>` and `#dropped:<physical>` headers define the LOGICAL
+    * view every read serves and every write addresses. Returns
+    * (physical→logical renames, dropped physical columns); both empty —
+    * the identity mapping — for tables that never renamed or dropped. */
+  def columnMapping(root: String, version: Option[Long] = None)
+      : (Map[String, String], Set[String]) = {
+    val vs = versions(root)
+    if (vs.isEmpty) (Map.empty, Set.empty)
+    else mappingOf(filesOf(root, version.getOrElse(vs.last)))
+  }
+
+  private def mappingOf(lines: Seq[String]): (Map[String, String], Set[String]) = {
+    val ren = lines.filter(isRename).flatMap { l =>
+      val rest = l.stripPrefix(RenamePrefix)
+      val i = rest.indexOf(':')
+      if (i <= 0) None else Some(rest.take(i) -> rest.drop(i + 1))
+    }.toMap
+    (ren, lines.filter(isDropped).map(_.stripPrefix(DroppedPrefix)).toSet)
+  }
+
+  /** Physical frame → the snapshot's logical view: dropped columns
+    * vanish, renamed columns serve under their logical names. Identity
+    * (no projection node) when the mapping is empty. */
+  private def toLogical(df: DataFrame, lines: Seq[String]): DataFrame = {
+    val (ren, dr) = mappingOf(lines)
+    if (ren.isEmpty && dr.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toSeq.filterNot(dr.contains).map(c =>
+        col(c).as(ren.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Logical batch → physical names for writing, against the mapping in
+    * `lines`. Refuses a batch column that addresses dead physical
+    * storage: a column renamed away must be written under its CURRENT
+    * name, and a new column may not shadow a dropped column's physical
+    * slot (physical names are forever — the price of never rewriting a
+    * file for a rename). */
+  private def toPhysical(df: DataFrame, lines: Seq[String], root: String): DataFrame = {
+    val (ren, dr) = mappingOf(lines)
+    if (ren.isEmpty && dr.isEmpty) df
+    else {
+      val inv = ren.map(_.swap) // logical -> physical
+      df.columns.foreach { c =>
+        if (!inv.contains(c)) {
+          require(!dr.contains(c),
+            s"column `$c` at $root was DROPPED; its physical slot cannot " +
+              "be reused — pick another name")
+          require(!ren.contains(c),
+            s"column `$c` at $root was renamed to `${ren(c)}`; write it " +
+              "under its current name")
+        }
+      }
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toSeq.map(c => col(c).as(inv.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Unresolved column names an expression mentions (flat columns). */
+  private def exprRefs(spark: SparkSession, sql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+    }.toSet
+
+  /** Refuse a rename/drop of a column that committed table metadata
+    * still references — the expression would silently break (Delta's
+    * rule: drop the constraint / generation first). */
+  private def refuseReferenced(spark: SparkSession, root: String,
+                               colName: String, op: String): Unit = {
+    checkConstraints(root).foreach { case (n, sql) =>
+      require(!exprRefs(spark, sql).contains(colName),
+        s"cannot $op column `$colName` at $root: CHECK constraint `$n` " +
+          s"($sql) references it — drop the constraint first")
+    }
+    generatedColumns(root).foreach { case (g, sql) =>
+      require(g != colName && !exprRefs(spark, sql).contains(colName),
+        s"cannot $op column `$colName` at $root: generated column `$g` " +
+          s"($sql) depends on it — drop the generation first")
+    }
+  }
+
+  private def identOk(s: String): Boolean =
+    s.nonEmpty && !s.contains(":") && !s.contains("\n")
+
+  /** [[toPhysical]] against the CURRENT head's mapping (identity on an
+    * empty table) — the data-adding writers' entry point. */
+  private def physicalBatch(root: String, df: DataFrame): DataFrame = {
+    val vs = versions(root)
+    if (vs.isEmpty) df else toPhysical(df, filesOf(root, vs.last), root)
+  }
+
+  /** [[toLogical]] against the CURRENT head's mapping — CHECK
+    * constraints reference LOGICAL names, so enforcement on an already
+    * physically-aligned batch reprojects first. */
+  private def logicalView(root: String, df: DataFrame): DataFrame = {
+    val vs = versions(root)
+    if (vs.isEmpty) df else toLogical(df, filesOf(root, vs.last))
+  }
+
+  /** RENAME COLUMN — METADATA-ONLY (the Delta column-mapping rename):
+    * one commit adds a `#rename:<physical>:<logical>` header; zero data
+    * files are touched, and every version time-travels under the names
+    * it was committed with (the mapping is snapshot metadata, so
+    * RESTORE rolls names back too). `from` is the current LOGICAL name.
+    * Refused for partition columns (their names live in directory
+    * paths), for columns referenced by CHECK constraints or generated
+    * columns (the expressions would break), and when `to` already
+    * names a column. Returns the committed version. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    require(identOk(from) && identOk(to),
+      s"column names must be non-empty without ':' or newlines: `$from` -> `$to`")
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val logical = read(spark, root).schema.fieldNames.toSeq
+    require(logical.contains(from),
+      s"no column `$from` at $root (have ${logical.mkString(", ")})")
+    require(!logical.contains(to),
+      s"cannot rename `$from` to `$to` at $root: `$to` already exists")
+    val (ren, _) = columnMapping(root)
+    val physFrom = ren.find(_._2 == from).map(_._1).getOrElse(from)
+    require(!partitionCols(root).contains(physFrom),
+      s"cannot rename partition column `$from` at $root: partition names " +
+        "live in directory paths, not metadata")
+    refuseReferenced(spark, root, from, "rename")
+    val meta = metaHeader("RENAME COLUMN")
+    var done = -1L
+    while (done < 0) {
+      val head = versions(root).last
+      val base = filesOf(root, head).filterNot(l => isMeta(l) ||
+        (isRename(l) && l.stripPrefix(RenamePrefix).takeWhile(_ != ':') == physFrom))
+      val header = // renaming BACK to the physical name clears the mapping
+        if (to == physFrom) Seq.empty else Seq(s"$RenamePrefix$physFrom:$to")
+      if (tryCommit(root, head + 1, base ++ header :+ meta)) done = head + 1
+    }
+    done
+  }
+
+  /** DROP COLUMN — METADATA-ONLY (the Delta column-mapping drop): one
+    * commit adds a `#dropped:<physical>` header; the bytes stay in
+    * place (old versions still serve the column — RESTORE un-drops it)
+    * and a later [[optimize]]/[[rewrite]] physically purges it from the
+    * files it rewrites. `colName` is the current LOGICAL name. Refused
+    * for partition columns, referenced columns (constraints /
+    * generations), and for the last remaining column. Returns the
+    * committed version. */
+  def dropColumn(spark: SparkSession, root: String, colName: String): Long = {
+    require(identOk(colName),
+      s"column name must be non-empty without ':' or newlines: `$colName`")
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val logical = read(spark, root).schema.fieldNames.toSeq
+    require(logical.contains(colName),
+      s"no column `$colName` at $root (have ${logical.mkString(", ")})")
+    require(logical.size > 1,
+      s"cannot drop `$colName` at $root: it is the last column")
+    val (ren, _) = columnMapping(root)
+    val phys = ren.find(_._2 == colName).map(_._1).getOrElse(colName)
+    require(!partitionCols(root).contains(phys),
+      s"cannot drop partition column `$colName` at $root: partition values " +
+        "live in directory paths, not metadata")
+    refuseReferenced(spark, root, colName, "drop")
+    val meta = metaHeader("DROP COLUMN")
+    var done = -1L
+    while (done < 0) {
+      val head = versions(root).last
+      val base = filesOf(root, head).filterNot(l => isMeta(l) ||
+        (isRename(l) && l.stripPrefix(RenamePrefix).takeWhile(_ != ':') == phys))
+      if (tryCommit(root, head + 1, base :+ s"$DroppedPrefix$phys" :+ meta))
+        done = head + 1
+    }
+    done
   }
 
   /** The snapshot's data files (header lines excluded), relative to root. */
@@ -273,14 +471,20 @@ object VersionedTable {
     val sch = lines.find(isSchema).map(l =>
       org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    if (files.isEmpty)
-      sch.map(s => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
-        .getOrElse(spark.emptyDataFrame)
-    else {
-      val rd = spark.read.option("basePath", s"$root/data")
-      sch.fold(rd)(rd.schema).parquet(files.map(f => s"$root/$f"): _*)
-    }
+    val physical =
+      if (files.isEmpty)
+        sch.map(s => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+          .getOrElse(spark.emptyDataFrame)
+      else {
+        val rd = spark.read.option("basePath", s"$root/data")
+        sch.fold(rd)(rd.schema).parquet(files.map(f => s"$root/$f"): _*)
+      }
+    // the snapshot's column mapping defines the logical view: renames
+    // serve under their logical names, dropped columns vanish — and
+    // since the mapping rides the commit list, every version reads
+    // under the names it was committed with
+    toLogical(physical, lines)
   }
 
   /** Write `df`'s rows as new immutable data files (Hive partition
@@ -541,11 +745,11 @@ object VersionedTable {
     * carry forward. Returns the committed version. */
   def append(spark: SparkSession, root: String, df: DataFrame,
              partitionBy: Seq[String] = Nil): Long = {
-    val gen = applyGenerated(root, df)
+    val gen = physicalBatch(root, applyGenerated(root, df))
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, gen.schema)).getOrElse(gen.schema)
     val aligned = if (cur.isDefined) align(gen, target) else gen
-    enforceChecks(root, aligned)
+    enforceChecks(root, logicalView(root, aligned))
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
     val meta = metaHeader("APPEND")
@@ -572,7 +776,11 @@ object VersionedTable {
     * headers CARRY OVER (Delta's SetTransaction actions likewise survive
     * a full replace: the writer's epoch history is about delivery, not
     * content — a streaming sink's redelivered epoch must stay a no-op
-    * even if a batch job rebuilt the table in between). */
+    * even if a batch job rebuilt the table in between). The COLUMN
+    * MAPPING does NOT carry: a full replace redefines the schema,
+    * names included — the written frame's names become the new
+    * physical AND logical names (old versions still time-travel under
+    * their own mapping). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 partitionBy: Seq[String] = Nil): Long = {
     val gen = applyGenerated(root, df)
@@ -606,11 +814,11 @@ object VersionedTable {
   def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
                           partitionBy: Seq[String]): Long = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
-    val gen = applyGenerated(root, df)
+    val gen = physicalBatch(root, applyGenerated(root, df))
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, gen.schema)).getOrElse(gen.schema)
     val aligned = if (cur.isDefined) align(gen, target) else gen
-    enforceChecks(root, aligned)
+    enforceChecks(root, logicalView(root, aligned))
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, partitionBy)
     def dirOf(rel: String): String = rel.split('/').dropRight(1).mkString("/")
@@ -673,11 +881,11 @@ object VersionedTable {
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
-    val gen = applyGenerated(root, df)
+    val gen = physicalBatch(root, applyGenerated(root, df))
     val cur = schemaOf(root)
     val target = cur.map(evolve(_, gen.schema)).getOrElse(gen.schema)
     val aligned = if (cur.isDefined) align(gen, target) else gen
-    enforceChecks(root, aligned)
+    enforceChecks(root, logicalView(root, aligned))
     val tag = java.util.UUID.randomUUID().toString.take(12)
     val fresh = writeData(aligned, root, tag, effectiveParts(root, partitionBy))
     val txn = s"#txn:$writerId:$epoch"
@@ -776,8 +984,12 @@ object VersionedTable {
       val vs = versions(root)
       require(vs.nonEmpty, s"no commits at $root")
       val baseV = vs.last
-      val baseData = filesOf(root, baseV).filterNot(isHeader).toSet
-      val out = transform(read(spark, root, Some(baseV)))
+      val baseLines = filesOf(root, baseV)
+      val baseData = baseLines.filterNot(isHeader).toSet
+      // the transform sees the LOGICAL view; the rewritten files store
+      // PHYSICAL names (and thereby physically PURGE dropped columns —
+      // the Delta REORG ... PURGE effect falls out of the mapping)
+      val out = toPhysical(transform(read(spark, root, Some(baseV))), baseLines, root)
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(out, root, tag, partitionBy)
       var stale = false
@@ -881,6 +1093,14 @@ object VersionedTable {
       val baseV = vs.last
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
+      // prune boxes arrive in LOGICAL names; footer stats (and the
+      // manifest) are keyed by the files' PHYSICAL names — map through
+      // the snapshot's column mapping before consulting either
+      val inv = mappingOf(base)._1.map(_.swap)
+      val physRanges = pruneRanges.map(r =>
+        r.copy(column = inv.getOrElse(r.column, r.column)))
+      val physStrRanges = pruneStrRanges.map(r =>
+        r.copy(column = inv.getOrElse(r.column, r.column)))
       val touchSet: Set[String] =
         if (pruneRanges.isEmpty && pruneStrRanges.isEmpty) baseData.toSet
         else {
@@ -888,19 +1108,23 @@ object VersionedTable {
           val m = cached
             .map(SkippingIndex.refreshManifestFor(spark, files, _))
             .getOrElse(SkippingIndex.manifestFor(spark, files,
-              (pruneRanges.map(_.column) ++ pruneStrRanges.map(_.column)).distinct))
-          m.survivors(pruneRanges, pruneStrRanges).toSet
+              (physRanges.map(_.column) ++ physStrRanges.map(_.column)).distinct))
+          m.survivors(physRanges, physStrRanges).toSet
         }
       val (touch, carry) = baseData.partition(touchSet.contains)
       if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
       else {
         // touched files scan under the COMMITTED schema (when present):
         // a file predating an evolved column must rewrite with that
-        // column null-filled, exactly as [[read]] serves it
+        // column null-filled, exactly as [[read]] serves it; the
+        // predicate filters the LOGICAL view, and survivors write back
+        // under PHYSICAL names (dropped columns purge from the rewrite)
         val rd = spark.read.option("basePath", s"$root/data")
-        val survivorRows = schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
-          .parquet(touch.map(f => s"$root/$f"): _*)
-          .filter(not(coalesce(predicate, lit(false))))
+        val survivorRows = toPhysical(
+          toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+              .parquet(touch.map(f => s"$root/$f"): _*), base)
+            .filter(not(coalesce(predicate, lit(false)))),
+          base, root)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(survivorRows, root, tag, pcols)
         var stale = false
@@ -982,6 +1206,12 @@ object VersionedTable {
       val baseV = vs.last
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
+      // boxes in LOGICAL names -> the files' PHYSICAL stats names
+      val inv = mappingOf(base)._1.map(_.swap)
+      val physRanges = pruneRanges.map(r =>
+        r.copy(column = inv.getOrElse(r.column, r.column)))
+      val physStrRanges = pruneStrRanges.map(r =>
+        r.copy(column = inv.getOrElse(r.column, r.column)))
       val touchSet: Set[String] =
         if (pruneRanges.isEmpty && pruneStrRanges.isEmpty) baseData.toSet
         else {
@@ -989,15 +1219,17 @@ object VersionedTable {
           val m = cached
             .map(SkippingIndex.refreshManifestFor(spark, files, _))
             .getOrElse(SkippingIndex.manifestFor(spark, files,
-              (pruneRanges.map(_.column) ++ pruneStrRanges.map(_.column)).distinct))
-          m.survivors(pruneRanges, pruneStrRanges).toSet
+              (physRanges.map(_.column) ++ physStrRanges.map(_.column)).distinct))
+          m.survivors(physRanges, physStrRanges).toSet
         }
       val (touch, carry) = baseData.partition(touchSet.contains)
       if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
       else {
+        // SETs and the predicate address the LOGICAL view; the rewrite
+        // stores PHYSICAL names (dropped columns purge, like delete's)
         val rd = spark.read.option("basePath", s"$root/data")
-        val scanned = schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
-          .parquet(touch.map(f => s"$root/$f"): _*)
+        val scanned = toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+          .parquet(touch.map(f => s"$root/$f"): _*), base)
         val sch = scanned.schema
         set.keys.foreach { c =>
           require(sch.fieldNames.contains(c),
@@ -1020,7 +1252,7 @@ object VersionedTable {
         val updated = afterGen.drop(hitCol)
         enforceChecks(root, updated)
         val tag = java.util.UUID.randomUUID().toString.take(12)
-        val fresh = writeData(updated, root, tag, pcols)
+        val fresh = writeData(toPhysical(updated, base, root), root, tag, pcols)
         var stale = false
         while (out.isEmpty && !stale) {
           val cur = versions(root)
@@ -1039,6 +1271,172 @@ object VersionedTable {
                 carry ++ fresh ++ since ++ txns :+ meta))
               out = Some((cur.last + 1, touch.size, carry.size))
           }
+        }
+      }
+    }
+    out.get
+  }
+
+  /** FULL-FORM MERGE INTO as a BOUNDED rewrite commit — the three-clause
+    * Delta MERGE (`WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
+    * MATCHED INSERT`) with file-level pruning derived from the SOURCE
+    * batch itself: the source's per-key min/max (one small driver agg)
+    * forms the bounding boxes, so only target files that can possibly
+    * hold a matching key rewrite — at 100 TB a CDC batch touching 0.1%
+    * of keys rewrites ~0.1% of files, not the table. Clause semantics
+    * (SQL MERGE, clause order fixed update-then-delete):
+    *
+    *   - a target row with a source match takes the SOURCE row whole
+    *     (`UPDATE SET *`) when `updateWhen` fires, is REMOVED when
+    *     `deleteWhen` fires (evaluated only if update did not), and
+    *     CARRIES unchanged otherwise;
+    *   - a source row with no target match inserts (`INSERT *`) when
+    *     `insertWhen` fires — carried files provably hold no matching
+    *     key, so matching against the pruned files is complete;
+    *   - clause conditions are `Column`s over the struct aliases
+    *     `t.<col>` (target) and `s.<col>` (source), e.g.
+    *     `expr("s.ts > t.ts")`; `None` omits the clause, a NULL
+    *     condition does not fire (SQL semantics);
+    *   - a TARGET row matched by MORE THAN ONE source row is refused
+    *     whole (the SQL/Delta multiple-matches rule) — checked with one
+    *     bounded semi-join probe before anything is written;
+    *   - the source is aligned to the target's LOGICAL schema: missing
+    *     columns null-fill (after generated columns derive), extra
+    *     columns are refused; CHECK constraints validate the new rows.
+    *
+    * Conflict rules are [[rewrite]]'s (a concurrent append rides along
+    * unmerged — merge-then-append serialization; a concurrent overwrite
+    * aborts and restarts the merge). Returns (committedVersion,
+    * rewrittenFiles, carriedFiles); an empty source commits nothing. */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keys: Seq[String],
+                updateWhen: Option[org.apache.spark.sql.Column],
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                insertWhen: Option[org.apache.spark.sql.Column] = None,
+                cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct}
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    require(updateWhen.isDefined || deleteWhen.isDefined || insertWhen.isDefined,
+      "mergeInto needs at least one WHEN clause")
+    val pcols = partitionCols(root)
+    val meta = metaHeader("MERGE")
+    var out: Option[(Long, Int, Int)] = None
+    while (out.isEmpty) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      val baseV = vs.last
+      val base = filesOf(root, baseV)
+      val baseData = base.filterNot(isHeader)
+      val tgtSchema = logicalSchema(root, Some(baseV))
+        .getOrElse(read(spark, root, Some(baseV)).schema)
+      keys.foreach(k => require(tgtSchema.fieldNames.contains(k),
+        s"merge key `$k` is not a column of $root (${tgtSchema.fieldNames.mkString(", ")})"))
+      source.columns.foreach(c => require(tgtSchema.fieldNames.contains(c),
+        s"source column `$c` is not a column of $root — MERGE never adds columns"))
+      keys.foreach(k => require(source.columns.contains(k),
+        s"the source must carry merge key `$k`"))
+      val src = align(applyGenerated(root, source), tgtSchema)
+      // ONE driver agg: row count + per-key min/max — the prune boxes
+      val statAggs = count(lit(1)).as("__n") +:
+        keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
+      val stats = src.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+      if (stats.getLong(0) == 0L) return (baseV, 0, baseData.size) // empty source
+      import org.apache.spark.sql.types._
+      val inv = mappingOf(base)._1.map(_.swap)
+      def phys(k: String) = inv.getOrElse(k, k)
+      val (numBoxes, strBoxes) = {
+        val nb = scala.collection.mutable.ArrayBuffer[SkippingIndex.ColRange]()
+        val sb = scala.collection.mutable.ArrayBuffer[SkippingIndex.StrRange]()
+        keys.foreach { k =>
+          val i = stats.fieldIndex(s"__min_$k")
+          val j = stats.fieldIndex(s"__max_$k")
+          if (!stats.isNullAt(i) && !stats.isNullAt(j))
+            tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
+              case _: NumericType =>
+                nb += SkippingIndex.ColRange(phys(k),
+                  stats.get(i).asInstanceOf[Number].doubleValue(),
+                  stats.get(j).asInstanceOf[Number].doubleValue())
+              case StringType =>
+                sb += SkippingIndex.StrRange(phys(k),
+                  stats.getString(i), stats.getString(j))
+              case _ => () // unprunable key type: boxes stay conservative
+            }
+        }
+        (nb.toSeq, sb.toSeq)
+      }
+      val touchSet: Set[String] =
+        if (numBoxes.isEmpty && strBoxes.isEmpty) baseData.toSet
+        else {
+          val files = baseData.map(rel => (s"$root/$rel", rel))
+          val m = cached
+            .map(SkippingIndex.refreshManifestFor(spark, files, _))
+            .getOrElse(SkippingIndex.manifestFor(spark, files,
+              (numBoxes.map(_.column) ++ strBoxes.map(_.column)).distinct))
+          val stage1 = m.survivors(numBoxes, strBoxes)
+          // stage 2, single-key merges: the global box over a bimodal
+          // source (CDC updates + far-away inserts) covers the whole
+          // table — probe the ACTUAL keys against each candidate file's
+          // interval, keeping only files that really can match
+          if (keys.size == 1 && stage1.nonEmpty) {
+            val k = keys.head
+            val pts = tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
+              case _: NumericType => src.select(col(k).cast("double"))
+              case _ => src.select(col(k))
+            }
+            SkippingIndex.probeSurvivors(spark, m, stage1, phys(k), pts).toSet
+          } else stage1.toSet
+        }
+      val (touch, carry) = baseData.partition(touchSet.contains)
+      // the touched slice of the target, in the LOGICAL view (empty
+      // frame when no file can match — inserts still flow through)
+      val tgt =
+        if (touch.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema)
+        else {
+          val rd = spark.read.option("basePath", s"$root/data")
+          toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+            .parquet(touch.map(f => s"$root/$f"): _*), base)
+        }
+      // SQL MERGE multiple-matches rule: a duplicated source key that
+      // matches any target row is refused whole (one bounded probe)
+      val dupKeys = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).drop("__c")
+      if (!dupKeys.join(tgt.select(keys.map(col): _*), keys, "left_semi").isEmpty)
+        throw new IllegalArgumentException(
+          s"mergeInto at $root: multiple source rows match the same target " +
+            s"row on keys ${keys.mkString(", ")} — dedupe the source first")
+      val joined = tgt.select(struct(tgt.columns.map(col): _*).as("t"))
+        .join(src.select(struct(src.columns.map(col): _*).as("s")),
+          keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+          "full_outer")
+      def fire(c: Option[org.apache.spark.sql.Column]) =
+        c.map(x => coalesce(x, lit(false))).getOrElse(lit(false))
+      val matched = col("t").isNotNull && col("s").isNotNull
+      val takeSrc = matched && fire(updateWhen)
+      val dropRow = matched && !fire(updateWhen) && fire(deleteWhen)
+      val keepT = joined.filter(col("t").isNotNull && !takeSrc && !dropRow)
+        .select("t.*")
+      val updated = joined.filter(takeSrc).select("s.*")
+      val inserted = joined.filter(col("t").isNull && fire(insertWhen))
+        .select("s.*")
+      enforceChecks(root, updated.unionByName(inserted))
+      val outRows = keepT.unionByName(updated).unionByName(inserted)
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val fresh = writeData(toPhysical(outRows, base, root), root, tag, pcols)
+      var stale = false
+      while (out.isEmpty && !stale) {
+        val cur = versions(root)
+        val latest = filesOf(root, cur.last)
+        val latestData = latest.filterNot(isHeader).toSet
+        if (!baseData.toSet.subsetOf(latestData)) {
+          fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+          stale = true
+        } else {
+          val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
+          val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+          if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns :+ meta))
+            out = Some((cur.last + 1, touch.size, carry.size))
         }
       }
     }
@@ -1111,8 +1509,11 @@ object VersionedTable {
         }
       target.map(align(out, _)).getOrElse(out)
     }
-    val before = readSide(removed, schemaIn(fromLines))
-    val after = readSide(added, schemaIn(toLines))
+    // both sides diff in the TO version's LOGICAL view: a rename between
+    // the versions adds no files (empty feed — names are not data), and
+    // a feed across a drop serves rows without the dropped column
+    val before = toLogical(readSide(removed, schemaIn(fromLines)), toLines)
+    val after = toLogical(readSide(added, schemaIn(toLines)), toLines)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
@@ -1320,7 +1721,8 @@ object VersionedTable {
           Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
       }
     }
-    val sch = lines.filter(l => isSchema(l) || isCheck(l) || isGenerate(l)) // table metadata carries
+    val sch = lines.filter(l => isSchema(l) || isCheck(l) || isGenerate(l) ||
+      isRename(l) || isDropped(l)) // table metadata carries
     val meta = metaHeader("CLONE")
     require(tryCommit(dst, 0L, files ++ sch :+ meta),
       s"clone lost a commit race at $dst")

@@ -60,7 +60,7 @@ class VersionedFeedSourceProvider extends StreamSourceProvider with DataSourceRe
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val root = rootOf(parameters)
-    val table = schema.orElse(VersionedTable.schemaOf(root)).getOrElse {
+    val table = schema.orElse(VersionedTable.logicalSchema(root)).getOrElse {
       require(VersionedTable.isVersioned(root),
         s"versioned-feed: no commits at $root and no user schema given")
       VersionedTable.read(sqlContext.sparkSession, root).schema
@@ -72,7 +72,7 @@ class VersionedFeedSourceProvider extends StreamSourceProvider with DataSourceRe
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val table = schema.orElse(VersionedTable.schemaOf(root)).getOrElse(
+    val table = schema.orElse(VersionedTable.logicalSchema(root)).getOrElse(
       VersionedTable.read(sqlContext.sparkSession, root).schema)
     new VersionedFeedSource(sqlContext, root, table,
       parameters.get("maxVersionsPerTrigger").map(_.toLong))

@@ -1087,6 +1087,227 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).filter(col("qty") >= 100000).count() == 0)
   }
 
+  test("rename/drop column are metadata-only: zero files touched, names time-travel, restore un-drops") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_vmap").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 400).map(i => (i.toLong, i % 50, s"n$i")).toDF("id", "qty", "note")
+        .repartition(4))
+    val v0Files = VersionedTable.dataFiles(root)
+    def diskState(rel: String) = {
+      val f = new java.io.File(s"$root/$rel")
+      (f.lastModified(), f.length())
+    }
+    val before = v0Files.map(f => f -> diskState(f)).toMap
+    // RENAME qty -> quantity: one commit, same files, same bytes
+    val v1 = VersionedTable.renameColumn(spark, root, "qty", "quantity")
+    assert(VersionedTable.dataFiles(root) == v0Files)
+    v0Files.foreach(f => assert(diskState(f) == before(f)))
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "quantity", "note"))
+    assert(VersionedTable.read(spark, root, Some(0L)).columns.toSeq == Seq("id", "qty", "note"),
+      "old versions time-travel under their own names")
+    assert(VersionedTable.logicalSchema(root).get.fieldNames.toSeq ==
+      Seq("id", "quantity", "note"))
+    assert(VersionedTable.commitMeta(root, v1).map(_._2).contains("RENAME COLUMN"))
+    // a rename is not a data change: the feed across it is empty
+    assert(VersionedTable.changeFeed(spark, root, 0L, v1).isEmpty)
+    // appends address the CURRENT name; the old name is refused loudly
+    VersionedTable.append(spark, root,
+      (400 until 500).map(i => (i.toLong, i % 50, s"n$i")).toDF("id", "quantity", "note"))
+    val eOld = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((999L, 1, "x")).toDF("id", "qty", "note"))
+    }
+    assert(eOld.getMessage.contains("renamed to `quantity`"))
+    assert(VersionedTable.read(spark, root).count() == 500)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("quantity") === col("id") % 50).count() == 500,
+      "old files' physical qty serves under the logical name")
+    // DROP note: bytes stay, the logical view loses the column
+    val vDrop = VersionedTable.dropColumn(spark, root, "note")
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "quantity"))
+    assert(VersionedTable.read(spark, root, Some(vDrop - 1)).columns.contains("note"))
+    // a new column cannot shadow the dropped physical slot
+    val eShadow = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq((1000L, 1, "x")).toDF("id", "quantity", "note"))
+    }
+    assert(eShadow.getMessage.contains("DROPPED"))
+    // RESTORE un-drops: the mapping is snapshot metadata
+    VersionedTable.restore(spark, root, vDrop - 1)
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "quantity", "note"))
+    VersionedTable.dropColumn(spark, root, "note") // drop again for the purge check
+    // OPTIMIZE physically purges the dropped column from rewritten files
+    VersionedTable.optimize(spark, root, Seq("id"), 2)
+    val newFiles = VersionedTable.dataFiles(root).map(f => s"$root/$f")
+    val physCols = spark.read.parquet(newFiles: _*).schema.fieldNames.toSet
+    assert(!physCols.contains("note"), s"purged files still carry note: $physCols")
+    assert(physCols.contains("qty"), "the rename stays metadata: physical name persists")
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "quantity"))
+    assert(VersionedTable.read(spark, root).count() == 500)
+    // rename BACK to the physical name clears the mapping entry
+    VersionedTable.renameColumn(spark, root, "quantity", "qty")
+    assert(VersionedTable.columnMapping(root)._1.isEmpty)
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "qty"))
+  }
+
+  test("rename/drop refusals, and bounded DML + feed address the logical view") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import SkippingIndex.ColRange
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_vmapdml").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 8000).map(i => (i.toLong, i % 10, s"v$i")).toDF("id", "qty", "v")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    VersionedTable.addCheckConstraint(spark, root, "qty_pos", "qty >= 0")
+    // refusals: referenced / colliding / missing / partitioned / last column
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "qty", "quantity"))
+      .getMessage.contains("qty_pos"))
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, root, "qty"))
+      .getMessage.contains("qty_pos"))
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "id", "qty"))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, root, "nope", "x"))
+      .getMessage.contains("no column"))
+    // rename id -> key, then bounded DML in LOGICAL names: the prune
+    // boxes map through to the files' physical stats
+    VersionedTable.renameColumn(spark, root, "id", "key")
+    val (_, rw, carried) = VersionedTable.deleteWherePredicate(spark, root,
+      col("key").isin(2100L, 2500L), Seq(ColRange("key", 2100, 2500)))
+    assert(rw >= 1 && carried >= 6,
+      s"logical-name boxes must still prune physical stats: rw=$rw carried=$carried")
+    assert(VersionedTable.read(spark, root).count() == 7998)
+    val (_, rwU, carriedU) = VersionedTable.updateWhere(spark, root,
+      col("key") === 3000L, Map("v" -> lit("HIT")),
+      Seq(ColRange("key", 3000, 3000)))
+    assert(rwU >= 1 && carriedU >= 6)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("v") === "HIT").select("key").collect().map(_.getLong(0)).toSeq == Seq(3000L))
+    // the feed across drop+append serves the TO version's logical view
+    VersionedTable.dropColumn(spark, root, "v")
+    val vFrom = VersionedTable.versions(root).last
+    VersionedTable.append(spark, root,
+      Seq((9001L, 5)).toDF("key", "qty"))
+    val feed = VersionedTable.changeFeed(spark, root, vFrom, vFrom + 1)
+    assert(feed.columns.toSeq == Seq("key", "qty", "_change_type"))
+    assert(feed.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((9001L, "insert")))
+    // partition-column mapping is refused
+    val proot = java.nio.file.Files.createTempDirectory("graft_vmapp").toString
+    VersionedTable.overwrite(spark, proot,
+      (0 until 100).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part"),
+      partitionBy = Seq("part"))
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, proot, "part", "bucket"))
+      .getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, proot, "part"))
+      .getMessage.contains("partition"))
+    // the last remaining column cannot be dropped
+    VersionedTable.dropColumn(spark, proot, "id")
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, proot, "part"))
+      .getMessage.contains("last column"))
+    val lroot = java.nio.file.Files.createTempDirectory("graft_vmapl").toString
+    VersionedTable.overwrite(spark, lroot, Seq((1L, 2L)).toDF("a", "b"))
+    VersionedTable.dropColumn(spark, lroot, "a")
+    assert(intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(spark, lroot, "b"))
+      .getMessage.contains("last column"))
+  }
+
+  test("full-form merge: update/delete/insert clauses, source-derived pruning, multiple-matches refusal") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.{expr, lit}
+    val root = java.nio.file.Files.createTempDirectory("graft_vmerge").toString
+    // target: 8000 keys, range-clustered into 8 files, version column
+    VersionedTable.overwrite(spark, root,
+      (0 until 8000).map(i => (i.toLong, 1, s"t$i")).toDF("id", "rev", "v")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val v0Files = VersionedTable.dataFiles(root)
+    def diskState(rel: String) = {
+      val f = new java.io.File(s"$root/$rel")
+      (f.lastModified(), f.length())
+    }
+    val before = v0Files.map(f => f -> diskState(f)).toMap
+    // source confined to [2000, 2999] plus inserts at 9000+:
+    //   2000..2099 rev=2  -> update fires (s.rev > t.rev)
+    //   2100..2199 rev=0  -> update does NOT fire; delete fires (s.rev = 0)
+    //   2200..2299 rev=1  -> neither clause fires: target carries
+    //   9000..9099 rev=5  -> no match: insert
+    val source = ((2000 until 2100).map(i => (i.toLong, 2, s"s$i")) ++
+        (2100 until 2200).map(i => (i.toLong, 0, s"s$i")) ++
+        (2200 until 2300).map(i => (i.toLong, 1, s"s$i")) ++
+        (9000 until 9100).map(i => (i.toLong, 5, s"s$i")))
+      .toDF("id", "rev", "v")
+    val (v1, rewritten, carried) = VersionedTable.mergeInto(spark, root, source,
+      Seq("id"),
+      updateWhen = Some(expr("s.rev > t.rev")),
+      deleteWhen = Some(expr("s.rev = 0")),
+      insertWhen = Some(lit(true)))
+    assert(rewritten >= 1 && carried >= 6,
+      s"source-derived boxes must prune: rewritten=$rewritten carried=$carried")
+    val rows = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(rows.size == 8000 - 100 + 100) // 100 deleted, 100 inserted
+    (2000 until 2100).foreach(i => assert(rows(i.toLong) == (2, s"s$i"), s"update $i"))
+    (2100 until 2200).foreach(i => assert(!rows.contains(i.toLong), s"delete $i"))
+    (2200 until 2300).foreach(i => assert(rows(i.toLong) == (1, s"t$i"), s"carry $i"))
+    (9000 until 9100).foreach(i => assert(rows(i.toLong) == (5, s"s$i"), s"insert $i"))
+    assert(rows(0L) == (1, "t0") && rows(7999L) == (1, "t7999"))
+    // carried files byte-identical; pre-merge snapshot still travels
+    val carriedRel = v0Files.toSet.intersect(VersionedTable.dataFiles(root).toSet)
+    assert(carriedRel.size == carried)
+    carriedRel.foreach(f => assert(diskState(f) == before(f)))
+    assert(VersionedTable.read(spark, root, Some(v1 - 1)).count() == 8000)
+    assert(VersionedTable.commitMeta(root, v1).map(_._2).contains("MERGE"))
+    // insert-only merge whose keys match NO file: zero files rewritten
+    val (_, rw2, c2) = VersionedTable.mergeInto(spark, root,
+      Seq((20000L, 1, "x")).toDF("id", "rev", "v"), Seq("id"),
+      updateWhen = None, insertWhen = Some(lit(true)))
+    assert(rw2 == 0, s"out-of-range insert must touch no target file, got $rw2")
+    assert(c2 > 0 && VersionedTable.read(spark, root).count() == 8001)
+    // duplicate source keys matching a target row are refused whole
+    val head = VersionedTable.versions(root).last
+    val eDup = intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root,
+        Seq((100L, 9, "a"), (100L, 8, "b")).toDF("id", "rev", "v"), Seq("id"),
+        updateWhen = Some(lit(true)))
+    }
+    assert(eDup.getMessage.contains("multiple source rows"))
+    assert(VersionedTable.versions(root).last == head, "nothing committed")
+    // duplicate keys that match NOTHING are allowed to insert? No — the
+    // SQL rule is about matches; unmatched dup keys insert twice is
+    // Delta behavior for insert-only merges, but our probe only refuses
+    // MATCHING dups: verify an unmatched dup inserts both rows
+    VersionedTable.mergeInto(spark, root,
+      Seq((30000L, 1, "x"), (30000L, 2, "y")).toDF("id", "rev", "v"), Seq("id"),
+      updateWhen = None, insertWhen = Some(lit(true)))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 30000L).count() == 2)
+    // an empty source commits nothing
+    val h2 = VersionedTable.versions(root).last
+    val (v3, rw3, _) = VersionedTable.mergeInto(spark, root,
+      Seq.empty[(Long, Int, String)].toDF("id", "rev", "v"), Seq("id"),
+      updateWhen = Some(lit(true)), insertWhen = Some(lit(true)))
+    assert(v3 == h2 && rw3 == 0 && VersionedTable.versions(root).last == h2)
+    // merge addresses the LOGICAL view: rename id -> key, merge on key
+    VersionedTable.renameColumn(spark, root, "id", "key")
+    VersionedTable.mergeInto(spark, root,
+      Seq((0L, 7, "merged")).toDF("key", "rev", "v"), Seq("key"),
+      updateWhen = Some(lit(true)))
+    assert(VersionedTable.read(spark, root).filter(col("key") === 0L)
+      .select("rev", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((7, "merged")))
+  }
+
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
     import spark.implicits._
     import graft.sources.VersionedTable
