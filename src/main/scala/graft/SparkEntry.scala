@@ -578,6 +578,36 @@ object SparkEntry {
         .withColumn("bounded", lit(carried > 0 && rewritten < carried))
     }),
 
+    // KEY-LIST DELETE (the redaction / right-to-be-forgotten shape): the
+    // doomed keys are a DATAFRAME — every 97th orderkey in [1000, 3000],
+    // a list shape no literal IN fits at production scale — and pruning
+    // derives from the list itself (global box + exact point probe), so
+    // the range-clustered files outside the list carry byte-untouched
+    // (`bounded` hashes that claim); survivors = NOT EXISTS semantics
+    "s38_delete_key_list" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s38_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+      VersionedTable.overwrite(s, root,
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val doomed = li.select(col("l_orderkey"))
+        .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 3000L &&
+          col("l_orderkey") % 97 === 0).distinct()
+      val (_, rewritten, carried) = VersionedTable.deleteWhereKeys(
+        s, root, "l_orderkey", doomed)
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+        .orderBy("l_returnflag")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1965,6 +1995,7 @@ object SparkEntry {
     "s24_delete_where"        -> Seq("sum_qty"),
     "s30_delete_where_in"     -> Seq("sum_qty"),
     "s35_update_where"        -> Seq("sum_qty"),
+    "s38_delete_key_list"     -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -2202,6 +2233,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT s.k, s.st, s.p, TRUE FROM src s
         |LEFT JOIN t ON t.o_orderkey = s.k WHERE t.o_orderkey IS NULL""".stripMargin,
+
+    // NOT EXISTS against the same derived key list (anti-join
+    // semantics, deliberately not SQL NOT IN's null trap)
+    "s38_delete_key_list" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM lineitem t
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem d
+        |  WHERE d.l_orderkey = t.l_orderkey
+        |    AND d.l_orderkey BETWEEN 1000 AND 3000 AND d.l_orderkey % 97 = 0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -289,6 +289,25 @@ final case class Warehouse(spark: SparkSession, root: String,
     r
   }
 
+  /** KEY-LIST DELETE on a versioned table — the redaction-list shape:
+    * remove every row whose `keyCol` equals a key in `keys` (a
+    * DataFrame; NOT-EXISTS semantics, NULL target keys kept). Pruning
+    * derives from the list itself: global box + exact per-file point
+    * probe — see [[graft.sources.VersionedTable.deleteWhereKeys]].
+    * Reuses and refreshes the persisted manifest. */
+  def deleteWhereKeys(name: String, keyCol: String, keys: DataFrame)
+      : (Long, Int, Int) = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val cached =
+      if (new java.io.File(mPath).exists())
+        Some(SkippingIndex.readManifest(spark, mPath))
+      else None
+    val r = VersionedTable.deleteWhereKeys(spark, path(name), keyCol, keys, cached)
+    ensureManifest(name)
+    r
+  }
+
   /** FULL-FORM MERGE INTO on a versioned table (WHEN MATCHED UPDATE /
     * WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT): file pruning comes
     * from the SOURCE batch's own key min/max, so a small CDC batch

@@ -1277,6 +1277,106 @@ object VersionedTable {
     out.get
   }
 
+  /** KEY-LIST DELETE — the redaction / right-to-be-forgotten shape: a
+    * batch job holding a LIST of keys (a DataFrame — possibly millions
+    * of ids, far beyond any literal IN-list) removes every row whose
+    * `keyCol` equals a listed key. Pruning is [[mergeInto]]'s
+    * source-derived path: the list's min/max forms the global box (one
+    * small driver agg), then [[SkippingIndex.probeSurvivors]]' exact
+    * per-file point probe keeps only files that really hold a listed
+    * key — a scattered redaction list touches the files containing the
+    * ids, not the table. Touched files rewrite with a LEFT ANTI join
+    * against the list (NOT EXISTS semantics: a NULL target key never
+    * matches and is KEPT — unlike SQL's NOT IN null trap, which this
+    * deliberately does not reproduce). Conflict rules and the return
+    * triple are [[deleteWhere]]'s; an empty list commits nothing. */
+  def deleteWhereKeys(spark: SparkSession, root: String, keyCol: String,
+                      keys: DataFrame,
+                      cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    require(keys.columns.length == 1,
+      s"deleteWhereKeys wants a single-column key list, got ${keys.columns.mkString(", ")}")
+    val pcols = partitionCols(root)
+    val meta = metaHeader("DELETE")
+    var out: Option[(Long, Int, Int)] = None
+    while (out.isEmpty) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      val baseV = vs.last
+      val base = filesOf(root, baseV)
+      val baseData = base.filterNot(isHeader)
+      val tgtSchema = logicalSchema(root, Some(baseV))
+        .getOrElse(read(spark, root, Some(baseV)).schema)
+      require(tgtSchema.fieldNames.contains(keyCol),
+        s"no column `$keyCol` at $root (${tgtSchema.fieldNames.mkString(", ")})")
+      val k = keys.select(col(keys.columns.head).as(keyCol))
+      val stats = k.agg(count(lit(1)).as("__n"),
+        min(col(keyCol)).as("__min"), max(col(keyCol)).as("__max")).collect()(0)
+      // empty list, or every key NULL (a NULL never equals a key): no-op
+      if (stats.getLong(0) == 0L || stats.isNullAt(1))
+        return (baseV, 0, baseData.size)
+      import org.apache.spark.sql.types._
+      val inv = mappingOf(base)._1.map(_.swap)
+      val physKey = inv.getOrElse(keyCol, keyCol)
+      val (numBoxes, strBoxes) =
+        tgtSchema(tgtSchema.fieldIndex(keyCol)).dataType match {
+          case _: NumericType =>
+            (Seq(SkippingIndex.ColRange(physKey,
+              stats.get(1).asInstanceOf[Number].doubleValue(),
+              stats.get(2).asInstanceOf[Number].doubleValue())), Nil)
+          case StringType =>
+            (Nil, Seq(SkippingIndex.StrRange(physKey,
+              stats.getString(1), stats.getString(2))))
+          case _ => (Nil, Nil) // unprunable key type: rewrite everything
+        }
+      val touchSet: Set[String] =
+        if (numBoxes.isEmpty && strBoxes.isEmpty) baseData.toSet
+        else {
+          val files = baseData.map(rel => (s"$root/$rel", rel))
+          val m = cached
+            .map(SkippingIndex.refreshManifestFor(spark, files, _))
+            .getOrElse(SkippingIndex.manifestFor(spark, files, Seq(physKey)))
+          val stage1 = m.survivors(numBoxes, strBoxes)
+          if (stage1.isEmpty) Set.empty[String]
+          else {
+            val pts = tgtSchema(tgtSchema.fieldIndex(keyCol)).dataType match {
+              case _: NumericType => k.select(col(keyCol).cast("double"))
+              case _ => k
+            }
+            SkippingIndex.probeSurvivors(spark, m, stage1, physKey, pts).toSet
+          }
+        }
+      val (touch, carry) = baseData.partition(touchSet.contains)
+      if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
+      else {
+        val rd = spark.read.option("basePath", s"$root/data")
+        val survivorRows = toPhysical(
+          toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+              .parquet(touch.map(f => s"$root/$f"): _*), base)
+            .join(k, Seq(keyCol), "left_anti"),
+          base, root)
+        val tag = java.util.UUID.randomUUID().toString.take(12)
+        val fresh = writeData(survivorRows, root, tag, pcols)
+        var stale = false
+        while (out.isEmpty && !stale) {
+          val cur = versions(root)
+          val latest = filesOf(root, cur.last)
+          val latestData = latest.filterNot(isHeader).toSet
+          if (!baseData.toSet.subsetOf(latestData)) {
+            fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+            stale = true
+          } else {
+            val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
+            val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+            if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns :+ meta))
+              out = Some((cur.last + 1, touch.size, carry.size))
+          }
+        }
+      }
+    }
+    out.get
+  }
+
   /** FULL-FORM MERGE INTO as a BOUNDED rewrite commit — the three-clause
     * Delta MERGE (`WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT
     * MATCHED INSERT`) with file-level pruning derived from the SOURCE

@@ -1308,6 +1308,42 @@ class PipelineSpec extends SparkSpecBase {
       Seq((7, "merged")))
   }
 
+  test("key-list delete: point probe beats the box on scattered lists, NULL keys kept, empty list no-op") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vdelkeys").toString
+    // id 4000 carries a NULL key: NOT-EXISTS semantics must keep it
+    val df = (0 until 8000).map(i =>
+        (if (i == 4000) None else Some(i.toLong), s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    VersionedTable.overwrite(spark, root, df)
+    // a SCATTERED list: two tight clusters far apart — the global box
+    // [2100, 6200] spans half the table, the point probe keeps 2 files
+    val doomed = ((2100L to 2150L) ++ (6100L to 6150L)).toDF("key")
+    val (v1, rewritten, carried) = VersionedTable.deleteWhereKeys(
+      spark, root, "id", doomed)
+    assert(rewritten <= 2 && carried >= 6,
+      s"the probe must beat the bimodal box: rewritten=$rewritten carried=$carried")
+    val ids = VersionedTable.read(spark, root).select("id").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(ids.contains(-1L), "the NULL-key row survives (NOT EXISTS, not NOT IN)")
+    assert(!ids.contains(2100L) && !ids.contains(6150L) && ids.contains(2151L))
+    assert(VersionedTable.read(spark, root).count() == 8000 - 102)
+    assert(VersionedTable.read(spark, root, Some(v1 - 1)).count() == 8000)
+    // a list whose keys match nothing commits nothing
+    val head = VersionedTable.versions(root).last
+    val (v2, rw2, _) = VersionedTable.deleteWhereKeys(spark, root, "id",
+      Seq(900000L, 900001L).toDF("key"))
+    assert(v2 == head && rw2 == 0 && VersionedTable.versions(root).last == head)
+    // an empty list and an all-null list are no-ops
+    val (v3, rw3, _) = VersionedTable.deleteWhereKeys(spark, root, "id",
+      Seq.empty[Long].toDF("key"))
+    assert(v3 == head && rw3 == 0)
+    val (v4, rw4, _) = VersionedTable.deleteWhereKeys(spark, root, "id",
+      Seq[Option[Long]](None, None).toDF("key"))
+    assert(v4 == head && rw4 == 0)
+  }
+
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
     import spark.implicits._
     import graft.sources.VersionedTable
