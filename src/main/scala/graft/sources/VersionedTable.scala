@@ -956,6 +956,37 @@ object VersionedTable {
     done
   }
 
+  /** The shared CONFLICT LOOP of every content-rewriting commit
+    * (OPTIMIZE, DELETE, UPDATE, MERGE): retries version races, lets a
+    * concurrent APPEND's files ride along untouched (`since` — the
+    * rewrite-then-append serialization), carries all non-meta headers,
+    * and detects a concurrent OVERWRITE as base-files-no-longer-present
+    * — in that case the stale rewrite's `fresh` files are deleted and
+    * `None` returns so the CALLER restarts from the new snapshot
+    * (committing would resurrect replaced rows — Delta's abort rule). */
+  private def commitRewrite(root: String, baseData: Seq[String],
+                            carry: Seq[String], fresh: Seq[String],
+                            meta: String): Option[Long] = {
+    val baseSet = baseData.toSet
+    var out: Option[Long] = None
+    var stale = false
+    while (out.isEmpty && !stale) {
+      val cur = versions(root)
+      val latest = filesOf(root, cur.last)
+      val latestData = latest.filterNot(isHeader).toSet
+      if (!baseSet.subsetOf(latestData)) {
+        fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+        stale = true
+      } else {
+        val since = latest.filterNot(f => baseSet.contains(f) || isHeader(f))
+        val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+        if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns :+ meta))
+          out = Some(cur.last + 1)
+      }
+    }
+    out
+  }
+
   /** CONFLICT-SAFE REWRITE commit: re-express the current snapshot's
     * rows through `transform` (clustering, compaction) and commit them
     * as a NEW version with IDENTICAL logical content. Conflict rules,
@@ -992,23 +1023,8 @@ object VersionedTable {
       val out = toPhysical(transform(read(spark, root, Some(baseV))), baseLines, root)
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(out, root, tag, partitionBy)
-      var stale = false
-      while (committed < 0 && !stale) {
-        val cur = versions(root)
-        val latest = filesOf(root, cur.last)
-        val latestData = latest.filterNot(isHeader).toSet
-        if (!baseData.subsetOf(latestData)) {
-          // an overwrite replaced (some of) the base: our rewrite is
-          // computed from rows that are no longer current — abandon it
-          fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-          stale = true
-        } else {
-          val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
-          val txns = latest.filter(l => isHeader(l) && !isMeta(l))
-          if (tryCommit(root, cur.last + 1, fresh ++ since ++ txns :+ meta))
-            committed = cur.last + 1
-        }
-      }
+      commitRewrite(root, baseData.toSeq, Nil, fresh, meta)
+        .foreach(committed = _)
     }
     committed
   }
@@ -1127,25 +1143,8 @@ object VersionedTable {
           base, root)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(survivorRows, root, tag, pcols)
-        var stale = false
-        while (out.isEmpty && !stale) {
-          val cur = versions(root)
-          val latest = filesOf(root, cur.last)
-          val latestData = latest.filterNot(isHeader).toSet
-          if (!baseData.toSet.subsetOf(latestData)) {
-            // an overwrite/rewrite replaced (some of) the base — the
-            // anti-filtered rows were computed from a stale snapshot
-            fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-            stale = true
-          } else {
-            val since = latest.filterNot(f =>
-              baseData.contains(f) || isHeader(f))
-            val txns = latest.filter(l => isHeader(l) && !isMeta(l))
-            if (tryCommit(root, cur.last + 1,
-                carry ++ fresh ++ since ++ txns :+ meta))
-              out = Some((cur.last + 1, touch.size, carry.size))
-          }
-        }
+        out = commitRewrite(root, baseData, carry, fresh, meta)
+          .map((_, touch.size, carry.size))
       }
     }
     out.get
@@ -1253,25 +1252,8 @@ object VersionedTable {
         enforceChecks(root, updated)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(toPhysical(updated, base, root), root, tag, pcols)
-        var stale = false
-        while (out.isEmpty && !stale) {
-          val cur = versions(root)
-          val latest = filesOf(root, cur.last)
-          val latestData = latest.filterNot(isHeader).toSet
-          if (!baseData.toSet.subsetOf(latestData)) {
-            // an overwrite/rewrite replaced (some of) the base — the
-            // updated rows were computed from a stale snapshot
-            fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-            stale = true
-          } else {
-            val since = latest.filterNot(f =>
-              baseData.contains(f) || isHeader(f))
-            val txns = latest.filter(l => isHeader(l) && !isMeta(l))
-            if (tryCommit(root, cur.last + 1,
-                carry ++ fresh ++ since ++ txns :+ meta))
-              out = Some((cur.last + 1, touch.size, carry.size))
-          }
-        }
+        out = commitRewrite(root, baseData, carry, fresh, meta)
+          .map((_, touch.size, carry.size))
       }
     }
     out.get
@@ -1357,21 +1339,8 @@ object VersionedTable {
           base, root)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(survivorRows, root, tag, pcols)
-        var stale = false
-        while (out.isEmpty && !stale) {
-          val cur = versions(root)
-          val latest = filesOf(root, cur.last)
-          val latestData = latest.filterNot(isHeader).toSet
-          if (!baseData.toSet.subsetOf(latestData)) {
-            fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-            stale = true
-          } else {
-            val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
-            val txns = latest.filter(l => isHeader(l) && !isMeta(l))
-            if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns :+ meta))
-              out = Some((cur.last + 1, touch.size, carry.size))
-          }
-        }
+        out = commitRewrite(root, baseData, carry, fresh, meta)
+          .map((_, touch.size, carry.size))
       }
     }
     out.get
@@ -1524,21 +1493,8 @@ object VersionedTable {
       val outRows = keepT.unionByName(updated).unionByName(inserted)
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(toPhysical(outRows, base, root), root, tag, pcols)
-      var stale = false
-      while (out.isEmpty && !stale) {
-        val cur = versions(root)
-        val latest = filesOf(root, cur.last)
-        val latestData = latest.filterNot(isHeader).toSet
-        if (!baseData.toSet.subsetOf(latestData)) {
-          fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-          stale = true
-        } else {
-          val since = latest.filterNot(f => baseData.contains(f) || isHeader(f))
-          val txns = latest.filter(l => isHeader(l) && !isMeta(l))
-          if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns :+ meta))
-            out = Some((cur.last + 1, touch.size, carry.size))
-        }
-      }
+      out = commitRewrite(root, baseData, carry, fresh, meta)
+        .map((_, touch.size, carry.size))
     }
     out.get
   }
