@@ -1160,6 +1160,39 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the BOUNDED streaming MERGE sink (st9's successor at scale): three
+    // arrival slices fold through epoch-gated mergeIntoIdempotent — per
+    // epoch only the files the batch's keys touch rewrite, delete
+    // markers ('op' = D, a CONDITION-ONLY extra column) remove their
+    // key, and the version guard keeps older changes from regressing
+    // state. Slices are ascending event_id ranges, so the fold equals
+    // one window: the globally-latest row per user decides (absent if
+    // it is a delete). replay_noop hashes exactly-once
+    "st12_merge_sink" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val tgt = s"${sys.props("java.io.tmpdir")}/graft_st12_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(tgt))
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      val m = ev.agg(max("event_id")).collect()(0).getLong(0)
+      val slices = Seq(
+        ev.filter(col("event_id") <= m / 3),
+        ev.filter(col("event_id") > m / 3 && col("event_id") <= 2 * m / 3),
+        ev.filter(col("event_id") > 2 * m / 3))
+      val n = graft.streaming.Streams.mergeSinkBatch(
+        s, slices, tgt, Seq("user_id"), "event_id", "op", "w")
+      val replay = graft.streaming.Streams.mergeSinkBatch(
+        s, slices, tgt, Seq("user_id"), "event_id", "op", "w")
+      VersionedTable.read(s, tgt)
+        .withColumn("n_committed", lit(n))
+        .withColumn("replay_noop", lit(replay == 0L))
+        .orderBy("user_id")
+    }),
+
     // st10 through the REAL streaming engine: readStream over the
     // versioned-feed SOURCE (offset = commit version, one diff slice per
     // micro-batch via maxVersionsPerTrigger=1) → foreachBatch CDC fold →
@@ -2968,6 +3001,19 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS n_folded, TRUE AS replay_noop
         |FROM events WHERE event_id NOT BETWEEN 100 AND 299
         |ORDER BY event_id""".stripMargin,
+
+    // ascending-range slices + the version guard make the fold equal
+    // one window: the globally-latest row per user decides, a latest
+    // delete marker ('error') removes the user; replay commits nothing
+    "st12_merge_sink" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(3 AS BIGINT) AS n_committed, TRUE AS replay_noop
+        |FROM (SELECT event_id, user_id, event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     // the engine-driven feed must equal the direct state: same final
     // content as st10, one target version per source commit

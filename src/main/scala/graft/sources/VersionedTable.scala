@@ -956,35 +956,53 @@ object VersionedTable {
     done
   }
 
+  private sealed trait RewriteOutcome
+  private final case class Committed(v: Long) extends RewriteOutcome
+  private case object StaleBase extends RewriteOutcome
+  private case object SkippedEpoch extends RewriteOutcome
+
   /** The shared CONFLICT LOOP of every content-rewriting commit
     * (OPTIMIZE, DELETE, UPDATE, MERGE): retries version races, lets a
     * concurrent APPEND's files ride along untouched (`since` — the
     * rewrite-then-append serialization), carries all non-meta headers,
     * and detects a concurrent OVERWRITE as base-files-no-longer-present
     * — in that case the stale rewrite's `fresh` files are deleted and
-    * `None` returns so the CALLER restarts from the new snapshot
-    * (committing would resurrect replaced rows — Delta's abort rule). */
+    * [[StaleBase]] returns so the CALLER restarts from the new snapshot
+    * (committing would resurrect replaced rows — Delta's abort rule).
+    * With `txn = Some((writerId, epoch))` the commit is EPOCH-GATED
+    * like [[appendIdempotent]]: the writer's `#txn` header replaces its
+    * previous one, and a redelivered epoch detected inside the loop
+    * deletes `fresh` and returns [[SkippedEpoch]]. */
   private def commitRewrite(root: String, baseData: Seq[String],
                             carry: Seq[String], fresh: Seq[String],
-                            meta: String): Option[Long] = {
+                            meta: String,
+                            txn: Option[(String, Long)] = None): RewriteOutcome = {
     val baseSet = baseData.toSet
-    var out: Option[Long] = None
-    var stale = false
-    while (out.isEmpty && !stale) {
+    var out: Option[RewriteOutcome] = None
+    while (out.isEmpty) {
       val cur = versions(root)
       val latest = filesOf(root, cur.last)
       val latestData = latest.filterNot(isHeader).toSet
-      if (!baseSet.subsetOf(latestData)) {
+      val duplicate = txn.exists { case (w, e) =>
+        latest.flatMap(parseTxn).exists(t => t._1 == w && e <= t._2)
+      }
+      if (duplicate) {
         fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-        stale = true
+        out = Some(SkippedEpoch)
+      } else if (!baseSet.subsetOf(latestData)) {
+        fresh.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+        out = Some(StaleBase)
       } else {
         val since = latest.filterNot(f => baseSet.contains(f) || isHeader(f))
         val txns = latest.filter(l => isHeader(l) && !isMeta(l))
-        if (tryCommit(root, cur.last + 1, carry ++ fresh ++ since ++ txns :+ meta))
-          out = Some(cur.last + 1)
+          .filterNot(l => txn.exists(t => parseTxn(l).exists(_._1 == t._1)))
+        val txnLine = txn.map { case (w, e) => s"#txn:$w:$e" }.toSeq
+        if (tryCommit(root, cur.last + 1,
+            carry ++ fresh ++ since ++ txns ++ txnLine :+ meta))
+          out = Some(Committed(cur.last + 1))
       }
     }
-    out
+    out.get
   }
 
   /** CONFLICT-SAFE REWRITE commit: re-express the current snapshot's
@@ -1023,8 +1041,10 @@ object VersionedTable {
       val out = toPhysical(transform(read(spark, root, Some(baseV))), baseLines, root)
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(out, root, tag, partitionBy)
-      commitRewrite(root, baseData.toSeq, Nil, fresh, meta)
-        .foreach(committed = _)
+      commitRewrite(root, baseData.toSeq, Nil, fresh, meta) match {
+        case Committed(v) => committed = v
+        case _ => () // stale base: the outer loop restarts the rewrite
+      }
     }
     committed
   }
@@ -1143,8 +1163,10 @@ object VersionedTable {
           base, root)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(survivorRows, root, tag, pcols)
-        out = commitRewrite(root, baseData, carry, fresh, meta)
-          .map((_, touch.size, carry.size))
+        out = commitRewrite(root, baseData, carry, fresh, meta) match {
+          case Committed(v) => Some((v, touch.size, carry.size))
+          case _ => None // stale base: restart from the new snapshot
+        }
       }
     }
     out.get
@@ -1252,8 +1274,10 @@ object VersionedTable {
         enforceChecks(root, updated)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(toPhysical(updated, base, root), root, tag, pcols)
-        out = commitRewrite(root, baseData, carry, fresh, meta)
-          .map((_, touch.size, carry.size))
+        out = commitRewrite(root, baseData, carry, fresh, meta) match {
+          case Committed(v) => Some((v, touch.size, carry.size))
+          case _ => None // stale base: restart from the new snapshot
+        }
       }
     }
     out.get
@@ -1339,8 +1363,10 @@ object VersionedTable {
           base, root)
         val tag = java.util.UUID.randomUUID().toString.take(12)
         val fresh = writeData(survivorRows, root, tag, pcols)
-        out = commitRewrite(root, baseData, carry, fresh, meta)
-          .map((_, touch.size, carry.size))
+        out = commitRewrite(root, baseData, carry, fresh, meta) match {
+          case Committed(v) => Some((v, touch.size, carry.size))
+          case _ => None // stale base: restart from the new snapshot
+        }
       }
     }
     out.get
@@ -1370,8 +1396,10 @@ object VersionedTable {
     *     whole (the SQL/Delta multiple-matches rule) — checked with one
     *     bounded semi-join probe before anything is written;
     *   - the source is aligned to the target's LOGICAL schema: missing
-    *     columns null-fill (after generated columns derive), extra
-    *     columns are refused; CHECK constraints validate the new rows.
+    *     columns null-fill (after generated columns derive), and EXTRA
+    *     source columns are CONDITION-ONLY (CDC op markers, ordering
+    *     timestamps — visible to the clauses as `s.<col>`, never
+    *     written); CHECK constraints validate the new rows.
     *
     * Conflict rules are [[rewrite]]'s (a concurrent append rides along
     * unmerged — merge-then-append serialization; a concurrent overwrite
@@ -1382,7 +1410,40 @@ object VersionedTable {
                 updateWhen: Option[org.apache.spark.sql.Column],
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 insertWhen: Option[org.apache.spark.sql.Column] = None,
-                cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+                cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) =
+    mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
+      cached, txn = None)
+
+  /** EPOCH-GATED [[mergeInto]] — the exactly-once streaming-CDC merge:
+    * a delivery with `epoch <= committed max(writerId)` is a NO-OP
+    * before any data is written (and racing duplicates collapse inside
+    * the commit loop, like [[appendIdempotent]]), so an at-least-once
+    * `foreachBatch` can apply each micro-batch as a BOUNDED merge —
+    * per-epoch cost tracks the batch's key spread, not the table size
+    * (the overwrite-the-state sink this supersedes rewrote everything
+    * every epoch). Returns -1 as the version for a skipped redelivery. */
+  def mergeIntoIdempotent(spark: SparkSession, root: String, source: DataFrame,
+                          keys: Seq[String],
+                          updateWhen: Option[org.apache.spark.sql.Column],
+                          deleteWhen: Option[org.apache.spark.sql.Column],
+                          insertWhen: Option[org.apache.spark.sql.Column],
+                          writerId: String, epoch: Long,
+                          cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    require(!writerId.contains(":") && !writerId.contains("\n"),
+      s"writerId must not contain ':' or newlines: $writerId")
+    if (committedEpochs(root).get(writerId).exists(epoch <= _))
+      (-1L, 0, dataFiles(root).size) // redelivery: no data written
+    else mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
+      cached, txn = Some((writerId, epoch)))
+  }
+
+  private def mergeImpl(spark: SparkSession, root: String, source: DataFrame,
+                        keys: Seq[String],
+                        updateWhen: Option[org.apache.spark.sql.Column],
+                        deleteWhen: Option[org.apache.spark.sql.Column],
+                        insertWhen: Option[org.apache.spark.sql.Column],
+                        cached: Option[SkippingIndex.Manifest],
+                        txn: Option[(String, Long)]): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     require(updateWhen.isDefined || deleteWhen.isDefined || insertWhen.isDefined,
@@ -1400,11 +1461,19 @@ object VersionedTable {
         .getOrElse(read(spark, root, Some(baseV)).schema)
       keys.foreach(k => require(tgtSchema.fieldNames.contains(k),
         s"merge key `$k` is not a column of $root (${tgtSchema.fieldNames.mkString(", ")})"))
-      source.columns.foreach(c => require(tgtSchema.fieldNames.contains(c),
-        s"source column `$c` is not a column of $root — MERGE never adds columns"))
       keys.foreach(k => require(source.columns.contains(k),
         s"the source must carry merge key `$k`"))
-      val src = align(applyGenerated(root, source), tgtSchema)
+      // source columns beyond the target schema are CONDITION-ONLY (CDC
+      // op markers, ordering timestamps): the WHEN clauses see them as
+      // `s.<col>`, but update/insert write target columns exclusively —
+      // MERGE never adds columns
+      val extras = source.columns.toSeq.filterNot(tgtSchema.fieldNames.contains)
+      val gen = applyGenerated(root, source)
+      val src = gen.select(
+        (tgtSchema.fields.toSeq.map(f =>
+          if (gen.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)) ++
+          extras.map(col)): _*)
       // ONE driver agg: row count + per-key min/max — the prune boxes
       val statAggs = count(lit(1)).as("__n") +:
         keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
@@ -1484,17 +1553,22 @@ object VersionedTable {
       val matched = col("t").isNotNull && col("s").isNotNull
       val takeSrc = matched && fire(updateWhen)
       val dropRow = matched && !fire(updateWhen) && fire(deleteWhen)
+      val tcols = tgtSchema.fieldNames.toSeq
       val keepT = joined.filter(col("t").isNotNull && !takeSrc && !dropRow)
         .select("t.*")
       val updated = joined.filter(takeSrc).select("s.*")
+        .select(tcols.map(col): _*) // condition-only extras never land
       val inserted = joined.filter(col("t").isNull && fire(insertWhen))
-        .select("s.*")
+        .select("s.*").select(tcols.map(col): _*)
       enforceChecks(root, updated.unionByName(inserted))
       val outRows = keepT.unionByName(updated).unionByName(inserted)
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(toPhysical(outRows, base, root), root, tag, pcols)
-      out = commitRewrite(root, baseData, carry, fresh, meta)
-        .map((_, touch.size, carry.size))
+      out = commitRewrite(root, baseData, carry, fresh, meta, txn) match {
+        case Committed(v) => Some((v, touch.size, carry.size))
+        case SkippedEpoch => Some((-1L, 0, carry.size)) // racing duplicate epoch
+        case StaleBase => None // restart from the new snapshot
+      }
     }
     out.get
   }

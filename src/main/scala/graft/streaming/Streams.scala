@@ -643,6 +643,78 @@ object Streams {
       (state, b) => graft.operators.Dedup.mergeUpsert(state, b, keys, versionCols))
   }
 
+  /** One micro-batch of the BOUNDED merge sink: dedupe the batch per key
+    * (latest wins by `versionCol` — SQL MERGE refuses multiple matches),
+    * then land it as an epoch-gated bounded merge. Rows whose `opCol` is
+    * 'D' DELETE their key (a delete for an absent key no-ops); others
+    * upsert, with the VERSION GUARD `s.versionCol >= t.versionCol` so an
+    * out-of-order older change never regresses committed state. `opCol`
+    * is an EXTRA source column — condition-only, never written. The
+    * first batch bootstraps the table (idempotent overwrite of the
+    * non-delete winners). Returns the committed version (-1 = skipped
+    * redelivery). */
+  private def applyMergeBatch(spark: SparkSession, tableRoot: String,
+                              batch: DataFrame, keys: Seq[String],
+                              versionCol: String, opCol: String,
+                              writerId: String, epoch: Long): Long = {
+    import graft.sources.VersionedTable
+    val b = graft.operators.Dedup.keepLatest(batch, keys, Seq(col(versionCol).desc))
+    if (!VersionedTable.isVersioned(tableRoot))
+      VersionedTable.overwriteIdempotent(spark, tableRoot,
+        b.filter(!coalesce(col(opCol) === lit("D"), lit(false))).drop(opCol),
+        writerId, epoch)
+    else {
+      val del = col(s"s.$opCol") === lit("D")
+      val live = !coalesce(del, lit(false))
+      VersionedTable.mergeIntoIdempotent(spark, tableRoot, b, keys,
+        updateWhen = Some(live && col(s"s.$versionCol") >= col(s"t.$versionCol")),
+        deleteWhen = Some(del),
+        insertWhen = Some(live),
+        writerId = writerId, epoch = epoch)._1
+    }
+  }
+
+  /** The BOUNDED streaming MERGE sink — [[cdcUpsertStream]]'s successor
+    * at scale: that sink rewrites the WHOLE state table every epoch
+    * (correct, and priced accordingly); this one lands each micro-batch
+    * through [[graft.sources.VersionedTable.mergeIntoIdempotent]], so
+    * per-epoch cost is a bounded rewrite of the files the batch's keys
+    * actually touch — source-derived box + exact point probe — and a
+    * 100-row CDC batch against a billion-row table rewrites a handful
+    * of files. Exactly-once exactly as [[cdcUpsertStream]]: epoch =
+    * batchId in the target's `#txn` header, redeliveries no-op, a
+    * whole-stream replay commits nothing. Delete markers ride `opCol`
+    * ('D' = remove the key), and the `versionCol` guard keeps
+    * out-of-order changes from regressing state. */
+  def mergeSinkStream(spark: SparkSession, schema: StructType, srcDir: String,
+                      tableRoot: String, keys: Seq[String],
+                      versionCol: String, opCol: String,
+                      writerId: String): Unit = {
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      applyMergeBatch(spark, tableRoot, batch, keys, versionCol, opCol,
+        writerId, epoch)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Batch twin of [[mergeSinkStream]]: fold the slices through the SAME
+    * per-batch routine with epochs 0..n-1 — the st12 gate hash-checks
+    * this fold against a one-shot SQL window, and StreamingSpec proves
+    * the engine-driven stream equals it bit-for-bit. Returns the number
+    * of slices that actually committed (redeliveries skip). */
+  def mergeSinkBatch(spark: SparkSession, slices: Seq[DataFrame],
+                     tableRoot: String, keys: Seq[String],
+                     versionCol: String, opCol: String,
+                     writerId: String): Long =
+    slices.zipWithIndex.count { case (sl, i) =>
+      applyMergeBatch(spark, tableRoot, sl, keys, versionCol, opCol,
+        writerId, i.toLong) >= 0L
+    }.toLong
+
   /** Apply ONE change-feed slice (rows + `_change_type` ∈
     * {insert, delete} — the shape
     * [[graft.sources.VersionedTable.changeFeed]] emits) to a keyed

@@ -528,6 +528,53 @@ class StreamingSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).count() == folded.count())
   }
 
+  test("bounded merge sink: stream == batch fold == direct window, deletes land, replay no-ops") {
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_msink").toString
+    val srcDir = s"$base/src"
+    val stream = s"$base/via_stream"
+    val batch = s"$base/via_batch"
+    // ascending event_id ranges (so the version guard always admits the
+    // newer slice) + delete markers on 'error' events
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    val m = ev.agg(max("event_id")).collect()(0).getLong(0)
+    val slices = Seq(
+      ev.filter(col("event_id") <= m / 3),
+      ev.filter(col("event_id") > m / 3 && col("event_id") <= 2 * m / 3),
+      ev.filter(col("event_id") > 2 * m / 3))
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+    Streams.mergeSinkStream(spark, ev.schema, srcDir, stream,
+      Seq("user_id"), "event_id", "op", "w1")
+    val n = Streams.mergeSinkBatch(spark, slices, batch,
+      Seq("user_id"), "event_id", "op", "w1")
+    assert(n == 3L)
+    val viaStream = VersionedTable.read(spark, stream)
+    val viaBatch = VersionedTable.read(spark, batch)
+    assert(viaStream.exceptAll(viaBatch).isEmpty && viaBatch.exceptAll(viaStream).isEmpty,
+      "engine-driven sink must equal the batch fold row-for-row")
+    // direct one-shot twin: the globally-latest row per user decides,
+    // a latest delete removes the user; the op column never lands
+    val direct = graft.operators.Dedup.keepLatest(
+        ev, Seq("user_id"), Seq(col("event_id").desc))
+      .filter(col("op") =!= "D").drop("op")
+    assert(viaBatch.exceptAll(direct).isEmpty && direct.exceptAll(viaBatch).isEmpty)
+    assert(!viaStream.columns.contains("op"), "condition-only extras never land")
+    // the sink's commit kinds: one bootstrap overwrite, then MERGE per
+    // epoch (boundedness itself is pinned by the PipelineSpec merge
+    // cases — here the unclustered bootstrap gives the probe nothing
+    // to prune)
+    val hist = VersionedTable.history(spark, batch).collect()
+    assert(hist.length == 3 && hist.count(_.getString(3) == "MERGE") == 2,
+      s"bootstrap overwrite + 2 merges expected, got ${hist.map(_.getString(3)).mkString(",")}")
+    // whole-stream replay (fresh query, batchIds restart at 0): no-ops
+    val vs = VersionedTable.versions(stream)
+    Streams.mergeSinkStream(spark, ev.schema, srcDir, stream,
+      Seq("user_id"), "event_id", "op", "w1")
+    assert(VersionedTable.versions(stream) == vs, "replayed epochs must no-op")
+  }
+
   test("change-feed consumer: stream fold == batch changeFeed fold == direct state; replay no-ops") {
     import graft.sources.{SkippingIndex, VersionedTable}
     val base = java.nio.file.Files.createTempDirectory("graft_cfc").toString
