@@ -608,6 +608,41 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // BOUNDED MAINTENANCE (OPTIMIZE ... WHERE + small-file compaction):
+    // a range-clustered table takes a trail of four tiny appends (the
+    // streaming-sink shape), then reclusters ONLY the hot box and packs
+    // ONLY the small files — both content-preserving, both leaving the
+    // cold region byte-untouched (the two bounded flags ride the hash
+    // alongside the lossless content summary)
+    "s39_bounded_maintenance" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s39_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+      VersionedTable.overwrite(s, root,
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      (0 until 4).foreach { e =>
+        VersionedTable.append(s, root, li.filter(col("l_orderkey") <= 20L)
+          .select((col("l_orderkey") + lit(8000000L + e * 100000L)).as("l_orderkey"),
+            col("l_partkey"), lit("E").as("l_returnflag"), col("l_quantity")))
+      }
+      val (_, rw1, c1) = VersionedTable.optimizeWhere(s, root,
+        Seq("l_partkey"), 2, Seq(SkippingIndex.ColRange("l_orderkey", 1001, 2000)))
+      val (_, rwC, cC) = VersionedTable.compactSmall(s, root,
+        minBytes = 16L * 1024, targetBytes = 4L * 1024 * 1024)
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded_opt", lit(rw1 >= 1 && c1 > rw1))
+        .withColumn("packed", lit(rwC >= 2 && cC >= 1))
+        .orderBy("l_returnflag")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2029,6 +2064,7 @@ object SparkEntry {
     "s30_delete_where_in"     -> Seq("sum_qty"),
     "s35_update_where"        -> Seq("sum_qty"),
     "s38_delete_key_list"     -> Seq("sum_qty"),
+    "s39_bounded_maintenance" -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -2279,6 +2315,19 @@ object SparkEntry {
         |  WHERE d.l_orderkey = t.l_orderkey
         |    AND d.l_orderkey BETWEEN 1000 AND 3000 AND d.l_orderkey % 97 = 0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // maintenance is content-preserving: the final table = lineitem plus
+    // the four shifted epoch trails, whatever got reclustered or packed
+    "s39_bounded_maintenance" ->
+      """WITH full_t AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT 'E', l_quantity FROM lineitem, (VALUES (0),(1),(2),(3)) AS e(i)
+        |  WHERE l_orderkey <= 20)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded_opt, TRUE AS packed
+        |FROM full_t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -205,6 +205,35 @@ final case class Warehouse(spark: SparkSession, root: String,
     v
   }
 
+  /** BOUNDED OPTIMIZE (`OPTIMIZE ... WHERE`): Z-order only the files the
+    * boxes may intersect — cluster the hot region without a whole-table
+    * rewrite. Reuses and refreshes the persisted manifest. */
+  def optimizeWhere(name: String, zorderCols: Seq[String], numFiles: Int,
+                    ranges: Seq[graft.sources.SkippingIndex.ColRange],
+                    strRanges: Seq[graft.sources.SkippingIndex.StrRange] = Nil)
+      : (Long, Int, Int) = {
+    import graft.sources.SkippingIndex
+    val mPath = path(name + "__manifest")
+    val cached =
+      if (new java.io.File(mPath).exists())
+        Some(SkippingIndex.readManifest(spark, mPath))
+      else None
+    val r = VersionedTable.optimizeWhere(spark, path(name), zorderCols, numFiles,
+      ranges, strRanges, cached)
+    ensureManifest(name)
+    r
+  }
+
+  /** SMALL-FILE COMPACTION: bin-pack only files under `minBytes` toward
+    * `targetBytes` outputs — a streaming sink's per-epoch file trail
+    * compacts for the cost of the small files alone. */
+  def compactSmall(name: String, minBytes: Long,
+                   targetBytes: Long = 128L * 1024 * 1024): (Long, Int, Int) = {
+    val r = VersionedTable.compactSmall(spark, path(name), minBytes, targetBytes)
+    ensureManifest(name)
+    r
+  }
+
   /** METADATA-ONLY RENAME COLUMN on a versioned table — one commit, zero
     * files rewritten; old versions time-travel under their own names.
     * The persisted manifest needs no rebuild: its stats are keyed by the

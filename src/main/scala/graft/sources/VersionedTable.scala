@@ -1062,6 +1062,96 @@ object VersionedTable {
     rewrite(spark, root, partitionCols(root), op = "OPTIMIZE")(
       graft.operators.Layout.zorder(_, zorderCols, numFiles))
 
+  /** BOUNDED OPTIMIZE — the Delta `OPTIMIZE ... WHERE` shape: only the
+    * files the range boxes may intersect rewrite (Z-order-clustered
+    * into `numFiles` via [[graft.operators.Layout.zorder]]); everything
+    * else carries byte-untouched. Content-preserving — the use case is
+    * clustering the HOT region (this week's partitions, the key range a
+    * merge just churned) without paying a whole-table rewrite: at
+    * 100 TB a full OPTIMIZE is a cluster-day, a bounded one is a
+    * coffee. Stats come from `cached` or one footer pass, exactly as
+    * [[deleteWhere]]. Conflict rules are [[rewrite]]'s. Returns
+    * (committedVersion, rewrittenFiles, carriedFiles); boxes no file
+    * intersects commit nothing. */
+  def optimizeWhere(spark: SparkSession, root: String,
+                    zorderCols: Seq[String], numFiles: Int,
+                    ranges: Seq[SkippingIndex.ColRange],
+                    strRanges: Seq[SkippingIndex.StrRange] = Nil,
+                    cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    require(ranges.nonEmpty || strRanges.nonEmpty,
+      "optimizeWhere needs at least one range (use optimize for the whole table)")
+    boundedRewrite(spark, root, "OPTIMIZE") { (base, baseData) =>
+      val inv = mappingOf(base)._1.map(_.swap)
+      val physRanges = ranges.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
+      val physStr = strRanges.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
+      val files = baseData.map(rel => (s"$root/$rel", rel))
+      val m = cached
+        .map(SkippingIndex.refreshManifestFor(spark, files, _))
+        .getOrElse(SkippingIndex.manifestFor(spark, files,
+          (physRanges.map(_.column) ++ physStr.map(_.column)).distinct))
+      m.survivors(physRanges, physStr).toSet
+    }(graft.operators.Layout.zorder(_, zorderCols, numFiles))
+  }
+
+  /** SMALL-FILE COMPACTION — the bin-packing mode a plain `OPTIMIZE`
+    * runs by default in Delta: only files smaller than `minBytes`
+    * rewrite, coalesced toward `targetBytes` outputs; right-sized files
+    * carry byte-untouched, so a streaming sink's trail of per-epoch
+    * small files compacts for the cost of the small files alone.
+    * Returns (committedVersion, rewrittenFiles, carriedFiles); fewer
+    * than two small files commit nothing (nothing to pack). */
+  def compactSmall(spark: SparkSession, root: String, minBytes: Long,
+                   targetBytes: Long = 128L * 1024 * 1024): (Long, Int, Int) = {
+    require(minBytes > 0 && targetBytes > 0, "sizes must be positive")
+    var smallBytes = 0L
+    boundedRewrite(spark, root, "OPTIMIZE") { (_, baseData) =>
+      val small = baseData.filter { rel =>
+        val p = Paths.get(root, rel)
+        Files.exists(p) && Files.size(p) < minBytes
+      }
+      smallBytes = small.map(rel => Files.size(Paths.get(root, rel))).sum
+      if (small.size < 2) Set.empty else small.toSet
+    } { df =>
+      val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+      df.repartition(n)
+    }
+  }
+
+  /** Shared skeleton of the BOUNDED content-preserving/row-filtering
+    * maintenance commits: `pickTouched` decides (from the base commit's
+    * lines and data files) which files rewrite; `transform` re-expresses
+    * their LOGICAL rows; everything else carries. Retries from a fresh
+    * snapshot when a concurrent overwrite replaces the base. */
+  private def boundedRewrite(spark: SparkSession, root: String, op: String)
+                            (pickTouched: (Seq[String], Seq[String]) => Set[String])
+                            (transform: DataFrame => DataFrame): (Long, Int, Int) = {
+    val pcols = partitionCols(root)
+    val meta = metaHeader(op)
+    var out: Option[(Long, Int, Int)] = None
+    while (out.isEmpty) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      val baseV = vs.last
+      val base = filesOf(root, baseV)
+      val baseData = base.filterNot(isHeader)
+      val touchSet = pickTouched(base, baseData)
+      val (touch, carry) = baseData.partition(touchSet.contains)
+      if (touch.isEmpty) out = Some((baseV, 0, carry.size))
+      else {
+        val rd = spark.read.option("basePath", s"$root/data")
+        val rows = toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+          .parquet(touch.map(f => s"$root/$f"): _*), base)
+        val tag = java.util.UUID.randomUUID().toString.take(12)
+        val fresh = writeData(toPhysical(transform(rows), base, root), root, tag, pcols)
+        out = commitRewrite(root, baseData, carry, fresh, meta) match {
+          case Committed(v) => Some((v, touch.size, carry.size))
+          case _ => None // stale base: restart from the new snapshot
+        }
+      }
+    }
+    out.get
+  }
+
   /** DELETE WHERE as a BOUNDED rewrite commit — the Delta/Iceberg
     * row-delete shape. The predicate is a conjunction of INCLUSIVE range
     * boxes (numeric + string), exactly the form footer/partition stats

@@ -1344,6 +1344,62 @@ class PipelineSpec extends SparkSpecBase {
     assert(v4 == head && rw4 == 0)
   }
 
+  test("bounded optimize: only the boxed files recluster; small-file compaction packs only the small trail") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import SkippingIndex.ColRange
+    val root = java.nio.file.Files.createTempDirectory("graft_voptw").toString
+    val df = (0 until 8000).map(i => (i.toLong, i % 50, s"v$i")).toDF("id", "qty", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    VersionedTable.overwrite(spark, root, df)
+    val v0Files = VersionedTable.dataFiles(root)
+    def diskState(rel: String) = {
+      val f = new java.io.File(s"$root/$rel")
+      (f.lastModified(), f.length())
+    }
+    val before = v0Files.map(f => f -> diskState(f)).toMap
+    // recluster ONLY the hot range [2000, 2999]: one or two files
+    val (v1, rewritten, carried) = VersionedTable.optimizeWhere(spark, root,
+      Seq("qty"), 2, Seq(ColRange("id", 2000, 2999)))
+    assert(rewritten >= 1 && carried >= 6,
+      s"bounded optimize must not touch the cold region: rw=$rewritten carried=$carried")
+    // content-preserving, carried files byte-identical
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == 8000)
+    assert(after.exceptAll(VersionedTable.read(spark, root, Some(v1 - 1))).isEmpty)
+    val carriedRel = v0Files.toSet.intersect(VersionedTable.dataFiles(root).toSet)
+    assert(carriedRel.size == carried)
+    carriedRel.foreach(f => assert(diskState(f) == before(f)))
+    assert(VersionedTable.commitMeta(root, v1).map(_._2).contains("OPTIMIZE"))
+    // a box intersecting nothing commits nothing
+    val head = VersionedTable.versions(root).last
+    val (v2, rw2, _) = VersionedTable.optimizeWhere(spark, root,
+      Seq("qty"), 2, Seq(ColRange("id", 900000, 900001)))
+    assert(v2 == head && rw2 == 0)
+    // SMALL-FILE COMPACTION: a trail of tiny per-epoch appends packs into
+    // one file while the big base files carry
+    val croot = java.nio.file.Files.createTempDirectory("graft_vcompact").toString
+    VersionedTable.overwrite(spark, croot,
+      (0 until 50000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2))
+    (0 until 5).foreach(e => VersionedTable.append(spark, croot,
+      Seq((100000L + e, s"epoch$e")).toDF("id", "v")))
+    val bigFiles = VersionedTable.dataFiles(croot).filter { rel =>
+      new java.io.File(s"$croot/$rel").length() >= 64 * 1024
+    }
+    val (_, rwC, carriedC) = VersionedTable.compactSmall(spark, croot,
+      minBytes = 64 * 1024, targetBytes = 1024 * 1024)
+    assert(carriedC == bigFiles.size,
+      s"only the small trail packs: rw=$rwC carried=$carriedC big=${bigFiles.size}")
+    assert(rwC >= 5, "the five epoch files (and any other small ones) all packed")
+    assert(VersionedTable.read(spark, croot).count() == 50005)
+    val packed = VersionedTable.dataFiles(croot).filterNot(bigFiles.contains)
+    assert(packed.size == 1, s"five small files pack into one, got ${packed.size}")
+    // fewer than two small files: nothing to pack, nothing commits
+    val h2 = VersionedTable.versions(croot).last
+    val (v3, rw3, _) = VersionedTable.compactSmall(spark, croot, minBytes = 64 * 1024)
+    assert(v3 == h2 && rw3 == 0)
+  }
+
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
     import spark.implicits._
     import graft.sources.VersionedTable
