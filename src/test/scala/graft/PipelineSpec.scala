@@ -1680,7 +1680,7 @@ class PipelineSpec extends SparkSpecBase {
     assert(wh.read("gold_t").count() == 130)
   }
 
-  test("concurrent protocol soak: appenders, optimizer, deleter, vacuum, and readers — every row exactly once") {
+  test("concurrent protocol soak: appenders, optimizer, deleter, updater, merger, vacuum, readers — every row exactly once") {
     import spark.implicits._
     import graft.sources.{SkippingIndex, VersionedTable}
     import java.util.concurrent.atomic.AtomicBoolean
@@ -1719,6 +1719,27 @@ class PipelineSpec extends SparkSpecBase {
     val vacuumer = Future {
       while (!appendersDone.get()) { VersionedTable.vacuum(root); () }
     }
+    // round-11 DML racing everything: a bounded UPDATE over the base
+    // range (content-count-preserving) and a MERGE that upserts a fixed
+    // key block — its first pass INSERTS [500, 520), every later pass
+    // matches and updates, so exactly-once conservation must still hold
+    val updater = Future {
+      while (!appendersDone.get()) {
+        VersionedTable.updateWhere(spark, root, col("id") < 100L,
+          Map("v" -> org.apache.spark.sql.functions.lit("u")),
+          Seq(SkippingIndex.ColRange("id", 0, 99))); ()
+      }
+    }
+    val mergeSrc = (500L until 520L).map(i => (i, s"m$i")).toDF("id", "v")
+    val merger = Future {
+      var ran = false
+      while (!ran || !appendersDone.get()) {
+        VersionedTable.mergeInto(spark, root, mergeSrc, Seq("id"),
+          updateWhen = Some(org.apache.spark.sql.functions.lit(true)),
+          insertWhen = Some(org.apache.spark.sql.functions.lit(true)))
+        ran = true
+      }
+    }
     // readers race everything: the head and random pinned versions must
     // always serve (the only acceptable refusal is the clean "retired")
     val rnd = new scala.util.Random(7)
@@ -1737,12 +1758,14 @@ class PipelineSpec extends SparkSpecBase {
     }
     Await.result(Future.sequence(appenders), 300.seconds)
     appendersDone.set(true)
-    Await.result(Future.sequence(Seq(optimizer, deleter, vacuumer)), 300.seconds)
+    Await.result(Future.sequence(Seq(optimizer, deleter, vacuumer, updater, merger)),
+      300.seconds)
     val reads = Await.result(reader, 300.seconds)
     assert(reads > 0, "the racing reader must have completed reads")
-    // exactly-once conservation: base + every appended batch, nothing
-    // duplicated by a retry, nothing resurrected or lost by a rewrite
-    val expected = (0L until 100L) ++
+    // exactly-once conservation: base + every appended batch + the
+    // merged key block, nothing duplicated by a retry, nothing
+    // resurrected or lost by a rewrite
+    val expected = (0L until 100L) ++ (500L until 520L) ++
       (for (t <- 0 until 3; b <- 0 until 8; lo = 1000L * (t * 8 + b + 1);
             i <- lo until lo + 100) yield i)
     val got = VersionedTable.read(spark, root).select("id").collect().map(_.getLong(0))
