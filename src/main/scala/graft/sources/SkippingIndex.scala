@@ -337,7 +337,8 @@ object SkippingIndex {
           .join(broadcast(iv), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
           .select("__file").distinct().collect().map(_.getString(0)).toSeq
       }
-    candidates.filter(f => keep.contains(f) || hits.contains(f))
+    val hitSet = hits.toSet
+    candidates.filter(f => keep.contains(f) || hitSet.contains(f))
   }
 
   /** Build the reusable manifest for `dir` (one footer pass). */

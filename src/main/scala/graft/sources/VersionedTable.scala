@@ -1739,6 +1739,15 @@ object VersionedTable {
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** CHANGE FEED between two TIMESTAMPS (the Delta
+    * `table_changes(..., startTs, endTs)` surface): both bounds resolve
+    * through [[timestampAsOf]] (newest commit ≤ ts, ties to the highest
+    * version), then the diff is [[changeFeed]]'s. */
+  def changeFeedAsOf(spark: SparkSession, root: String,
+                     fromTsMillis: Long, toTsMillis: Long): DataFrame =
+    changeFeed(spark, root,
+      timestampAsOf(root, fromTsMillis), timestampAsOf(root, toTsMillis))
+
   /** RESTORE — commit an OLD version's exact file list (and schema) as
     * a NEW version (the Delta RESTORE shape): no data is copied or
     * rewritten, history is preserved (the rollback is itself a commit,

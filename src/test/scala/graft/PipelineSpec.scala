@@ -829,6 +829,11 @@ class PipelineSpec extends SparkSpecBase {
     assert(h.map(_.getAs[Long]("ts_ms")).toSeq == Seq(1000L, 2000L, 2000L))
     assert(h.map(_.getAs[String]("operation")).toSeq ==
       Seq("OVERWRITE", "APPEND", "APPEND"))
+    // CHANGE FEED BETWEEN TIMESTAMPS rides the same resolution: 1500 ->
+    // 2000 resolves to v0 -> v2, i.e. both appends' rows as inserts
+    val feed = VersionedTable.changeFeedAsOf(spark, root, 1500L, 2000L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 20)
+    assert(feed.filter(col("_change_type") === "delete").count() == 0)
     // RESTORE TO TIMESTAMP rides the same resolution: back to the 1500
     // state (= v0) as a new data-free commit
     VersionedTable.restoreAsOf(spark, root, 1500L)
