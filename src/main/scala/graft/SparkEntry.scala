@@ -643,6 +643,31 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // INCREMENTAL CLONE SYNC (the replication shape): a mirror created
+    // by the first sync catches up to the source's churned head — an
+    // append and a bounded delete — by hard-linking ONLY the new files;
+    // a repeat sync with nothing new is a detected no-op (the flag
+    // rides the hash), and the mirror's content equals the source head
+    "s40_clone_sync" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val base = s"${sys.props("java.io.tmpdir")}/graft_s40_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(base))
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val docs = t(s, d, "documents").select("doc_id", "lang")
+      VersionedTable.overwrite(s, src, docs.filter(col("doc_id") < 400)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"))
+      VersionedTable.cloneSync(s, src, dst)
+      VersionedTable.append(s, src, docs.filter(col("doc_id") >= 400))
+      VersionedTable.deleteWhere(s, src, Seq(SkippingIndex.ColRange("doc_id", 0, 99)))
+      VersionedTable.cloneSync(s, src, dst)
+      val noop = VersionedTable.cloneSync(s, src, dst) == -1L
+      VersionedTable.read(s, dst)
+        .withColumn("resync_noop", lit(noop))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2328,6 +2353,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  TRUE AS bounded_opt, TRUE AS packed
         |FROM full_t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the mirror equals the source head after its churn: everything
+    // appended, minus the deleted box
+    "s40_clone_sync" ->
+      """SELECT doc_id, lang, TRUE AS resync_noop
+        |FROM documents WHERE doc_id >= 100 ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

@@ -234,6 +234,13 @@ final case class Warehouse(spark: SparkSession, root: String,
     r
   }
 
+  /** INCREMENTAL CLONE SYNC: bring a mirror table up to `name`'s head,
+    * hard-linking only the churn — see
+    * [[graft.sources.VersionedTable.cloneSync]]. `dstPath` is an
+    * absolute root (mirrors usually live outside the warehouse). */
+  def cloneSyncTo(name: String, dstPath: String): Long =
+    VersionedTable.cloneSync(spark, path(name), dstPath)
+
   /** METADATA-ONLY RENAME COLUMN on a versioned table — one commit, zero
     * files rewritten; old versions time-travel under their own names.
     * The persisted manifest needs no rebuild: its stats are keyed by the

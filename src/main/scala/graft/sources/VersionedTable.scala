@@ -1958,6 +1958,74 @@ object VersionedTable {
     0L
   }
 
+  /** INCREMENTAL CLONE SYNC — the Delta incremental-clone /
+    * replication shape: bring `dst` (a [[clone]] of `src`, or absent —
+    * first call clones) up to `src`'s CURRENT snapshot, hard-linking
+    * ONLY the data files `dst` does not already have on disk — so a
+    * periodic sync costs the CHURN since the last one (the files
+    * OPTIMIZE/DML added), never the table. The sync commit carries a
+    * `#txn:__sync:<srcVersion>` header, making re-syncs idempotent: a
+    * sync at-or-behind the last synced source version is a NO-OP
+    * (returns -1), exactly the [[appendIdempotent]] rule. `dst` is a
+    * MIRROR: its content after a sync is `src`'s head snapshot
+    * regardless of local divergence (local commits stay in `dst`'s
+    * history — time-travelable until vacuum — but the head is the
+    * source's; `dst`'s other `#txn` headers carry). Schema and table
+    * metadata (checks, generations, column mapping) mirror the
+    * source's. Returns the committed `dst` version, or -1 for an
+    * already-synced no-op. */
+  def cloneSync(spark: SparkSession, src: String, dst: String): Long = {
+    val vs = versions(src)
+    require(vs.nonEmpty, s"no commits at $src")
+    val srcV = vs.last
+    if (!isVersioned(dst)) {
+      clone(spark, src, dst, Some(srcV))
+      // stamp the sync marker so the next call knows where it stands
+      val meta = metaHeader("CLONE SYNC")
+      var done = -1L
+      while (done < 0) {
+        val head = versions(dst).last
+        val base = filesOf(dst, head).filterNot(isMeta)
+        if (tryCommit(dst, head + 1, base :+ s"#txn:__sync:$srcV" :+ meta))
+          done = head + 1
+      }
+      return done
+    }
+    if (committedEpochs(dst).get("__sync").exists(srcV <= _)) return -1L
+    val lines = filesOf(src, srcV)
+    val files = lines.filterNot(isHeader)
+    // link only what the mirror lacks — the sync's cost is the churn
+    files.foreach { rel =>
+      val to = Paths.get(dst, rel)
+      if (!Files.exists(to)) {
+        Files.createDirectories(to.getParent)
+        val from = Paths.get(src, rel)
+        try Files.createLink(to, from)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
+        }
+      }
+    }
+    val mirrored = lines.filter(l =>
+      !isHeader(l) || isSchema(l) || isCheck(l) || isGenerate(l) ||
+        isRename(l) || isDropped(l))
+    val meta = metaHeader("CLONE SYNC")
+    var done = -1L
+    while (done < 0) {
+      val cur = versions(dst)
+      if (committedEpochs(dst).get("__sync").exists(srcV <= _)) return -1L
+      // dst's OWN txn headers carry (minus the sync marker we replace)
+      val txns = filesOf(dst, cur.last)
+        .filter(l => parseTxn(l).isDefined)
+        .filterNot(l => parseTxn(l).exists(_._1 == "__sync"))
+      if (tryCommit(dst, cur.last + 1,
+          mirrored ++ txns :+ s"#txn:__sync:$srcV" :+ meta))
+        done = cur.last + 1
+    }
+    done
+  }
+
   /** FILES metadata table (the Iceberg `table$files` shape): one row per
     * data file of the snapshot at `version` (default head) — relative
     * path, Hive partition values parsed from the path (MapType; empty

@@ -1405,6 +1405,45 @@ class PipelineSpec extends SparkSpecBase {
     assert(v3 == h2 && rw3 == 0)
   }
 
+  test("incremental clone sync: links only the churn, mirrors divergence away, re-sync no-ops") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_csync").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    VersionedTable.overwrite(spark, src, df(0, 400)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    // first sync = clone + marker
+    assert(VersionedTable.cloneSync(spark, src, dst) >= 0L)
+    assert(VersionedTable.read(spark, dst).count() == 400)
+    // re-sync with nothing new: no-op
+    assert(VersionedTable.cloneSync(spark, src, dst) == -1L)
+    // src churns: an append and a bounded delete
+    VersionedTable.append(spark, src, df(400, 500))
+    VersionedTable.deleteWhere(spark, src, Seq(SkippingIndex.ColRange("id", 0, 99)))
+    def inode(p: String): Object =
+      java.nio.file.Files.getAttribute(java.nio.file.Paths.get(p), "unix:ino")
+    val beforeFiles = VersionedTable.dataFiles(dst).toSet
+    val v = VersionedTable.cloneSync(spark, src, dst)
+    assert(v >= 0L)
+    // dst head == src head, and ONLY the churned files were linked
+    val srcRows = VersionedTable.read(spark, src).collect().map(_.getLong(0)).toSet
+    val dstRows = VersionedTable.read(spark, dst).collect().map(_.getLong(0)).toSet
+    assert(dstRows == srcRows && srcRows == (100L until 500L).toSet)
+    val newFiles = VersionedTable.dataFiles(dst).toSet -- beforeFiles
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      inode(s"$dst/$f") == inode(s"$src/$f")), "churn arrives as hard links")
+    // the pre-sync dst snapshot still time-travels
+    assert(VersionedTable.read(spark, dst, Some(v - 1)).count() == 400)
+    // a DIVERGED mirror: a local append is mirrored away by the next sync
+    VersionedTable.append(spark, dst, df(9000, 9010))
+    assert(VersionedTable.read(spark, dst).count() == 410)
+    VersionedTable.append(spark, src, df(500, 510)) // new src version to sync
+    assert(VersionedTable.cloneSync(spark, src, dst) >= 0L)
+    val mirrored = VersionedTable.read(spark, dst).collect().map(_.getLong(0)).toSet
+    assert(mirrored == (100L until 510L).toSet, "the mirror equals the src head")
+  }
+
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
     import spark.implicits._
     import graft.sources.VersionedTable
