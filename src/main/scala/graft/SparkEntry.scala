@@ -668,6 +668,26 @@ object SparkEntry {
         .withColumn("resync_noop", lit(noop))
     }),
 
+    // ROW PROVENANCE (the Iceberg/Delta _metadata shape, derived from
+    // the protocol): every row serves with the version whose commit
+    // added its file — three commits, three provenance classes, all in
+    // the hash; the map rides a broadcast join on the scan's own
+    // input_file_name, no extra pass
+    "s41_provenance" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s41_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val docs = t(s, d, "documents").select("doc_id", "lang")
+      VersionedTable.overwrite(s, root, docs.filter(col("doc_id") < 300))
+      VersionedTable.append(s, root,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400))
+      VersionedTable.append(s, root, docs.filter(col("doc_id") >= 400))
+      VersionedTable.readWithProvenance(s, root)
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2359,6 +2379,13 @@ object SparkEntry {
     "s40_clone_sync" ->
       """SELECT doc_id, lang, TRUE AS resync_noop
         |FROM documents WHERE doc_id >= 100 ORDER BY doc_id""".stripMargin,
+
+    // provenance = the commit that added the row's file
+    "s41_provenance" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN doc_id < 300 THEN 0 WHEN doc_id < 400 THEN 1
+        |       ELSE 2 END AS BIGINT) AS _commit_version
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // lossless round trip ⇒ the oracle is the untouched source table
     "s18_jsonl_roundtrip" ->

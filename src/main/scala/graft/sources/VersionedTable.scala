@@ -1958,6 +1958,42 @@ object VersionedTable {
     0L
   }
 
+  /** Read the snapshot with a `_commit_version` METADATA column — the
+    * version whose commit ADDED each row's file (the Iceberg/Delta
+    * `_metadata` provenance shape, derived from the protocol: a data
+    * file belongs to exactly one adding commit). FILE-level semantics,
+    * stated plainly: a rewrite (OPTIMIZE/UPDATE/MERGE) re-homes the
+    * rows it rewrites to the rewriting commit's version — provenance
+    * answers "when did this byte arrive", the audit question, not
+    * row lineage across rewrites. After a keep-N [[vacuum]] the
+    * earliest READABLE version listing the file stands in for a
+    * retired adding commit. Cost: one commit-list read per
+    * readable version ≤ the target (driver-side metadata) plus a
+    * column derivation on the scan — no extra data pass, no shuffle
+    * (the map rides a broadcast join keyed on the scan's own
+    * `input_file_name`). */
+  def readWithProvenance(spark: SparkSession, root: String,
+                         version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
+    import spark.implicits._
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val v = version.getOrElse(vs.last)
+    val firstIn = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    vs.filter(_ <= v).foreach { w =>
+      filesOf(root, w).filterNot(isHeader).foreach { f =>
+        if (!firstIn.contains(f)) firstIn(f) = w
+      }
+    }
+    val files = dataFiles(root, Some(v))
+    val lookup = files.map(f => (f, firstIn(f))).toDF("__rel", "_commit_version")
+    read(spark, root, Some(v))
+      .withColumn("__rel",
+        regexp_replace(input_file_name(), "^.*?(data/.*)$", "$1"))
+      .join(broadcast(lookup), Seq("__rel"), "left")
+      .drop("__rel")
+  }
+
   /** INCREMENTAL CLONE SYNC — the Delta incremental-clone /
     * replication shape: bring `dst` (a [[clone]] of `src`, or absent —
     * first call clones) up to `src`'s CURRENT snapshot, hard-linking

@@ -1444,6 +1444,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(mirrored == (100L until 510L).toSet, "the mirror equals the src head")
   }
 
+  test("row provenance: adding commit per file; a bounded rewrite re-homes only the touched rows") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_prov").toString
+    def df(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    VersionedTable.overwrite(spark, root, df(0, 200)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    VersionedTable.append(spark, root, df(200, 300))
+    def prov() = VersionedTable.readWithProvenance(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val p1 = prov()
+    assert((0 until 200).forall(i => p1(i.toLong) == 0L))
+    assert((200 until 300).forall(i => p1(i.toLong) == 1L))
+    // a bounded UPDATE re-homes ONLY the touched file's rows to v2
+    VersionedTable.updateWhere(spark, root, col("id") === 10L,
+      Map("v" -> lit("X")), Seq(SkippingIndex.ColRange("id", 10, 10)))
+    val p2 = prov()
+    assert(p2(10L) == 2L)
+    assert(p2(199L) <= 2L && p2(250L) == 1L)
+    val reHomed = p2.count(_._2 == 2L)
+    assert(reHomed < 200, s"only the touched file re-homes, got $reHomed")
+    // pinned-version provenance ignores later commits
+    val p0 = VersionedTable.readWithProvenance(spark, root, Some(0L)).collect()
+      .map(r => r.getLong(2)).toSet
+    assert(p0 == Set(0L))
+  }
+
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
     import spark.implicits._
     import graft.sources.VersionedTable
