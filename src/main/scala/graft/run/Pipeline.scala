@@ -234,6 +234,16 @@ final case class Warehouse(spark: SparkSession, root: String,
     r
   }
 
+  /** Read a versioned table with its `_commit_version` provenance
+    * column — see [[graft.sources.VersionedTable.readWithProvenance]]. */
+  def readWithProvenance(name: String, version: Option[Long] = None): DataFrame =
+    VersionedTable.readWithProvenance(spark, path(name), version)
+
+  /** CHANGE FEED between two timestamps (TIMESTAMP AS OF resolution on
+    * both bounds) — see [[graft.sources.VersionedTable.changeFeedAsOf]]. */
+  def changeFeedAsOf(name: String, fromTsMillis: Long, toTsMillis: Long): DataFrame =
+    VersionedTable.changeFeedAsOf(spark, path(name), fromTsMillis, toTsMillis)
+
   /** INCREMENTAL CLONE SYNC: bring a mirror table up to `name`'s head,
     * hard-linking only the churn — see
     * [[graft.sources.VersionedTable.cloneSync]]. `dstPath` is an

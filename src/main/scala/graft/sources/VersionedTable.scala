@@ -1493,7 +1493,10 @@ object VersionedTable {
     *
     * Conflict rules are [[rewrite]]'s (a concurrent append rides along
     * unmerged — merge-then-append serialization; a concurrent overwrite
-    * aborts and restarts the merge). Returns (committedVersion,
+    * aborts and restarts the merge). The SOURCE PLAN is evaluated
+    * several times (stats agg, duplicate probe, point probe, the join
+    * itself) — persist an expensive source before calling, as a real
+    * CDC batch is already materialized. Returns (committedVersion,
     * rewrittenFiles, carriedFiles); an empty source commits nothing. */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
                 keys: Seq[String],
