@@ -841,7 +841,7 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.versions(root).size == 4)
   }
 
-  test("protocol fuzz: 60 random op sequences keep read(), time travel, and history consistent with the model") {
+  test("protocol fuzz: 60 random op sequences over the FULL verb set keep read(), time travel, and history consistent with the model") {
     import spark.implicits._
     import graft.sources.{SkippingIndex, VersionedTable}
     val rnd = new scala.util.Random(42) // seeded: reproducible sequences
@@ -859,7 +859,7 @@ class PipelineSpec extends SparkSpecBase {
       VersionedTable.overwrite(spark, root, df(init))
       history(VersionedTable.versions(root).last) = model
       (0 until 20).foreach { _ =>
-        rnd.nextInt(6) match {
+        rnd.nextInt(10) match {
           case 0 => // append
             val rows = fresh(rnd.nextInt(30) + 1)
             VersionedTable.append(spark, root, df(rows))
@@ -883,6 +883,35 @@ class PipelineSpec extends SparkSpecBase {
             model = history(v)
           case 5 => // vacuum with the safe default: must change NOTHING
             VersionedTable.vacuum(root)
+          case 6 => // bounded UPDATE on an id box: x -> x + k for hits
+            val lo = rnd.nextLong(nextId + 1)
+            val hi = math.min(lo + rnd.nextLong(40L), nextId)
+            val k = rnd.nextLong(100L) + 1L
+            VersionedTable.updateWhere(spark, root,
+              col("id") >= lo && col("id") <= hi,
+              Map("x" -> (col("x") + org.apache.spark.sql.functions.lit(k))),
+              Seq(SkippingIndex.ColRange("id", lo.toDouble, hi.toDouble)))
+            model = model.map { case (id, x) =>
+              id -> (if (id >= lo && id <= hi) x + k else x) }
+          case 7 => // MERGE: updates over a random existing slice + fresh inserts
+            val existing = rnd.shuffle(model.keys.toSeq.sorted)
+              .take(rnd.nextInt(10)).map(id => (id, rnd.nextLong(1000L)))
+            val inserts = fresh(rnd.nextInt(10))
+            val src = existing ++ inserts
+            if (src.nonEmpty) {
+              VersionedTable.mergeInto(spark, root, df(src), Seq("id"),
+                updateWhen = Some(org.apache.spark.sql.functions.lit(true)),
+                insertWhen = Some(org.apache.spark.sql.functions.lit(true)))
+              model = model ++ src
+            }
+          case 8 => // key-list delete over a random mix of live + dead ids
+            val keys = rnd.shuffle(model.keys.toSeq.sorted).take(rnd.nextInt(10)) ++
+              Seq(nextId + 500L) // a key that matches nothing
+            VersionedTable.deleteWhereKeys(spark, root, "id",
+              keys.toDF("id"))
+            model = model -- keys
+          case 9 => // small-file compaction (content-preserving)
+            VersionedTable.compactSmall(spark, root, minBytes = 1024L * 1024)
         }
         val head = VersionedTable.versions(root).last
         history(head) = model
