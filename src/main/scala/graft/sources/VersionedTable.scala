@@ -1991,8 +1991,13 @@ object VersionedTable {
     val files = dataFiles(root, Some(v))
     val lookup = files.map(f => (f, firstIn(f))).toDF("__rel", "_commit_version")
     read(spark, root, Some(v))
+      // greedy prefix: the match anchors on the LAST `/data/` segment,
+      // so a table ROOT that itself contains a `data/` directory (e.g.
+      // /warehouse/data/t) still yields the committed relative name;
+      // partition directories are `k=v`, never a bare `data`, so the
+      // snapshot's own layout cannot introduce a later match
       .withColumn("__rel",
-        regexp_replace(input_file_name(), "^.*?(data/.*)$", "$1"))
+        regexp_replace(input_file_name(), "^.*/(data/.*)$", "$1"))
       .join(broadcast(lookup), Seq("__rel"), "left")
       .drop("__rel")
   }

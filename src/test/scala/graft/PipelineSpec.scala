@@ -1499,6 +1499,14 @@ class PipelineSpec extends SparkSpecBase {
     val p0 = VersionedTable.readWithProvenance(spark, root, Some(0L)).collect()
       .map(r => r.getLong(2)).toSet
     assert(p0 == Set(0L))
+    // a table ROOT containing its own data/ segment still keys the map
+    // (the rel-name regex must anchor on the LAST /data/)
+    val tricky = java.nio.file.Files.createTempDirectory("graft_prov2")
+      .resolve("data").resolve("t").toString
+    VersionedTable.overwrite(spark, tricky, df(0, 10))
+    val pt = VersionedTable.readWithProvenance(spark, tricky).collect()
+      .map(r => r.getLong(2)).toSet
+    assert(pt == Set(0L), s"root-with-data/ segment mis-keyed: $pt")
   }
 
   test("changeFeed across a type-redefining overwrite fails with a feed-specific error") {
