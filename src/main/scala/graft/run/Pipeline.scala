@@ -415,7 +415,15 @@ final case class Warehouse(spark: SparkSession, root: String,
             // versioned merge-as-new-version: the union+window plan READS
             // the current snapshot's immutable files while the commit
             // WRITES fresh ones — no staging table, no checkpoint, no
-            // double write; the old snapshot stays time-travelable
+            // double write; the old snapshot stays time-travelable.
+            // DECISION RECORD (r11): this unpartitioned branch stays a
+            // full rewrite even though [[VersionedTable.mergeInto]] could
+            // bound it — the incoming-wins-under-arbitrary-versionCols
+            // tie rule would need a lexicographic clause derived from
+            // SortOrder internals, and the medallion's big tables are
+            // partitioned (the pruned branch above); callers with a
+            // single monotonic version column should use
+            // [[mergeInto]] directly for the bounded path.
             val merged = graft.operators.Dedup.mergeUpsert(read(name), incoming, keys, versionCols)
             write(name, merged, partitionBy = partitionBy)
           case None =>
