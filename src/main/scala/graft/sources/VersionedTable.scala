@@ -878,6 +878,8 @@ object VersionedTable {
                        partitionBy: Seq[String] = Nil): Long = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
+    require(writerId != "__sync",
+      "writerId `__sync` is reserved for cloneSync's source-version tracking")
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
@@ -928,6 +930,8 @@ object VersionedTable {
                           writerId: String, epoch: Long): Long = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
+    require(writerId != "__sync",
+      "writerId `__sync` is reserved for cloneSync's source-version tracking")
     def committed(): Boolean =
       committedEpochs(root).get(writerId).exists(epoch <= _)
     if (committed()) return -1L
@@ -1524,6 +1528,8 @@ object VersionedTable {
                           cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
+    require(writerId != "__sync",
+      "writerId `__sync` is reserved for cloneSync's source-version tracking")
     if (committedEpochs(root).get(writerId).exists(epoch <= _))
       (-1L, 0, dataFiles(root).size) // redelivery: no data written
     else mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
