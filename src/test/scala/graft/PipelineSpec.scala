@@ -1077,6 +1077,33 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).filter(col("v") === "X").count() == 1)
   }
 
+  test("partitioned update: a SET on the partition column re-homes rows to their new directory") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files.createTempDirectory("graft_vupdp").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 300).map(i => (i.toLong, s"p${i % 3}", s"v$i")).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    // move every p2 row to partition p9
+    VersionedTable.updateWhere(spark, root,
+      col("part") === "p2", Map("part" -> lit("p9")))
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 300)
+    assert(got.filter(col("part") === "p2").count() == 0)
+    assert(got.filter(col("part") === "p9").count() == 100)
+    // the moved rows physically live under the NEW Hive directory
+    val p9Files = VersionedTable.dataFiles(root).filter(_.contains("part=p9"))
+    assert(p9Files.nonEmpty, "updated rows must land in part=p9 directories")
+    // partition pruning still works on the updated layout
+    val pruned = got.filter(col("part") === "p9").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned == (0L until 300L).filter(_ % 3 == 2).toSet)
+    // time travel shows the pre-move layout
+    assert(VersionedTable.read(spark, root, Some(0L))
+      .filter(col("part") === "p2").count() == 100)
+  }
+
   test("update refuses unknown SET targets, keeps committed types, and upholds generated columns + checks") {
     import spark.implicits._
     import graft.sources.VersionedTable
