@@ -2041,39 +2041,59 @@ object VersionedTable {
       }
       return done
     }
-    if (committedEpochs(dst).get("__sync").exists(srcV <= _)) return -1L
-    val lines = filesOf(src, srcV)
-    val files = lines.filterNot(isHeader)
-    // link only what the mirror lacks — the sync's cost is the churn
-    files.foreach { rel =>
-      val to = Paths.get(dst, rel)
-      if (!Files.exists(to)) {
-        Files.createDirectories(to.getParent)
-        val from = Paths.get(src, rel)
-        try Files.createLink(to, from)
-        catch {
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-            Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
+    val meta = metaHeader("CLONE SYNC")
+    // a source OPTIMIZE + keep-N vacuum can retire the version being
+    // synced mid-link (its files vanish under us): the same discipline
+    // as [[rewrite]]'s abort rule — restart the sync from the NEW src
+    // head, a bounded number of times (each restart needs a whole
+    // optimize+vacuum cycle to race us again)
+    var attempt = 0
+    while (true) {
+      val headV = versions(src).last
+      if (committedEpochs(dst).get("__sync").exists(headV <= _)) return -1L
+      val lines = filesOf(src, headV)
+      val files = lines.filterNot(isHeader)
+      try {
+        // link only what the mirror lacks — the sync's cost is the churn
+        files.foreach { rel =>
+          val to = Paths.get(dst, rel)
+          if (!Files.exists(to)) {
+            Files.createDirectories(to.getParent)
+            val from = Paths.get(src, rel)
+            try Files.createLink(to, from)
+            catch {
+              case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+                if Files.exists(from) =>
+                  Files.copy(from, to, StandardCopyOption.COPY_ATTRIBUTES)
+            }
+          }
         }
+        val mirrored = lines.filter(l =>
+          !isHeader(l) || isSchema(l) || isCheck(l) || isGenerate(l) ||
+            isRename(l) || isDropped(l))
+        var done = -1L
+        while (done < 0) {
+          val cur = versions(dst)
+          if (committedEpochs(dst).get("__sync").exists(headV <= _)) return -1L
+          // dst's OWN txn headers carry (minus the sync marker we replace)
+          val txns = filesOf(dst, cur.last)
+            .filter(l => parseTxn(l).isDefined)
+            .filterNot(l => parseTxn(l).exists(_._1 == "__sync"))
+          if (tryCommit(dst, cur.last + 1,
+              mirrored ++ txns :+ s"#txn:__sync:$headV" :+ meta))
+            done = cur.last + 1
+        }
+        return done
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt >= 5) throw new IllegalStateException(
+            s"cloneSync $src -> $dst kept losing the race with source " +
+              s"maintenance ($attempt restarts); quiesce the source's " +
+              "vacuum or raise its retention", e)
       }
     }
-    val mirrored = lines.filter(l =>
-      !isHeader(l) || isSchema(l) || isCheck(l) || isGenerate(l) ||
-        isRename(l) || isDropped(l))
-    val meta = metaHeader("CLONE SYNC")
-    var done = -1L
-    while (done < 0) {
-      val cur = versions(dst)
-      if (committedEpochs(dst).get("__sync").exists(srcV <= _)) return -1L
-      // dst's OWN txn headers carry (minus the sync marker we replace)
-      val txns = filesOf(dst, cur.last)
-        .filter(l => parseTxn(l).isDefined)
-        .filterNot(l => parseTxn(l).exists(_._1 == "__sync"))
-      if (tryCommit(dst, cur.last + 1,
-          mirrored ++ txns :+ s"#txn:__sync:$srcV" :+ meta))
-        done = cur.last + 1
-    }
-    done
+    -1L // unreachable
   }
 
   /** FILES metadata table (the Iceberg `table$files` shape): one row per
