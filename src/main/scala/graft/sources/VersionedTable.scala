@@ -1623,44 +1623,72 @@ object VersionedTable {
             SkippingIndex.probeSurvivors(spark, m, stage1, phys(k), pts).toSet
           } else stage1.toSet
         }
-      val (touch, carry) = baseData.partition(touchSet.contains)
-      // the touched slice of the target, in the LOGICAL view (empty
-      // frame when no file can match — inserts still flow through)
+      // files holding possibly-matching keys are read for the MATCH; they
+      // are REWRITTEN only when a matched clause can change them — an
+      // insert-only merge reads them for the anti-check and rewrites
+      // nothing (rows append; every target file carries byte-untouched)
+      val matchedClauses = updateWhen.isDefined || deleteWhen.isDefined
+      val matchFiles = baseData.filter(touchSet.contains)
+      val (touch, carry) =
+        if (matchedClauses) baseData.partition(touchSet.contains)
+        else (Seq.empty[String], baseData)
+      // the match slice of the target, in the LOGICAL view (empty frame
+      // when no file can match — inserts still flow through)
       val tgt =
-        if (touch.isEmpty)
+        if (matchFiles.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema)
         else {
           val rd = spark.read.option("basePath", s"$root/data")
           toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
-            .parquet(touch.map(f => s"$root/$f"): _*), base)
+            .parquet(matchFiles.map(f => s"$root/$f"): _*), base)
         }
       // SQL MERGE multiple-matches rule: a duplicated source key that
-      // matches any target row is refused whole (one bounded probe)
-      val dupKeys = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") > 1).drop("__c")
-      if (!dupKeys.join(tgt.select(keys.map(col): _*), keys, "left_semi").isEmpty)
-        throw new IllegalArgumentException(
-          s"mergeInto at $root: multiple source rows match the same target " +
-            s"row on keys ${keys.mkString(", ")} — dedupe the source first")
-      val joined = tgt.select(struct(tgt.columns.map(col): _*).as("t"))
-        .join(src.select(struct(src.columns.map(col): _*).as("s")),
-          keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
-          "full_outer")
+      // matches any target row is refused whole (one bounded probe) —
+      // but ONLY when a MATCHED clause exists: an insert-only merge is
+      // unambiguous (matching rows simply don't insert), the Delta rule
+      if (matchedClauses) {
+        val dupKeys = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).drop("__c")
+        if (!dupKeys.join(tgt.select(keys.map(col): _*), keys, "left_semi").isEmpty)
+          throw new IllegalArgumentException(
+            s"mergeInto at $root: multiple source rows match the same target " +
+              s"row on keys ${keys.mkString(", ")} — dedupe the source first")
+      }
       def fire(c: Option[org.apache.spark.sql.Column]) =
         c.map(x => coalesce(x, lit(false))).getOrElse(lit(false))
-      val matched = col("t").isNotNull && col("s").isNotNull
-      val takeSrc = matched && fire(updateWhen)
-      val dropRow = matched && !fire(updateWhen) && fire(deleteWhen)
       val tcols = tgtSchema.fieldNames.toSeq
-      val keepT = joined.filter(col("t").isNotNull && !takeSrc && !dropRow)
-        .select("t.*")
-      val updated = joined.filter(takeSrc).select("s.*")
-        .select(tcols.map(col): _*) // condition-only extras never land
-      val inserted = joined.filter(col("t").isNull && fire(insertWhen))
-        .select("s.*").select(tcols.map(col): _*)
-      enforceChecks(root, updated.unionByName(inserted))
-      val outRows = keepT.unionByName(updated).unionByName(inserted)
+      val outRows =
+        if (!matchedClauses) {
+          // insert-only: no target row changes — new rows are the source
+          // rows with NO key match (an anti-check over the match slice,
+          // complete because pruning guarantees carried files hold no
+          // source key) passing the insert condition
+          val unmatched = src.join(tgt.select(keys.map(col): _*).distinct(),
+            keys, "left_anti")
+          val sAlias = unmatched.select(
+            struct(unmatched.columns.map(col): _*).as("s"))
+          val ins = sAlias.filter(fire(insertWhen))
+            .select("s.*").select(tcols.map(col): _*)
+          enforceChecks(root, ins)
+          ins
+        } else {
+          val joined = tgt.select(struct(tgt.columns.map(col): _*).as("t"))
+            .join(src.select(struct(src.columns.map(col): _*).as("s")),
+              keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+              "full_outer")
+          val matched = col("t").isNotNull && col("s").isNotNull
+          val takeSrc = matched && fire(updateWhen)
+          val dropRow = matched && !fire(updateWhen) && fire(deleteWhen)
+          val keepT = joined.filter(col("t").isNotNull && !takeSrc && !dropRow)
+            .select("t.*")
+          val updated = joined.filter(takeSrc).select("s.*")
+            .select(tcols.map(col): _*) // condition-only extras never land
+          val inserted = joined.filter(col("t").isNull && fire(insertWhen))
+            .select("s.*").select(tcols.map(col): _*)
+          enforceChecks(root, updated.unionByName(inserted))
+          keepT.unionByName(updated).unionByName(inserted)
+        }
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(toPhysical(outRows, base, root), root, tag, pcols)
       out = commitRewrite(root, baseData, carry, fresh, meta, txn) match {

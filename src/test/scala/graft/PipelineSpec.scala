@@ -1345,14 +1345,22 @@ class PipelineSpec extends SparkSpecBase {
     }
     assert(eDup.getMessage.contains("multiple source rows"))
     assert(VersionedTable.versions(root).last == head, "nothing committed")
-    // duplicate keys that match NOTHING are allowed to insert? No — the
-    // SQL rule is about matches; unmatched dup keys insert twice is
-    // Delta behavior for insert-only merges, but our probe only refuses
-    // MATCHING dups: verify an unmatched dup inserts both rows
+    // the rule is scoped to MATCHED clauses: unmatched dup keys insert
+    // twice (Delta's insert-only behavior), and an INSERT-ONLY merge
+    // with dup keys that DO match is unambiguous — they simply don't
+    // insert, no refusal
     VersionedTable.mergeInto(spark, root,
       Seq((30000L, 1, "x"), (30000L, 2, "y")).toDF("id", "rev", "v"), Seq("id"),
       updateWhen = None, insertWhen = Some(lit(true)))
     assert(VersionedTable.read(spark, root).filter(col("id") === 30000L).count() == 2)
+    val before200 = VersionedTable.read(spark, root).filter(col("id") === 200L)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    VersionedTable.mergeInto(spark, root,
+      Seq((200L, 8, "a"), (200L, 9, "b")).toDF("id", "rev", "v"), Seq("id"),
+      updateWhen = None, insertWhen = Some(lit(true)))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 200L)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq == before200,
+      "insert-only merge: matching dup source rows neither insert nor refuse")
     // an empty source commits nothing
     val h2 = VersionedTable.versions(root).last
     val (v3, rw3, _) = VersionedTable.mergeInto(spark, root,
