@@ -647,8 +647,12 @@ object Streams {
     * (latest wins by `versionCol` — SQL MERGE refuses multiple matches),
     * then land it as an epoch-gated bounded merge. Rows whose `opCol` is
     * 'D' DELETE their key (a delete for an absent key no-ops); others
-    * upsert, with the VERSION GUARD `s.versionCol >= t.versionCol` so an
-    * out-of-order older change never regresses committed state. `opCol`
+    * upsert. BOTH clauses carry the VERSION GUARD
+    * `s.versionCol >= t.versionCol`, so an out-of-order older change —
+    * update OR delete marker — never regresses committed state: a stale
+    * delete for a key whose committed state is newer no-ops exactly like
+    * a stale update (without the guard on the delete clause it would
+    * silently remove the newer row). `opCol`
     * is an EXTRA source column — condition-only, never written. The
     * first batch bootstraps the table (idempotent overwrite of the
     * non-delete winners). Returns the committed version (-1 = skipped
@@ -666,9 +670,10 @@ object Streams {
     else {
       val del = col(s"s.$opCol") === lit("D")
       val live = !coalesce(del, lit(false))
+      val fresh = col(s"s.$versionCol") >= col(s"t.$versionCol")
       VersionedTable.mergeIntoIdempotent(spark, tableRoot, b, keys,
-        updateWhen = Some(live && col(s"s.$versionCol") >= col(s"t.$versionCol")),
-        deleteWhen = Some(del),
+        updateWhen = Some(live && fresh),
+        deleteWhen = Some(del && fresh),
         insertWhen = Some(live),
         writerId = writerId, epoch = epoch)._1
     }

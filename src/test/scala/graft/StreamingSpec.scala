@@ -575,6 +575,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(VersionedTable.versions(stream) == vs, "replayed epochs must no-op")
   }
 
+  test("bounded merge sink: a STALE delete marker no-ops like a stale update — newer state never regresses") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_msink_stale").toString
+    val root = s"$base/state"
+    // epoch 0 bootstraps keys k1..k3 at versions 10/20/30
+    val s0 = Seq(("k1", 10L, "a", "U"), ("k2", 20L, "b", "U"), ("k3", 30L, "c", "U"))
+      .toDF("k", "ver", "payload", "op")
+    // epoch 1 arrives OUT OF ORDER: a stale delete for k1 (ver 5 < 10),
+    // a stale update for k2 (ver 7 < 20), a FRESH delete for k3
+    // (ver 31 > 30), and a fresh insert k4
+    val s1 = Seq(("k1", 5L, "x", "D"), ("k2", 7L, "y", "U"),
+                 ("k3", 31L, "z", "D"), ("k4", 40L, "d", "U"))
+      .toDF("k", "ver", "payload", "op")
+    val n = Streams.mergeSinkBatch(spark, Seq(s0, s1), root,
+      Seq("k"), "ver", "op", "stale1")
+    assert(n == 2L)
+    val got = VersionedTable.read(spark, root).select("k", "ver", "payload")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.get("k1").contains((10L, "a")),
+      s"stale delete (ver 5 < committed 10) must NO-OP, got ${got.get("k1")}")
+    assert(got.get("k2").contains((20L, "b")),
+      s"stale update (ver 7 < committed 20) must no-op, got ${got.get("k2")}")
+    assert(!got.contains("k3"), "fresh delete (ver 31 >= 30) must remove k3")
+    assert(got.get("k4").contains((40L, "d")), "fresh insert must land")
+  }
+
   test("change-feed consumer: stream fold == batch changeFeed fold == direct state; replay no-ops") {
     import graft.sources.{SkippingIndex, VersionedTable}
     val base = java.nio.file.Files.createTempDirectory("graft_cfc").toString
