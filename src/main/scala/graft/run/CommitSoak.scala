@@ -40,8 +40,8 @@ object CommitSoak {
     batch.count()
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
     val durs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    println("| commits | files | list bytes | append ms (median) | append ms (p99) | epochs check ms |")
-    println("|---|---|---|---|---|---|")
+    println("| commits | files | list bytes | append ms (median) | append ms (p99) | epochs check ms | history ms |")
+    println("|---|---|---|---|---|---|---|")
     (0 until n).foreach { i =>
       val t0 = System.nanoTime()
       VersionedTable.appendIdempotent(spark, root, batch, "soak", i)
@@ -55,20 +55,33 @@ object CommitSoak {
         val epochs = VersionedTable.committedEpochs(root)
         val epochMs = (System.nanoTime() - t1) / 1e6
         require(epochs("soak") == i.toLong)
+        // history() must stay O(versions): sizes come from the lists'
+        // stat annotations, so this issues ZERO per-file stats — at
+        // 1000 commits × 1000 files the pre-annotation cost was ~1M
+        // stat calls; flat per-version cost here is the proof
+        val t2 = System.nanoTime()
+        val nBytes = VersionedTable.history(spark, root)
+          .agg(org.apache.spark.sql.functions.sum("n_bytes")).collect()(0).getLong(0)
+        val histMs = (System.nanoTime() - t2) / 1e6
+        require(nBytes > 0L)
         val block = durs.takeRight(100).sorted
-        val row = f"| ${i + 1} | $nFiles | $listBytes | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f |"
+        val row = f"| ${i + 1} | $nFiles | $listBytes | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f | $histMs%.0f |"
         println(row)
         blocks += row
       }
     }
     // maintenance resets the trade: OPTIMIZE collapses the file count,
-    // so the NEXT commit's list is O(live files) again
+    // so the NEXT commit's list is O(live files) again — and commit-log
+    // GC bounds `_commits/` itself (tombstones don't accumulate forever)
     VersionedTable.optimize(spark, root, Seq("id"), numFiles = 8)
     VersionedTable.vacuum(root, keep = Some(1), minAgeMs = 0L)
+    val gcd = VersionedTable.vacuumCommitLogs(root, minAgeMs = 0L).size
+    val commitFiles = java.nio.file.Paths.get(root, "_commits").toFile.listFiles().length
     val vs = VersionedTable.versions(root)
     val afterBytes = java.nio.file.Files.size(
       java.nio.file.Paths.get(root, "_commits", s"v${vs.last}.list"))
-    println(f"| after OPTIMIZE+vacuum | ${VersionedTable.dataFiles(root).size} | $afterBytes | — | — | — |")
+    println(f"| after OPTIMIZE+vacuum+logGC | ${VersionedTable.dataFiles(root).size} | $afterBytes | — | — | — | — |")
+    println(s"commit-log GC: $gcd tombstones deleted; _commits/ now holds $commitFiles file(s)")
     println(f"total append wall: ${durs.sum / 1000}%.1f s over $n commits")
     spark.stop()
   }

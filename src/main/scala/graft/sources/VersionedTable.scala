@@ -94,10 +94,69 @@ object VersionedTable {
     s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The snapshot's commit lines with size annotations STRIPPED — every
+    * consumer (carries, diffs, vacuum's live set, path building) keeps
+    * operating on bare relative paths, so the annotated and legacy list
+    * formats are indistinguishable above this line. */
   private def filesOf(root: String, version: Long): Seq[String] =
+    rawFilesOf(root, version).map(l => if (isHeader(l)) l else pathOf(l))
+
+  /** The commit lines VERBATIM, annotations included. */
+  private def rawFilesOf(root: String, version: Long): Seq[String] =
     readList(commitsDir(root).resolve(s"v$version.list"))
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
+
+  // ---- per-file stats in the commit list (Delta's AddFile shape) ----
+  // A data line may carry `\t<bytes>\t<mtimeMs>` after the path (both
+  // fields optional-from-the-right; unknown extra fields tolerated for
+  // forward compatibility). [[tryCommit]] stamps the annotation at
+  // publish time; legacy bare lines stay legal forever and upgrade the
+  // first time a commit carries them forward. Stats then come from ONE
+  // list read — [[history]]/[[filesMeta]]/[[compactSmall]] issue zero
+  // per-file filesystem stats on an annotated snapshot, which is what
+  // keeps a 1000-commit table's `history()` O(versions), not
+  // O(versions × files).
+  private def pathOf(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+  /** (bytes, mtimeMs) parsed from a line's annotation, if present. */
+  private def statAnnot(line: String): Option[(Long, Option[Long])] = {
+    val parts = line.split('\t')
+    if (parts.length < 2) None
+    else parts(1).toLongOption.map { b =>
+      (b, if (parts.length >= 3) parts(2).toLongOption else None)
+    }
+  }
+
+  /** relative path → (bytes, mtimeMs) for the snapshot's data files:
+    * from commit-list annotations where stamped, ONE filesystem stat per
+    * legacy bare line otherwise (absent files — e.g. a vacuumed legacy
+    * version — report (0, 0), matching [[filesMeta]]'s contract). */
+  def fileStats(root: String, version: Option[Long] = None): Map[String, (Long, Long)] = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    statsOfLines(root, rawFilesOf(root, version.getOrElse(vs.last)))
+  }
+
+  private def statsOfLines(root: String, raw: Seq[String]): Map[String, (Long, Long)] =
+    raw.filterNot(isHeader).map { l =>
+      val rel = pathOf(l)
+      statAnnot(l) match {
+        case Some((b, Some(m))) => rel -> (b, m)
+        case Some((b, None)) => rel -> (b, mtimeOrZero(root, rel))
+        case None =>
+          val p = Paths.get(root, rel)
+          if (Files.exists(p))
+            rel -> (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+          else rel -> (0L, 0L)
+      }
+    }.toMap
+
+  private def mtimeOrZero(root: String, rel: String): Long =
+    try Files.getLastModifiedTime(Paths.get(root, rel)).toMillis
+    catch { case _: java.io.IOException => 0L }
 
   private val SchemaPrefix = "#schema:"
   private def isSchema(line: String): Boolean = line.startsWith(SchemaPrefix)
@@ -367,24 +426,30 @@ object VersionedTable {
                    from: String, to: String): Long = {
     require(identOk(from) && identOk(to),
       s"column names must be non-empty without ':' or newlines: `$from` -> `$to`")
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val logical = read(spark, root).schema.fieldNames.toSeq
-    require(logical.contains(from),
-      s"no column `$from` at $root (have ${logical.mkString(", ")})")
-    require(!logical.contains(to),
-      s"cannot rename `$from` to `$to` at $root: `$to` already exists")
-    val (ren, _) = columnMapping(root)
-    val physFrom = ren.find(_._2 == from).map(_._1).getOrElse(from)
-    require(!partitionCols(root).contains(physFrom),
-      s"cannot rename partition column `$from` at $root: partition names " +
-        "live in directory paths, not metadata")
-    refuseReferenced(spark, root, from, "rename")
+    require(versions(root).nonEmpty, s"no commits at $root")
     val meta = metaHeader("RENAME COLUMN")
     var done = -1L
     while (done < 0) {
+      // resolution AND guards re-run from the head snapshot on every
+      // retry — the same conflict discipline as the data-rewriting
+      // verbs: a racing overwrite (which resets the mapping) or a
+      // concurrent rename would otherwise leave `physFrom` stale and
+      // commit a #rename header for a physical slot that no longer
+      // exists
       val head = versions(root).last
-      val base = filesOf(root, head).filterNot(l => isMeta(l) ||
+      val lines = filesOf(root, head)
+      val logical = read(spark, root, Some(head)).schema.fieldNames.toSeq
+      require(logical.contains(from),
+        s"no column `$from` at $root (have ${logical.mkString(", ")})")
+      require(!logical.contains(to),
+        s"cannot rename `$from` to `$to` at $root: `$to` already exists")
+      val physFrom = mappingOf(lines)._1.find(_._2 == from)
+        .map(_._1).getOrElse(from)
+      require(!partitionCols(root).contains(physFrom),
+        s"cannot rename partition column `$from` at $root: partition names " +
+          "live in directory paths, not metadata")
+      refuseReferenced(spark, root, from, "rename")
+      val base = lines.filterNot(l => isMeta(l) ||
         (isRename(l) && l.stripPrefix(RenamePrefix).takeWhile(_ != ':') == physFrom))
       val header = // renaming BACK to the physical name clears the mapping
         if (to == physFrom) Seq.empty else Seq(s"$RenamePrefix$physFrom:$to")
@@ -404,24 +469,27 @@ object VersionedTable {
   def dropColumn(spark: SparkSession, root: String, colName: String): Long = {
     require(identOk(colName),
       s"column name must be non-empty without ':' or newlines: `$colName`")
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val logical = read(spark, root).schema.fieldNames.toSeq
-    require(logical.contains(colName),
-      s"no column `$colName` at $root (have ${logical.mkString(", ")})")
-    require(logical.size > 1,
-      s"cannot drop `$colName` at $root: it is the last column")
-    val (ren, _) = columnMapping(root)
-    val phys = ren.find(_._2 == colName).map(_._1).getOrElse(colName)
-    require(!partitionCols(root).contains(phys),
-      s"cannot drop partition column `$colName` at $root: partition values " +
-        "live in directory paths, not metadata")
-    refuseReferenced(spark, root, colName, "drop")
+    require(versions(root).nonEmpty, s"no commits at $root")
     val meta = metaHeader("DROP COLUMN")
     var done = -1L
     while (done < 0) {
+      // guards re-run from the head snapshot on every retry, exactly
+      // as [[renameColumn]]: `phys` must resolve against the snapshot
+      // this commit will supersede, not a pre-race one
       val head = versions(root).last
-      val base = filesOf(root, head).filterNot(l => isMeta(l) ||
+      val lines = filesOf(root, head)
+      val logical = read(spark, root, Some(head)).schema.fieldNames.toSeq
+      require(logical.contains(colName),
+        s"no column `$colName` at $root (have ${logical.mkString(", ")})")
+      require(logical.size > 1,
+        s"cannot drop `$colName` at $root: it is the last column")
+      val phys = mappingOf(lines)._1.find(_._2 == colName)
+        .map(_._1).getOrElse(colName)
+      require(!partitionCols(root).contains(phys),
+        s"cannot drop partition column `$colName` at $root: partition values " +
+          "live in directory paths, not metadata")
+      refuseReferenced(spark, root, colName, "drop")
+      val base = lines.filterNot(l => isMeta(l) ||
         (isRename(l) && l.stripPrefix(RenamePrefix).takeWhile(_ != ':') == phys))
       if (tryCommit(root, head + 1, base :+ s"$DroppedPrefix$phys" :+ meta))
         done = head + 1
@@ -532,11 +600,40 @@ object VersionedTable {
   }
 
   /** Atomically publish `files` as version `v`. Returns false if some
-    * other writer landed `v` first (caller refreshes and retries). */
+    * other writer landed `v` first (caller refreshes and retries).
+    *
+    * Each data line is stamped `\t<bytes>\t<mtimeMs>` at publish time
+    * (Delta's AddFile size/modificationTime): known stats come from the
+    * superseded snapshot's annotations (one list read), so a
+    * steady-state commit stats only its NEW files — and a legacy table
+    * upgrades line by line as commits carry its files forward. A file
+    * that cannot be statted (racing vacuum ate it mid-commit; restore's
+    * post-commit verify handles that) stays bare rather than failing
+    * the commit. */
   private def tryCommit(root: String, v: Long, files: Seq[String]): Boolean = {
     Files.createDirectories(commitsDir(root))
+    val prev: Map[String, (Long, Long)] =
+      if (v <= 0) Map.empty
+      else {
+        val f = commitsDir(root).resolve(s"v${v - 1}.list")
+        if (!Files.exists(f)) Map.empty
+        else readList(f).filterNot(isHeader).flatMap { l =>
+          statAnnot(l).collect { case (b, Some(m)) => (pathOf(l), (b, m)) }
+        }.toMap
+      }
+    val stamped = files.map { l =>
+      if (isHeader(l) || l.indexOf('\t') >= 0) l
+      else prev.get(l) match {
+        case Some((b, m)) => s"$l\t$b\t$m"
+        case None =>
+          try {
+            val p = Paths.get(root, l)
+            s"$l\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}"
+          } catch { case _: java.io.IOException => l }
+      }
+    }
     val tmp = commitsDir(root).resolve(s".v$v.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, files.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp, stamped.mkString("\n").getBytes("UTF-8"))
     try {
       Files.move(tmp, commitsDir(root).resolve(s"v$v.list"),
         StandardCopyOption.ATOMIC_MOVE)
@@ -980,7 +1077,9 @@ object VersionedTable {
   private def commitRewrite(root: String, baseData: Seq[String],
                             carry: Seq[String], fresh: Seq[String],
                             meta: String,
-                            txn: Option[(String, Long)] = None): RewriteOutcome = {
+                            txn: Option[(String, Long)] = None,
+                            evolveWith: Option[org.apache.spark.sql.types.StructType] = None)
+      : RewriteOutcome = {
     val baseSet = baseData.toSet
     var out: Option[RewriteOutcome] = None
     while (out.isEmpty) {
@@ -998,11 +1097,25 @@ object VersionedTable {
         out = Some(StaleBase)
       } else {
         val since = latest.filterNot(f => baseSet.contains(f) || isHeader(f))
-        val txns = latest.filter(l => isHeader(l) && !isMeta(l))
+        val hdrs0 = latest.filter(l => isHeader(l) && !isMeta(l))
           .filterNot(l => txn.exists(t => parseTxn(l).exists(_._1 == t._1)))
+        // schema-evolving rewrite (MERGE autoMerge): re-evolve the NEW
+        // columns against the LATEST head's committed schema — a racing
+        // append that evolved first wins its columns, and a same-named
+        // type conflict refuses loudly via [[evolve]]'s guard
+        val (hdrs, schemaLine) = evolveWith match {
+          case None => (hdrs0, Seq.empty[String])
+          case Some(add) =>
+            val head = latest.find(isSchema).map(l =>
+              org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix(SchemaPrefix))
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+            require(head.isDefined,
+              s"schema-evolving rewrite at $root needs a schema-stamped head")
+            (hdrs0.filterNot(isSchema), Seq(schemaHeader(evolve(head.get, add))))
+        }
         val txnLine = txn.map { case (w, e) => s"#txn:$w:$e" }.toSeq
         if (tryCommit(root, cur.last + 1,
-            carry ++ fresh ++ since ++ txns ++ txnLine :+ meta))
+            carry ++ fresh ++ since ++ hdrs ++ schemaLine ++ txnLine :+ meta))
           out = Some(Committed(cur.last + 1))
       }
     }
@@ -1109,11 +1222,13 @@ object VersionedTable {
     require(minBytes > 0 && targetBytes > 0, "sizes must be positive")
     var smallBytes = 0L
     boundedRewrite(spark, root, "OPTIMIZE") { (_, baseData) =>
-      val small = baseData.filter { rel =>
-        val p = Paths.get(root, rel)
-        Files.exists(p) && Files.size(p) < minBytes
-      }
-      smallBytes = small.map(rel => Files.size(Paths.get(root, rel))).sum
+      // sizes from the head's commit-list annotations (one list read),
+      // not a per-file stat storm; absent/unannotated legacy files
+      // stat once inside fileStats
+      val sizes = fileStats(root)
+      val small = baseData.filter(rel =>
+        sizes.get(rel).exists { case (b, _) => b > 0L && b < minBytes })
+      smallBytes = small.map(rel => sizes(rel)._1).sum
       if (small.size < 2) Set.empty else small.toSet
     } { df =>
       val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
@@ -1278,7 +1393,11 @@ object VersionedTable {
     * END` — hit = `coalesce(predicate, false)` evaluated ONCE against
     * the PRE-update row (SQL UPDATE semantics: a NULL comparison is not
     * a match, and a SET that changes a predicate column never re-feeds
-    * the predicate). At 100 TB this makes a backfill/correction job
+    * the predicate). Every SET right-hand side ALSO evaluates against
+    * the PRE-update row — all targets are computed in one projection,
+    * so `SET a = b, b = a` swaps (SQL/Delta UPDATE semantics), it never
+    * sees a half-applied row, and the result is independent of SET
+    * iteration order. At 100 TB this makes a backfill/correction job
     * touch the files that contain the rows, not the table.
     *
     * Invariants enforced before any data is written:
@@ -1321,6 +1440,17 @@ object VersionedTable {
       val baseV = vs.last
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
+      // SET targets validate against the snapshot schema BEFORE the
+      // prune/touch decision: an UPDATE naming a nonexistent column
+      // refuses loudly whether or not its box touches any file (the
+      // zero-touch no-op must not silently swallow a typo'd target)
+      val snapSchema = logicalSchema(root, Some(baseV))
+        .getOrElse(read(spark, root, Some(baseV)).schema)
+      set.keys.foreach { c =>
+        require(snapSchema.fieldNames.contains(c),
+          s"updateWhere SET target `$c` is not a column of $root " +
+            s"(have ${snapSchema.fieldNames.mkString(", ")}); UPDATE never adds columns")
+      }
       // boxes in LOGICAL names -> the files' PHYSICAL stats names
       val inv = mappingOf(base)._1.map(_.swap)
       val physRanges = pruneRanges.map(r =>
@@ -1346,20 +1476,23 @@ object VersionedTable {
         val scanned = toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
           .parquet(touch.map(f => s"$root/$f"): _*), base)
         val sch = scanned.schema
-        set.keys.foreach { c =>
-          require(sch.fieldNames.contains(c),
-            s"updateWhere SET target `$c` is not a column of $root " +
-              s"(have ${sch.fieldNames.mkString(", ")}); UPDATE never adds columns")
-        }
         // hit is evaluated ONCE against the pre-update row; the marker
         // column is uniquified so it can never shadow a table column
         val hitCol = s"__hit_${java.util.UUID.randomUUID().toString.take(8)}"
         val marked = scanned.withColumn(hitCol, coalesce(predicate, lit(false)))
-        val afterSet = set.foldLeft(marked) { case (df, (c, e)) =>
-          df.withColumn(c,
-            when(col(hitCol), e.cast(sch(sch.fieldIndex(c)).dataType))
-              .otherwise(col(c)))
-        }
+        // ONE projection computes every SET output from the PRE-update
+        // row: a SET expression referencing another SET target reads
+        // the old value (so `SET a = b, b = a` swaps), never a
+        // half-applied one, and Map iteration order cannot matter
+        val afterSet = marked.select(
+          sch.fieldNames.map { c =>
+            set.get(c) match {
+              case Some(e) =>
+                when(col(hitCol), e.cast(sch(sch.fieldIndex(c)).dataType))
+                  .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }.toSeq :+ col(hitCol): _*)
         // generated columns re-derive on hit rows AFTER the sets apply
         val afterGen = gens.foldLeft(afterSet) { case (df, (c, sql)) =>
           df.withColumn(c, when(col(hitCol), expr(sql)).otherwise(col(c)))
@@ -1493,23 +1626,32 @@ object VersionedTable {
     *     columns null-fill (after generated columns derive), and EXTRA
     *     source columns are CONDITION-ONLY (CDC op markers, ordering
     *     timestamps — visible to the clauses as `s.<col>`, never
-    *     written); CHECK constraints validate the new rows.
+    *     written); CHECK constraints validate the new rows;
+    *   - `evolveSchema = true` (Delta's `autoMerge`) instead APPENDS the
+    *     extra source columns to the target schema — pre-merge rows
+    *     serve NULL for them, a type flip on an existing column refuses
+    *     loudly exactly as appends do, and the commit re-stamps the
+    *     evolved schema (re-evolved against the latest head, so a racing
+    *     append's columns survive).
     *
     * Conflict rules are [[rewrite]]'s (a concurrent append rides along
     * unmerged — merge-then-append serialization; a concurrent overwrite
-    * aborts and restarts the merge). The SOURCE PLAN is evaluated
-    * several times (stats agg, duplicate probe, point probe, the join
-    * itself) — persist an expensive source before calling, as a real
-    * CDC batch is already materialized. Returns (committedVersion,
-    * rewrittenFiles, carriedFiles); an empty source commits nothing. */
+    * aborts and restarts the merge). The merge consults the source
+    * several times (stats agg, duplicate probe, point probes, the join
+    * itself), so the engine persists the aligned source DEFENSIVELY for
+    * the attempt — a non-trivial source plan executes once regardless
+    * of whether the caller pre-materialized it. Returns
+    * (committedVersion, rewrittenFiles, carriedFiles); an empty source
+    * commits nothing. */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
                 keys: Seq[String],
                 updateWhen: Option[org.apache.spark.sql.Column],
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 insertWhen: Option[org.apache.spark.sql.Column] = None,
-                cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) =
+                cached: Option[SkippingIndex.Manifest] = None,
+                evolveSchema: Boolean = false): (Long, Int, Int) =
     mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
-      cached, txn = None)
+      cached, txn = None, evolveSchema = evolveSchema)
 
   /** EPOCH-GATED [[mergeInto]] — the exactly-once streaming-CDC merge:
     * a delivery with `epoch <= committed max(writerId)` is a NO-OP
@@ -1525,7 +1667,8 @@ object VersionedTable {
                           deleteWhen: Option[org.apache.spark.sql.Column],
                           insertWhen: Option[org.apache.spark.sql.Column],
                           writerId: String, epoch: Long,
-                          cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+                          cached: Option[SkippingIndex.Manifest] = None,
+                          evolveSchema: Boolean = false): (Long, Int, Int) = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
     require(writerId != "__sync",
@@ -1533,7 +1676,7 @@ object VersionedTable {
     if (committedEpochs(root).get(writerId).exists(epoch <= _))
       (-1L, 0, dataFiles(root).size) // redelivery: no data written
     else mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
-      cached, txn = Some((writerId, epoch)))
+      cached, txn = Some((writerId, epoch)), evolveSchema = evolveSchema)
   }
 
   private def mergeImpl(spark: SparkSession, root: String, source: DataFrame,
@@ -1542,7 +1685,8 @@ object VersionedTable {
                         deleteWhen: Option[org.apache.spark.sql.Column],
                         insertWhen: Option[org.apache.spark.sql.Column],
                         cached: Option[SkippingIndex.Manifest],
-                        txn: Option[(String, Long)]): (Long, Int, Int) = {
+                        txn: Option[(String, Long)],
+                        evolveSchema: Boolean = false): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     require(updateWhen.isDefined || deleteWhen.isDefined || insertWhen.isDefined,
@@ -1556,23 +1700,45 @@ object VersionedTable {
       val baseV = vs.last
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
-      val tgtSchema = logicalSchema(root, Some(baseV))
+      val tgtSchema0 = logicalSchema(root, Some(baseV))
         .getOrElse(read(spark, root, Some(baseV)).schema)
-      keys.foreach(k => require(tgtSchema.fieldNames.contains(k),
-        s"merge key `$k` is not a column of $root (${tgtSchema.fieldNames.mkString(", ")})"))
+      keys.foreach(k => require(tgtSchema0.fieldNames.contains(k),
+        s"merge key `$k` is not a column of $root (${tgtSchema0.fieldNames.mkString(", ")})"))
       keys.foreach(k => require(source.columns.contains(k),
         s"the source must carry merge key `$k`"))
-      // source columns beyond the target schema are CONDITION-ONLY (CDC
-      // op markers, ordering timestamps): the WHEN clauses see them as
-      // `s.<col>`, but update/insert write target columns exclusively —
-      // MERGE never adds columns
-      val extras = source.columns.toSeq.filterNot(tgtSchema.fieldNames.contains)
       val gen = applyGenerated(root, source)
+      // with evolveSchema (Delta autoMerge): extra source columns JOIN
+      // the target schema (appended; pre-merge rows serve NULL — carried
+      // files read under the evolved committed schema, rewritten files
+      // null-fill physically), and a type flip on an existing column
+      // refuses loudly exactly as appends do ([[evolve]]'s rule)
+      val tgtSchema =
+        if (!evolveSchema) tgtSchema0
+        else {
+          require(schemaOf(root, Some(baseV)).isDefined,
+            s"mergeInto(evolveSchema) at $root needs a schema-stamped table: " +
+              "a legacy footer-inferred table cannot serve evolved columns " +
+              "consistently — append once (which stamps) or convert first")
+          evolve(tgtSchema0, gen.schema)
+        }
+      // source columns beyond the (possibly evolved) target schema are
+      // CONDITION-ONLY (CDC op markers, ordering timestamps): the WHEN
+      // clauses see them as `s.<col>`, but update/insert write target
+      // columns exclusively — without evolveSchema, MERGE never adds
+      // columns
+      val extras = source.columns.toSeq.filterNot(tgtSchema.fieldNames.contains)
+      // the merge evaluates the source several times (stats agg,
+      // duplicate probe, per-key point probes, the join itself) —
+      // persist it DEFENSIVELY for the duration of this attempt so a
+      // non-trivial source plan (a joined/filtered CDC derivation)
+      // executes once, whether or not the caller read the scaladoc
       val src = gen.select(
         (tgtSchema.fields.toSeq.map(f =>
           if (gen.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)) ++
           extras.map(col)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // ONE driver agg: row count + per-key min/max — the prune boxes
       val statAggs = count(lit(1)).as("__n") +:
         keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
@@ -1610,18 +1776,26 @@ object VersionedTable {
             .getOrElse(SkippingIndex.manifestFor(spark, files,
               (numBoxes.map(_.column) ++ strBoxes.map(_.column)).distinct))
           val stage1 = m.survivors(numBoxes, strBoxes)
-          // stage 2, single-key merges: the global box over a bimodal
-          // source (CDC updates + far-away inserts) covers the whole
-          // table — probe the ACTUAL keys against each candidate file's
-          // interval, keeping only files that really can match
-          if (keys.size == 1 && stage1.nonEmpty) {
-            val k = keys.head
-            val pts = tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
-              case _: NumericType => src.select(col(k).cast("double"))
-              case _ => src.select(col(k))
+          // stage 2: the global box over a bimodal source (CDC updates
+          // + far-away inserts) covers the whole table — probe the
+          // ACTUAL key values against each candidate file's interval,
+          // keeping only files that really can match. COMPOSITE keys
+          // probe per column and INTERSECT the survivor sets (a file
+          // must admit some source value on EVERY key column — a
+          // conservative superset of true tuple matches, like Delta's
+          // per-column stats), narrowing sequentially so a column that
+          // empties the candidate set short-circuits the rest
+          val probes = keys.flatMap { k =>
+            tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
+              case _: NumericType => Some((phys(k), src.select(col(k).cast("double"))))
+              case StringType => Some((phys(k), src.select(col(k))))
+              case _ => None // unprunable type: no footer stats to probe
             }
-            SkippingIndex.probeSurvivors(spark, m, stage1, phys(k), pts).toSet
-          } else stage1.toSet
+          }
+          probes.foldLeft(stage1) { case (cand, (pc, pts)) =>
+            if (cand.isEmpty) cand
+            else SkippingIndex.probeSurvivors(spark, m, cand, pc, pts)
+          }.toSet
         }
       // files holding possibly-matching keys are read for the MATCH; they
       // are REWRITTEN only when a matched clause can change them — an
@@ -1640,8 +1814,11 @@ object VersionedTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema)
         else {
           val rd = spark.read.option("basePath", s"$root/data")
-          toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+          val slice = toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
             .parquet(matchFiles.map(f => s"$root/$f"): _*), base)
+          // under evolveSchema the slice predates the new columns:
+          // null-fill them so matched/kept rows carry the evolved shape
+          if (evolveSchema) align(slice, tgtSchema) else slice
         }
       // SQL MERGE multiple-matches rule: a duplicated source key that
       // matches any target row is refused whole (one bounded probe) —
@@ -1691,11 +1868,21 @@ object VersionedTable {
         }
       val tag = java.util.UUID.randomUUID().toString.take(12)
       val fresh = writeData(toPhysical(outRows, base, root), root, tag, pcols)
-      out = commitRewrite(root, baseData, carry, fresh, meta, txn) match {
+      // new columns this merge adds (logical = physical for new names);
+      // the commit re-stamps the head schema evolved by exactly these
+      val schemaAdd =
+        if (!evolveSchema) None
+        else {
+          val added = tgtSchema.fields.filterNot(f => tgtSchema0.fieldNames.contains(f.name))
+          if (added.isEmpty) None
+          else Some(org.apache.spark.sql.types.StructType(added))
+        }
+      out = commitRewrite(root, baseData, carry, fresh, meta, txn, schemaAdd) match {
         case Committed(v) => Some((v, touch.size, carry.size))
         case SkippedEpoch => Some((-1L, 0, carry.size)) // racing duplicate epoch
         case StaleBase => None // restart from the new snapshot
       }
+      } finally { src.unpersist(); () }
     }
     out.get
   }
@@ -1889,10 +2076,9 @@ object VersionedTable {
     val rows = (live ++ retired).sortBy(_._1).map { case (v, name, isRetired) =>
       val lines = readList(commitsDir(root).resolve(name))
       val data = lines.filterNot(isHeader)
-      val bytes = data.map { f =>
-        val p = Paths.get(root, f)
-        if (Files.exists(p)) Files.size(p) else 0L
-      }.sum
+      // size from the list's own annotations — zero filesystem stats
+      // for annotated snapshots, one stat per legacy bare line
+      val bytes = statsOfLines(root, data).values.map(_._1).sum
       val writers = lines.flatMap(parseTxn).map(_._1).distinct.sorted
       // parse the meta header from the lines already in hand (one list
       // read per version, not two)
@@ -2128,19 +2314,19 @@ object VersionedTable {
     * data file of the snapshot at `version` (default head) — relative
     * path, Hive partition values parsed from the path (MapType; empty
     * for unpartitioned tables), on-disk bytes, and last-modified millis.
-    * Driver-side O(files) stat calls; no data file is opened. */
+    * Served from the commit list's own stat annotations — zero
+    * filesystem calls per file on annotated snapshots (legacy bare
+    * lines stat once); no data file is opened. */
   def filesMeta(spark: SparkSession, root: String,
                 version: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    val stats = fileStats(root, version) // annotations: zero stats on annotated snapshots
     val rows = dataFiles(root, version).map { rel =>
-      val p = Paths.get(root, rel)
       val parts = rel.split('/').drop(1).dropRight(1).toSeq
         .filter(_.contains('='))
         .map(s => s.takeWhile(_ != '=') -> s.dropWhile(_ != '=').drop(1))
         .toMap
-      val (bytes, mtime) =
-        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        else (0L, 0L)
+      val (bytes, mtime) = stats.getOrElse(rel, (0L, 0L))
       (rel, parts, bytes, mtime)
     }
     rows.toDF("file", "partition", "n_bytes", "modified_ms")
@@ -2255,6 +2441,37 @@ object VersionedTable {
       .filter(oldEnough)
     doomed.foreach(n => Files.deleteIfExists(d.resolve(n)))
     doomed.map(n => s"data/$n")
+  }
+
+  /** COMMIT-LOG GC — [[vacuum]]'s opt-in sibling for the METADATA side
+    * (Delta's log-retention cleanup): `v<N>.retired` tombstones and
+    * their bytes otherwise accumulate forever under `_commits/`, one
+    * per version a keep-N vacuum ever retired. This deletes tombstones
+    * older than `minAgeMs` whose version precedes every readable
+    * version (always true for tombstones — retirement is prefix-only —
+    * but checked, so a tombstone a racing restore just re-published
+    * never GCs). AFTER GC the horizon moves honestly: the GC'd
+    * versions vanish from [[history]] and [[retiredVersions]], and a
+    * time travel to one reports an UNKNOWN version rather than
+    * "retired by vacuum" — the table no longer remembers that far
+    * back, and says so. The retention window serves the same role as
+    * [[vacuum]]'s: a reader that just resolved a retired version's
+    * fail-fast path must not have the tombstone deleted under it.
+    * Returns the GC'd versions. */
+  def vacuumCommitLogs(root: String, minAgeMs: Long = DefaultRetentionMs): Seq[Long] = {
+    val d = commitsDir(root)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val floor = versions(root).headOption.getOrElse(Long.MinValue)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    retiredVersions(root)
+      .filter(_ < floor)
+      .filter { v =>
+        minAgeMs <= 0L || {
+          try Files.getLastModifiedTime(d.resolve(s"v$v.retired")).toMillis <= cutoff
+          catch { case _: java.io.IOException => false } // vanished: not ours
+        }
+      }
+      .filter(v => Files.deleteIfExists(d.resolve(s"v$v.retired")))
   }
 
   /** Default [[vacuum]] retention: 10 minutes — orders of magnitude above

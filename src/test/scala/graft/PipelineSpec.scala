@@ -153,6 +153,43 @@ class PipelineSpec extends SparkSpecBase {
       !r.isNullAt(r.fieldIndex("timestamp"))))
   }
 
+  test("commit-log GC deletes aged tombstones: the horizon moves honestly, _commits stays bounded under churn") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_loggc").toString
+    (0 until 10).foreach { i =>
+      if (i == 0)
+        VersionedTable.overwrite(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      else VersionedTable.append(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    VersionedTable.vacuum(root, keep = Some(1), minAgeMs = 0L)
+    assert(VersionedTable.retiredVersions(root) == (0L until 9L))
+    // retention window spares young tombstones (these are seconds old)
+    assert(VersionedTable.vacuumCommitLogs(root).isEmpty,
+      "tombstones inside the retention window must survive")
+    // a retired version fails fast AS retired while its tombstone lives
+    val eRet = intercept[IllegalStateException] {
+      VersionedTable.read(spark, root, Some(3L))
+    }
+    assert(eRet.getMessage.contains("retired"))
+    // age-0 GC (quiesced table): every tombstone goes
+    assert(VersionedTable.vacuumCommitLogs(root, minAgeMs = 0L) == (0L until 9L))
+    assert(VersionedTable.retiredVersions(root).isEmpty)
+    assert(VersionedTable.history(spark, root).count() == 1,
+      "history must reflect the moved horizon")
+    // ... and the same read now reports an UNKNOWN version — the table
+    // no longer remembers that far back, and says so
+    val eGone = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(3L))
+    }
+    assert(eGone.getMessage.contains("not in"))
+    // _commits/ is bounded: exactly the one live list remains
+    val left = new java.io.File(s"$root/_commits").listFiles().map(_.getName)
+    assert(left.toSeq == Seq("v9.list"), s"got ${left.mkString(", ")}")
+    // the surviving snapshot still reads
+    assert(VersionedTable.read(spark, root).count() == 10)
+  }
+
   test("deleteWhere is a bounded rewrite: non-matching files carry byte-identical, content equals the anti-filter, old snapshot travels") {
     import spark.implicits._
     import graft.sources.{SkippingIndex, VersionedTable}
@@ -1104,6 +1141,32 @@ class PipelineSpec extends SparkSpecBase {
       .filter(col("part") === "p2").count() == 100)
   }
 
+  test("update SET expressions all read the PRE-update row: SET a=b, b=a swaps") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vswap").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, i * 10L, i * 100L)).toDF("id", "a", "b"))
+    // SQL UPDATE evaluates every SET RHS against the pre-update row, so
+    // this swaps a and b on hit rows — a sequential fold would instead
+    // set a=b then b=(new a)=b, losing a
+    VersionedTable.updateWhere(spark, root, col("id") < 10L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = VersionedTable.read(spark, root).select("id", "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0 until 100).foreach { i =>
+      val want = if (i < 10) (i * 100L, i * 10L) else (i * 10L, i * 100L)
+      assert(got(i.toLong) == want, s"row $i: got ${got(i.toLong)}, want $want")
+    }
+    // and a SET referencing a column the same UPDATE also sets, mixed
+    // with arithmetic: both read the original values
+    VersionedTable.updateWhere(spark, root, col("id") === 50L,
+      Map("a" -> (col("a") + col("b")), "b" -> (col("a") - col("b"))))
+    val r50 = VersionedTable.read(spark, root).filter(col("id") === 50L)
+      .select("a", "b").collect().head
+    assert(r50.getLong(0) == 500L + 5000L && r50.getLong(1) == 500L - 5000L)
+  }
+
   test("update refuses unknown SET targets, keeps committed types, and upholds generated columns + checks") {
     import spark.implicits._
     import graft.sources.VersionedTable
@@ -1118,6 +1181,15 @@ class PipelineSpec extends SparkSpecBase {
       VersionedTable.updateWhere(spark, root, col("id") < 5L, Map("nope" -> lit(1)))
     }
     assert(eUnknown.getMessage.contains("nope"))
+    // (a') ... even when the prune box provably touches zero files: the
+    // refuse-loudly contract cannot depend on whether the box matched
+    val eUnknownBoxed = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") === -1L,
+        Map("nope" -> lit(1)),
+        Seq(graft.sources.SkippingIndex.ColRange("id", -1, -1)))
+    }
+    assert(eUnknownBoxed.getMessage.contains("nope"),
+      "a typo'd SET target must refuse even on a zero-touch box")
     // (b) SET of a generated column refused loudly
     val eGen = intercept[IllegalArgumentException] {
       VersionedTable.updateWhere(spark, root, col("id") < 5L, Map("bucket" -> lit(0L)))
@@ -1375,6 +1447,96 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).filter(col("key") === 0L)
       .select("rev", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
       Seq((7, "merged")))
+  }
+
+  test("composite-key merge prunes with per-column point probes: a bimodal 2-key batch rewrites only the files holding its keys") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.expr
+    val root = java.nio.file.Files.createTempDirectory("graft_vmrg2k").toString
+    val df = (0 until 8000).map(i => (i.toLong, (i % 4).toLong, s"v$i"))
+      .toDF("id", "bucket", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    VersionedTable.overwrite(spark, root, df)
+    // bimodal CDC batch: updates for ids 10..19 (one clustered file) +
+    // far-away inserts at 1M — the GLOBAL min/max box covers the whole
+    // table, so only the per-column point probe keeps the merge bounded
+    val srcRows = (10 until 20).map(i => (i.toLong, (i % 4).toLong, "UPD")) ++
+      (0 until 10).map(i => (1000000L + i, 0L, "NEW"))
+    val (_, rewritten, carried) = VersionedTable.mergeInto(spark, root,
+      srcRows.toDF("id", "bucket", "v"), keys = Seq("id", "bucket"),
+      updateWhen = Some(expr("true")), insertWhen = Some(expr("true")))
+    assert(rewritten == 1 && carried == 7,
+      s"the 2-key probe must keep only the file holding ids 10..19: rewritten=$rewritten carried=$carried")
+    val got = VersionedTable.read(spark, root)
+    assert(got.count() == 8010)
+    assert(got.filter(col("v") === "UPD").count() == 10)
+    assert(got.filter(col("id") >= 1000000L).count() == 10)
+    assert(got.filter(col("id") === 15L).select("v").collect().head.getString(0) == "UPD")
+  }
+
+  test("mergeInto evaluates the source plan once: the engine persists it defensively") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vmrg1x").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, s"t$i")).toDF("id", "v"))
+    val acc = spark.sparkContext.longAccumulator("src_evals")
+    val rdd = spark.sparkContext
+      .parallelize((0 until 50).map(i => org.apache.spark.sql.Row(i.toLong * 2, "s")), 2)
+      .mapPartitions { it => acc.add(1); it }
+    val src = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+    val (_, rw, _) = VersionedTable.mergeInto(spark, root, src, Seq("id"),
+      updateWhen = Some(expr("true")), insertWhen = Some(expr("true")))
+    assert(rw >= 1)
+    assert(acc.value == 2L,
+      s"each source partition must compute exactly once (stats agg + dup probe + " +
+        s"point probe + join all reuse the persisted source), got ${acc.value}")
+    assert(VersionedTable.read(spark, root).filter(col("v") === "s").count() == 50)
+  }
+
+  test("merge schema evolution: evolveSchema appends source columns, old rows serve NULL, type flips refuse") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.functions.expr
+    val root = java.nio.file.Files.createTempDirectory("graft_vmrgev").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    // default: the extra column is CONDITION-ONLY, never lands
+    VersionedTable.mergeInto(spark, root,
+      Seq((5L, "u5", "x")).toDF("id", "v", "note"), Seq("id"),
+      updateWhen = Some(expr("true")))
+    assert(!VersionedTable.read(spark, root).columns.contains("note"))
+    // evolveSchema: the column joins the target; untouched rows NULL
+    val (v1, _, _) = VersionedTable.mergeInto(spark, root,
+      Seq((7L, "u7", "n7"), (200L, "new", "n200")).toDF("id", "v", "note"),
+      Seq("id"), updateWhen = Some(expr("true")),
+      insertWhen = Some(expr("true")), evolveSchema = true)
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.contains("note"))
+    assert(got.count() == 101)
+    assert(got.filter(col("id") === 7L).select("v", "note").collect().head
+      .toSeq == Seq("u7", "n7"))
+    assert(got.filter(col("id") === 200L).select("note").collect().head.getString(0) == "n200")
+    assert(got.filter(col("note").isNull).count() == 99,
+      "pre-merge rows (and the condition-only-updated id 5) must serve NULL")
+    // the schema header is stamped: a later plain append keeps the column
+    VersionedTable.append(spark, root, Seq((300L, "a")).toDF("id", "v"))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 300L)
+      .select("note").collect().head.isNullAt(0))
+    // time travel: the pre-evolution version has no `note`
+    assert(!VersionedTable.read(spark, root, Some(v1 - 1)).columns.contains("note"))
+    // a type flip on an existing column refuses loudly even with evolveSchema
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root,
+        Seq((1L, 99L, "z")).toDF("id", "v", "note"), Seq("id"),
+        updateWhen = Some(expr("true")), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("`v`") || e.getMessage.contains("column `v`"),
+      s"got: ${e.getMessage}")
   }
 
   test("key-list delete: point probe beats the box on scattered lists, NULL keys kept, empty list no-op") {
@@ -1793,6 +1955,65 @@ class PipelineSpec extends SparkSpecBase {
     // and under the DEFAULT retention the dry run reports zero deletions
     val (_, spared) = VersionedTable.vacuumDryRun(root)
     assert(spared.isEmpty)
+  }
+
+  test("commit lists stamp per-file stats: metadata ops are stat-free, legacy bare lists upgrade on carry") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import java.nio.file.{Files, Paths}
+    val root = java.nio.file.Files.createTempDirectory("graft_annot").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4))
+    // (a) the commit list carries `\t<bytes>\t<mtimeMs>` on every data line
+    val raw0 = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", "v0.list")), "UTF-8").split("\n").toSeq
+    val dataLines = raw0.filterNot(_.startsWith("#"))
+    assert(dataLines.nonEmpty && dataLines.forall(_.split('\t').length >= 3),
+      s"every data line must be annotated, got:\n${dataLines.mkString("\n")}")
+    dataLines.foreach { l =>
+      val p = l.split('\t')
+      assert(p(1).toLong == Files.size(Paths.get(root, p(0))),
+        s"stamped bytes must match the file: $l")
+    }
+    val wantBytes = dataLines.map(_.split('\t')(1).toLong).sum
+    // (b) history/filesMeta serve from the annotations — prove it by
+    // hiding the data directory: the numbers must still be right
+    Files.move(Paths.get(root, "data"), Paths.get(root, "data_hidden"))
+    try {
+      val h = VersionedTable.history(spark, root)
+        .select("version", "n_bytes", "n_files").collect()
+      assert(h.length == 1 && h(0).getLong(1) == wantBytes && h(0).getInt(2) == dataLines.size,
+        "history must read sizes from the commit list, not the filesystem")
+      val fm = VersionedTable.filesMeta(spark, root)
+        .agg(org.apache.spark.sql.functions.sum("n_bytes")).collect()(0).getLong(0)
+      assert(fm == wantBytes, "filesMeta must read sizes from the commit list")
+    } finally Files.move(Paths.get(root, "data_hidden"), Paths.get(root, "data"))
+    // (c) LEGACY compatibility: strip v0's annotations in place — reads,
+    // history (stat fallback) and DML all still work on bare lines
+    Files.write(Paths.get(root, "_commits", "v0.list"),
+      raw0.map(_.split('\t')(0)).mkString("\n").getBytes("UTF-8"))
+    assert(VersionedTable.read(spark, root).count() == 1000)
+    assert(VersionedTable.history(spark, root).select("n_bytes")
+      .collect()(0).getLong(0) == wantBytes, "legacy bare lines fall back to one stat each")
+    // (d) the first commit that carries the legacy lines forward UPGRADES
+    // them: the new head list is fully annotated again
+    VersionedTable.append(spark, root, Seq((5000L, "x")).toDF("id", "v"))
+    val raw1 = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", "v1.list")), "UTF-8").split("\n").toSeq
+    val data1 = raw1.filterNot(_.startsWith("#"))
+    assert(data1.size == dataLines.size + 1 && data1.forall(_.split('\t').length >= 3),
+      "carried legacy lines must upgrade to annotated form on the next commit")
+    // (e) steady state: a further commit reuses the previous snapshot's
+    // annotations verbatim for carried files (no re-stat drift)
+    VersionedTable.append(spark, root, Seq((5001L, "y")).toDF("id", "v"))
+    val raw2 = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", "v2.list")), "UTF-8").split("\n")
+      .filterNot(_.startsWith("#")).toSet
+    assert(data1.toSet.subsetOf(raw2), "carried annotations must be stable across commits")
+    // (f) bounded maintenance reads sizes from the list too
+    val (_, rw, _) = VersionedTable.compactSmall(spark, root, minBytes = 1024L * 1024)
+    assert(rw >= 1, "the small-file trail must compact")
+    assert(VersionedTable.read(spark, root).count() == 1002)
   }
 
   test("warehouse constraints guard the medallion write paths: a violating merge batch never lands") {
