@@ -758,11 +758,16 @@ object Streams {
   def changeFeedStream(spark: SparkSession, srcRoot: String, targetRoot: String,
                        keys: Seq[String], versionCols: Seq[Column],
                        writerId: String, checkpoint: Option[String] = None,
-                       maxVersionsPerTrigger: Option[Long] = None): Unit = {
+                       maxVersionsPerTrigger: Option[Long] = None,
+                       startingVersion: Option[Long] = None): Unit = {
     import graft.sources.VersionedTable
-    val reader = spark.readStream.format("versioned-feed").option("path", srcRoot)
-    val in = maxVersionsPerTrigger
-      .fold(reader)(m => reader.option("maxVersionsPerTrigger", m.toString)).load()
+    val reader0 = spark.readStream.format("versioned-feed").option("path", srcRoot)
+    val reader1 = maxVersionsPerTrigger
+      .fold(reader0)(m => reader0.option("maxVersionsPerTrigger", m.toString))
+    // startingVersion skips the initial snapshot — the caller owns
+    // pre-seeding the target with the state as of startingVersion - 1
+    val in = startingVersion
+      .fold(reader1)(v => reader1.option("startingVersion", v.toString)).load()
     val writer = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       // a catch-up batch may span several source commits: fold them in
       // commit order. The collect is bounded by versions-per-batch
@@ -788,6 +793,37 @@ object Streams {
     val q = checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Drain a `versioned-feed` stream into a parquet directory and read
+    * the result back — the RAW CDF surface (`_change_type` +
+    * `_commit_version` per row) through the real streaming engine, for
+    * gates and consumers that want the changes themselves rather than a
+    * folded state. `startingVersion` / `startingTimestamp` (epoch
+    * millis) pin where a FRESH stream starts (skipping the initial
+    * snapshot — the "tail the table from now" shape); both follow the
+    * source's rules ([[VersionedFeedSourceProvider]]): mutually
+    * exclusive, too-old versions fail loudly at start. */
+  def feedDump(spark: SparkSession, srcRoot: String, outDir: String,
+               startingVersion: Option[Long] = None,
+               startingTimestamp: Option[Long] = None,
+               maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    var reader = spark.readStream.format("versioned-feed").option("path", srcRoot)
+    startingVersion.foreach(v => reader = reader.option("startingVersion", v.toString))
+    startingTimestamp.foreach(t => reader = reader.option("startingTimestamp", t.toString))
+    maxVersionsPerTrigger.foreach(m => reader = reader.option("maxVersionsPerTrigger", m.toString))
+    val loaded = reader.load()
+    val q = loaded.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+      ()
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(outDir)))
+      spark.read.parquet(outDir)
+    else // every batch was empty: the feed had nothing at/after the pin
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], loaded.schema)
   }
 
   /** STREAMING CHANGE-FEED CONSUMER — the engine consuming its OWN CDC

@@ -41,6 +41,23 @@ import graft.sources.VersionedTable
   *   - `maxVersionsPerTrigger` (option) rate-limits a catch-up: a
   *     consumer resuming after N commits folds them in bounded batches
   *     instead of one giant union.
+  *   - `startingVersion` / `startingTimestamp` (options, mutually
+  *     exclusive — the Delta CDF start surface): a FRESH stream skips
+  *     the initial snapshot and serves changes from the given commit
+  *     (inclusive) onward — the "tail the table from now" consumer
+  *     stops paying a full-table first batch. `startingTimestamp`
+  *     (epoch millis or `yyyy-mm-dd hh:mm:ss[.f...]`) resolves to the
+  *     FIRST commit stamped at-or-after it (the dual of
+  *     [[graft.sources.VersionedTable.timestampAsOf]], which resolves
+  *     states, not changes; legacy pre-meta commits count as ts 0); a
+  *     timestamp past the head starts after the current head. A
+  *     `startingVersion` whose predecessor was retired by vacuum fails
+  *     LOUDLY at stream start (its diff is gone — Delta's rule), except
+  *     version 0, whose "changes" are its full content as inserts. A
+  *     version past the head is allowed and serves nothing until that
+  *     commit lands. Both options are ignored on RESTART from a
+  *     checkpoint (the WAL's offsets win), exactly as Delta ignores
+  *     them once a stream has state.
   *
   * Schema is pinned at stream start (the committed schema of the head).
   * A slice carrying a column the pinned schema lacks — the table evolved
@@ -74,9 +91,25 @@ class VersionedFeedSourceProvider extends StreamSourceProvider with DataSourceRe
     val root = rootOf(parameters)
     val table = schema.orElse(VersionedTable.logicalSchema(root)).getOrElse(
       VersionedTable.read(sqlContext.sparkSession, root).schema)
+    val sv = parameters.get("startingVersion").map(_.toLong)
+    val st = parameters.get("startingTimestamp").map(parseTimestampMs)
+    require(sv.isEmpty || st.isEmpty,
+      "versioned-feed: set at most one of startingVersion / startingTimestamp")
+    sv.foreach(s => require(s >= 0L, s"startingVersion must be >= 0, got $s"))
+    // a timestamp resolves to the FIRST commit stamped at-or-after it —
+    // "changes committed at or after T" (Delta CDF's inclusive rule);
+    // past-the-head timestamps tail from the next commit
+    val starting = sv.orElse(st.map { t =>
+      val vs = VersionedTable.versions(root)
+      vs.find(v => VersionedTable.commitMeta(root, v).map(_._1).getOrElse(0L) >= t)
+        .getOrElse(vs.lastOption.map(_ + 1L).getOrElse(0L))
+    })
     new VersionedFeedSource(sqlContext, root, table,
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong), starting)
   }
+
+  private def parseTimestampMs(s: String): Long =
+    s.trim.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s.trim).getTime)
 }
 
 object VersionedFeedSource {
@@ -92,12 +125,27 @@ object VersionedFeedSource {
 
 class VersionedFeedSource(sqlContext: SQLContext, root: String,
                           table: StructType,
-                          maxVersionsPerTrigger: Option[Long]) extends Source {
+                          maxVersionsPerTrigger: Option[Long],
+                          startingVersion: Option[Long] = None) extends Source {
   import VersionedFeedSource._
 
   private val spark = sqlContext.sparkSession
 
   override val schema: StructType = feedSchema(table)
+
+  // startingVersion validates EAGERLY: if it points at or before the
+  // head, its predecessor's snapshot must still be readable (version 0
+  // excepted — its changes ARE its content), else the requested diffs
+  // are gone and the stream must fail at start, not mid-flight
+  startingVersion.foreach { s =>
+    val vs = VersionedTable.versions(root)
+    if (vs.nonEmpty && s <= vs.last && !(s == 0L && vs.head == 0L) && !vs.contains(s - 1))
+      throw new IllegalStateException(
+        s"versioned-feed at $root: startingVersion $s needs version ${s - 1} " +
+          s"readable for changeFeed(${s - 1}, $s) but the earliest readable " +
+          s"version is ${vs.head} — it was retired by vacuum(keep); increase " +
+          "retention or start a fresh snapshot stream instead")
+  }
 
   /** Highest offset handed out so far — only used to pace
     * `maxVersionsPerTrigger`; correctness state lives in the query's own
@@ -114,9 +162,11 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     if (vs.isEmpty) None
     else {
       val head = vs.last
+      val floor = math.max(vs.head - 1,
+        startingVersion.getOrElse(Long.MinValue + 1) - 1)
       val capped = maxVersionsPerTrigger match {
         case Some(m) =>
-          val from = lastOffered.getOrElse(vs.head - 1)
+          val from = lastOffered.getOrElse(floor)
           math.min(head, from + m)
         case None => head
       }
@@ -153,13 +203,22 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     val startV = start.map(ver)
     lastOffered = Some(math.max(endV, lastOffered.getOrElse(Long.MinValue)))
     val readable = VersionedTable.versions(root)
-    val inRange = readable.filter(v => startV.forall(v > _) && v <= endV)
+    // a checkpointed start offset WINS over startingVersion (Delta's
+    // rule: start options only position a FRESH stream); on the first
+    // batch of a pinned stream the floor is startingVersion - 1
+    val floor: Option[Long] = startV.orElse(startingVersion.map(_ - 1L))
+    val inRange = readable.filter(v => floor.forall(v > _) && v <= endV)
     val slices = inRange.map { v =>
       val slice =
         if (readable.contains(v - 1))
           VersionedTable.changeFeed(spark, root, v - 1, v)
-        else if (startV.isEmpty && v == readable.min)
-          // fresh stream's initial snapshot: everything is an insert
+        else if (floor.isEmpty && v == readable.min)
+          // fresh unpinned stream's initial snapshot: all inserts
+          VersionedTable.read(spark, root, Some(v))
+            .withColumn(ChangeType, lit("insert"))
+        else if (v == 0L)
+          // the changes OF commit 0 are its full content as inserts —
+          // startingVersion = 0 replays the table's history exactly
           VersionedTable.read(spark, root, Some(v))
             .withColumn(ChangeType, lit("insert"))
         else

@@ -602,6 +602,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.get("k4").contains((40L, "d")), "fresh insert must land")
   }
 
+  test("feed source starting pins: version 0 replays history, timestamps resolve to the first commit at-or-after, future pins serve nothing") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    val base = java.nio.file.Files.createTempDirectory("graft_feedpin").toString
+    val src = s"$base/src"
+    VersionedTable.withClock(() => 1000L) {
+      VersionedTable.overwrite(spark, src,
+        (0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    }
+    VersionedTable.withClock(() => 2000L) {
+      VersionedTable.append(spark, src,
+        (10 until 20).map(i => (i.toLong, s"b$i")).toDF("id", "v"))
+    }
+    VersionedTable.withClock(() => 3000L) {
+      VersionedTable.deleteWhere(spark, src, Seq(SkippingIndex.ColRange("id", 0, 4)))
+    }
+    // startingVersion = 0 replays the whole history (commit 0's changes
+    // ARE its content as inserts) — identical to the unpinned stream
+    val f0 = Streams.feedDump(spark, src, s"$base/f0", startingVersion = Some(0L))
+    val fAll = Streams.feedDump(spark, src, s"$base/fa")
+    assert(f0.count() == 25, s"10 + 10 inserts + 5 deletes, got ${f0.count()}")
+    assert(f0.exceptAll(fAll).isEmpty && fAll.exceptAll(f0).isEmpty,
+      "startingVersion=0 must equal the unpinned stream's full feed")
+    // startingTimestamp resolves INCLUSIVELY to the first commit stamped
+    // at-or-after it: 2000 → v1 (skipping v0), 2500 → v2
+    val ft = Streams.feedDump(spark, src, s"$base/ft", startingTimestamp = Some(2000L))
+    assert(ft.count() == 15 &&
+      ft.select("_commit_version").distinct().collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val ft2 = Streams.feedDump(spark, src, s"$base/ft2", startingTimestamp = Some(2500L))
+    assert(ft2.count() == 5 &&
+      ft2.select("_change_type").distinct().collect().map(_.getString(0)).toSet == Set("delete"))
+    // a pin past the head serves nothing (tail-from-the-future)
+    assert(Streams.feedDump(spark, src, s"$base/ff", startingVersion = Some(99L)).count() == 0)
+    // the two pin options are mutually exclusive
+    val e = intercept[Exception] {
+      Streams.feedDump(spark, src, s"$base/fx",
+        startingVersion = Some(1L), startingTimestamp = Some(2000L))
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("at most one")), s"got: ${chain(e).mkString(" | ")}")
+  }
+
   test("change-feed consumer: stream fold == batch changeFeed fold == direct state; replay no-ops") {
     import graft.sources.{SkippingIndex, VersionedTable}
     val base = java.nio.file.Files.createTempDirectory("graft_cfc").toString
