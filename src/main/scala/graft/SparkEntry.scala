@@ -688,6 +688,70 @@ object SparkEntry {
       VersionedTable.readWithProvenance(s, root)
     }),
 
+    // MERGE SCHEMA EVOLUTION (Delta autoMerge): the CDC source carries a
+    // column the target lacks — with evolveSchema the column JOINS the
+    // target schema (the commit re-stamps it), matched rows take it from
+    // the source, inserts land with it, and every pre-merge row serves
+    // NULL; a later plain append keeps the evolved schema
+    "s42_merge_evolve" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s42_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.overwrite(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val source =
+        orders.filter(col("o_orderkey") < 500L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .withColumn("note", lit("upd"))
+        .unionByName(
+          orders.filter(col("o_orderkey") < 100L)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+            .withColumn("note", lit("ins")))
+      val (_, rewritten, carried) = VersionedTable.mergeInto(s, root, source,
+        Seq("o_orderkey"),
+        updateWhen = Some(expr("s.o_totalprice > t.o_totalprice")),
+        insertWhen = Some(lit(true)), evolveSchema = true)
+      VersionedTable.read(s, root)
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+    }),
+
+    // COMPOSITE-KEY MERGE pruning: a 2-key CDC batch (the reference's
+    // multi-column fact merge keys) with a BIMODAL key spread — clustered
+    // updates + far-away inserts whose global box covers the whole
+    // table. The per-column point probes intersect, so only the files
+    // really holding the update keys rewrite (`bounded` rides the hash)
+    "s43_merge_composite" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s43_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.overwrite(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val source =
+        orders.filter(col("o_orderkey") >= 1000L && col("o_orderkey") < 2000L)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .unionByName(
+          orders.filter(col("o_orderkey") < 100L)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+            .withColumn("o_orderstatus", lit("NEW")))
+      val (_, rewritten, carried) = VersionedTable.mergeInto(s, root, source,
+        Seq("o_orderkey", "o_custkey"),
+        updateWhen = Some(expr("s.o_totalprice > t.o_totalprice")),
+        insertWhen = Some(lit(true)))
+      VersionedTable.read(s, root)
+        .withColumn("bounded", lit(carried > 0 && rewritten < carried))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -1305,6 +1369,47 @@ object SparkEntry {
         .withColumn("replay_noop",
           lit(VersionedTable.versions(tgt).size == nAfter))
         .orderBy("event_id")
+    }),
+
+    // the Delta CDF start surface on the feed source: a stream pinned
+    // to startingVersion=1 SKIPS the initial snapshot and serves
+    // exactly the later commits' diffs (insert slice of the append,
+    // delete slice of the bounded delete) — the "tail the table from
+    // now" consumer never pays a full-table first batch. The refusal
+    // twin rides the hash: after a keep-1 vacuum the same pin fails
+    // loudly at stream START (its diff is gone), not mid-flight
+    "st13_feed_starting_version" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val src = s"${sys.props("java.io.tmpdir")}/graft_st13src_${math.abs(d.hashCode)}"
+      val out = s"${sys.props("java.io.tmpdir")}/graft_st13out_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(src)); rm(new java.io.File(out)); rm(new java.io.File(out + "_x"))
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, src, ev.filter(col("event_id") < 600)
+        .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      VersionedTable.append(s, src, ev.filter(col("event_id") >= 600))
+      VersionedTable.deleteWhere(s, src,
+        Seq(SkippingIndex.ColRange("event_id", 100, 299)))
+      val feed = graft.streaming.Streams.feedDump(s, src, out,
+        startingVersion = Some(1L), maxVersionsPerTrigger = Some(1L))
+      val tooOldRefused = {
+        VersionedTable.vacuum(src, keep = Some(1), minAgeMs = 0L)
+        def mentionsPin(e: Throwable): Boolean =
+          e != null && (Option(e.getMessage).exists(_.contains("startingVersion")) ||
+            mentionsPin(e.getCause))
+        try {
+          graft.streaming.Streams.feedDump(s, src, out + "_x",
+            startingVersion = Some(1L))
+          false
+        } catch { case e: Throwable => mentionsPin(e) }
+      }
+      feed.select(col("event_id"),
+          col(graft.streaming.VersionedFeedSource.ChangeType).as("change_type"),
+          col(graft.streaming.VersionedFeedSource.CommitVersion).as("commit_version"))
+        .withColumn("too_old_refused", lit(tooOldRefused))
+        .orderBy("event_id", "change_type")
     }),
 
     // approximate distinct (HLL++) — scale substitute for exact COUNT
@@ -2348,6 +2453,44 @@ object SparkEntry {
         |SELECT s.k, s.st, s.p, TRUE FROM src s
         |LEFT JOIN t ON t.o_orderkey = s.k WHERE t.o_orderkey IS NULL""".stripMargin,
 
+    // schema evolution: matched rows (< 500) take the source whole —
+    // note included; unmatched pre-merge rows serve NULL for the new
+    // column; the far inserts land with it
+    "s42_merge_evolve" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey < 500 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey < 500 THEN 'upd' ELSE NULL END AS note,
+        |  TRUE AS bounded
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice,
+        |  'ins', TRUE
+        |FROM orders WHERE o_orderkey < 100""".stripMargin,
+
+    // composite-key merge = the s37 shape on a 2-column key
+    "s43_merge_composite" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |           FROM orders),
+        |src AS (
+        |  SELECT o_orderkey AS k1, o_custkey AS k2, o_orderstatus AS st,
+        |    o_totalprice + 1000 AS p
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, 'NEW', o_totalprice
+        |  FROM orders WHERE o_orderkey < 100)
+        |SELECT t.o_orderkey, t.o_custkey,
+        |  CASE WHEN s.k1 IS NOT NULL AND s.p > t.o_totalprice
+        |       THEN s.st ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN s.k1 IS NOT NULL AND s.p > t.o_totalprice
+        |       THEN s.p ELSE t.o_totalprice END AS o_totalprice,
+        |  TRUE AS bounded
+        |FROM t LEFT JOIN src s ON t.o_orderkey = s.k1 AND t.o_custkey = s.k2
+        |UNION ALL
+        |SELECT s.k1, s.k2, s.st, s.p, TRUE FROM src s
+        |LEFT JOIN t ON t.o_orderkey = s.k1 AND t.o_custkey = s.k2
+        |WHERE t.o_orderkey IS NULL""".stripMargin,
+
     // NOT EXISTS against the same derived key list (anti-join
     // semantics, deliberately not SQL NOT IN's null trap)
     "s38_delete_key_list" ->
@@ -3130,6 +3273,20 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS n_folded, TRUE AS replay_noop
         |FROM events WHERE event_id NOT BETWEEN 100 AND 299
         |ORDER BY event_id""".stripMargin,
+
+    // a stream pinned to startingVersion=1 serves NO initial snapshot:
+    // exactly the append's rows as inserts (commit 1) and the bounded
+    // delete's rows as deletes (commit 2); a pin behind the vacuum
+    // horizon refuses at start
+    "st13_feed_starting_version" ->
+      """SELECT event_id, 'insert' AS change_type,
+        |  CAST(1 AS BIGINT) AS commit_version, TRUE AS too_old_refused
+        |FROM events WHERE event_id >= 600
+        |UNION ALL
+        |SELECT event_id, 'delete' AS change_type,
+        |  CAST(2 AS BIGINT) AS commit_version, TRUE AS too_old_refused
+        |FROM events WHERE event_id BETWEEN 100 AND 299
+        |ORDER BY event_id, change_type""".stripMargin,
 
     "j10_asof_purchase" ->
       """WITH decoded AS (
