@@ -839,7 +839,20 @@ final case class Warehouse(spark: SparkSession, root: String,
   private def ensureManifest(name: String): Unit = {
     import graft.sources.SkippingIndex
     val mPath = path(name + "__manifest")
-    if (new java.io.File(mPath).exists())
+    // the versioned commit list usually carries write-time column stats
+    // for every file — the manifest then refreshes from ONE list read,
+    // no footer pass at all (round 12); mixed/legacy snapshots keep the
+    // footer path
+    val fromList =
+      if (VersionedTable.isVersioned(path(name)))
+        VersionedTable.statsManifest(path(name))
+      else None
+    if (fromList.isDefined &&
+        (new java.io.File(mPath).exists() ||
+         (!name.endsWith("_execution_log") && !name.endsWith("_control") &&
+          !name.endsWith("__staging"))))
+      SkippingIndex.writeManifest(spark, fromList.get, mPath)
+    else if (new java.io.File(mPath).exists())
       SkippingIndex.writeManifest(spark,
         SkippingIndex.refreshManifestFor(spark, snapshotFiles(name),
           SkippingIndex.readManifest(spark, mPath)), mPath)

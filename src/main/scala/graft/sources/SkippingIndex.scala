@@ -166,12 +166,24 @@ object SkippingIndex {
                                files: Seq[(String, String)],
                                cols: Seq[String]): DataFrame = {
     import spark.implicits._
-    val want = cols.toSet
     val slices = math.max(1, math.min(files.size, 64))
     spark.sparkContext.parallelize(files, slices).flatMap { case (abs, rel) =>
-      val conf = new Configuration()
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
-      try {
+      statsOfFile(abs, rel, cols)
+    }.toDF()
+  }
+
+  /** Stats of ONE file — the shared extraction both the distributed
+    * manifest build and [[graft.sources.VersionedTable]]'s write-time
+    * commit-list stamping use (driver-side there: a write's new files
+    * are few, and a footer read is ~ms, cheaper than a job). The Hadoop
+    * `Configuration` is constructed here because it is not
+    * serializable. */
+  private[sources] def statsOfFile(abs: String, rel: String,
+                                   cols: Seq[String]): Seq[FileColStats] = {
+    val want = cols.toSet
+    val conf = new Configuration()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(abs), conf))
+    try {
         val blocks = reader.getFooter.getBlocks
         val rows = { var r = 0L; blocks.forEach(b => r += b.getRowCount); r }
         // per-block bounds first; the FILE bound combines them afterwards
@@ -230,8 +242,7 @@ object SkippingIndex {
               FileColStats(rel, cn, mn, mx, ms, xs, nu, rows)
           }
         }
-      } finally reader.close()
-    }.toDF()
+    } finally reader.close()
   }
 
   private def num(v: Any): Option[Double] = v match {

@@ -153,6 +153,59 @@ class PipelineSpec extends SparkSpecBase {
       !r.isNullAt(r.fieldIndex("timestamp"))))
   }
 
+  test("manifest-free pruning: DML prune decisions come from commit-list stats alone — zero file I/O") {
+    import spark.implicits._
+    import graft.sources.{SkippingIndex, VersionedTable}
+    import java.nio.file.{Files, Paths}
+    val root = java.nio.file.Files.createTempDirectory("graft_liststats").toString
+    VersionedTable.overwrite(spark, root,
+      (0 until 8000).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "grp")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    // (a) the commit list carries column stats on every data line
+    val raw = new String(Files.readAllBytes(Paths.get(root, "_commits", "v0.list")), "UTF-8")
+      .split("\n").filterNot(_.startsWith("#")).toSeq
+    assert(raw.forall(_.contains("\trows=")), s"stats missing:\n${raw.head}")
+    assert(raw.forall(l => l.contains("id;n;") && l.contains("v;s;")),
+      "numeric and string column stats must both be stamped")
+    // (b) THE PROOF: hide the data directory — prune decisions that read
+    // footers or stat files would die; list-served ones keep working
+    Files.move(Paths.get(root, "data"), Paths.get(root, "data_hidden"))
+    try {
+      // a provably-no-match DELETE box: prune says zero files touch → no-op
+      val (_, rw, carried) = VersionedTable.deleteWhere(spark, root,
+        Seq(SkippingIndex.ColRange("id", -100, -1)))
+      assert(rw == 0 && carried == 8, "no-match box must prune everything from the list alone")
+      // same for UPDATE
+      val (_, rwU, _) = VersionedTable.updateWhere(spark, root,
+        col("id") === -5L, Map("v" -> org.apache.spark.sql.functions.lit("X")),
+        Seq(SkippingIndex.ColRange("id", -5, -5)))
+      assert(rwU == 0)
+      // and the string column prunes too (bounds are 16-char-truncated)
+      val (_, rwS, _) = VersionedTable.deleteWhere(spark, root,
+        Nil, Seq(SkippingIndex.StrRange("v", "zzz", "zzzz")))
+      assert(rwS == 0, "string stats must prune from the list alone")
+    } finally Files.move(Paths.get(root, "data_hidden"), Paths.get(root, "data"))
+    // (c) the same stats drive a REAL bounded delete correctly
+    val (_, rw2, c2) = VersionedTable.deleteWhere(spark, root,
+      Seq(SkippingIndex.ColRange("id", 1000, 1999)))
+    assert(rw2 >= 1 && c2 >= 5, s"bounded: rw=$rw2 carried=$c2")
+    assert(VersionedTable.read(spark, root).count() == 7000)
+    // (d) carried files keep their stats verbatim across the rewrite
+    // commit, so the NEXT prune is still list-served
+    val raw1 = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", "v1.list")), "UTF-8")
+      .split("\n").filterNot(_.startsWith("#")).toSeq
+    assert(raw1.forall(_.contains("\trows=")),
+      "every line of the rewrite commit (carried + fresh) must keep stats")
+    // (e) a bimodal merge probe stays bounded, driven by list stats
+    val src = (Seq((1500L, "UPD", 0)) ++ (0 until 5).map(i => (900000L + i, "NEW", 1)))
+      .toDF("id", "v", "grp")
+    val (_, rwM, cM) = VersionedTable.mergeInto(spark, root, src, Seq("id"),
+      updateWhen = Some(org.apache.spark.sql.functions.expr("true")),
+      insertWhen = Some(org.apache.spark.sql.functions.expr("true")))
+    assert(rwM <= 1 && cM >= 6, s"probe must bound the merge: rw=$rwM carried=$cM")
+  }
+
   test("commit-log GC deletes aged tombstones: the horizon moves honestly, _commits stays bounded under churn") {
     import spark.implicits._
     import graft.sources.VersionedTable
