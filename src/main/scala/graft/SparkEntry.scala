@@ -752,6 +752,34 @@ object SparkEntry {
         .withColumn("bounded", lit(carried > 0 && rewritten < carried))
     }),
 
+    // the FULL Delta CDF vocabulary: an in-place UPDATE surfaces in the
+    // keyed feed as update_preimage + update_postimage (paired on the
+    // business key), appends as insert, bounded deletes as delete — one
+    // feed across the whole 4-commit history, scanning only the diffs
+    "s44_change_feed_keyed" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s44_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.overwrite(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      VersionedTable.updateWhere(s, root,
+        col("o_orderkey") >= 1000L && col("o_orderkey") < 2000L,
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))),
+        Seq(SkippingIndex.ColRange("o_orderkey", 1000, 1999)))
+      VersionedTable.append(s, root,
+        orders.filter(col("o_orderkey") < 100L)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L)))
+      VersionedTable.deleteWhere(s, root,
+        Seq(SkippingIndex.ColRange("o_orderkey", 3000, 3500)))
+      VersionedTable.changeFeedKeyed(s, root, 0L, 3L, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2490,6 +2518,24 @@ object SparkEntry {
         |SELECT s.k1, s.k2, s.st, s.p, TRUE FROM src s
         |LEFT JOIN t ON t.o_orderkey = s.k1 AND t.o_custkey = s.k2
         |WHERE t.o_orderkey IS NULL""".stripMargin,
+
+    // 4-type CDF: updated keys pair as pre/postimage, appends insert,
+    // bounded deletes delete — carried-identical rows never appear
+    "s44_change_feed_keyed" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  'update_preimage' AS _change_type
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice + 1000,
+        |  'update_postimage'
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_orderstatus, o_totalprice, 'insert'
+        |FROM orders WHERE o_orderkey < 100
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+        |FROM orders WHERE o_orderkey BETWEEN 3000 AND 3500
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     // NOT EXISTS against the same derived key list (anti-join
     // semantics, deliberately not SQL NOT IN's null trap)
