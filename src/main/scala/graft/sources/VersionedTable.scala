@@ -1791,9 +1791,11 @@ object VersionedTable {
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 insertWhen: Option[org.apache.spark.sql.Column] = None,
                 cached: Option[SkippingIndex.Manifest] = None,
-                evolveSchema: Boolean = false): (Long, Int, Int) =
+                evolveSchema: Boolean = false,
+                evolveExcept: Seq[String] = Nil): (Long, Int, Int) =
     mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
-      cached, txn = None, evolveSchema = evolveSchema)
+      cached, txn = None, evolveSchema = evolveSchema,
+      evolveExcept = evolveExcept)
 
   /** EPOCH-GATED [[mergeInto]] — the exactly-once streaming-CDC merge:
     * a delivery with `epoch <= committed max(writerId)` is a NO-OP
@@ -1810,7 +1812,8 @@ object VersionedTable {
                           insertWhen: Option[org.apache.spark.sql.Column],
                           writerId: String, epoch: Long,
                           cached: Option[SkippingIndex.Manifest] = None,
-                          evolveSchema: Boolean = false): (Long, Int, Int) = {
+                          evolveSchema: Boolean = false,
+                          evolveExcept: Seq[String] = Nil): (Long, Int, Int) = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
     require(writerId != "__sync",
@@ -1818,7 +1821,8 @@ object VersionedTable {
     if (committedEpochs(root).get(writerId).exists(epoch <= _))
       (-1L, 0, dataFiles(root).size) // redelivery: no data written
     else mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
-      cached, txn = Some((writerId, epoch)), evolveSchema = evolveSchema)
+      cached, txn = Some((writerId, epoch)), evolveSchema = evolveSchema,
+      evolveExcept = evolveExcept)
   }
 
   private def mergeImpl(spark: SparkSession, root: String, source: DataFrame,
@@ -1828,7 +1832,8 @@ object VersionedTable {
                         insertWhen: Option[org.apache.spark.sql.Column],
                         cached: Option[SkippingIndex.Manifest],
                         txn: Option[(String, Long)],
-                        evolveSchema: Boolean = false): (Long, Int, Int) = {
+                        evolveSchema: Boolean = false,
+                        evolveExcept: Seq[String] = Nil): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     require(updateWhen.isDefined || deleteWhen.isDefined || insertWhen.isDefined,
@@ -1861,7 +1866,10 @@ object VersionedTable {
             s"mergeInto(evolveSchema) at $root needs a schema-stamped table: " +
               "a legacy footer-inferred table cannot serve evolved columns " +
               "consistently — append once (which stamps) or convert first")
-          evolve(tgtSchema0, gen.schema)
+          // columns named in evolveExcept stay CONDITION-ONLY even under
+          // evolution — the CDC sink's op marker must never land
+          evolve(tgtSchema0, org.apache.spark.sql.types.StructType(
+            gen.schema.fields.filterNot(f => evolveExcept.contains(f.name))))
         }
       // source columns beyond the (possibly evolved) target schema are
       // CONDITION-ONLY (CDC op markers, ordering timestamps): the WHEN

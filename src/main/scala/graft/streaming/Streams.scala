@@ -660,7 +660,8 @@ object Streams {
   private def applyMergeBatch(spark: SparkSession, tableRoot: String,
                               batch: DataFrame, keys: Seq[String],
                               versionCol: String, opCol: String,
-                              writerId: String, epoch: Long): Long = {
+                              writerId: String, epoch: Long,
+                              evolveSchema: Boolean = false): Long = {
     import graft.sources.VersionedTable
     val b = graft.operators.Dedup.keepLatest(batch, keys, Seq(col(versionCol).desc))
     if (!VersionedTable.isVersioned(tableRoot))
@@ -675,7 +676,9 @@ object Streams {
         updateWhen = Some(live && fresh),
         deleteWhen = Some(del && fresh),
         insertWhen = Some(live),
-        writerId = writerId, epoch = epoch)._1
+        writerId = writerId, epoch = epoch,
+        evolveSchema = evolveSchema,
+        evolveExcept = Seq(opCol))._1 // the op marker stays condition-only
     }
   }
 
@@ -694,12 +697,13 @@ object Streams {
   def mergeSinkStream(spark: SparkSession, schema: StructType, srcDir: String,
                       tableRoot: String, keys: Seq[String],
                       versionCol: String, opCol: String,
-                      writerId: String): Unit = {
+                      writerId: String,
+                      evolveSchema: Boolean = false): Unit = {
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       applyMergeBatch(spark, tableRoot, batch, keys, versionCol, opCol,
-        writerId, epoch)
+        writerId, epoch, evolveSchema)
       ()
     }.start()
     q.processAllAvailable()
@@ -714,10 +718,11 @@ object Streams {
   def mergeSinkBatch(spark: SparkSession, slices: Seq[DataFrame],
                      tableRoot: String, keys: Seq[String],
                      versionCol: String, opCol: String,
-                     writerId: String): Long =
+                     writerId: String,
+                     evolveSchema: Boolean = false): Long =
     slices.zipWithIndex.count { case (sl, i) =>
       applyMergeBatch(spark, tableRoot, sl, keys, versionCol, opCol,
-        writerId, i.toLong) >= 0L
+        writerId, i.toLong, evolveSchema) >= 0L
     }.toLong
 
   /** Apply ONE change-feed slice (rows + `_change_type` ∈

@@ -602,6 +602,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.get("k4").contains((40L, "d")), "fresh insert must land")
   }
 
+  test("evolving merge sink: a CDC slice that grows a column evolves the target; the op marker never lands") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_msink_ev").toString
+    val root = s"$base/state"
+    val s0 = Seq(("k1", 1L, "a", "U"), ("k2", 2L, "b", "U"))
+      .toDF("k", "ver", "payload", "op")
+    // slice 1 grows `note` — with evolveSchema the column joins the
+    // target (old rows NULL); `op` stays condition-only via evolveExcept
+    val s1 = Seq(("k1", 10L, "a2", "U", "n1"), ("k3", 30L, "c", "U", "n3"))
+      .toDF("k", "ver", "payload", "op", "note")
+    // the bootstrap slice lacks `note`: align the fold by passing both
+    // through the same evolving sink
+    val n = Streams.mergeSinkBatch(spark, Seq(s0, s1), root,
+      Seq("k"), "ver", "op", "ev1", evolveSchema = true)
+    assert(n == 2L)
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.contains("note") && !got.columns.contains("op"),
+      s"note must evolve in, op must stay out; got ${got.columns.mkString(",")}")
+    val m = got.collect().map(r => r.getString(0) ->
+      (r.getString(2), if (r.isNullAt(got.columns.indexOf("note"))) null
+                       else r.getString(got.columns.indexOf("note")))).toMap
+    assert(m("k1") == (("a2", "n1")), s"updated row carries the new column: ${m("k1")}")
+    assert(m("k2") == (("b", null)), "pre-evolution row serves NULL")
+    assert(m("k3") == (("c", "n3")), "insert lands with the new column")
+  }
+
   test("feed source starting pins: version 0 replays history, timestamps resolve to the first commit at-or-after, future pins serve nothing") {
     import spark.implicits._
     import graft.sources.{SkippingIndex, VersionedTable}
