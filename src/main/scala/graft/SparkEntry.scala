@@ -780,6 +780,41 @@ object SparkEntry {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // BLOOM-INDEXED KEY DELETE — the redaction shape on a HASHED key,
+    // where min/max pruning is provably useless: every file's md5-key
+    // range spans the table, so boxes and interval probes keep all 16
+    // files. The per-file Bloom index answers "can this file hold this
+    // exact key?" — the doomed keys belong to rows clustered into one
+    // orderkey range, so the delete rewrites ~1 file of 16 and `bounded`
+    // (rewritten ≥ 1 AND carried > rewritten) rides the hash. fpp=1e-6
+    // keeps the false-positive expectation ≪ 1 file even at 10×
+    "s45_bloom_key_delete" -> ((s, d) => {
+      import graft.sources.{BloomIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s45_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val li = t(s, d, "lineitem")
+        .select(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))).as("doc_key"),
+          col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      VersionedTable.overwrite(s, root,
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val files = VersionedTable.dataFiles(root).map(r => (s"$root/$r", r))
+      val idx = BloomIndex.indexFor(s, files, "doc_key", fpp = 1e-6)
+      val doomed = li.filter(col("l_orderkey").between(1000L, 1100L))
+        .select("doc_key")
+      val (_, rewritten, carried) = VersionedTable.deleteWhereKeys(
+        s, root, "doc_key", doomed, bloom = Some(idx))
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded", lit(rewritten >= 1 && carried > rewritten))
+        .orderBy("l_returnflag")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2243,6 +2278,7 @@ object SparkEntry {
     "s35_update_where"        -> Seq("sum_qty"),
     "s38_delete_key_list"     -> Seq("sum_qty"),
     "s39_bounded_maintenance" -> Seq("sum_qty"),
+    "s45_bloom_key_delete"    -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -2548,6 +2584,18 @@ object SparkEntry {
         |  SELECT 1 FROM lineitem d
         |  WHERE d.l_orderkey = t.l_orderkey
         |    AND d.l_orderkey BETWEEN 1000 AND 3000 AND d.l_orderkey % 97 = 0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the Bloom-indexed delete removed EXACTLY the rows whose md5 key
+    // was listed — equivalently (keys are the PK's digest, no
+    // collisions at this scale) the rows in the doomed orderkey range;
+    // fp-extra rewrites change which files rewrite, never the content
+    "s45_bloom_key_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM lineitem
+        |WHERE l_orderkey NOT BETWEEN 1000 AND 1100
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // maintenance is content-preserving: the final table = lineitem plus

@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file BLOOM-FILTER index — the pruning path for HIGH-CARDINALITY
+  * RANDOM keys, where [[SkippingIndex]]'s min/max stats are useless:
+  * every file of a table keyed by a hash/UUID spans essentially the full
+  * key range, so range boxes and interval point probes
+  * ([[SkippingIndex.probeSurvivors]]) keep every file. A per-file Bloom
+  * filter answers the question those stats cannot — "can this FILE
+  * contain this exact KEY?" — with a bounded false-positive rate and
+  * zero false negatives, so a scattered key-list DELETE (redaction /
+  * right-to-be-forgotten) or a CDC MERGE on hash keys rewrites the files
+  * that really hold the keys, not the table. This is Delta Lake's Bloom
+  * filter index shape (per-file filter, sidecar storage, consulted at
+  * skipping time); reference behavior: the incremental screens and
+  * redaction deletes of `/root/reference` (e.g. notebooks/bronze
+  * ingestion's key-based upserts) assume a key-addressable store — at
+  * 100 TB only an index makes that bounded.
+  *
+  * Design for scale:
+  *   - the index is a small DataFrame — ONE row per (file, column),
+  *     carrying the serialized filter (~1.2 MB per million keys at 1%
+  *     fpp). It lives in parquet sidecars like the skipping manifest and
+  *     never needs the data files again once built.
+  *   - BUILD is one distributed two-pass job: a map-side-combined
+  *     count per file sizes each filter optimally, then one shuffle
+  *     groups keys by file and streams them into the filter — no driver
+  *     loop over files, no per-file job storm, bounded task memory
+  *     (the filter bits, not the keys).
+  *   - REFRESH after a commit touches only the files the commit added:
+  *     carried files keep their rows verbatim (content-immutable files
+  *     make the filter immutable too), dead files drop.
+  *   - PROBE broadcasts the (bounded, by the redaction-list contract)
+  *     key list and filters the index rows DISTRIBUTED — cost is
+  *     index-rows × keys `mightContain` calls, no data file opened.
+  *     Files without an index row are KEPT — pruning is never unsound
+  *     on a partially-indexed snapshot.
+  *
+  * Key typing is pinned at build time (`kind`): integral columns probe
+  * as longs, strings as UTF-8 strings, binary as bytes — a probe with a
+  * mismatched key type refuses loudly rather than silently never
+  * matching (fractional/decimal keys are refused at build: their
+  * textual/bit representations are not canonical across engines).
+  */
+object BloomIndex extends Serializable {
+
+  /** One file's filter for one column. `kind` ∈ l/s/b (long/string/
+    * binary); `n_items` is the EXACT non-null key count the filter was
+    * sized for (fp rate holds at that load). */
+  final case class FileBloom(file: String, column: String, kind: String,
+                             n_items: Long, fpp: Double, bloom: Array[Byte])
+
+  private def plainPath(s: String): String =
+    if (s.indexOf(":/") >= 0)
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    else s
+
+  private[sources] def kindOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "l"
+      case StringType => "s"
+      case BinaryType => "b"
+      case other => throw new IllegalArgumentException(
+        s"BloomIndex supports integral/string/binary keys, not $other: " +
+          "fractional and decimal keys have no canonical bit/text form " +
+          "to hash consistently")
+    }
+  }
+
+  private def bytesOf(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Build the index for `column` over an explicit `(absolute,
+    * relative)` file list (the snapshot-aware entry point, like
+    * [[SkippingIndex.manifestFor]]). Two distributed passes over the
+    * key column only: a combined per-file count (sizes each filter for
+    * its real load), then one shuffle streaming each file's keys into
+    * its filter. NULL keys are skipped — NULL never equals a key. */
+  def indexFor(spark: SparkSession, files: Seq[(String, String)],
+               column: String, fpp: Double = 0.01): Dataset[FileBloom] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    if (files.isEmpty) return spark.emptyDataset[FileBloom]
+    val rel = files.map { case (abs, r) => plainPath(abs) -> r }.toMap
+    require(rel.size == files.size,
+      s"duplicate absolute paths in the file list for $column")
+    val df = spark.read.parquet(files.map(_._1): _*)
+    require(df.columns.contains(column),
+      s"no column `$column` in the files (have ${df.columns.mkString(", ")})")
+    val kind = kindOf(df.schema(column).dataType)
+    val keyed = df.select(input_file_name().as("__f"), col(column).as("__k"))
+      .na.drop(Seq("__k"))
+    // pass 1: per-file non-null key counts (map-side combined — tiny)
+    val counts = keyed.groupBy("__f").count().as[(String, Long)].collect().toMap
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val bcRel = spark.sparkContext.broadcast(rel)
+    def emit(f: String, bf: BloomFilter, n: Long): FileBloom = {
+      val r = bcRel.value.getOrElse(plainPath(f), plainPath(f))
+      FileBloom(r, column, kind, n, fpp, bytesOf(bf))
+    }
+    // pass 2: group keys by file, stream into a filter sized for that
+    // file's exact load — task memory is the filter bits, not the keys
+    val built: Dataset[FileBloom] = kind match {
+      case "l" =>
+        keyed.select(col("__f"), col("__k").cast("long")).as[(String, Long)]
+          .groupByKey(_._1).mapGroups { (f, it) =>
+            val n = bcCounts.value.getOrElse(f, 1L)
+            val bf = BloomFilter.create(math.max(n, 1L), fpp)
+            it.foreach(t => bf.putLong(t._2))
+            emit(f, bf, n)
+          }
+      case "s" =>
+        keyed.as[(String, String)]
+          .groupByKey(_._1).mapGroups { (f, it) =>
+            val n = bcCounts.value.getOrElse(f, 1L)
+            val bf = BloomFilter.create(math.max(n, 1L), fpp)
+            it.foreach(t => bf.putString(t._2))
+            emit(f, bf, n)
+          }
+      case _ =>
+        keyed.as[(String, Array[Byte])]
+          .groupByKey(_._1).mapGroups { (f, it) =>
+            val n = bcCounts.value.getOrElse(f, 1L)
+            val bf = BloomFilter.create(math.max(n, 1L), fpp)
+            it.foreach(t => bf.putBinary(t._2))
+            emit(f, bf, n)
+          }
+    }
+    built
+  }
+
+  /** Refresh an existing index against the CURRENT `(absolute,
+    * relative)` snapshot: rows for carried files are kept verbatim
+    * (immutable files, immutable filters), rows for dead files drop,
+    * and ONLY the new files pay a build — the write-time maintenance
+    * shape, O(new files) like the skipping manifest's refresh. */
+  def refreshFor(spark: SparkSession, files: Seq[(String, String)],
+                 existing: Dataset[FileBloom]): Dataset[FileBloom] = {
+    import spark.implicits._
+    val have = existing.select("file").as[String].collect().toSet
+    val cur = files.map(_._2).toSet
+    val kept = existing.filter(f => cur.contains(f.file))
+    val missing = files.filterNot(f => have.contains(f._2))
+    if (missing.isEmpty) kept
+    else {
+      val head = existing.limit(1).collect()
+      require(head.nonEmpty,
+        "refreshFor on an empty index: build with indexFor first")
+      kept.unionAll(indexFor(spark, missing, head(0).column, head(0).fpp))
+    }
+  }
+
+  /** Persist / load the index as a parquet sidecar (the
+    * [[SkippingIndex.writeManifest]] convention). */
+  def writeIndex(spark: SparkSession, idx: Dataset[FileBloom], path: String): Unit =
+    idx.write.mode("overwrite").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): Dataset[FileBloom] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[FileBloom]
+  }
+
+  /** The candidate files that MIGHT contain at least one of `keys` —
+    * plus every candidate the index has no row for (unindexed files
+    * must be kept: no false negatives, ever). The key list is bounded
+    * by contract (a redaction / CDC batch, not a table) and broadcasts;
+    * the `mightContain` sweep runs distributed over the index rows.
+    * Key type must match the index's pinned `kind` — a mismatch refuses
+    * loudly. Returns candidates in their input order. */
+  def survivors(spark: SparkSession, idx: Dataset[FileBloom],
+                candidates: Seq[String], column: String,
+                keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    if (candidates.isEmpty) return candidates
+    require(keys.columns.length == 1,
+      s"bloom probe wants a single-column key list, got ${keys.columns.mkString(", ")}")
+    val kind = kindOf(keys.schema.fields.head.dataType)
+    val cand = candidates.toSet
+    val rows = idx.filter(r => r.column == column && cand.contains(r.file))
+    val indexed = rows.select("file").as[String].collect().toSet
+    if (indexed.isEmpty) return candidates
+    require(rows.limit(1).collect().head.kind == kind,
+      s"bloom index on `$column` was built for kind " +
+        s"'${rows.limit(1).collect().head.kind}' but the probe keys are " +
+        s"'$kind' — probe with the key type the index was built on")
+    val k = keys.na.drop().distinct()
+    val hits: Set[String] = kind match {
+      case "l" =>
+        val pts = k.select(col(k.columns.head).cast("long")).as[Long].collect()
+        val bc = spark.sparkContext.broadcast(pts)
+        rows.filter { r =>
+          val bf = BloomFilter.readFrom(r.bloom)
+          bc.value.exists(bf.mightContainLong)
+        }.select("file").as[String].collect().toSet
+      case "s" =>
+        val pts = k.as[String].collect()
+        val bc = spark.sparkContext.broadcast(pts)
+        rows.filter { r =>
+          val bf = BloomFilter.readFrom(r.bloom)
+          bc.value.exists(bf.mightContainString)
+        }.select("file").as[String].collect().toSet
+      case _ =>
+        val pts = k.as[Array[Byte]].collect()
+        val bc = spark.sparkContext.broadcast(pts)
+        rows.filter { r =>
+          val bf = BloomFilter.readFrom(r.bloom)
+          bc.value.exists(bf.mightContainBinary)
+        }.select("file").as[String].collect().toSet
+    }
+    // unindexed candidates pass unconditionally; input order preserved
+    candidates.filter(f => !indexed.contains(f) || hits.contains(f))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Minimal SNAPSHOT-ISOLATED versioned parquet table — the lakehouse
   * transaction protocol in miniature (the shape Delta/Iceberg implement;
@@ -1663,10 +1663,21 @@ object VersionedTable {
     * against the list (NOT EXISTS semantics: a NULL target key never
     * matches and is KEPT — unlike SQL's NOT IN null trap, which this
     * deliberately does not reproduce). Conflict rules and the return
-    * triple are [[deleteWhere]]'s; an empty list commits nothing. */
+    * triple are [[deleteWhere]]'s; an empty list commits nothing.
+    *
+    * When `keyCol` is HASHED/RANDOM (UUIDs, digests — the usual
+    * redaction id shape), min/max boxes and interval probes keep every
+    * file: each file's key range spans the table. Pass a
+    * [[BloomIndex]] over `keyCol` (built once, refreshed per commit at
+    * O(new files)) and the prune consults each candidate file's Bloom
+    * filter — only files that MIGHT contain a listed key rewrite, with
+    * false positives bounded by the index's fpp and no false negatives
+    * (unindexed files always rewrite). The index must be keyed by the
+    * column's PHYSICAL name (identical unless renamed). */
   def deleteWhereKeys(spark: SparkSession, root: String, keyCol: String,
                       keys: DataFrame,
-                      cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+                      cached: Option[SkippingIndex.Manifest] = None,
+                      bloom: Option[Dataset[BloomIndex.FileBloom]] = None): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     require(keys.columns.length == 1,
       s"deleteWhereKeys wants a single-column key list, got ${keys.columns.mkString(", ")}")
@@ -1703,8 +1714,8 @@ object VersionedTable {
               stats.getString(1), stats.getString(2))))
           case _ => (Nil, Nil) // unprunable key type: rewrite everything
         }
-      val touchSet: Set[String] =
-        if (numBoxes.isEmpty && strBoxes.isEmpty) baseData.toSet
+      val statSurvivors: Seq[String] =
+        if (numBoxes.isEmpty && strBoxes.isEmpty) baseData
         else {
           val files = baseData.map(rel => (s"$root/$rel", rel))
           val m = cached
@@ -1712,15 +1723,24 @@ object VersionedTable {
             .orElse(listStatsManifest(root, Some(baseV))) // stats from the list
             .getOrElse(SkippingIndex.manifestFor(spark, files, Seq(physKey)))
           val stage1 = m.survivors(numBoxes, strBoxes)
-          if (stage1.isEmpty) Set.empty[String]
+          if (stage1.isEmpty) Seq.empty[String]
           else {
             val pts = tgtSchema(tgtSchema.fieldIndex(keyCol)).dataType match {
               case _: NumericType => k.select(col(keyCol).cast("double"))
               case _ => k
             }
-            SkippingIndex.probeSurvivors(spark, m, stage1, physKey, pts).toSet
+            SkippingIndex.probeSurvivors(spark, m, stage1, physKey, pts)
           }
         }
+      // stage 3, per-file BLOOM probe (when the caller holds an index):
+      // the stage that prunes what min/max never can — random/hashed
+      // keys whose per-file range spans the table. Unindexed files pass
+      // (no false negatives); false positives only cost a rewrite
+      val touchSet: Set[String] = bloom match {
+        case Some(ix) if statSurvivors.nonEmpty =>
+          BloomIndex.survivors(spark, ix, statSurvivors, physKey, k).toSet
+        case _ => statSurvivors.toSet
+      }
       val (touch, carry) = baseData.partition(touchSet.contains)
       if (touch.isEmpty) out = Some((baseV, 0, carry.size)) // provably no match
       else {
@@ -1792,10 +1812,12 @@ object VersionedTable {
                 insertWhen: Option[org.apache.spark.sql.Column] = None,
                 cached: Option[SkippingIndex.Manifest] = None,
                 evolveSchema: Boolean = false,
-                evolveExcept: Seq[String] = Nil): (Long, Int, Int) =
+                evolveExcept: Seq[String] = Nil,
+                bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+      : (Long, Int, Int) =
     mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
       cached, txn = None, evolveSchema = evolveSchema,
-      evolveExcept = evolveExcept)
+      evolveExcept = evolveExcept, bloom = bloom)
 
   /** EPOCH-GATED [[mergeInto]] — the exactly-once streaming-CDC merge:
     * a delivery with `epoch <= committed max(writerId)` is a NO-OP
@@ -1813,7 +1835,9 @@ object VersionedTable {
                           writerId: String, epoch: Long,
                           cached: Option[SkippingIndex.Manifest] = None,
                           evolveSchema: Boolean = false,
-                          evolveExcept: Seq[String] = Nil): (Long, Int, Int) = {
+                          evolveExcept: Seq[String] = Nil,
+                          bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+      : (Long, Int, Int) = {
     require(!writerId.contains(":") && !writerId.contains("\n"),
       s"writerId must not contain ':' or newlines: $writerId")
     require(writerId != "__sync",
@@ -1822,7 +1846,7 @@ object VersionedTable {
       (-1L, 0, dataFiles(root).size) // redelivery: no data written
     else mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
       cached, txn = Some((writerId, epoch)), evolveSchema = evolveSchema,
-      evolveExcept = evolveExcept)
+      evolveExcept = evolveExcept, bloom = bloom)
   }
 
   private def mergeImpl(spark: SparkSession, root: String, source: DataFrame,
@@ -1833,9 +1857,13 @@ object VersionedTable {
                         cached: Option[SkippingIndex.Manifest],
                         txn: Option[(String, Long)],
                         evolveSchema: Boolean = false,
-                        evolveExcept: Seq[String] = Nil): (Long, Int, Int) = {
+                        evolveExcept: Seq[String] = Nil,
+                        bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+      : (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
+    bloom.keys.foreach(k => require(keys.contains(k),
+      s"bloom index column `$k` is not a merge key (${keys.mkString(", ")})"))
     require(updateWhen.isDefined || deleteWhen.isDefined || insertWhen.isDefined,
       "mergeInto needs at least one WHEN clause")
     val pcols = partitionCols(root)
@@ -1943,9 +1971,18 @@ object VersionedTable {
               case _ => None // unprunable type: no footer stats to probe
             }
           }
-          probes.foldLeft(stage1) { case (cand, (pc, pts)) =>
+          val afterIntervals = probes.foldLeft(stage1) { case (cand, (pc, pts)) =>
             if (cand.isEmpty) cand
             else SkippingIndex.probeSurvivors(spark, m, cand, pc, pts)
+          }
+          // stage 3, per-file BLOOM probe (caller-supplied indexes, one
+          // per key column): prunes what min/max stats never can —
+          // hashed/UUID keys whose per-file range spans the table.
+          // Unindexed files pass; false positives only cost a rewrite
+          bloom.foldLeft(afterIntervals) { case (cand, (kc, ix)) =>
+            if (cand.isEmpty) cand
+            else BloomIndex.survivors(spark, ix, cand, phys(kc),
+              src.select(col(kc)))
           }.toSet
         }
       // files holding possibly-matching keys are read for the MATCH; they
