@@ -349,7 +349,10 @@ final case class Warehouse(spark: SparkSession, root: String,
       if (new java.io.File(mPath).exists())
         Some(SkippingIndex.readManifest(spark, mPath))
       else None
-    val r = VersionedTable.deleteWhereKeys(spark, path(name), keyCol, keys, cached)
+    // a Bloom sidecar on the key column joins the prune automatically —
+    // the stage that bounds a HASHED-key redaction list
+    val r = VersionedTable.deleteWhereKeys(spark, path(name), keyCol, keys,
+      cached, bloom = bloomIndexesOf(name).get(keyCol))
     ensureManifest(name)
     r
   }
@@ -372,8 +375,11 @@ final case class Warehouse(spark: SparkSession, root: String,
       if (new java.io.File(mPath).exists())
         Some(SkippingIndex.readManifest(spark, mPath))
       else None
+    // Bloom sidecars on merge-key columns join the stage-2 prune — the
+    // path that bounds a hashed-key CDC batch
     val r = VersionedTable.mergeInto(spark, path(name), source, keys,
-      updateWhen, deleteWhen, insertWhen, cached)
+      updateWhen, deleteWhen, insertWhen, cached,
+      bloom = bloomIndexesOf(name).filter(kv => keys.contains(kv._1)))
     ensureManifest(name)
     r
   }
@@ -784,7 +790,8 @@ final case class Warehouse(spark: SparkSession, root: String,
     Option(f.list()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.startsWith(prefix))
       .filterNot(n => n.endsWith("_execution_log") || n.endsWith("_control") ||
-        n.endsWith("__staging") || n.endsWith("__manifest"))
+        n.endsWith("__staging") || n.endsWith("__manifest") ||
+        n.contains("__bloom_"))
       .sorted
   }
 
@@ -824,6 +831,65 @@ final case class Warehouse(spark: SparkSession, root: String,
     * manifest keyed by them survives commits that keep files. */
   private def snapshotFiles(name: String): Seq[(String, String)] =
     VersionedTable.dataFiles(path(name)).map(rel => (s"${path(name)}/$rel", rel))
+
+  // ---- per-file Bloom indexes (hashed-key pruning, deployed shape) ----
+
+  private def bloomPath(name: String, col: String) = path(s"${name}__bloom_$col")
+
+  /** Build (or rebuild from scratch) the per-file Bloom sidecar for
+    * `name`.`col` — the prune path for HASHED/RANDOM keys, where min/max
+    * stats keep every file ([[graft.sources.BloomIndex]]). Persisted as
+    * the peer table `<name>__bloom_<col>` (excluded from [[list]] like
+    * the manifest); once present, every versioned write REFRESHES it at
+    * O(new files) and [[deleteWhereKeys]]/[[mergeInto]] consult it
+    * automatically. Rebuild after a column RENAME (the sidecar is keyed
+    * by the logical name at build time). */
+  def buildBloomIndex(name: String, col: String, fpp: Double = 1e-4): Unit = {
+    import graft.sources.BloomIndex
+    require(vt(name), s"bloom indexes live on versioned tables: $name")
+    val (ren, _) = VersionedTable.columnMapping(path(name))
+    val phys = ren.find(_._2 == col).map(_._1).getOrElse(col)
+    BloomIndex.writeIndex(spark,
+      BloomIndex.indexFor(spark, snapshotFiles(name), phys, fpp),
+      bloomPath(name, col))
+  }
+
+  /** The table's Bloom sidecars on disk: logical column name (as built)
+    * → lazily-read index. */
+  private def bloomIndexesOf(name: String)
+      : Map[String, org.apache.spark.sql.Dataset[graft.sources.BloomIndex.FileBloom]] = {
+    val pfx = s"${name}__bloom_"
+    Option(new java.io.File(root).list()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(n => n.startsWith(pfx) && !n.endsWith("__tmp"))
+      .map(n => n.stripPrefix(pfx) ->
+        graft.sources.BloomIndex.readIndex(spark, path(n)))
+      .toMap
+  }
+
+  /** Bloom-on-commit: refresh every existing sidecar against the new
+    * snapshot — carried files keep their filters verbatim, only the
+    * commit's NEW files pay a build, and an unchanged snapshot skips
+    * the rewrite entirely. The refresh writes beside the sidecar and
+    * swaps, so a reader never sees a half-written index. */
+  private def ensureBloomIndexes(name: String): Unit = {
+    import graft.sources.BloomIndex
+    import spark.implicits._
+    val sidecars = bloomIndexesOf(name)
+    if (sidecars.isEmpty) return
+    val cur = snapshotFiles(name)
+    sidecars.foreach { case (col, idx) =>
+      val have = idx.select("file").as[String].collect().toSet
+      if (have != cur.map(_._2).toSet && have.nonEmpty) {
+        val tmp = bloomPath(name, col) + "__tmp"
+        BloomIndex.writeIndex(spark, BloomIndex.refreshFor(spark, cur, idx), tmp)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(bloomPath(name, col)))
+        new java.io.File(tmp).renameTo(new java.io.File(bloomPath(name, col)))
+      }
+    }
+  }
 
   /** Manifest-on-commit: every versioned write/append/merge/compact
     * refreshes an EXISTING manifest against the new snapshot (cost:
@@ -866,6 +932,9 @@ final case class Warehouse(spark: SparkSession, root: String,
         SkippingIndex.writeManifest(spark,
           SkippingIndex.manifestFor(spark, snapshotFiles(name), cols), mPath)
     }
+    // Bloom sidecars ride the same write-time maintenance: existing
+    // indexes refresh at O(new files); tables without one pay nothing
+    if (VersionedTable.isVersioned(path(name))) ensureBloomIndexes(name)
   }
 
   /** First-build manifest columns: every top-level numeric and string
@@ -898,6 +967,28 @@ final case class Warehouse(spark: SparkSession, root: String,
       SkippingIndex.prunedReadFiles(spark, s"${path(name)}/data",
         snapshotFiles(name), ranges, Some(m), strRanges)
     else SkippingIndex.prunedRead(spark, path(name), ranges, Some(m), strRanges)
+  }
+
+  /** FILTERED read with AUTOMATIC file skipping: boxes extract from the
+    * predicate itself ([[graft.sources.SkippingIndex.boxesOf]]) — no
+    * hand-written range hint. Versioned tables decide from the commit
+    * list's write-time stats ([[graft.sources.VersionedTable.readWhere]]);
+    * flat tables go through the persisted manifest when one exists. The
+    * exact predicate always filters the rows — an unboundable predicate
+    * reads everything, never wrongly. */
+  def readWhere(name: String, predicate: Column): DataFrame = {
+    import graft.sources.SkippingIndex
+    if (VersionedTable.isVersioned(path(name)))
+      VersionedTable.readWhere(spark, path(name), predicate)
+    else {
+      val mPath = path(name + "__manifest")
+      if (new java.io.File(mPath).exists()) {
+        val (nr, sr) = SkippingIndex.boxesOf(spark, read(name).schema, predicate)
+        if (nr.isEmpty && sr.isEmpty) read(name).filter(predicate)
+        else SkippingIndex.prunedRead(spark, path(name), nr,
+          Some(SkippingIndex.readManifest(spark, mPath)), sr).filter(predicate)
+      } else read(name).filter(predicate)
+    }
   }
 }
 

@@ -178,4 +178,36 @@ class BloomIndexSpec extends SparkSpecBase {
       .filter(col("id").between(200, 219)).select("v").as[Int].collect()
     assert(got.sorted.toSeq == (200 to 219).map(_ * 2 + 1))
   }
+
+  test("Warehouse: sidecar builds once, refreshes on write, bounds key deletes, hides from list") {
+    import graft.run.Warehouse
+    val whRoot = freshDir("wh")
+    val wh = Warehouse(spark, whRoot)
+    val df = (0 until 1000).toDF("id")
+      .withColumn("doc_key", md5(col("id").cast("string")))
+      .withColumn("v", col("id") * 2)
+    wh.write("gold_docs",
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    wh.buildBloomIndex("gold_docs", "doc_key", fpp = 1e-6)
+    assert(new java.io.File(s"$whRoot/gold_docs__bloom_doc_key").exists())
+    // the sidecar is metadata: never listed as a table
+    assert(!wh.list("gold_").exists(_.contains("__bloom_")))
+    // an append refreshes the index at O(new files) — the new keys are
+    // findable without a rebuild
+    wh.append("gold_docs", (1000 until 1100).toDF("id")
+      .withColumn("doc_key", md5(col("id").cast("string")))
+      .withColumn("v", col("id") * 2))
+    val idx = graft.sources.BloomIndex.readIndex(
+      spark, s"$whRoot/gold_docs__bloom_doc_key")
+    assert(idx.select("file").as[String].collect().toSet ==
+      VersionedTable.dataFiles(s"$whRoot/gold_docs").toSet)
+    // a key delete through the Warehouse consults the sidecar: the 20
+    // doomed keys live in one of the 4 original range files
+    val doomed = wh.read("gold_docs")
+      .filter(col("id").between(100, 119)).select("doc_key")
+    val (_, rewritten, carried) = wh.deleteWhereKeys("gold_docs", "doc_key", doomed)
+    assert(rewritten == 1, s"sidecar should isolate 1 file, rewrote $rewritten")
+    assert(carried >= 3)
+    assert(wh.read("gold_docs").count() == 1080)
+  }
 }
