@@ -815,6 +815,92 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // AUTO-PRUNED PREDICATE DELETE — no hand-written box hint: the
+    // engine extracts conservative bounding boxes from the predicate's
+    // own Catalyst tree (between → range, AND → intersect) and decides
+    // them against the commit list's write-time stats, so this delete
+    // rewrites ~1 of 16 range-clustered files with ZERO caller hints
+    // (`bounded` rides the hash)
+    "s46_predicate_auto_prune" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s46_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+      VersionedTable.overwrite(s, root,
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val (_, rewritten, carried) = VersionedTable.deleteWherePredicate(s, root,
+        col("l_orderkey").between(1000L, 2000L) && col("l_returnflag") === "R")
+      VersionedTable.read(s, root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("bounded", lit(rewritten >= 1 && carried > rewritten))
+        .orderBy("l_returnflag")
+    }),
+
+    // AUTO-PRUNED FILTERED READ (readWhere) — the query-side twin: boxes
+    // extract from a DISJUNCTIVE predicate (OR hulls per column, the
+    // status leg drops out) and only surviving files are planned into
+    // the scan; the exact predicate still filters rows, so the oracle is
+    // the plain filtered aggregate. `pruned` (surviving files < total)
+    // rides the hash
+    "s47_read_where" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s47_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val orders = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      VersionedTable.overwrite(s, root,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"))
+      val pred = (col("o_orderkey").between(500L, 1500L) &&
+        col("o_orderstatus") === "F") || col("o_orderkey") === 42L
+      val (nr, sr) = SkippingIndex.boxesOf(s,
+        VersionedTable.read(s, root).schema, pred)
+      val m = VersionedTable.statsManifest(root).get
+      val pruned = m.survivors(nr, sr).size < m.files.size
+      VersionedTable.readWhere(s, root, pred)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+        .withColumn("pruned", lit(pruned))
+        .orderBy("o_orderstatus")
+    }),
+
+    // PLANNER-INTEGRATED SCAN (SnapshotFileIndex): the table served as a
+    // HadoopFsRelation over a custom FileIndex — Spark's OWN pushdown
+    // hands the WHERE clause to the index, which prunes files from the
+    // commit-list stats with zero directory listing and zero fs stats at
+    // plan time. No engine read API in the query: a plain filter over
+    // the frame. `planned` (files listed < snapshot total) rides the hash
+    "s48_planner_scan" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s48_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+      VersionedTable.overwrite(s, root,
+        li.repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val (table, idx) = VersionedTable.tableWithIndex(s, root)
+      val filtered = table.filter(col("l_orderkey").between(1000L, 2000L))
+      filtered.count() // drive one planned scan so the index records it
+      val planned = idx.lastPlanned.exists { case (p, t0) => p < t0 && p >= 1 }
+      filtered.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"))
+        .withColumn("planned", lit(planned))
+        .orderBy("l_returnflag")
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2279,6 +2365,9 @@ object SparkEntry {
     "s38_delete_key_list"     -> Seq("sum_qty"),
     "s39_bounded_maintenance" -> Seq("sum_qty"),
     "s45_bloom_key_delete"    -> Seq("sum_qty"),
+    "s46_predicate_auto_prune"-> Seq("sum_qty"),
+    "s47_read_where"          -> Seq("sum_price"),
+    "s48_planner_scan"        -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -2597,6 +2686,35 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey NOT BETWEEN 1000 AND 1100
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DELETE removed exactly the predicate's rows (auto-extracted boxes
+    // change which files rewrite, never the surviving content)
+    "s46_predicate_auto_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM lineitem
+        |WHERE NOT (l_orderkey BETWEEN 1000 AND 2000 AND l_returnflag = 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the planner-integrated scan answers the plain filtered aggregate
+    "s48_planner_scan" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS planned
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the pruned scan answers the disjunctive filter exactly
+    "s47_read_where" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  TRUE AS pruned
+        |FROM orders
+        |WHERE (o_orderkey BETWEEN 500 AND 1500 AND o_orderstatus = 'F')
+        |   OR o_orderkey = 42
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // maintenance is content-preserving: the final table = lineitem plus
     // the four shifted epoch trails, whatever got reclustered or packed

@@ -969,6 +969,16 @@ final case class Warehouse(spark: SparkSession, root: String,
     else SkippingIndex.prunedRead(spark, path(name), ranges, Some(m), strRanges)
   }
 
+  /** PLANNER-INTEGRATED scan of a versioned table
+    * ([[graft.sources.VersionedTable.table]]): every query filter over
+    * the returned frame prunes files through the snapshot's own
+    * FileIndex — zero directory listing at plan time. Falls back to the
+    * plain reader for non-versioned tables (Spark's own listing). */
+  def table(name: String): DataFrame =
+    if (VersionedTable.isVersioned(path(name)))
+      VersionedTable.table(spark, path(name))
+    else read(name)
+
   /** FILTERED read with AUTOMATIC file skipping: boxes extract from the
     * predicate itself ([[graft.sources.SkippingIndex.boxesOf]]) — no
     * hand-written range hint. Versioned tables decide from the commit

@@ -106,7 +106,7 @@ object SkippingIndex {
   /** Hive partition values parsed from a relative path's `k=v` directory
     * segments. `__HIVE_DEFAULT_PARTITION__` → None (null partition — no
     * bound). Minimal %-unescape (Hive escapes `/`, `:` … as %XX). */
-  private def partitionValues(rel: String): Map[String, Option[String]] =
+  private[sources] def partitionValues(rel: String): Map[String, Option[String]] =
     rel.split('/').dropRight(1).toSeq.flatMap { seg =>
       val i = seg.indexOf('=')
       if (i <= 0) None
@@ -461,5 +461,254 @@ object SkippingIndex {
     val m = index.getOrElse(
       manifest(spark, dir, (ranges.map(_.column) ++ strRanges.map(_.column)).distinct))
     (m.survivors(ranges, strRanges).size.toLong, m.files.size.toLong)
+  }
+
+  // ---- predicate → boxes: the auto-derived index hint ----------------
+
+  /** Conservative per-column bounding boxes EXTRACTED from an arbitrary
+    * `Column` predicate — what Delta/Iceberg data skipping derives from
+    * a query filter, so callers of the bounded DML verbs and
+    * [[prunedRead]] no longer hand-write the "index hint".
+    *
+    * The predicate is resolved by ANALYZING a `filter` over an empty
+    * frame carrying `schema` (the table's logical schema): the walker
+    * then sees typed `AttributeReference`s, coercion casts, and foldable
+    * literals — exactly what the planner would. Recognized shapes:
+    * `=`, `<=>` (non-null literal), `<`, `<=`, `>`, `>=` (either
+    * operand order), `BETWEEN`/`isin` (their desugarings), `AND`
+    * (boxes intersect per column), `OR` (boxes hull per column; a
+    * column constrained on only one side drops out). Identity/widening
+    * numeric casts around the attribute unwrap; everything else —
+    * functions, negations, IS NULL, non-numeric/string columns —
+    * contributes NO constraint.
+    *
+    * SOUNDNESS INVARIANT (the caller contract of
+    * [[graft.sources.VersionedTable.deleteWherePredicate]], satisfied by
+    * construction): every row the predicate can match falls inside every
+    * returned range. Over-covering only costs pruning power; an
+    * unsatisfiable conjunction (`x > 5 AND x < 3`) yields an empty range
+    * that correctly prunes every file. An unresolvable predicate returns
+    * no boxes (= no pruning), never an error. */
+  def boxesOf(spark: SparkSession,
+              schema: org.apache.spark.sql.types.StructType,
+              predicate: org.apache.spark.sql.Column): (Seq[ColRange], Seq[StrRange]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val cond: org.apache.spark.sql.catalyst.expressions.Expression =
+      try {
+        val df = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        df.filter(predicate).queryExecution.analyzed
+          .collectFirst { case f: LFilter => f.condition }
+          .getOrElse(return (Nil, Nil))
+      } catch { case _: Exception => return (Nil, Nil) }
+    boxesOfResolved(cond)
+  }
+
+  /** The resolved-tree walker behind [[boxesOf]] — also the entry point
+    * for planner-integrated callers ([[SnapshotFileIndex]]) that already
+    * hold resolved filter `Expression`s. Same soundness invariant. */
+  private[graft] def boxesOfResolved(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[ColRange], Seq[StrRange]) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+
+    // (lo, hi) with None = unbounded on that side; a column appears in
+    // a map only when at least one side is constrained
+    type NumB = Map[String, (Option[Double], Option[Double])]
+    type StrB = Map[String, (Option[String], Option[String])]
+    // None at the top level = UNKNOWN: this subtree can match anywhere
+    type C = Option[(NumB, StrB)]
+
+    // value-preserving numeric widenings (plus identity): safe to see
+    // through a cast around the attribute. long→double is EXCLUDED
+    // (2^53 rounding could nudge a bound across a file edge).
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    def attrOf(e: Expression): Option[(String, DataType)] = e match {
+      case a: AttributeReference => Some((a.name, a.dataType))
+      case c: Cast => attrOf(c.child).filter(_ => widens(c.child.dataType, c.dataType))
+      case _ => None
+    }
+    def numLit(e: Expression): Option[Double] = e match {
+      case Literal(null, _) => None
+      case Literal(v, _: NumericType) => v match {
+        case n: Number => Some(n.doubleValue())
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+      case c: Cast if c.foldable && c.dataType.isInstanceOf[NumericType] =>
+        try Option(c.eval(null)).flatMap(v => numLit(Literal(v, c.dataType)))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(null, _) => None
+      case Literal(v, StringType) => Some(v.toString)
+      case c: Cast if c.foldable && c.dataType == StringType =>
+        try Option(c.eval(null)).map(_.toString)
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+    def numBound(c: String, lo: Option[Double], hi: Option[Double]): C =
+      Some((Map(c -> (lo, hi)), Map.empty))
+    def strBound(c: String, lo: Option[String], hi: Option[String]): C =
+      Some((Map.empty[String, (Option[Double], Option[Double])], Map(c -> (lo, hi))))
+
+    /** attr-vs-literal comparison; `flip` = literal was on the left. */
+    def cmp(a: Expression, l: Expression, op: String, flip: Boolean): C = {
+      val o = if (!flip) op else op match {
+        case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+        case other => other
+      }
+      attrOf(a).flatMap {
+        case (c, _: NumericType) => numLit(l).flatMap { v =>
+          o match {
+            case "=" => numBound(c, Some(v), Some(v))
+            case "<" | "<=" => numBound(c, None, Some(v))
+            case ">" | ">=" => numBound(c, Some(v), None)
+            case _ => None
+          }
+        }
+        case (c, StringType) => strLit(l).flatMap { v =>
+          o match {
+            case "=" => strBound(c, Some(v), Some(v))
+            case "<" | "<=" => strBound(c, None, Some(v))
+            case ">" | ">=" => strBound(c, Some(v), None)
+            case _ => None
+          }
+        }
+        case _ => None
+      }
+    }
+    def binary(l: Expression, r: Expression, op: String): C =
+      if (attrOf(l).isDefined) cmp(l, r, op, flip = false)
+      else if (attrOf(r).isDefined) cmp(r, l, op, flip = true)
+      else None
+
+    def minS(a: String, b: String) = if (a <= b) a else b
+    def maxS(a: String, b: String) = if (a >= b) a else b
+    def and(x: C, y: C): C = (x, y) match {
+      case (Some((nx, sx)), Some((ny, sy))) =>
+        val noneD = (Option.empty[Double], Option.empty[Double])
+        val noneS = (Option.empty[String], Option.empty[String])
+        val n: NumB = (nx.keySet ++ ny.keySet).map { c =>
+          val (lo1, hi1) = nx.getOrElse(c, noneD)
+          val (lo2, hi2) = ny.getOrElse(c, noneD)
+          c -> ((lo1 ++ lo2).reduceOption(math.max(_, _)),
+            (hi1 ++ hi2).reduceOption(math.min(_, _)))
+        }.toMap
+        val s: StrB = (sx.keySet ++ sy.keySet).map { c =>
+          val (lo1, hi1) = sx.getOrElse(c, noneS)
+          val (lo2, hi2) = sy.getOrElse(c, noneS)
+          c -> ((lo1 ++ lo2).reduceOption(maxS), (hi1 ++ hi2).reduceOption(minS))
+        }.toMap
+        Some((n, s))
+      case (Some(a0), None) => Some(a0)
+      case (None, b0) => b0
+    }
+    def or(x: C, y: C): C = for { (nx, sx) <- x; (ny, sy) <- y } yield {
+      // a column survives the hull only when BOTH sides constrain the
+      // same bound side; otherwise that side is unbounded
+      val n = (nx.keySet intersect ny.keySet).flatMap { c =>
+        val (lo1, hi1) = nx(c); val (lo2, hi2) = ny(c)
+        val lo = for { a <- lo1; b <- lo2 } yield math.min(a, b)
+        val hi = for { a <- hi1; b <- hi2 } yield math.max(a, b)
+        if (lo.isEmpty && hi.isEmpty) None else Some(c -> (lo, hi))
+      }.toMap
+      val s = (sx.keySet intersect sy.keySet).flatMap { c =>
+        val (lo1, hi1) = sx(c); val (lo2, hi2) = sy(c)
+        val lo = for { a <- lo1; b <- lo2 } yield minS(a, b)
+        val hi = for { a <- hi1; b <- hi2 } yield maxS(a, b)
+        if (lo.isEmpty && hi.isEmpty) None else Some(c -> (lo, hi))
+      }.toMap
+      (n, s)
+    }
+
+    def walk(e: Expression): C = e match {
+      case And(l, r) => and(walk(l), walk(r))
+      case Or(l, r) => or(walk(l), walk(r))
+      case EqualTo(l, r) => binary(l, r, "=")
+      case EqualNullSafe(l, r) =>
+        // with a non-null literal, <=> matches exactly what = matches;
+        // with a null literal it matches NULL rows, which no bound can
+        // describe — unknown
+        if (numLit(r).isDefined || strLit(r).isDefined) binary(l, r, "=")
+        else if (numLit(l).isDefined || strLit(l).isDefined) binary(r, l, "=")
+        else None
+      case LessThan(l, r) => binary(l, r, "<")
+      case LessThanOrEqual(l, r) => binary(l, r, "<=")
+      case GreaterThan(l, r) => binary(l, r, ">")
+      case GreaterThanOrEqual(l, r) => binary(l, r, ">=")
+      case In(a, vs) =>
+        attrOf(a).flatMap {
+          case (c, _: NumericType) =>
+            val nums = vs.map(numLit)
+            // every list element must be a literal we understand (null
+            // literals never match and may be ignored) — one opaque
+            // element and the box would under-cover
+            if (vs.forall(v => numLit(v).isDefined ||
+                (v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value == null))) {
+              val defined = nums.flatten
+              if (defined.isEmpty) None
+              else numBound(c, Some(defined.min), Some(defined.max))
+            } else None
+          case (c, StringType) =>
+            if (vs.forall(v => strLit(v).isDefined ||
+                (v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value == null))) {
+              val defined = vs.flatMap(strLit)
+              if (defined.isEmpty) None
+              else strBound(c, Some(defined.min), Some(defined.max))
+            } else None
+          case _ => None
+        }
+      // the optimizer rewrites large IN-lists to InSet BEFORE filters
+      // reach a FileIndex — same box, values already Catalyst-internal
+      case e: InSet =>
+        attrOf(e.child).flatMap {
+          case (c, _: NumericType) =>
+            val vs = e.hset.toSeq
+            val ds = vs.collect {
+              case n: Number => n.doubleValue()
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            }
+            // nulls in the set never match; anything else is opaque
+            if (ds.size == vs.count(_ != null) && ds.nonEmpty)
+              numBound(c, Some(ds.min), Some(ds.max))
+            else None
+          case (c, StringType) =>
+            val vs = e.hset.toSeq
+            val ss = vs.collect {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            }
+            if (ss.size == vs.count(_ != null) && ss.nonEmpty)
+              strBound(c, Some(ss.min), Some(ss.max))
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+
+    walk(cond) match {
+      case None => (Nil, Nil)
+      case Some((n, s)) =>
+        val nr = n.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          ColRange(c, lo.getOrElse(Double.NegativeInfinity),
+            hi.getOrElse(Double.PositiveInfinity))
+        }
+        // a one-sided string bound has no StrRange encoding — emit only
+        // two-sided string boxes (still sound: fewer constraints)
+        val sr = s.toSeq.sortBy(_._1).collect {
+          case (c, (Some(lo), Some(hi))) => StrRange(c, lo, hi)
+        }
+        (nr, sr)
+    }
   }
 }

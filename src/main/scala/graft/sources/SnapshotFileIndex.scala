@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PLANNER-INTEGRATED snapshot scan — a custom
+  * [[org.apache.spark.sql.execution.datasources.FileIndex]] over one
+  * committed version of a [[VersionedTable]], the integration Delta Lake
+  * ships for its own log: Spark's planner hands this index the query's
+  * resolved partition + data filters, and the index answers with the
+  * file list — so ANY filter in ANY query over the table
+  * ([[VersionedTable.table]]) prunes files automatically, with no
+  * `readWhere` call and no hand-written ranges.
+  *
+  * Everything the planner asks for is served from ONE commit-list read:
+  *   - the FILE LIST is the snapshot's committed lines — no directory
+  *     listing, ever (on a million-file table the listing alone is the
+  *     plan-time bottleneck this kills);
+  *   - SIZES and MTIMES come from the list's write-time annotations
+  *     (`FileStatus` objects are synthesized, zero filesystem stats);
+  *   - PRUNING decides [[SkippingIndex.boxesOfResolved]] boxes —
+  *     extracted from the pushed filters, partition filters included —
+  *     against the list's per-column min/max stats (partition-path
+  *     values ride the same stats rows). Files without usable stats are
+  *     always kept; a legacy un-annotated snapshot serves partition-only
+  *     stats synthesized from its paths (still zero I/O) and simply
+  *     prunes less.
+  *
+  * The snapshot is PINNED at construction (the versioned-table reader
+  * contract): concurrent commits never change what a running query
+  * scans, and `refresh()` is deliberately a no-op. `lastPlanned` records
+  * (listed, total) of the most recent `listFiles` — the evidence surface
+  * specs and gates assert pruning on. */
+final class SnapshotFileIndex(spark: SparkSession, root: String,
+                              version: Option[Long] = None) extends FileIndex {
+
+  private val snapshotVersion: Long = {
+    val vs = VersionedTable.versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs at $root")
+    v
+  }
+
+  /** (rel path, bytes, mtimeMs) straight off the commit list. */
+  private val fileRows: Seq[(String, Long, Long)] = {
+    val stats = VersionedTable.fileStats(root, Some(snapshotVersion))
+    VersionedTable.dataFiles(root, Some(snapshotVersion)).map { rel =>
+      val (b, m) = stats.getOrElse(rel, (0L, 0L))
+      (rel, b, m)
+    }
+  }
+
+  /** Partition columns (from the committed layout) typed by the
+    * committed schema; the DATA schema is everything else. */
+  private val pcols: Seq[String] = VersionedTable.partitionCols(root)
+
+  private val committedSchema: StructType =
+    VersionedTable.schemaOf(root, Some(snapshotVersion)).getOrElse(
+      VersionedTable.read(spark, root, Some(snapshotVersion)).schema)
+
+  override val partitionSchema: StructType =
+    StructType(committedSchema.fields.filter(f => pcols.contains(f.name)))
+
+  /** The parquet-file schema: committed columns minus partition columns
+    * (their values live in directory paths, not in the files). */
+  val dataSchema: StructType =
+    StructType(committedSchema.fields.filterNot(f => pcols.contains(f.name)))
+
+  /** Stats manifest for pruning: the commit list's write-time stats
+    * when every file carries them; else partition-path-only stats
+    * (synthesized from the rel paths — still zero file I/O, data
+    * columns simply unbounded). */
+  private val manifest: SkippingIndex.Manifest =
+    VersionedTable.statsManifest(root, Some(snapshotVersion)).getOrElse {
+      SkippingIndex.Manifest(fileRows.flatMap { case (rel, _, _) =>
+        val parts = SkippingIndex.partitionValues(rel)
+        if (parts.isEmpty)
+          Seq(SkippingIndex.FileColStats(rel, "", None, None, None, None, 0L, 0L))
+        else parts.toSeq.map {
+          case (c, Some(v)) =>
+            val d = v.toDoubleOption
+            SkippingIndex.FileColStats(rel, c, d, d,
+              if (d.isEmpty) Some(v) else None,
+              if (d.isEmpty) Some(v) else None, 0L, 0L)
+          case (c, None) =>
+            SkippingIndex.FileColStats(rel, c, None, None, None, None, 0L, 0L)
+        }
+      }.toIndexedSeq)
+    }
+
+  /** (files listed, snapshot total) of the most recent listFiles call —
+    * the pruning-evidence surface. */
+  @volatile var lastPlanned: Option[(Int, Int)] = None
+
+  override def rootPaths: Seq[Path] = Seq(new Path(s"$root/data"))
+
+  override def inputFiles: Array[String] =
+    fileRows.map { case (rel, _, _) => s"$root/$rel" }.toArray
+
+  override def refresh(): Unit = () // snapshot-pinned: nothing to refresh
+
+  override def sizeInBytes: Long = fileRows.map(_._2).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // every pushed filter narrows the same box set: partition values are
+    // stats rows like any other column, so one walk covers both kinds
+    val (nr, sr) = (partitionFilters ++ dataFilters)
+      .map(SkippingIndex.boxesOfResolved)
+      .foldLeft((Seq.empty[SkippingIndex.ColRange], Seq.empty[SkippingIndex.StrRange])) {
+        // filters are implicitly ANDed: concatenation intersects (every
+        // range must hold), which is exactly survivors' semantics
+        case ((n1, s1), (n2, s2)) => (n1 ++ n2, s1 ++ s2)
+      }
+    val keep =
+      if (nr.isEmpty && sr.isEmpty) fileRows.map(_._1).toSet
+      else manifest.survivors(nr, sr).toSet
+    val kept = fileRows.filter { case (rel, _, _) => keep.contains(rel) }
+    lastPlanned = Some((kept.size, fileRows.size))
+    // group surviving files by their partition values; the partition row
+    // is typed by casting the path string through the committed type
+    kept.groupBy { case (rel, _, _) => SkippingIndex.partitionValues(rel) }
+      .toSeq
+      .map { case (parts, rows) =>
+        val values = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+          parts.get(f.name).flatten match {
+            case Some(s) =>
+              if (f.dataType == StringType) UTF8String.fromString(s)
+              else Cast(Literal(UTF8String.fromString(s), StringType),
+                f.dataType).eval(null)
+            case None => null
+          }
+        })
+        PartitionDirectory(values, rows.map { case (rel, bytes, mtime) =>
+          new FileStatus(bytes, false, 1, 128L * 1024 * 1024, mtime,
+            new Path(s"$root/$rel"))
+        }.toArray)
+      }
+  }
+
+  override def toString: String =
+    s"SnapshotFileIndex($root@v$snapshotVersion, ${fileRows.size} files)"
+}

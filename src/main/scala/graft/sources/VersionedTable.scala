@@ -673,6 +673,92 @@ object VersionedTable {
     toLogical(physical, lines)
   }
 
+  /** PLANNER-INTEGRATED table scan — the snapshot served through a
+    * custom [[SnapshotFileIndex]] (the Delta-log integration shape):
+    * Spark's own planner pushes every query filter into the index, which
+    * prunes files from the commit list's write-time stats — so ANY
+    * `df.filter(...)`, SQL WHERE, or join pushdown over this frame skips
+    * files automatically, with ZERO directory listing and ZERO
+    * filesystem stats at plan time (sizes ride the list annotations).
+    * Column renames/drops serve their logical view exactly as [[read]];
+    * partition columns come back typed from their path values. Use
+    * [[tableWithIndex]] when the caller wants the pruning-evidence
+    * recorder. */
+  def table(spark: SparkSession, root: String,
+            version: Option[Long] = None): DataFrame =
+    tableWithIndex(spark, root, version)._1
+
+  /** [[table]] plus its index — `idx.lastPlanned` records (listed,
+    * total) after each planned scan, the evidence surface for specs and
+    * gates. */
+  def tableWithIndex(spark: SparkSession, root: String,
+                     version: Option[Long] = None): (DataFrame, SnapshotFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val idx = new SnapshotFileIndex(spark, root, version)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+      None, new ParquetFileFormat, Map.empty)(classic)
+    val vs = versions(root)
+    val v = version.getOrElse(vs.last)
+    val base = filesOf(root, v)
+    // the relation serves PHYSICAL names with partition columns last;
+    // the logical view re-aliases (renames/drops) and restores the
+    // committed column order — filters written against it push straight
+    // through the aliases into the index
+    val logical = toLogical(classic.baseRelationToDataFrame(rel), base)
+    val order = logicalSchema(root, Some(v)).map(_.fieldNames.toSeq)
+      .getOrElse(logical.columns.toSeq)
+    (logical.select(order.map(org.apache.spark.sql.functions.col): _*), idx)
+  }
+
+  /** FILTERED read with AUTOMATIC file skipping — the query-side twin of
+    * the bounded DML verbs: conservative bounding boxes are extracted
+    * from `predicate` ([[SkippingIndex.boxesOf]]), mapped through the
+    * snapshot's column mapping, and decided against the commit list's
+    * own write-time stats (zero file I/O on a stats-annotated snapshot;
+    * mixed/legacy snapshots footer-pass once) — only files that can hold
+    * a matching row are planned into the scan, and the exact `predicate`
+    * still filters the rows (plus parquet row-group pushdown inside each
+    * surviving file). A predicate the extractor cannot bound reads
+    * everything — always correct, just unpruned. On a 100 TB table this
+    * is the difference between planning a million files and planning the
+    * boxed slice, BEFORE Spark's own planner ever lists them. */
+  def readWhere(spark: SparkSession, root: String,
+                predicate: org.apache.spark.sql.Column,
+                version: Option[Long] = None): DataFrame = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val v = version.getOrElse(vs.last)
+    val base = filesOf(root, v)
+    val baseData = base.filterNot(isHeader)
+    val schema = logicalSchema(root, Some(v))
+      .getOrElse(read(spark, root, Some(v)).schema)
+    val (nr, sr) = SkippingIndex.boxesOf(spark, schema, predicate)
+    if ((nr.isEmpty && sr.isEmpty) || baseData.isEmpty)
+      return read(spark, root, Some(v)).filter(predicate)
+    // boxes arrive in LOGICAL names; stats are keyed by PHYSICAL names
+    val inv = mappingOf(base)._1.map(_.swap)
+    val physNr = nr.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
+    val physSr = sr.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
+    val m = listStatsManifest(root, Some(v)).getOrElse {
+      val files = baseData.map(rel => (s"$root/$rel", rel))
+      SkippingIndex.manifestFor(spark, files,
+        (physNr.map(_.column) ++ physSr.map(_.column)).distinct)
+    }
+    val keep = m.survivors(physNr, physSr).toSet
+    val kept = baseData.filter(keep.contains)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val rd = spark.read.option("basePath", s"$root/data")
+      toLogical(schemaOf(root, Some(v)).fold(rd)(rd.schema)
+        .parquet(kept.map(f => s"$root/$f"): _*), base)
+        .filter(predicate)
+    }
+  }
+
   /** Write `df`'s rows as new immutable data files (Hive partition
     * directories under `data/` when `partitionBy` is set); returns the
     * new files' commit lines — relative name + the full stat annotation
@@ -1457,17 +1543,26 @@ object VersionedTable {
     * the predicate matches must fall inside the boxes (the boxes may
     * over-cover — that only rewrites more files; under-covering would
     * silently skip matching rows in "carried" files, so it is on the
-    * caller exactly as an index hint is). Empty boxes = no pruning:
-    * every file is rewritten with the anti-filter — always correct,
-    * never bounded. Deleted-row semantics are SQL DELETE's
-    * (`NOT coalesce(pred, false)` survives: a NULL comparison is not a
-    * match); conflict rules and the return triple are [[deleteWhere]]'s. */
+    * caller exactly as an index hint is). When the caller passes NO
+    * boxes, the engine EXTRACTS them from the predicate itself
+    * ([[SkippingIndex.boxesOf]] — conservative by construction, so the
+    * caller contract holds automatically); a predicate the extractor
+    * cannot bound falls back to rewriting every file with the
+    * anti-filter — always correct, never bounded. Deleted-row semantics
+    * are SQL DELETE's (`NOT coalesce(pred, false)` survives: a NULL
+    * comparison is not a match); conflict rules and the return triple
+    * are [[deleteWhere]]'s. */
   def deleteWherePredicate(spark: SparkSession, root: String,
                            predicate: org.apache.spark.sql.Column,
-                           pruneRanges: Seq[SkippingIndex.ColRange] = Nil,
-                           pruneStrRanges: Seq[SkippingIndex.StrRange] = Nil,
+                           pruneRanges0: Seq[SkippingIndex.ColRange] = Nil,
+                           pruneStrRanges0: Seq[SkippingIndex.StrRange] = Nil,
                            cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val (pruneRanges, pruneStrRanges) =
+      if (pruneRanges0.nonEmpty || pruneStrRanges0.nonEmpty)
+        (pruneRanges0, pruneStrRanges0)
+      else SkippingIndex.boxesOf(spark,
+        logicalSchema(root).getOrElse(read(spark, root).schema), predicate)
     val pcols = partitionCols(root)
     val meta = metaHeader("DELETE")
     var out: Option[(Long, Int, Int)] = None
@@ -1560,11 +1655,18 @@ object VersionedTable {
   def updateWhere(spark: SparkSession, root: String,
                   predicate: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
-                  pruneRanges: Seq[SkippingIndex.ColRange] = Nil,
-                  pruneStrRanges: Seq[SkippingIndex.StrRange] = Nil,
+                  pruneRanges0: Seq[SkippingIndex.ColRange] = Nil,
+                  pruneStrRanges0: Seq[SkippingIndex.StrRange] = Nil,
                   cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    // no caller boxes → extract them from the predicate itself
+    // (conservative by construction — [[SkippingIndex.boxesOf]])
+    val (pruneRanges, pruneStrRanges) =
+      if (pruneRanges0.nonEmpty || pruneStrRanges0.nonEmpty)
+        (pruneRanges0, pruneStrRanges0)
+      else SkippingIndex.boxesOf(spark,
+        logicalSchema(root).getOrElse(read(spark, root).schema), predicate)
     val gens = generatedColumns(root)
     set.keys.foreach { c =>
       require(!gens.contains(c),

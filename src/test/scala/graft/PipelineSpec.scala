@@ -1108,9 +1108,16 @@ class PipelineSpec extends SparkSpecBase {
     assert(carriedRel.size == carried)
     carriedRel.foreach(f => assert(diskState(f) == before(f)))
     assert(VersionedTable.read(spark, root, Some(v1 - 1)).count() == 8000)
-    // empty boxes = no pruning, still exact: delete one more id everywhere
+    // no caller boxes: the engine now EXTRACTS them from the predicate
+    // (id = 7000 → a point box), so even a hint-free delete is bounded
     val (_, rw2, c2) = VersionedTable.deleteWherePredicate(spark, root, col("id") === 7000L)
-    assert(c2 == 0 && rw2 >= 1, "no box => every file rewrites")
+    assert(rw2 == 1 && c2 >= 6, s"auto-extracted box must bound: rw=$rw2 carried=$c2")
+    assert(VersionedTable.read(spark, root).count() == 8000 - doomed.size - 1)
+    // an UNBOUNDABLE predicate still rewrites everything — exact, never
+    // wrongly pruned
+    val (_, rw3, c3) = VersionedTable.deleteWherePredicate(spark, root,
+      org.apache.spark.sql.functions.length(col("v")) === lit(99))
+    assert(c3 == 0 && rw3 >= 1, "unboundable predicate => every file rewrites")
     assert(VersionedTable.read(spark, root).count() == 8000 - doomed.size - 1)
   }
 
@@ -1160,10 +1167,11 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root, Some(v1 - 1))
       .filter(col("v") === "HIT").count() == 0)
     assert(VersionedTable.commitMeta(root, v1).map(_._2).contains("UPDATE"))
-    // empty boxes = no pruning, still exact
+    // no caller boxes: the engine now EXTRACTS them from the predicate
+    // (id = 7000 → a point box), so the hint-free update is bounded too
     val (_, rw2, c2) = VersionedTable.updateWhere(spark, root,
       col("id") === 7000L, Map("v" -> org.apache.spark.sql.functions.lit("X")))
-    assert(c2 == 0 && rw2 >= 1, "no box => every file rewrites")
+    assert(rw2 == 1 && c2 >= 6, s"auto-extracted box must bound: rw=$rw2 carried=$c2")
     assert(VersionedTable.read(spark, root).filter(col("v") === "X").count() == 1)
   }
 

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Planner-integrated snapshot scans ([[graft.sources.SnapshotFileIndex]]
+  * via [[VersionedTable.table]]): Spark's own filter pushdown must reach
+  * the index and prune files from the commit-list stats, partition
+  * values must serve typed from their paths, the logical view (renames)
+  * must push through, and the snapshot must stay pinned under
+  * concurrent commits. */
+class SnapshotFileIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"sfi_$tag").toFile
+    d.delete(); d.getPath
+  }
+
+  test("any query filter prunes files through the planner — no readWhere call") {
+    val root = freshRoot("prune")
+    VersionedTable.overwrite(spark, root,
+      (0 until 4000).map(i => (i.toLong, i % 7, s"g${i % 5}")).toDF("id", "m", "g")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val (df, idx) = VersionedTable.tableWithIndex(spark, root)
+    // a plain DataFrame filter — no engine API in sight — must prune
+    val got = df.filter(col("id").between(500L, 999L)).agg(sum("id")).as[Long].head()
+    assert(got == (500L to 999L).sum)
+    val (planned, total) = idx.lastPlanned.get
+    // range boundaries are SAMPLED, so the 500-row box may straddle one
+    // file edge — but never more than 2 of 8
+    assert(total == 8 && planned <= 2,
+      s"planner should list <=2 of 8 range-clustered files, listed $planned/$total")
+    // unfiltered scan lists everything and still answers exactly
+    assert(df.count() == 4000)
+    assert(idx.lastPlanned.get == ((8, 8)))
+    // SQL over a temp view prunes identically (same plan path)
+    df.createOrReplaceTempView("sfi_t")
+    assert(spark.sql("SELECT count(*) FROM sfi_t WHERE id >= 3500").as[Long].head() == 500)
+    assert(idx.lastPlanned.get._1 <= 2)
+  }
+
+  test("large IN-lists (optimizer-rewritten to InSet) still prune through the planner") {
+    val root = freshRoot("inset")
+    VersionedTable.overwrite(spark, root,
+      (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val (df, idx) = VersionedTable.tableWithIndex(spark, root)
+    // 12 values > the default InSet conversion threshold (10)
+    val wanted = (200L to 211L)
+    val got = df.filter(col("id").isin(wanted: _*)).select("id").as[Long].collect().sorted
+    assert(got.toSeq == wanted.toSeq)
+    val (planned, total) = idx.lastPlanned.get
+    assert(planned <= 2 && total == 8,
+      s"the InSet box [200,211] should plan <=2 of 8 files, planned $planned/$total")
+  }
+
+  test("the scan plan carries PushedFilters and the custom index location") {
+    val root = freshRoot("plan")
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val df = VersionedTable.table(spark, root).filter(col("id") > 50L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SnapshotFileIndex"), s"plan should scan through the index:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,50)"),
+      s"parquet pushdown must survive the custom index:\n$plan")
+  }
+
+  test("partition columns serve typed from paths and partition filters prune") {
+    val root = freshRoot("part")
+    VersionedTable.overwrite(spark, root,
+      (0 until 900).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "bucket", "v"),
+      partitionBy = Seq("bucket"))
+    val (df, idx) = VersionedTable.tableWithIndex(spark, root)
+    // typed partition column round-trips
+    assert(df.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+    val got = df.filter(col("bucket") === 1).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0 until 900).filter(_ % 3 == 1).map(_.toLong))
+    val (planned, total) = idx.lastPlanned.get
+    assert(planned < total, s"partition filter should prune: $planned/$total")
+    // whole-table content identical to the plain reader
+    assert(df.count() == VersionedTable.read(spark, root).count())
+  }
+
+  test("renamed columns: the logical name filters, prunes, and serves") {
+    val root = freshRoot("ren")
+    VersionedTable.overwrite(spark, root,
+      (0 until 2000).map(i => (i.toLong, i * 2)).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    VersionedTable.renameColumn(spark, root, "id", "doc_id")
+    val (df, idx) = VersionedTable.tableWithIndex(spark, root)
+    assert(df.columns.toSeq == Seq("doc_id", "v"))
+    val got = df.filter(col("doc_id") < 500L).count()
+    assert(got == 500)
+    assert(idx.lastPlanned.get._1 <= 2 && idx.lastPlanned.get._2 == 4,
+      s"filter on the logical name must push through the alias to the physical stats: ${idx.lastPlanned}")
+  }
+
+  test("the snapshot is pinned: a commit after table() never leaks into the scan") {
+    val root = freshRoot("pin")
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val df = VersionedTable.table(spark, root)
+    VersionedTable.append(spark, root,
+      (100 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    assert(df.count() == 100, "the pinned snapshot must not see the racing append")
+    assert(VersionedTable.table(spark, root).count() == 200)
+    // explicit version pin reads that version
+    assert(VersionedTable.table(spark, root, Some(0L)).count() == 100)
+  }
+
+  test("legacy un-annotated snapshots still serve (partition-only stats, no data pruning)") {
+    val root = freshRoot("legacy")
+    VersionedTable.overwrite(spark, root,
+      (0 until 400).map(i => (i.toLong, i % 2)).toDF("id", "p"), partitionBy = Seq("p"))
+    // strip every annotation from the head list — the legacy format
+    val commits = java.nio.file.Paths.get(root, "_commits")
+    val list = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(_.endsWith(".list")).head
+    val stripped = scala.io.Source.fromFile(list).getLines()
+      .map(l => if (l.startsWith("#")) l else l.takeWhile(_ != '\t')).mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(list), stripped.getBytes("UTF-8"))
+    val (df, idx) = VersionedTable.tableWithIndex(spark, root)
+    assert(df.count() == 400)
+    // the partition column still prunes (path-synthesized stats)…
+    assert(df.filter(col("p") === 0).count() == 200)
+    assert(idx.lastPlanned.get._1 < idx.lastPlanned.get._2)
+    // …while a data-column filter keeps every file yet answers exactly
+    assert(df.filter(col("id") < 10L).count() == 10)
+  }
+}
