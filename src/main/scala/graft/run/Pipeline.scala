@@ -879,7 +879,12 @@ final case class Warehouse(spark: SparkSession, root: String,
     val cur = snapshotFiles(name)
     sidecars.foreach { case (col, idx) =>
       val have = idx.select("file").as[String].collect().toSet
-      if (have != cur.map(_._2).toSet && have.nonEmpty) {
+      if (have.isEmpty) {
+        // an index built over an empty snapshot carries no (column, fpp)
+        // row to refresh from — rebuild whole once data exists, so the
+        // sidecar starts indexing the moment the table does
+        if (cur.nonEmpty) buildBloomIndex(name, col)
+      } else if (have != cur.map(_._2).toSet) {
         val tmp = bloomPath(name, col) + "__tmp"
         BloomIndex.writeIndex(spark, BloomIndex.refreshFor(spark, cur, idx), tmp)
         def rm(f: java.io.File): Unit = {

@@ -133,7 +133,16 @@ object BloomIndex extends Serializable {
             emit(f, bf, n)
           }
     }
-    built
+    // a file with ZERO non-null keys never appears in the shuffle — give
+    // it an explicit empty filter, so the probe can PRUNE it (it cannot
+    // contain any key; "unindexed ⇒ keep" is for files the index never
+    // saw, not for files it knows are key-less)
+    val seen = counts.keys.map(plainPath).toSet
+    val empties = files.collect { case (abs, r) if !seen.contains(plainPath(abs)) =>
+      FileBloom(r, column, kind, 0L, fpp, bytesOf(BloomFilter.create(1L, fpp)))
+    }
+    if (empties.isEmpty) built
+    else built.unionAll(spark.createDataset(empties))
   }
 
   /** Refresh an existing index against the CURRENT `(absolute,
@@ -185,12 +194,13 @@ object BloomIndex extends Serializable {
     val kind = kindOf(keys.schema.fields.head.dataType)
     val cand = candidates.toSet
     val rows = idx.filter(r => r.column == column && cand.contains(r.file))
-    val indexed = rows.select("file").as[String].collect().toSet
+    val head = rows.select("file", "kind").as[(String, String)].collect()
+    val indexed = head.map(_._1).toSet
     if (indexed.isEmpty) return candidates
-    require(rows.limit(1).collect().head.kind == kind,
-      s"bloom index on `$column` was built for kind " +
-        s"'${rows.limit(1).collect().head.kind}' but the probe keys are " +
-        s"'$kind' — probe with the key type the index was built on")
+    require(head.head._2 == kind,
+      s"bloom index on `$column` was built for kind '${head.head._2}' but " +
+        s"the probe keys are '$kind' — probe with the key type the index " +
+        "was built on")
     val k = keys.na.drop().distinct()
     val hits: Set[String] = kind match {
       case "l" =>

@@ -210,4 +210,26 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(carried >= 3)
     assert(wh.read("gold_docs").count() == 1080)
   }
+
+  test("Warehouse: a sidecar built on an empty table backfills at the first write") {
+    import graft.run.Warehouse
+    val whRoot = freshDir("wh_empty")
+    val wh = Warehouse(spark, whRoot)
+    wh.write("gold_e", spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      (0 until 0).toDF("id").withColumn("doc_key", md5(col("id").cast("string"))).schema))
+    wh.buildBloomIndex("gold_e", "doc_key", fpp = 1e-6)
+    // the empty write's zero-row file gets an explicit EMPTY filter (it
+    // provably holds no key), not a missing row
+    val idx0 = graft.sources.BloomIndex.readIndex(
+      spark, s"$whRoot/gold_e__bloom_doc_key").collect()
+    assert(idx0.forall(_.n_items == 0L))
+    wh.append("gold_e", (0 until 500).toDF("id")
+      .withColumn("doc_key", md5(col("id").cast("string"))))
+    val idx = graft.sources.BloomIndex.readIndex(
+      spark, s"$whRoot/gold_e__bloom_doc_key")
+    assert(idx.count() > 0, "the empty sidecar must rebuild at the first real write")
+    assert(idx.select("file").as[String].collect().toSet ==
+      VersionedTable.dataFiles(s"$whRoot/gold_e").toSet)
+  }
 }
