@@ -901,6 +901,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // METADATA-ONLY COUNTS (Delta's stats-served count(*)): after an
+    // overwrite + append + bounded delete, COUNT(*) and COUNT(col) are
+    // answered from the commit list's write-time row/null counts — zero
+    // files opened, zero tasks (the spec proves it with the data dir
+    // hidden). `stats_only` (both served without a scan) rides the hash
+    "s49_metadata_count" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_s49_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(root))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"),
+          when(col("l_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("l_returnflag")).as("flag_n"))
+      VersionedTable.overwrite(s, root,
+        li.repartitionByRange(16, col("k")).sortWithinPartitions("k"))
+      VersionedTable.append(s, root,
+        li.filter(col("k") <= 100L)
+          .select((col("k") + lit(10000000L)).as("k"), col("flag_n")))
+      VersionedTable.deleteWhere(s, root,
+        Seq(SkippingIndex.ColRange("k", 1000, 2000)))
+      val nTotal = VersionedTable.statsRowCount(root)
+      val nFlag = VersionedTable.statsNonNullCount(root, "flag_n")
+      s.range(1).select(
+        lit(nTotal.getOrElse(-1L)).as("n_total"),
+        lit(nFlag.getOrElse(-1L)).as("n_flag"),
+        lit(nTotal.isDefined && nFlag.isDefined).as("stats_only"))
+    }),
+
     "s18_jsonl_roundtrip" -> ((s, d) => {
       import graft.sources.JsonLines
       val dir = s"${sys.props("java.io.tmpdir")}/graft_s18_${math.abs(d.hashCode)}"
@@ -2696,6 +2727,20 @@ object SparkEntry {
         |FROM lineitem
         |WHERE NOT (l_orderkey BETWEEN 1000 AND 2000 AND l_returnflag = 'R')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the list-served counts equal the real table state's counts
+    "s49_metadata_count" ->
+      """WITH t AS (
+        |  SELECT l_orderkey AS k,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_returnflag END AS flag_n
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT BETWEEN 1000 AND 2000
+        |  UNION ALL
+        |  SELECT l_orderkey + 10000000,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_returnflag END
+        |  FROM lineitem WHERE l_orderkey <= 100)
+        |SELECT COUNT(*) AS n_total, COUNT(flag_n) AS n_flag,
+        |  TRUE AS stats_only FROM t""".stripMargin,
 
     // the planner-integrated scan answers the plain filtered aggregate
     "s48_planner_scan" ->

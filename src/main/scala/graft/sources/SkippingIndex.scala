@@ -289,9 +289,15 @@ object SkippingIndex {
     private val byFile = stats.groupBy(_.file)
     def files: Seq[String] = byFile.keys.toSeq.sorted
     /** Files that can contain a row matching ALL ranges (conservative:
-      * a missing/unusable bound never prunes). */
+      * a missing/unusable bound never prunes). `notNull` names columns a
+      * matching row must be non-null on ([[pruneSpecOf]]'s third
+      * element): a file whose stats PROVE the column is all-null — or
+      * that it holds no rows at all — prunes even when no range could
+      * (hash/UUID columns carry no usable bounds but their null counts
+      * are exact). */
     def survivors(ranges: Seq[ColRange],
-                  strRanges: Seq[StrRange] = Nil): Seq[String] =
+                  strRanges: Seq[StrRange] = Nil,
+                  notNull: Seq[String] = Nil): Seq[String] =
       files.filter { f =>
         val cols = byFile(f)
         ranges.forall { r =>
@@ -305,6 +311,15 @@ object SkippingIndex {
             case Some(s) if s.min_s.isDefined && s.max_s.isDefined =>
               !(s.max_s.get < r.lo || s.min_s.get > r.hi)
             case _ => true
+          }
+        } && notNull.forall { c =>
+          cols.find(_.column == c) match {
+            // n_rows > 0 guards synthesized stats that carry no real
+            // row count; a known-empty file (n_rows == 0 with a REAL
+            // bound present) still keeps — row counts of 0 are only
+            // trusted alongside an equal null count
+            case Some(s) => !(s.n_rows > 0 && s.n_nulls == s.n_rows)
+            case None => true
           }
         }
       }
@@ -492,6 +507,20 @@ object SkippingIndex {
   def boxesOf(spark: SparkSession,
               schema: org.apache.spark.sql.types.StructType,
               predicate: org.apache.spark.sql.Column): (Seq[ColRange], Seq[StrRange]) = {
+    val (nr, sr, _) = pruneSpecOf(spark, schema, predicate)
+    (nr, sr)
+  }
+
+  /** [[boxesOf]] plus the NOT-NULL requirement set: columns on which a
+    * matching row must be non-null (every comparison/IN leaf implies it;
+    * `IS NOT NULL` states it outright — and Spark's planner inserts
+    * `isnotnull` next to every pushed comparison). Files whose stats say
+    * a required column is ALL NULL prune even when no range could
+    * ([[Manifest.survivors]]'s third argument). */
+  def pruneSpecOf(spark: SparkSession,
+                  schema: org.apache.spark.sql.types.StructType,
+                  predicate: org.apache.spark.sql.Column)
+      : (Seq[ColRange], Seq[StrRange], Seq[String]) = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val cond: org.apache.spark.sql.catalyst.expressions.Expression =
       try {
@@ -499,26 +528,36 @@ object SkippingIndex {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         df.filter(predicate).queryExecution.analyzed
           .collectFirst { case f: LFilter => f.condition }
-          .getOrElse(return (Nil, Nil))
-      } catch { case _: Exception => return (Nil, Nil) }
-    boxesOfResolved(cond)
+          .getOrElse(return (Nil, Nil, Nil))
+      } catch { case _: Exception => return (Nil, Nil, Nil) }
+    pruneSpecOfResolved(cond)
   }
 
-  /** The resolved-tree walker behind [[boxesOf]] — also the entry point
-    * for planner-integrated callers ([[SnapshotFileIndex]]) that already
-    * hold resolved filter `Expression`s. Same soundness invariant. */
   private[graft] def boxesOfResolved(
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : (Seq[ColRange], Seq[StrRange]) = {
+    val (nr, sr, _) = pruneSpecOfResolved(cond)
+    (nr, sr)
+  }
+
+  /** The resolved-tree walker behind [[boxesOf]]/[[pruneSpecOf]] — also
+    * the entry point for planner-integrated callers
+    * ([[SnapshotFileIndex]]) that already hold resolved filter
+    * `Expression`s. Same soundness invariant; the third element is the
+    * NOT-NULL requirement set. */
+  private[graft] def pruneSpecOfResolved(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : (Seq[ColRange], Seq[StrRange], Seq[String]) = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
 
     // (lo, hi) with None = unbounded on that side; a column appears in
-    // a map only when at least one side is constrained
+    // a map only when at least one side is constrained. The Set is the
+    // NOT-NULL requirement: columns a matching row must be non-null on
     type NumB = Map[String, (Option[Double], Option[Double])]
     type StrB = Map[String, (Option[String], Option[String])]
     // None at the top level = UNKNOWN: this subtree can match anywhere
-    type C = Option[(NumB, StrB)]
+    type C = Option[(NumB, StrB, Set[String])]
 
     // value-preserving numeric widenings (plus identity): safe to see
     // through a cast around the attribute. long→double is EXCLUDED
@@ -558,9 +597,16 @@ object SkippingIndex {
     }
 
     def numBound(c: String, lo: Option[Double], hi: Option[Double]): C =
-      Some((Map(c -> (lo, hi)), Map.empty))
+      Some((Map(c -> (lo, hi)), Map.empty, Set(c)))
     def strBound(c: String, lo: Option[String], hi: Option[String]): C =
-      Some((Map.empty[String, (Option[Double], Option[Double])], Map(c -> (lo, hi))))
+      Some((Map.empty[String, (Option[Double], Option[Double])],
+        Map(c -> (lo, hi)), Set(c)))
+    def notNullOf(es: Expression*): C = {
+      val nn = es.flatMap(attrOf).map(_._1).toSet
+      if (nn.isEmpty) None
+      else Some((Map.empty[String, (Option[Double], Option[Double])],
+        Map.empty[String, (Option[String], Option[String])], nn))
+    }
 
     /** attr-vs-literal comparison; `flip` = literal was on the left. */
     def cmp(a: Expression, l: Expression, op: String, flip: Boolean): C = {
@@ -588,15 +634,21 @@ object SkippingIndex {
         case _ => None
       }
     }
-    def binary(l: Expression, r: Expression, op: String): C =
-      if (attrOf(l).isDefined) cmp(l, r, op, flip = false)
-      else if (attrOf(r).isDefined) cmp(r, l, op, flip = true)
-      else None
+    def binary(l: Expression, r: Expression, op: String): C = {
+      val boxed =
+        if (attrOf(l).isDefined) cmp(l, r, op, flip = false)
+        else if (attrOf(r).isDefined) cmp(r, l, op, flip = true)
+        else None
+      // a comparison only matches when BOTH operands are non-null — so
+      // every resolvable attribute operand is non-null-required even
+      // when no range is expressible (a > b, one-sided strings, dates)
+      and(boxed, notNullOf(l, r))
+    }
 
     def minS(a: String, b: String) = if (a <= b) a else b
     def maxS(a: String, b: String) = if (a >= b) a else b
     def and(x: C, y: C): C = (x, y) match {
-      case (Some((nx, sx)), Some((ny, sy))) =>
+      case (Some((nx, sx, ax)), Some((ny, sy, ay))) =>
         val noneD = (Option.empty[Double], Option.empty[Double])
         val noneS = (Option.empty[String], Option.empty[String])
         val n: NumB = (nx.keySet ++ ny.keySet).map { c =>
@@ -610,11 +662,11 @@ object SkippingIndex {
           val (lo2, hi2) = sy.getOrElse(c, noneS)
           c -> ((lo1 ++ lo2).reduceOption(maxS), (hi1 ++ hi2).reduceOption(minS))
         }.toMap
-        Some((n, s))
+        Some((n, s, ax ++ ay))
       case (Some(a0), None) => Some(a0)
       case (None, b0) => b0
     }
-    def or(x: C, y: C): C = for { (nx, sx) <- x; (ny, sy) <- y } yield {
+    def or(x: C, y: C): C = for { (nx, sx, ax) <- x; (ny, sy, ay) <- y } yield {
       // a column survives the hull only when BOTH sides constrain the
       // same bound side; otherwise that side is unbounded
       val n = (nx.keySet intersect ny.keySet).flatMap { c =>
@@ -629,7 +681,7 @@ object SkippingIndex {
         val hi = for { a <- hi1; b <- hi2 } yield maxS(a, b)
         if (lo.isEmpty && hi.isEmpty) None else Some(c -> (lo, hi))
       }.toMap
-      (n, s)
+      (n, s, ax intersect ay)
     }
 
     def walk(e: Expression): C = e match {
@@ -643,11 +695,12 @@ object SkippingIndex {
         if (numLit(r).isDefined || strLit(r).isDefined) binary(l, r, "=")
         else if (numLit(l).isDefined || strLit(l).isDefined) binary(r, l, "=")
         else None
+      case IsNotNull(a) => notNullOf(a)
       case LessThan(l, r) => binary(l, r, "<")
       case LessThanOrEqual(l, r) => binary(l, r, "<=")
       case GreaterThan(l, r) => binary(l, r, ">")
       case GreaterThanOrEqual(l, r) => binary(l, r, ">=")
-      case In(a, vs) =>
+      case In(a, vs) => and(notNullOf(a),
         attrOf(a).flatMap {
           case (c, _: NumericType) =>
             val nums = vs.map(numLit)
@@ -668,10 +721,10 @@ object SkippingIndex {
               else strBound(c, Some(defined.min), Some(defined.max))
             } else None
           case _ => None
-        }
+        })
       // the optimizer rewrites large IN-lists to InSet BEFORE filters
       // reach a FileIndex — same box, values already Catalyst-internal
-      case e: InSet =>
+      case e: InSet => and(notNullOf(e.child),
         attrOf(e.child).flatMap {
           case (c, _: NumericType) =>
             val vs = e.hset.toSeq
@@ -692,13 +745,13 @@ object SkippingIndex {
               strBound(c, Some(ss.min), Some(ss.max))
             else None
           case _ => None
-        }
+        })
       case _ => None
     }
 
     walk(cond) match {
-      case None => (Nil, Nil)
-      case Some((n, s)) =>
+      case None => (Nil, Nil, Nil)
+      case Some((n, s, nn)) =>
         val nr = n.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           ColRange(c, lo.getOrElse(Double.NegativeInfinity),
             hi.getOrElse(Double.PositiveInfinity))
@@ -708,7 +761,7 @@ object SkippingIndex {
         val sr = s.toSeq.sortBy(_._1).collect {
           case (c, (Some(lo), Some(hi))) => StrRange(c, lo, hi)
         }
-        (nr, sr)
+        (nr, sr, nn.toSeq.sorted)
     }
   }
 }

@@ -109,18 +109,21 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // every pushed filter narrows the same box set: partition values are
-    // stats rows like any other column, so one walk covers both kinds
-    val (nr, sr) = (partitionFilters ++ dataFilters)
-      .map(SkippingIndex.boxesOfResolved)
-      .foldLeft((Seq.empty[SkippingIndex.ColRange], Seq.empty[SkippingIndex.StrRange])) {
+    // every pushed filter narrows the same prune spec: partition values
+    // are stats rows like any other column, so one walk covers both
+    // kinds — and the isnotnull guards Spark plants beside every pushed
+    // comparison prune all-null files that no range could
+    val (nr, sr, nn) = (partitionFilters ++ dataFilters)
+      .map(SkippingIndex.pruneSpecOfResolved)
+      .foldLeft((Seq.empty[SkippingIndex.ColRange],
+        Seq.empty[SkippingIndex.StrRange], Seq.empty[String])) {
         // filters are implicitly ANDed: concatenation intersects (every
         // range must hold), which is exactly survivors' semantics
-        case ((n1, s1), (n2, s2)) => (n1 ++ n2, s1 ++ s2)
+        case ((n1, s1, a1), (n2, s2, a2)) => (n1 ++ n2, s1 ++ s2, a1 ++ a2)
       }
     val keep =
-      if (nr.isEmpty && sr.isEmpty) fileRows.map(_._1).toSet
-      else manifest.survivors(nr, sr).toSet
+      if (nr.isEmpty && sr.isEmpty && nn.isEmpty) fileRows.map(_._1).toSet
+      else manifest.survivors(nr, sr, nn.distinct).toSet
     val kept = fileRows.filter { case (rel, _, _) => keep.contains(rel) }
     lastPlanned = Some((kept.size, fileRows.size))
     // group surviving files by their partition values; the partition row

@@ -673,6 +673,76 @@ object VersionedTable {
     toLogical(physical, lines)
   }
 
+  /** COUNT(*) answered from the commit list ALONE (Delta's
+    * metadata-only count): when every data line carries write-time row
+    * counts, the answer is one list read — zero files opened, zero
+    * tasks, the same number on a million-file table. `None` when any
+    * line predates the stats format (the caller falls back to a scan —
+    * [[countRows]] does exactly that). */
+  def statsRowCount(root: String, version: Option[Long] = None): Option[Long] = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val per = rawFilesOf(root, version.getOrElse(vs.last))
+      .filterNot(isHeader).map(l => parseLineStats(l).map(_.head.n_rows))
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** COUNT(`column`) — the NON-NULL count — from the list stats
+    * (per-file `n_rows - n_nulls`, both exact at write time). `None`
+    * when any file lacks a stats row for the column (legacy lines, or a
+    * column beyond the indexed 32). Accepts the LOGICAL column name. */
+  def statsNonNullCount(root: String, column: String,
+                        version: Option[Long] = None): Option[Long] = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val v = version.getOrElse(vs.last)
+    val phys = mappingOf(filesOf(root, v))._1.map(_.swap)
+      .getOrElse(column, column)
+    val per = rawFilesOf(root, v).filterNot(isHeader).map { l =>
+      parseLineStats(l).flatMap(_.find(_.column == phys))
+        .map(s => s.n_rows - s.n_nulls)
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Row count: stats-served when the snapshot allows it, a scan
+    * otherwise — always exact. */
+  def countRows(spark: SparkSession, root: String,
+                version: Option[Long] = None): Long =
+    statsRowCount(root, version).getOrElse(read(spark, root, version).count())
+
+  /** MIN/MAX of a NUMERIC column from the list stats — exact: per-file
+    * footer bounds are exact for numerics, the table bound is the
+    * fold, and all-null files contribute nothing (SQL MIN/MAX ignores
+    * nulls). `None` when any file lacks a usable bound without being
+    * provably all-null (mixed/legacy snapshots — fall back to a scan),
+    * or when every row is null (SQL returns NULL there too; the caller
+    * distinguishes via [[statsNonNullCount]]). Strings are deliberately
+    * NOT served: their stored bounds are 16-char truncations, correct
+    * for pruning but not exact values. */
+  def statsMinMax(root: String, column: String,
+                  version: Option[Long] = None): Option[(Double, Double)] = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val v = version.getOrElse(vs.last)
+    val phys = mappingOf(filesOf(root, v))._1.map(_.swap)
+      .getOrElse(column, column)
+    val per = rawFilesOf(root, v).filterNot(isHeader).map { l =>
+      parseLineStats(l).flatMap(_.find(_.column == phys)) match {
+        case Some(s) if s.min_v.isDefined && s.max_v.isDefined =>
+          Some(Some((s.min_v.get, s.max_v.get)))
+        case Some(s) if s.n_rows == s.n_nulls => Some(None) // all-null file
+        case _ => None // unusable bound: cannot serve exactly
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else {
+      val bounds = per.flatten.flatten
+      if (bounds.isEmpty) None // every row null — MIN/MAX is SQL NULL
+      else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+    }
+  }
+
   /** PLANNER-INTEGRATED table scan — the snapshot served through a
     * custom [[SnapshotFileIndex]] (the Delta-log integration shape):
     * Spark's own planner pushes every query filter into the index, which
@@ -734,19 +804,20 @@ object VersionedTable {
     val baseData = base.filterNot(isHeader)
     val schema = logicalSchema(root, Some(v))
       .getOrElse(read(spark, root, Some(v)).schema)
-    val (nr, sr) = SkippingIndex.boxesOf(spark, schema, predicate)
-    if ((nr.isEmpty && sr.isEmpty) || baseData.isEmpty)
+    val (nr, sr, nn) = SkippingIndex.pruneSpecOf(spark, schema, predicate)
+    if ((nr.isEmpty && sr.isEmpty && nn.isEmpty) || baseData.isEmpty)
       return read(spark, root, Some(v)).filter(predicate)
     // boxes arrive in LOGICAL names; stats are keyed by PHYSICAL names
     val inv = mappingOf(base)._1.map(_.swap)
     val physNr = nr.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
     val physSr = sr.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
+    val physNn = nn.map(c => inv.getOrElse(c, c))
     val m = listStatsManifest(root, Some(v)).getOrElse {
       val files = baseData.map(rel => (s"$root/$rel", rel))
       SkippingIndex.manifestFor(spark, files,
-        (physNr.map(_.column) ++ physSr.map(_.column)).distinct)
+        (physNr.map(_.column) ++ physSr.map(_.column) ++ physNn).distinct)
     }
-    val keep = m.survivors(physNr, physSr).toSet
+    val keep = m.survivors(physNr, physSr, physNn).toSet
     val kept = baseData.filter(keep.contains)
     if (kept.isEmpty)
       spark.createDataFrame(
