@@ -530,13 +530,8 @@ final case class Warehouse(spark: SparkSession, root: String,
   }
 
   /** Recursively remove a table directory (scratch cleanup). */
-  private def delete(name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(new java.io.File(path(name)))
-  }
+  private def delete(name: String): Unit =
+    deepDelete(new java.io.File(path(name)))
 
   /** Bucketed write through the session catalog: both fact tables bucketed
     * on the join key join WITHOUT a shuffle (Exchange elided) — the 100 TB
@@ -878,22 +873,36 @@ final case class Warehouse(spark: SparkSession, root: String,
     if (sidecars.isEmpty) return
     val cur = snapshotFiles(name)
     sidecars.foreach { case (col, idx) =>
-      val have = idx.select("file").as[String].collect().toSet
-      if (have.isEmpty) {
-        // an index built over an empty snapshot carries no (column, fpp)
-        // row to refresh from — rebuild whole once data exists, so the
-        // sidecar starts indexing the moment the table does
-        if (cur.nonEmpty) buildBloomIndex(name, col)
-      } else if (have != cur.map(_._2).toSet) {
-        val tmp = bloomPath(name, col) + "__tmp"
-        BloomIndex.writeIndex(spark, BloomIndex.refreshFor(spark, cur, idx), tmp)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      // the table COMMIT already landed before this maintenance runs —
+      // a sidecar the new snapshot can no longer serve (its column was
+      // dropped, renamed, or retyped by the write) must not make the
+      // write appear failed, and must not poison every later write: the
+      // sidecar is DERIVED metadata, so drop it (unindexed ⇒ verbs keep
+      // every candidate — sound) rather than throw post-commit
+      try {
+        val have = idx.select("file").as[String].collect().toSet
+        if (have.isEmpty) {
+          // an index built over an empty snapshot carries no (column,
+          // fpp) row to refresh from — rebuild whole once data exists,
+          // so the sidecar starts indexing the moment the table does
+          if (cur.nonEmpty) buildBloomIndex(name, col)
+        } else if (have != cur.map(_._2).toSet) {
+          val tmp = bloomPath(name, col) + "__tmp"
+          BloomIndex.writeIndex(spark, BloomIndex.refreshFor(spark, cur, idx), tmp)
+          deepDelete(new java.io.File(bloomPath(name, col)))
+          new java.io.File(tmp).renameTo(new java.io.File(bloomPath(name, col)))
         }
-        rm(new java.io.File(bloomPath(name, col)))
-        new java.io.File(tmp).renameTo(new java.io.File(bloomPath(name, col)))
+      } catch {
+        case _: Exception =>
+          deepDelete(new java.io.File(bloomPath(name, col) + "__tmp"))
+          deepDelete(new java.io.File(bloomPath(name, col)))
       }
     }
+  }
+
+  /** Recursive delete (files-then-dirs); missing paths are a no-op. */
+  private def deepDelete(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deepDelete)); f.delete(); ()
   }
 
   /** Manifest-on-commit: every versioned write/append/merge/compact
@@ -918,12 +927,25 @@ final case class Warehouse(spark: SparkSession, root: String,
       if (VersionedTable.isVersioned(path(name)))
         VersionedTable.statsManifest(path(name))
       else None
-    if (fromList.isDefined &&
-        (new java.io.File(mPath).exists() ||
+    val mExists = new java.io.File(mPath).exists()
+    // an EXISTING manifest may index more columns than the list stats
+    // carry (write-time stats cap at 32 columns; refreshManifest lets a
+    // caller pick any set) — replacing it from the list would silently
+    // stop pruning on the extra columns, so the list only serves when
+    // it covers the manifest's column set
+    val listCovers = fromList.exists { lm =>
+      !mExists || {
+        val listCols = lm.stats.map(_.column).toSet
+        SkippingIndex.readManifest(spark, mPath).stats
+          .map(_.column).distinct.forall(listCols.contains)
+      }
+    }
+    if (fromList.isDefined && listCovers &&
+        (mExists ||
          (!name.endsWith("_execution_log") && !name.endsWith("_control") &&
           !name.endsWith("__staging"))))
       SkippingIndex.writeManifest(spark, fromList.get, mPath)
-    else if (new java.io.File(mPath).exists())
+    else if (mExists)
       SkippingIndex.writeManifest(spark,
         SkippingIndex.refreshManifestFor(spark, snapshotFiles(name),
           SkippingIndex.readManifest(spark, mPath)), mPath)

@@ -61,8 +61,17 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
   private val pcols: Seq[String] = VersionedTable.partitionCols(root)
 
   private val committedSchema: StructType =
-    VersionedTable.schemaOf(root, Some(snapshotVersion)).getOrElse(
-      VersionedTable.read(spark, root, Some(snapshotVersion)).schema)
+    VersionedTable.schemaOf(root, Some(snapshotVersion)).getOrElse {
+      // legacy unstamped table: read() serves the LOGICAL view, but the
+      // relation must address the files' PHYSICAL columns (a renamed
+      // column read under its logical name would silently serve NULLs)
+      // — un-alias through the snapshot's mapping; table() re-aliases
+      val logical = VersionedTable.read(spark, root, Some(snapshotVersion)).schema
+      val logToPhys = VersionedTable
+        .columnMapping(root, Some(snapshotVersion))._1.map(_.swap)
+      StructType(logical.fields.map(f =>
+        f.copy(name = logToPhys.getOrElse(f.name, f.name))))
+    }
 
   override val partitionSchema: StructType =
     StructType(committedSchema.fields.filter(f => pcols.contains(f.name)))
@@ -136,7 +145,10 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
             case Some(s) =>
               if (f.dataType == StringType) UTF8String.fromString(s)
               else Cast(Literal(UTF8String.fromString(s), StringType),
-                f.dataType).eval(null)
+                // timezone-needing casts (timestamp partitions) resolve
+                // against the session zone — Cast.eval throws without it
+                f.dataType,
+                Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
             case None => null
           }
         })

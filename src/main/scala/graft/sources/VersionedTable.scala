@@ -131,9 +131,13 @@ object VersionedTable {
   }
 
   /** relative path → (bytes, mtimeMs) for the snapshot's data files:
-    * from commit-list annotations where stamped, ONE filesystem stat per
-    * legacy bare line otherwise (absent files — e.g. a vacuumed legacy
-    * version — report (0, 0), matching [[filesMeta]]'s contract). */
+    * from commit-list annotations where stamped — served AS WRITTEN,
+    * deliberately without an existence check (the zero-I/O point of the
+    * annotations), so a vacuum-retired version's files report their
+    * historical size, which is what [[history]] should say a version
+    * weighed. Legacy bare lines stat the filesystem once; only there
+    * does an absent file report (0, 0). Callers that need existence
+    * (not size) must check the filesystem themselves. */
   def fileStats(root: String, version: Option[Long] = None): Map[String, (Long, Long)] = {
     val vs = versions(root)
     require(vs.nonEmpty, s"no commits at $root")
@@ -1492,14 +1496,17 @@ object VersionedTable {
                     cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
     require(ranges.nonEmpty || strRanges.nonEmpty,
       "optimizeWhere needs at least one range (use optimize for the whole table)")
-    boundedRewrite(spark, root, "OPTIMIZE") { (base, baseData) =>
+    boundedRewrite(spark, root, "OPTIMIZE") { (baseV, base, baseData) =>
       val inv = mappingOf(base)._1.map(_.swap)
       val physRanges = ranges.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
       val physStr = strRanges.map(r => r.copy(column = inv.getOrElse(r.column, r.column)))
       val files = baseData.map(rel => (s"$root/$rel", rel))
       val m = cached
         .map(SkippingIndex.refreshManifestFor(spark, files, _))
-        .orElse(listStatsManifest(root)) // commit-list stats: zero file I/O
+        // stats pinned to THIS attempt's base snapshot — a racing
+        // commit must restart the verb, not silently decide baseV's
+        // file list against a different head's stats
+        .orElse(listStatsManifest(root, Some(baseV)))
         .getOrElse(SkippingIndex.manifestFor(spark, files,
           (physRanges.map(_.column) ++ physStr.map(_.column)).distinct))
       m.survivors(physRanges, physStr).toSet
@@ -1517,11 +1524,11 @@ object VersionedTable {
                    targetBytes: Long = 128L * 1024 * 1024): (Long, Int, Int) = {
     require(minBytes > 0 && targetBytes > 0, "sizes must be positive")
     var smallBytes = 0L
-    boundedRewrite(spark, root, "OPTIMIZE") { (_, baseData) =>
-      // sizes from the head's commit-list annotations (one list read),
-      // not a per-file stat storm; absent/unannotated legacy files
-      // stat once inside fileStats
-      val sizes = fileStats(root)
+    boundedRewrite(spark, root, "OPTIMIZE") { (baseV, _, baseData) =>
+      // sizes from THIS attempt's base snapshot annotations (one list
+      // read), not a per-file stat storm; absent/unannotated legacy
+      // files stat once inside fileStats
+      val sizes = fileStats(root, Some(baseV))
       val small = baseData.filter(rel =>
         sizes.get(rel).exists { case (b, _) => b > 0L && b < minBytes })
       smallBytes = small.map(rel => sizes(rel)._1).sum
@@ -1538,7 +1545,7 @@ object VersionedTable {
     * their LOGICAL rows; everything else carries. Retries from a fresh
     * snapshot when a concurrent overwrite replaces the base. */
   private def boundedRewrite(spark: SparkSession, root: String, op: String)
-                            (pickTouched: (Seq[String], Seq[String]) => Set[String])
+                            (pickTouched: (Long, Seq[String], Seq[String]) => Set[String])
                             (transform: DataFrame => DataFrame): (Long, Int, Int) = {
     val pcols = partitionCols(root)
     val meta = metaHeader(op)
@@ -1549,7 +1556,7 @@ object VersionedTable {
       val baseV = vs.last
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
-      val touchSet = pickTouched(base, baseData)
+      val touchSet = pickTouched(baseV, base, baseData)
       val (touch, carry) = baseData.partition(touchSet.contains)
       if (touch.isEmpty) out = Some((baseV, 0, carry.size))
       else {
@@ -2349,24 +2356,27 @@ object VersionedTable {
   def changeFeedKeyed(spark: SparkSession, root: String,
                       fromVersion: Long, toVersion: Long,
                       keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, collect_set, size, when}
     require(keys.nonEmpty, "changeFeedKeyed needs at least one key column")
     val feed = changeFeed(spark, root, fromVersion, toVersion)
     keys.foreach(k => require(feed.columns.contains(k),
       s"no key column `$k` in the feed (${feed.columns.mkString(", ")})"))
-    val ins = feed.filter(col("_change_type") === "insert").drop("_change_type")
-    val del = feed.filter(col("_change_type") === "delete").drop("_change_type")
-    val kcols = keys.map(col)
-    // keys changed in place = present on both sides of the diff
-    val updKeys = ins.select(kcols: _*).intersect(del.select(kcols: _*))
-    del.join(updKeys, keys, "left_semi")
-      .withColumn("_change_type", lit("update_preimage"))
-      .unionByName(ins.join(updKeys, keys, "left_semi")
-        .withColumn("_change_type", lit("update_postimage")))
-      .unionByName(ins.join(updKeys, keys, "left_anti")
-        .withColumn("_change_type", lit("insert")))
-      .unionByName(del.join(updKeys, keys, "left_anti")
-        .withColumn("_change_type", lit("delete")))
+    // ONE pass over the feed, one shuffle by key: a key seen on BOTH
+    // sides of the diff pairs as update pre/postimage, one-sided keys
+    // keep their insert/delete. (The previous intersect + 4-way
+    // semi/anti-join shape re-executed the unpersisted feed plan — two
+    // file scans and two exceptAll shuffles — five times.)
+    val sides = size(collect_set(col("_change_type"))
+      .over(Window.partitionBy(keys.map(col): _*)))
+    feed.withColumn("__sides", sides)
+      .withColumn("_change_type",
+        when(col("__sides") === 2 && col("_change_type") === "delete",
+          "update_preimage")
+          .when(col("__sides") === 2 && col("_change_type") === "insert",
+            "update_postimage")
+          .otherwise(col("_change_type")))
+      .drop("__sides")
   }
 
   /** RESTORE — commit an OLD version's exact file list (and schema) as

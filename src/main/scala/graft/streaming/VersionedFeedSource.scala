@@ -133,18 +133,26 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
 
   override val schema: StructType = feedSchema(table)
 
-  // startingVersion validates EAGERLY: if it points at or before the
-  // head, its predecessor's snapshot must still be readable (version 0
-  // excepted — its changes ARE its content), else the requested diffs
-  // are gone and the stream must fail at start, not mid-flight
-  startingVersion.foreach { s =>
+  // startingVersion validates on the FIRST FRESH BATCH, and LAZILY
+  // (a poisoned frame, not a constructor throw): if the pin points at
+  // or before the head, its predecessor's snapshot must still be
+  // readable (version 0 excepted — its changes ARE its content), else
+  // the requested diffs are gone and the stream must fail at its first
+  // batch rather than serve a silently-wrong feed. Deliberately NOT
+  // eager: a RESTART from a checkpoint rebuilds this source too — the
+  // engine may even call getBatch(None, recoveredEnd) as a DISCARDED
+  // prime — but its WAL offset wins over the pin (Delta's rule), so a
+  // vacuum that retired the pin's predecessor AFTER the stream had
+  // already progressed past it must not brick the restart.
+  private def pinError(): Option[String] = startingVersion.flatMap { s =>
     val vs = VersionedTable.versions(root)
     if (vs.nonEmpty && s <= vs.last && !(s == 0L && vs.head == 0L) && !vs.contains(s - 1))
-      throw new IllegalStateException(
+      Some(
         s"versioned-feed at $root: startingVersion $s needs version ${s - 1} " +
           s"readable for changeFeed(${s - 1}, $s) but the earliest readable " +
           s"version is ${vs.head} — it was retired by vacuum(keep); increase " +
           "retention or start a fresh snapshot stream instead")
+    else None
   }
 
   /** Highest offset handed out so far — only used to pace
@@ -179,6 +187,19 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     }
   }
 
+  /** A frame shaped like the TABLE schema (pre-align) that throws `msg`
+    * the moment any action evaluates it — see the lazy-failure note in
+    * getBatch. `raise_error` fires per-row at execution, never at plan
+    * construction. */
+  private def poisoned(msg: String): DataFrame = {
+    import org.apache.spark.sql.functions.{length, raise_error}
+    spark.range(1)
+      .filter(length(raise_error(lit(msg))) > 0)
+      .select(table.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)) :+
+        lit("insert").as(ChangeType): _*)
+  }
+
   /** Project a slice onto the stream's pinned schema: missing columns
     * null-fill (older files predate them); EXTRA columns mean the table
     * evolved after the stream pinned its schema — fail loudly rather
@@ -202,6 +223,13 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     val endV = ver(end)
     val startV = start.map(ver)
     lastOffered = Some(math.max(endV, lastOffered.getOrElse(Long.MinValue)))
+    // fresh-looking batch (no checkpointed start): if the pin's
+    // predecessor is gone, hand back a LAZILY-failing frame — a real
+    // first batch executes it and fails loudly with the pin message; a
+    // discarded recovery prime never does (see pinError)
+    if (startV.isEmpty) pinError().foreach { msg =>
+      return poisoned(msg).withColumn(CommitVersion, lit(-1L))
+    }
     val readable = VersionedTable.versions(root)
     // a checkpointed start offset WINS over startingVersion (Delta's
     // rule: start options only position a FRESH stream); on the first
@@ -222,7 +250,15 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
           VersionedTable.read(spark, root, Some(v))
             .withColumn(ChangeType, lit("insert"))
         else
-          throw new IllegalStateException(
+          // LAZY failure, deliberately: the V1 recovery contract calls
+          // getBatch(None, recoveredEnd) as a DISCARDED prime on every
+          // restart whose last batch committed — throwing at frame
+          // CONSTRUCTION would brick legitimate restarts after a vacuum
+          // retired already-consumed diffs. A frame that throws at
+          // EXECUTION keeps every real consumer loud (an uncommitted
+          // replay and a fresh stream both execute their first batch)
+          // while the discarded prime never evaluates it.
+          poisoned(
             s"versioned-feed at $root: version ${v - 1} was retired by " +
               s"vacuum(keep) but the stream still needs changeFeed(${v - 1}, $v) " +
               "— increase source retention or restart the stream for a fresh snapshot")

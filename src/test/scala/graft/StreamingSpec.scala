@@ -672,6 +672,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(chain(e).exists(_.contains("at most one")), s"got: ${chain(e).mkString(" | ")}")
   }
 
+  test("a checkpointed pinned stream restarts after vacuum retires the pin's predecessor (WAL wins)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_pinrestart").toString
+    val src = s"$base/src"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    VersionedTable.overwrite(spark, src,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    VersionedTable.append(spark, src,
+      (10 until 20).map(i => (i.toLong, s"b$i")).toDF("id", "v"))
+    def run(): Long = {
+      var reader = spark.readStream.format("versioned-feed").option("path", src)
+        .option("startingVersion", "1")
+      val q = reader.load().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(out); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
+        spark.read.parquet(out).count()
+      else 0L
+    }
+    assert(run() == 10L, "the pinned fresh stream serves v1's changes only")
+    // the source advances; vacuum retires everything before the head —
+    // INCLUDING v0, the pin's predecessor
+    VersionedTable.append(spark, src,
+      (20 until 25).map(i => (i.toLong, s"c$i")).toDF("id", "v"))
+    // keep = 2: v0 (the pin's predecessor) retires, but the WAL offset's
+    // onward diffs (v1 → v2) stay readable — the restart is legitimate
+    VersionedTable.vacuum(src, keep = Some(2), minAgeMs = 0L)
+    assert(VersionedTable.versions(src).head == 1L)
+    // the restart must NOT re-validate the pin: the WAL's offset (v1,
+    // already consumed) wins, and only v2's diff is needed — readable
+    assert(run() == 15L, "restart folds exactly the new commit's changes")
+  }
+
   test("change-feed consumer: stream fold == batch changeFeed fold == direct state; replay no-ops") {
     import graft.sources.{SkippingIndex, VersionedTable}
     val base = java.nio.file.Files.createTempDirectory("graft_cfc").toString
