@@ -1003,7 +1003,9 @@ final case class Warehouse(spark: SparkSession, root: String,
     * plain reader for non-versioned tables (Spark's own listing). */
   def table(name: String): DataFrame =
     if (VersionedTable.isVersioned(path(name)))
-      VersionedTable.table(spark, path(name))
+      // Bloom sidecars ride along: a pushed point lookup on an indexed
+      // hashed column prunes through the planner with no engine API
+      VersionedTable.table(spark, path(name), bloom = bloomIndexesOf(name))
     else read(name)
 
   /** FILTERED read with AUTOMATIC file skipping: boxes extract from the

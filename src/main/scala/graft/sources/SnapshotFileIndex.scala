@@ -37,7 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (listed, total) of the most recent `listFiles` — the evidence surface
   * specs and gates assert pruning on. */
 final class SnapshotFileIndex(spark: SparkSession, root: String,
-                              version: Option[Long] = None) extends FileIndex {
+                              version: Option[Long] = None,
+                              bloom: Map[String, org.apache.spark.sql.Dataset[BloomIndex.FileBloom]] =
+                                Map.empty) extends FileIndex {
 
   private val snapshotVersion: Long = {
     val vs = VersionedTable.versions(root)
@@ -130,9 +132,32 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
         // range must hold), which is exactly survivors' semantics
         case ((n1, s1, a1), (n2, s2, a2)) => (n1 ++ n2, s1 ++ s2, a1 ++ a2)
       }
-    val keep =
-      if (nr.isEmpty && sr.isEmpty && nn.isEmpty) fileRows.map(_._1).toSet
-      else manifest.survivors(nr, sr, nn.distinct).toSet
+    val keep0 =
+      if (nr.isEmpty && sr.isEmpty && nn.isEmpty) fileRows.map(_._1).toSeq
+      else manifest.survivors(nr, sr, nn.distinct)
+    // stage 2, per-file BLOOM probe for pushed point lookups: a
+    // conjunct that is a PLAIN equality/IN on a bloom-indexed column
+    // (each element of the filter seq must hold independently — they
+    // are ANDed) probes the sidecar, pruning what min/max never can:
+    // a `WHERE doc_key = '<hash>'` in plain SQL plans ~1 file
+    val keep = bloom.foldLeft(keep0) { case (cand, (col0, ix)) =>
+      if (cand.isEmpty) cand
+      else {
+        val pts = (partitionFilters ++ dataFilters).flatMap(pointValues(col0, _))
+        if (pts.isEmpty) cand
+        else pts.foldLeft(cand) { (c, vs) =>
+          if (c.isEmpty) c
+          else {
+            import spark.implicits._
+            val keys = vs match {
+              case Left(ls) => ls.toDF(col0)
+              case Right(ss) => ss.toDF(col0)
+            }
+            BloomIndex.survivors(spark, ix, c, col0, keys)
+          }
+        }
+      }
+    }.toSet
     val kept = fileRows.filter { case (rel, _, _) => keep.contains(rel) }
     lastPlanned = Some((kept.size, fileRows.size))
     // group surviving files by their partition values; the partition row
@@ -157,6 +182,67 @@ final class SnapshotFileIndex(spark: SparkSession, root: String,
             new Path(s"$root/$rel"))
         }.toArray)
       }
+  }
+
+  /** The EXACT value set of `filter` when the whole conjunct is a plain
+    * equality / IN on `column` — the only shapes a Bloom filter can
+    * decide. Anything else (OR, ranges, other columns) returns None and
+    * the conjunct contributes no bloom probe. Left = integral values
+    * (probed as longs, the build kind), Right = strings. */
+  private def pointValues(column: String, filter: Expression)
+      : Option[Either[Seq[Long], Seq[String]]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    // only IDENTITY/WIDENING casts unwrap (the box walker's rule): a
+    // narrowing cast changes which raw values match, so probing the
+    // literal against the raw-value filter would prune unsoundly
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case _ => false
+    }
+    def attrMatches(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == column
+      case c: Cast => widens(c.child.dataType, c.dataType) && attrMatches(c.child)
+      case _ => false
+    }
+    def longLit(e: Expression): Option[Long] = e match {
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) if v != null =>
+        Some(v.asInstanceOf[Number].longValue())
+      case c: Cast if c.foldable =>
+        try Option(c.eval(null)).flatMap(v => longLit(Literal(v, c.dataType)))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def ofLits(vs: Seq[Expression]): Option[Either[Seq[Long], Seq[String]]] = {
+      val ls = vs.flatMap(longLit)
+      val ss = vs.flatMap(strLit)
+      if (ls.size == vs.size) Some(scala.Left(ls))
+      else if (ss.size == vs.size) Some(scala.Right(ss))
+      else None // an opaque element: the probe would under-cover
+    }
+    filter match {
+      case EqualTo(a, l) if attrMatches(a) => ofLits(Seq(l))
+      case EqualTo(l, a) if attrMatches(a) => ofLits(Seq(l))
+      case EqualNullSafe(a, l) if attrMatches(a) => ofLits(Seq(l))
+      case EqualNullSafe(l, a) if attrMatches(a) => ofLits(Seq(l))
+      case In(a, vs) if attrMatches(a) => ofLits(vs)
+      case e: InSet if attrMatches(e.child) =>
+        val vs = e.hset.toSeq.filter(_ != null)
+        if (vs.isEmpty) None
+        else if (vs.forall(_.isInstanceOf[Number]))
+          Some(scala.Left(vs.map(_.asInstanceOf[Number].longValue())))
+        else if (vs.forall(_.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+          Some(scala.Right(vs.map(_.toString)))
+        else None
+      case _ => None
+    }
   }
 
   override def toString: String =

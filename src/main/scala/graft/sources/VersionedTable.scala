@@ -759,17 +759,22 @@ object VersionedTable {
     * [[tableWithIndex]] when the caller wants the pruning-evidence
     * recorder. */
   def table(spark: SparkSession, root: String,
-            version: Option[Long] = None): DataFrame =
-    tableWithIndex(spark, root, version)._1
+            version: Option[Long] = None,
+            bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty): DataFrame =
+    tableWithIndex(spark, root, version, bloom)._1
 
   /** [[table]] plus its index — `idx.lastPlanned` records (listed,
     * total) after each planned scan, the evidence surface for specs and
-    * gates. */
+    * gates. `bloom` (column → [[BloomIndex]], PHYSICAL column names)
+    * lets pushed equality/IN conjuncts on hashed columns probe per-file
+    * filters — a plain SQL point lookup plans ~1 file. */
   def tableWithIndex(spark: SparkSession, root: String,
-                     version: Option[Long] = None): (DataFrame, SnapshotFileIndex) = {
+                     version: Option[Long] = None,
+                     bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+      : (DataFrame, SnapshotFileIndex) = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val idx = new SnapshotFileIndex(spark, root, version)
+    val idx = new SnapshotFileIndex(spark, root, version, bloom)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       None, new ParquetFileFormat, Map.empty)(classic)

@@ -56,6 +56,34 @@ class SnapshotFileIndexSpec extends SparkSpecBase {
       s"the InSet box [200,211] should plan <=2 of 8 files, planned $planned/$total")
   }
 
+  test("a pushed point lookup on a hashed column probes the Bloom sidecar through the planner") {
+    val root = freshRoot("bloom")
+    val df = (0 until 2000).toDF("id")
+      .withColumn("doc_key", md5(col("id").cast("string")))
+      .withColumn("v", col("id") * 2)
+    VersionedTable.overwrite(spark, root,
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    val files = VersionedTable.dataFiles(root).map(r => (s"$root/$r", r))
+    val ix = graft.sources.BloomIndex.indexFor(spark, files, "doc_key", fpp = 1e-6)
+    val (table, idx) = VersionedTable.tableWithIndex(spark, root,
+      bloom = Map("doc_key" -> ix))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest("700".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a PLAIN filter — the md5 range spans every file, only the bloom
+    // can isolate the one file really holding the key
+    val got = table.filter(col("doc_key") === key).select("id").as[Int].collect()
+    assert(got.toSeq == Seq(700))
+    assert(idx.lastPlanned.get == ((1, 4)),
+      s"bloom probe should plan exactly 1 of 4 files: ${idx.lastPlanned}")
+    // an IN-list probes too; a range predicate does NOT consult the bloom
+    val key2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("1500".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(table.filter(col("doc_key").isin(key, key2)).count() == 2)
+    assert(idx.lastPlanned.get._1 == 2)
+    assert(table.filter(col("doc_key") > key).count() ==
+      df.filter(col("doc_key") > key).count())
+  }
+
   test("the scan plan carries PushedFilters and the custom index location") {
     val root = freshRoot("plan")
     VersionedTable.overwrite(spark, root,
