@@ -872,14 +872,22 @@ final case class Warehouse(spark: SparkSession, root: String,
     val sidecars = bloomIndexesOf(name)
     if (sidecars.isEmpty) return
     val cur = snapshotFiles(name)
+    // a sidecar the new snapshot can no longer SERVE (its column was
+    // dropped or retyped by the write that just committed) is dead
+    // derived metadata: drop it (unindexed ⇒ verbs keep every candidate
+    // — sound) rather than throw post-commit and poison later writes.
+    // The check is a cheap schema probe, SEPARATE from refresh failures:
+    // a transient refresh error (spilled tmp write, lost executor) must
+    // NOT delete a healthy sidecar — a stale one is sound (carried rows
+    // drop and new files index on the next successful refresh)
+    val schema = VersionedTable.logicalSchema(path(name))
+      .orElse(scala.util.Try(read(name).schema).toOption)
     sidecars.foreach { case (col, idx) =>
-      // the table COMMIT already landed before this maintenance runs —
-      // a sidecar the new snapshot can no longer serve (its column was
-      // dropped, renamed, or retyped by the write) must not make the
-      // write appear failed, and must not poison every later write: the
-      // sidecar is DERIVED metadata, so drop it (unindexed ⇒ verbs keep
-      // every candidate — sound) rather than throw post-commit
-      try {
+      val serveable = schema.exists(s => s.fieldNames.contains(col) &&
+        scala.util.Try(graft.sources.BloomIndex.kindOf(
+          s(s.fieldIndex(col)).dataType)).isSuccess)
+      if (!serveable) deepDelete(new java.io.File(bloomPath(name, col)))
+      else try {
         val have = idx.select("file").as[String].collect().toSet
         if (have.isEmpty) {
           // an index built over an empty snapshot carries no (column,
@@ -893,9 +901,8 @@ final case class Warehouse(spark: SparkSession, root: String,
           new java.io.File(tmp).renameTo(new java.io.File(bloomPath(name, col)))
         }
       } catch {
-        case _: Exception =>
+        case _: Exception => // transient: keep the (stale-but-sound) sidecar
           deepDelete(new java.io.File(bloomPath(name, col) + "__tmp"))
-          deepDelete(new java.io.File(bloomPath(name, col)))
       }
     }
   }
@@ -928,6 +935,8 @@ final case class Warehouse(spark: SparkSession, root: String,
         VersionedTable.statsManifest(path(name))
       else None
     val mExists = new java.io.File(mPath).exists()
+    // ONE manifest read serves both the coverage check and the refresh
+    lazy val existing = SkippingIndex.readManifest(spark, mPath)
     // an EXISTING manifest may index more columns than the list stats
     // carry (write-time stats cap at 32 columns; refreshManifest lets a
     // caller pick any set) — replacing it from the list would silently
@@ -936,8 +945,7 @@ final case class Warehouse(spark: SparkSession, root: String,
     val listCovers = fromList.exists { lm =>
       !mExists || {
         val listCols = lm.stats.map(_.column).toSet
-        SkippingIndex.readManifest(spark, mPath).stats
-          .map(_.column).distinct.forall(listCols.contains)
+        existing.stats.map(_.column).distinct.forall(listCols.contains)
       }
     }
     if (fromList.isDefined && listCovers &&
@@ -947,8 +955,8 @@ final case class Warehouse(spark: SparkSession, root: String,
       SkippingIndex.writeManifest(spark, fromList.get, mPath)
     else if (mExists)
       SkippingIndex.writeManifest(spark,
-        SkippingIndex.refreshManifestFor(spark, snapshotFiles(name),
-          SkippingIndex.readManifest(spark, mPath)), mPath)
+        SkippingIndex.refreshManifestFor(spark, snapshotFiles(name), existing),
+        mPath)
     else if (VersionedTable.isVersioned(path(name)) &&
              !name.endsWith("_execution_log") && !name.endsWith("_control") &&
              !name.endsWith("__staging")) {
@@ -1002,11 +1010,18 @@ final case class Warehouse(spark: SparkSession, root: String,
     * FileIndex — zero directory listing at plan time. Falls back to the
     * plain reader for non-versioned tables (Spark's own listing). */
   def table(name: String): DataFrame =
-    if (VersionedTable.isVersioned(path(name)))
+    if (VersionedTable.isVersioned(path(name))) {
       // Bloom sidecars ride along: a pushed point lookup on an indexed
-      // hashed column prunes through the planner with no engine API
-      VersionedTable.table(spark, path(name), bloom = bloomIndexesOf(name))
-    else read(name)
+      // hashed column prunes through the planner with no engine API.
+      // Sidecar names are LOGICAL (as built); the planner's pushed
+      // attributes and the index rows are PHYSICAL — translate through
+      // the current mapping exactly as buildBloomIndex does
+      val (ren, _) = VersionedTable.columnMapping(path(name))
+      val bloom = bloomIndexesOf(name).map { case (c, ix) =>
+        ren.find(_._2 == c).map(_._1).getOrElse(c) -> ix
+      }
+      VersionedTable.table(spark, path(name), bloom = bloom)
+    } else read(name)
 
   /** FILTERED read with AUTOMATIC file skipping: boxes extract from the
     * predicate itself ([[graft.sources.SkippingIndex.boxesOf]]) — no

@@ -57,7 +57,7 @@ object BloomIndex extends Serializable {
       try new java.net.URI(s).getPath catch { case _: Exception => s }
     else s
 
-  private[sources] def kindOf(dt: org.apache.spark.sql.types.DataType): String = {
+  private[graft] def kindOf(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => "l"

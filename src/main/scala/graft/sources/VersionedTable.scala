@@ -2372,8 +2372,13 @@ object VersionedTable {
     // keep their insert/delete. (The previous intersect + 4-way
     // semi/anti-join shape re-executed the unpersisted feed plan — two
     // file scans and two exceptAll shuffles — five times.)
-    val sides = size(collect_set(col("_change_type"))
+    val sides0 = size(collect_set(col("_change_type"))
       .over(Window.partitionBy(keys.map(col): _*)))
+    // SQL equality semantics: a NULL key never equals anything — rows
+    // with any NULL key component keep their raw insert/delete rather
+    // than pairing with other null-keyed rows the window groups together
+    val sides = when(keys.map(col(_).isNull).reduce(_ || _), 1)
+      .otherwise(sides0)
     feed.withColumn("__sides", sides)
       .withColumn("_change_type",
         when(col("__sides") === 2 && col("_change_type") === "delete",

@@ -228,7 +228,11 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     // first batch executes it and fails loudly with the pin message; a
     // discarded recovery prime never does (see pinError)
     if (startV.isEmpty) pinError().foreach { msg =>
-      return poisoned(msg).withColumn(CommitVersion, lit(-1L))
+      // through the same asStreaming wrap as every other batch: a V1
+      // Source.getBatch must return an isStreaming plan or the engine's
+      // own assertion replaces the pin message before execution
+      return org.apache.spark.sql.graft.StreamingShim.asStreaming(sqlContext,
+        poisoned(msg).withColumn(CommitVersion, lit(-1L)))
     }
     val readable = VersionedTable.versions(root)
     // a checkpointed start offset WINS over startingVersion (Delta's

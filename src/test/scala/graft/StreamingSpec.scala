@@ -710,6 +710,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(run() == 15L, "restart folds exactly the new commit's changes")
   }
 
+  test("a FRESH pinned stream whose predecessor was vacuumed fails loudly with the pin message") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_pinfresh").toString
+    val src = s"$base/src"
+    VersionedTable.overwrite(spark, src,
+      (0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    VersionedTable.append(spark, src,
+      (10 until 20).map(i => (i.toLong, s"b$i")).toDF("id", "v"))
+    VersionedTable.append(spark, src,
+      (20 until 30).map(i => (i.toLong, s"c$i")).toDF("id", "v"))
+    VersionedTable.vacuum(src, keep = Some(1), minAgeMs = 0L)
+    val e = intercept[Exception] {
+      Streams.feedDump(spark, src, s"$base/out", startingVersion = Some(1L))
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("startingVersion") &&
+      m.contains("retired by vacuum")),
+      s"the pin message must surface, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("change-feed consumer: stream fold == batch changeFeed fold == direct state; replay no-ops") {
     import graft.sources.{SkippingIndex, VersionedTable}
     val base = java.nio.file.Files.createTempDirectory("graft_cfc").toString
