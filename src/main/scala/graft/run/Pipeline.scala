@@ -1004,6 +1004,18 @@ final case class Warehouse(spark: SparkSession, root: String,
     else SkippingIndex.prunedRead(spark, path(name), ranges, Some(m), strRanges)
   }
 
+  /** Stats-served metadata on a versioned table
+    * ([[graft.sources.VersionedTable.countRows]] family): COUNT(*) /
+    * COUNT(col) / numeric MIN-MAX from the commit list alone — zero
+    * files opened; `countRows` scans as the fallback, the others return
+    * None when the snapshot cannot serve exactly. */
+  def countRows(name: String): Long =
+    VersionedTable.countRows(spark, path(name))
+  def statsNonNullCount(name: String, col: String): Option[Long] =
+    VersionedTable.statsNonNullCount(path(name), col)
+  def statsMinMax(name: String, col: String): Option[(Double, Double)] =
+    VersionedTable.statsMinMax(path(name), col)
+
   /** PLANNER-INTEGRATED scan of a versioned table
     * ([[graft.sources.VersionedTable.table]]): every query filter over
     * the returned frame prunes files through the snapshot's own
