@@ -1011,6 +1011,8 @@ final case class Warehouse(spark: SparkSession, root: String,
     * None when the snapshot cannot serve exactly. */
   def countRows(name: String): Long =
     VersionedTable.countRows(spark, path(name))
+  def describeDetail(name: String): DataFrame =
+    VersionedTable.describeDetail(spark, path(name))
   def statsNonNullCount(name: String, col: String): Option[Long] =
     VersionedTable.statsNonNullCount(path(name), col)
   def statsMinMax(name: String, col: String): Option[(Double, Double)] =

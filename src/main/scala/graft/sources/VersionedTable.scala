@@ -677,6 +677,35 @@ object VersionedTable {
     toLogical(physical, lines)
   }
 
+  /** One-row table summary — the DESCRIBE DETAIL shape (Delta's
+    * `describeDetail`): current version, file count, byte size (from
+    * the list annotations — zero per-file stats), row count when the
+    * snapshot's write-time stats serve it (-1 when a legacy line
+    * forces "unknown without a scan": this verb NEVER scans), partition
+    * columns, schema-stamped flag, constraint and generated-column
+    * counts, retired-version count, and the head commit's
+    * timestamp/operation. Everything from commit-list reads. */
+  def describeDetail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no commits at $root")
+    val v = vs.last
+    val stats = fileStats(root, Some(v))
+    val meta = commitMeta(root, v)
+    Seq((
+      root, v, vs.size.toLong, retiredVersions(root).size.toLong,
+      stats.size.toLong, stats.values.map(_._1).sum,
+      statsRowCount(root).getOrElse(-1L),
+      partitionCols(root).mkString(","),
+      schemaOf(root, Some(v)).isDefined,
+      checkConstraints(root).size.toLong,
+      generatedColumns(root).size.toLong,
+      meta.map(_._1).getOrElse(0L), meta.map(_._2).getOrElse("")
+    )).toDF("location", "version", "n_versions", "n_retired", "n_files",
+      "n_bytes", "n_rows", "partition_columns", "schema_stamped",
+      "n_constraints", "n_generated", "ts_ms", "operation")
+  }
+
   /** COUNT(*) answered from the commit list ALONE (Delta's
     * metadata-only count): when every data line carries write-time row
     * counts, the answer is one list read — zero files opened, zero

@@ -111,6 +111,28 @@ class StatsServingSpec extends SparkSpecBase {
     assert(VersionedTable.statsNonNullCount(root2, "v").contains(0L))
   }
 
+  test("describeDetail summarizes the table from commit lists alone (data hidden)") {
+    val root = freshRoot("detail")
+    VersionedTable.withClock(() => 5000L) {
+      VersionedTable.overwrite(spark, root,
+        (0 until 300).map(i => (i.toLong, s"p${i % 3}", i * 1.5)).toDF("id", "part", "v"),
+        partitionBy = Seq("part"))
+    }
+    VersionedTable.addCheckConstraint(spark, root, "v_pos", "v >= 0")
+    val row = hideData(root) {
+      VersionedTable.describeDetail(spark, root).collect()(0)
+    }
+    assert(row.getAs[Long]("n_rows") == 300L)
+    assert(row.getAs[Long]("n_files") > 0L && row.getAs[Long]("n_bytes") > 0L)
+    assert(row.getAs[String]("partition_columns") == "part")
+    assert(row.getAs[Boolean]("schema_stamped"))
+    assert(row.getAs[Long]("n_constraints") == 1L)
+    // head commit = the constraint add (wall clock, its own op label)
+    assert(row.getAs[Long]("ts_ms") > 5000L &&
+      row.getAs[String]("operation").nonEmpty)
+    assert(row.getAs[Long]("version") == VersionedTable.versions(root).last)
+  }
+
   test("OR keeps only not-null requirements common to both sides") {
     val schema = (0 until 0).toDF("a").withColumn("b", lit("x")).schema
     val (_, _, nn1) = SkippingIndex.pruneSpecOf(spark, schema,
