@@ -855,7 +855,7 @@ final case class Warehouse(spark: SparkSession, root: String,
       : Map[String, org.apache.spark.sql.Dataset[graft.sources.BloomIndex.FileBloom]] = {
     val pfx = s"${name}__bloom_"
     Option(new java.io.File(root).list()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(n => n.startsWith(pfx) && !n.endsWith("__tmp"))
+      .filter(n => n.startsWith(pfx) && !n.endsWith("__tmp") && !n.endsWith("__old"))
       .map(n => n.stripPrefix(pfx) ->
         graft.sources.BloomIndex.readIndex(spark, path(n)))
       .toMap
@@ -895,14 +895,32 @@ final case class Warehouse(spark: SparkSession, root: String,
           // so the sidecar starts indexing the moment the table does
           if (cur.nonEmpty) buildBloomIndex(name, col)
         } else if (have != cur.map(_._2).toSet) {
-          val tmp = bloomPath(name, col) + "__tmp"
-          BloomIndex.writeIndex(spark, BloomIndex.refreshFor(spark, cur, idx), tmp)
-          deepDelete(new java.io.File(bloomPath(name, col)))
-          new java.io.File(tmp).renameTo(new java.io.File(bloomPath(name, col)))
+          // write-then-swap, healthy sidecar deleted only AFTER the
+          // replacement is in place (ADVICE r12: the old delete-then-
+          // rename order silently lost the sidecar when renameTo
+          // failed, dropping all bloom pruning with no signal)
+          val live = new java.io.File(bloomPath(name, col))
+          val tmp = new java.io.File(bloomPath(name, col) + "__tmp")
+          val old = new java.io.File(bloomPath(name, col) + "__old")
+          BloomIndex.writeIndex(spark, BloomIndex.refreshFor(spark, cur, idx),
+            tmp.getPath)
+          deepDelete(old) // leftover of a prior crash — inert, clear it
+          if (!live.renameTo(old))
+            throw new java.io.IOException(s"could not set aside $live")
+          if (!tmp.renameTo(live)) {
+            old.renameTo(live) // restore the healthy sidecar
+            throw new java.io.IOException(s"could not publish $tmp")
+          }
+          deepDelete(old)
         }
       } catch {
         case _: Exception => // transient: keep the (stale-but-sound) sidecar
           deepDelete(new java.io.File(bloomPath(name, col) + "__tmp"))
+          // if the set-aside happened but publish failed AND restore
+          // failed, the old sidecar survives under __old — recover it
+          val live = new java.io.File(bloomPath(name, col))
+          val old = new java.io.File(bloomPath(name, col) + "__old")
+          if (!live.exists() && old.exists()) { old.renameTo(live); () }
       }
     }
   }

@@ -99,10 +99,28 @@ object BloomIndex extends Serializable {
       .na.drop(Seq("__k"))
     // pass 1: per-file non-null key counts (map-side combined — tiny)
     val counts = keyed.groupBy("__f").count().as[(String, Long)].collect().toMap
+    // Every path Spark's input_file_name() reports MUST resolve through
+    // the caller's file list. If even one doesn't (URI scheme /
+    // percent-encoding / symlink drift between the listing and the
+    // scan), "absent from the counts" no longer proves "key-less", and
+    // the empty-filter rows below would turn the documented
+    // "unindexed ⇒ keep" guarantee into an unsound prune — silently
+    // missing redaction deletes. Refuse LOUDLY at build time instead
+    // (ADVICE r12): no index is written, verbs keep every candidate.
+    val unresolved = counts.keys.filterNot(f => rel.contains(plainPath(f)))
+    require(unresolved.isEmpty,
+      s"bloom build for `$column`: ${unresolved.size} scanned path(s) do " +
+        s"not resolve through the supplied file list (e.g. " +
+        s"${unresolved.take(3).mkString(", ")}) — path roundtrip drift; " +
+        "refusing to build an index whose key-less inference would be unsound")
     val bcCounts = spark.sparkContext.broadcast(counts)
     val bcRel = spark.sparkContext.broadcast(rel)
     def emit(f: String, bf: BloomFilter, n: Long): FileBloom = {
-      val r = bcRel.value.getOrElse(plainPath(f), plainPath(f))
+      // validated above for every pass-1 path; a pass-2 path that still
+      // misses would silently mis-key the row — fail the task instead
+      val r = bcRel.value.getOrElse(plainPath(f),
+        throw new IllegalStateException(
+          s"bloom build for `$column`: scanned path $f missing from the file list"))
       FileBloom(r, column, kind, n, fpp, bytesOf(bf))
     }
     // pass 2: group keys by file, stream into a filter sized for that

@@ -198,8 +198,20 @@ object SkippingIndex {
             val colName = c.getPath.toDotString
             if (want(colName)) {
               val st = c.getStatistics
-              val isStr = c.getPrimitiveType.getLogicalTypeAnnotation
-                .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              val lt = c.getPrimitiveType.getLogicalTypeAnnotation
+              val isStr =
+                lt.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              // DECIMAL footer bounds are stored UNSCALED (int32/int64/
+              // binary two's-complement of unscaled digits): scale them
+              // here, or every decimal prune compares unscaled stats
+              // against scaled query literals — silent wrong results
+              // (ADVICE r12). Bounds are widened one ulp outward so the
+              // decimal→double rounding can never prune a true match.
+              val decScale: Option[Int] = lt match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  Some(d.getScale)
+                case _ => None
+              }
               val (mn, mx, ms, xs): (Option[Double], Option[Double],
                   Option[String], Option[String]) =
                 if (st == null || st.isEmpty || !st.hasNonNullValue)
@@ -208,8 +220,15 @@ object SkippingIndex {
                   (None, None,
                     str(st.genericGetMin.asInstanceOf[Any]).flatMap(truncMin),
                     str(st.genericGetMax.asInstanceOf[Any]).flatMap(truncMax))
-                else (num(st.genericGetMin.asInstanceOf[Any]),
-                      num(st.genericGetMax.asInstanceOf[Any]), None, None)
+                else decScale match {
+                  case Some(sc) =>
+                    (decNum(st.genericGetMin.asInstanceOf[Any], sc).map(Math.nextDown),
+                     decNum(st.genericGetMax.asInstanceOf[Any], sc).map(Math.nextUp),
+                     None, None)
+                  case None =>
+                    (numLo(st.genericGetMin.asInstanceOf[Any]),
+                     numHi(st.genericGetMax.asInstanceOf[Any]), None, None)
+                }
               val nulls = if (st == null) 0L else st.getNumNulls
               perBlock(colName) = (mn, mx, ms, xs, nulls) :: perBlock(colName)
             }
@@ -223,7 +242,15 @@ object SkippingIndex {
           parts.get(cn) match {
             case Some(Some(v)) =>
               val d = v.toDoubleOption
-              FileColStats(rel, cn, d, d,
+              // a path value the double can't represent exactly (e.g. a
+              // decimal partition "0.51") widens one ulp each way
+              val exact = d.exists(x =>
+                try new java.math.BigDecimal(v)
+                  .compareTo(new java.math.BigDecimal(x)) == 0
+                catch { case _: NumberFormatException => false })
+              FileColStats(rel, cn,
+                if (exact) d else d.map(Math.nextDown),
+                if (exact) d else d.map(Math.nextUp),
                 if (d.isEmpty) truncMin(v) else None,
                 if (d.isEmpty) truncMax(v) else None, 0L, rows)
             case Some(None) => // null partition — no bound, all rows null
@@ -251,6 +278,36 @@ object SkippingIndex {
     case n: java.lang.Double  => Some(n.doubleValue())
     case n: java.lang.Float   => Some(n.doubleValue())
     case _                    => None // binary/bool — no numeric bound
+  }
+
+  /** Longs beyond 2^53 round through the double-typed stats — widen the
+    * bound one ulp OUTWARD (min down, max up) so the rounding can never
+    * prove a false disjointness. int/float/double convert exactly. */
+  private val ExactLongBound = 1L << 53
+  private def numLo(v: Any): Option[Double] = v match {
+    case n: java.lang.Long if math.abs(n.longValue()) > ExactLongBound =>
+      Some(Math.nextDown(n.doubleValue()))
+    case other => num(other)
+  }
+  private def numHi(v: Any): Option[Double] = v match {
+    case n: java.lang.Long if math.abs(n.longValue()) > ExactLongBound =>
+      Some(Math.nextUp(n.doubleValue()))
+    case other => num(other)
+  }
+
+  /** A DECIMAL footer bound, SCALED: int32/int64 carry the unscaled
+    * digits directly; binary/fixed carry them big-endian
+    * two's-complement. The caller widens the resulting double. */
+  private def decNum(v: Any, scale: Int): Option[Double] = v match {
+    case n: java.lang.Long =>
+      Some(java.math.BigDecimal.valueOf(n.longValue(), scale).doubleValue())
+    case n: java.lang.Integer =>
+      Some(java.math.BigDecimal.valueOf(n.longValue(), scale).doubleValue())
+    case b: org.apache.parquet.io.api.Binary =>
+      try Some(new java.math.BigDecimal(
+        new java.math.BigInteger(b.getBytes), scale).doubleValue())
+      catch { case _: Exception => None }
+    case _ => None
   }
 
   private def str(v: Any): Option[String] = v match {
@@ -568,6 +625,11 @@ object SkippingIndex {
       case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
       case (IntegerType, LongType | DoubleType) => true
       case (FloatType, DoubleType) => true
+      // decimal→decimal is value-preserving when neither integral
+      // digits nor scale shrink (the coercion Spark inserts when a
+      // query literal carries a higher scale than the column)
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && (b.precision - b.scale) >= (a.precision - a.scale)
       case _ => false
     }
     def attrOf(e: Expression): Option[(String, DataType)] = e match {

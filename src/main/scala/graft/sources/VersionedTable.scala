@@ -214,9 +214,14 @@ object VersionedTable {
     sb.toString
   }
 
-  private def statField(s: SkippingIndex.FileColStats): String =
+  /** `dec` marks a DECIMAL column's bounds with tag `d` instead of `n`:
+    * the tag certifies the bounds were SCALED at stamp time (ADVICE
+    * r12's unscaled-decimal fix). A reader that finds tag `n` on a
+    * column whose stamped schema says DecimalType knows the line
+    * predates the fix and must not trust those bounds. */
+  private def statField(s: SkippingIndex.FileColStats, dec: Boolean): String =
     if (s.min_v.isDefined && s.max_v.isDefined)
-      s"${escField(s.column)};n;${s.min_v.get};${s.max_v.get};${s.n_nulls}"
+      s"${escField(s.column)};${if (dec) "d" else "n"};${s.min_v.get};${s.max_v.get};${s.n_nulls}"
     else if (s.min_s.isDefined && s.max_s.isDefined)
       s"${escField(s.column)};s;${escField(s.min_s.get)};${escField(s.max_s.get)};${s.n_nulls}"
     else s"${escField(s.column)};x;;;${s.n_nulls}"
@@ -225,7 +230,8 @@ object VersionedTable {
     * predates write-time stats (legacy / size-only annotations). A file
     * with stats but zero prunable columns yields one placeholder row so
     * [[SkippingIndex.Manifest.survivors]] always KEEPS it. */
-  private def parseLineStats(line: String): Option[Seq[SkippingIndex.FileColStats]] = {
+  private def parseLineStats(line: String,
+      legacyUnscaled: Set[String] = Set.empty): Option[Seq[SkippingIndex.FileColStats]] = {
     val parts = line.split('\t')
     if (parts.length < 4 || !parts(3).startsWith("rows=")) None
     else parts(3).stripPrefix("rows=").toLongOption.map { rows =>
@@ -237,7 +243,14 @@ object VersionedTable {
           val name = unescField(p(0))
           val nulls = p(4).toLongOption.getOrElse(0L)
           p(1) match {
-            case "n" =>
+            // `n` on a column the caller knows is DECIMAL is a legacy
+            // line stamped before scaling (tag `d` certifies scaled):
+            // serve the row WITHOUT bounds — null counts stay good,
+            // range pruning conservatively keeps
+            case "n" if legacyUnscaled.contains(name) =>
+              Some(SkippingIndex.FileColStats(rel, name,
+                None, None, None, None, nulls, rows))
+            case "n" | "d" =>
               for { mn <- p(2).toDoubleOption; mx <- p(3).toDoubleOption }
                 yield SkippingIndex.FileColStats(rel, name,
                   Some(mn), Some(mx), None, None, nulls, rows)
@@ -269,11 +282,27 @@ object VersionedTable {
                                 version: Option[Long] = None): Option[SkippingIndex.Manifest] = {
     val vs = versions(root)
     if (vs.isEmpty) return None
-    val raw = rawFilesOf(root, version.getOrElse(vs.last)).filterNot(isHeader)
-    val per = raw.map(parseLineStats)
+    val v = version.getOrElse(vs.last)
+    val raw = rawFilesOf(root, v).filterNot(isHeader)
+    val guard = decimalCols(root, v)
+    val per = raw.map(parseLineStats(_, guard))
     if (raw.isEmpty || per.exists(_.isEmpty)) None
     else Some(SkippingIndex.Manifest(per.flatten.flatten.toIndexedSeq))
   }
+
+  /** PHYSICAL names of the snapshot's DecimalType columns (stats lines
+    * store physical names; [[schemaOf]] IS the physical schema) — the
+    * legacy-unscaled guard set for [[parseLineStats]]. Empty when no
+    * schema is stamped: such tables predate write-time stats entirely,
+    * so no decimal bound can be served from their lines anyway. */
+  private def decimalCols(root: String, v: Long): Set[String] =
+    schemaOf(root, Some(v)) match {
+      case Some(s) => s.fields.iterator.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          f.name
+      }.toSet
+      case None => Set.empty
+    }
 
   private val SchemaPrefix = "#schema:"
   private def isSchema(line: String): Boolean = line.startsWith(SchemaPrefix)
@@ -752,7 +781,11 @@ object VersionedTable {
     * or when every row is null (SQL returns NULL there too; the caller
     * distinguishes via [[statsNonNullCount]]). Strings are deliberately
     * NOT served: their stored bounds are 16-char truncations, correct
-    * for pruning but not exact values. */
+    * for pruning but not exact values. DECIMAL columns are refused for
+    * the same reason — their stored bounds are ulp-widened doubles,
+    * sound for pruning but not exact values — as are LONG columns whose
+    * bounds exceed 2^53 (rounded through the double-typed stats);
+    * callers fall back to a scan (ADVICE r12). */
   def statsMinMax(root: String, column: String,
                   version: Option[Long] = None): Option[(Double, Double)] = {
     val vs = versions(root)
@@ -760,8 +793,13 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     val phys = mappingOf(filesOf(root, v))._1.map(_.swap)
       .getOrElse(column, column)
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val colType = schemaOf(root, Some(v)).flatMap(
+      _.fields.find(_.name == phys).map(_.dataType))
+    if (colType.exists(_.isInstanceOf[DecimalType])) return None
+    val guard = decimalCols(root, v)
     val per = rawFilesOf(root, v).filterNot(isHeader).map { l =>
-      parseLineStats(l).flatMap(_.find(_.column == phys)) match {
+      parseLineStats(l, guard).flatMap(_.find(_.column == phys)) match {
         case Some(s) if s.min_v.isDefined && s.max_v.isDefined =>
           Some(Some((s.min_v.get, s.max_v.get)))
         case Some(s) if s.n_rows == s.n_nulls => Some(None) // all-null file
@@ -772,7 +810,15 @@ object VersionedTable {
     else {
       val bounds = per.flatten.flatten
       if (bounds.isEmpty) None // every row null — MIN/MAX is SQL NULL
-      else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+      else {
+        val (mn, mx) = (bounds.map(_._1).min, bounds.map(_._2).max)
+        // a long bound at/over 2^53 went through double rounding — the
+        // stored value may be off by ulps: refuse exactness
+        if (colType.contains(LongType) &&
+            (math.abs(mn) >= (1L << 53).toDouble || math.abs(mx) >= (1L << 53).toDouble))
+          None
+        else Some((mn, mx))
+      }
     }
   }
 
@@ -912,6 +958,10 @@ object VersionedTable {
     // hiccup degrades that file to a size-only line (sound: the prune
     // path then falls back to the footer-pass manifest).
     val cols = statColumns(df.schema)
+    val dec = df.schema.fields.iterator.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        f.name
+    }.toSet
     named.map { rel =>
       val p = Paths.get(root, rel)
       val base = s"$rel\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}"
@@ -920,7 +970,8 @@ object VersionedTable {
         else try SkippingIndex.statsOfFile(p.toString, rel, cols)
              catch { case _: Exception => Seq.empty }
       if (st.isEmpty) base
-      else base + s"\trows=${st.head.n_rows}" + st.map(s => "\t" + statField(s)).mkString
+      else base + s"\trows=${st.head.n_rows}" +
+        st.map(s => "\t" + statField(s, dec.contains(s.column))).mkString
     }
   }
 
@@ -2809,7 +2860,7 @@ object VersionedTable {
         else if (n.endsWith(".parquet")) Seq(childRel)
         else Seq.empty
       }
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val cutoff = clockFn() - minAgeMs // injectable (withClock): deterministic retention specs
     def oldEnough(n: String): Boolean =
       minAgeMs <= 0L || {
         try Files.getLastModifiedTime(d.resolve(n)).toMillis <= cutoff
@@ -2866,7 +2917,7 @@ object VersionedTable {
         else if (n.endsWith(".parquet")) Seq(childRel)
         else Seq.empty
       }
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val cutoff = clockFn() - minAgeMs // injectable (withClock): deterministic retention specs
     def oldEnough(n: String): Boolean =
       minAgeMs <= 0L || {
         try Files.getLastModifiedTime(d.resolve(n)).toMillis <= cutoff
@@ -2908,7 +2959,7 @@ object VersionedTable {
     val d = commitsDir(root)
     if (!Files.isDirectory(d)) return Seq.empty
     val floor = versions(root).headOption.getOrElse(Long.MinValue)
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val cutoff = clockFn() - minAgeMs // injectable (withClock): deterministic retention specs
     retiredVersions(root)
       .filter(_ < floor)
       .filter { v =>

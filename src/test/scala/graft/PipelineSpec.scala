@@ -206,6 +206,36 @@ class PipelineSpec extends SparkSpecBase {
     assert(rwM <= 1 && cM >= 6, s"probe must bound the merge: rw=$rwM carried=$cM")
   }
 
+  test("retention cutoffs honor the injectable clock: deterministic vacuum specs need no sleeps (VERDICT r12 #4)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_clockvac").toString
+    // overwrites, not appends: each version ORPHANS its predecessor's
+    // files once retired, giving the retention window real candidates
+    (0 until 4).foreach { i =>
+      VersionedTable.overwrite(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    val window = 30L * 60 * 1000 // 30 min — nothing here is that old
+    // clock = now: every candidate file is younger than the window
+    val (_, dryNow) = VersionedTable.vacuumDryRun(root, keep = Some(1),
+      minAgeMs = window)
+    assert(dryNow.isEmpty, s"wall-clock-age files must be spared: $dryNow")
+    // clock = now + 1h: the same files are now provably outside the
+    // window — dry run sees them, vacuum reclaims them, and commit-log
+    // GC takes the tombstones, all without a single sleep
+    val future = System.currentTimeMillis() + 60L * 60 * 1000
+    VersionedTable.withClock(() => future) {
+      val (_, dry) = VersionedTable.vacuumDryRun(root, keep = Some(1),
+        minAgeMs = window)
+      assert(dry.nonEmpty, "an hour-advanced clock must age the orphans out")
+      val gone = VersionedTable.vacuum(root, keep = Some(1), minAgeMs = window)
+      assert(gone.toSet == dry.toSet, s"vacuum must reclaim the dry-run set: $gone vs $dry")
+      assert(VersionedTable.vacuumCommitLogs(root, minAgeMs = window) == (0L until 3L))
+    }
+    assert(VersionedTable.read(spark, root).count() == 1L,
+      "the kept head stays fully readable after the clocked vacuum")
+  }
+
   test("commit-log GC deletes aged tombstones: the horizon moves honestly, _commits stays bounded under churn") {
     import spark.implicits._
     import graft.sources.VersionedTable

@@ -142,4 +142,74 @@ class PredicateBoxesSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root)
       .filter(col("v") >= 100000).count() == 50)
   }
+
+  test("DECIMAL stats are SCALED: readWhere / SQL / delete answer exactly (ADVICE r12)") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("pboxes_dec").toString
+    new java.io.File(root).delete()
+    // ADVICE r12's empirical case: DECIMAL(12,2) 0.50..2.00 — unscaled
+    // footer bounds (min 50, max 200) made `price <= 1.00` prune every
+    // file and return 0 rows. 20 cycles of 151 cent values; a second
+    // int32-backed DECIMAL(7,2) covers the narrow physical type.
+    val df = (0 until 3020).map(i => (i.toLong, 50 + i % 151)).toDF("id", "cents")
+      .withColumn("price", (col("cents") / 100).cast(DecimalType(12, 2)))
+      .withColumn("price7", (col("cents") / 100).cast(DecimalType(7, 2)))
+      .drop("cents")
+    VersionedTable.overwrite(spark, root,
+      df.repartitionByRange(8, col("price")).sortWithinPartitions("price"))
+    val one = lit(new java.math.BigDecimal("1.00"))
+    val truth = 20L * 51L // cents 50..100 inclusive, 20 cycles
+    assert(VersionedTable.readWhere(spark, root, col("price") <= one).count() == truth)
+    // plain SQL over the planner-integrated table() — the silent-wrong-
+    // results path the advice flagged
+    VersionedTable.table(spark, root).createOrReplaceTempView("dec_t")
+    assert(spark.sql("SELECT count(*) c FROM dec_t WHERE price <= 1.00")
+      .head().getLong(0) == truth)
+    // the scaled stats still PRUNE: [0.50,1.00] of a 0.50..2.00 range-
+    // partitioned table survives a strict subset of the 8 files
+    val (nr, sr) = SkippingIndex.boxesOf(spark,
+      VersionedTable.schemaOf(root).get, col("price") <= one)
+    val surv = VersionedTable.statsManifest(root).get.survivors(nr, sr)
+    assert(surv.size < 8 && surv.nonEmpty, s"expected real pruning, got $surv")
+    // bounded DELETE on the int32-backed decimal: exact, and bounded
+    val (_, rw, _) = VersionedTable.deleteWherePredicate(spark, root,
+      col("price7") === lit(new java.math.BigDecimal("0.77")))
+    assert(rw < 8, s"equality on a sorted decimal should prune, rewrote $rw")
+    assert(VersionedTable.read(spark, root).count() == 3020L - 20L)
+    // exactness contract: decimal MIN/MAX is refused (ulp-widened
+    // bounds are for pruning, not serving) — callers fall back to scan
+    assert(VersionedTable.statsMinMax(root, "price").isEmpty)
+  }
+
+  test("PROPERTY: decimal predicates never prune a file holding a matching row") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("pboxes_decprop").toString
+    new java.io.File(root).delete()
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 4000).map(i => (i.toLong, rnd.nextInt(20000)))
+      .toDF("id", "cents")
+      .withColumn("p", (col("cents") / 100).cast(DecimalType(12, 2)))
+      .drop("cents")
+    VersionedTable.overwrite(spark, root, df.repartitionByRange(8, col("p")))
+    val m = VersionedTable.statsManifest(root).get
+    val schema = VersionedTable.schemaOf(root).get
+    val full = VersionedTable.read(spark, root)
+      .withColumn("__f", input_file_name())
+    (1 to 25).foreach { i =>
+      val a = new java.math.BigDecimal(rnd.nextInt(20000)).movePointLeft(2)
+      val b = new java.math.BigDecimal(rnd.nextInt(20000)).movePointLeft(2)
+      val pred = rnd.nextInt(4) match {
+        case 0 => col("p") <= lit(a)
+        case 1 => col("p") >= lit(a)
+        case 2 => col("p") === lit(a)
+        case _ => col("p").between(lit(a.min(b)), lit(a.max(b)))
+      }
+      val (nr, sr) = SkippingIndex.boxesOf(spark, schema, pred)
+      val surv = m.survivors(nr, sr).toSet
+      val escapees = full.filter(pred).select("__f").as[String].collect()
+        .filterNot(f => surv.exists(s => f.endsWith(s)))
+      assert(escapees.isEmpty,
+        s"round $i: matching rows escaped pruning for $pred: ${escapees.take(2).toSeq}")
+    }
+  }
 }
