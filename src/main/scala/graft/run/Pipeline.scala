@@ -849,17 +849,23 @@ final case class Warehouse(spark: SparkSession, root: String,
       bloomPath(name, col))
   }
 
-  /** The table's Bloom sidecars on disk: logical column name (as built)
-    * → lazily-read index. */
-  private def bloomIndexesOf(name: String)
-      : Map[String, org.apache.spark.sql.Dataset[graft.sources.BloomIndex.FileBloom]] = {
+  /** The table's Bloom sidecar directories on disk: logical column name
+    * (as built) → sidecar path. */
+  private def bloomSidecarPaths(name: String): Map[String, String] = {
     val pfx = s"${name}__bloom_"
     Option(new java.io.File(root).list()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(n => n.startsWith(pfx) && !n.endsWith("__tmp") && !n.endsWith("__old"))
-      .map(n => n.stripPrefix(pfx) ->
-        graft.sources.BloomIndex.readIndex(spark, path(n)))
+      .map(n => n.stripPrefix(pfx) -> path(n))
       .toMap
   }
+
+  /** The table's Bloom sidecars on disk: logical column name (as built)
+    * → lazily-read index. */
+  private def bloomIndexesOf(name: String)
+      : Map[String, org.apache.spark.sql.Dataset[graft.sources.BloomIndex.FileBloom]] =
+    bloomSidecarPaths(name).map { case (c, p) =>
+      c -> graft.sources.BloomIndex.readIndex(spark, p)
+    }
 
   /** Bloom-on-commit: refresh every existing sidecar against the new
     * snapshot — carried files keep their filters verbatim, only the
@@ -1049,10 +1055,12 @@ final case class Warehouse(spark: SparkSession, root: String,
       // attributes and the index rows are PHYSICAL — translate through
       // the current mapping exactly as buildBloomIndex does
       val (ren, _) = VersionedTable.columnMapping(path(name))
-      val bloom = bloomIndexesOf(name).map { case (c, ix) =>
-        ren.find(_._2 == c).map(_._1).getOrElse(c) -> ix
+      // PATHS, not loaded Datasets: the planner probes through the
+      // driver-side filter cache — a warm point lookup plans job-free
+      val bloomPaths = bloomSidecarPaths(name).map { case (c, p) =>
+        ren.find(_._2 == c).map(_._1).getOrElse(c) -> p
       }
-      VersionedTable.table(spark, path(name), bloom = bloom)
+      VersionedTable.table(spark, path(name), bloomPaths = bloomPaths)
     } else read(name)
 
   /** FILTERED read with AUTOMATIC file skipping: boxes extract from the

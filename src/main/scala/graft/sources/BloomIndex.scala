@@ -194,6 +194,104 @@ object BloomIndex extends Serializable {
     spark.read.parquet(path).as[FileBloom]
   }
 
+  // ---- driver-side deserialized-filter cache (VERDICT r12 #3) ------
+  // Plan-time probes used to launch a distributed filter + collect per
+  // PLANNED QUERY ([[survivors]]) and re-read the parquet sidecar per
+  // plan — correct and Delta-shaped, but a repeatedly re-planned point-
+  // lookup dashboard paid a Spark job per plan. For the common small-
+  // index case the deserialized filters live on the driver instead,
+  // keyed by the sidecar's (path, parts-fingerprint): a WARM probe is
+  // pure driver work — ZERO jobs, zero sidecar I/O. Above the size
+  // bound the caller falls back to the distributed sweep (a million-
+  // file table's sidecar does not belong on the driver heap).
+
+  /** One sidecar deserialized: file → its filter, plus the pinned key
+    * kind. `mightContain*` is read-only on the bit array — safe to
+    * probe from concurrent planning threads. */
+  final case class LoadedIndex(column: String, kind: String,
+                               filters: Map[String, BloomFilter])
+
+  /** Default driver-heap bound per sidecar: 64 MB of serialized filter
+    * bytes (~50M keys at 1% fpp) — far above any redaction-scale index,
+    * far below executor-scale tables. */
+  val DefaultCacheBytes: Long = 64L << 20
+
+  private object FilterCache {
+    private val MaxSidecars = 8
+    // dir -> (fingerprint, loaded | None-for-too-big)
+    private val m = new java.util.LinkedHashMap[String, (String, Option[LoadedIndex])](
+        MaxSidecars, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Option[LoadedIndex])]): Boolean =
+        size() > MaxSidecars
+    }
+    def get(dir: String, fp: String): Option[Option[LoadedIndex]] = m.synchronized {
+      Option(m.get(dir)).filter(_._1 == fp).map(_._2)
+    }
+    def put(dir: String, fp: String, v: Option[LoadedIndex]): Unit = m.synchronized {
+      m.put(dir, (fp, v)); ()
+    }
+  }
+
+  /** `(count:bytes:maxMtime)` of the sidecar's parquet parts — changes
+    * whenever [[graft.run.Warehouse]]'s refresh swaps the directory, so
+    * a stale cache entry can never serve. Also the size pre-check: the
+    * serialized blobs dominate the parquet bytes. */
+  private def sidecarFingerprint(dir: String): Option[(String, Long)] = {
+    val d = new java.io.File(dir)
+    val parts = Option(d.listFiles()).map(_.toSeq).getOrElse(return None)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (parts.isEmpty) return None
+    val bytes = parts.map(_.length()).sum
+    Some((s"${parts.size}:$bytes:${parts.map(_.lastModified()).max}", bytes))
+  }
+
+  /** The sidecar at `dir` as driver-side filters — cached across plans;
+    * `None` when the sidecar is missing/empty or beyond `maxBytes`
+    * (fall back to [[survivors]], which is always sound). The FIRST
+    * touch after a build/refresh pays one small read job; every later
+    * plan is job-free. */
+  def loadCached(spark: SparkSession, dir: String,
+                 maxBytes: Long = DefaultCacheBytes): Option[LoadedIndex] = {
+    val (fp, bytes) = sidecarFingerprint(dir).getOrElse(return None)
+    FilterCache.get(dir, fp) match {
+      case Some(hit) => hit
+      case None =>
+        val loaded =
+          if (bytes > maxBytes) None
+          else {
+            val rows = readIndex(spark, dir).collect()
+            if (rows.isEmpty) None
+            else Some(LoadedIndex(rows.head.column, rows.head.kind,
+              rows.iterator.map(r => r.file -> BloomFilter.readFrom(r.bloom)).toMap))
+          }
+        FilterCache.put(dir, fp, loaded)
+        loaded
+    }
+  }
+
+  /** Driver-side twin of [[survivors]]: same contract (unindexed
+    * candidates KEEP — no false negatives, ever; key kind must match
+    * the build), zero Spark jobs. */
+  def survivorsLocal(idx: LoadedIndex, candidates: Seq[String], column: String,
+                     keys: Either[Seq[Long], Seq[String]]): Seq[String] = {
+    require(idx.column == column,
+      s"bloom index is on `${idx.column}`, probed as `$column`")
+    val kind = keys.fold(_ => "l", _ => "s")
+    require(idx.kind == kind,
+      s"bloom index on `$column` was built for kind '${idx.kind}' but the " +
+        s"probe keys are '$kind' — probe with the key type the index was built on")
+    candidates.filter { f =>
+      idx.filters.get(f) match {
+        case Some(bf) => keys match {
+          case Left(ls) => ls.exists(bf.mightContainLong)
+          case Right(ss) => ss.exists(bf.mightContainString)
+        }
+        case None => true // unindexed ⇒ keep
+      }
+    }
+  }
+
   /** The candidate files that MIGHT contain at least one of `keys` —
     * plus every candidate the index has no row for (unindexed files
     * must be kept: no false negatives, ever). The key list is bounded

@@ -101,9 +101,117 @@ object VersionedTable {
   private def filesOf(root: String, version: Long): Seq[String] =
     rawFilesOf(root, version).map(l => if (isHeader(l)) l else pathOf(l))
 
-  /** The commit lines VERBATIM, annotations included. */
+  /** The snapshot's lines VERBATIM, annotations included — RESOLVED:
+    * a delta-encoded commit replays onto its base here, so every
+    * consumer above this line still sees a complete snapshot. */
   private def rawFilesOf(root: String, version: Long): Seq[String] =
-    readList(commitsDir(root).resolve(s"v$version.list"))
+    resolveRaw(root, version)
+
+  // ---- delta-encoded commits + checkpoints (VERDICT r12 #1) --------
+  // A commit list is FULL (today's format: the complete annotated
+  // snapshot — now the CHECKPOINT role, written every [[CheckpointEvery]]
+  // versions and at v0) or a DELTA: first line `#delta:<v-1>`, then a
+  // `#snap:<nFiles>:<nBytes>` summary, the commit's ADDED/CHANGED data
+  // lines verbatim, `#rm:<path>` per removed file, and the snapshot's
+  // COMPLETE header set (#schema/#txn/#meta/#check/… — O(schema +
+  // writers), small). Snapshot resolution walks back to the nearest
+  // full list (≤ CheckpointEvery-1 hops) and replays; a one-slot-per-
+  // root cache makes sequential access (appends, ascending history)
+  // one list read per version. This is Delta's _delta_log shape —
+  // JSON actions per commit, a parquet checkpoint every 10 — priced
+  // the same way: a commit writes O(change) metadata, not O(table),
+  // which at the 100 TB / million-file design point is the difference
+  // between ~KBs and ~1 GB of metadata per small append. Legacy
+  // all-full-list tables resolve unchanged (every list is its own
+  // checkpoint), and the two formats interleave freely.
+  private[graft] val CheckpointEvery = 10L
+  private val DeltaPrefix = "#delta:"
+  private val RmPrefix = "#rm:"
+  private val SnapPrefix = "#snap:"
+  private def isDeltaList(lines: Seq[String]): Boolean =
+    lines.headOption.exists(_.startsWith(DeltaPrefix))
+
+  /** One resolved snapshot per root (the sequential-access pattern both
+    * the write path and ascending history follow), LRU across roots. A
+    * published list is immutable (CAS move; the vacuum re-encode
+    * preserves content), so entries never go stale. */
+  private object SnapCache {
+    private val MaxRoots = 64
+    private val m = new java.util.LinkedHashMap[String, (Long, Seq[String])](
+        MaxRoots, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Seq[String])]): Boolean =
+        size() > MaxRoots
+    }
+    def get(root: String, v: Long): Option[Seq[String]] = m.synchronized {
+      Option(m.get(root)).filter(_._1 == v).map(_._2)
+    }
+    def put(root: String, v: Long, lines: Seq[String]): Unit = m.synchronized {
+      m.put(root, (v, lines)); ()
+    }
+  }
+
+  /** Read `v`'s list and, if delta-encoded, replay it onto its resolved
+    * base. The version's OWN file is always read (missing/retired lists
+    * keep failing exactly as before); only the base walk is cached. */
+  private def resolveRaw(root: String, version: Long): Seq[String] = {
+    val lines = readList(commitsDir(root).resolve(s"v$version.list"))
+    if (!isDeltaList(lines)) lines
+    else SnapCache.get(root, version).getOrElse {
+      val out = replayDelta(resolveRaw(root, version - 1), lines)
+      SnapCache.put(root, version, out)
+      out
+    }
+  }
+
+  /** base snapshot + one delta list → the full snapshot: `#rm:` drops by
+    * path, add lines REPLACE-or-append by path (so a re-annotated carried
+    * file — a legacy line upgrading, a restore restamping — overrides its
+    * base line), and headers come from the delta ALONE (every commit
+    * carries its complete header set, so replacement is exact). */
+  private def replayDelta(base: Seq[String], delta: Seq[String]): Seq[String] = {
+    val adds = delta.filterNot(isHeader)
+    val rms = delta.filter(_.startsWith(RmPrefix))
+      .map(_.stripPrefix(RmPrefix)).toSet
+    val headers = delta.filter(l => isHeader(l) && !l.startsWith(DeltaPrefix) &&
+      !l.startsWith(RmPrefix) && !l.startsWith(SnapPrefix))
+    val addPaths = adds.iterator.map(pathOf).toSet
+    val baseData = base.filterNot(isHeader).filterNot { l =>
+      val p = pathOf(l); rms.contains(p) || addPaths.contains(p)
+    }
+    baseData ++ adds ++ headers
+  }
+
+  /** `(nFiles, nBytes)` from a delta list's own `#snap` summary — what
+    * keeps [[history]] one read per version with zero replay. */
+  private def snapSummary(lines: Seq[String]): Option[(Int, Long)] =
+    lines.find(_.startsWith(SnapPrefix)).flatMap { s =>
+      val p = s.stripPrefix(SnapPrefix).split(':')
+      if (p.length != 2) None
+      else for { a <- p(0).toIntOption; b <- p(1).toLongOption } yield (a, b)
+    }
+
+  /** Re-encode `v`'s list as a FULL list in place (content-identical:
+    * readers see the same snapshot either way). [[vacuum]] runs this on
+    * the oldest KEPT version before tombstoning its predecessors, so no
+    * readable version's resolution chain ever crosses the retired
+    * floor. Idempotent; a crash between this and the tombstoning leaves
+    * only a checkpoint that arrived early. */
+  private def materializeFull(root: String, v: Long): Unit = {
+    val f = commitsDir(root).resolve(s"v$v.list")
+    if (!Files.exists(f)) return
+    if (!isDeltaList(readList(f))) return
+    val resolved = resolveRaw(root, v)
+    val tmp = commitsDir(root).resolve(s".v$v.ckpt.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, resolved.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The snapshot's resolved raw lines — spec/diagnostic surface (what
+    * [[rawFilesOf]] serves internally). */
+  private[graft] def snapshotLines(root: String, version: Long): Seq[String] =
+    rawFilesOf(root, version)
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
 
@@ -835,8 +943,9 @@ object VersionedTable {
     * recorder. */
   def table(spark: SparkSession, root: String,
             version: Option[Long] = None,
-            bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty): DataFrame =
-    tableWithIndex(spark, root, version, bloom)._1
+            bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty,
+            bloomPaths: Map[String, String] = Map.empty): DataFrame =
+    tableWithIndex(spark, root, version, bloom, bloomPaths)._1
 
   /** [[table]] plus its index — `idx.lastPlanned` records (listed,
     * total) after each planned scan, the evidence surface for specs and
@@ -845,11 +954,12 @@ object VersionedTable {
     * filters — a plain SQL point lookup plans ~1 file. */
   def tableWithIndex(spark: SparkSession, root: String,
                      version: Option[Long] = None,
-                     bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+                     bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty,
+                     bloomPaths: Map[String, String] = Map.empty)
       : (DataFrame, SnapshotFileIndex) = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val idx = new SnapshotFileIndex(spark, root, version, bloom)
+    val idx = new SnapshotFileIndex(spark, root, version, bloom, bloomPaths)
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       None, new ParquetFileFormat, Map.empty)(classic)
@@ -995,19 +1105,17 @@ object VersionedTable {
     * the commit. */
   private def tryCommit(root: String, v: Long, files: Seq[String]): Boolean = {
     Files.createDirectories(commitsDir(root))
-    // bare path -> the superseded snapshot's FULL annotated line, so a
-    // carried file keeps its size AND column stats verbatim across
-    // commits; bare lines with no precedent stat size/mtime once (no
-    // column stats — only writeData, with the frame in hand, stamps
-    // those, and the prune path falls back soundly without them)
-    val prev: Map[String, String] =
-      if (v <= 0) Map.empty
-      else {
-        val f = commitsDir(root).resolve(s"v${v - 1}.list")
-        if (!Files.exists(f)) Map.empty
-        else readList(f).filterNot(isHeader).filter(_.indexOf('\t') >= 0)
-          .map(l => pathOf(l) -> l).toMap
-      }
+    // the superseded snapshot, RESOLVED (a delta base replays): carried
+    // files keep their size AND column stats verbatim across commits;
+    // bare lines with no precedent stat size/mtime once (no column
+    // stats — only writeData, with the frame in hand, stamps those, and
+    // the prune path falls back soundly without them)
+    val prevRaw: Seq[String] =
+      if (v <= 0) Seq.empty
+      else try resolveRaw(root, v - 1)
+           catch { case _: java.io.IOException => Seq.empty }
+    val prev: Map[String, String] = prevRaw.filterNot(isHeader)
+      .filter(_.indexOf('\t') >= 0).map(l => pathOf(l) -> l).toMap
     val stamped = files.map { l =>
       if (isHeader(l) || l.indexOf('\t') >= 0) l
       else prev.getOrElse(l,
@@ -1016,11 +1124,37 @@ object VersionedTable {
           s"$l\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}"
         } catch { case _: java.io.IOException => l })
     }
+    // encode: FULL at v0 and every CheckpointEvery-th version (the
+    // checkpoint cadence bounds every replay chain), or when the base
+    // could not be resolved; DELTA otherwise — the commit then writes
+    // O(change) metadata (its new/changed lines, its removes, the small
+    // header set, a #snap summary), never the table
+    val writeLines: Seq[String] =
+      if (v <= 0 || v % CheckpointEvery == 0 || prevRaw.isEmpty) stamped
+      else {
+        val prevByPath = prevRaw.filterNot(isHeader).map(l => pathOf(l) -> l).toMap
+        val data = stamped.filterNot(isHeader)
+        val headers = stamped.filter(isHeader)
+        val dataPaths = data.iterator.map(pathOf).toSet
+        val adds = data.filter(l => !prevByPath.get(pathOf(l)).contains(l))
+        val rms = prevByPath.keysIterator.filterNot(dataPaths.contains)
+          .map(RmPrefix + _).toSeq.sorted
+        val nBytes = data.iterator.map(l => statAnnot(l).map(_._1).getOrElse(
+          try Files.size(Paths.get(root, pathOf(l)))
+          catch { case _: java.io.IOException => 0L })).sum
+        (s"$DeltaPrefix${v - 1}" +: s"$SnapPrefix${data.size}:$nBytes" +: adds) ++
+          rms ++ headers
+      }
     val tmp = commitsDir(root).resolve(s".v$v.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, stamped.mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp, writeLines.mkString("\n").getBytes("UTF-8"))
     try {
       Files.move(tmp, commitsDir(root).resolve(s"v$v.list"),
         StandardCopyOption.ATOMIC_MOVE)
+      // prime the one-slot cache with the resolved form: the next
+      // commit's base resolution (and any immediate read) is then one
+      // list read with zero replay
+      SnapCache.put(root, v,
+        if (writeLines eq stamped) stamped else replayDelta(prevRaw, writeLines))
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -2572,10 +2706,25 @@ object VersionedTable {
     val retired = retiredVersions(root).map(v => (v, s"v$v.retired", true))
     val rows = (live ++ retired).sortBy(_._1).map { case (v, name, isRetired) =>
       val lines = readList(commitsDir(root).resolve(name))
-      val data = lines.filterNot(isHeader)
-      // size from the list's own annotations — zero filesystem stats
-      // for annotated snapshots, one stat per legacy bare line
-      val bytes = statsOfLines(root, data).values.map(_._1).sum
+      // a delta list answers from its own #snap summary — one read per
+      // version, zero replay (headers are complete in the delta, so
+      // writers/schema/meta read the same either way); full lists keep
+      // the annotation path. The resolve fallback only runs for a
+      // readable delta that somehow lacks #snap.
+      val (nData, bytes): (Int, Long) =
+        if (isDeltaList(lines))
+          snapSummary(lines).getOrElse {
+            val d = (try resolveRaw(root, v)
+                     catch { case _: Exception => Seq.empty[String] })
+              .filterNot(isHeader)
+            (d.size, statsOfLines(root, d).values.map(_._1).sum)
+          }
+        else {
+          val data = lines.filterNot(isHeader)
+          // size from the list's own annotations — zero filesystem stats
+          // for annotated snapshots, one stat per legacy bare line
+          (data.size, statsOfLines(root, data).values.map(_._1).sum)
+        }
       val writers = lines.flatMap(parseTxn).map(_._1).distinct.sorted
       // parse the meta header from the lines already in hand (one list
       // read per version, not two)
@@ -2586,7 +2735,7 @@ object VersionedTable {
         else rest.take(i).toLongOption.map(ts => (ts, rest.drop(i + 1)))
       }
       (v, meta.map(_._1), meta.map(_._2).orNull,
-        data.size, bytes, writers, lines.exists(isSchema), isRetired)
+        nData, bytes, writers, lines.exists(isSchema), isRetired)
     }
     rows.toDF("version", "ts_ms", "operation", "n_files", "n_bytes",
       "txn_writers", "has_schema", "retired")
@@ -2898,6 +3047,10 @@ object VersionedTable {
     val retiring = vs.filterNot(kept.contains)
     vacuumWindowHook() // test seam: a racing commit lands HERE, after the
     // kept-window was computed — the head re-read below must spare it
+    // the oldest KEPT version becomes a full checkpoint BEFORE its
+    // predecessors tombstone: no readable version's delta chain may
+    // cross the retired floor (content-identical re-encode, idempotent)
+    if (retiring.nonEmpty) kept.headOption.foreach(materializeFull(root, _))
     retiring.foreach { v =>
       try Files.move(commitsDir(root).resolve(s"v$v.list"),
         commitsDir(root).resolve(s"v$v.retired"),

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+import java.nio.file.{Files, Paths}
+
+/** Delta-encoded commit log + checkpoints (VERDICT r12 #1): a commit
+  * writes O(change) metadata — add/changed lines, `#rm:` removes, the
+  * small header set, a `#snap` summary — instead of rewriting the full
+  * annotated file list; every [[VersionedTable.CheckpointEvery]]-th
+  * version is a full-list checkpoint bounding replay chains. Reference
+  * shape: Delta Lake's `_delta_log` JSON actions + periodic parquet
+  * checkpoint (the store the reference's notebooks commit to,
+  * /root/reference Bfull:cell 27 `format("delta")`). */
+class DeltaLogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rawList(root: String, v: Long): Seq[String] =
+    new String(Files.readAllBytes(Paths.get(root, "_commits", s"v$v.list")),
+      "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+
+  private def fresh(tag: String): String = {
+    val p = Files.createTempDirectory(s"graft_dlog_$tag")
+    p.toFile.delete(); p.toString
+  }
+
+  test("a commit writes O(change) metadata: deltas stay small while the table grows; checkpoints bound the chain") {
+    val root = fresh("ochange")
+    // v0: 64 files — the full checkpoint pays O(table) once
+    VersionedTable.overwrite(spark, root,
+      (0 until 6400).map(i => (i.toLong, s"v$i", i % 13)).toDF("id", "v", "grp")
+        .repartition(64))
+    val v0Bytes = Files.size(Paths.get(root, "_commits", "v0.list"))
+    // v1..v15: one-file appends
+    (1 to 15).foreach { i =>
+      VersionedTable.append(spark, root,
+        Seq((100000L + i, s"x$i", i)).toDF("id", "v", "grp"))
+    }
+    // encoding: deltas everywhere except the checkpoint cadence
+    (1 to 15).foreach { v =>
+      val head = rawList(root, v).head
+      if (v % VersionedTable.CheckpointEvery == 0)
+        assert(!head.startsWith("#delta:"), s"v$v must be a full checkpoint")
+      else assert(head.startsWith(s"#delta:${v - 1}"), s"v$v must be a delta: $head")
+    }
+    // the PRICE: a one-file append's delta is tiny and FLAT as the
+    // table grows — each carries exactly 1 data line; the old format
+    // re-wrote all 64+ lines (v0Bytes) every commit
+    val deltaSizes = (1 to 15).filter(_ % VersionedTable.CheckpointEvery != 0)
+      .map(v => Files.size(Paths.get(root, "_commits", s"v$v.list")))
+    assert(deltaSizes.forall(_ < v0Bytes / 10),
+      s"delta commits must price the change, not the table: $deltaSizes vs full $v0Bytes")
+    (1 to 15).filter(_ % VersionedTable.CheckpointEvery != 0).foreach { v =>
+      assert(rawList(root, v).count(l => !l.startsWith("#")) == 1,
+        s"a 1-file append's delta must carry 1 data line at v$v")
+    }
+    // resolution correctness: every version reads the right snapshot
+    assert(VersionedTable.read(spark, root).count() == 6400 + 15)
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 6400)
+    assert(VersionedTable.read(spark, root, Some(7L)).count() == 6400 + 7)
+    assert(VersionedTable.read(spark, root, Some(10L)).count() == 6400 + 10)
+    // carried annotations survive replay verbatim: the whole resolved
+    // head is annotated, so list-served stats/prunes keep working
+    val head15 = VersionedTable.snapshotLines(root, 15L).filterNot(_.startsWith("#"))
+    assert(head15.size == 64 + 15 && head15.forall(_.contains("\trows=")),
+      "resolved snapshot must keep every line's write-time stats")
+    // ... and the stats actually SERVE: zero-task count on the head
+    assert(VersionedTable.statsRowCount(root).contains(6400L + 15))
+  }
+
+  test("removes ride the delta: DELETE/OPTIMIZE snapshots replay exactly; history serves from #snap with the data hidden") {
+    val root = fresh("rm")
+    VersionedTable.overwrite(spark, root,
+      (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    // v1: bounded delete rewrites 1 file (1 add + 1 rm in the delta)
+    val (_, rw, _) = VersionedTable.deleteWherePredicate(spark, root,
+      col("id").between(500L, 519L))
+    assert(rw == 1)
+    val v1 = rawList(root, 1L)
+    assert(v1.head.startsWith("#delta:0"))
+    assert(v1.count(_.startsWith("#rm:")) == 1, s"one replaced file: $v1")
+    assert(v1.count(l => !l.startsWith("#")) == 1)
+    assert(VersionedTable.read(spark, root).count() == 3980)
+    // v2: optimize rewrites everything — the delta prices that change
+    VersionedTable.optimize(spark, root, Seq("id"), numFiles = 2)
+    assert(VersionedTable.read(spark, root).count() == 3980)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 3980)
+    assert(VersionedTable.read(spark, root, Some(0L)).count() == 4000)
+    // history: one read per version, n_files/n_bytes for delta commits
+    // come from their #snap summary — prove it with the data dir hidden
+    val wantBytes = VersionedTable.snapshotLines(root, 2L)
+      .filterNot(_.startsWith("#")).map(_.split('\t')(1).toLong).sum
+    Files.move(Paths.get(root, "data"), Paths.get(root, "data_hidden"))
+    try {
+      val h = VersionedTable.history(spark, root)
+        .select("version", "n_files", "n_bytes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+      assert(h(1)._2 == 8, s"v1 snapshot holds 8 files, got ${h(1)}")
+      assert(h(2)._2 <= 2 && h(2)._3 == wantBytes,
+        s"v2 history must serve size from #snap: ${h(2)} want $wantBytes")
+    } finally Files.move(Paths.get(root, "data_hidden"), Paths.get(root, "data"))
+  }
+
+  test("vacuum checkpoints the oldest kept version before retiring: no readable chain crosses the floor") {
+    val root = fresh("vac")
+    (0 until 15).foreach { i =>
+      if (i == 0) VersionedTable.overwrite(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      else VersionedTable.overwrite(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    // v12..v14 kept; v12 is a delta (12 % 10 != 0) whose chain passed
+    // through v10 — vacuum must materialize it before tombstoning
+    VersionedTable.vacuum(root, keep = Some(3), minAgeMs = 0L)
+    assert(VersionedTable.versions(root) == Seq(12L, 13L, 14L))
+    assert(!rawList(root, 12L).head.startsWith("#delta:"),
+      "the oldest kept version must have been re-encoded as a full checkpoint")
+    assert(rawList(root, 13L).head.startsWith("#delta:12"))
+    // all kept versions resolve and read correctly after retirement
+    assert(VersionedTable.read(spark, root, Some(12L)).as[(Long, String)]
+      .collect().toSeq == Seq((12L, "v12")))
+    assert(VersionedTable.read(spark, root, Some(14L)).as[(Long, String)]
+      .collect().toSeq == Seq((14L, "v14")))
+    // retired versions still fail fast as retired
+    val e = intercept[IllegalStateException] {
+      VersionedTable.read(spark, root, Some(5L))
+    }
+    assert(e.getMessage.contains("retired"))
+  }
+
+  test("legacy all-full-list tables interleave with delta commits: resolution, stats, and time travel agree") {
+    val root = fresh("legacy")
+    VersionedTable.overwrite(spark, root,
+      (0 until 300).map(i => (i.toLong, s"a$i")).toDF("id", "v").repartition(3))
+    VersionedTable.append(spark, root, Seq((1000L, "b")).toDF("id", "v"))
+    // simulate a legacy table: rewrite the delta v1 as its resolved full
+    // list (exactly the pre-r13 format) — readers must not care
+    val resolved = VersionedTable.snapshotLines(root, 1L)
+    Files.write(Paths.get(root, "_commits", "v1.list"),
+      resolved.mkString("\n").getBytes("UTF-8"))
+    VersionedTable.append(spark, root, Seq((1001L, "c")).toDF("id", "v"))
+    assert(rawList(root, 2L).head.startsWith("#delta:1"),
+      "a delta may stack on a legacy full list")
+    assert(VersionedTable.read(spark, root).count() == 302)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 301)
+    assert(VersionedTable.statsRowCount(root).contains(302L))
+    // schema/constraint headers replay from the delta's own header set
+    assert(VersionedTable.schemaOf(root).isDefined)
+  }
+}

@@ -191,10 +191,11 @@ class PipelineSpec extends SparkSpecBase {
     assert(rw2 >= 1 && c2 >= 5, s"bounded: rw=$rw2 carried=$c2")
     assert(VersionedTable.read(spark, root).count() == 7000)
     // (d) carried files keep their stats verbatim across the rewrite
-    // commit, so the NEXT prune is still list-served
-    val raw1 = new String(Files.readAllBytes(
-      Paths.get(root, "_commits", "v1.list")), "UTF-8")
-      .split("\n").filterNot(_.startsWith("#")).toSeq
+    // commit, so the NEXT prune is still list-served — asserted on the
+    // RESOLVED snapshot (v1 is delta-encoded; carried lines live in the
+    // base and replay through)
+    val raw1 = VersionedTable.snapshotLines(root, 1L)
+      .filterNot(_.startsWith("#"))
     assert(raw1.forall(_.contains("\trows=")),
       "every line of the rewrite commit (carried + fresh) must keep stats")
     // (e) a bimodal merge probe stays bounded, driven by list stats
@@ -2087,20 +2088,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(VersionedTable.history(spark, root).select("n_bytes")
       .collect()(0).getLong(0) == wantBytes, "legacy bare lines fall back to one stat each")
     // (d) the first commit that carries the legacy lines forward UPGRADES
-    // them: the new head list is fully annotated again
+    // them: the new head SNAPSHOT is fully annotated again (v1 is a
+    // delta list — the upgraded lines ride it as changed-line adds)
     VersionedTable.append(spark, root, Seq((5000L, "x")).toDF("id", "v"))
-    val raw1 = new String(Files.readAllBytes(
-      Paths.get(root, "_commits", "v1.list")), "UTF-8").split("\n").toSeq
-    val data1 = raw1.filterNot(_.startsWith("#"))
+    val data1 = VersionedTable.snapshotLines(root, 1L).filterNot(_.startsWith("#"))
     assert(data1.size == dataLines.size + 1 && data1.forall(_.split('\t').length >= 3),
       "carried legacy lines must upgrade to annotated form on the next commit")
     // (e) steady state: a further commit reuses the previous snapshot's
-    // annotations verbatim for carried files (no re-stat drift)
+    // annotations verbatim for carried files (no re-stat drift) — and
+    // its DELTA list now prices the CHANGE, not the table: the carried
+    // lines do not re-appear in the raw v2 file
     VersionedTable.append(spark, root, Seq((5001L, "y")).toDF("id", "v"))
-    val raw2 = new String(Files.readAllBytes(
-      Paths.get(root, "_commits", "v2.list")), "UTF-8").split("\n")
+    val raw2 = VersionedTable.snapshotLines(root, 2L)
       .filterNot(_.startsWith("#")).toSet
     assert(data1.toSet.subsetOf(raw2), "carried annotations must be stable across commits")
+    val rawFile2 = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", "v2.list")), "UTF-8").split("\n").toSeq
+    assert(rawFile2.head.startsWith("#delta:1"), "v2 should be delta-encoded")
+    assert(rawFile2.filterNot(_.startsWith("#")).size == 1,
+      "a 1-file append's delta must carry exactly its one new line")
     // (f) bounded maintenance reads sizes from the list too
     val (_, rw, _) = VersionedTable.compactSmall(spark, root, minBytes = 1024L * 1024)
     assert(rw >= 1, "the small-file trail must compact")

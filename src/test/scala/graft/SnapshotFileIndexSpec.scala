@@ -86,6 +86,58 @@ class SnapshotFileIndexSpec extends SparkSpecBase {
       df.filter(col("doc_key") > key).count())
   }
 
+  test("a warm cached bloom probe plans with ZERO Spark jobs (VERDICT r12 #3)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.StringType
+    val root = freshRoot("bloomcache")
+    val df = (0 until 2000).toDF("id")
+      .withColumn("doc_key", md5(col("id").cast("string")))
+    VersionedTable.overwrite(spark, root,
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    val sidecar = s"$root/__bloom_doc_key"
+    val files = VersionedTable.dataFiles(root).map(r => (s"$root/$r", r))
+    graft.sources.BloomIndex.writeIndex(spark,
+      graft.sources.BloomIndex.indexFor(spark, files, "doc_key", fpp = 1e-6), sidecar)
+    val idx = new graft.sources.SnapshotFileIndex(spark, root,
+      bloomPaths = Map("doc_key" -> sidecar))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest("700".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probe = EqualTo(AttributeReference("doc_key", StringType)(), Literal(key))
+    // first plan warms the driver-side cache (pays ONE small read job)
+    idx.listFiles(Nil, Seq(probe))
+    assert(idx.lastPlanned.get == ((1, 4)), s"probe must isolate 1 file: ${idx.lastPlanned}")
+    // warm probes: count jobs across repeated plans — must be ZERO
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      (1 to 20).foreach(_ => idx.listFiles(Nil, Seq(probe)))
+      assert(idx.lastPlanned.get == ((1, 4)))
+      Thread.sleep(1500) // listener bus is async — let events drain
+      assert(jobs.get() == 0,
+        s"warm cached bloom plans must launch zero Spark jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a sidecar REFRESH invalidates by fingerprint: append, rebuild,
+    // and the new key must probe correctly (no stale filter served)
+    VersionedTable.append(spark, root,
+      Seq(9999).toDF("id").withColumn("doc_key", md5(col("id").cast("string"))))
+    val files2 = VersionedTable.dataFiles(root).map(r => (s"$root/$r", r))
+    graft.sources.BloomIndex.writeIndex(spark,
+      graft.sources.BloomIndex.indexFor(spark, files2, "doc_key", fpp = 1e-6), sidecar)
+    val idx2 = new graft.sources.SnapshotFileIndex(spark, root,
+      bloomPaths = Map("doc_key" -> sidecar))
+    val key2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("9999".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    idx2.listFiles(Nil, Seq(EqualTo(AttributeReference("doc_key", StringType)(), Literal(key2))))
+    assert(idx2.lastPlanned.get._1 == 1,
+      s"refreshed sidecar must serve the new key: ${idx2.lastPlanned}")
+  }
+
   test("the scan plan carries PushedFilters and the custom index location") {
     val root = freshRoot("plan")
     VersionedTable.overwrite(spark, root,
