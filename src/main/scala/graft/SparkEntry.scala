@@ -29,6 +29,24 @@ object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Register a throwaway [[graft.sql.GraftCatalog]] over a fresh
+    * scratch warehouse for one SQL-text gate; returns (catalogName,
+    * warehouseRoot). The name carries the sf-dir hash because Spark's
+    * CatalogManager caches ONE instance per name — a reused name would
+    * silently keep serving the first root it saw. */
+  private def sqlGateCatalog(s: SparkSession, d: String, gate: String): (String, String) = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_${gate}_wh_${math.abs(d.hashCode)}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    val cat = s"g${gate}_${math.abs(d.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -930,6 +948,82 @@ object SparkEntry {
         lit(nTotal.getOrElse(-1L)).as("n_total"),
         lit(nFlag.getOrElse(-1L)).as("n_flag"),
         lit(nTotal.isDefined && nFlag.isDefined).as("stats_only"))
+    }),
+
+    // ---- SQL-text DML surface (graft.sql: DSv2 catalog + rule) ----
+    // The four storage-verb gates re-entered through vanilla spark.sql
+    // text — same DuckDB oracles as their API twins (s24/s35/s11/s21),
+    // so a green hash proves the SQL entry point computes EXACTLY what
+    // the verb computes. Each gate registers a throwaway catalog over a
+    // scratch warehouse; `bounded` rides the hash where the API twin
+    // carried it, recomputed from the commit lists (carried files stay
+    // byte-identical across the DML commit).
+    "s50_sql_delete" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s50")
+      VersionedTable.overwrite(s, s"$root/t",
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      s.sql(s"DELETE FROM $cat.t WHERE l_orderkey BETWEEN 1000 AND 2000 " +
+        "AND l_returnflag = 'R'")
+      val v0 = VersionedTable.fileStats(s"$root/t", Some(0L)).keySet
+      val head = VersionedTable.fileStats(s"$root/t").keySet
+      val carried = (head & v0).size
+      val rewritten = (head -- v0).size
+      s.sql(s"""SELECT l_returnflag, count(*) AS n,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               |  ${carried > 0 && rewritten < carried} AS bounded
+               |FROM $cat.t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    "s51_sql_update" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s51")
+      VersionedTable.overwrite(s, s"$root/t",
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      s.sql(s"UPDATE $cat.t SET l_returnflag = 'U', l_quantity = l_quantity * 2 " +
+        "WHERE l_orderkey BETWEEN 1001 AND 2000 AND l_quantity < 25")
+      val v0 = VersionedTable.fileStats(s"$root/t", Some(0L)).keySet
+      val head = VersionedTable.fileStats(s"$root/t").keySet
+      val carried = (head & v0).size
+      val rewritten = (head -- v0).size
+      s.sql(s"""SELECT l_returnflag, count(*) AS n,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               |  ${carried > 0 && rewritten < carried} AS bounded
+               |FROM $cat.t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    "s52_sql_merge" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s52")
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, s"$root/t",
+        ev.filter(col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+          .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      ev.filter(col("ts") >= to_timestamp(lit("2024-01-19 00:00:00")))
+        .withColumn("value", col("value") + lit(1.0))
+        .createOrReplaceTempView("s52_src")
+      s.sql(s"""MERGE INTO $cat.t t USING s52_src s ON t.event_id = s.event_id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.t")
+        .orderBy("event_id")
+    }),
+
+    "s53_sql_time_travel" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s53")
+      val docs = t(s, d, "documents")
+      VersionedTable.overwrite(s, s"$root/t", docs.filter(col("doc_id") < 400))
+      VersionedTable.append(s, s"$root/t", docs.filter(col("doc_id") >= 400))
+      s.sql(s"""SELECT doc_id, CAST(0 AS BIGINT) AS version
+               |FROM $cat.t VERSION AS OF 0
+               |UNION ALL
+               |SELECT doc_id, CAST(1 AS BIGINT) AS version FROM $cat.t
+               |ORDER BY version, doc_id""".stripMargin)
     }),
 
     "s18_jsonl_roundtrip" -> ((s, d) => {
@@ -2399,6 +2493,8 @@ object SparkEntry {
     "s46_predicate_auto_prune"-> Seq("sum_qty"),
     "s47_read_where"          -> Seq("sum_price"),
     "s48_planner_scan"        -> Seq("sum_qty"),
+    "s50_sql_delete"          -> Seq("sum_qty"),
+    "s51_sql_update"          -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -2741,6 +2837,52 @@ object SparkEntry {
         |  FROM lineitem WHERE l_orderkey <= 100)
         |SELECT COUNT(*) AS n_total, COUNT(flag_n) AS n_flag,
         |  TRUE AS stats_only FROM t""".stripMargin,
+
+    // SQL-text DML twins: same oracles as the API gates they mirror —
+    // the SQL entry point must compute exactly what the verb computes
+    "s50_sql_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM lineitem
+        |WHERE NOT COALESCE(l_orderkey BETWEEN 1000 AND 2000
+        |                   AND l_returnflag = 'R', FALSE)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "s51_sql_update" ->
+      """SELECT rf AS l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS bounded
+        |FROM (
+        |  SELECT CASE WHEN hit THEN 'U' ELSE l_returnflag END AS rf,
+        |         CASE WHEN hit THEN l_quantity * 2 ELSE l_quantity END AS q
+        |  FROM (SELECT l_returnflag, l_quantity,
+        |          COALESCE(l_orderkey BETWEEN 1001 AND 2000
+        |                   AND l_quantity < 25, FALSE) AS hit
+        |        FROM lineitem))
+        |GROUP BY rf ORDER BY rf""".stripMargin,
+
+    // MERGE UPDATE SET * / INSERT *: every source row lands (matched
+    // rows replaced, unmatched inserted), unmatched target rows carry
+    "s52_sql_merge" ->
+      """WITH target AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |source AS (
+        |  SELECT event_id, ts, user_id, event_type, value + 1.0 AS value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-19 00:00:00')
+        |SELECT event_id, ts, user_id, event_type, value FROM source
+        |UNION ALL
+        |SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "s53_sql_time_travel" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS version FROM documents
+        |WHERE doc_id < 400
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS version FROM documents
+        |ORDER BY version, doc_id""".stripMargin,
 
     // the planner-integrated scan answers the plain filtered aggregate
     "s48_planner_scan" ->

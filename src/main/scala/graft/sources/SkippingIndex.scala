@@ -811,7 +811,23 @@ object SkippingIndex {
       case _ => None
     }
 
-    walk(cond) match {
+    // SQL-origin predicates arrive with RuntimeReplaceable sugar the
+    // walker has no case for (BETWEEN → `Between(…, replacement=With)`)
+    // — normalize to the replacement tree and inline the With's common-
+    // subexpression refs, so SQL text prunes exactly like the Column
+    // DSL (ADVICE-shape fix found by the s50 SQL-DELETE gate: without
+    // this, a SQL BETWEEN delete silently rewrote the whole table)
+    val normalized = cond.transformUp {
+      case r: RuntimeReplaceable => r.replacement
+    }.transformUp {
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: CommonExpressionRef => defs.getOrElse(ref.id, ref)
+        }
+    }
+
+    walk(normalized) match {
       case None => (Nil, Nil, Nil)
       case Some((n, s, nn)) =>
         val nr = n.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>

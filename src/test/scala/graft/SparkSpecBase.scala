@@ -13,6 +13,7 @@ object SparkSpecBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.sql.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
