@@ -135,24 +135,34 @@ object CorpusPipeline {
     lastCensus = docs.count()
     counts += StageCount("input", lastCensus)
 
-    // 1. quality gate: keep ids ride a semi join (flags frame is slim)
-    val keepIds = TextStats.qualityFilter(docs, idCol, textCol)
-      .filter(col("keep")).select(idCol)
-    val quality = census("quality_gate",
-      docs.join(keepIds, Seq(idCol), "left_semi"))
+    // A corpus arriving in FEWER partitions than cores (one small
+    // parquet file in local mode) would run every text stage nearly
+    // single-threaded — and since each checkpoint inherits its input's
+    // partitioning, the whole pipeline would. Spread it ONCE up front;
+    // at cluster scale a real corpus scan already has partitions >>
+    // cores and this is a no-op (no shuffle ever added at 100 TB).
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions >= cores) docs else docs.repartition(cores)
 
-    // 2. redaction: pure map stage, no row-count change
-    val redacted = quality.withColumn(textCol, TextStats.redact(col(textCol)))
-
-    // 2b. within-doc span dedup: boilerplate repeats cut BEFORE the
-    // cross-document passes so repeated chrome can't inflate fingerprints
-    // or shingle sets; shrinks tokens, never drops documents. Checkpointed
-    // like the censused stages: three consumers (fingerprints, the
-    // survivor semi join, and through it every later stage)
+    // 1+2+2b FUSED (r12 #5): the quality gate rides the SAME codegen'd
+    // scan as redaction and the within-doc span cut — one inline filter
+    // ([[TextStats.qualityKeep]], the exact conjunction qualityFilter
+    // emits), no flags frame, no semi join, and ONE checkpoint where
+    // the composed path used to materialize the corpus twice. The
+    // quality census comes off the materialized frame (the self-cut
+    // shrinks tokens, never drops documents, so its row count IS the
+    // gate's keep count). Checkpointed: three consumers (fingerprints,
+    // the survivor semi join, and through it every later stage).
     val selfCut = ckpt(
-      TextDedup.cutSelfSpans(redacted, idCol, textCol, spanK)
+      TextDedup.cutSelfSpans(
+          spread.filter(TextStats.qualityKeep(col(textCol)))
+            .withColumn(textCol, TextStats.redact(col(textCol))),
+          idCol, textCol, spanK)
         .withColumnRenamed("text_dedup", textCol)
         .drop("n_tokens_removed"))
+    lastCensus = selfCut.count()
+    counts += StageCount("quality_gate", lastCensus)
 
     // 3. exact dedup: survivors are min-id per fingerprint
     val exactIds = TextDedup.exactDedup(selfCut, idCol, textCol).select(idCol)
@@ -169,8 +179,15 @@ object CorpusPipeline {
     // two return identical pairs)
     val pairs = TextDedup.ngramJaccardPairsPrefix(exact, idCol, textCol,
       shingleK, jaccardThreshold)
-    val nearIds = TextDedup.dedupSurvivors(exact, idCol, pairs)
-    val near = census("near_dedup", exact.join(nearIds, Seq(idCol), "left_semi"))
+    // survivors are derived FROM the exact frame, so the slim id count
+    // IS the stage census — and `near` has exactly one consumer (the
+    // span cut feeding the checkpointed `sized`), so it carries no
+    // checkpoint of its own: one less full-corpus materialization
+    val nearIds = ckpt( // two consumers: the count + the semi join
+      TextDedup.dedupSurvivors(exact, idCol, pairs))
+    lastCensus = nearIds.count()
+    counts += StageCount("near_dedup", lastCensus)
+    val near = exact.join(nearIds, Seq(idCol), "left_semi")
 
     // 5. span cut on the survivors + drop remnants too short to train on
     val cut = TextDedup.cutDupSpans(near, idCol, textCol, spanK)

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Edge bound for [[dupClusters]]' driver union-find fast path: below
+    * it, connected components cost one limit-probe action; above it the
+    * distributed log-round loop is the only sound choice. ~32 MB of
+    * driver state at the bound. */
+  val DriverCcMaxEdges: Int = 2_000_000
+
   /** Word k-shingles (distinct) of the normalized text. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -552,8 +558,49 @@ object TextDedup {
     *   cheaper executor-memory checkpoint. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxRounds: Int = 50,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  driverMaxEdges: Int = DriverCcMaxEdges): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // BOUNDED DRIVER FAST PATH (r12 #5): duplicate-pair lists are edges
+    // between DUPLICATES — tiny relative to the corpus they come from —
+    // and the log-round loop below pays ~3 shuffle jobs per round in
+    // fixed cost alone. ONE limit-probe action either returns the whole
+    // edge list (≤ DriverCcMaxEdges: union-find here, zero rounds —
+    // union-by-min-value makes every root its component's MINIMUM, the
+    // exact fixpoint the min-label loop converges to) or proves the
+    // list exceeds the bound, in which case the distributed loop is the
+    // only sound choice and runs as before. ~2M edges ≈ 32 MB driver —
+    // the same order as the other bounded driver states (Lloyd sums,
+    // bloom count maps).
+    {
+      val spark = pairs.sparkSession
+      val probe =
+        if (driverMaxEdges <= 0) Array.empty[org.apache.spark.sql.Row]
+        else pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+          .limit(driverMaxEdges + 1).collect()
+      if (driverMaxEdges > 0 && probe.length <= driverMaxEdges) {
+        val parent = new java.util.HashMap[Long, java.lang.Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c): Long; parent.put(c, r); c = n }
+          r
+        }
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val rows = parent.keySet.asScala.toSeq.map(id => (id: Long, find(id)))
+        import spark.implicits._
+        return rows.toDF("doc_id", "cluster_id")
+      }
+    }
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)

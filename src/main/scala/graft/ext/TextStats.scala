@@ -107,6 +107,29 @@ object TextStats {
       (lenOk && meanLenOk && stopOk && punctOk && langOk).as("keep"))
   }
 
+  /** [[qualityFilter]]'s composite keep condition as ONE inline Column —
+    * for callers that FUSE the gate into an adjacent text pass (a
+    * `filter(qualityKeep(col(text)))` rides the same codegen'd scan, no
+    * flags frame, no semi join; [[graft.ext.CorpusPipeline]]'s composed
+    * path). Must stay the exact conjunction qualityFilter emits. */
+  def qualityKeep(text: Column,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                  minStopwordRatio: Double = 0.05,
+                  maxPunctRatio: Double = 0.3): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nWords = size(toks)
+    val nPunct = nChars - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    val nStop = markerCount(toks, Markers.flatMap(_._2))
+    val meanWordLen = (nChars - (nWords - lit(1))).cast("double") / nWords.cast("double")
+    (nWords >= minWords && nWords <= maxWords) &&
+      (meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen) &&
+      (nStop.cast("double") / nWords.cast("double") >= minStopwordRatio) &&
+      (nPunct.cast("double") / nChars.cast("double") <= maxPunctRatio) &&
+      (langId(text) =!= "und")
+  }
+
   /** PII-style redaction: emails, URLs, and long digit runs are replaced
     * with typed placeholders — the standard scrub pass before a corpus
     * ships to training. Pure regexp_replace chain (codegen'd, shuffle-free

@@ -40,16 +40,14 @@ object CommitSoak {
     batch.count()
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
     val durs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    println("| commits | files | list bytes | append ms (median) | append ms (p99) | epochs check ms | history ms |")
-    println("|---|---|---|---|---|---|---|")
+    println("| commits | files | ckpt list bytes | delta bytes (median) | resolve ms | append ms (median) | append ms (p99) | epochs check ms | history ms |")
+    println("|---|---|---|---|---|---|---|---|---|")
     (0 until n).foreach { i =>
       val t0 = System.nanoTime()
       VersionedTable.appendIdempotent(spark, root, batch, "soak", i)
       durs += (System.nanoTime() - t0) / 1e6
       if ((i + 1) % 100 == 0) {
         val vs = VersionedTable.versions(root)
-        val listBytes = java.nio.file.Files.size(
-          java.nio.file.Paths.get(root, "_commits", s"v${vs.last}.list"))
         val nFiles = VersionedTable.dataFiles(root).size
         val t1 = System.nanoTime()
         val epochs = VersionedTable.committedEpochs(root)
@@ -64,8 +62,25 @@ object CommitSoak {
           .agg(org.apache.spark.sql.functions.sum("n_bytes")).collect()(0).getLong(0)
         val histMs = (System.nanoTime() - t2) / 1e6
         require(nBytes > 0L)
+        // r13 delta encoding: a block's checkpoint list is O(files) but
+        // every other commit is O(change) — report the block's median
+        // DELTA list size (the steady-state per-commit metadata cost)
+        // and the head snapshot-resolve wall (checkpoint + tail replay)
+        val deltaBytes = ((vs.last - 98) to vs.last)
+          .filter(_ % graft.sources.VersionedTable.CheckpointEvery != 0)
+          .map(v => java.nio.file.Files.size(
+            java.nio.file.Paths.get(root, "_commits", s"v$v.list"))).sorted
+        val ckptBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
+          root, "_commits",
+          s"v${vs.last - vs.last % graft.sources.VersionedTable.CheckpointEvery}.list"))
+        // COLD head resolve: checkpoint read + tail replay, cache dropped
+        VersionedTable.clearSnapshotCache()
+        val t3 = System.nanoTime()
+        val nf2 = VersionedTable.dataFiles(root).size
+        val resolveMs = (System.nanoTime() - t3) / 1e6
+        require(nf2 == nFiles)
         val block = durs.takeRight(100).sorted
-        val row = f"| ${i + 1} | $nFiles | $listBytes | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f | $histMs%.0f |"
+        val row = f"| ${i + 1} | $nFiles | $ckptBytes | ${deltaBytes(deltaBytes.size / 2)} | $resolveMs%.1f | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f | $histMs%.0f |"
         println(row)
         blocks += row
       }

@@ -149,6 +149,7 @@ object VersionedTable {
     def put(root: String, v: Long, lines: Seq[String]): Unit = m.synchronized {
       m.put(root, (v, lines)); ()
     }
+    def clear(): Unit = m.synchronized { m.clear() }
   }
 
   /** Read `v`'s list and, if delta-encoded, replay it onto its resolved
@@ -212,6 +213,11 @@ object VersionedTable {
     * [[rawFilesOf]] serves internally). */
   private[graft] def snapshotLines(root: String, version: Long): Seq[String] =
     rawFilesOf(root, version)
+
+  /** Measurement seam: drop the resolve cache so the next access pays
+    * the full checkpoint-plus-tail-replay cost (CommitSoak's cold
+    * snapshot-load column). Never needed for correctness. */
+  private[graft] def clearSnapshotCache(): Unit = SnapCache.clear()
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
 

@@ -255,7 +255,9 @@ class ExtSpec extends SparkSpecBase {
     assert(full.size == 21)
     assert(full.values.toSet == Set(0L), "default cap must let the chain converge")
     // a 3-round cap completes without error but cannot have converged
-    val capped = TextDedup.dupClusters(chain, maxRounds = 3).collect()
+    // (driverMaxEdges = 0 forces the distributed loop this test is about)
+    val capped = TextDedup.dupClusters(chain, maxRounds = 3,
+        driverMaxEdges = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(capped.size == 21)
     assert(capped.values.toSet != Set(0L), "3 rounds cannot flood a 20-diameter chain")
@@ -960,11 +962,29 @@ class ExtSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(star == (0L to n.toLong).map(i => (i, 0L)).toSet,
       "every chain node must reach the global minimum label within the cap")
-    val capped = TextDedup.dupClusters(chain, maxRounds = 20)
+    val capped = TextDedup.dupClusters(chain, maxRounds = 20,
+        driverMaxEdges = 0) // the distributed loop is the subject here
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped != star,
       "min-label at the same cap cannot finish a diameter-10k chain — " +
         "if it ever does, the star variant's reason-to-exist changed")
+  }
+
+  test("driver union-find fast path == the distributed loop on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 30 + rnd.nextInt(60)
+      val m = 15 + rnd.nextInt(90)
+      val pairs = Seq.fill(m) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val fast = TextDedup.dupClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val loop = TextDedup.dupClusters(pairs, driverMaxEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == loop, s"seed $seed: fast path diverged from the loop")
+    }
   }
 
   test("dupClustersStar == min-label on seeded random graphs (forests, cliques, mixtures)") {
@@ -991,11 +1011,12 @@ class ExtSpec extends SparkSpecBase {
     // an 11-node chain needs multiple propagation rounds — each one
     // round-trips through the reliable checkpoint
     val chain = (0 until 10).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
-    val reliable = TextDedup.dupClusters(chain, checkpointDir = Some(dir))
+    val reliable = TextDedup.dupClusters(chain, checkpointDir = Some(dir),
+        driverMaxEdges = 0) // force the loop: the reliable dir is the subject
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == (0L to 10L).map(i => (i, 0L)).toSet,
       "every chain node must collapse to the min label through the reliable path")
-    val local = TextDedup.dupClusters(chain)
+    val local = TextDedup.dupClusters(chain, driverMaxEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == local)
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,

@@ -64,12 +64,21 @@ class StatsServingSpec extends SparkSpecBase {
   test("NOT-NULL pruning: all-null files prune where no range bound exists") {
     val root = freshRoot("nn")
     // 4 files clustered by id; doc_key (a hash — useless min/max) is
-    // entirely NULL in the upper half
+    // entirely NULL in the upper half. The halves are written as
+    // SEPARATE commits so the null/non-null split is guaranteed to fall
+    // on file boundaries: repartitionByRange SAMPLES with an RDD-id-
+    // derived seed, and a one-row boundary drift at id=1000 flips the
+    // survivor count (the in-suite flake this replaces — same class as
+    // the r12 planner-scan loosening)
     val df = (0 until 2000).map(i =>
         (i.toLong, if (i < 1000) Some(s"k${i * 2654435761L % 1000000}") else None))
       .toDF("id", "doc_key")
     VersionedTable.overwrite(spark, root,
-      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+      df.filter(col("id") < 1000)
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"))
+    VersionedTable.append(spark, root,
+      df.filter(col("id") >= 1000)
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"))
     // pruneSpec of an isNotNull-implying predicate carries the column
     val (nr, sr, nn) = SkippingIndex.pruneSpecOf(spark, df.schema,
       col("doc_key") === "k42")
