@@ -762,6 +762,53 @@ object VersionedTable {
     done
   }
 
+  /** ADD COLUMNS — METADATA-ONLY (the Delta `ALTER TABLE ADD COLUMNS`
+    * shape): one commit re-stamps the schema with the new NULLABLE
+    * top-level fields appended; zero data files are touched, existing
+    * rows serve NULL (exactly how an evolving append's pre-evolution
+    * files already read), earlier versions time-travel under their own
+    * schemas, and the next data-adding commit aligns batches to the
+    * evolved shape. Refused when a LOGICAL name collides, and when the
+    * PHYSICAL slot is occupied by a dropped column (its bytes still own
+    * the physical name until an OPTIMIZE purges them). Requires a
+    * schema-stamped table (legacy footer-inferred tables must append
+    * once, which stamps). Returns the committed version. */
+  def addColumns(spark: SparkSession, root: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    cols.foreach(f => require(identOk(f.name),
+      s"column name must be non-empty without ':' or newlines: `${f.name}`"))
+    require(cols.map(_.name).distinct.size == cols.size,
+      s"duplicate names in addColumns: ${cols.map(_.name).mkString(", ")}")
+    require(versions(root).nonEmpty, s"no commits at $root")
+    val meta = metaHeader("ADD COLUMNS")
+    var done = -1L
+    while (done < 0) {
+      // guards re-run from the head on every retry ([[renameColumn]]'s
+      // conflict discipline)
+      val head = versions(root).last
+      val lines = filesOf(root, head)
+      val committed = schemaOf(root, Some(head)).getOrElse(require(false,
+        s"addColumns at $root needs a schema-stamped table: a legacy " +
+          "footer-inferred table cannot serve added columns consistently " +
+          "— append once (which stamps) or convert first").asInstanceOf[Nothing])
+      val logical = read(spark, root, Some(head)).schema.fieldNames.toSet
+      cols.foreach { f =>
+        require(!logical.contains(f.name),
+          s"column `${f.name}` already exists at $root")
+        require(!committed.fieldNames.contains(f.name),
+          s"physical slot `${f.name}` is still occupied at $root (a dropped " +
+            "column keeps its physical name until OPTIMIZE purges it)")
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        committed.fields ++ cols.map(_.copy(nullable = true)))
+      val base = lines.filterNot(l => isMeta(l) || isSchema(l))
+      if (tryCommit(root, head + 1, base :+ schemaHeader(evolved) :+ meta))
+        done = head + 1
+    }
+    done
+  }
+
   /** The snapshot's data files (header lines excluded), relative to root. */
   def dataFiles(root: String, version: Option[Long] = None): Seq[String] = {
     val vs = versions(root)

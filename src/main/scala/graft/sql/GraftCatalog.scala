@@ -106,10 +106,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(s"$catalogName.${ident.name()}", dir, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL is not wired yet — use the VersionedTable " +
-        "schema-evolution verbs (renameColumn/dropColumn/evolve)")
+  /** ALTER TABLE → the metadata-only schema verbs: RENAME COLUMN /
+    * DROP COLUMN ride the column-mapping headers (zero files touched),
+    * ADD COLUMNS re-stamps the schema with nullable appends. Everything
+    * else refuses loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    require(VersionedTable.isVersioned(dir),
+      s"no table ${ident.name()} in `$catalogName`")
+    val spark = org.apache.spark.sql.SparkSession.active
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what supports top-level columns only, got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, dir,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        VersionedTable.dropColumn(spark, dir,
+          topLevel(d.fieldNames(), "DROP COLUMN"))
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "graft ADD COLUMNS are nullable (existing rows serve NULL)")
+        VersionedTable.addColumns(spark, dir, Seq(
+          org.apache.spark.sql.types.StructField(
+            topLevel(a.fieldNames(), "ADD COLUMNS"), a.dataType(),
+            nullable = true)))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported on graft tables")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new java.io.File(dirOf(ident))

@@ -256,11 +256,13 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** Session extension entry point:
   * `spark.sql.extensions=graft.sql.GraftSparkExtensions` (or
-  * `.withExtensions`) — one resolution rule, nothing else. */
+  * `.withExtensions`) — one resolution rule (reads + DML) and one
+  * delegating parser (maintenance verbs), nothing else. */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => GraftSqlRule(session))
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     ()
   }
 }

@@ -80,5 +80,51 @@ case class GraftMergeCommand(root: String,
   }
 }
 
-/** SQL `RESTORE TABLE`-style entry is not parsed by vanilla Spark; kept
-  * out deliberately — time travel reads cover the SQL surface. */
+/** SQL `VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]` (graft.sql's parser
+  * extension) → the retention-windowed vacuum verbs. Lazily executed —
+  * EXPLAIN never deletes; DRY RUN reports without touching anything.
+  * Returns the (would-)deleted relative paths. */
+case class GraftVacuumCommand(root: String, minAgeMs: Option[Long],
+                              dryRun: Boolean) extends GraftLeafCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.VersionedTable
+    val age = minAgeMs.getOrElse(VersionedTable.DefaultRetentionMs)
+    val paths =
+      if (dryRun) VersionedTable.vacuumDryRun(root, minAgeMs = age)._2
+      else VersionedTable.vacuum(root, minAgeMs = age)
+    paths.map(Row(_))
+  }
+}
+
+/** SQL `OPTIMIZE <tbl> [ZORDER BY (…)]` (graft.sql's parser extension):
+  * plain OPTIMIZE bin-packs the small-file trail (`compactSmall`);
+  * ZORDER re-clusters into size-derived file counts. Returns one
+  * metrics row. */
+case class GraftOptimizeCommand(root: String, zorderCols: Seq[String])
+    extends GraftLeafCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    Seq(AttributeReference("version", LongType)(),
+      AttributeReference("rewritten_files", LongType)(),
+      AttributeReference("carried_files", LongType)())
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.VersionedTable
+    if (zorderCols.isEmpty) {
+      val (v, rw, carried) = VersionedTable.compactSmall(spark, root,
+        minBytes = 32L * 1024 * 1024)
+      Seq(Row(v, rw.toLong, carried.toLong))
+    } else {
+      // file count derived from the table's own bytes at the 128 MB
+      // Delta target — OPTIMIZE never needs a caller-supplied number
+      val bytes = VersionedTable.fileStats(root).values.map(_._1).sum
+      val n = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+      val v = VersionedTable.optimize(spark, root, zorderCols, numFiles = n)
+      Seq(Row(v, n.toLong, 0L))
+    }
+  }
+}

@@ -118,6 +118,83 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(!VersionedTable.isVersioned(s"$wh/fresh"))
   }
 
+  test("ALTER TABLE routes to the metadata-only schema verbs") {
+    freshTable("alt", n = 100, files = 1)
+    spark.sql("ALTER TABLE g.alt RENAME COLUMN v TO label")
+    assert(spark.sql("SELECT label FROM g.alt WHERE id = 1").head().getString(0) == "v1")
+    spark.sql("ALTER TABLE g.alt ADD COLUMNS (score DOUBLE)")
+    // existing rows serve NULL for the added column; zero files touched
+    assert(spark.sql("SELECT count(*) c FROM g.alt WHERE score IS NULL")
+      .head().getLong(0) == 100L)
+    spark.sql("ALTER TABLE g.alt DROP COLUMN grp")
+    assert(!spark.table("g.alt").columns.contains("grp"))
+    // all three were single metadata commits — no data rewrite
+    assert(VersionedTable.versions(s"$wh/alt") == Seq(0L, 1L, 2L, 3L))
+    assert(VersionedTable.dataFiles(s"$wh/alt").size == 1)
+    // an append under the NEW names lands and serves
+    spark.sql("INSERT INTO g.alt VALUES (500, 'x', 0.5)")
+    assert(spark.sql("SELECT label, score FROM g.alt WHERE id = 500")
+      .head().getDouble(1) == 0.5)
+    // non-nullable add refuses
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.alt ADD COLUMNS (req STRING NOT NULL)")
+    }
+    assert(e.getMessage.toLowerCase.contains("null"), e.getMessage)
+  }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL / VACUUM / OPTIMIZE parse through the extension") {
+    freshTable("mnt", n = 400, files = 4)
+    spark.sql(s"DELETE FROM g.mnt WHERE id < 50")
+    val hist = spark.sql("DESCRIBE HISTORY g.mnt")
+      .select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(hist == Map(0L -> "OVERWRITE", 1L -> "DELETE"), s"got $hist")
+    val det = spark.sql("DESCRIBE DETAIL g.mnt").collect()
+    assert(det.length == 1)
+    // VACUUM DRY RUN reports nothing to delete inside the window and
+    // deletes nothing; RETAIN 0 HOURS reclaims the delete's orphans
+    assert(spark.sql("VACUUM g.mnt DRY RUN").isEmpty)
+    val before = VersionedTable.dataFiles(s"$wh/mnt", Some(0L)).size
+    // retire v0 but SPARE its files (wall-clock window): the SQL VACUUM
+    // with RETAIN 0 HOURS is then what actually reclaims them
+    VersionedTable.vacuum(s"$wh/mnt", keep = Some(1))
+    val gone = spark.sql("VACUUM g.mnt RETAIN 0 HOURS").count()
+    assert(gone >= 1, s"v0's replaced file should reclaim, got $gone (of $before)")
+    // OPTIMIZE ZORDER re-clusters; content is preserved
+    val n0 = spark.sql("SELECT count(*) c FROM g.mnt").head().getLong(0)
+    val m = spark.sql("OPTIMIZE g.mnt ZORDER BY (id)").collect()(0)
+    assert(m.getLong(1) >= 1L)
+    assert(spark.sql("SELECT count(*) c FROM g.mnt").head().getLong(0) == n0)
+    // EXPLAIN of a side-effecting verb must never run it (the vanilla
+    // delegate may refuse to parse EXPLAIN-of-extension-grammar — fine,
+    // as long as nothing is deleted either way)
+    val files = VersionedTable.dataFiles(s"$wh/mnt").toSet
+    try spark.sql("EXPLAIN VACUUM g.mnt RETAIN 0 HOURS").collect()
+    catch { case _: Exception => () }
+    assert(VersionedTable.dataFiles(s"$wh/mnt").toSet == files,
+      "EXPLAIN VACUUM must not delete anything")
+    // a non-graft catalog falls through to the vanilla parser error
+    intercept[Exception] { spark.sql("DESCRIBE HISTORY nosuch.tbl") }
+    ()
+  }
+
+  test("TIMESTAMP AS OF resolves through the commit clocks") {
+    val dir = s"$wh/tt"
+    VersionedTable.withClock(() => 1000L) {
+      VersionedTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    }
+    VersionedTable.withClock(() => 2000L) {
+      VersionedTable.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+    }
+    // micros in SQL timestamps: 1500 ms = 1970-01-01 00:00:01.5 UTC
+    assert(spark.sql(
+      "SELECT count(*) c FROM g.tt TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      .head().getLong(0) == 1L)
+    assert(spark.sql(
+      "SELECT count(*) c FROM g.tt TIMESTAMP AS OF '1970-01-01 00:00:02'")
+      .head().getLong(0) == 2L)
+  }
+
   test("unsupported SQL shapes refuse loudly, never silently mis-merge") {
     freshTable("ref", n = 20, files = 1)
     Seq((1L, "x", 0)).toDF("id", "v", "grp").createOrReplaceTempView("rsrc")
