@@ -178,6 +178,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
     ()
   }
 
+  test("DML conditions with subqueries route and answer exactly") {
+    freshTable("subq", n = 300, files = 2)
+    Seq(5L, 6L, 7L).toDF("bad_id").createOrReplaceTempView("bad_ids")
+    spark.sql("DELETE FROM g.subq WHERE id IN (SELECT bad_id FROM bad_ids)")
+    assert(VersionedTable.read(spark, s"$wh/subq").count() == 297)
+    assert(VersionedTable.read(spark, s"$wh/subq")
+      .filter(col("id").isin(5L, 6L, 7L)).isEmpty)
+    // aliased target + correlated-ish scalar condition
+    spark.sql("UPDATE g.subq SET v = 'flagged' " +
+      "WHERE id > (SELECT max(bad_id) + 280 FROM bad_ids)")
+    assert(VersionedTable.read(spark, s"$wh/subq")
+      .filter(col("v") === "flagged").count() ==
+      (0 until 300).count(i => i > 287 && !Set(5, 6, 7)(i)))
+  }
+
   test("TIMESTAMP AS OF resolves through the commit clocks") {
     val dir = s"$wh/tt"
     VersionedTable.withClock(() => 1000L) {
