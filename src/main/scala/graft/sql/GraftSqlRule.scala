@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.graftsql.{Bridge, GraftDeleteCommand, GraftMergeCommand, GraftUpdateCommand}
+import org.apache.spark.sql.graftsql.{Bridge, GraftDeleteCommand, GraftMergeCommand, GraftMergeEnrichedCommand, GraftUpdateCommand}
 
 import graft.sources.VersionedTable
 
@@ -32,12 +32,16 @@ import graft.sources.VersionedTable
   * struct aliases [[VersionedTable.mergeInto]] resolves against), so
   * the captured Columns bind to the verbs' own frames at run time.
   *
-  * Honest subset, refused LOUDLY (never silently wrong): MERGE needs an
-  * equi-key ON conjunction with same-named columns and star-equivalent
-  * UPDATE/INSERT actions (the engine's whole-row merge — exactly the
-  * reference's canonical `UPDATE SET * / INSERT *`,
-  * /root/reference Gincr cell 10); `WHEN NOT MATCHED BY SOURCE` is not
-  * supported. Standalone UPDATE supports arbitrary per-column
+  * MERGE translates two ways: STAR-equivalent actions (`UPDATE SET * /
+  * INSERT *` — the reference's canonical shape, /root/reference Gincr
+  * cell 10) pass the source through whole-row; everything else —
+  * partial assignments, expressions over `t.*`/`s.*` — goes through
+  * the enrichment join ([[org.apache.spark.sql.graftsql.GraftMergeEnrichedCommand]]),
+  * which materializes per-column clause values and condition flags
+  * before the same bounded merge. Refused LOUDLY (never silently
+  * wrong): a non-equi ON, differently-named ON keys, merge-key
+  * reassignment, repeated clauses of one kind, and `WHEN NOT MATCHED
+  * BY SOURCE`. Standalone UPDATE supports arbitrary per-column
   * expressions. */
 case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -190,67 +194,133 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val srcByName = m.sourceTable.output.map(a => a.name -> a).toMap
 
-    def requireStar(assignments: Seq[Assignment], action: String): Unit =
-      assignments.foreach { a =>
-        val keyName = a.key match {
-          case k: AttributeReference => k.name
-          case other => unsupported(s"$action assigns `${other.sql}`")
-        }
-        a.value match {
-          case v: AttributeReference
-              if src.contains(v) && v.name == keyName => // s.<same name>
-          case v: AttributeReference
-              if tgt.contains(v) && v.name == keyName && keys.contains(keyName) =>
-          // t.<key> — equal to s.<key> on any matched row
-          case Literal(null, _) if !srcByName.contains(keyName) =>
-          // star-filled NULL for a column the source lacks: the engine's
-          // schema alignment null-fills identically
-          case other => unsupported(
-            s"$action sets $keyName = ${other.sql}, which is not star-equivalent")
+    /** True iff the assignment list is star-EQUIVALENT: every value is
+      * the same-named source attr (`t.<key>` / NULL-for-source-missing
+      * allowed), AND the assignments COVER every target column the
+      * whole-row path would write differently — an UPDATE must assign
+      * every target column (unassigned columns keep their target value
+      * in SQL, but the whole-row path would overwrite them), and an
+      * INSERT may leave a column unassigned only when the source lacks
+      * it too (both paths then write NULL). Anything short of that
+      * takes the enrichment join — never a silent semantic drift. */
+    def isStar(assignments: Seq[Assignment], forInsert: Boolean): Boolean = {
+      val assigned = assignments.flatMap(_.key match {
+        case k: AttributeReference => Some(k.name)
+        case _ => None
+      }).toSet
+      val shapeOk = assignments.forall { a =>
+        a.key match {
+          case k: AttributeReference => a.value match {
+            case v: AttributeReference if src.contains(v) && v.name == k.name => true
+            case v: AttributeReference
+                if tgt.contains(v) && v.name == k.name && keys.contains(k.name) => true
+            case Literal(null, _) if !srcByName.contains(k.name) => true
+            case _ => false
+          }
+          case _ => false
         }
       }
+      val coverageOk = r.output.map(_.name).forall(c =>
+        assigned.contains(c) || (forInsert && !srcByName.contains(c)))
+      shapeOk && coverageOk
+    }
 
-    var updateWhen: Option[Expression] = None
-    var deleteWhen: Option[Expression] = None
+    // collect at most one clause of each kind (the engine's shape)
+    var updAct: Option[(Option[Expression], Option[Seq[Assignment]])] = None
+    var delCond: Option[Option[Expression]] = None
     var deleteListedFirst = false
     m.matchedActions.foreach {
       case UpdateStarAction(c) =>
-        if (updateWhen.isDefined) unsupported("two UPDATE clauses are not")
-        updateWhen = Some(c.getOrElse(Literal.TrueLiteral))
+        if (updAct.isDefined) unsupported("two UPDATE clauses are not")
+        updAct = Some((c, None))
       case UpdateAction(c, assignments, fromStar) =>
-        if (updateWhen.isDefined) unsupported("two UPDATE clauses are not")
-        if (!fromStar) requireStar(assignments, "UPDATE")
-        updateWhen = Some(c.getOrElse(Literal.TrueLiteral))
+        if (updAct.isDefined) unsupported("two UPDATE clauses are not")
+        updAct = Some((c, if (fromStar) None else Some(assignments)))
       case DeleteAction(c) =>
-        if (deleteWhen.isDefined) unsupported("two DELETE clauses are not")
-        deleteListedFirst = updateWhen.isEmpty
-        deleteWhen = Some(c.getOrElse(Literal.TrueLiteral))
+        if (delCond.isDefined) unsupported("two DELETE clauses are not")
+        deleteListedFirst = updAct.isEmpty
+        delCond = Some(c)
       case other => unsupported(s"matched action $other is not")
     }
-    var insertWhen: Option[Expression] = None
+    var insAct: Option[(Option[Expression], Option[Seq[Assignment]])] = None
     m.notMatchedActions.foreach {
       case InsertStarAction(c) =>
-        if (insertWhen.isDefined) unsupported("two INSERT clauses are not")
-        insertWhen = Some(c.getOrElse(Literal.TrueLiteral))
+        if (insAct.isDefined) unsupported("two INSERT clauses are not")
+        insAct = Some((c, None))
       case InsertAction(c, assignments) =>
-        if (insertWhen.isDefined) unsupported("two INSERT clauses are not")
-        requireStar(assignments, "INSERT")
-        insertWhen = Some(c.getOrElse(Literal.TrueLiteral))
+        if (insAct.isDefined) unsupported("two INSERT clauses are not")
+        insAct = Some((c, Some(assignments)))
       case other => unsupported(s"not-matched action $other is not")
     }
-    // SQL evaluates matched clauses in listed order; the engine is
-    // fixed update-then-delete — a delete listed FIRST folds its
-    // (negated, null-safe) condition into the update guard so both
-    // orders produce SQL semantics
-    val (uw, dw) = (updateWhen, deleteWhen) match {
-      case (Some(u), Some(d)) if deleteListedFirst =>
-        (Some(And(Not(Coalesce(Seq(d, Literal.FalseLiteral))), u)), Some(d))
-      case other => other
+    val starForm =
+      updAct.forall(_._2.forall(isStar(_, forInsert = false))) &&
+        insAct.forall(_._2.forall(isStar(_, forInsert = true)))
+
+    if (starForm) {
+      // WHOLE-ROW fast path: no enrichment join, the source passes
+      // through untouched and the engine's alignment does the rest
+      val updateWhen = updAct.map(_._1.getOrElse(Literal.TrueLiteral))
+      val deleteWhen = delCond.map(_.getOrElse(Literal.TrueLiteral))
+      val insertWhen = insAct.map(_._1.getOrElse(Literal.TrueLiteral))
+      // SQL evaluates matched clauses in listed order; the engine is
+      // fixed update-then-delete — a delete listed FIRST folds its
+      // (negated, null-safe) condition into the update guard so both
+      // orders produce SQL semantics
+      val (uw, dw) = (updateWhen, deleteWhen) match {
+        case (Some(u), Some(d)) if deleteListedFirst =>
+          (Some(And(Not(Coalesce(Seq(d, Literal.FalseLiteral))), u)), Some(d))
+        case other => other
+      }
+      GraftMergeCommand(t.root, m.sourceTable, keys,
+        uw.map(tsCol(_, tgt, src)), dw.map(tsCol(_, tgt, src)),
+        insertWhen.map(tsCol(_, tgt, src)),
+        evolveSchema = m.schemaEvolutionEnabled)
+    } else {
+      // FULL-FORM path: partial assignments / expressions over t.*,s.*
+      // run through the enrichment join ([[GraftMergeEnrichedCommand]]).
+      if (m.schemaEvolutionEnabled)
+        unsupported("WITH SCHEMA EVOLUTION needs star-form actions and")
+      def setOf(assignments: Seq[Assignment], action: String,
+                allowTarget: Boolean): Seq[(String, Column)] =
+        assignments.flatMap { a =>
+          val name = a.key match {
+            case k: AttributeReference => k.name
+            case other => unsupported(s"$action assigns `${other.sql}`")
+          }
+          if (!allowTarget && a.value.references.exists(tgt.contains))
+            unsupported(s"$action value `${a.value.sql}` references the target")
+          if (keys.contains(name)) {
+            // a key assignment must be the identity (s.<k>, or t.<k> on
+            // a matched row) — rewriting merge keys would change what
+            // the engine matches on
+            val ok = a.value match {
+              case v: AttributeReference => v.name == name
+              case _ => false
+            }
+            if (!ok) unsupported(
+              s"$action reassigns merge key `$name` to `${a.value.sql}`")
+            None // keys pass through as s.<k>
+          } else Some(name -> tsCol(a.value, tgt, src))
+        }
+      val updSet = updAct.flatMap(_._2).map(setOf(_, "UPDATE", allowTarget = true))
+        .getOrElse(Seq.empty)
+      val insSet = insAct.flatMap(_._2).map(setOf(_, "INSERT", allowTarget = false))
+        .getOrElse(Seq.empty)
+      // a star action mixed with a partial one still enriches: its
+      // per-column set is the full same-named-source mapping
+      val starSet = m.sourceTable.output.map(_.name)
+        .filterNot(keys.contains).map(n => n -> Bridge.column(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("s", n))))
+      GraftMergeEnrichedCommand(t.root, m.sourceTable, keys,
+        updSet = if (updAct.exists(_._2.isEmpty)) starSet else updSet,
+        insSet = if (insAct.exists(_._2.isEmpty)) starSet else insSet,
+        hasUpdate = updAct.isDefined, hasDelete = delCond.isDefined,
+        hasInsert = insAct.isDefined,
+        updCond = updAct.flatMap(_._1).map(tsCol(_, tgt, src)),
+        delCond = delCond.flatMap(identity).map(tsCol(_, tgt, src)),
+        insCond = insAct.flatMap(_._1).map(tsCol(_, tgt, src)),
+        deleteListedFirst = deleteListedFirst)
     }
-    GraftMergeCommand(t.root, m.sourceTable, keys,
-      uw.map(tsCol(_, tgt, src)), dw.map(tsCol(_, tgt, src)),
-      insertWhen.map(tsCol(_, tgt, src)),
-      evolveSchema = m.schemaEvolutionEnabled)
   }
 }
 

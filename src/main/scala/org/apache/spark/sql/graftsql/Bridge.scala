@@ -80,6 +80,77 @@ case class GraftMergeCommand(root: String,
   }
 }
 
+/** SQL MERGE in its FULL form — partial assignments, expressions over
+  * `t.*`/`s.*`, per-clause conditions — via SOURCE ENRICHMENT: one
+  * left join of the source against the target materializes, per target
+  * column, the value the row would take if its clause fires (update
+  * branch may reference target values — `SET v = t.v + s.delta`;
+  * insert branch fills unassigned columns with NULL, SQL's rule) plus
+  * the clause conditions as boolean flag columns, and the engine's
+  * whole-row bounded merge then applies it exactly. Keys pass through
+  * as `s.<k>` so the merge's source-derived pruning is unchanged. Costs
+  * one extra target-side join pass the star form doesn't pay — the
+  * star form remains [[graft.sql.GraftSqlRule]]'s fast path.
+  *
+  * `updSet`/`insSet` values and the conditions are Columns over the
+  * `t.`/`s.` aliases of the enrichment join; flags land as extra
+  * source columns, which the engine keeps condition-only. */
+case class GraftMergeEnrichedCommand(root: String,
+                                     source: LogicalPlan,
+                                     keys: Seq[String],
+                                     updSet: Seq[(String, org.apache.spark.sql.Column)],
+                                     insSet: Seq[(String, org.apache.spark.sql.Column)],
+                                     hasUpdate: Boolean, hasDelete: Boolean,
+                                     hasInsert: Boolean,
+                                     updCond: Option[org.apache.spark.sql.Column],
+                                     delCond: Option[org.apache.spark.sql.Column],
+                                     insCond: Option[org.apache.spark.sql.Column],
+                                     deleteListedFirst: Boolean)
+    extends GraftLeafCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+    import graft.sources.VersionedTable
+    val updByCol = updSet.toMap
+    val insByCol = insSet.toMap
+    val tgt = VersionedTable.table(spark, root)
+      .withColumn("__t_m", lit(true)).alias("t")
+    val src = Bridge.ofRows(spark, source).alias("s")
+    val joined = src.join(tgt,
+      keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
+    val matched = col("t.__t_m").isNotNull
+    val targetCols = VersionedTable.logicalSchema(root)
+      .map(_.fieldNames.toSeq)
+      .getOrElse(VersionedTable.read(spark, root).schema.fieldNames.toSeq)
+    val valueCols = targetCols.map { c =>
+      if (keys.contains(c)) col(s"s.$c").as(c)
+      else when(matched, updByCol.getOrElse(c, col(s"t.$c")))
+        .otherwise(insByCol.get(c).getOrElse(lit(null))).as(c)
+    }
+    def flag(on: org.apache.spark.sql.Column,
+             cond: Option[org.apache.spark.sql.Column]) =
+      when(on, coalesce(cond.getOrElse(lit(true)), lit(false)))
+        .otherwise(lit(false))
+    val flagCols =
+      (if (hasUpdate) Seq(flag(matched, updCond).as("__uc")) else Nil) ++
+      (if (hasDelete) Seq(flag(matched, delCond).as("__dc")) else Nil) ++
+      (if (hasInsert) Seq(flag(not(matched), insCond).as("__ic")) else Nil)
+    val enriched = joined.select(valueCols ++ flagCols: _*)
+    // SQL evaluates matched clauses in listed order; the engine is
+    // fixed update-then-delete — a delete listed FIRST folds into the
+    // update guard (same algebra as the star path)
+    val uw =
+      if (!hasUpdate) None
+      else if (hasDelete && deleteListedFirst)
+        Some(col("s.__uc") && not(col("s.__dc")))
+      else Some(col("s.__uc"))
+    VersionedTable.mergeInto(spark, root, enriched, keys,
+      updateWhen = uw,
+      deleteWhen = if (hasDelete) Some(col("s.__dc")) else None,
+      insertWhen = if (hasInsert) Some(col("s.__ic")) else None)
+    Seq.empty
+  }
+}
+
 /** SQL `VACUUM <tbl> [RETAIN n HOURS] [DRY RUN]` (graft.sql's parser
   * extension) → the retention-windowed vacuum verbs. Lazily executed —
   * EXPLAIN never deletes; DRY RUN reports without touching anything.

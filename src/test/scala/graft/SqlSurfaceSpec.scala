@@ -106,6 +106,45 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, s"$wh/mrg").filter(col("id") === 7L).isEmpty)
   }
 
+  test("full-form MERGE: partial assignments and t-referencing expressions via the enrichment join") {
+    freshTable("pmrg", n = 100, files = 2)
+    // target rows: (id, v = s"v$id", grp = id % 7)
+    Seq((5L, "inc", 10), (6L, "del", 0), (7L, "inc", 20), (900L, "new", 3))
+      .toDF("id", "op", "delta").createOrReplaceTempView("pmsrc")
+    spark.sql("""
+      MERGE INTO g.pmrg t USING pmsrc s ON t.id = s.id
+      WHEN MATCHED AND s.op = 'del' THEN DELETE
+      WHEN MATCHED AND s.op = 'inc' THEN UPDATE SET grp = t.grp + s.delta, v = concat(t.v, '+')
+      WHEN NOT MATCHED AND s.op = 'new' THEN INSERT (id, grp) VALUES (s.id, s.delta)
+    """)
+    val m = VersionedTable.read(spark, s"$wh/pmrg")
+    assert(m.count() == 100) // -1 deleted, +1 inserted
+    // partial update: grp += delta, v gets a marker, OTHER columns keep
+    val r5 = m.filter(col("id") === 5L).select("v", "grp").head()
+    assert(r5.getString(0) == "v5+" && r5.getInt(1) == 5 % 7 + 10, s"got $r5")
+    val r7 = m.filter(col("id") === 7L).select("v", "grp").head()
+    assert(r7.getString(0) == "v7+" && r7.getInt(1) == 7 % 7 + 20)
+    assert(m.filter(col("id") === 6L).isEmpty) // deleted
+    // conditional partial insert: unassigned columns are NULL (SQL rule)
+    val r900 = m.filter(col("id") === 900L).select("v", "grp").head()
+    assert(r900.isNullAt(0) && r900.getInt(1) == 3, s"got $r900")
+    // rows whose clause condition did not fire carry untouched
+    assert(m.filter(col("id") === 8L).select("v").head().getString(0) == "v8")
+    // mixed star + partial: star update with a conditional partial insert
+    Seq((10L, "zz", 99), (901L, "yy", 1)).toDF("id", "v", "grp")
+      .createOrReplaceTempView("pmsrc2")
+    spark.sql("""
+      MERGE INTO g.pmrg t USING pmsrc2 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.grp = 1 THEN INSERT (id, v) VALUES (s.id, s.v)
+    """)
+    val m2 = VersionedTable.read(spark, s"$wh/pmrg")
+    assert(m2.filter(col("id") === 10L).select("v", "grp")
+      .as[(String, Int)].head() == (("zz", 99)))
+    val r901 = m2.filter(col("id") === 901L).select("v", "grp").head()
+    assert(r901.getString(0) == "yy" && r901.isNullAt(1))
+  }
+
   test("DDL: CREATE TABLE / SHOW TABLES / DROP TABLE against the warehouse layout") {
     spark.sql("CREATE TABLE g.fresh (id BIGINT, name STRING) USING parquet")
     assert(VersionedTable.isVersioned(s"$wh/fresh"))
@@ -220,9 +259,9 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(e1.getMessage.contains("equi-key"), e1.getMessage)
     val e2 = intercept[Exception] {
       spark.sql("MERGE INTO g.ref t USING rsrc s ON t.id = s.id " +
-        "WHEN MATCHED THEN UPDATE SET v = concat(s.v, '!')")
+        "WHEN MATCHED THEN UPDATE SET id = s.id + 1000")
     }
-    assert(e2.getMessage.contains("star-equivalent"), e2.getMessage)
+    assert(e2.getMessage.contains("merge key"), e2.getMessage)
     val e3 = intercept[Exception] {
       spark.sql("DELETE FROM g.ref VERSION AS OF 0 WHERE id = 1")
     }
