@@ -1013,6 +1013,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // FULL-FORM SQL MERGE (enrichment-join path): partial assignments,
+    // expressions over t.*/s.*, per-clause conditions, delete-listed-
+    // first ordering — the oracle replays the exact SQL semantics
+    // (update keeps unassigned columns, insert NULLs them)
+    "s54_sql_merge_full" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s54")
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, s"$root/t",
+        ev.filter(col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+          .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      ev.filter(col("ts") >= to_timestamp(lit("2024-01-19 00:00:00")))
+        .withColumn("op", when(col("event_id") % 7 === 0, lit("del")).otherwise(lit("inc")))
+        .createOrReplaceTempView("s54_src")
+      s.sql(s"""MERGE INTO $cat.t t USING s54_src s ON t.event_id = s.event_id
+               |WHEN MATCHED AND s.op = 'del' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET value = t.value + s.value,
+               |  event_type = concat(t.event_type, '*')
+               |WHEN NOT MATCHED AND s.op = 'inc' THEN
+               |  INSERT (event_id, ts, value) VALUES (s.event_id, s.ts, s.value)""".stripMargin)
+      s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.t")
+        .orderBy("event_id")
+    }),
+
     "s53_sql_time_travel" -> ((s, d) => {
       import graft.sources.VersionedTable
       val (cat, root) = sqlGateCatalog(s, d, "s53")
@@ -2883,6 +2907,34 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(1 AS BIGINT) AS version FROM documents
         |ORDER BY version, doc_id""".stripMargin,
+
+    // full-form MERGE semantics replayed literally: matched 'del' rows
+    // drop, other matched rows take the partial update (unassigned
+    // user_id KEEPS), unmatched 'inc' source rows insert with
+    // unassigned columns NULL, unmatched targets carry
+    "s54_sql_merge_full" ->
+      """WITH target AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |source AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    CASE WHEN event_id % 7 = 0 THEN 'del' ELSE 'inc' END AS op
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-19 00:00:00')
+        |SELECT t.event_id, t.ts, t.user_id,
+        |  t.event_type || '*' AS event_type, t.value + s.value AS value
+        |FROM target t JOIN source s ON t.event_id = s.event_id
+        |WHERE s.op <> 'del'
+        |UNION ALL
+        |SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value
+        |FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+        |UNION ALL
+        |SELECT s.event_id, s.ts, CAST(NULL AS BIGINT) AS user_id,
+        |  CAST(NULL AS VARCHAR) AS event_type, s.value
+        |FROM source s
+        |WHERE s.op = 'inc'
+        |  AND NOT EXISTS (SELECT 1 FROM target t WHERE t.event_id = s.event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // the planner-integrated scan answers the plain filtered aggregate
     "s48_planner_scan" ->
