@@ -1037,6 +1037,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // NMBS MERGE (VERDICT r13 #3): the full five-clause surface —
+    // matched update/delete, conditional insert, and both NOT MATCHED
+    // BY SOURCE clauses (delete listed first within its family) —
+    // against a literal-semantics oracle (the s54 treatment)
+    "s55_sql_merge_not_matched_by_source" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s55")
+      val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, s"$root/t",
+        ev.filter(col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+          .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      ev.filter(col("ts") >= to_timestamp(lit("2024-01-19 00:00:00")))
+        .withColumn("op", when(col("event_id") % 7 === 0, lit("del")).otherwise(lit("inc")))
+        .createOrReplaceTempView("s55_src")
+      s.sql(s"""MERGE INTO $cat.t t USING s55_src s ON t.event_id = s.event_id
+               |WHEN MATCHED AND s.op = 'del' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+               |WHEN NOT MATCHED AND s.op = 'inc' THEN
+               |  INSERT (event_id, ts, value) VALUES (s.event_id, s.ts, s.value)
+               |WHEN NOT MATCHED BY SOURCE AND t.event_id % 5 = 0 THEN DELETE
+               |WHEN NOT MATCHED BY SOURCE THEN
+               |  UPDATE SET event_type = concat(t.event_type, '#')""".stripMargin)
+      s.sql(s"SELECT event_id, ts, user_id, event_type, value FROM $cat.t")
+        .orderBy("event_id")
+    }),
+
     "s53_sql_time_travel" -> ((s, d) => {
       import graft.sources.VersionedTable
       val (cat, root) = sqlGateCatalog(s, d, "s53")
@@ -2928,6 +2954,37 @@ object SparkEntry {
         |SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value
         |FROM target t
         |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+        |UNION ALL
+        |SELECT s.event_id, s.ts, CAST(NULL AS BIGINT) AS user_id,
+        |  CAST(NULL AS VARCHAR) AS event_type, s.value
+        |FROM source s
+        |WHERE s.op = 'inc'
+        |  AND NOT EXISTS (SELECT 1 FROM target t WHERE t.event_id = s.event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    // NMBS merge semantics replayed literally: matched 'del' rows drop,
+    // other matched rows add the values, unmatched 'inc' source rows
+    // insert with unassigned columns NULL, unmatched-by-source targets
+    // with event_id % 5 = 0 drop (delete listed first in its family)
+    // and the rest take the '#' marker
+    "s55_sql_merge_not_matched_by_source" ->
+      """WITH target AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |source AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |    CASE WHEN event_id % 7 = 0 THEN 'del' ELSE 'inc' END AS op
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-19 00:00:00')
+        |SELECT t.event_id, t.ts, t.user_id, t.event_type,
+        |  t.value + s.value AS value
+        |FROM target t JOIN source s ON t.event_id = s.event_id
+        |WHERE s.op <> 'del'
+        |UNION ALL
+        |SELECT t.event_id, t.ts, t.user_id,
+        |  t.event_type || '#' AS event_type, t.value
+        |FROM target t
+        |WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+        |  AND t.event_id % 5 <> 0
         |UNION ALL
         |SELECT s.event_id, s.ts, CAST(NULL AS BIGINT) AS user_id,
         |  CAST(NULL AS VARCHAR) AS event_type, s.value

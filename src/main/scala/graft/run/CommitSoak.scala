@@ -57,7 +57,7 @@ object CommitSoak {
     }
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
     val durs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    println("| commits | files | ckpt list bytes | delta bytes (median) | resolve ms | append ms (median) | append ms (p99) | epochs check ms | history ms |")
+    println("| commits | files | ckpt parquet bytes (parts) | delta bytes (median) | resolve ms | append ms (median) | append ms (p99) | epochs check ms | history ms |")
     println("|---|---|---|---|---|---|---|---|---|")
     (0 until n).foreach { i =>
       val t0 = System.nanoTime()
@@ -79,17 +79,26 @@ object CommitSoak {
           .agg(org.apache.spark.sql.functions.sum("n_bytes")).collect()(0).getLong(0)
         val histMs = (System.nanoTime() - t2) / 1e6
         require(nBytes > 0L)
-        // r13 delta encoding: a block's checkpoint list is O(files) but
-        // every other commit is O(change) — report the block's median
-        // DELTA list size (the steady-state per-commit metadata cost)
-        // and the head snapshot-resolve wall (checkpoint + tail replay)
+        // r13 delta encoding + r14 parquet checkpoints: EVERY commit is
+        // O(change); the cadence versions additionally carry a columnar
+        // multi-part parquet checkpoint. Report the block's median DELTA
+        // list size (steady-state per-commit metadata), the parquet
+        // checkpoint's total part bytes, and the cold head resolve
+        // (checkpoint read + tail replay)
         val deltaBytes = ((vs.last - 98) to vs.last)
           .filter(_ % graft.sources.VersionedTable.CheckpointEvery != 0)
           .map(v => java.nio.file.Files.size(
             java.nio.file.Paths.get(root, "_commits", s"v$v.list"))).sorted
-        val ckptBytes = java.nio.file.Files.size(java.nio.file.Paths.get(
-          root, "_commits",
-          s"v${vs.last - vs.last % graft.sources.VersionedTable.CheckpointEvery}.list"))
+        val ckptV = vs.last - vs.last % graft.sources.VersionedTable.CheckpointEvery
+        val cdir = java.nio.file.Paths.get(root, "_commits")
+        val ckptParts = java.nio.file.Files.list(cdir).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.startsWith(s"v$ckptV.ckpt."))
+        val ckptBytes =
+          if (ckptParts.isEmpty)
+            java.nio.file.Files.size(cdir.resolve(s"v$ckptV.list"))
+          else ckptParts.map(java.nio.file.Files.size).sum
+        val ckptLabel = s"$ckptBytes (${math.max(ckptParts.size, 1)})"
         // COLD head resolve: checkpoint read + tail replay, cache dropped
         VersionedTable.clearSnapshotCache()
         val t3 = System.nanoTime()
@@ -97,7 +106,7 @@ object CommitSoak {
         val resolveMs = (System.nanoTime() - t3) / 1e6
         require(nf2 == nFiles)
         val block = durs.takeRight(100).sorted
-        val row = f"| ${i + 1} | $nFiles | $ckptBytes | ${deltaBytes(deltaBytes.size / 2)} | $resolveMs%.1f | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f | $histMs%.0f |"
+        val row = f"| ${i + 1} | $nFiles | $ckptLabel | ${deltaBytes(deltaBytes.size / 2)} | $resolveMs%.1f | ${block(50)}%.1f | ${block(99)}%.1f | $epochMs%.2f | $histMs%.0f |"
         println(row)
         blocks += row
       }

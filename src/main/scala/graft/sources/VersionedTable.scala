@@ -107,23 +107,28 @@ object VersionedTable {
   private def rawFilesOf(root: String, version: Long): Seq[String] =
     resolveRaw(root, version)
 
-  // ---- delta-encoded commits + checkpoints (VERDICT r12 #1) --------
-  // A commit list is FULL (today's format: the complete annotated
-  // snapshot — now the CHECKPOINT role, written every [[CheckpointEvery]]
-  // versions and at v0) or a DELTA: first line `#delta:<v-1>`, then a
-  // `#snap:<nFiles>:<nBytes>` summary, the commit's ADDED/CHANGED data
-  // lines verbatim, `#rm:<path>` per removed file, and the snapshot's
-  // COMPLETE header set (#schema/#txn/#meta/#check/… — O(schema +
-  // writers), small). Snapshot resolution walks back to the nearest
-  // full list (≤ CheckpointEvery-1 hops) and replays; a one-slot-per-
-  // root cache makes sequential access (appends, ascending history)
-  // one list read per version. This is Delta's _delta_log shape —
-  // JSON actions per commit, a parquet checkpoint every 10 — priced
-  // the same way: a commit writes O(change) metadata, not O(table),
-  // which at the 100 TB / million-file design point is the difference
-  // between ~KBs and ~1 GB of metadata per small append. Legacy
-  // all-full-list tables resolve unchanged (every list is its own
-  // checkpoint), and the two formats interleave freely.
+  // ---- delta-encoded commits + checkpoints (VERDICT r12 #1, r13 #1) -
+  // A commit list is FULL (the complete annotated snapshot — v0, any
+  // legacy list, and vacuum's floor materialization) or a DELTA: first
+  // line `#delta:<v-1>`, then a `#snap:<nFiles>:<nBytes>` summary, the
+  // commit's ADDED/CHANGED data lines verbatim, `#rm:<path>` per
+  // removed file, and the snapshot's COMPLETE header set
+  // (#schema/#txn/#meta/#check/… — O(schema + writers), small). Every
+  // [[CheckpointEvery]]-th version ADDITIONALLY writes a PARQUET
+  // multi-part checkpoint of its resolved snapshot (see the checkpoint
+  // section below) — the replay-chain bound. Snapshot resolution walks
+  // back to the nearest checkpoint — a version's own parquet
+  // checkpoint, or a full text list — (≤ CheckpointEvery-1 hops) and
+  // replays; a one-slot-per-root cache makes sequential access
+  // (appends, ascending history) one list read per version. This is
+  // Delta's _delta_log shape — JSON actions per commit, a parquet
+  // checkpoint every 10 — priced the same way: a commit writes
+  // O(change) metadata, not O(table), which at the 100 TB /
+  // million-file design point is the difference between ~KBs and ~1 GB
+  // of metadata per small append; and the O(table) checkpoint cost is
+  // a compressed columnar write every 10 commits, not a monolithic
+  // text rewrite. Legacy all-full-list tables resolve unchanged (every
+  // list is its own checkpoint), and the two formats interleave freely.
   private[graft] val CheckpointEvery = 10L
   private val DeltaPrefix = "#delta:"
   private val RmPrefix = "#rm:"
@@ -152,16 +157,209 @@ object VersionedTable {
     def clear(): Unit = m.synchronized { m.clear() }
   }
 
-  /** Read `v`'s list and, if delta-encoded, replay it onto its resolved
-    * base. The version's OWN file is always read (missing/retired lists
-    * keep failing exactly as before); only the base walk is cached. */
+  /** Read `v`'s list and, if delta-encoded, resolve it: from the
+    * version's own PARQUET CHECKPOINT when one exists (complete parts —
+    * see [[readCheckpoint]]), else by replaying onto its resolved base.
+    * The version's OWN list file is always read first (missing/retired
+    * lists keep failing exactly as before); only the resolution is
+    * cached. */
   private def resolveRaw(root: String, version: Long): Seq[String] = {
     val lines = readList(commitsDir(root).resolve(s"v$version.list"))
     if (!isDeltaList(lines)) lines
     else SnapCache.get(root, version).getOrElse {
-      val out = replayDelta(resolveRaw(root, version - 1), lines)
+      val out = readCheckpoint(root, version).getOrElse(
+        replayDelta(resolveRaw(root, version - 1), lines))
       SnapCache.put(root, version, out)
       out
+    }
+  }
+
+  // ---- parquet multi-part checkpoints (VERDICT r13 #1) --------------
+  // Delta's `_delta_log/<v>.checkpoint.parquet` shape: after a commit
+  // lands on the checkpoint cadence, the RESOLVED snapshot also writes
+  // as columnar parquet — one row per line, split into bounded parts
+  // (`v<N>.ckpt.<i>-of-<k>.parquet`) plus a `_last_checkpoint` pointer.
+  // The text commit list stays the ATOMIC unit (CAS move decides every
+  // race; the checkpoint is written only by the winner, after the
+  // commit is durable) and stays DELTA-encoded even on the cadence —
+  // the O(table) cost moves from a monolithic single-threaded text
+  // write/parse into a compressed, column-prunable, part-parallel
+  // format. A checkpoint is an OPTIMIZATION, never a correctness
+  // dependency: a crash mid-write leaves an incomplete part set, which
+  // readers detect and ignore — resolution then replays deltas back to
+  // the previous checkpoint (worst case v0's full list), exactly
+  // Delta's recovery rule. Legacy full-text lists keep resolving
+  // unchanged and the two formats interleave freely.
+  private[graft] val CheckpointPartRows = 131072
+  private val CkptSchema = org.apache.parquet.schema.MessageTypeParser
+    .parseMessageType(
+      """message graft_ckpt {
+        |  required int64 seq;
+        |  required binary kind (UTF8);
+        |  optional binary path (UTF8);
+        |  optional int64 bytes;
+        |  optional int64 mtime;
+        |  optional binary stats (UTF8);
+        |  optional binary line (UTF8);
+        |}""".stripMargin)
+
+  /** Raw local Hadoop conf for driver-side parquet I/O: no Spark job,
+    * no checksum sidecars, no shared-FS-cache poisoning. */
+  private def ckptConf(): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  /** One resolved line → (kind, path, bytes, mtime, stats, verbatim):
+    * `h` = header (verbatim), `d` = structured data line (path + parsed
+    * annotation columns — column-prunable), `r` = raw fallback for any
+    * line whose annotation does not parse (stored verbatim so the
+    * round-trip is byte-exact for EVERY input, known format or not). */
+  private def ckptEncode(l: String): (String, String, Option[Long], Option[Long], Option[String], String) = {
+    if (isHeader(l)) ("h", "", None, None, None, l)
+    else {
+      val parts = l.split('\t')
+      if (parts.length == 1) ("d", l, None, None, None, "")
+      else parts(1).toLongOption match {
+        case None => ("r", "", None, None, None, l)
+        case Some(b) if parts.length == 2 => ("d", parts(0), Some(b), None, None, "")
+        case Some(b) => parts(2).toLongOption match {
+          case None => ("r", "", None, None, None, l)
+          case Some(m) =>
+            val rest = if (parts.length > 3) Some(parts.drop(3).mkString("\t")) else None
+            ("d", parts(0), Some(b), Some(m), rest, "")
+        }
+      }
+    }
+  }
+
+  /** Write `resolved` as a complete multi-part parquet checkpoint for
+    * `v`, then point `_last_checkpoint` at it. Part files land via
+    * write-then-ATOMIC_MOVE so a reader never sees a torn part; the
+    * pointer (and any read) only trusts a COMPLETE `0..k-1` set. Any
+    * I/O failure is swallowed after cleanup — the commit is already
+    * durable, and a missing checkpoint only costs replay. */
+  private def writeCheckpoint(root: String, v: Long, resolved: Seq[String]): Unit =
+    try {
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val conf = ckptConf()
+      val factory = new SimpleGroupFactory(CkptSchema)
+      val parts = resolved.grouped(CheckpointPartRows).toSeq
+      val k = math.max(1, parts.size)
+      var seq = 0L
+      parts.zipWithIndex.foreach { case (chunk, i) =>
+        val tmp = commitsDir(root).resolve(
+          s".v$v.ckpt.$i-of-$k.${java.util.UUID.randomUUID()}.tmp.parquet")
+        val w = ExampleParquetWriter.builder(
+            new org.apache.hadoop.fs.Path("file:" + tmp.toAbsolutePath))
+          .withConf(conf).withType(CkptSchema).build()
+        try chunk.foreach { l =>
+          val (kind, path, bytes, mtime, stats, raw) = ckptEncode(l)
+          val g = factory.newGroup()
+          g.add("seq", seq); seq += 1
+          g.add("kind", kind)
+          if (kind == "d") {
+            g.add("path", path)
+            bytes.foreach(g.add("bytes", _))
+            mtime.foreach(g.add("mtime", _))
+            stats.foreach(g.add("stats", _))
+          } else g.add("line", raw)
+          w.write(g)
+        } finally w.close()
+        Files.move(tmp, commitsDir(root).resolve(s"v$v.ckpt.$i-of-$k.parquet"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      val ptr = commitsDir(root).resolve(
+        s"._last_checkpoint.${java.util.UUID.randomUUID()}.tmp")
+      Files.write(ptr, s"""{"version":$v,"parts":$k}""".getBytes("UTF-8"))
+      Files.move(ptr, commitsDir(root).resolve("_last_checkpoint"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[graft] checkpoint v$v at $root skipped: $e")
+    }
+
+  /** The complete part set of `v`'s parquet checkpoint, or None when
+    * absent/incomplete (a crashed writer's partial set never serves). */
+  private def checkpointParts(root: String, v: Long): Option[Seq[Path]] = {
+    val d = commitsDir(root)
+    if (!Files.isDirectory(d)) return None
+    val prefix = s"v$v.ckpt."
+    val idx = listNames(d)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".parquet"))
+      .flatMap { n =>
+        n.stripPrefix(prefix).stripSuffix(".parquet").split("-of-") match {
+          case Array(i, k) =>
+            for { ii <- i.toIntOption; kk <- k.toIntOption } yield (ii, kk)
+          case _ => None
+        }
+      }
+    idx.headOption.map(_._2)
+      .filter(k => idx.map(_._1).toSet == (0 until k).toSet)
+      .map(k => (0 until k).map(i => d.resolve(s"${prefix}$i-of-$k.parquet")))
+  }
+
+  /** Resolve `v`'s snapshot from its parquet checkpoint: parts read in
+    * order, rows reassembled into the exact lines the text resolution
+    * would produce (byte-identical round-trip — every consumer above
+    * [[rawFilesOf]] is format-blind). None when no complete checkpoint
+    * exists or any part fails to read (fall back to delta replay). */
+  private def readCheckpoint(root: String, v: Long): Option[Seq[String]] =
+    checkpointParts(root, v).flatMap { parts =>
+      try {
+        import org.apache.parquet.hadoop.ParquetReader
+        import org.apache.parquet.hadoop.example.GroupReadSupport
+        val conf = ckptConf()
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        parts.foreach { p =>
+          val r = ParquetReader.builder(new GroupReadSupport(),
+              new org.apache.hadoop.fs.Path("file:" + p.toAbsolutePath))
+            .withConf(conf).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              def has(f: String) = g.getFieldRepetitionCount(f) > 0
+              out += (g.getString("kind", 0) match {
+                case "d" =>
+                  val sb = new StringBuilder(g.getString("path", 0))
+                  if (has("bytes")) {
+                    sb.append('\t').append(g.getLong("bytes", 0))
+                    if (has("mtime")) {
+                      sb.append('\t').append(g.getLong("mtime", 0))
+                      if (has("stats")) sb.append('\t').append(g.getString("stats", 0))
+                    }
+                  }
+                  sb.toString
+                case _ => g.getString("line", 0)
+              })
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        Some(out.toSeq)
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[graft] checkpoint v$v at $root unreadable ($e) — replaying deltas")
+          None
+      }
+    }
+
+  /** `(version, parts)` of the `_last_checkpoint` pointer, validated
+    * against the actual part set (the pointer is advisory — resolution
+    * derives from the directory, Delta's rule). */
+  def lastCheckpoint(root: String): Option[(Long, Int)] = {
+    val f = commitsDir(root).resolve("_last_checkpoint")
+    if (!Files.exists(f)) return None
+    val s = new String(Files.readAllBytes(f), "UTF-8")
+    val m = """\{"version":(\d+),"parts":(\d+)\}""".r
+    s.trim match {
+      case m(v, k) =>
+        val vv = v.toLong
+        checkpointParts(root, vv).map(_ => (vv, k.toInt))
+      case _ => None
     }
   }
 
@@ -345,7 +543,8 @@ object VersionedTable {
     * with stats but zero prunable columns yields one placeholder row so
     * [[SkippingIndex.Manifest.survivors]] always KEEPS it. */
   private def parseLineStats(line: String,
-      legacyUnscaled: Set[String] = Set.empty): Option[Seq[SkippingIndex.FileColStats]] = {
+      legacyUnscaled: Set[String] = Set.empty,
+      legacyBigLong: Set[String] = Set.empty): Option[Seq[SkippingIndex.FileColStats]] = {
     val parts = line.split('\t')
     if (parts.length < 4 || !parts(3).startsWith("rows=")) None
     else parts(3).stripPrefix("rows=").toLongOption.map { rows =>
@@ -364,6 +563,19 @@ object VersionedTable {
             case "n" if legacyUnscaled.contains(name) =>
               Some(SkippingIndex.FileColStats(rel, name,
                 None, None, None, None, nulls, rows))
+            // `n` on a LONG column with a bound beyond 2^53 predates the
+            // exactness guard (new lines never stamp such bounds): the
+            // stored min/max rounded through double, off by ≤ half an
+            // ulp — widen ONE ULP OUTWARD so range pruning can never
+            // prove false disjointness against the true long value
+            // (ADVICE r13; the decimal legacy handling's mirror)
+            case "n" if legacyBigLong.contains(name) =>
+              val lim = (1L << 53).toDouble
+              for { mn <- p(2).toDoubleOption; mx <- p(3).toDoubleOption }
+                yield SkippingIndex.FileColStats(rel, name,
+                  Some(if (math.abs(mn) > lim) Math.nextDown(mn) else mn),
+                  Some(if (math.abs(mx) > lim) Math.nextUp(mx) else mx),
+                  None, None, nulls, rows)
             case "n" | "d" =>
               for { mn <- p(2).toDoubleOption; mx <- p(3).toDoubleOption }
                 yield SkippingIndex.FileColStats(rel, name,
@@ -399,7 +611,7 @@ object VersionedTable {
     val v = version.getOrElse(vs.last)
     val raw = rawFilesOf(root, v).filterNot(isHeader)
     val guard = decimalCols(root, v)
-    val per = raw.map(parseLineStats(_, guard))
+    val per = raw.map(parseLineStats(_, guard, longCols(root, v)))
     if (raw.isEmpty || per.exists(_.isEmpty)) None
     else Some(SkippingIndex.Manifest(per.flatten.flatten.toIndexedSeq))
   }
@@ -414,6 +626,16 @@ object VersionedTable {
       case Some(s) => s.fields.iterator.collect {
         case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
           f.name
+      }.toSet
+      case None => Set.empty
+    }
+
+  /** PHYSICAL names of the snapshot's LongType columns — the guard set
+    * for legacy `n` bounds beyond 2^53 (see [[parseLineStats]]). */
+  private def longCols(root: String, v: Long): Set[String] =
+    schemaOf(root, Some(v)) match {
+      case Some(s) => s.fields.iterator.collect {
+        case f if f.dataType == org.apache.spark.sql.types.LongType => f.name
       }.toSet
       case None => Set.empty
     }
@@ -1177,13 +1399,15 @@ object VersionedTable {
           s"$l\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}"
         } catch { case _: java.io.IOException => l })
     }
-    // encode: FULL at v0 and every CheckpointEvery-th version (the
-    // checkpoint cadence bounds every replay chain), or when the base
-    // could not be resolved; DELTA otherwise — the commit then writes
-    // O(change) metadata (its new/changed lines, its removes, the small
-    // header set, a #snap summary), never the table
+    // encode: FULL at v0 (a chain needs a base) or when the base could
+    // not be resolved; DELTA otherwise — the commit writes O(change)
+    // metadata (its new/changed lines, its removes, the small header
+    // set, a #snap summary), never the table. Every CheckpointEvery-th
+    // version ADDITIONALLY writes a parquet multi-part checkpoint after
+    // the commit lands (below) — the replay-chain bound, priced as a
+    // compressed columnar write instead of a monolithic text list
     val writeLines: Seq[String] =
-      if (v <= 0 || v % CheckpointEvery == 0 || prevRaw.isEmpty) stamped
+      if (v <= 0 || prevRaw.isEmpty) stamped
       else {
         val prevByPath = prevRaw.filterNot(isHeader).map(l => pathOf(l) -> l).toMap
         val data = stamped.filterNot(isHeader)
@@ -1206,8 +1430,13 @@ object VersionedTable {
       // prime the one-slot cache with the resolved form: the next
       // commit's base resolution (and any immediate read) is then one
       // list read with zero replay
-      SnapCache.put(root, v,
-        if (writeLines eq stamped) stamped else replayDelta(prevRaw, writeLines))
+      val resolved =
+        if (writeLines eq stamped) stamped else replayDelta(prevRaw, writeLines)
+      SnapCache.put(root, v, resolved)
+      // the CAS winner (and only it) checkpoints on the cadence — the
+      // commit is already durable, so this can never un-commit; failure
+      // only lengthens the replay chain
+      if (v > 0 && v % CheckpointEvery == 0) writeCheckpoint(root, v, resolved)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1509,6 +1738,87 @@ object VersionedTable {
         done = v
     }
     done
+  }
+
+  /** FILTERED OVERWRITE in ONE commit — the DSv2 `OverwriteByExpression`
+    * / Delta `replaceWhere` shape: rows matching `predicate` leave and
+    * `df`'s rows land ATOMICALLY (a reader sees the old snapshot or the
+    * fully-replaced one, never the deleted-but-not-yet-inserted gap two
+    * separate commits would expose). Bounded like
+    * [[deleteWherePredicate]]: only files whose stats admit a matching
+    * row rewrite with the anti-filter (`NOT coalesce(pred, false)` —
+    * SQL semantics, a NULL comparison is not a match); everything else
+    * carries byte-untouched. The prune boxes extract from the predicate
+    * itself when the caller passes none — conservative by construction.
+    * Incoming rows get generated columns applied and CHECK constraints
+    * enforced exactly as [[append]], and are cast to the committed
+    * logical schema (an overwrite-by-filter never evolves the table).
+    * Returns (committedVersion, rewrittenFiles, carriedFiles). */
+  def replaceWhere(spark: SparkSession, root: String, df: DataFrame,
+                   predicate: org.apache.spark.sql.Column,
+                   pruneRanges0: Seq[SkippingIndex.ColRange] = Nil,
+                   pruneStrRanges0: Seq[SkippingIndex.StrRange] = Nil,
+                   cached: Option[SkippingIndex.Manifest] = None): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val vs0 = versions(root)
+    require(vs0.nonEmpty, s"no commits at $root (use overwrite to create)")
+    val tgtSchema = logicalSchema(root).getOrElse(read(spark, root).schema)
+    val gen = applyGenerated(root, df)
+    gen.columns.foreach(c => require(tgtSchema.fieldNames.contains(c),
+      s"replaceWhere at $root: incoming column `$c` is not in the table " +
+        "schema — an overwrite-by-filter never evolves the table"))
+    val shaped = gen.select(tgtSchema.fields.toSeq.map(f =>
+      (if (gen.columns.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+    enforceChecks(root, shaped)
+    val (pruneRanges, pruneStrRanges) =
+      if (pruneRanges0.nonEmpty || pruneStrRanges0.nonEmpty)
+        (pruneRanges0, pruneStrRanges0)
+      else SkippingIndex.boxesOf(spark, tgtSchema, predicate)
+    val pcols = partitionCols(root)
+    val meta = metaHeader("REPLACE WHERE")
+    var out: Option[(Long, Int, Int)] = None
+    while (out.isEmpty) {
+      val vs = versions(root)
+      val baseV = vs.last
+      val base = filesOf(root, baseV)
+      val baseData = base.filterNot(isHeader)
+      val inv = mappingOf(base)._1.map(_.swap)
+      val physRanges = pruneRanges.map(r =>
+        r.copy(column = inv.getOrElse(r.column, r.column)))
+      val physStrRanges = pruneStrRanges.map(r =>
+        r.copy(column = inv.getOrElse(r.column, r.column)))
+      val touchSet: Set[String] =
+        if (pruneRanges.isEmpty && pruneStrRanges.isEmpty) baseData.toSet
+        else {
+          val files = baseData.map(rel => (s"$root/$rel", rel))
+          val m = cached
+            .map(SkippingIndex.refreshManifestFor(spark, files, _))
+            .orElse(listStatsManifest(root, Some(baseV)))
+            .getOrElse(SkippingIndex.manifestFor(spark, files,
+              (physRanges.map(_.column) ++ physStrRanges.map(_.column)).distinct))
+          m.survivors(physRanges, physStrRanges).toSet
+        }
+      val (touch, carry) = baseData.partition(touchSet.contains)
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val survivors =
+        if (touch.isEmpty) Seq.empty
+        else {
+          val rd = spark.read.option("basePath", s"$root/data")
+          writeData(toPhysical(
+            toLogical(schemaOf(root, Some(baseV)).fold(rd)(rd.schema)
+                .parquet(touch.map(f => s"$root/$f"): _*), base)
+              .filter(not(coalesce(predicate, lit(false)))),
+            base, root), root, tag, pcols)
+        }
+      val incoming = writeData(toPhysical(shaped, base, root), root,
+        s"$tag-in", pcols)
+      out = commitRewrite(root, baseData, carry, survivors ++ incoming, meta) match {
+        case Committed(v) => Some((v, touch.size, carry.size))
+        case _ => None // stale base: restart from the new snapshot
+      }
+    }
+    out.get
   }
 
   private def parseTxn(line: String): Option[(String, Long)] =
@@ -2265,11 +2575,25 @@ object VersionedTable {
                 cached: Option[SkippingIndex.Manifest] = None,
                 evolveSchema: Boolean = false,
                 evolveExcept: Seq[String] = Nil,
-                bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+                bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty,
+                requireBase: Option[Long] = None)
       : (Long, Int, Int) =
     mergeImpl(spark, root, source, keys, updateWhen, deleteWhen, insertWhen,
       cached, txn = None, evolveSchema = evolveSchema,
-      evolveExcept = evolveExcept, bloom = bloom)
+      evolveExcept = evolveExcept, bloom = bloom, requireBase = requireBase)
+
+  /** Thrown by a merge pinned via `requireBase` when the head moved:
+    * the caller derived its source frame (an enrichment join reading the
+    * target) against the pinned snapshot — committing onto a newer head
+    * would apply STALE matched flags and `t.*` values (a racing insert
+    * re-inserted, a racing update clobbered). The caller catches this
+    * and rebuilds from the new head; the engine never silently merges a
+    * superseded view. */
+  final class StaleSnapshotException(val root: String, val expected: Long,
+                                     val actual: Long)
+      extends RuntimeException(
+        s"snapshot of $root moved: enrichment was built against v$expected " +
+          s"but the head is v$actual — rebuild and retry")
 
   /** EPOCH-GATED [[mergeInto]] — the exactly-once streaming-CDC merge:
     * a delivery with `epoch <= committed max(writerId)` is a NO-OP
@@ -2310,9 +2634,10 @@ object VersionedTable {
                         txn: Option[(String, Long)],
                         evolveSchema: Boolean = false,
                         evolveExcept: Seq[String] = Nil,
-                        bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty)
+                        bloom: Map[String, Dataset[BloomIndex.FileBloom]] = Map.empty,
+                        requireBase: Option[Long] = None)
       : (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct}
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     bloom.keys.foreach(k => require(keys.contains(k),
       s"bloom index column `$k` is not a merge key (${keys.mkString(", ")})"))
@@ -2325,6 +2650,10 @@ object VersionedTable {
       val vs = versions(root)
       require(vs.nonEmpty, s"no commits at $root")
       val baseV = vs.last
+      // a merge pinned to a base (its source was derived FROM that
+      // snapshot) must not silently apply onto a moved head
+      requireBase.foreach(rb =>
+        if (baseV != rb) throw new StaleSnapshotException(root, rb, baseV))
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
       val tgtSchema0 = logicalSchema(root, Some(baseV))
@@ -2369,74 +2698,9 @@ object VersionedTable {
           extras.map(col)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-      // ONE driver agg: row count + per-key min/max — the prune boxes
-      val statAggs = count(lit(1)).as("__n") +:
-        keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
-      val stats = src.agg(statAggs.head, statAggs.tail: _*).collect()(0)
-      if (stats.getLong(0) == 0L) return (baseV, 0, baseData.size) // empty source
-      import org.apache.spark.sql.types._
-      val inv = mappingOf(base)._1.map(_.swap)
-      def phys(k: String) = inv.getOrElse(k, k)
-      val (numBoxes, strBoxes) = {
-        val nb = scala.collection.mutable.ArrayBuffer[SkippingIndex.ColRange]()
-        val sb = scala.collection.mutable.ArrayBuffer[SkippingIndex.StrRange]()
-        keys.foreach { k =>
-          val i = stats.fieldIndex(s"__min_$k")
-          val j = stats.fieldIndex(s"__max_$k")
-          if (!stats.isNullAt(i) && !stats.isNullAt(j))
-            tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
-              case _: NumericType =>
-                nb += SkippingIndex.ColRange(phys(k),
-                  stats.get(i).asInstanceOf[Number].doubleValue(),
-                  stats.get(j).asInstanceOf[Number].doubleValue())
-              case StringType =>
-                sb += SkippingIndex.StrRange(phys(k),
-                  stats.getString(i), stats.getString(j))
-              case _ => () // unprunable key type: boxes stay conservative
-            }
-        }
-        (nb.toSeq, sb.toSeq)
-      }
-      val touchSet: Set[String] =
-        if (numBoxes.isEmpty && strBoxes.isEmpty) baseData.toSet
-        else {
-          val files = baseData.map(rel => (s"$root/$rel", rel))
-          val m = cached
-            .map(SkippingIndex.refreshManifestFor(spark, files, _))
-            .orElse(listStatsManifest(root, Some(baseV))) // stats from the list
-            .getOrElse(SkippingIndex.manifestFor(spark, files,
-              (numBoxes.map(_.column) ++ strBoxes.map(_.column)).distinct))
-          val stage1 = m.survivors(numBoxes, strBoxes)
-          // stage 2: the global box over a bimodal source (CDC updates
-          // + far-away inserts) covers the whole table — probe the
-          // ACTUAL key values against each candidate file's interval,
-          // keeping only files that really can match. COMPOSITE keys
-          // probe per column and INTERSECT the survivor sets (a file
-          // must admit some source value on EVERY key column — a
-          // conservative superset of true tuple matches, like Delta's
-          // per-column stats), narrowing sequentially so a column that
-          // empties the candidate set short-circuits the rest
-          val probes = keys.flatMap { k =>
-            tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
-              case _: NumericType => Some((phys(k), src.select(col(k).cast("double"))))
-              case StringType => Some((phys(k), src.select(col(k))))
-              case _ => None // unprunable type: no footer stats to probe
-            }
-          }
-          val afterIntervals = probes.foldLeft(stage1) { case (cand, (pc, pts)) =>
-            if (cand.isEmpty) cand
-            else SkippingIndex.probeSurvivors(spark, m, cand, pc, pts)
-          }
-          // stage 3, per-file BLOOM probe (caller-supplied indexes, one
-          // per key column): prunes what min/max stats never can —
-          // hashed/UUID keys whose per-file range spans the table.
-          // Unindexed files pass; false positives only cost a rewrite
-          bloom.foldLeft(afterIntervals) { case (cand, (kc, ix)) =>
-            if (cand.isEmpty) cand
-            else BloomIndex.survivors(spark, ix, cand, phys(kc),
-              src.select(col(kc)))
-          }.toSet
-        }
+      val (srcRows, touchSet) = mergeCandidates(spark, root, baseV, base,
+        baseData, tgtSchema, src, keys, cached, bloom)
+      if (srcRows == 0L) return (baseV, 0, baseData.size) // empty source
       // files holding possibly-matching keys are read for the MATCH; they
       // are REWRITTEN only when a matched clause can change them — an
       // insert-only merge reads them for the anti-check and rewrites
@@ -2525,6 +2789,119 @@ object VersionedTable {
       } finally { src.unpersist(); () }
     }
     out.get
+  }
+
+  /** The shared CANDIDATE-FILE derivation of every bounded merge: ONE
+    * driver agg over the source (row count + per-key min/max boxes),
+    * then three narrowing stages — (1) the global key box against
+    * commit-list/footer stats, (2) the ACTUAL key values probed against
+    * each survivor's interval (per column, INTERSECTED for composite
+    * keys: a file must admit some source value on EVERY key column — a
+    * conservative superset of true tuple matches, like Delta's
+    * per-column stats; a column that empties the set short-circuits the
+    * rest), (3) caller-supplied per-file bloom sidecars, which prune
+    * what min/max never can (hashed/UUID keys spanning the table).
+    * Returns (sourceRowCount, candidateFiles) — candidates are a
+    * conservative SUPERSET of the files holding any source key, so a
+    * join restricted to them matches a join against the whole table. */
+  private def mergeCandidates(spark: SparkSession, root: String, baseV: Long,
+                              base: Seq[String], baseData: Seq[String],
+                              tgtSchema: org.apache.spark.sql.types.StructType,
+                              src: DataFrame, keys: Seq[String],
+                              cached: Option[SkippingIndex.Manifest],
+                              bloom: Map[String, Dataset[BloomIndex.FileBloom]])
+      : (Long, Set[String]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.types._
+    val statAggs = count(lit(1)).as("__n") +:
+      keys.flatMap(k => Seq(min(col(k)).as(s"__min_$k"), max(col(k)).as(s"__max_$k")))
+    val stats = src.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    if (stats.getLong(0) == 0L) return (0L, Set.empty)
+    val inv = mappingOf(base)._1.map(_.swap)
+    def phys(k: String) = inv.getOrElse(k, k)
+    val (numBoxes, strBoxes) = {
+      val nb = scala.collection.mutable.ArrayBuffer[SkippingIndex.ColRange]()
+      val sb = scala.collection.mutable.ArrayBuffer[SkippingIndex.StrRange]()
+      keys.foreach { k =>
+        val i = stats.fieldIndex(s"__min_$k")
+        val j = stats.fieldIndex(s"__max_$k")
+        if (!stats.isNullAt(i) && !stats.isNullAt(j))
+          tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
+            case _: NumericType =>
+              nb += SkippingIndex.ColRange(phys(k),
+                stats.get(i).asInstanceOf[Number].doubleValue(),
+                stats.get(j).asInstanceOf[Number].doubleValue())
+            case StringType =>
+              sb += SkippingIndex.StrRange(phys(k),
+                stats.getString(i), stats.getString(j))
+            case _ => () // unprunable key type: boxes stay conservative
+          }
+      }
+      (nb.toSeq, sb.toSeq)
+    }
+    val touchSet: Set[String] =
+      if (numBoxes.isEmpty && strBoxes.isEmpty) baseData.toSet
+      else {
+        val files = baseData.map(rel => (s"$root/$rel", rel))
+        val m = cached
+          .map(SkippingIndex.refreshManifestFor(spark, files, _))
+          .orElse(listStatsManifest(root, Some(baseV))) // stats from the list
+          .getOrElse(SkippingIndex.manifestFor(spark, files,
+            (numBoxes.map(_.column) ++ strBoxes.map(_.column)).distinct))
+        val stage1 = m.survivors(numBoxes, strBoxes)
+        // stage 2: the global box over a bimodal source (CDC updates +
+        // far-away inserts) covers the whole table — probe actual values
+        val probes = keys.flatMap { k =>
+          tgtSchema(tgtSchema.fieldIndex(k)).dataType match {
+            case _: NumericType => Some((phys(k), src.select(col(k).cast("double"))))
+            case StringType => Some((phys(k), src.select(col(k))))
+            case _ => None // unprunable type: no footer stats to probe
+          }
+        }
+        val afterIntervals = probes.foldLeft(stage1) { case (cand, (pc, pts)) =>
+          if (cand.isEmpty) cand
+          else SkippingIndex.probeSurvivors(spark, m, cand, pc, pts)
+        }
+        // stage 3: per-file bloom probe — unindexed files pass; false
+        // positives only cost a rewrite
+        bloom.foldLeft(afterIntervals) { case (cand, (kc, ix)) =>
+          if (cand.isEmpty) cand
+          else BloomIndex.survivors(spark, ix, cand, phys(kc),
+            src.select(col(kc)))
+        }.toSet
+      }
+    (stats.getLong(0), touchSet)
+  }
+
+  /** The PRUNED MATCH SLICE of `version`'s snapshot for an EXTERNAL
+    * enrichment join ([[graft.sql]]'s full-form SQL MERGE): the
+    * logical-view rows of exactly the files [[mergeCandidates]] admits
+    * for the source's keys — so a 1-file CDC batch joins against the
+    * files it can match, not the table (VERDICT r13 #2). Rows from
+    * excluded files provably hold no source key: a left join of the
+    * source against this slice equals one against the whole table.
+    * Callers should persist `source` — its keys are aggregated and
+    * probed here before the join re-reads it. */
+  def matchSlice(spark: SparkSession, root: String,
+                 version: Long, source: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val base = filesOf(root, version)
+    val baseData = base.filterNot(isHeader)
+    val tgtSchema = logicalSchema(root, Some(version))
+      .getOrElse(read(spark, root, Some(version)).schema)
+    keys.foreach(k => require(tgtSchema.fieldNames.contains(k),
+      s"merge key `$k` is not a column of $root (${tgtSchema.fieldNames.mkString(", ")})"))
+    val (srcRows, touchSet) = mergeCandidates(spark, root, version, base,
+      baseData, tgtSchema, source, keys, cached = None, bloom = Map.empty)
+    val matchFiles = baseData.filter(touchSet.contains)
+    if (srcRows == 0L || matchFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgtSchema)
+    else {
+      val rd = spark.read.option("basePath", s"$root/data")
+      toLogical(schemaOf(root, Some(version)).fold(rd)(rd.schema)
+        .parquet(matchFiles.map(f => s"$root/$f"): _*), base)
+    }
   }
 
   /** CHANGE FEED between two committed versions — the Delta CDF read,
@@ -3111,6 +3488,9 @@ object VersionedTable {
       catch { // a racing vacuum already retired it — idempotent
         case _: java.nio.file.NoSuchFileException => ()
       }
+      // a retired version's parquet checkpoint parts go with it (the
+      // version fails fast anyway; the bytes have no further reader)
+      checkpointParts(root, v).foreach(_.foreach(Files.deleteIfExists))
     }
     val live = kept.flatMap(filesOf(root, _)).filterNot(isHeader).toSet
     val d = dataDir(root)

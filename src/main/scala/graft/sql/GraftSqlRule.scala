@@ -38,11 +38,13 @@ import graft.sources.VersionedTable
   * partial assignments, expressions over `t.*`/`s.*` — goes through
   * the enrichment join ([[org.apache.spark.sql.graftsql.GraftMergeEnrichedCommand]]),
   * which materializes per-column clause values and condition flags
-  * before the same bounded merge. Refused LOUDLY (never silently
+  * before the same bounded merge — including `WHEN NOT MATCHED BY
+  * SOURCE` (full-outer enrichment; unmatched target rows re-match
+  * themselves through the key join). Refused LOUDLY (never silently
   * wrong): a non-equi ON, differently-named ON keys, merge-key
-  * reassignment, repeated clauses of one kind, and `WHEN NOT MATCHED
-  * BY SOURCE`. Standalone UPDATE supports arbitrary per-column
-  * expressions. */
+  * reassignment, repeated clauses of one kind, duplicate-keyed
+  * targets, and NMBS over null-keyed target rows. Standalone UPDATE
+  * supports arbitrary per-column expressions. */
 case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
@@ -174,8 +176,6 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewriteMerge(m: MergeIntoTable, r: DataSourceV2Relation,
                            t: GraftTable): LogicalPlan = {
     requireWritable(t)
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE is not")
     val tgt = r.outputSet
     val src = m.sourceTable.outputSet
     val keys = splitAnd(m.mergeCondition).map {
@@ -252,7 +252,26 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         insAct = Some((c, Some(assignments)))
       case other => unsupported(s"not-matched action $other is not")
     }
-    val starForm =
+    // WHEN NOT MATCHED BY SOURCE (VERDICT r13 #3): UPDATE/DELETE over
+    // target rows with no source match — always the enrichment path
+    // (the whole-row engine merge cannot see unmatched target rows)
+    var nmbsUpd: Option[(Option[Expression], Seq[Assignment])] = None
+    var nmbsDel: Option[Option[Expression]] = None
+    var nmbsDeleteListedFirst = false
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(c, assignments, _) =>
+        if (nmbsUpd.isDefined)
+          unsupported("two NOT MATCHED BY SOURCE UPDATE clauses are not")
+        nmbsUpd = Some((c, assignments))
+      case DeleteAction(c) =>
+        if (nmbsDel.isDefined)
+          unsupported("two NOT MATCHED BY SOURCE DELETE clauses are not")
+        nmbsDeleteListedFirst = nmbsUpd.isEmpty
+        nmbsDel = Some(c)
+      case other => unsupported(s"not-matched-by-source action $other is not")
+    }
+    val hasNmbs = nmbsUpd.isDefined || nmbsDel.isDefined
+    val starForm = !hasNmbs &&
       updAct.forall(_._2.forall(isStar(_, forInsert = false))) &&
         insAct.forall(_._2.forall(isStar(_, forInsert = true)))
 
@@ -306,6 +325,10 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .getOrElse(Seq.empty)
       val insSet = insAct.flatMap(_._2).map(setOf(_, "INSERT", allowTarget = false))
         .getOrElse(Seq.empty)
+      // NMBS assignments reference the target alone (the analyzer
+      // enforces it — there is no source row); keys may only be identity
+      val nmbsSet = nmbsUpd.map(a => setOf(a._2, "NOT MATCHED BY SOURCE UPDATE",
+        allowTarget = true)).getOrElse(Seq.empty)
       // a star action mixed with a partial one still enriches: its
       // per-column set is the full same-named-source mapping
       val starSet = m.sourceTable.output.map(_.name)
@@ -314,12 +337,17 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftMergeEnrichedCommand(t.root, m.sourceTable, keys,
         updSet = if (updAct.exists(_._2.isEmpty)) starSet else updSet,
         insSet = if (insAct.exists(_._2.isEmpty)) starSet else insSet,
+        nmbsSet = nmbsSet,
         hasUpdate = updAct.isDefined, hasDelete = delCond.isDefined,
         hasInsert = insAct.isDefined,
+        hasNmbsUpdate = nmbsUpd.isDefined, hasNmbsDelete = nmbsDel.isDefined,
         updCond = updAct.flatMap(_._1).map(tsCol(_, tgt, src)),
         delCond = delCond.flatMap(identity).map(tsCol(_, tgt, src)),
         insCond = insAct.flatMap(_._1).map(tsCol(_, tgt, src)),
-        deleteListedFirst = deleteListedFirst)
+        nmbsUpdCond = nmbsUpd.flatMap(_._1).map(tsCol(_, tgt, src)),
+        nmbsDelCond = nmbsDel.flatMap(identity).map(tsCol(_, tgt, src)),
+        deleteListedFirst = deleteListedFirst,
+        nmbsDeleteListedFirst = nmbsDeleteListedFirst)
     }
   }
 }

