@@ -1695,6 +1695,48 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // `spark.readStream.table("wh.t")` (VERDICT r13 #6): the PLAIN
+    // append stream through the DSv2 catalog — initial snapshot, then
+    // only new commits' rows, in the table's own schema; a DELETE
+    // commit is unrepresentable and SKIPS whole under skipChangeCommits
+    // (the refusal twin is spec-gated); a later append still flows
+    "st14_readstream_table" -> ((s, d) => {
+      import graft.sources.{SkippingIndex, VersionedTable}
+      val (cat, root) = sqlGateCatalog(s, d, "st14")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_st14out_${math.abs(d.hashCode)}"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(out))
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      VersionedTable.overwrite(s, s"$root/t", ev.filter(col("event_id") < 600)
+        .repartitionByRange(8, col("event_id")).sortWithinPartitions("event_id"))
+      VersionedTable.append(s, s"$root/t", ev.filter(col("event_id") >= 600))
+      def run(skip: Boolean): Long = {
+        var r = s.readStream
+        if (skip) r = r.option("skipChangeCommits", "true")
+        val q = r.table(s"$cat.t").writeStream
+          .option("checkpointLocation", s"$out/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) b.write.mode("append").parquet(s"$out/rows"); ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$out/rows").count()
+      }
+      val n1 = run(skip = false) // snapshot + the append commit
+      VersionedTable.deleteWhere(s, s"$root/t",
+        Seq(SkippingIndex.ColRange("event_id", 0, 99)))
+      val n2 = run(skip = true) // the delete commit skips whole
+      VersionedTable.append(s, s"$root/t",
+        ev.filter(col("event_id") < 50)
+          .select((col("event_id") + lit(1000000L)).as("event_id"),
+            col("user_id"), col("event_type"), col("value")))
+      run(skip = true) // ... and the next append still flows
+      s.read.parquet(s"$out/rows")
+        .withColumn("skip_noop", lit(n2 == n1))
+        .orderBy("event_id")
+    }),
+
     // the Delta CDF start surface on the feed source: a stream pinned
     // to startingVersion=1 SKIPS the initial snapshot and serves
     // exactly the later commits' diffs (insert slice of the append,
@@ -3780,6 +3822,17 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value,
         |  CAST(3 AS BIGINT) AS n_folded, TRUE AS replay_noop
         |FROM events WHERE event_id NOT BETWEEN 100 AND 299
+        |ORDER BY event_id""".stripMargin,
+
+    // readStream.table's plain append stream: every event row exactly
+    // once (snapshot + append), the delete commit skipped whole, the
+    // post-delete append's shifted rows flowing
+    "st14_readstream_table" ->
+      """SELECT event_id, user_id, event_type, value, TRUE AS skip_noop
+        |FROM events
+        |UNION ALL
+        |SELECT event_id + 1000000, user_id, event_type, value, TRUE
+        |FROM events WHERE event_id < 50
         |ORDER BY event_id""".stripMargin,
 
     // a stream pinned to startingVersion=1 serves NO initial snapshot:

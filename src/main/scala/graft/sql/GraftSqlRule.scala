@@ -144,6 +144,35 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
       readPlan(r, r.table.asInstanceOf[GraftTable])
 
+    // `spark.readStream.table("wh.t")` (VERDICT r13 #6): the analyzer
+    // resolves the catalog table to a StreamingRelationV2; swap it for
+    // the V1 versioned-feed relation (the Delta bridge pattern — its
+    // DeltaAnalysis does exactly this), exprId-preserving like the
+    // batch read swap. Default is the PLAIN append stream in the
+    // table's own schema; `.option("readChangeFeed", "true")` serves
+    // the CDF schema, and startingVersion / startingTimestamp /
+    // maxVersionsPerTrigger / skipChangeCommits pass through.
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if s.table.isInstanceOf[GraftTable] =>
+      val t = s.table.asInstanceOf[GraftTable]
+      require(t.pinnedVersion.isEmpty,
+        s"cannot stream from a time-travel pin of ${t.name()}")
+      import scala.jdk.CollectionConverters._
+      val opts = s.extraOptions.asCaseSensitiveMap().asScala.toMap
+      val params = opts ++ Map("path" -> t.root,
+        "readChangeFeed" -> s.extraOptions.getBoolean("readChangeFeed", false).toString)
+      val rel = Bridge.feedStreamingRelation(spark, params)
+      val byN = rel.output.map(a => a.name -> a).toMap
+      val projectList = s.output.map { old =>
+        val a = byN.getOrElse(old.name, throw new IllegalStateException(
+          s"column `${old.name}` missing from the versioned feed of ${t.root}"))
+        Alias(a, old.name)(exprId = old.exprId, qualifier = old.qualifier)
+      }
+      // CDF mode exposes the feed's metadata columns BEYOND the catalog
+      // relation's output — parents resolve them by name
+      val extras = rel.output.filterNot(a => s.output.exists(_.name == a.name))
+      Project(projectList ++ extras, rel)
+
     case other =>
       other.mapChildren(rewrite).transformExpressionsDown {
         case sq: SubqueryExpression => sq.withNewPlan(rewrite(sq.plan))

@@ -73,6 +73,14 @@ class VersionedFeedSourceProvider extends StreamSourceProvider with DataSourceRe
       throw new IllegalArgumentException(
         "versioned-feed needs .option(\"path\", <versioned table root>)"))
 
+  /** `readChangeFeed` (Delta's CDF option, default TRUE here for the
+    * historical `format("versioned-feed")` surface): false = PLAIN
+    * append-stream mode — `spark.readStream.table("wh.t")` through
+    * [[graft.sql.GraftSqlRule]]'s StreamingRelationV2 rewrite, which
+    * passes `readChangeFeed=false` unless the reader opted in. */
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").forall(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -82,7 +90,8 @@ class VersionedFeedSourceProvider extends StreamSourceProvider with DataSourceRe
         s"versioned-feed: no commits at $root and no user schema given")
       VersionedTable.read(sqlContext.sparkSession, root).schema
     }
-    (shortName(), VersionedFeedSource.feedSchema(table))
+    (shortName(),
+      if (cdfMode(parameters)) VersionedFeedSource.feedSchema(table) else table)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -105,7 +114,10 @@ class VersionedFeedSourceProvider extends StreamSourceProvider with DataSourceRe
         .getOrElse(vs.lastOption.map(_ + 1L).getOrElse(0L))
     })
     new VersionedFeedSource(sqlContext, root, table,
-      parameters.get("maxVersionsPerTrigger").map(_.toLong), starting)
+      parameters.get("maxVersionsPerTrigger").map(_.toLong), starting,
+      cdf = cdfMode(parameters),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
 
   private def parseTimestampMs(s: String): Long =
@@ -123,15 +135,25 @@ object VersionedFeedSource {
       StructField(CommitVersion, LongType, nullable = false))
 }
 
+/** `cdf = true` (default): the change-feed stream documented above.
+  * `cdf = false`: PLAIN APPEND-STREAM mode — the table's own schema,
+  * each batch the rows new commits appended (initial snapshot first,
+  * like Delta's non-CDF streaming read). A commit that REMOVED files
+  * (delete/update/overwrite/compaction) cannot be represented as
+  * appended rows: it fails LOUDLY at that batch, or is skipped whole
+  * with `skipChangeCommits = true` — Delta's exact option, never a
+  * silent wrong feed. */
 class VersionedFeedSource(sqlContext: SQLContext, root: String,
                           table: StructType,
                           maxVersionsPerTrigger: Option[Long],
-                          startingVersion: Option[Long] = None) extends Source {
+                          startingVersion: Option[Long] = None,
+                          cdf: Boolean = true,
+                          skipChangeCommits: Boolean = false) extends Source {
   import VersionedFeedSource._
 
   private val spark = sqlContext.sparkSession
 
-  override val schema: StructType = feedSchema(table)
+  override val schema: StructType = if (cdf) feedSchema(table) else table
 
   // startingVersion validates on the FIRST FRESH BATCH, and LAZILY
   // (a poisoned frame, not a constructor throw): if the pin points at
@@ -193,11 +215,11 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     * construction. */
   private def poisoned(msg: String): DataFrame = {
     import org.apache.spark.sql.functions.{length, raise_error}
-    spark.range(1)
+    val base = spark.range(1)
       .filter(length(raise_error(lit(msg))) > 0)
       .select(table.fields.toSeq.map(f =>
-        lit(null).cast(f.dataType).as(f.name)) :+
-        lit("insert").as(ChangeType): _*)
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    if (cdf) base.withColumn(ChangeType, lit("insert")) else base
   }
 
   /** Project a slice onto the stream's pinned schema: missing columns
@@ -213,10 +235,13 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
         s"versioned-feed at $root: commit v$v carries column(s) " +
           s"${extra.mkString(", ")} the stream's schema predates — the table " +
           "evolved mid-stream; restart the stream to adopt the new schema")
-    df.select(table.fields.toSeq.map { f =>
+    val cols = table.fields.toSeq.map { f =>
       if (df.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    } :+ col(ChangeType): _*)
+    }
+    df.select(
+      (if (cdf && df.columns.contains(ChangeType)) cols :+ col(ChangeType)
+       else cols): _*)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -231,8 +256,9 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
       // through the same asStreaming wrap as every other batch: a V1
       // Source.getBatch must return an isStreaming plan or the engine's
       // own assertion replaces the pin message before execution
-      return org.apache.spark.sql.graft.StreamingShim.asStreaming(sqlContext,
-        poisoned(msg).withColumn(CommitVersion, lit(-1L)))
+      val p = if (cdf) poisoned(msg).withColumn(CommitVersion, lit(-1L))
+              else poisoned(msg)
+      return org.apache.spark.sql.graft.StreamingShim.asStreaming(sqlContext, p)
     }
     val readable = VersionedTable.versions(root)
     // a checkpointed start offset WINS over startingVersion (Delta's
@@ -240,20 +266,16 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     // batch of a pinned stream the floor is startingVersion - 1
     val floor: Option[Long] = startV.orElse(startingVersion.map(_ - 1L))
     val inRange = readable.filter(v => floor.forall(v > _) && v <= endV)
-    val slices = inRange.map { v =>
-      val slice =
-        if (readable.contains(v - 1))
-          VersionedTable.changeFeed(spark, root, v - 1, v)
-        else if (floor.isEmpty && v == readable.min)
-          // fresh unpinned stream's initial snapshot: all inserts
-          VersionedTable.read(spark, root, Some(v))
-            .withColumn(ChangeType, lit("insert"))
-        else if (v == 0L)
-          // the changes OF commit 0 are its full content as inserts —
-          // startingVersion = 0 replays the table's history exactly
-          VersionedTable.read(spark, root, Some(v))
-            .withColumn(ChangeType, lit("insert"))
-        else
+    val slices = inRange.flatMap { v =>
+      val isSnapshot =
+        (floor.isEmpty && v == readable.min) || // fresh unpinned stream
+          (v == 0L && !readable.contains(v - 1)) // startingVersion = 0 replay
+      val slice: Option[DataFrame] =
+        if (isSnapshot)
+          // initial snapshot: the full content as inserts (plain: rows)
+          Some(VersionedTable.read(spark, root, Some(v))
+            .withColumn(ChangeType, lit("insert")))
+        else if (!readable.contains(v - 1))
           // LAZY failure, deliberately: the V1 recovery contract calls
           // getBatch(None, recoveredEnd) as a DISCARDED prime on every
           // restart whose last batch committed — throwing at frame
@@ -262,11 +284,35 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
           // EXECUTION keeps every real consumer loud (an uncommitted
           // replay and a fresh stream both execute their first batch)
           // while the discarded prime never evaluates it.
-          poisoned(
+          Some(poisoned(
             s"versioned-feed at $root: version ${v - 1} was retired by " +
               s"vacuum(keep) but the stream still needs changeFeed(${v - 1}, $v) " +
-              "— increase source retention or restart the stream for a fresh snapshot")
-      align(slice, v).withColumn(CommitVersion, lit(v))
+              "— increase source retention or restart the stream for a fresh snapshot"))
+        else if (cdf)
+          Some(VersionedTable.changeFeed(spark, root, v - 1, v))
+        else {
+          // PLAIN append-stream mode: a commit is representable iff it
+          // removed no files — its added files ARE the new rows. A
+          // change commit (delete/update/overwrite/compact) refuses
+          // loudly or, with skipChangeCommits, skips whole (Delta's
+          // option). The file diff comes from two commit-list reads —
+          // zero data I/O.
+          val removed = VersionedTable.fileStats(root, Some(v - 1)).keySet --
+            VersionedTable.fileStats(root, Some(v)).keySet
+          if (removed.isEmpty)
+            Some(VersionedTable.changeFeed(spark, root, v - 1, v)
+              .filter(col(ChangeType) === "insert").drop(ChangeType))
+          else if (skipChangeCommits) None
+          else Some(poisoned(
+            s"versioned-feed at $root: commit v$v removed/rewrote data files — " +
+              "an append-only stream cannot represent it; read with " +
+              "readChangeFeed=true, or set skipChangeCommits=true to skip " +
+              "such commits"))
+        }
+      slice.map { s =>
+        val aligned = align(s, v)
+        if (cdf) aligned.withColumn(CommitVersion, lit(v)) else aligned
+      }
     }
     val out =
       if (slices.nonEmpty) slices.reduce(_ unionByName _)

@@ -22,6 +22,19 @@ object Bridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A V1 streaming relation over the versioned feed — the seam the
+    * `spark.readStream.table("wh.t")` rewrite needs (`DataSource` and
+    * `StreamingRelation` are `private[sql]`; Delta bridges its own
+    * StreamingRelationV2 the same way). */
+  def feedStreamingRelation(spark: SparkSession,
+                            options: Map[String, String]): LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      className = "graft.streaming.VersionedFeedSourceProvider",
+      options = options)
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
+  }
 }
 
 /** Eagerly-executed leaf command (`RunnableCommand` is `private[sql]`):

@@ -960,4 +960,69 @@ class StreamingSpec extends SparkSpecBase {
     assert(twins.min < twins.max, "the resembling batch scores lower")
   }
 
+  test("readStream.table: plain append stream through the catalog; change commits refuse or skip; CDF via readChangeFeed") {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_rst").toString
+    spark.conf.set("spark.sql.catalog.gs", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gs.root", wh)
+    val root = s"$wh/t"
+    val ckpt = s"$wh/ckpt"
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    VersionedTable.append(spark, root,
+      (100 until 150).map(i => (i.toLong, s"b$i")).toDF("id", "v"))
+    def run(opts: Map[String, String], checkpoint: String): Seq[(Long, String)] = {
+      val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var reader = spark.readStream
+      opts.foreach { case (k, x) => reader = reader.option(k, x) }
+      val q = reader.table("gs.t").select("id", "v").writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("id", "v").as[(Long, String)].collect(); ()
+        }.start()
+      try { q.processAllAvailable(); got.toSeq } finally q.stop()
+    }
+    // fresh plain stream: snapshot + the append, in the TABLE's schema
+    val first = run(Map.empty, ckpt)
+    assert(first.size == 150 && first.map(_._1).sorted == (0L until 150L),
+      s"plain stream must serve the table's rows, got ${first.size}")
+    // resume after one more append: exactly the new rows
+    VersionedTable.append(spark, root,
+      (150 until 170).map(i => (i.toLong, s"c$i")).toDF("id", "v"))
+    assert(run(Map.empty, ckpt).map(_._1).sorted == (150L until 170L),
+      "the checkpointed stream must resume with only the new commit")
+    // a DELETE commit cannot be an append batch: loud failure ...
+    VersionedTable.deleteWherePredicate(spark, root, col("id") < 10)
+    val e = intercept[StreamingQueryException] { run(Map.empty, ckpt) }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg != null && msg.contains("skipChangeCommits"), s"got: $msg")
+    // ... or an explicit skip (Delta's option), after which appends flow
+    assert(run(Map("skipChangeCommits" -> "true"), ckpt).isEmpty)
+    VersionedTable.append(spark, root, Seq((500L, "d")).toDF("id", "v"))
+    assert(run(Map("skipChangeCommits" -> "true"), ckpt) == Seq((500L, "d")))
+    // CDF mode through the same surface: feed columns + commit versions
+    val cdf = spark.readStream.option("readChangeFeed", "true").table("gs.t")
+    assert(cdf.columns.contains("_change_type") &&
+      cdf.columns.contains("_commit_version"))
+    val changes = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q2 = cdf.writeStream.option("checkpointLocation", s"$wh/ckpt_cdf")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        changes ++= b.select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Long)].collect(); ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    // initial snapshot (earliest readable) + each later diff, deletes included
+    assert(changes.count(_._2 == "delete") == 10,
+      s"the CDF stream must carry the delete diff: ${changes.take(5)}")
+    assert(changes.map(_._3).distinct.sorted.size == 5,
+      "one slice per readable version (v0 snapshot + four later diffs)")
+    // the two surfaces agree on the final state: plain-folded rows ==
+    // snapshot (CDF inserts minus deletes land the same place)
+    val folded = (first ++ Seq((500L, "d")) ++
+      (150L until 170L).map(i => (i, s"c$i"))).toMap -- (0L until 10L)
+    assert(folded.size == VersionedTable.read(spark, root).count().toInt)
+  }
+
 }
