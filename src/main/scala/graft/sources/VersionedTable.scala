@@ -190,7 +190,11 @@ object VersionedTable {
   // the previous checkpoint (worst case v0's full list), exactly
   // Delta's recovery rule. Legacy full-text lists keep resolving
   // unchanged and the two formats interleave freely.
-  private[graft] val CheckpointPartRows = 131072
+  /** Rows per checkpoint part (~10 MB of metadata at the measured
+    * ~105 B/row) — `@volatile var` ONLY as a test seam so DeltaLogSpec
+    * can exercise the multi-part write/read/torn-set paths on a small
+    * table; production code never writes it. */
+  @volatile private[graft] var CheckpointPartRows = 131072
   private val CkptSchema = org.apache.parquet.schema.MessageTypeParser
     .parseMessageType(
       """message graft_ckpt {
@@ -278,7 +282,10 @@ object VersionedTable {
       Files.move(ptr, commitsDir(root).resolve("_last_checkpoint"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     } catch {
-      case e: java.io.IOException =>
+      // the COMMIT is already durable — a checkpoint failure (I/O or a
+      // parquet-layer error alike) must never surface as a commit
+      // failure; it only lengthens the replay chain
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] checkpoint v$v at $root skipped: $e")
     }
 
@@ -341,7 +348,9 @@ object VersionedTable {
         }
         Some(out.toSeq)
       } catch {
-        case e: java.io.IOException =>
+        // any unreadable/corrupt part (I/O or parquet-layer) falls back
+        // to delta replay — always sound, just slower
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] checkpoint v$v at $root unreadable ($e) — replaying deltas")
           None
       }

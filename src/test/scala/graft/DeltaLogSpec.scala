@@ -182,6 +182,44 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, root).count() == 2012)
   }
 
+  test("multi-part checkpoints: parts split at the row bound, read back in order, and a missing part falls back whole") {
+    val root = fresh("mpart")
+    val saved = VersionedTable.CheckpointPartRows
+    VersionedTable.CheckpointPartRows = 16 // test seam: force several parts
+    try {
+      VersionedTable.overwrite(spark, root,
+        (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+          .repartition(40))
+      (1 to 10).foreach { i =>
+        VersionedTable.append(spark, root,
+          Seq((90000L + i, s"x$i")).toDF("id", "v"))
+      }
+      // 40 + 10 data lines + headers at v10 -> ceil(n/16) >= 4 parts
+      val parts = Files.list(Paths.get(root, "_commits")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(n => n.startsWith("v10.ckpt.") && n.endsWith(".parquet"))
+      assert(parts.size >= 3, s"want a real multi-part set, got $parts")
+      assert(parts.forall(_.contains(s"-of-${parts.size}")), s"got $parts")
+      assert(VersionedTable.lastCheckpoint(root).contains((10L, parts.size)))
+      // resolution through the parts equals the pure replay, line-exact
+      VersionedTable.clearSnapshotCache()
+      val viaParts = VersionedTable.snapshotLines(root, 10L)
+      val one = Paths.get(root, "_commits", parts.sorted.head)
+      val stash = Files.createTempDirectory("graft_mpart_stash").resolve("p")
+      Files.move(one, stash)
+      VersionedTable.clearSnapshotCache()
+      val viaReplay = VersionedTable.snapshotLines(root, 10L)
+      assert(viaParts == viaReplay,
+        "multi-part resolution must equal delta replay line-for-line")
+      // ... and with a part missing the INCOMPLETE set never serves
+      assert(VersionedTable.lastCheckpoint(root).isEmpty,
+        "the pointer must not validate against a torn part set")
+      Files.move(stash, one)
+      VersionedTable.clearSnapshotCache()
+      assert(VersionedTable.read(spark, root, Some(10L)).count() == 4010)
+    } finally VersionedTable.CheckpointPartRows = saved
+  }
+
   test("legacy all-full-list tables interleave with delta commits: resolution, stats, and time travel agree") {
     val root = fresh("legacy")
     VersionedTable.overwrite(spark, root,
