@@ -1063,6 +1063,33 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // SQL RESTORE + SHALLOW CLONE (parser extension): a bounded delete,
+    // a metadata-only restore back to v0, a zero-copy clone, then a
+    // delete on the CLONE alone — both tables' aggregates prove the
+    // restore round-trip and the decoupled lifecycles
+    "s56_sql_restore_clone" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s56")
+      VersionedTable.overwrite(s, s"$root/t",
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      s.sql(s"DELETE FROM $cat.t WHERE l_orderkey <= 1500")
+      s.sql(s"RESTORE TABLE $cat.t TO VERSION AS OF 0")
+      s.sql(s"CREATE TABLE $cat.t2 SHALLOW CLONE $cat.t")
+      s.sql(s"DELETE FROM $cat.t2 WHERE l_orderkey > 3000")
+      s.sql(s"""SELECT l_returnflag, count(*) AS n,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               |  'restored' AS side
+               |FROM $cat.t GROUP BY l_returnflag
+               |UNION ALL
+               |SELECT l_returnflag, count(*) AS n,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               |  'clone' AS side
+               |FROM $cat.t2 GROUP BY l_returnflag
+               |ORDER BY side, l_returnflag""".stripMargin)
+    }),
+
     "s53_sql_time_travel" -> ((s, d) => {
       import graft.sources.VersionedTable
       val (cat, root) = sqlGateCatalog(s, d, "s53")
@@ -2587,6 +2614,7 @@ object SparkEntry {
     "s48_planner_scan"        -> Seq("sum_qty"),
     "s50_sql_delete"          -> Seq("sum_qty"),
     "s51_sql_update"          -> Seq("sum_qty"),
+    "s56_sql_restore_clone"   -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -3034,6 +3062,20 @@ object SparkEntry {
         |WHERE s.op = 'inc'
         |  AND NOT EXISTS (SELECT 1 FROM target t WHERE t.event_id = s.event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // RESTORE puts the table back to its full v0 content; the clone,
+    // taken after the restore, keeps only l_orderkey <= 3000
+    "s56_sql_restore_clone" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  'restored' AS side
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  'clone' AS side
+        |FROM lineitem WHERE l_orderkey <= 3000 GROUP BY l_returnflag
+        |ORDER BY side, l_returnflag""".stripMargin,
 
     // the planner-integrated scan answers the plain filtered aggregate
     "s48_planner_scan" ->

@@ -298,6 +298,72 @@ case class GraftVacuumCommand(root: String, minAgeMs: Option[Long],
   }
 }
 
+/** SQL `RESTORE TABLE <tbl> TO VERSION AS OF <n> | TO TIMESTAMP AS OF
+  * '<ts>'` (graft.sql's parser extension) → the metadata-only
+  * [[graft.sources.VersionedTable.restore]] commit. Lazily executed —
+  * EXPLAIN restores nothing. Returns one metrics row. */
+case class GraftRestoreCommand(root: String, version: Option[Long],
+                               tsMillis: Option[Long]) extends GraftLeafCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    Seq(AttributeReference("restored_version", LongType)(),
+      AttributeReference("committed_version", LongType)())
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.VersionedTable
+    val v = version.getOrElse(VersionedTable.timestampAsOf(root, tsMillis.get))
+    Seq(Row(v, VersionedTable.restore(spark, root, v)))
+  }
+}
+
+/** SQL `CREATE TABLE <dst> SHALLOW CLONE <src> [VERSION AS OF <n>]`
+  * (graft.sql's parser extension) → the zero-copy hard-link
+  * [[graft.sources.VersionedTable.clone]]. Lazily executed. */
+case class GraftCloneCommand(src: String, dst: String, version: Option[Long])
+    extends GraftLeafCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.LongType
+    Seq(AttributeReference("cloned_version", LongType)())
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    Seq(Row(graft.sources.VersionedTable.clone(spark, src, dst, version)))
+  }
+}
+
+/** SQL `ALTER TABLE <tbl> ADD CONSTRAINT <name> CHECK (<expr>)`
+  * (graft.sql's parser extension — the Delta constraint DDL):
+  * existing rows validate FIRST, a violating snapshot refuses whole. */
+case class GraftAddConstraintCommand(root: String, name: String, expr: String)
+    extends GraftLeafCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.VersionedTable.addCheckConstraint(spark, root, name, expr)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <tbl> DROP CONSTRAINT <name>`. */
+case class GraftDropConstraintCommand(root: String, name: String)
+    extends GraftLeafCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.VersionedTable.dropCheckConstraint(spark, root, name)
+    Seq.empty
+  }
+}
+
+/** SQL `CONVERT TO GRAFT '<path>'` (the Delta `CONVERT TO DELTA`
+  * surface): in-place upgrade of a flat parquet directory to a
+  * versioned table — files atomically moved under `data/`, committed
+  * as v0, zero rows rewritten. */
+case class GraftConvertCommand(dir: String) extends GraftLeafCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.VersionedTable.convert(spark, dir)))
+}
+
 /** SQL `OPTIMIZE <tbl> [ZORDER BY (…)]` (graft.sql's parser extension):
   * plain OPTIMIZE bin-packs the small-file trail (`compactSmall`);
   * ZORDER re-clusters into size-derived file counts. Returns one

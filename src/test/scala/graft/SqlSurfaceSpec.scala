@@ -406,6 +406,77 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(op == "REPLACE WHERE", s"got $op")
   }
 
+  test("RESTORE TABLE and CREATE TABLE SHALLOW CLONE parse through the extension") {
+    freshTable("rst", n = 100, files = 1)
+    spark.sql("DELETE FROM g.rst WHERE id < 50")
+    assert(spark.sql("SELECT count(*) c FROM g.rst").head().getLong(0) == 50L)
+    // restore by version: metadata-only commit, content back to v0
+    val m = spark.sql("RESTORE TABLE g.rst TO VERSION AS OF 0").collect()(0)
+    assert(m.getLong(0) == 0L && m.getLong(1) == 2L, s"got $m")
+    assert(spark.sql("SELECT count(*) c FROM g.rst").head().getLong(0) == 100L)
+    // EXPLAIN never restores (lazy command)
+    spark.sql("DELETE FROM g.rst WHERE id < 50")
+    try spark.sql("EXPLAIN RESTORE TABLE g.rst TO VERSION AS OF 0").collect()
+    catch { case _: Exception => () } // delegate may refuse the grammar
+    assert(spark.sql("SELECT count(*) c FROM g.rst").head().getLong(0) == 50L,
+      "EXPLAIN RESTORE must not restore")
+    // restore by timestamp resolves through the commit clocks
+    val dir2 = s"$wh/rstts"
+    import spark.implicits._
+    VersionedTable.withClock(() => 1000L) {
+      VersionedTable.overwrite(spark, dir2, Seq((1L, "a")).toDF("id", "v"))
+    }
+    VersionedTable.withClock(() => 2000L) {
+      VersionedTable.append(spark, dir2, Seq((2L, "b")).toDF("id", "v"))
+    }
+    spark.sql("RESTORE g.rstts TO TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+    assert(VersionedTable.read(spark, dir2).count() == 1L)
+    // shallow clone: zero-copy, decoupled lifecycle, optional version pin
+    spark.sql("CREATE TABLE g.rst_clone SHALLOW CLONE g.rst")
+    assert(spark.sql("SELECT count(*) c FROM g.rst_clone").head().getLong(0) == 50L)
+    spark.sql("INSERT INTO g.rst_clone VALUES (9999, 'x', 0)")
+    assert(spark.sql("SELECT count(*) c FROM g.rst_clone").head().getLong(0) == 51L)
+    assert(spark.sql("SELECT count(*) c FROM g.rst").head().getLong(0) == 50L,
+      "writes to the clone must not touch the source")
+    spark.sql("CREATE TABLE g.rst_v0 SHALLOW CLONE g.rst VERSION AS OF 0")
+    assert(spark.sql("SELECT count(*) c FROM g.rst_v0").head().getLong(0) == 100L)
+    // cloning onto an existing table refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE g.rst_clone SHALLOW CLONE g.rst")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
+  test("constraint DDL and CONVERT TO GRAFT parse through the extension") {
+    freshTable("con", n = 50, files = 1)
+    spark.sql("ALTER TABLE g.con ADD CONSTRAINT grp_range CHECK (grp BETWEEN 0 AND 6)")
+    // the constraint ENFORCES: a violating insert refuses whole
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g.con VALUES (9000, 'x', 99)")
+    }
+    assert(e.getMessage.contains("grp_range"), e.getMessage)
+    assert(spark.sql("SELECT count(*) c FROM g.con").head().getLong(0) == 50L)
+    // adding a constraint the existing data violates refuses
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.con ADD CONSTRAINT impossible CHECK (id < 0)")
+    }
+    assert(e2.getMessage.contains("existing rows violate"), e2.getMessage)
+    // dropped => the same insert lands
+    spark.sql("ALTER TABLE g.con DROP CONSTRAINT grp_range")
+    spark.sql("INSERT INTO g.con VALUES (9000, 'x', 99)")
+    assert(spark.sql("SELECT count(*) c FROM g.con").head().getLong(0) == 51L)
+    // CONVERT TO GRAFT: a flat parquet directory becomes a versioned
+    // table in place — readable through the catalog afterwards
+    import spark.implicits._
+    val flat = s"$wh/flat_conv"
+    (0 until 30).map(i => (i.toLong, s"p$i")).toDF("id", "v")
+      .repartition(3).write.parquet(flat)
+    val v = spark.sql(s"CONVERT TO GRAFT '$flat'").collect()(0).getLong(0)
+    assert(v == 0L)
+    assert(VersionedTable.isVersioned(flat))
+    assert(spark.sql("SELECT count(*) c FROM g.flat_conv").head().getLong(0) == 30L)
+  }
+
   test("unsupported SQL shapes refuse loudly, never silently mis-merge") {
     freshTable("ref", n = 20, files = 1)
     Seq((1L, "x", 0)).toDF("id", "v", "grp").createOrReplaceTempView("rsrc")
