@@ -1090,6 +1090,34 @@ object SparkEntry {
                |ORDER BY side, l_returnflag""".stripMargin)
     }),
 
+    // ONE-COMMIT filtered overwrite (replaceWhere — the DSv2
+    // OverwriteByExpression verb behind INSERT OVERWRITE ... PARTITION
+    // and writeTo(...).overwrite(cond)): rows in the key band leave,
+    // the replacement rows land, atomically; files outside the band
+    // carry byte-untouched (`bounded` rides the hash)
+    "s57_replace_where" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val (cat, root) = sqlGateCatalog(s, d, "s57")
+      VersionedTable.overwrite(s, s"$root/t",
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_returnflag", "l_quantity")
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"))
+      val repl = t(s, d, "lineitem")
+        .filter(col("l_orderkey").between(1000, 2000))
+        .select(col("l_orderkey"), col("l_partkey"),
+          lit("X").as("l_returnflag"), (col("l_quantity") * 2).as("l_quantity"))
+      repl.writeTo(s"$cat.t").overwrite(col("l_orderkey").between(1000, 2000))
+      val v0 = VersionedTable.fileStats(s"$root/t", Some(0L)).keySet
+      val head = VersionedTable.fileStats(s"$root/t").keySet
+      val carried = (head & v0).size
+      val rewritten = (head -- v0).size
+      s.sql(s"""SELECT l_returnflag, count(*) AS n,
+               |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               |  ${VersionedTable.versions(s"$root/t") == Seq(0L, 1L)} AS one_commit,
+               |  ${carried > 0 && rewritten < carried} AS bounded
+               |FROM $cat.t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "s53_sql_time_travel" -> ((s, d) => {
       import graft.sources.VersionedTable
       val (cat, root) = sqlGateCatalog(s, d, "s53")
@@ -2615,6 +2643,7 @@ object SparkEntry {
     "s50_sql_delete"          -> Seq("sum_qty"),
     "s51_sql_update"          -> Seq("sum_qty"),
     "s56_sql_restore_clone"   -> Seq("sum_qty"),
+    "s57_replace_where"       -> Seq("sum_qty"),
     "q3_shipping_priority"    -> Seq("revenue"),
     "q5_local_supplier_volume"-> Seq("revenue"),
     "q7_volume_shipping"      -> Seq("volume"),
@@ -3062,6 +3091,20 @@ object SparkEntry {
         |WHERE s.op = 'inc'
         |  AND NOT EXISTS (SELECT 1 FROM target t WHERE t.event_id = s.event_id)
         |ORDER BY event_id""".stripMargin,
+
+    // replaceWhere literal semantics: the band's original rows leave,
+    // the doubled 'X' replacements land, everything else keeps
+    "s57_replace_where" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  TRUE AS one_commit, TRUE AS bounded
+        |FROM (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE NOT COALESCE(l_orderkey BETWEEN 1000 AND 2000, FALSE)
+        |  UNION ALL
+        |  SELECT 'X' AS l_returnflag, l_quantity * 2 AS l_quantity
+        |  FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // RESTORE puts the table back to its full v0 content; the clone,
     // taken after the restore, keeps only l_orderkey <= 3000
