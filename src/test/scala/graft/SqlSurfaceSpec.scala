@@ -477,6 +477,88 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) c FROM g.flat_conv").head().getLong(0) == 30L)
   }
 
+  test("PROPERTY: randomized full-form MERGE (incl. NMBS, clause orders) equals a row-by-row SQL-semantics model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    for (round <- 1 to 10) {
+      val dir = s"$wh/prop$round"
+      // distinct-keyed target and source (dup keys refuse by design)
+      val tgtRows = rnd.shuffle((0 to 30).toList).take(12 + rnd.nextInt(10))
+        .map(i => (i.toLong, s"t$i", rnd.nextInt(5))).sortBy(_._1)
+      val srcRows = rnd.shuffle((0 to 40).toList).take(10 + rnd.nextInt(10))
+        .map(i => (i.toLong, Seq("u", "d", "n")(rnd.nextInt(3)), 1 + rnd.nextInt(5)))
+        .sortBy(_._1)
+      VersionedTable.overwrite(spark, dir, tgtRows.toDF("id", "v", "grp"))
+      srcRows.toDF("id", "op", "delta").createOrReplaceTempView(s"prop_src$round")
+      // random clause mix — at least one clause guaranteed below
+      val hasMU = rnd.nextBoolean(); val hasMD = rnd.nextBoolean()
+      val hasIns = rnd.nextBoolean()
+      val hasNU = rnd.nextBoolean(); val hasND = rnd.nextBoolean()
+      val mDelFirst = rnd.nextBoolean(); val nDelFirst = rnd.nextBoolean()
+      val any = hasMU || hasMD || hasIns || hasNU || hasND
+      val (mu, md, ins, nu, nd) =
+        if (any) (hasMU, hasMD, hasIns, hasNU, hasND)
+        else (true, false, false, false, false)
+      val mUpd = "WHEN MATCHED AND s.op = 'u' THEN UPDATE SET " +
+        "grp = t.grp + s.delta, v = concat(t.v, '+')"
+      val mDel = "WHEN MATCHED AND s.op = 'd' THEN DELETE"
+      val insC = "WHEN NOT MATCHED AND s.op <> 'd' THEN " +
+        "INSERT (id, grp) VALUES (s.id, s.delta)"
+      val nUpd = "WHEN NOT MATCHED BY SOURCE AND t.grp >= 2 THEN " +
+        "UPDATE SET v = concat(t.v, '~')"
+      val nDel = "WHEN NOT MATCHED BY SOURCE AND t.grp = 0 THEN DELETE"
+      val matchedClauses =
+        (if (mu && md) { if (mDelFirst) Seq(mDel, mUpd) else Seq(mUpd, mDel) }
+         else if (mu) Seq(mUpd) else if (md) Seq(mDel) else Nil)
+      val nmbsClauses =
+        (if (nu && nd) { if (nDelFirst) Seq(nDel, nUpd) else Seq(nUpd, nDel) }
+         else if (nu) Seq(nUpd) else if (nd) Seq(nDel) else Nil)
+      val stmt = (Seq(s"MERGE INTO g.prop$round t USING prop_src$round s ON t.id = s.id") ++
+        matchedClauses ++ (if (ins) Seq(insC) else Nil) ++ nmbsClauses).mkString("\n")
+      spark.sql(stmt)
+      // the MODEL: SQL semantics row by row — for each row, the FIRST
+      // clause of its family (in listed order) whose condition holds
+      val srcById = srcRows.map(r => r._1 -> r).toMap
+      val tgtIds = tgtRows.map(_._1).toSet
+      val fromTargets = tgtRows.flatMap { case (id, v, grp) =>
+        srcById.get(id) match {
+          case Some((_, op, delta)) => // matched family
+            val fired = matchedClauses.find {
+              case c if c == mUpd => op == "u"
+              case c if c == mDel => op == "d"
+              case _ => false
+            }
+            fired match {
+              case Some(c) if c == mDel => None
+              case Some(c) if c == mUpd => Some((id, v + "+", grp + delta))
+              case _ => Some((id, v, grp))
+            }
+          case None => // not-matched-by-source family
+            val fired = nmbsClauses.find {
+              case c if c == nUpd => grp >= 2
+              case c if c == nDel => grp == 0
+              case _ => false
+            }
+            fired match {
+              case Some(c) if c == nDel => None
+              case Some(c) if c == nUpd => Some((id, v + "~", grp))
+              case _ => Some((id, v, grp))
+            }
+        }
+      }
+      val inserted =
+        if (!ins) Nil
+        else srcRows.filter(r => !tgtIds.contains(r._1) && r._2 != "d")
+          .map(r => (r._1, null: String, r._3)) // unassigned v is NULL
+      val want = (fromTargets ++ inserted).sortBy(_._1)
+      val got = VersionedTable.read(spark, dir)
+        .select("id", "v", "grp").as[(Long, String, Int)]
+        .collect().toSeq.sortBy(_._1)
+      assert(got == want,
+        s"round $round diverged\nstmt:\n$stmt\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("unsupported SQL shapes refuse loudly, never silently mis-merge") {
     freshTable("ref", n = 20, files = 1)
     Seq((1L, "x", 0)).toDF("id", "v", "grp").createOrReplaceTempView("rsrc")
