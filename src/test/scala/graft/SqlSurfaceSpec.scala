@@ -143,6 +143,23 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .as[(String, Int)].head() == (("zz", 99)))
     val r901 = m2.filter(col("id") === 901L).select("v", "grp").head()
     assert(r901.getString(0) == "yy" && r901.isNullAt(1))
+    // insert-ONLY partial merge (no matched clause): matching source
+    // rows do nothing, unmatched rows insert with unassigned cols NULL,
+    // and every target file carries (the anti-join path)
+    val before = VersionedTable.dataFiles(s"$wh/pmrg").toSet
+    Seq((902L, "solo", 7), (10L, "nope", 1)).toDF("id", "v", "grp")
+      .createOrReplaceTempView("pmsrc3")
+    spark.sql("""
+      MERGE INTO g.pmrg t USING pmsrc3 s ON t.id = s.id
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+    """)
+    val m3 = VersionedTable.read(spark, s"$wh/pmrg")
+    val r902 = m3.filter(col("id") === 902L).select("v", "grp").head()
+    assert(r902.getString(0) == "solo" && r902.isNullAt(1))
+    assert(m3.filter(col("id") === 10L).select("v").head().getString(0) == "zz",
+      "a matching source row must not touch the target in an insert-only merge")
+    assert(before.subsetOf(VersionedTable.dataFiles(s"$wh/pmrg").toSet),
+      "insert-only merges carry every target file byte-untouched")
   }
 
   test("DDL: CREATE TABLE / SHOW TABLES / DROP TABLE against the warehouse layout") {
