@@ -220,6 +220,68 @@ class DeltaLogSpec extends SparkSpecBase {
     } finally VersionedTable.CheckpointPartRows = saved
   }
 
+  test("PROPERTY: checkpoint resolution equals pure delta replay across a random op sequence") {
+    import graft.sources.SkippingIndex
+    val rnd = new scala.util.Random(14L)
+    val root = fresh("ckprop")
+    VersionedTable.overwrite(spark, root,
+      (0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    var nextId = 1000L
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val n = 1 + rnd.nextInt(20)
+          VersionedTable.append(spark, root,
+            (0 until n).map(i => (nextId + i, s"a${nextId + i}")).toDF("id", "v"))
+          nextId += n
+        case 1 =>
+          val lo = rnd.nextInt(400).toLong
+          VersionedTable.deleteWhere(spark, root,
+            Seq(SkippingIndex.ColRange("id", lo.toDouble, (lo + 30).toDouble)))
+          ()
+        case 2 =>
+          VersionedTable.optimize(spark, root, Seq("id"), numFiles = 3)
+          ()
+        case 3 =>
+          val vs = VersionedTable.versions(root)
+          VersionedTable.restore(spark, root, vs(rnd.nextInt(vs.size)))
+          ()
+      }
+    }
+    val vs = VersionedTable.versions(root)
+    assert(vs.last >= 10L, "the sequence must cross the checkpoint cadence")
+    val cdir = Paths.get(root, "_commits")
+    def parts() = Files.list(cdir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.matches("v\\d+\\.ckpt\\..*\\.parquet"))
+    assert(parts().nonEmpty, "at least one parquet checkpoint must exist")
+    // resolve EVERY version cold, checkpoints present
+    val withCkpt = vs.map { v =>
+      VersionedTable.clearSnapshotCache()
+      v -> VersionedTable.snapshotLines(root, v)
+    }.toMap
+    // stash every checkpoint part and resolve again: PURE delta replay
+    val stash = Files.createTempDirectory("graft_ckprop_stash")
+    val stashed = parts().map { p =>
+      val to = stash.resolve(p.getFileName.toString); Files.move(p, to); (to, p)
+    }
+    val pure = vs.map { v =>
+      VersionedTable.clearSnapshotCache()
+      v -> VersionedTable.snapshotLines(root, v)
+    }.toMap
+    assert(withCkpt == pure,
+      "checkpointed and pure-replay resolution must agree on EVERY version, line for line")
+    stashed.foreach { case (from, to) => Files.move(from, to) }
+    VersionedTable.clearSnapshotCache()
+    // ... and content sanity on top of the line equality: the head's
+    // stats-served count (from the checkpoint-resolved annotations)
+    // equals the actual scan
+    val statCount = VersionedTable.statsRowCount(root)
+    assert(statCount.isDefined, "an all-annotated snapshot must serve counts")
+    assert(statCount.contains(VersionedTable.read(spark, root).count()))
+  }
+
   test("legacy all-full-list tables interleave with delta commits: resolution, stats, and time travel agree") {
     val root = fresh("legacy")
     VersionedTable.overwrite(spark, root,
