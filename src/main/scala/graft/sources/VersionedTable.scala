@@ -22,12 +22,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *     single read — no log replay — and the append commit simply lists
   *     the previous snapshot's files plus the new ones.
   *   - Commits become visible ATOMICALLY: the list is written to a temp
-  *     name and `ATOMIC_MOVE`d into place, with `REPLACE_EXISTING`
-  *     withheld — so two racing writers targeting the same version
-  *     cannot both land; the loser's move throws, and [[append]]/
-  *     [[overwrite]] retry against the refreshed snapshot (optimistic
-  *     concurrency, the Delta protocol's conflict rule for blind
-  *     appends).
+  *     name and published via `Files.createLink` — link(2) is the POSIX
+  *     compare-and-swap, failing atomically with EEXIST when the
+  *     version already landed (a rename would silently REPLACE) — so
+  *     two racing writers targeting the same version cannot both land;
+  *     the loser's link throws, and [[append]]/[[overwrite]] retry
+  *     against the refreshed snapshot (optimistic concurrency, the
+  *     Delta protocol's conflict rule for blind appends).
   *   - READERS never lock: [[read]] resolves a version's file list and
   *     hands Spark exactly those files (with `basePath = data/`, so
   *     partition columns survive a subset-of-files scan). A reader
@@ -1433,9 +1434,19 @@ object VersionedTable {
       }
     val tmp = commitsDir(root).resolve(s".v$v.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, writeLines.mkString("\n").getBytes("UTF-8"))
+    val dst = commitsDir(root).resolve(s"v$v.list")
     try {
-      Files.move(tmp, commitsDir(root).resolve(s"v$v.list"),
-        StandardCopyOption.ATOMIC_MOVE)
+      // PUBLISH as a true compare-and-swap: link(2) fails ATOMICALLY
+      // with EEXIST when the version already landed. A rename
+      // (ATOMIC_MOVE) is NOT conditional on POSIX — rename(2) silently
+      // REPLACES an existing target, so two same-version racers would
+      // both "win" and the first winner's commit (and its rows) would
+      // silently vanish from the log; the r14 racing-writers spec
+      // caught exactly that. The hard link publishes the complete,
+      // already-durable temp content under the final name or fails
+      // whole — the loser retries against the refreshed snapshot.
+      Files.createLink(dst, tmp)
+      Files.deleteIfExists(tmp)
       // prime the one-slot cache with the resolved form: the next
       // commit's base resolution (and any immediate read) is then one
       // list read with zero replay
@@ -1450,6 +1461,19 @@ object VersionedTable {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp); false
+      case _: UnsupportedOperationException =>
+        // no hard links (exotic mounts): a checked move narrows but
+        // cannot close the window — POSIX gets the linked CAS above,
+        // object stores need conditional put (PROTOCOL.md)
+        if (Files.exists(dst)) { Files.deleteIfExists(tmp); false }
+        else {
+          Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          val resolved =
+            if (writeLines eq stamped) stamped else replayDelta(prevRaw, writeLines)
+          SnapCache.put(root, v, resolved)
+          if (v > 0 && v % CheckpointEvery == 0) writeCheckpoint(root, v, resolved)
+          true
+        }
     }
   }
 

@@ -282,6 +282,57 @@ class DeltaLogSpec extends SparkSpecBase {
     assert(statCount.contains(VersionedTable.read(spark, root).count()))
   }
 
+  test("racing idempotent writers cross the checkpoint cadence: no loss, no duplication, no torn checkpoint") {
+    import spark.implicits._
+    val root = fresh("race")
+    VersionedTable.overwrite(spark, root, Seq((-1L, "seed")).toDF("id", "v"))
+    val writers = 4; val epochs = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val fs = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (0 until epochs).foreach { e =>
+              VersionedTable.appendIdempotent(spark, root,
+                Seq((w * 1000L + e, s"w$w-e$e")).toDF("id", "v"), s"w$w", e)
+              ()
+            }
+        })
+      }
+      fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // the CAS protocol serialized every commit: contiguous versions,
+    // one per delivery, every row exactly once
+    val vs = VersionedTable.versions(root)
+    assert(vs == (0L to (writers * epochs)), s"got $vs")
+    val rows = VersionedTable.read(spark, root).as[(Long, String)].collect()
+    assert(rows.length == writers * epochs + 1)
+    assert(rows.map(_._1).distinct.length == rows.length, "no duplicates")
+    assert(VersionedTable.committedEpochs(root) ==
+      (0 until writers).map(w => s"w$w" -> (epochs - 1).toLong).toMap)
+    // every cadence version carries a COMPLETE checkpoint written by
+    // its CAS winner alone, and the pointer validates against the parts
+    Seq(10L, 20L, 30L, 40L).foreach { cv =>
+      VersionedTable.clearSnapshotCache()
+      assert(VersionedTable.snapshotLines(root, cv)
+        .count(l => !l.startsWith("#")) == cv + 1, // seed + cv appends
+        s"v$cv must resolve to exactly ${cv + 1} data files")
+    }
+    assert(VersionedTable.lastCheckpoint(root).exists(_._1 == 40L))
+    // replays agree with the checkpoints under the race too
+    val cdir = Paths.get(root, "_commits")
+    val parts = Files.list(cdir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.contains(".ckpt."))
+    val stash = Files.createTempDirectory("graft_race_stash")
+    val stashed = parts.map { p =>
+      val to = stash.resolve(p.getFileName.toString); Files.move(p, to); (to, p)
+    }
+    VersionedTable.clearSnapshotCache()
+    assert(VersionedTable.read(spark, root).count() == (writers * epochs + 1).toLong)
+    stashed.foreach { case (from, to) => Files.move(from, to) }
+  }
+
   test("legacy all-full-list tables interleave with delta commits: resolution, stats, and time travel agree") {
     val root = fresh("legacy")
     VersionedTable.overwrite(spark, root,
