@@ -333,6 +333,180 @@ class DeltaLogSpec extends SparkSpecBase {
     stashed.foreach { case (from, to) => Files.move(from, to) }
   }
 
+  test("checkpoint round-trip is byte-exact for hostile annotation shapes: trailing tabs, empty fields, unparsable annotations") {
+    val root = fresh("tabs")
+    VersionedTable.overwrite(spark, root,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2))
+    // a legacy/foreign writer's lines the format must carry VERBATIM:
+    // trailing tab after the stats slot, empty bytes field, extra empty
+    // annotation — `split('\t')` drops trailing empties, so the
+    // pre-ADVICE-r14 encode reconstructed "path\t1\t2\t" as "path\t1\t2"
+    val hostile = Seq(
+      "data/fake-a.parquet\t1\t2\t",
+      "data/fake-b.parquet\t\t",
+      "data/fake-c.parquet\t7\t8\trows=3\t",
+      "data/fake-d.parquet\tnotanumber\tx")
+    val v0 = rawList(root, 0L)
+    Files.write(Paths.get(root, "_commits", "v0.list"),
+      (v0 ++ hostile).mkString("\n").getBytes("UTF-8"))
+    VersionedTable.clearSnapshotCache()
+    // cross the checkpoint cadence so v10's parquet checkpoint holds the
+    // hostile carried lines
+    (1 to 10).foreach { i =>
+      VersionedTable.append(spark, root, Seq((900L + i, s"x$i")).toDF("id", "v"))
+    }
+    VersionedTable.clearSnapshotCache()
+    val viaCkpt = VersionedTable.snapshotLines(root, 10L)
+    val parts = Files.list(Paths.get(root, "_commits")).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("v10.ckpt."))
+    assert(parts.nonEmpty, "v10 must carry a parquet checkpoint")
+    val stash = Files.createTempDirectory("graft_tabs_stash")
+    val stashed = parts.map { p =>
+      val to = stash.resolve(p.getFileName.toString); Files.move(p, to); (to, p)
+    }
+    VersionedTable.clearSnapshotCache()
+    val viaReplay = VersionedTable.snapshotLines(root, 10L)
+    stashed.foreach { case (from, to) => Files.move(from, to) }
+    assert(viaCkpt == viaReplay,
+      "checkpoint resolution must be byte-exact even for hostile lines")
+    // readList trims line-trailing whitespace at ingest (so a trailing
+    // tab can never enter a snapshot); what DOES enter must carry
+    // verbatim through the checkpoint — including the unparsable
+    // annotation that routes through the `r` kind
+    hostile.map(_.trim).foreach(h =>
+      assert(viaCkpt.contains(h), s"must carry verbatim: $h"))
+  }
+
+  test("O(change) append path: warm incremental resolution equals cold replay byte-for-byte across evolution, constraints, txn writers") {
+    val root = fresh("fastap")
+    VersionedTable.overwrite(spark, root,
+      (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(3))
+    VersionedTable.addCheckConstraint(spark, root, "pos", "id >= 0")
+    (1 to 3).foreach { i =>
+      VersionedTable.append(spark, root, Seq((1000L + i, s"a$i")).toDF("id", "v"))
+    }
+    // schema evolution mid-stream: the fast path re-stamps the evolved header
+    VersionedTable.append(spark, root,
+      Seq((2000L, "e", 7)).toDF("id", "v", "extra"))
+    // two idempotent writers interleave their #txn headers
+    VersionedTable.appendIdempotent(spark, root,
+      Seq((3000L, "w0", 0)).toDF("id", "v", "extra"), "wA", 0)
+    VersionedTable.appendIdempotent(spark, root,
+      Seq((3001L, "w1", 1)).toDF("id", "v", "extra"), "wB", 5)
+    VersionedTable.appendIdempotent(spark, root,
+      Seq((3002L, "w2", 2)).toDF("id", "v", "extra"), "wA", 1)
+    val head = VersionedTable.versions(root).last
+    val warm = VersionedTable.snapshotLines(root, head)
+    VersionedTable.clearSnapshotCache()
+    val cold = VersionedTable.snapshotLines(root, head)
+    assert(warm == cold,
+      "the incrementally-built snapshot must equal the cold replay byte-for-byte")
+    // structured content sanity on top of the line equality
+    assert(VersionedTable.committedEpochs(root) == Map("wA" -> 1L, "wB" -> 5L))
+    assert(VersionedTable.checkConstraints(root) == Map("pos" -> "id >= 0"))
+    assert(VersionedTable.schemaOf(root).exists(_.fieldNames.contains("extra")))
+    assert(VersionedTable.statsRowCount(root).contains(207L))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("extra").isNotNull).count() == 4)
+    // a redelivery stays a no-op through the fast path
+    assert(VersionedTable.appendIdempotent(spark, root,
+      Seq((3000L, "dup", 0)).toDF("id", "v", "extra"), "wA", 1) == -1L)
+    assert(VersionedTable.read(spark, root).count() == 207)
+  }
+
+  test("publish refuses loudly on a linkless mount unless the checked-move fallback is opted in (VERDICT r14 #2)") {
+    val root = fresh("logstore")
+    VersionedTable.overwrite(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val saved = VersionedTable.logStore
+    VersionedTable.logStore = new VersionedTable.LogStore {
+      override def publish(dst: java.nio.file.Path,
+                           tmp: java.nio.file.Path): Boolean =
+        throw new UnsupportedOperationException("no hard links (test mount)")
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        VersionedTable.append(spark, root, Seq((2L, "b")).toDF("id", "v"))
+      }
+      assert(e.getMessage.contains("allowCheckedMove"), e.getMessage)
+      assert(VersionedTable.versions(root) == Seq(0L),
+        "a refused publish must leave no commit")
+      // explicit opt-in: the checked move lands the commit (loudly)
+      System.setProperty("graft.logstore.allowCheckedMove", "true")
+      try {
+        VersionedTable.append(spark, root, Seq((3L, "c")).toDF("id", "v"))
+        assert(VersionedTable.versions(root) == Seq(0L, 1L))
+        assert(VersionedTable.read(spark, root).count() == 2)
+      } finally System.clearProperty("graft.logstore.allowCheckedMove")
+    } finally VersionedTable.logStore = saved
+  }
+
+  test("a failing parquet checkpoint falls back to a TEXT checkpoint that serves: the replay bound stays unconditional (ADVICE r14)") {
+    val root = fresh("txtfb")
+    VersionedTable.overwrite(spark, root,
+      (0 until 300).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(3))
+    VersionedTable.checkpointPartHook =
+      () => throw new RuntimeException("injected parquet-layer failure")
+    try {
+      (1 to 10).foreach { i =>
+        VersionedTable.append(spark, root, Seq((500L + i, s"x$i")).toDF("id", "v"))
+      }
+    } finally VersionedTable.checkpointPartHook = () => ()
+    val cdir = Paths.get(root, "_commits")
+    assert(!Files.list(cdir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .exists(n => n.startsWith("v10.ckpt.") && n.endsWith(".parquet")),
+      "the injected failure must have stopped every parquet part")
+    val txt = cdir.resolve("v10.ckpt.txt")
+    assert(Files.exists(txt), "the text fallback checkpoint must have landed")
+    // the txt equals what pure replay computes...
+    val stash = Files.createTempDirectory("graft_txtfb").resolve("t")
+    Files.move(txt, stash)
+    VersionedTable.clearSnapshotCache()
+    val viaReplay = VersionedTable.snapshotLines(root, 10L)
+    Files.move(stash, txt)
+    VersionedTable.clearSnapshotCache()
+    assert(VersionedTable.snapshotLines(root, 10L) == viaReplay)
+    // ...and it actually SERVES: with a mid-chain delta hidden, replay
+    // would die — resolution of v10 must ride the text checkpoint
+    val v5 = cdir.resolve("v5.list")
+    val stash5 = Files.createTempDirectory("graft_txtfb5").resolve("t")
+    Files.move(v5, stash5)
+    try {
+      VersionedTable.clearSnapshotCache()
+      assert(VersionedTable.snapshotLines(root, 10L) == viaReplay,
+        "the text checkpoint must bound the replay chain")
+    } finally Files.move(stash5, v5)
+  }
+
+  test("vacuum reclaims torn checkpoint parts, text checkpoints, and stale commit temps (ADVICE r14)") {
+    val root = fresh("sweep")
+    (0 until 13).foreach { i =>
+      if (i == 0) VersionedTable.overwrite(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      else VersionedTable.append(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+    }
+    val cdir = Paths.get(root, "_commits")
+    // plant what crashes leave behind: a TORN part set on a soon-retired
+    // version, orphaned dot-prefixed temps of every kind
+    Files.write(cdir.resolve("v3.ckpt.0-of-5.parquet"), "junk".getBytes)
+    Files.write(cdir.resolve(".v99.deadbeef.tmp"), "junk".getBytes)
+    Files.write(cdir.resolve(".v99.ckpt.0-of-2.x.tmp.parquet"), "junk".getBytes)
+    Files.write(cdir.resolve("._last_checkpoint.x.tmp"), "junk".getBytes)
+    VersionedTable.vacuum(root, keep = Some(2), minAgeMs = 0L)
+    val left = Files.list(cdir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(!left.contains("v3.ckpt.0-of-5.parquet"),
+      s"torn parts of a retired version must be reclaimed: $left")
+    assert(!left.exists(n => n.startsWith(".") && n.contains(".tmp")),
+      s"stale temps must be swept: $left")
+    assert(!left.exists(_.startsWith("v10.ckpt.")),
+      s"the retired cadence version's checkpoint must be gone whole: $left")
+    // the kept versions still read
+    assert(VersionedTable.read(spark, root).count() == 13)
+    assert(VersionedTable.versions(root) == Seq(11L, 12L))
+  }
+
   test("legacy all-full-list tables interleave with delta commits: resolution, stats, and time travel agree") {
     val root = fresh("legacy")
     VersionedTable.overwrite(spark, root,

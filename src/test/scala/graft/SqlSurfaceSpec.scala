@@ -400,6 +400,59 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(VersionedTable.read(spark, dir).count() == 2)
   }
 
+  test("a concurrent append landing AFTER the pinned-base check still refuses — the TOCTOU hole is closed (ADVICE r14)") {
+    val dir = s"$wh/toctou"
+    VersionedTable.overwrite(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // the racing append fires INSIDE the merge, after its requireBase
+    // check read v0 and its enrichment was derived, right before the
+    // commit — pre-fix, commitRewrite rode the append along via `since`
+    // and committed clause values that never saw the appended key
+    VersionedTable.mergeRaceHook = () => {
+      VersionedTable.mergeRaceHook = () => () // fire once
+      VersionedTable.append(spark, dir, Seq((2L, "late")).toDF("id", "v"))
+      ()
+    }
+    try {
+      val e = intercept[VersionedTable.StaleSnapshotException] {
+        VersionedTable.mergeInto(spark, dir,
+          Seq((1L, "z"), (2L, "zz")).toDF("id", "v"), Seq("id"),
+          updateWhen = Some(lit(true)), insertWhen = Some(lit(true)),
+          requireBase = Some(0L))
+      }
+      assert(e.expected == 0L && e.actual == 1L)
+    } finally VersionedTable.mergeRaceHook = () => ()
+    // the racing append's row is intact; the stale merge left nothing —
+    // in particular no duplicate of the concurrently-appended key 2
+    assert(VersionedTable.versions(dir) == Seq(0L, 1L))
+    assert(VersionedTable.read(spark, dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "late")))
+  }
+
+  test("replaceWhere refuses incoming rows outside the predicate band; checkPredicate=false widens intentionally (ADVICE r14)") {
+    val dir = s"$wh/rwband"
+    VersionedTable.overwrite(spark, dir,
+      (0 until 40).map(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "grp")
+        .repartition(2))
+    // one in-band row, one out-of-band row, one NULL-predicate row —
+    // SQL semantics: NULL is not in the band either
+    val bad = Seq((100L, "x", Some(3)), (101L, "y", Some(2)),
+      (102L, "z", None)).toDF("id", "v", "grp")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.replaceWhere(spark, dir, bad, col("grp") === 3)
+    }
+    assert(e.getMessage.contains("do not satisfy") && e.getMessage.contains("2"),
+      e.getMessage)
+    assert(VersionedTable.versions(dir) == Seq(0L), "nothing may commit")
+    assert(VersionedTable.read(spark, dir).count() == 40)
+    // the explicit opt-out lands all three rows while replacing the band
+    val (v1, _, _) = VersionedTable.replaceWhere(spark, dir, bad,
+      col("grp") === 3, checkPredicate = false)
+    assert(v1 == 1L)
+    val m = VersionedTable.read(spark, dir)
+    assert(m.count() == 33) // 40 - 10 (grp=3 band) + 3 incoming
+    assert(m.filter(col("id") >= 100L).count() == 3)
+  }
+
   test("all-identity UPDATE is a no-op, not an error") {
     freshTable("idu", n = 10, files = 1)
     spark.sql("UPDATE g.idu SET v = v WHERE id < 5")
