@@ -142,14 +142,32 @@ object VersionedFeedSource {
   * (delete/update/overwrite/compaction) cannot be represented as
   * appended rows: it fails LOUDLY at that batch, or is skipped whole
   * with `skipChangeCommits = true` — Delta's exact option, never a
-  * silent wrong feed. */
+  * silent wrong feed.
+  *
+  * ADMISSION CONTROL (VERDICT r14 #4): the source implements the
+  * engine's native [[SupportsAdmissionControl]] + {{{
+  * SupportsTriggerAvailableNow }}} interfaces — exactly how Spark's
+  * own FileStreamSource (and Delta's DeltaSource) surface pacing on a
+  * V1 `Source`: the engine drives batch sizing through
+  * [[latestOffset(start, limit)]] with a [[ReadLimit]] instead of the
+  * legacy getOffset probe, and `Trigger.AvailableNow` pins the head at
+  * [[prepareForTriggerAvailableNow]] time, drains it in paced batches,
+  * then terminates on its own. The admission UNIT here is the COMMIT
+  * (a `ReadMaxFiles(n)` limit admits n versions per batch — each
+  * version's scan is already bounded by its own commit diff, so
+  * versions, not rows, are what cap a micro-batch's work). */
 class VersionedFeedSource(sqlContext: SQLContext, root: String,
                           table: StructType,
                           maxVersionsPerTrigger: Option[Long],
                           startingVersion: Option[Long] = None,
                           cdf: Boolean = true,
-                          skipChangeCommits: Boolean = false) extends Source {
+                          skipChangeCommits: Boolean = false)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import VersionedFeedSource._
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit, ReadMaxFiles}
 
   private val spark = sqlContext.sparkSession
 
@@ -207,6 +225,47 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
       // defeating maxVersionsPerTrigger)
       Some(LongOffset(capped))
     }
+  }
+
+  // ---- native admission control (VERDICT r14 #4) --------------------
+  /** `maxVersionsPerTrigger` expressed as the engine's own limit type:
+    * versions are this source's admission unit (see class doc). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger
+      .map(m => ReadLimit.maxFiles(math.min(m, Int.MaxValue.toLong).toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** The head pinned by `Trigger.AvailableNow` at prepare time: the
+    * drain targets exactly this commit — later commits wait for the
+    * next run (the engine terminates once offsets reach it). */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = VersionedTable.versions(root).lastOption
+
+  private def verV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset on recovery
+  }
+
+  /** The engine's admission-control probe: next end offset from
+    * `startOffset` (the previous batch's end; null on a fresh stream)
+    * under `limit`. A `ReadMaxFiles(n)` admits n VERSIONS; every other
+    * limit kind reads all available (rows/bytes cannot bound a commit
+    * diff without resolving it — versions already do). Deterministic
+    * and read-only, like [[getOffset]]. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val vs = VersionedTable.versions(root)
+    if (vs.isEmpty) return null
+    val head = availableNowTarget.fold(vs.last)(math.min(_, vs.last))
+    val floor = math.max(vs.head - 1,
+      startingVersion.getOrElse(Long.MinValue + 1) - 1)
+    val from = Option(startOffset).map(verV2)
+      .orElse(lastOffered).getOrElse(floor)
+    val capped = limit match {
+      case m: ReadMaxFiles => math.min(head, from + m.maxFiles())
+      case _ => head
+    }
+    if (capped <= from) startOffset else LongOffset(capped)
   }
 
   /** A frame shaped like the TABLE schema (pre-align) that throws `msg`

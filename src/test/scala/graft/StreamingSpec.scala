@@ -823,6 +823,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(VersionedTable.versions(tgt).size == 4, "no new offsets => no commits")
   }
 
+  test("feed source admission control: native ReadLimit pacing + Trigger.AvailableNow drains to the pinned head and stops (VERDICT r14 #4)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val base = java.nio.file.Files.createTempDirectory("graft_vfadm").toString
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    (0 until 4).foreach { i =>
+      val df = Seq((i * 10L, s"c$i"), (i * 10L + 1, s"c$i")).toDF("id", "v")
+      if (i == 0) VersionedTable.overwrite(spark, src, df)
+      else VersionedTable.append(spark, src, df)
+    }
+    def drain(): Int = {
+      var batches = 0
+      val q = spark.readStream.format("versioned-feed").option("path", src)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (b.count() > 0) batches += 1; ()
+        }.start()
+      // the source implements SupportsTriggerAvailableNow: the engine
+      // pins the head at prepare time, drains it in ReadLimit-paced
+      // batches, and terminates ON ITS OWN — no processAllAvailable
+      assert(q.awaitTermination(180000L),
+        "Trigger.AvailableNow must terminate once the pinned head drains")
+      batches
+    }
+    assert(drain() == 4,
+      "maxVersionsPerTrigger=1 through native admission control: v0..v3 = 4 paced batches")
+    // a later commit is OUTSIDE the drained pin: the next AvailableNow
+    // run serves exactly that one new version from the WAL offset
+    VersionedTable.append(spark, src, Seq((100L, "late")).toDF("id", "v"))
+    assert(drain() == 1, "the resumed drain must serve exactly the new commit")
+  }
+
   test("versioned-feed source: a consumer fallen behind retention fails loudly; a fresh stream bootstraps from the snapshot") {
     import graft.sources.VersionedTable
     import org.apache.spark.sql.streaming.StreamingQueryException
