@@ -441,6 +441,55 @@ class DeltaLogSpec extends SparkSpecBase {
     } finally VersionedTable.logStore = saved
   }
 
+  test("a conditional-put LogStore drop-in: racing writers through a simulated object-store CAS lose no commits") {
+    import spark.implicits._
+    val root = fresh("condput")
+    VersionedTable.overwrite(spark, root, Seq((-1L, "seed")).toDF("id", "v"))
+    val saved = VersionedTable.logStore
+    // simulated object-store conditional put (S3 If-None-Match: * /
+    // GCS ifGenerationMatch=0): an atomic claim over destination names
+    // decides every race — exactly the contract PROTOCOL.md states.
+    // The winner stages the bytes and moves them in; only ONE writer
+    // ever touches a given dst, so no reader can see a torn list.
+    val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    VersionedTable.logStore = new VersionedTable.LogStore {
+      override def publish(dst: java.nio.file.Path,
+                           tmp: java.nio.file.Path): Boolean =
+        if (!claimed.add(dst.toString)) false // 412 Precondition Failed
+        else {
+          val stage = dst.resolveSibling(dst.getFileName.toString + ".staged")
+          Files.copy(tmp, stage) // tmp must survive (publishList owns it)
+          Files.move(stage, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+    }
+    try {
+      val writers = 4; val epochs = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      try {
+        val fs = (0 until writers).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              (0 until epochs).foreach { e =>
+                VersionedTable.appendIdempotent(spark, root,
+                  Seq((w * 1000L + e, s"w$w-e$e")).toDF("id", "v"), s"cw$w", e)
+                ()
+              }
+          })
+        }
+        fs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+      // every protocol guarantee derives from the publish contract
+      // alone: swap the CAS primitive, nothing else changes
+      assert(VersionedTable.versions(root) == (0L to (writers * epochs)))
+      val rows = VersionedTable.read(spark, root).as[(Long, String)].collect()
+      assert(rows.length == writers * epochs + 1)
+      assert(rows.map(_._1).distinct.length == rows.length, "no duplicates")
+      assert(VersionedTable.committedEpochs(root) ==
+        (0 until writers).map(w => s"cw$w" -> (epochs - 1).toLong).toMap)
+    } finally VersionedTable.logStore = saved
+  }
+
   test("a failing parquet checkpoint falls back to a TEXT checkpoint that serves: the replay bound stays unconditional (ADVICE r14)") {
     val root = fresh("txtfb")
     VersionedTable.overwrite(spark, root,
