@@ -73,6 +73,47 @@ object VersionedTable {
       .sorted
   }
 
+  /** Per-root last-known-head hints for [[latestVersion]] — ADVISORY
+    * only: validated against the filesystem before trusting and
+    * re-listed on any doubt, so a dropped-and-recreated root can never
+    * serve a phantom head. */
+  private val HeadHint = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The latest committed version WITHOUT an O(versions) directory
+    * listing in the steady state — the next design-point ceiling after
+    * the O(change) append path: [[versions]] lists the whole
+    * `_commits/` directory, and the hot metadata reads call it several
+    * times per commit, which at a 10⁶-commit design point is seconds
+    * of directory scanning per append. Here the last known head is
+    * validated (one exists() stat) and probed FORWARD (one stat per
+    * commit landed since) — O(1 + new commits) amortized, with the
+    * full listing as the no-hint/any-doubt fallback.
+    *
+    * Sound because committed versions are CONTIGUOUS at the head
+    * (every publish is a CAS at head+1 — a writer with a stale view
+    * loses the CAS and refreshes; no writer can see v+1 before v
+    * exists) and the head itself is never retired (vacuum keep-N
+    * retires a strict PREFIX, so a hinted version that later retired
+    * implies the head moved past it — the exists() validation catches
+    * it and re-lists). */
+  def latestVersion(root: String): Option[Long] = {
+    val d = commitsDir(root)
+    Option(HeadHint.get(root)) match {
+      case Some(hint) if Files.exists(d.resolve(s"v$hint.list")) =>
+        var h = hint.longValue()
+        while (Files.exists(d.resolve(s"v${h + 1}.list"))) h += 1
+        if (h != hint.longValue()) HeadHint.put(root, h)
+        Some(h)
+      case _ =>
+        val head = versions(root).lastOption
+        head match {
+          case Some(h) => HeadHint.put(root, h); ()
+          case None => HeadHint.remove(root); () // dropped root: no stale hint
+        }
+        head
+    }
+  }
+
   /** Versions a keep-N [[vacuum]] retired: their data files may be gone,
     * their commit lists are tombstoned, and [[read]] fails fast on them. */
   def retiredVersions(root: String): Seq[Long] = {
@@ -94,6 +135,12 @@ object VersionedTable {
     val s = new String(Files.readAllBytes(f), "UTF-8")
     s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  /** The content hash [[readList]] would produce for these lines once
+    * written — what [[Snap.listHash]] fingerprints (trim/empty-filter
+    * normalized so write-side and read-side hashes always agree). */
+  private def listHashOf(lines: Seq[String]): Int =
+    lines.view.map(_.trim).filter(_.nonEmpty).toVector.hashCode
 
   /** The snapshot's commit lines with size annotations STRIPPED — every
     * consumer (carries, diffs, vacuum's live set, path building) keeps
@@ -117,10 +164,8 @@ object VersionedTable {
   private def headersAt(root: String, version: Long): Seq[String] =
     resolveSnap(root, version).headers
 
-  private def headHeaders(root: String): Seq[String] = {
-    val vs = versions(root)
-    if (vs.isEmpty) Seq.empty else headersAt(root, vs.last)
-  }
+  private def headHeaders(root: String): Seq[String] =
+    latestVersion(root).map(headersAt(root, _)).getOrElse(Seq.empty)
 
   // ---- delta-encoded commits + checkpoints (VERDICT r12 #1, r13 #1) -
   // A commit list is FULL (the complete annotated snapshot — v0, any
@@ -163,12 +208,19 @@ object VersionedTable {
     * `fullyAnnotated` = every data line carries a byte annotation;
     * only then can the fast append path run (a legacy bare line still
     * upgrades through [[tryCommit]]'s stamping slow path). */
+  /** `listHash` fingerprints the version's OWN commit-list content the
+    * resolution was built from: a cache hit only serves when the list
+    * on disk still hashes the same, so a dropped-and-recreated root
+    * that reuses version numbers can never serve the old incarnation's
+    * cached resolution (the hash check costs one small delta-list read
+    * the resolution does anyway). */
   private final class Snap(val v: Long, val lines: Vector[String],
                            val data: Vector[String],
                            val headers: Vector[String],
-                           val bytes: Long, val fullyAnnotated: Boolean)
+                           val bytes: Long, val fullyAnnotated: Boolean,
+                           val listHash: Int)
 
-  private def mkSnap(v: Long, lines0: Seq[String]): Snap = {
+  private def mkSnap(v: Long, lines0: Seq[String], listHash: Int): Snap = {
     val lines = lines0.toVector
     val (headers, data) = lines.partition(isHeader)
     var bytes = 0L
@@ -179,7 +231,7 @@ object VersionedTable {
         case None => full = false
       }
     }
-    new Snap(v, lines, data, headers, bytes, full)
+    new Snap(v, lines, data, headers, bytes, full, listHash)
   }
 
   /** One resolved snapshot per root (the sequential-access pattern both
@@ -225,27 +277,29 @@ object VersionedTable {
     * checkpoint, or a FULL text list — then replaying forward. */
   private def resolveSnap(root: String, version: Long): Snap = {
     val lines0 = readList(commitsDir(root).resolve(s"v$version.list"))
-    if (!isDeltaList(lines0)) mkSnap(version, lines0)
-    else SnapCache.get(root, version).getOrElse {
-      var v = version - 1
-      var base: Seq[String] = readCheckpoint(root, version).orNull
-      var pending: List[Seq[String]] = if (base == null) List(lines0) else Nil
-      while (base == null) {
-        SnapCache.get(root, v) match {
-          case Some(s) => base = s.lines
-          case None =>
-            val lines = readList(commitsDir(root).resolve(s"v$v.list"))
-            if (!isDeltaList(lines)) base = lines
-            else readCheckpoint(root, v) match {
+    if (!isDeltaList(lines0)) mkSnap(version, lines0, lines0.hashCode)
+    else {
+      val h0 = lines0.hashCode
+      SnapCache.get(root, version).filter(_.listHash == h0).getOrElse {
+        var v = version - 1
+        var base: Seq[String] = readCheckpoint(root, version).orNull
+        var pending: List[Seq[String]] = if (base == null) List(lines0) else Nil
+        while (base == null) {
+          val lines = readList(commitsDir(root).resolve(s"v$v.list"))
+          if (!isDeltaList(lines)) base = lines
+          else SnapCache.get(root, v).filter(_.listHash == lines.hashCode) match {
+            case Some(s) => base = s.lines
+            case None => readCheckpoint(root, v) match {
               case Some(ck) => base = ck
               case None => pending ::= lines; v -= 1
             }
+          }
         }
+        val resolved = pending.foldLeft(base)(replayDelta)
+        val snap = mkSnap(version, resolved, h0)
+        SnapCache.put(root, snap)
+        snap
       }
-      val resolved = pending.foldLeft(base)(replayDelta)
-      val snap = mkSnap(version, resolved)
-      SnapCache.put(root, snap)
-      snap
     }
   }
 
@@ -887,13 +941,11 @@ object VersionedTable {
     * committed under and readers never re-infer from file footers.
     * `None` for legacy pre-schema commits (readers fall back to parquet
     * inference, exactly the old behavior). */
-  def schemaOf(root: String, version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] = {
-    val vs = versions(root)
-    if (vs.isEmpty) None
-    else headersAt(root, version.getOrElse(vs.last)).find(isSchema)
-      .map(l => org.apache.spark.sql.types.DataType.fromJson(
-        l.stripPrefix(SchemaPrefix)).asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
+  def schemaOf(root: String, version: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
+    version.orElse(latestVersion(root)).flatMap(v =>
+      headersAt(root, v).find(isSchema)
+        .map(l => org.apache.spark.sql.types.DataType.fromJson(
+          l.stripPrefix(SchemaPrefix)).asInstanceOf[org.apache.spark.sql.types.StructType]))
 
   /** The snapshot's LOGICAL schema — the committed physical schema with
     * the column mapping applied (dropped columns removed, renames
@@ -961,11 +1013,10 @@ object VersionedTable {
     * (physical→logical renames, dropped physical columns); both empty —
     * the identity mapping — for tables that never renamed or dropped. */
   def columnMapping(root: String, version: Option[Long] = None)
-      : (Map[String, String], Set[String]) = {
-    val vs = versions(root)
-    if (vs.isEmpty) (Map.empty, Set.empty)
-    else mappingOf(headersAt(root, version.getOrElse(vs.last)))
-  }
+      : (Map[String, String], Set[String]) =
+    version.orElse(latestVersion(root))
+      .map(v => mappingOf(headersAt(root, v)))
+      .getOrElse((Map.empty, Set.empty))
 
   private def mappingOf(lines: Seq[String]): (Map[String, String], Set[String]) = {
     val ren = lines.filter(isRename).flatMap { l =>
@@ -1043,18 +1094,16 @@ object VersionedTable {
 
   /** [[toPhysical]] against the CURRENT head's mapping (identity on an
     * empty table) — the data-adding writers' entry point. */
-  private def physicalBatch(root: String, df: DataFrame): DataFrame = {
-    val vs = versions(root)
-    if (vs.isEmpty) df else toPhysical(df, headersAt(root, vs.last), root)
-  }
+  private def physicalBatch(root: String, df: DataFrame): DataFrame =
+    latestVersion(root).map(v => toPhysical(df, headersAt(root, v), root))
+      .getOrElse(df)
 
   /** [[toLogical]] against the CURRENT head's mapping — CHECK
     * constraints reference LOGICAL names, so enforcement on an already
     * physically-aligned batch reprojects first. */
-  private def logicalView(root: String, df: DataFrame): DataFrame = {
-    val vs = versions(root)
-    if (vs.isEmpty) df else toLogical(df, headersAt(root, vs.last))
-  }
+  private def logicalView(root: String, df: DataFrame): DataFrame =
+    latestVersion(root).map(v => toLogical(df, headersAt(root, v)))
+      .getOrElse(df)
 
   /** RENAME COLUMN — METADATA-ONLY (the Delta column-mapping rename):
     * one commit adds a `#rename:<physical>:<logical>` header; zero data
@@ -1197,14 +1246,12 @@ object VersionedTable {
   /** Hive partition columns of the current snapshot, parsed from its
     * file paths' `k=v` directory segments (a versioned table's partition
     * layout without any directory walk). */
-  def partitionCols(root: String): Seq[String] = {
-    val vs = versions(root)
-    if (vs.isEmpty) Seq.empty
-    else resolveSnap(root, vs.last).data.headOption
+  def partitionCols(root: String): Seq[String] =
+    latestVersion(root)
+      .flatMap(v => resolveSnap(root, v).data.headOption)
       .map(pathOf(_).split('/').drop(1).dropRight(1).toSeq
         .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
       .getOrElse(Seq.empty)
-  }
 
   /** Read the table at `version` (default: latest). Spark scans exactly
     * the committed files — never a directory glob; `basePath = data/`
@@ -1584,7 +1631,7 @@ object VersionedTable {
       // list read with zero replay
       val resolved =
         if (writeLines eq stamped) stamped else replayDelta(prevRaw, writeLines)
-      SnapCache.put(root, mkSnap(v, resolved))
+      SnapCache.put(root, mkSnap(v, resolved, listHashOf(writeLines)))
       // the CAS winner (and only it) checkpoints on the cadence — the
       // commit is already durable, so this can never un-commit; failure
       // only lengthens the replay chain
@@ -1670,6 +1717,7 @@ object VersionedTable {
           else { Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE); true }
       }
     Files.deleteIfExists(tmp)
+    if (won) HeadHint.put(root, v)
     won
   }
 
@@ -1709,7 +1757,8 @@ object VersionedTable {
       val newData = base.data ++ stamped
       val hdrVec = headers.toVector
       val snap = new Snap(v, newData ++ hdrVec, newData, hdrVec, nBytes,
-        base.fullyAnnotated && stamped.forall(statAnnot(_).isDefined))
+        base.fullyAnnotated && stamped.forall(statAnnot(_).isDefined),
+        listHashOf(writeLines))
       SnapCache.put(root, snap)
       if (v > 0 && v % CheckpointEvery == 0) writeCheckpoint(root, v, snap.lines)
       true
@@ -1727,9 +1776,7 @@ object VersionedTable {
     * BEFORE any data lands. SQL CHECK semantics: a row passes when the
     * expression is TRUE or NULL (unknown is not a violation). */
   def checkConstraints(root: String): Map[String, String] = {
-    val vs = versions(root)
-    if (vs.isEmpty) Map.empty
-    else headersAt(root, vs.last).filter(isCheck).flatMap { l =>
+    headHeaders(root).filter(isCheck).flatMap { l =>
       val rest = l.stripPrefix(CheckPrefix)
       val i = rest.indexOf(':')
       if (i <= 0) None else Some(rest.take(i) -> rest.drop(i + 1))
@@ -1813,9 +1860,7 @@ object VersionedTable {
     * Delta's generated-column write check; null-safe equality, so a
     * NULL derivation matching a NULL value passes). */
   def generatedColumns(root: String): Map[String, String] = {
-    val vs = versions(root)
-    if (vs.isEmpty) Map.empty
-    else headersAt(root, vs.last).filter(isGenerate).flatMap { l =>
+    headHeaders(root).filter(isGenerate).flatMap { l =>
       val rest = l.stripPrefix(GeneratePrefix)
       val i = rest.indexOf(':')
       if (i <= 0) None else Some(rest.take(i) -> rest.drop(i + 1))
@@ -1924,13 +1969,13 @@ object VersionedTable {
     val meta = metaHeader("APPEND")
     var done = -1L
     while (done < 0) {
-      val vs = versions(root)
-      val v = if (vs.isEmpty) 0L else vs.last + 1
-      val snap = if (vs.isEmpty) None else Some(resolveSnap(root, vs.last))
+      val head = latestVersion(root)
+      val v = head.fold(0L)(_ + 1)
+      val snap = head.map(resolveSnap(root, _))
       // stamp the (re-evolved vs the LATEST head, in case a racing
       // append evolved first) schema — except onto a legacy table with
       // files but no header, whose reads must keep inferring
-      val stamp = vs.isEmpty || snap.exists(_.headers.exists(isSchema))
+      val stamp = head.isEmpty || snap.exists(_.headers.exists(isSchema))
       val sch =
         if (!stamp) Seq.empty
         else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
@@ -2138,12 +2183,9 @@ object VersionedTable {
 
   /** The highest committed epoch per writer in the CURRENT snapshot —
     * the whole idempotency state, one commit-list read. */
-  def committedEpochs(root: String): Map[String, Long] = {
-    val vs = versions(root)
-    if (vs.isEmpty) Map.empty
-    else headersAt(root, vs.last).flatMap(parseTxn)
+  def committedEpochs(root: String): Map[String, Long] =
+    headHeaders(root).flatMap(parseTxn)
       .groupBy(_._1).map { case (w, es) => w -> es.map(_._2).max }
-  }
 
   /** IDEMPOTENT append — the Delta `txn` (transaction-identifier)
     * pattern that makes an at-least-once producer exactly-once: the
@@ -2182,10 +2224,10 @@ object VersionedTable {
     while (done < 0 && !skipped) {
       if (committed()) skipped = true // racing duplicate landed first
       else {
-        val vs = versions(root)
-        val v = if (vs.isEmpty) 0L else vs.last + 1
-        val snap = if (vs.isEmpty) None else Some(resolveSnap(root, vs.last))
-        val stamp = vs.isEmpty || snap.exists(_.headers.exists(isSchema))
+        val head = latestVersion(root)
+        val v = head.fold(0L)(_ + 1)
+        val snap = head.map(resolveSnap(root, _))
+        val stamp = head.isEmpty || snap.exists(_.headers.exists(isSchema))
         val sch =
           if (!stamp) Seq.empty
           else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))

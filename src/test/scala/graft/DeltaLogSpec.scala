@@ -441,6 +441,64 @@ class DeltaLogSpec extends SparkSpecBase {
     } finally VersionedTable.logStore = saved
   }
 
+  test("O(1) head resolution: the validated hint tracks commits, catches up from staleness, survives vacuum and a dropped root") {
+    val root = fresh("headhint")
+    assert(VersionedTable.latestVersion(root).isEmpty)
+    (0 until 14).foreach { i =>
+      if (i == 0) VersionedTable.overwrite(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      else VersionedTable.append(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      assert(VersionedTable.latestVersion(root).contains(i.toLong))
+    }
+    // a stale hint (another process committed) probes FORWARD: simulate
+    // by publishing v14 out-of-band as a raw full list
+    val resolved = VersionedTable.snapshotLines(root, 13L)
+    Files.write(Paths.get(root, "_commits", "v14.list"),
+      resolved.mkString("\n").getBytes("UTF-8"))
+    assert(VersionedTable.latestVersion(root).contains(14L),
+      "a foreign commit must be found by the forward probe")
+    // vacuum retires a prefix: the head stays resolvable without a hint
+    VersionedTable.vacuum(root, keep = Some(3), minAgeMs = 0L)
+    assert(VersionedTable.latestVersion(root).contains(14L))
+    assert(VersionedTable.versions(root) == Seq(12L, 13L, 14L))
+    // DROP + recreate at the same root: never a phantom head
+    def rm(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      Option(f.listFiles()).foreach(_.foreach(c => rm(c.toPath)))
+      f.delete(); ()
+    }
+    rm(Paths.get(root))
+    assert(VersionedTable.latestVersion(root).isEmpty,
+      "a dropped root must re-list, not serve the stale hint")
+    VersionedTable.overwrite(spark, root, Seq((99L, "fresh")).toDF("id", "v"))
+    assert(VersionedTable.latestVersion(root).contains(0L))
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+
+  test("a recreated root reusing version numbers never serves the old incarnation's cached resolution") {
+    val root = fresh("incarn")
+    val cdir = Paths.get(root, "_commits")
+    Files.createDirectories(cdir)
+    def writeLists(tag: String): Unit = {
+      Files.write(cdir.resolve("v0.list"),
+        s"data/$tag-a.parquet\t1\t2".getBytes("UTF-8"))
+      Files.write(cdir.resolve("v1.list"),
+        (s"#delta:0\n#snap:2:2\ndata/$tag-b.parquet\t1\t2").getBytes("UTF-8"))
+    }
+    writeLists("old")
+    // prime the cache with the OLD incarnation's v1 resolution
+    assert(VersionedTable.snapshotLines(root, 1L)
+      .exists(_.contains("old-b.parquet")))
+    // a foreign process drops and recreates the table, reusing v0/v1
+    Files.delete(cdir.resolve("v0.list")); Files.delete(cdir.resolve("v1.list"))
+    writeLists("new")
+    // the listHash fingerprint must reject the stale cached snapshot
+    val lines = VersionedTable.snapshotLines(root, 1L)
+    assert(lines.exists(_.contains("new-b.parquet")) &&
+      !lines.exists(_.contains("old-")),
+      s"stale incarnation served: $lines")
+  }
+
   test("a conditional-put LogStore drop-in: racing writers through a simulated object-store CAS lose no commits") {
     import spark.implicits._
     val root = fresh("condput")
