@@ -59,7 +59,7 @@ object VersionedTable {
   /** True iff `root` carries the versioned layout (has committed at
     * least once) — [[graft.run.Warehouse]] dispatches reads on this. */
   def isVersioned(root: String): Boolean =
-    Files.isDirectory(commitsDir(root)) && versions(root).nonEmpty
+    Files.isDirectory(commitsDir(root)) && latestVersion(root).nonEmpty
 
   /** Committed versions, ascending (empty for a nonexistent table).
     * Versions retired by a keep-N [[vacuum]] are excluded — see
@@ -112,6 +112,16 @@ object VersionedTable {
         }
         head
     }
+  }
+
+  /** [[latestVersion]] or the standard missing-table refusal — the
+    * "require a head without listing the directory" pattern every verb
+    * shares (same exception + message the old `require(versions(root)
+    * .nonEmpty, ...)` threw). */
+  private def headVersion(root: String): Long = {
+    val h = latestVersion(root)
+    require(h.nonEmpty, s"no commits at $root")
+    h.get
   }
 
   /** Versions a keep-N [[vacuum]] retired: their data files may be gone,
@@ -660,11 +670,8 @@ object VersionedTable {
     * weighed. Legacy bare lines stat the filesystem once; only there
     * does an absent file report (0, 0). Callers that need existence
     * (not size) must check the filesystem themselves. */
-  def fileStats(root: String, version: Option[Long] = None): Map[String, (Long, Long)] = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    statsOfLines(root, rawFilesOf(root, version.getOrElse(vs.last)))
-  }
+  def fileStats(root: String, version: Option[Long] = None): Map[String, (Long, Long)] =
+    statsOfLines(root, rawFilesOf(root, version.getOrElse(headVersion(root))))
 
   private def statsOfLines(root: String, raw: Seq[String]): Map[String, (Long, Long)] =
     raw.filterNot(isHeader).map { l =>
@@ -816,9 +823,9 @@ object VersionedTable {
 
   private def listStatsManifest(root: String,
                                 version: Option[Long] = None): Option[SkippingIndex.Manifest] = {
-    val vs = versions(root)
-    if (vs.isEmpty) return None
-    val v = version.getOrElse(vs.last)
+    val head = latestVersion(root)
+    if (head.isEmpty) return None
+    val v = version.getOrElse(head.get)
     val raw = rawFilesOf(root, v).filterNot(isHeader)
     val guard = decimalCols(root, v)
     val per = raw.map(parseLineStats(_, guard, longCols(root, v)))
@@ -1118,7 +1125,6 @@ object VersionedTable {
                    from: String, to: String): Long = {
     require(identOk(from) && identOk(to),
       s"column names must be non-empty without ':' or newlines: `$from` -> `$to`")
-    require(versions(root).nonEmpty, s"no commits at $root")
     val meta = metaHeader("RENAME COLUMN")
     var done = -1L
     while (done < 0) {
@@ -1128,7 +1134,7 @@ object VersionedTable {
       // concurrent rename would otherwise leave `physFrom` stale and
       // commit a #rename header for a physical slot that no longer
       // exists
-      val head = versions(root).last
+      val head = headVersion(root)
       val lines = filesOf(root, head)
       val logical = read(spark, root, Some(head)).schema.fieldNames.toSeq
       require(logical.contains(from),
@@ -1161,14 +1167,13 @@ object VersionedTable {
   def dropColumn(spark: SparkSession, root: String, colName: String): Long = {
     require(identOk(colName),
       s"column name must be non-empty without ':' or newlines: `$colName`")
-    require(versions(root).nonEmpty, s"no commits at $root")
     val meta = metaHeader("DROP COLUMN")
     var done = -1L
     while (done < 0) {
       // guards re-run from the head snapshot on every retry, exactly
       // as [[renameColumn]]: `phys` must resolve against the snapshot
       // this commit will supersede, not a pre-race one
-      val head = versions(root).last
+      val head = headVersion(root)
       val lines = filesOf(root, head)
       val logical = read(spark, root, Some(head)).schema.fieldNames.toSeq
       require(logical.contains(colName),
@@ -1207,13 +1212,12 @@ object VersionedTable {
       s"column name must be non-empty without ':' or newlines: `${f.name}`"))
     require(cols.map(_.name).distinct.size == cols.size,
       s"duplicate names in addColumns: ${cols.map(_.name).mkString(", ")}")
-    require(versions(root).nonEmpty, s"no commits at $root")
     val meta = metaHeader("ADD COLUMNS")
     var done = -1L
     while (done < 0) {
       // guards re-run from the head on every retry ([[renameColumn]]'s
       // conflict discipline)
-      val head = versions(root).last
+      val head = headVersion(root)
       val lines = filesOf(root, head)
       val committed = schemaOf(root, Some(head)).getOrElse(require(false,
         s"addColumns at $root needs a schema-stamped table: a legacy " +
@@ -1237,11 +1241,8 @@ object VersionedTable {
   }
 
   /** The snapshot's data files (header lines excluded), relative to root. */
-  def dataFiles(root: String, version: Option[Long] = None): Seq[String] = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    filesOf(root, version.getOrElse(vs.last)).filterNot(isHeader)
-  }
+  def dataFiles(root: String, version: Option[Long] = None): Seq[String] =
+    filesOf(root, version.getOrElse(headVersion(root))).filterNot(isHeader)
 
   /** Hive partition columns of the current snapshot, parsed from its
     * file paths' `k=v` directory segments (a versioned table's partition
@@ -1258,15 +1259,19 @@ object VersionedTable {
     * reassembles Hive partition columns for partitioned commits. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val v = version.getOrElse(vs.last)
-    if (!vs.contains(v)) {
-      if (Files.exists(commitsDir(root).resolve(s"v$v.retired")))
-        throw new IllegalStateException(
-          s"version $v at $root was retired by vacuum(keep); " +
-            s"readable versions: $vs")
-      else throw new IllegalArgumentException(s"version $v not in $vs")
+    // the default (head) read never lists the commit directory; only an
+    // EXPLICIT time-travel version pays the listing, for its validation
+    val v = version.getOrElse(headVersion(root))
+    if (version.isDefined) {
+      val vs = versions(root)
+      require(vs.nonEmpty, s"no commits at $root")
+      if (!vs.contains(v)) {
+        if (Files.exists(commitsDir(root).resolve(s"v$v.retired")))
+          throw new IllegalStateException(
+            s"version $v at $root was retired by vacuum(keep); " +
+              s"readable versions: $vs")
+        else throw new IllegalArgumentException(s"version $v not in $vs")
+      }
     }
     val lines = filesOf(root, v)
     val files = lines.filterNot(isHeader)
@@ -1302,7 +1307,7 @@ object VersionedTable {
     * timestamp/operation. Everything from commit-list reads. */
   def describeDetail(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val vs = versions(root)
+    val vs = versions(root) // DETAIL reports the version count: lists
     require(vs.nonEmpty, s"no commits at $root")
     val v = vs.last
     val stats = fileStats(root, Some(v))
@@ -1328,9 +1333,7 @@ object VersionedTable {
     * line predates the stats format (the caller falls back to a scan —
     * [[countRows]] does exactly that). */
   def statsRowCount(root: String, version: Option[Long] = None): Option[Long] = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val per = rawFilesOf(root, version.getOrElse(vs.last))
+    val per = rawFilesOf(root, version.getOrElse(headVersion(root)))
       .filterNot(isHeader).map(l => parseLineStats(l).map(_.head.n_rows))
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
@@ -1341,9 +1344,7 @@ object VersionedTable {
     * column beyond the indexed 32). Accepts the LOGICAL column name. */
   def statsNonNullCount(root: String, column: String,
                         version: Option[Long] = None): Option[Long] = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val v = version.getOrElse(vs.last)
+    val v = version.getOrElse(headVersion(root))
     val phys = mappingOf(filesOf(root, v))._1.map(_.swap)
       .getOrElse(column, column)
     val per = rawFilesOf(root, v).filterNot(isHeader).map { l =>
@@ -1374,9 +1375,7 @@ object VersionedTable {
     * callers fall back to a scan (ADVICE r12). */
   def statsMinMax(root: String, column: String,
                   version: Option[Long] = None): Option[(Double, Double)] = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val v = version.getOrElse(vs.last)
+    val v = version.getOrElse(headVersion(root))
     val phys = mappingOf(filesOf(root, v))._1.map(_.swap)
       .getOrElse(column, column)
     import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -1441,8 +1440,7 @@ object VersionedTable {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       None, new ParquetFileFormat, Map.empty)(classic)
-    val vs = versions(root)
-    val v = version.getOrElse(vs.last)
+    val v = version.getOrElse(headVersion(root))
     val base = filesOf(root, v)
     // the relation serves PHYSICAL names with partition columns last;
     // the logical view re-aliases (renames/drops) and restores the
@@ -1469,9 +1467,7 @@ object VersionedTable {
   def readWhere(spark: SparkSession, root: String,
                 predicate: org.apache.spark.sql.Column,
                 version: Option[Long] = None): DataFrame = {
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
-    val v = version.getOrElse(vs.last)
+    val v = version.getOrElse(headVersion(root))
     val base = filesOf(root, v)
     val baseData = base.filterNot(isHeader)
     val schema = logicalSchema(root, Some(v))
@@ -1810,8 +1806,7 @@ object VersionedTable {
     require(!name.contains(":") && !name.contains("\n") && name.nonEmpty,
       s"constraint name must be non-empty without ':' or newlines: $name")
     require(!sqlExpr.contains("\n"), "constraint expression must be one line")
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
+    headVersion(root) // standard missing-table refusal
     require(!checkConstraints(root).contains(name),
       s"constraint `$name` already exists at $root (drop it first)")
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
@@ -1822,10 +1817,10 @@ object VersionedTable {
     val meta = metaHeader("ADD CONSTRAINT")
     var done = -1L
     while (done < 0) {
-      val cur = versions(root)
-      val base = filesOf(root, cur.last).filterNot(isMeta)
-      if (tryCommit(root, cur.last + 1,
-          base :+ s"$CheckPrefix$name:$sqlExpr" :+ meta)) done = cur.last + 1
+      val head = headVersion(root)
+      val base = filesOf(root, head).filterNot(isMeta)
+      if (tryCommit(root, head + 1,
+          base :+ s"$CheckPrefix$name:$sqlExpr" :+ meta)) done = head + 1
     }
     done
   }
@@ -1837,11 +1832,11 @@ object VersionedTable {
     val meta = metaHeader("DROP CONSTRAINT")
     var done = -1L
     while (done < 0) {
-      val cur = versions(root)
-      val base = filesOf(root, cur.last)
+      val head = headVersion(root)
+      val base = filesOf(root, head)
         .filterNot(l => isMeta(l) || (isCheck(l) &&
           l.stripPrefix(CheckPrefix).takeWhile(_ != ':') == name))
-      if (tryCommit(root, cur.last + 1, base :+ meta)) done = cur.last + 1
+      if (tryCommit(root, head + 1, base :+ meta)) done = head + 1
     }
     done
   }
@@ -1893,8 +1888,7 @@ object VersionedTable {
     require(!col.contains(":") && !col.contains("\n") && col.nonEmpty,
       s"column name must be non-empty without ':' or newlines: $col")
     require(!sqlExpr.contains("\n"), "generation expression must be one line")
-    val vs = versions(root)
-    require(vs.nonEmpty, s"no commits at $root")
+    headVersion(root) // standard missing-table refusal
     require(!generatedColumns(root).contains(col),
       s"column `$col` is already generated at $root")
     val cur = read(spark, root)
@@ -1908,7 +1902,7 @@ object VersionedTable {
     val meta = metaHeader("ADD GENERATED COLUMN")
     var done = -1L
     while (done < 0) {
-      val head = versions(root).last
+      val head = headVersion(root)
       val base = filesOf(root, head).filterNot(isMeta)
       if (tryCommit(root, head + 1,
           base :+ s"$GeneratePrefix$col:$sqlExpr" :+ meta)) done = head + 1
@@ -1924,7 +1918,7 @@ object VersionedTable {
     val meta = metaHeader("DROP GENERATED COLUMN")
     var done = -1L
     while (done < 0) {
-      val head = versions(root).last
+      val head = headVersion(root)
       val base = filesOf(root, head)
         .filterNot(l => isMeta(l) || (isGenerate(l) &&
           l.stripPrefix(GeneratePrefix).takeWhile(_ != ':') == col))
@@ -2016,12 +2010,12 @@ object VersionedTable {
     val meta = metaHeader("OVERWRITE")
     var done = -1L
     while (done < 0) {
-      val vs = versions(root)
-      val v = if (vs.isEmpty) 0L else vs.last + 1
+      val head = latestVersion(root)
+      val v = head.fold(0L)(_ + 1)
       // constraints are table metadata: they survive a full replace,
       // exactly like the writers' txn epochs
-      val txns = if (vs.isEmpty) Seq.empty
-                 else filesOf(root, vs.last)
+      val txns = if (head.isEmpty) Seq.empty
+                 else filesOf(root, head.get)
                    .filter(l => parseTxn(l).isDefined || isCheck(l) || isGenerate(l))
       // a full replace REDEFINES the schema: stamp the written frame's own
       if (tryCommit(root, v, fresh ++ txns :+ schemaHeader(gen.schema) :+ meta))
@@ -2052,13 +2046,13 @@ object VersionedTable {
     val meta = metaHeader("REPLACE PARTITIONS")
     var done = -1L
     while (done < 0) {
-      val vs = versions(root)
-      val v = if (vs.isEmpty) 0L else vs.last + 1
-      val base = if (vs.isEmpty) Seq.empty else filesOf(root, vs.last)
+      val head = latestVersion(root)
+      val v = head.fold(0L)(_ + 1)
+      val base = head.fold(Seq.empty[String])(filesOf(root, _))
       val kept = base.filterNot(f => !isHeader(f) && touched.contains(dirOf(f)))
       // untouched directories keep OLD files, so the schema EVOLVES
       // (append rules) rather than being redefined; legacy stays legacy
-      val stamp = vs.isEmpty || base.exists(isSchema)
+      val stamp = head.isEmpty || base.exists(isSchema)
       val sch =
         if (!stamp) Seq.empty
         else Seq(schemaHeader(schemaOf(root).map(evolve(_, target)).getOrElse(target)))
@@ -2097,8 +2091,8 @@ object VersionedTable {
                    cached: Option[SkippingIndex.Manifest] = None,
                    checkPredicate: Boolean = true): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val vs0 = versions(root)
-    require(vs0.nonEmpty, s"no commits at $root (use overwrite to create)")
+    require(latestVersion(root).nonEmpty,
+      s"no commits at $root (use overwrite to create)")
     val tgtSchema = logicalSchema(root).getOrElse(read(spark, root).schema)
     val gen = applyGenerated(root, df)
     gen.columns.foreach(c => require(tgtSchema.fieldNames.contains(c),
@@ -2131,8 +2125,7 @@ object VersionedTable {
     val meta = metaHeader("REPLACE WHERE")
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
-      val vs = versions(root)
-      val baseV = vs.last
+      val baseV = headVersion(root)
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
       val inv = mappingOf(base)._1.map(_.swap)
@@ -2286,9 +2279,9 @@ object VersionedTable {
     while (done < 0 && !skipped) {
       if (committed()) skipped = true
       else {
-        val vs = versions(root)
-        val v = if (vs.isEmpty) 0L else vs.last + 1
-        val txns = (if (vs.isEmpty) Seq.empty else headersAt(root, vs.last))
+        val head = latestVersion(root)
+        val v = head.fold(0L)(_ + 1)
+        val txns = head.fold(Seq.empty[String])(headersAt(root, _))
           .filter(l => parseTxn(l).isDefined || isCheck(l) || isGenerate(l))
           .filterNot(l => parseTxn(l).exists(_._1 == writerId))
         // a full state replace redefines the schema: stamp the written frame's own
@@ -2336,8 +2329,8 @@ object VersionedTable {
     val baseSet = baseData.toSet
     var out: Option[RewriteOutcome] = None
     while (out.isEmpty) {
-      val cur = versions(root)
-      val latest = filesOf(root, cur.last)
+      val curHead = headVersion(root)
+      val latest = filesOf(root, curHead)
       val latestData = latest.filterNot(isHeader).toSet
       val duplicate = txn.exists { case (w, e) =>
         latest.flatMap(parseTxn).exists(t => t._1 == w && e <= t._2)
@@ -2345,7 +2338,7 @@ object VersionedTable {
       if (duplicate) {
         fresh.foreach(f => Files.deleteIfExists(Paths.get(root, pathOf(f))))
         out = Some(SkippedEpoch)
-      } else if (requireBase.exists(_ != cur.last)) {
+      } else if (requireBase.exists(_ != curHead)) {
         // the pinned base moved between the caller's check and this
         // commit attempt — even an append-only move is a conflict here
         // (the caller's derivation never saw the appended rows)
@@ -2373,9 +2366,9 @@ object VersionedTable {
             (hdrs0.filterNot(isSchema), Seq(schemaHeader(evolve(head.get, add))))
         }
         val txnLine = txn.map { case (w, e) => s"#txn:$w:$e" }.toSeq
-        if (tryCommit(root, cur.last + 1,
+        if (tryCommit(root, curHead + 1,
             carry ++ fresh ++ since ++ hdrs ++ schemaLine ++ txnLine :+ meta))
-          out = Some(Committed(cur.last + 1))
+          out = Some(Committed(curHead + 1))
       }
     }
     out.get
@@ -2406,9 +2399,7 @@ object VersionedTable {
     val meta = metaHeader(op)
     var committed = -1L
     while (committed < 0) {
-      val vs = versions(root)
-      require(vs.nonEmpty, s"no commits at $root")
-      val baseV = vs.last
+      val baseV = headVersion(root)
       val baseLines = filesOf(root, baseV)
       val baseData = baseLines.filterNot(isHeader).toSet
       // the transform sees the LOGICAL view; the rewritten files store
@@ -2511,9 +2502,7 @@ object VersionedTable {
     val meta = metaHeader(op)
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
-      val vs = versions(root)
-      require(vs.nonEmpty, s"no commits at $root")
-      val baseV = vs.last
+      val baseV = headVersion(root)
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
       val touchSet = pickTouched(baseV, base, baseData)
@@ -2605,9 +2594,7 @@ object VersionedTable {
     val meta = metaHeader("DELETE")
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
-      val vs = versions(root)
-      require(vs.nonEmpty, s"no commits at $root")
-      val baseV = vs.last
+      val baseV = headVersion(root)
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
       // prune boxes arrive in LOGICAL names; footer stats (and the
@@ -2715,9 +2702,7 @@ object VersionedTable {
     val meta = metaHeader("UPDATE")
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
-      val vs = versions(root)
-      require(vs.nonEmpty, s"no commits at $root")
-      val baseV = vs.last
+      val baseV = headVersion(root)
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
       // SET targets validate against the snapshot schema BEFORE the
@@ -2825,9 +2810,7 @@ object VersionedTable {
     val meta = metaHeader("DELETE")
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
-      val vs = versions(root)
-      require(vs.nonEmpty, s"no commits at $root")
-      val baseV = vs.last
+      val baseV = headVersion(root)
       val base = filesOf(root, baseV)
       val baseData = base.filterNot(isHeader)
       val tgtSchema = logicalSchema(root, Some(baseV))
@@ -3025,9 +3008,7 @@ object VersionedTable {
     val meta = metaHeader("MERGE")
     var out: Option[(Long, Int, Int)] = None
     while (out.isEmpty) {
-      val vs = versions(root)
-      require(vs.nonEmpty, s"no commits at $root")
-      val baseV = vs.last
+      val baseV = headVersion(root)
       // a merge pinned to a base (its source was derived FROM that
       // snapshot) must not silently apply onto a moved head
       requireBase.foreach(rb =>
@@ -3469,8 +3450,7 @@ object VersionedTable {
     var done = -1L
     var prevHead = -1L
     while (done < 0) {
-      val cur = versions(root)
-      prevHead = cur.last
+      prevHead = headVersion(root)
       val txns = filesOf(root, prevHead).filter(l => parseTxn(l).isDefined)
       if (tryCommit(root, prevHead + 1, restamped ++ txns :+ meta))
         done = prevHead + 1
@@ -3486,9 +3466,9 @@ object VersionedTable {
       val healMeta = metaHeader("ROLLBACK")
       var healed = -1L
       while (healed < 0) {
-        val cur = versions(root)
-        if (tryCommit(root, cur.last + 1, healLines :+ healMeta))
-          healed = cur.last + 1
+        val h = headVersion(root)
+        if (tryCommit(root, h + 1, healLines :+ healMeta))
+          healed = h + 1
       }
       throw new IllegalStateException(
         s"restore of version $version at $root lost a race with " +
@@ -3657,7 +3637,7 @@ object VersionedTable {
                          version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
     import spark.implicits._
-    val vs = versions(root)
+    val vs = versions(root) // provenance replays the version history: lists
     require(vs.nonEmpty, s"no commits at $root")
     val v = version.getOrElse(vs.last)
     val firstIn = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -3697,16 +3677,18 @@ object VersionedTable {
     * source's. Returns the committed `dst` version, or -1 for an
     * already-synced no-op. */
   def cloneSync(spark: SparkSession, src: String, dst: String): Long = {
-    val vs = versions(src)
-    require(vs.nonEmpty, s"no commits at $src")
-    val srcV = vs.last
+    val srcV = {
+      val h = latestVersion(src)
+      require(h.nonEmpty, s"no commits at $src")
+      h.get
+    }
     if (!isVersioned(dst)) {
       clone(spark, src, dst, Some(srcV))
       // stamp the sync marker so the next call knows where it stands
       val meta = metaHeader("CLONE SYNC")
       var done = -1L
       while (done < 0) {
-        val head = versions(dst).last
+        val head = headVersion(dst)
         val base = filesOf(dst, head).filterNot(isMeta)
         if (tryCommit(dst, head + 1, base :+ s"#txn:__sync:$srcV" :+ meta))
           done = head + 1
@@ -3721,7 +3703,7 @@ object VersionedTable {
     // optimize+vacuum cycle to race us again)
     var attempt = 0
     while (true) {
-      val headV = versions(src).last
+      val headV = headVersion(src)
       if (committedEpochs(dst).get("__sync").exists(headV <= _)) return -1L
       val lines = rawFilesOf(src, headV) // raw: annotations mirror too
       val files = lines.filterNot(isHeader).map(pathOf)
@@ -3745,15 +3727,15 @@ object VersionedTable {
             isRename(l) || isDropped(l))
         var done = -1L
         while (done < 0) {
-          val cur = versions(dst)
+          val h = headVersion(dst)
           if (committedEpochs(dst).get("__sync").exists(headV <= _)) return -1L
           // dst's OWN txn headers carry (minus the sync marker we replace)
-          val txns = filesOf(dst, cur.last)
+          val txns = filesOf(dst, h)
             .filter(l => parseTxn(l).isDefined)
             .filterNot(l => parseTxn(l).exists(_._1 == "__sync"))
-          if (tryCommit(dst, cur.last + 1,
+          if (tryCommit(dst, h + 1,
               mirrored ++ txns :+ s"#txn:__sync:$headV" :+ meta))
-            done = cur.last + 1
+            done = h + 1
         }
         return done
       } catch {
