@@ -114,6 +114,43 @@ object VersionedTable {
     }
   }
 
+  /** Per-root earliest-readable hints — the floor twin of [[HeadHint]],
+    * advisory under the same discipline. */
+  private val FloorHint = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Is `v`'s commit list present and readable? Retirement renames
+    * `v<N>.list` → `v<N>.retired`, so one stat answers exactly what
+    * `versions(root).contains(v)` answers — without the listing. */
+  def isReadableVersion(root: String, v: Long): Boolean =
+    Files.exists(commitsDir(root).resolve(s"v$v.list"))
+
+  /** The EARLIEST readable version without an O(versions) directory
+    * listing in the steady state — the floor the streaming feed needs
+    * every trigger. Validated with TWO stats: the hinted version's list
+    * must exist AND its predecessor's must not. Sound because committed
+    * versions are contiguous (every publish is a CAS at head+1) and
+    * vacuum retires a strict PREFIX — so "h readable, h−1 not"
+    * identifies the floor uniquely, a vacuumed-past hint fails the
+    * first check, and a dropped-and-recreated root that reuses version
+    * numbers below the hint fails the predecessor check; either way
+    * the fallback re-lists. */
+  def earliestVersion(root: String): Option[Long] = {
+    val d = commitsDir(root)
+    Option(FloorHint.get(root)) match {
+      case Some(hint) if Files.exists(d.resolve(s"v$hint.list")) &&
+          (hint.longValue == 0L ||
+            !Files.exists(d.resolve(s"v${hint - 1}.list"))) =>
+        Some(hint.longValue)
+      case _ =>
+        val e = versions(root).headOption
+        e match {
+          case Some(h) => FloorHint.put(root, h); ()
+          case None => FloorHint.remove(root); ()
+        }
+        e
+    }
+  }
+
   /** [[latestVersion]] or the standard missing-table refusal — the
     * "require a head without listing the directory" pattern every verb
     * shares (same exception + message the old `require(versions(root)
@@ -1259,19 +1296,20 @@ object VersionedTable {
     * reassembles Hive partition columns for partitioned commits. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
-    // the default (head) read never lists the commit directory; only an
-    // EXPLICIT time-travel version pays the listing, for its validation
+    // no commit-directory listing on the happy path: the head resolves
+    // through the hint, and an explicit time-travel version validates
+    // with one stat (its list file either serves or it doesn't) — only
+    // the FAILURE path lists, to name the readable versions
     val v = version.getOrElse(headVersion(root))
-    if (version.isDefined) {
+    if (version.isDefined &&
+        !Files.exists(commitsDir(root).resolve(s"v$v.list"))) {
       val vs = versions(root)
       require(vs.nonEmpty, s"no commits at $root")
-      if (!vs.contains(v)) {
-        if (Files.exists(commitsDir(root).resolve(s"v$v.retired")))
-          throw new IllegalStateException(
-            s"version $v at $root was retired by vacuum(keep); " +
-              s"readable versions: $vs")
-        else throw new IllegalArgumentException(s"version $v not in $vs")
-      }
+      if (Files.exists(commitsDir(root).resolve(s"v$v.retired")))
+        throw new IllegalStateException(
+          s"version $v at $root was retired by vacuum(keep); " +
+            s"readable versions: $vs")
+      else throw new IllegalArgumentException(s"version $v not in $vs")
     }
     val lines = filesOf(root, v)
     val files = lines.filterNot(isHeader)

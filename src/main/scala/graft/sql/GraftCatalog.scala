@@ -73,7 +73,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(ident)
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"VERSION AS OF wants a commit number, got `$version`"))
-    require(VersionedTable.versions(dir).contains(v),
+    require(VersionedTable.isReadableVersion(dir, v), // one stat; the
+      // failure path lists to name what IS readable
       s"version $v is not readable at $dir " +
         s"(have ${VersionedTable.versions(dir).mkString(", ")})")
     new GraftTable(s"$catalogName.${ident.name()}@v$v", dir, Some(v))

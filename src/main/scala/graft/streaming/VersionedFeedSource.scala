@@ -185,13 +185,18 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
   // vacuum that retired the pin's predecessor AFTER the stream had
   // already progressed past it must not brick the restart.
   private def pinError(): Option[String] = startingVersion.flatMap { s =>
-    val vs = VersionedTable.versions(root)
-    if (vs.nonEmpty && s <= vs.last && !(s == 0L && vs.head == 0L) && !vs.contains(s - 1))
+    // O(1): head + floor via the validated hints, the pin's
+    // predecessor via one stat — no directory listing per batch
+    val head = VersionedTable.latestVersion(root)
+    val earliest = VersionedTable.earliestVersion(root)
+    if (head.exists(s <= _) && !(s == 0L && earliest.contains(0L)) &&
+        !VersionedTable.isReadableVersion(root, s - 1))
       Some(
         s"versioned-feed at $root: startingVersion $s needs version ${s - 1} " +
           s"readable for changeFeed(${s - 1}, $s) but the earliest readable " +
-          s"version is ${vs.head} — it was retired by vacuum(keep); increase " +
-          "retention or start a fresh snapshot stream instead")
+          s"version is ${earliest.getOrElse(-1L)} — it was retired by " +
+          "vacuum(keep); increase retention or start a fresh snapshot " +
+          "stream instead")
     else None
   }
 
@@ -206,11 +211,15 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val vs = VersionedTable.versions(root)
-    if (vs.isEmpty) None
+    // the idle-poll path: runs every trigger even with no new commits,
+    // so it must not pay an O(versions) directory listing — head and
+    // floor both resolve from the validated hints (one stat each)
+    val headOpt = VersionedTable.latestVersion(root)
+    if (headOpt.isEmpty) None
     else {
-      val head = vs.last
-      val floor = math.max(vs.head - 1,
+      val head = headOpt.get
+      val floor = math.max(
+        VersionedTable.earliestVersion(root).getOrElse(head) - 1,
         startingVersion.getOrElse(Long.MinValue + 1) - 1)
       val capped = maxVersionsPerTrigger match {
         case Some(m) =>
@@ -240,7 +249,7 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     * next run (the engine terminates once offsets reach it). */
   @volatile private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = VersionedTable.versions(root).lastOption
+    availableNowTarget = VersionedTable.latestVersion(root)
 
   private def verV2(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
@@ -254,10 +263,11 @@ class VersionedFeedSource(sqlContext: SQLContext, root: String,
     * diff without resolving it — versions already do). Deterministic
     * and read-only, like [[getOffset]]. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val vs = VersionedTable.versions(root)
-    if (vs.isEmpty) return null
-    val head = availableNowTarget.fold(vs.last)(math.min(_, vs.last))
-    val floor = math.max(vs.head - 1,
+    val headOpt = VersionedTable.latestVersion(root)
+    if (headOpt.isEmpty) return null
+    val head = availableNowTarget.fold(headOpt.get)(math.min(_, headOpt.get))
+    val floor = math.max(
+      VersionedTable.earliestVersion(root).getOrElse(head) - 1,
       startingVersion.getOrElse(Long.MinValue + 1) - 1)
     val from = Option(startOffset).map(verV2)
       .orElse(lastOffered).getOrElse(floor)

@@ -161,7 +161,7 @@ case class GraftMergeEnrichedCommand(root: String,
     val hasNmbs = hasNmbsUpdate || hasNmbsDelete
     var done = false
     while (!done) {
-      val v0 = VersionedTable.versions(root).last
+      val v0 = VersionedTable.latestVersion(root).get
       val src0 = Bridge.ofRows(spark, source)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

@@ -441,6 +441,39 @@ class DeltaLogSpec extends SparkSpecBase {
     } finally VersionedTable.logStore = saved
   }
 
+  test("O(1) floor resolution: the earliest-version hint tracks vacuum, a reused-version recreate, and the readable stat") {
+    val root = fresh("floorhint")
+    assert(VersionedTable.earliestVersion(root).isEmpty)
+    (0 until 12).foreach { i =>
+      if (i == 0) VersionedTable.overwrite(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      else VersionedTable.append(spark, root, Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      assert(VersionedTable.earliestVersion(root).contains(0L))
+    }
+    assert(VersionedTable.isReadableVersion(root, 0L))
+    assert(!VersionedTable.isReadableVersion(root, 12L))
+    // vacuum retires the prefix: the WARM hint must fail its first stat
+    // (v0.list became v0.retired) and re-list to the new floor
+    VersionedTable.vacuum(root, keep = Some(3), minAgeMs = 0L)
+    assert(VersionedTable.earliestVersion(root).contains(9L))
+    assert(!VersionedTable.isReadableVersion(root, 8L))
+    assert(VersionedTable.isReadableVersion(root, 9L))
+    // drop + recreate with MORE commits than the cached floor: the
+    // hinted version exists again, but its PREDECESSOR also exists —
+    // the two-stat validation must reject the hint and re-list to 0
+    def rm(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      Option(f.listFiles()).foreach(_.foreach(c => rm(c.toPath)))
+      f.delete(); ()
+    }
+    rm(Paths.get(root))
+    VersionedTable.overwrite(spark, root, Seq((0L, "fresh")).toDF("id", "v"))
+    (1 to 10).foreach(i => VersionedTable.append(spark, root,
+      Seq((i.toLong, s"n$i")).toDF("id", "v")))
+    assert(VersionedTable.earliestVersion(root).contains(0L),
+      "a recreated root reusing version numbers must re-list, not serve the stale floor")
+  }
+
   test("O(1) head resolution: the validated hint tracks commits, catches up from staleness, survives vacuum and a dropped root") {
     val root = fresh("headhint")
     assert(VersionedTable.latestVersion(root).isEmpty)
