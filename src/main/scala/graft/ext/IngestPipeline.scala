@@ -150,7 +150,15 @@ object IngestPipeline {
         coalesce(col("__first"), lit(false)).unary_!.as("batch_exact"),
         col("corpus_exact"),
         coalesce(col("__cnear"), lit(false)).as("corpus_near"))
-    val base = ckpt(base0, checkpointDir)
+    // base needs an eager barrier only when a second consumer exists:
+    // the Greedy policy derives its candidate set from it. Under
+    // AnyPairDrops base feeds exactly one downstream join, so a barrier
+    // would be a pure extra materialization pass (r15, guide §1.2:
+    // fewer sequential actions).
+    val base = policy match {
+      case Greedy       => ckpt(base0, checkpointDir)
+      case AnyPairDrops => base0
+    }
     // within-batch near-dup resolution
     val batchNear = policy match {
       case AnyPairDrops =>
@@ -197,13 +205,21 @@ object IngestPipeline {
     counts += StageCount("batch", batch.count())
     val decisions = ckpt(screen(state, batch, idCol, textCol, shingleK,
       threshold, policy, sketch, checkpointDir), checkpointDir)
-    counts += StageCount("exact_ok",
-      decisions.filter(!col("batch_exact") && !col("corpus_exact")).count())
-    counts += StageCount("near_ok",
-      decisions.filter(!col("batch_exact") && !col("corpus_exact") &&
-        !col("corpus_near")).count())
+    // all three screen censuses in ONE pass over the materialized
+    // decisions frame (r15, guide §1.2/§2.3: aggregate once, not three
+    // filtered counts = three sequential jobs). Conditional sums are
+    // exactly the old filters; coalesce guards the empty-batch NULL sum.
+    val screenCnts = decisions.agg(
+      coalesce(sum(when(!col("batch_exact") && !col("corpus_exact"), 1L)
+        .otherwise(0L)), lit(0L)).as("exact_ok"),
+      coalesce(sum(when(!col("batch_exact") && !col("corpus_exact") &&
+        !col("corpus_near"), 1L).otherwise(0L)), lit(0L)).as("near_ok"),
+      coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
+        .as("accepted")).head()
+    counts += StageCount("exact_ok", screenCnts.getLong(0))
+    counts += StageCount("near_ok", screenCnts.getLong(1))
     val acceptedIds = decisions.filter(col("accepted")).select(idCol)
-    counts += StageCount("accepted", acceptedIds.count())
+    counts += StageCount("accepted", screenCnts.getLong(2))
     val accepted = batch.select(col(idCol), col(textCol))
       .join(acceptedIds, Seq(idCol), "left_semi")
     // cut what the corpus already stores out of the accepted copies,
@@ -223,17 +239,28 @@ object IngestPipeline {
       .withColumn("__nt", size(TextStats.tokens(col(textCol))))
       .filter(col(textCol) =!= "" && col("__nt") >= minTokensAfterCut)
       .drop("__nt"), checkpointDir)
+    // the four index deltas all derive from the just-materialized
+    // `stored` frame and are mutually independent — materialize them
+    // CONCURRENTLY (guide §2.6: overlap independent jobs) instead of as
+    // four sequential barrier jobs; the stored census count overlaps too.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fFps = Future(ckpt(stored.select(col(idCol),
+      TextStats.fingerprintMd5(col(textCol)).as("fingerprint")), checkpointDir))
+    val fPosts = Future(ckpt(
+      TextDedup.shinglePosts(stored, idCol, textCol, shingleK), checkpointDir))
+    val fWindows = Future(ckpt(
+      TextDedup.windowIndex(stored, idCol, textCol, spanK), checkpointDir))
+    val fChunks = Future(ckpt(
+      TextDedup.chunkIndex(stored, idCol, textCol, boundaryHex), checkpointDir))
     counts += StageCount("stored", stored.count())
     val delta = IngestState(
       docs = stored,
-      fps = ckpt(stored.select(col(idCol),
-        TextStats.fingerprintMd5(col(textCol)).as("fingerprint")), checkpointDir),
-      posts = ckpt(TextDedup.shinglePosts(stored, idCol, textCol, shingleK),
-        checkpointDir),
-      windows = ckpt(TextDedup.windowIndex(stored, idCol, textCol, spanK),
-        checkpointDir),
-      chunks = ckpt(TextDedup.chunkIndex(stored, idCol, textCol, boundaryHex),
-        checkpointDir))
+      fps = Await.result(fFps, Duration.Inf),
+      posts = Await.result(fPosts, Duration.Inf),
+      windows = Await.result(fWindows, Duration.Inf),
+      chunks = Await.result(fChunks, Duration.Inf))
     IngestResult(delta, decisions, counts.result())
   }
 

@@ -564,21 +564,28 @@ object TextDedup {
     // BOUNDED DRIVER FAST PATH (r12 #5): duplicate-pair lists are edges
     // between DUPLICATES — tiny relative to the corpus they come from —
     // and the log-round loop below pays ~3 shuffle jobs per round in
-    // fixed cost alone. ONE limit-probe action either returns the whole
-    // edge list (≤ DriverCcMaxEdges: union-find here, zero rounds —
+    // fixed cost alone. The pair list (slim: two longs) is persisted and
+    // COUNTED — one full-parallelism pass — and either collected whole
+    // (≤ DriverCcMaxEdges: union-find here, zero rounds —
     // union-by-min-value makes every root its component's MINIMUM, the
-    // exact fixpoint the min-label loop converges to) or proves the
-    // list exceeds the bound, in which case the distributed loop is the
-    // only sound choice and runs as before. ~2M edges ≈ 32 MB driver —
-    // the same order as the other bounded driver states (Lloyd sums,
-    // bloom count maps).
-    {
+    // exact fixpoint the min-label loop converges to) or, over the
+    // bound, fed to the distributed loop from the SAME persisted frame.
+    // (r15: this used to be a `limit(max+1).collect()` probe, which
+    // executes as an incrementally-ramped executeTake — measured 6
+    // sequential jobs re-driving the expensive pair join per c1 run —
+    // and shipped up to 2M rows to prove overflow; the count ships 8
+    // bytes and every later consumer reads the persisted slim frame.)
+    // ~2M edges ≈ 32 MB driver — the same order as the other bounded
+    // driver states (Lloyd sums, bloom count maps).
+    val slim = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    locally {
       val spark = pairs.sparkSession
-      val probe =
-        if (driverMaxEdges <= 0) Array.empty[org.apache.spark.sql.Row]
-        else pairs.select(col(idA).cast("long"), col(idB).cast("long"))
-          .limit(driverMaxEdges + 1).collect()
-      if (driverMaxEdges > 0 && probe.length <= driverMaxEdges) {
+      val nEdges = if (driverMaxEdges <= 0) Long.MaxValue else slim.count()
+      if (driverMaxEdges > 0 && nEdges <= driverMaxEdges) {
+        val probe = slim.collect()
+        slim.unpersist(blocking = false)
         val parent = new java.util.HashMap[Long, java.lang.Long]()
         def find(x: Long): Long = {
           var r = x
@@ -605,12 +612,12 @@ object TextDedup {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    // both edge directions from ONE pass over pairs (a union of two selects
-    // would compute the pairs input twice before the persist catches it);
-    // the exploded array is constant-size so no implicit size-filter sinks
-    val edges = pairs.select(explode(array(
-        struct(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst")),
-        struct(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst"))))
+    // both edge directions from ONE pass over the already-persisted slim
+    // pair list (so the expensive pair plan never re-executes); the
+    // exploded array is constant-size so no implicit size-filter sinks
+    val edges = slim.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -640,6 +647,7 @@ object TextDedup {
       System.err.println(s"[graft] dupClusters: round cap $maxRounds hit " +
         "before fixpoint; components wider than the cap keep partial labels")
     edges.unpersist()
+    slim.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
