@@ -22,6 +22,19 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Spread a slim id frame across the cores BEFORE a heavy per-row
+    * payload generator/decoder runs on it (r15, guide §2.5 input skew /
+    * §8: move placement on slim rows, synthesize heavy bytes after).
+    * The gate fixtures read a single small parquet file → one scan
+    * partition → the whole multimodal encode+decode chain otherwise
+    * runs single-threaded (m9 measured 7.9 s of task time in 2 tasks).
+    * Only ids cross the exchange; a well-partitioned input at scale is
+    * left untouched. */
+  private def spreadIds(ids: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] = {
+    val cores = ids.sparkSession.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions >= cores) ids else ids.repartition(cores)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis ----
@@ -913,6 +926,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
+        .transform(spreadIds)
         .mapPartitions(_.map { id =>
           (id, Multimodal.wavBytes(
             sampleRate = 8000 + (id % 3).toInt * 4000,
@@ -932,6 +946,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
+        .transform(spreadIds)
         .mapPartitions(_.map { id =>
           val n = 200 + (id % 300).toInt
           val samples = Array.tabulate(n)(i =>
@@ -951,6 +966,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
+        .transform(spreadIds)
         .mapPartitions(_.map { id =>
           (id, Multimodal.mp4Bytes(
             timescale = Seq(600, 1000, 90000)((id % 3).toInt),
@@ -974,6 +990,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
+        .transform(spreadIds)
         .mapPartitions(_.map { id =>
           val n = 1 + (id % 3).toInt
           (id, Multimodal.mjpegMp4Bytes(
@@ -1213,6 +1230,7 @@ object ExtQueries {
     import s.implicits._
     t(s, d, "documents").select(col("doc_id"))
       .map(r => r.getLong(0))(Encoders.scalaLong)
+      .transform(spreadIds)
       .mapPartitions(_.map { id =>
         (id, Multimodal.wavBytesPcm(8000, Multimodal.syntheticPcm(id)))
       })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
@@ -1229,6 +1247,7 @@ object ExtQueries {
     import s.implicits._
     t(s, d, "documents").select(col("doc_id"))
       .map(r => r.getLong(0))(Encoders.scalaLong)
+      .transform(spreadIds)
       .mapPartitions(_.map { id =>
         (id, Multimodal.grayPngBytes(
           Multimodal.DHashCols, Multimodal.DHashRows,
