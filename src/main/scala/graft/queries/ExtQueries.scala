@@ -926,7 +926,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
-        .transform(spreadIds)
+        
         .mapPartitions(_.map { id =>
           (id, Multimodal.wavBytes(
             sampleRate = 8000 + (id % 3).toInt * 4000,
@@ -946,7 +946,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
-        .transform(spreadIds)
+        
         .mapPartitions(_.map { id =>
           val n = 200 + (id % 300).toInt
           val samples = Array.tabulate(n)(i =>
@@ -966,7 +966,7 @@ object ExtQueries {
       import org.apache.spark.sql.Encoders
       val payloads = t(s, d, "documents").select(col("doc_id"))
         .map(r => r.getLong(0))(Encoders.scalaLong)
-        .transform(spreadIds)
+        
         .mapPartitions(_.map { id =>
           (id, Multimodal.mp4Bytes(
             timescale = Seq(600, 1000, 90000)((id % 3).toInt),
@@ -1230,7 +1230,7 @@ object ExtQueries {
     import s.implicits._
     t(s, d, "documents").select(col("doc_id"))
       .map(r => r.getLong(0))(Encoders.scalaLong)
-      .transform(spreadIds)
+      
       .mapPartitions(_.map { id =>
         (id, Multimodal.wavBytesPcm(8000, Multimodal.syntheticPcm(id)))
       })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
