@@ -1584,7 +1584,14 @@ object VersionedTable {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
         f.name
     }.toSet
-    named.map { rel =>
+    // one footer read per NEW file, stamped CONCURRENTLY (r15, guide
+    // §2.6): the reads are independent driver-side I/O and a 16-file
+    // commit paid them serially; order of the returned lines is
+    // preserved (futures are awaited in `named` order)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stamped = named.map { rel => Future {
       val p = Paths.get(root, rel)
       val base = s"$rel\t${Files.size(p)}\t${Files.getLastModifiedTime(p).toMillis}"
       val st =
@@ -1594,7 +1601,8 @@ object VersionedTable {
       if (st.isEmpty) base
       else base + s"\trows=${st.head.n_rows}" +
         st.map(s => "\t" + statField(s, dec.contains(s.column))).mkString
-    }
+    } }
+    stamped.map(Await.result(_, Duration.Inf))
   }
 
   private def rmTree(p: Path): Unit = {
