@@ -233,12 +233,23 @@ class PlanSpec extends SparkSpecBase {
       "the 1-row totals frame must broadcast, not cartesian")
   }
 
-  test("m10/m12 perceptual hashing is shuffle-free (decode map only)") {
+  test("m10/m12 perceptual hashing never shuffles a payload (decode map only)") {
+    // r15: the fixture generators may spread the SLIM id frame across
+    // cores before synthesizing payloads (guide §8: decide placement on
+    // light rows, move heavy bytes once — here the heavy bytes never
+    // move at all). The load-bearing invariant is therefore sharper than
+    // "no exchange anywhere": no exchange may carry a payload/binary
+    // column — the codec work itself stays a per-partition map.
     for (name <- Seq("m10_image_phash", "m12_audio_hash")) {
       val p = planOf(q(name))
       val shuffles = collectAll(p) { case s: ShuffleExchangeLike => s }
-      assert(shuffles.isEmpty,
-        s"$name must stay a per-partition decode map, found: $shuffles")
+      val payloadShuffles = shuffles.filter(_.child.output.exists(a =>
+        a.name == "payload" ||
+          a.dataType == org.apache.spark.sql.types.BinaryType))
+      assert(payloadShuffles.isEmpty,
+        s"$name must never exchange decoded/encoded payload bytes, found: $payloadShuffles")
+      assert(shuffles.forall(_.child.output.length <= 1),
+        s"$name may only spread the slim id frame, found wider exchange: $shuffles")
     }
   }
 
