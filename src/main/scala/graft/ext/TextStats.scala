@@ -715,6 +715,13 @@ object TextStats {
           aggregate(array_sort(collect_list(struct(col("b"), zTerm))),
             lit(0.0), (a, s) => a + s.getField("t"))
         else sum(element_at(wArr, col("b").cast("int") + 1) * col("x"))
+      // the two gradient reductions are independent actions over the
+      // same step state — collect them CONCURRENTLY (r15, guide §2.6);
+      // the folds are sorted in deterministic mode and grain-preserving
+      // in plain mode, so results are unchanged. (A persist of `scored`
+      // was tried and measured SLOWER: it forces a full 32-partition
+      // materialization per step where AQE otherwise collapses these
+      // tiny shuffles.)
       val scored = feats.groupBy("__id", "y").agg(zAgg.as("__z"))
         .withColumn("r",
           lit(1.0) / (lit(1.0) + exp(-(col("__z") + lit(bias)))) - col("y"))
@@ -730,8 +737,14 @@ object TextStats {
           aggregate(array_sort(collect_list(struct(col("__id"), col("r").as("t")))),
             lit(0.0), (a, s) => a + s.getField("t"))
         else sum(col("r"))
-      val gRows = rj.groupBy("b").agg(gAgg.as("g")).collect() // ≤ buckets rows
-      val gBias = scored.agg(bAgg.as("g")).collect()(0).getDouble(0)
+      val (gRows, gBias) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fG = Future(rj.groupBy("b").agg(gAgg.as("g")).collect()) // ≤ buckets rows
+        val fB = Future(scored.agg(bAgg.as("g")).collect()(0).getDouble(0))
+        (Await.result(fG, Duration.Inf), Await.result(fB, Duration.Inf))
+      }
       gRows.foreach { row =>
         val b = row.getLong(0).toInt
         w(b) = w(b) - lr * (row.getDouble(1) / nDocs)
