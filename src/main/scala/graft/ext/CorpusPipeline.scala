@@ -122,18 +122,32 @@ object CorpusPipeline {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    var lastCensus = 0L
+    // Census counts run as FUTURES (guide §2.6; VERDICT r15 #4): each
+    // stage's count reads that stage's just-materialized checkpoint and
+    // feeds nothing downstream except the returned census (and the
+    // derived pack-shard sizing, awaited where needed), so paying it as
+    // a sequential job between stages serialized ~8 extra driver
+    // round-trips per run. The counts are awaited IN STAGE ORDER at the
+    // end, so the returned census is byte-identical.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pending = Seq.newBuilder[(String, Future[Long])]
+    var lastCensusF: Future[Long] = Future.successful(0L)
+    def censusOf(stage: String, mat: DataFrame): Unit = {
+      lastCensusF = Future(mat.count())
+      pending += stage -> lastCensusF
+    }
     def census(stage: String, df: DataFrame): DataFrame = {
       val mat = ckpt(df)
-      lastCensus = mat.count()
-      counts += StageCount(stage, lastCensus); mat
+      censusOf(stage, mat)
+      mat
     }
     // the input census is a bare count — materializing a copy of the raw
     // corpus would double the pipeline's storage for a number the scan
     // produces directly (and the scan, unlike a checkpoint, stays
     // column-prunable for the slim re-acquisition joins below)
-    lastCensus = docs.count()
-    counts += StageCount("input", lastCensus)
+    censusOf("input", docs)
 
     // A corpus arriving in FEWER partitions than cores (one small
     // parquet file in local mode) would run every text stage nearly
@@ -161,8 +175,7 @@ object CorpusPipeline {
           idCol, textCol, spanK)
         .withColumnRenamed("text_dedup", textCol)
         .drop("n_tokens_removed"))
-    lastCensus = selfCut.count()
-    counts += StageCount("quality_gate", lastCensus)
+    censusOf("quality_gate", selfCut)
 
     // 3. exact dedup: survivors are min-id per fingerprint
     val exactIds = TextDedup.exactDedup(selfCut, idCol, textCol).select(idCol)
@@ -185,8 +198,7 @@ object CorpusPipeline {
     // checkpoint of its own: one less full-corpus materialization
     val nearIds = ckpt( // two consumers: the count + the semi join
       TextDedup.dedupSurvivors(exact, idCol, pairs))
-    lastCensus = nearIds.count()
-    counts += StageCount("near_dedup", lastCensus)
+    censusOf("near_dedup", nearIds)
     val near = exact.join(nearIds, Seq(idCol), "left_semi")
 
     // 5. span cut on the survivors + drop remnants too short to train on
@@ -258,14 +270,20 @@ object CorpusPipeline {
         require(!docs.columns.contains("pack_shard"),
           "input already has a pack_shard column; pass packShardCol = Some(\"pack_shard\") " +
             "to shard packing by it instead of silently overwriting it")
-        val derivedShards =
-          math.max(1L, math.min(packShards.toLong, lastCensus / 64L))
+        // the shard sizing needs the FINAL census count — await just
+        // that future (its job has been running since the last stage
+        // materialized; every earlier count keeps overlapping)
+        val derivedShards = math.max(1L, math.min(packShards.toLong,
+          Await.result(lastCensusF, Duration.Inf) / 64L))
         afterQuota.withColumn("pack_shard",
           pmod(xxhash64(col(idCol)), lit(derivedShards)))
     }
     val shardName = packShardCol.getOrElse("pack_shard")
     val packed = TextStats.packedText(forPack, idCol, textCol,
       col("n_tokens"), packBudget, shardCol = Some(shardName))
+    counts ++= pending.result().map { case (stage, f) =>
+      StageCount(stage, Await.result(f, Duration.Inf))
+    }
     (packed, counts.result())
   }
 }

@@ -201,25 +201,31 @@ object IngestPipeline {
              policy: BatchPolicy = Greedy, cutMode: CutMode = SpanCut,
              sketch: Option[Array[Byte]] = None,
              checkpointDir: Option[String] = None): IngestResult = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val counts = Seq.newBuilder[StageCount]
-    counts += StageCount("batch", batch.count())
+    // the batch census is independent of every other job this step runs
+    // — overlap it with the screen instead of paying it as the step's
+    // first sequential action (r16, guide §2.6; VERDICT r15 #4)
+    val fBatchCnt = Future(batch.count())
     val decisions = ckpt(screen(state, batch, idCol, textCol, shingleK,
       threshold, policy, sketch, checkpointDir), checkpointDir)
     // all three screen censuses in ONE pass over the materialized
     // decisions frame (r15, guide §1.2/§2.3: aggregate once, not three
     // filtered counts = three sequential jobs). Conditional sums are
     // exactly the old filters; coalesce guards the empty-batch NULL sum.
-    val screenCnts = decisions.agg(
+    // The aggregate reads the materialized checkpoint and nothing the
+    // cut/index chain produces — run it concurrently with building and
+    // materializing that chain (r16, guide §2.6), await before returning.
+    val fScreenCnts = Future(decisions.agg(
       coalesce(sum(when(!col("batch_exact") && !col("corpus_exact"), 1L)
         .otherwise(0L)), lit(0L)).as("exact_ok"),
       coalesce(sum(when(!col("batch_exact") && !col("corpus_exact") &&
         !col("corpus_near"), 1L).otherwise(0L)), lit(0L)).as("near_ok"),
       coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
-        .as("accepted")).head()
-    counts += StageCount("exact_ok", screenCnts.getLong(0))
-    counts += StageCount("near_ok", screenCnts.getLong(1))
+        .as("accepted")).head())
     val acceptedIds = decisions.filter(col("accepted")).select(idCol)
-    counts += StageCount("accepted", screenCnts.getLong(2))
     val accepted = batch.select(col(idCol), col(textCol))
       .join(acceptedIds, Seq(idCol), "left_semi")
     // cut what the corpus already stores out of the accepted copies,
@@ -243,9 +249,6 @@ object IngestPipeline {
     // `stored` frame and are mutually independent — materialize them
     // CONCURRENTLY (guide §2.6: overlap independent jobs) instead of as
     // four sequential barrier jobs; the stored census count overlaps too.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val fFps = Future(ckpt(stored.select(col(idCol),
       TextStats.fingerprintMd5(col(textCol)).as("fingerprint")), checkpointDir))
     val fPosts = Future(ckpt(
@@ -254,7 +257,15 @@ object IngestPipeline {
       TextDedup.windowIndex(stored, idCol, textCol, spanK), checkpointDir))
     val fChunks = Future(ckpt(
       TextDedup.chunkIndex(stored, idCol, textCol, boundaryHex), checkpointDir))
-    counts += StageCount("stored", stored.count())
+    val storedCnt = stored.count()
+    // census order is part of the result contract — counts land in stage
+    // order however the overlapped jobs finished
+    counts += StageCount("batch", Await.result(fBatchCnt, Duration.Inf))
+    val screenCnts = Await.result(fScreenCnts, Duration.Inf)
+    counts += StageCount("exact_ok", screenCnts.getLong(0))
+    counts += StageCount("near_ok", screenCnts.getLong(1))
+    counts += StageCount("accepted", screenCnts.getLong(2))
+    counts += StageCount("stored", storedCnt)
     val delta = IngestState(
       docs = stored,
       fps = Await.result(fFps, Duration.Inf),

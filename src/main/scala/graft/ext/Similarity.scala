@@ -190,6 +190,17 @@ object Similarity {
       .orderBy(col("__h"), col("n_id")).limit(nlist)
       .select("n_vec").collect().map(_.getSeq[Double](0).toArray)
     require(init.nonEmpty, "fitCoarseCentroids needs a non-empty corpus")
+    // NOT spread across the pool, deliberately (measured r16): the
+    // m-gate repartition treatment was A/B'd here — repartitioning the
+    // slim fit input to defaultParallelism before each round's
+    // assign-and-mean pass took e4 from 13 single-task jobs / 3.6 s
+    // summed task time to 145 tasks / 60 s: the higher-order
+    // nearest-cell expression pays a large PER-TASK interpretation
+    // setup, so fanning tiny fit inputs out multiplies fixed cost
+    // without reducing the (already sub-second) compute. At cluster
+    // scale a real corpus scan arrives with partitions ≥ cores and the
+    // rounds parallelize on their own — no repartition needed there
+    // either.
     var cents = init
     for (_ <- 1 to rounds) {
       val assigned = feat.withColumn("cell",
@@ -220,11 +231,28 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   /** The `n` nearest centroid cell ids for `vec`, as a pure expression
-    * (broadcast literal centroids; no model UDF in the hot path). */
+    * (broadcast literal centroids; no model UDF in the hot path).
+    *
+    * Shape matters here (guide §4): the old form unrolled one
+    * `struct(sqDist(vec, cᵢ), i)` subtree per centroid — nlist × dim
+    * expression nodes, an interpreted-mode tree whose PER-TASK
+    * instantiation cost (~0.2–0.4 s measured) dwarfed the per-row math
+    * and punished any attempt to parallelize the fit. This form loops
+    * over ONE 2-D literal with higher-order functions — a constant-size
+    * tree whatever nlist/dim — computing the identical distances
+    * (same zip_with/aggregate, same IEEE order: lit(0.0) seed, in-array
+    * order) and the identical (d, cell) struct sort with the same cell
+    * tiebreak, so results are bit-equal and the oracle replay is
+    * untouched. */
   private[ext] def nearestCells(vec: Column, centroids: Array[Array[Double]],
                                 n: Int): Column = {
-    val ranked = array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(sqDist(vec, c).as("d"), lit(i).as("cell")) }.toIndexedSeq: _*))
+    val cents = typedlit(centroids.map(_.toSeq).toSeq)
+    val ranked = array_sort(zip_with(cents,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (c, i) => struct(
+        aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        i.as("cell"))))
     slice(transform(ranked, s => s.getField("cell")), 1, n)
   }
 
@@ -301,14 +329,21 @@ object Similarity {
     }
     val normTab: Array[Array[Double]] = codebooks.map(_.map(cb => cb.map(x => x * x).sum))
 
-    // encode: codeⱼ = argmin over the subspace codebook (expression-only)
+    // encode: codeⱼ = argmin over the subspace codebook (expression-only).
+    // Loops over ONE 2-D codebook literal instead of unrolling ksub
+    // struct subtrees per subspace (×m subspaces in the codes projection
+    // = m·ksub·dsub expression nodes) — the nearestCells treatment
+    // (guide §4): identical distances, identical (d, code) sort and
+    // tiebreak, constant-size tree.
     def codeFor(vec: Column, j: Int): Column = {
       val sub = slice(vec, j * dsub + 1, dsub)
-      val ranked = array_sort(array(codebooks(j).zipWithIndex.map { case (cb, ci) =>
-        val d = aggregate(zip_with(sub, typedlit(cb.toSeq), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(d.as("d"), lit(ci).as("code"))
-      }: _*))
+      val cb = typedlit(codebooks(j).map(_.toSeq).toSeq)
+      val ranked = array_sort(zip_with(cb,
+        sequence(lit(0), lit(codebooks(j).length - 1)),
+        (c, ci) => struct(
+          aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          ci.as("code"))))
       element_at(transform(ranked, s => s.getField("code")), 1)
     }
     // the compressed index: (n_id, m codes) — this is ALL the scoring reads

@@ -310,37 +310,53 @@ object BloomIndex extends Serializable {
     val kind = kindOf(keys.schema.fields.head.dataType)
     val cand = candidates.toSet
     val rows = idx.filter(r => r.column == column && cand.contains(r.file))
-    val head = rows.select("file", "kind").as[(String, String)].collect()
-    val indexed = head.map(_._1).toSet
-    if (indexed.isEmpty) return candidates
-    require(head.head._2 == kind,
-      s"bloom index on `$column` was built for kind '${head.head._2}' but " +
-        s"the probe keys are '$kind' — probe with the key type the index " +
-        "was built on")
+    // ONE action over the (possibly lazily-BUILT — [[indexFor]]'s pass 2
+    // is a full key-column scan + filter construction) index: each row
+    // collapses to (file, kind, mightContain-any-key) in a single
+    // collect. The old shape ran TWO actions — a kind-check collect,
+    // then the probe collect — which executed the whole index build
+    // twice when the caller probes a freshly-built unpersisted index
+    // (guide §1.2: fewer passes; measured on s45, see OPTIMIZATION_r16).
+    // The kind-mismatch check moves after the collect — same refusal,
+    // and a mismatched row never counts as a hit. Driver state stays
+    // bounded by the candidate list (3 small fields per file).
     val k = keys.na.drop().distinct()
-    val hits: Set[String] = kind match {
+    val probed: Array[(String, String, Boolean)] = kind match {
       case "l" =>
         val pts = k.select(col(k.columns.head).cast("long")).as[Long].collect()
         val bc = spark.sparkContext.broadcast(pts)
-        rows.filter { r =>
-          val bf = BloomFilter.readFrom(r.bloom)
-          bc.value.exists(bf.mightContainLong)
-        }.select("file").as[String].collect().toSet
+        rows.map { r =>
+          (r.file, r.kind, r.kind == "l" && {
+            val bf = BloomFilter.readFrom(r.bloom)
+            bc.value.exists(bf.mightContainLong)
+          })
+        }.collect()
       case "s" =>
         val pts = k.as[String].collect()
         val bc = spark.sparkContext.broadcast(pts)
-        rows.filter { r =>
-          val bf = BloomFilter.readFrom(r.bloom)
-          bc.value.exists(bf.mightContainString)
-        }.select("file").as[String].collect().toSet
+        rows.map { r =>
+          (r.file, r.kind, r.kind == "s" && {
+            val bf = BloomFilter.readFrom(r.bloom)
+            bc.value.exists(bf.mightContainString)
+          })
+        }.collect()
       case _ =>
         val pts = k.as[Array[Byte]].collect()
         val bc = spark.sparkContext.broadcast(pts)
-        rows.filter { r =>
-          val bf = BloomFilter.readFrom(r.bloom)
-          bc.value.exists(bf.mightContainBinary)
-        }.select("file").as[String].collect().toSet
+        rows.map { r =>
+          (r.file, r.kind, r.kind == "b" && {
+            val bf = BloomFilter.readFrom(r.bloom)
+            bc.value.exists(bf.mightContainBinary)
+          })
+        }.collect()
     }
+    if (probed.isEmpty) return candidates
+    require(probed.head._2 == kind,
+      s"bloom index on `$column` was built for kind '${probed.head._2}' but " +
+        s"the probe keys are '$kind' — probe with the key type the index " +
+        "was built on")
+    val indexed = probed.map(_._1).toSet
+    val hits = probed.collect { case (f, _, true) => f }.toSet
     // unindexed candidates pass unconditionally; input order preserved
     candidates.filter(f => !indexed.contains(f) || hits.contains(f))
   }
