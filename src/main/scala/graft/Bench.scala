@@ -34,6 +34,14 @@ import org.apache.spark.sql.SparkSession
   * to `bench_out.json` (cwd, or `SPARK_GRAFT_BENCH_OUT`), the same full
   * line is still printed for human eyes, and a compact total-only JSON
   * line is printed LAST so the headline number survives any tail window.
+  *
+  * Round 16 additions (VERDICT r15 #2 — purely additive; the timed
+  * action, estimator and every existing field are unchanged): both JSON
+  * lines carry `cpus` (the honored `$SPARK_GRAFT_CPUS`), and the full
+  * line adds per-query `jobs`/`tasks` maps (Spark job/task counts from
+  * each query's min-time pass), so a low-core comparison run can tell
+  * "honors cores but job-latency-bound at this SF" (flat wall, same
+  * tasks) from "ignores cores" without guessing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,20 +59,41 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.setup(spark)
 
-    def once(name: String): Double = {
+    // per-query job/task censuses (VERDICT r15 #2): the driver's low-core
+    // re-run cannot distinguish "honors $SPARK_GRAFT_CPUS but
+    // overhead-bound at this SF" from "ignores cores" on wall time alone
+    // — task counts make the difference observable. Queries run
+    // sequentially, so attributing listener events to the active query
+    // is sound (futures inside a query belong to that query).
+    val jobsC = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tasksC = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobsC.incrementAndGet(); () }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          { tasksC.incrementAndGet(); () }
+      })
+
+    /** (seconds, jobs, tasks); seconds = -1 on failure. */
+    def once(name: String): (Double, Long, Long) = {
+      val j0 = jobsC.get(); val k0 = tasksC.get()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return (-1.0, jobsC.get() - j0, tasksC.get() - k0) }
+      ((System.nanoTime() - t0) / 1e9, jobsC.get() - j0, tasksC.get() - k0)
     }
 
-    def stat(ts: Seq[Double]): Double =
-      if (ts.contains(-1.0)) -1.0
+    def stat(ts: Seq[(Double, Long, Long)]): (Double, Long, Long) =
+      if (ts.exists(_._1 == -1.0)) (-1.0, 0L, 0L)
       else sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min") match {
-        case "median" => ts.sorted.apply(ts.size / 2)
-        case _        => ts.min
+        case "median" => ts.sortBy(_._1).apply(ts.size / 2)
+        case _        => ts.minBy(_._1) // jobs/tasks of the min-time pass
       }
 
     // query family = the letter prefix of the name (q1->q, st2->st):
@@ -87,14 +116,14 @@ object Bench {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.isEmpty) allNames
       else allNames.filter(n => args.exists(n.startsWith))
-    val times = Array.fill(repeats)(Map.empty[String, Double])
+    val times = Array.fill(repeats)(Map.empty[String, (Double, Long, Long)])
     for (p <- 0 until repeats) {
       // each pass starts a third of the way around the suite: a PERIODIC
       // host stall aligned with one family every pass would otherwise
       // defeat even the interleaved minimum
       val cut = p * names.size / repeats
       val order = names.drop(cut) ++ names.take(cut)
-      times(p) = order.foldLeft((Map.empty[String, Double], "")) {
+      times(p) = order.foldLeft((Map.empty[String, (Double, Long, Long)], "")) {
         case ((acc, prevFam), n) =>
           val fam = family(n)
           if (fam != prevFam) graft.util.Caches.releaseAll()
@@ -103,15 +132,22 @@ object Bench {
       graft.util.Caches.releaseAll()
     }
     val results = names.map(n => n -> stat(times.toSeq.map(_(n))))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query Spark job/task counts from each query's min-time pass
+    // (VERDICT r15 #2: lets the driver's low-core run tell "honors cores,
+    // overhead-bound at this SF" from "ignores cores")
+    val js = results.map { case (k, (_, j, _)) => "\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val ts = results.map { case (k, (_, _, t)) => "\"" + k + "\":" + t }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only: summing the -1 failure sentinels
     // would make the headline silently SHRINK as queries break (a failing
     // round must never bench better) — breakage is reported as n_failed
-    val nFailed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2._1 < 0)
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"n_failed":$nFailed,"queries":$qs,"jobs":$js,"tasks":$ts,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
@@ -123,7 +159,7 @@ object Bench {
     // capture keeps, a complete parseable headline survives. Per-query
     // detail always lands intact in `outPath`.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","detail":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir","detail":"$outPath"}"""
     println(compact)
     println(full)
     println(compact)

@@ -1616,16 +1616,17 @@ object SparkEntry {
     // the oracle replays; StreamingSpec proves the foreachBatch run
     // converges to the same reservoir
     "st8_es_reservoir" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.operators.Sampling
+      import graft.operators.{Ranks, Sampling}
       val docs = t(s, d, "documents")
-      Seq(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-        .map(sl => Sampling.weightedSampleWithoutReplacement(
-          sl, col("doc_id"), "n_chars", k = 25, seed = "res1"))
-        .reduce(_ unionByName _)
-        .withColumn("__rk", row_number().over(
-          Window.orderBy(round(col("es_score"), 9), col("doc_id"))))
-        .filter(col("__rk") <= 25)
+      // merge re-cut via the two-phase global top-k (VERDICT r15 #3) —
+      // same (rounded score, id) order, no single-partition window
+      Ranks.topK(
+        Seq(docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+          .map(sl => Sampling.weightedSampleWithoutReplacement(
+            sl, col("doc_id"), "n_chars", k = 25, seed = "res1"))
+          .reduce(_ unionByName _),
+        Seq(round(col("es_score"), 9), col("doc_id")), 25,
+        bucket = col("doc_id"))
         .select(col("doc_id"), round(col("es_score"), 6).as("es_score"))
     }),
 
@@ -1773,7 +1774,12 @@ object SparkEntry {
         val q = r.table(s"$cat.t").writeStream
           .option("checkpointLocation", s"$out/ckpt")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            if (!b.isEmpty) b.write.mode("append").parquet(s"$out/rows"); ()
+            // isEmpty + write = two executions of the batch plan without
+            // a persist (r16, guide §1.2: fewer passes)
+            b.persist()
+            try if (!b.isEmpty) b.write.mode("append").parquet(s"$out/rows")
+            finally b.unpersist()
+            ()
           }.start()
         try q.processAllAvailable() finally q.stop()
         s.read.parquet(s"$out/rows").count()

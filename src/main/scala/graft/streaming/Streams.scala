@@ -548,13 +548,14 @@ object Streams {
     val q = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val cand = graft.operators.Sampling.weightedSampleWithoutReplacement(
         batch, col(keyCol), weightCol, k, seed)
-      val merged =
-        (if (VersionedTable.isVersioned(resDir))
-           VersionedTable.read(spark, resDir).unionByName(cand)
-         else cand)
-          .withColumn("__rk", row_number().over(
-            Window.orderBy(round(col("es_score"), 9), col(keyCol))))
-          .filter(col("__rk") <= k).drop("__rk")
+      // per-epoch re-cut via the two-phase global top-k (VERDICT r15
+      // #3) — same (rounded score, key) order, no single-partition
+      // window even when the standing reservoir grows
+      val merged = graft.operators.Ranks.topK(
+        if (VersionedTable.isVersioned(resDir))
+          VersionedTable.read(spark, resDir).unionByName(cand)
+        else cand,
+        Seq(round(col("es_score"), 9), col(keyCol)), k, bucket = col(keyCol))
       VersionedTable.overwriteIdempotent(spark, resDir, merged, "res", epoch)
       VersionedTable.vacuum(resDir, keep = Some(2))
       ()
@@ -774,24 +775,40 @@ object Streams {
     val in = startingVersion
       .fold(reader1)(v => reader1.option("startingVersion", v.toString)).load()
     val writer = in.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      // a catch-up batch may span several source commits: fold them in
-      // commit order. The collect is bounded by versions-per-batch
-      // (commit metadata, not rows; capped by maxVersionsPerTrigger).
-      val vs = batch.select(VersionedFeedSource.CommitVersion).distinct()
-        .collect().map(_.getLong(0)).sorted
-      if (vs.nonEmpty) { // an empty batch (rate-limit edge) must not
-        var state =      // commit a redundant no-change state version
-          if (VersionedTable.isVersioned(targetRoot))
-            Some(VersionedTable.read(spark, targetRoot))
-          else None
-        vs.foreach { v =>
-          val slice = batch
-            .filter(col(VersionedFeedSource.CommitVersion) === v)
-            .drop(VersionedFeedSource.CommitVersion)
-          state = Some(applyChangeSlice(state, slice, keys, versionCols))
-        }
-        state.foreach(st =>
-          VersionedTable.overwriteIdempotent(spark, targetRoot, st, writerId, epoch))
+      // FAST-PATH a redelivered epoch (exactly the gate
+      // overwriteIdempotent applies before writing — this only moves it
+      // ahead of the batch-plan work; the commit-time gate still holds):
+      // a whole-stream replay over an up-to-date target otherwise pays a
+      // full execution of every batch's diff-union plan just to discover
+      // the no-op at commit time (r16, guide §1.2).
+      val replayed =
+        VersionedTable.committedEpochs(targetRoot).get(writerId).exists(epoch <= _)
+      if (!replayed) {
+        // the batch plan (a union of per-commit diff scans) feeds the
+        // version census AND one filtered fold per version — persist for
+        // the duration of the trigger so it executes once, not 2+
+        batch.persist()
+        try {
+          // a catch-up batch may span several source commits: fold them in
+          // commit order. The collect is bounded by versions-per-batch
+          // (commit metadata, not rows; capped by maxVersionsPerTrigger).
+          val vs = batch.select(VersionedFeedSource.CommitVersion).distinct()
+            .collect().map(_.getLong(0)).sorted
+          if (vs.nonEmpty) { // an empty batch (rate-limit edge) must not
+            var state =      // commit a redundant no-change state version
+              if (VersionedTable.isVersioned(targetRoot))
+                Some(VersionedTable.read(spark, targetRoot))
+              else None
+            vs.foreach { v =>
+              val slice = batch
+                .filter(col(VersionedFeedSource.CommitVersion) === v)
+                .drop(VersionedFeedSource.CommitVersion)
+              state = Some(applyChangeSlice(state, slice, keys, versionCols))
+            }
+            state.foreach(st =>
+              VersionedTable.overwriteIdempotent(spark, targetRoot, st, writerId, epoch))
+          }
+        } finally batch.unpersist()
       }
       ()
     }
@@ -819,7 +836,11 @@ object Streams {
     maxVersionsPerTrigger.foreach(m => reader = reader.option("maxVersionsPerTrigger", m.toString))
     val loaded = reader.load()
     val q = loaded.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
-      if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+      // isEmpty + write are two actions over the batch's diff-scan plan
+      // — persist for the trigger so it executes once (guide §1.2)
+      b.persist()
+      try if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+      finally b.unpersist()
       ()
     }.start()
     q.processAllAvailable()
