@@ -119,9 +119,16 @@ object CorpusPipeline {
         sc.setCheckpointDir(dir)
       }
     }
+    // LAZY local checkpoints (r16): still a LogicalRDD leaf at
+    // construction (the plan-truncation the pipeline needs — see the
+    // eager-vs-persist note above, which is about persist()'s
+    // UN-truncated plan, not about eagerness), but the materialization
+    // job folds into the stage's census count future instead of running
+    // as its own barrier job — one job per stage, not two. Reliable-dir
+    // branch stays eager.
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     // Census counts run as FUTURES (guide §2.6; VERDICT r15 #4): each
     // stage's count reads that stage's just-materialized checkpoint and
     // feeds nothing downstream except the returned census (and the

@@ -93,7 +93,12 @@ object IngestPipeline {
       case Some(dir) =>
         df.sparkSession.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager = true)
-      case None => df.localCheckpoint(true)
+      case None =>
+        // lazy (r16): the frame is a truncated leaf either way; its
+        // materialization folds into the first consumer's job (the
+        // screen-census aggregate, the stored count, an index build)
+        // instead of a dedicated barrier job per ckpt
+        df.localCheckpoint(false)
     }
 
   /** Index a corpus as the initial state (the "settle everything you

